@@ -1,0 +1,69 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to a noop sink (full computation, no driver collect
+skew). One warm-up of the smallest query first so JVM/codegen startup isn't
+billed to q01.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_customers_by_revenue",
+    "q03_regional_revenue",
+    "q06_top3_orders_per_customer",
+    "q13_shipped_within_60d",
+    "q14_purchase_prior_event",
+    "q22_exact_dedup",
+    "q26_minhash_lsh_pairs",
+    "q27_ngram_jaccard_pairs",
+    "q30_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from copy_sharepoint_to_onelake_lakehousefiles_spark import all_queries, get_spark
+
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # Warm-up: trigger JVM/codegen/parquet-footer paths once.
+    qs["q01_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,272 @@
+"""Near-duplicate detection (north-star dedup tier): MinHash+LSH, SimHash,
+and inverted-index n-gram Jaccard.
+
+Design for 100 TB:
+- Never O(n²). Candidates come from an equi-join on a *bucket key* (LSH band
+  or shared shingle), so the shuffle is keyed and skew is bounded by bucket
+  size; exact Jaccard is computed only on candidates.
+- Hashing uses md5 (uniform, engine-independent) so the MinHash / banding
+  queries are DuckDB-oracle-checkable — lexicographic min over hex digests is
+  a valid min-wise sketch.
+- The corpus vocabulary is tiny (31 words), so token-SET similarity
+  saturates; all shingling is on word 5-gram *sequences*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+N_MINHASH = 12  # signature length
+N_BANDS = 6     # bands of 2 rows each → catches jaccard ≳ 0.5
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SHINGLE_WORDS = 5
+
+
+def _shingled(d: DataFrame) -> DataFrame:
+    """documents → (doc_id, shingles: array<string> of distinct word-5-gram md5s)."""
+    d = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    return d.where(F.size("toks") >= SHINGLE_WORDS).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {SHINGLE_WORDS - 1}), "
+                f"i -> md5(concat_ws(' ', slice(toks, i, {SHINGLE_WORDS}))))"
+            )
+        ).alias("shingles"),
+    )
+
+
+def minhash_signature(shingles_col: str = "shingles", n: int = N_MINHASH):
+    """n seeded min-hashes: min over md5(seed ‖ shingle) per seed. Pure column
+    expression (JVM codegen); one pass over the shingle array per seed."""
+    return F.array(
+        *[
+            F.array_min(
+                F.expr(f"transform({shingles_col}, s -> md5(concat('{seed}:', s)))")
+            )
+            for seed in range(n)
+        ]
+    )
+
+
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 4), "
+    "i -> md5(array_to_string(string_split(text,' ')[i:i+4], ' '))))"
+)
+
+
+def _duck_minhash_sig() -> str:
+    parts = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{seed}:' || s)))"
+        for seed in range(N_MINHASH)
+    )
+    return f"[{parts}]"
+
+
+def _duck_bands() -> str:
+    branches = []
+    for b in range(N_BANDS):
+        lo = b * ROWS_PER_BAND + 1
+        hi = lo + ROWS_PER_BAND - 1
+        branches.append(
+            f"SELECT doc_id, shingles, {b} AS band_id, "
+            f"array_to_string(sig[{lo}:{hi}], '|') AS band_key FROM sig"
+        )
+    return "\n  UNION ALL ".join(branches)
+
+
+@query(
+    "q26_minhash_lsh_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+),
+sig AS (
+  SELECT doc_id, shingles, {_duck_minhash_sig()} AS sig FROM sh
+),
+bands AS (
+  {_duck_bands()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.shingles AS sh_a, b.shingles AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 4) AS jaccard
+FROM cand
+WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+      / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5
+""",
+)
+def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified with exact Jaccard on
+    the candidates only.
+
+    Pipeline: shingle → 12 min-hashes → 6 bands × 2 rows → equi-join on
+    (band_id, band_key) → exact Jaccard ≥ 0.5 on candidates. The band join is
+    the only shuffle over the corpus; candidate verification touches only
+    colliding pairs (not n²)."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingled(d)
+    sig = sh.select("doc_id", "shingles", minhash_signature().alias("sig"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|",
+                    *[F.col("sig").getItem(b * ROWS_PER_BAND + i) for i in range(ROWS_PER_BAND)],
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "shingles", F.explode(band_structs).alias("band")
+    ).select("doc_id", "shingles", "band.band_id", "band.band_key")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return cand.select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")).where(
+        jaccard >= 0.5
+    )
+
+
+@query(
+    "q27_ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle, len({_DUCK_SHINGLES}) AS n_sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS shared, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(shared AS DOUBLE) / (na + nb - shared), 4) AS jaccard
+FROM pair
+WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.3
+""",
+)
+def q27_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard via inverted index: explode shingles → equi-join
+    on shingle → count shared per pair → Jaccard from set sizes. No crossJoin
+    anywhere; the shingle join IS the candidate generator. (At 100 TB, cap
+    postings-list length for ubiquitous shingles — document-frequency cut.)"""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingled(d).select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pair = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first(F.col("a.n_sh")).alias("na"),
+            F.first(F.col("b.n_sh")).alias("nb"),
+        )
+    )
+    jaccard = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return pair.select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")).where(
+        jaccard >= 0.3
+    )
+
+
+@query("q28_simhash_buckets")
+def q28_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup candidates (rows-only check: bit-twiddling has
+    no clean ANSI equivalent; tests/test_dedup.py verifies Hamming-distance
+    properties against a Python reference implementation).
+
+    SimHash: per token-shingle, md5 → 64 bits; per bit, +1 if set else -1;
+    sign of the sum per bit = fingerprint bit. Near-dups = fingerprints equal
+    on ≥ 3 of 4 16-bit chunks (banding again — equi-join, no n²)."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingled(d).select("doc_id", F.explode("shingles").alias("shingle"))
+    # 64-bit hash from the first 16 hex chars of the md5 digest.
+    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    bits = sh.select(
+        "doc_id",
+        *[
+            (F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+                f"b{i}"
+            )
+            for i in range(60)
+        ],
+    )
+    sums = bits.groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(60)])
+    fp = sums.select(
+        "doc_id",
+        sum(
+            (
+                F.when(
+                    F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            for i in range(60)
+        ).alias("simhash"),
+    )
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright("simhash", c * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias(f"chunk{c}")
+            for c in range(4)
+        ],
+    )
+    # Candidate pairs: share any 15-bit chunk value at the same position.
+    pairs = None
+    for c in range(4):
+        a = chunks.alias("a")
+        b = chunks.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.chunk{c}") == F.col(f"b.chunk{c}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = sum(F.shiftright(xor, i).bitwiseAND(F.lit(1)) for i in range(60)).alias("hamming")
+    return (
+        pairs.select("doc_a", "doc_b", hamming)
+        .where(F.col("hamming") <= 12)
+        .orderBy("doc_a", "doc_b")
+    )

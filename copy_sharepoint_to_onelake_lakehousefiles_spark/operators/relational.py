@@ -1,0 +1,615 @@
+"""Relational operator library (SURVEY.md §2.2: projection/filter, joins of
+every flavor, aggregation, windows, sort/limit/top-k, set ops, scalar funcs,
+JSON funcs).
+
+The reference hand-rolls these in driver Python (semi-join NB:118-130,
+anti-join NB:132-144, filter+project NB:161-183, count NB:240); here each is a
+declarative DataFrame plan so Catalyst applies pushdown, pruning, partial
+aggregation and broadcast selection automatically.
+
+Scale notes (100 TB posture) are in each docstring: the dimension side of
+every star join is broadcast explicitly; big-big joins shuffle on their join
+key only; aggregates rely on partial (map-side) aggregation.
+
+Float discipline for the DuckDB oracle: every float aggregate is rounded in
+BOTH dialects (sum→2dp, avg→4/6dp) so last-ulp association differences can't
+flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+def REVENUE():
+    # lazy: F.col needs an active session in classic PySpark
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2)                                       AS sum_qty,
+       round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                       AS avg_qty,
+       round(avg(l_extendedprice), 4)                                  AS avg_price,
+       round(avg(l_discount), 6)                                       AS avg_disc,
+       count(*)                                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → hash agg → (sort).
+
+    Scale: filter + column pruning push to the parquet scan; partial
+    aggregation means the shuffle carries ≤ (#flags × #statuses) rows per
+    input partition regardless of input size.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(REVENUE()), 2).alias("sum_disc_price"),
+            F.round(F.sum(REVENUE() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_top_customers_by_revenue",
+    oracle="""
+SELECT c_custkey,
+       c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey)                        AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q02_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big equi-join (lineitem⋈orders, shuffles on orderkey) + broadcast
+    dim join (customer) + hash agg + global top-k.
+
+    Scale: customer is the small side of a star → broadcast; top-k is
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(REVENUE()), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q03_regional_revenue",
+    oracle="""
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey)                        AS n_orders,
+       count(*)                                          AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r_name
+""",
+)
+def q03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact⋈fact then a chain of broadcast dim joins.
+
+    Scale: nation/region/customer broadcast (no shuffle); only the
+    lineitem⋈orders join shuffles, keyed on orderkey.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(REVENUE()), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q04_customers_with_big_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 450000
+)
+""",
+)
+def q04_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — the reference's existence check over the permission
+    collection (NB:118-130: any grantedToIdentitiesV2[].application.id ==
+    appId?) expressed as EXISTS.
+
+    Scale: semi-join shuffles only the join key + dedups on the build side.
+    """
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q05_customers_without_urgent_orders",
+    oracle="""
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+""",
+)
+def q05_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the reference's conditional-insert guard (NB:132-144:
+    POST the permission only if no existing grant matches) as NOT EXISTS.
+    This is the idempotency primitive the copy planner reuses (plans/copy_plan).
+    """
+    c = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+
+
+@query(
+    "q06_top3_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def q06_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window; deterministic tie-break on key.
+
+    Scale: one shuffle on the partition key; no global sort. (A groupBy +
+    min_by/max_by top-1 variant avoids the sort entirely for k=1.)
+    """
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "q07_running_customer_totals",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       round(sum(o_totalprice) OVER w, 2)            AS running_total,
+       round(coalesce(lag(o_totalprice) OVER w, 0), 2) AS prev_price,
+       rank() OVER w                                  AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q07_running_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag + rank over one window definition (shared shuffle)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+            "running_total"
+        ),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias("prev_price"),
+        F.rank().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "q08_rollup_region_nation",
+    oracle="""
+SELECT r_name,
+       n_name,
+       count(*)                  AS n_customers,
+       round(sum(c_acctbal), 2)  AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q08_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (grouping-sets family; Catalyst Expand operator).
+
+    Scale: Expand multiplies rows ×(levels) before the partial agg — still one
+    shuffle keyed on the grouping columns.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+@query(
+    "q09_distinct_counts_by_status",
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey)     AS n_customers,
+       count(*)                      AS n_orders,
+       round(sum(o_totalprice), 2)   AS total_value,
+       round(max(o_totalprice), 2)   AS max_value,
+       round(min(o_totalprice), 2)   AS min_value
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q09_distinct_counts_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase: dedup shuffle then agg).
+
+    Scale: for dashboards at 100 TB swap countDistinct →
+    approx_count_distinct (HLL, single pass, mergeable) — kept exact here for
+    oracle parity.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.round(F.max("o_totalprice"), 2).alias("max_value"),
+        F.round(F.min("o_totalprice"), 2).alias("min_value"),
+    )
+
+
+@query(
+    "q10_segment_set_ops",
+    oracle="""
+SELECT 'rich_building' AS tag, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+UNION ALL
+SELECT 'rich_not_building' AS tag, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+""",
+)
+def q10_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL (Catalyst rewrites the first two to
+    semi/anti joins — same primitive the reference's grant check uses)."""
+    c = load(spark, sf_dir, "customer")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    both = rich.intersect(building).select(F.lit("rich_building").alias("tag"), "c_custkey")
+    only = rich.exceptAll(building).distinct().select(
+        F.lit("rich_not_building").alias("tag"), "c_custkey"
+    )
+    return both.unionByName(only)
+
+
+@query(
+    "q11_json_event_metrics",
+    oracle="""
+SELECT event_type,
+       count(*)                                                        AS n_events,
+       round(avg(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)), 4) AS avg_k,
+       max(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT))  AS max_k,
+       round(sum(value), 2)                                            AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q11_json_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (events.props is a JSON string — the same
+    dynamic-document shape as the reference's Graph responses, NB:210) +
+    aggregation. Spark side uses get_json_object; oracle uses a regexp so the
+    check does not depend on DuckDB's JSON extension.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("bigint")), 4).alias("avg_k"),
+        F.max(F.get_json_object("props", "$.k").cast("bigint")).alias("max_k"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "q12_monthly_revenue",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+       round(sum(o_totalprice), 2)                            AS revenue,
+       count(*)                                               AS n_orders
+FROM orders
+GROUP BY 1
+""",
+)
+def q12_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc bucketing; month emitted as a string in both dialects so the
+    value hash is representation-independent."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("month")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q13_shipped_within_60d",
+    oracle="""
+SELECT o_orderpriority,
+       count(*)                                          AS n_lineitems,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+           AND l_shipdate >= o_orderdate
+           AND l_shipdate <  o_orderdate + INTERVAL 60 DAY
+GROUP BY o_orderpriority
+""",
+)
+def q13_shipped_within_60d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate on top of an equi-join: Catalyst keys the shuffle on
+    the equi part (orderkey) and evaluates the date-band residual in-place —
+    no O(n²) theta join at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum(REVENUE()), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q15_pivot_flag_status",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_f,
+       round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_o,
+       count(*) FILTER (WHERE l_linestatus = 'F')                  AS cnt_f,
+       count(*) FILTER (WHERE l_linestatus = 'O')                  AS cnt_o
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q15_pivot_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (explicit list keeps it one pass —
+    no extra distinct-values job — which is the 100 TB-safe form)."""
+    li = load(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_cnt").alias("cnt_f"),
+        F.col("O_cnt").alias("cnt_o"),
+    )
+
+
+@query(
+    "q16_nation_revenue_ranks",
+    oracle="""
+SELECT n_name,
+       revenue,
+       rank() OVER (ORDER BY revenue DESC)       AS rnk,
+       dense_rank() OVER (ORDER BY revenue DESC) AS drnk,
+       ntile(4) OVER (ORDER BY revenue DESC)     AS quartile
+FROM (
+  SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+""",
+)
+def q16_nation_revenue_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile over an aggregated (small) input — the global
+    window is fine because it runs on ≤ #nations rows, not the fact table."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    agg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = W.orderBy(F.col("revenue").desc())
+    return agg.select(
+        "n_name",
+        "revenue",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q17_document_paths",
+    oracle="""
+SELECT doc_id,
+       upper(lang)                                          AS lang_up,
+       concat_ws('/', 'corpus', source, lang,
+                 'doc_' || CAST(doc_id AS VARCHAR) || '.txt') AS dest_path,
+       length(text)                                         AS text_len,
+       len(string_split(text, ' '))                         AS n_tokens,
+       string_split(text, ' ')[1]                           AS first_word,
+       substr(text, 1, 16)                                  AS prefix16
+FROM documents
+WHERE doc_id < 200
+""",
+)
+def q17_document_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string functions — the reference's path construction
+    (lakehouse_dest_path, NB:254-263) and '//'→'/' normalization (NB:290)
+    as pure column expressions (no UDF)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.where(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.upper("lang").alias("lang_up"),
+        F.regexp_replace(
+            F.concat_ws(
+                "/",
+                F.lit("corpus"),
+                F.col("source"),
+                F.col("lang"),
+                F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt")),
+            ),
+            "//+",
+            "/",
+        ).alias("dest_path"),
+        F.length("text").alias("text_len"),
+        F.size(toks).alias("n_tokens"),
+        toks.getItem(0).alias("first_word"),
+        F.substring("text", 1, 16).alias("prefix16"),
+    )
+
+
+@query(
+    "q18_segment_balance_profile",
+    oracle="""
+SELECT c_mktsegment,
+       count(*)                                              AS n_customers,
+       count(*) FILTER (WHERE c_acctbal > 5000)              AS n_rich,
+       count(*) FILTER (WHERE c_acctbal < 0)                 AS n_negative,
+       round(avg(CASE WHEN c_acctbal > 0 THEN c_acctbal END), 4) AS avg_positive_bal,
+       round(100.0 * count(*) FILTER (WHERE c_acctbal > 5000) / count(*), 4) AS pct_rich
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q18_segment_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (CASE WHEN / FILTER) in one pass."""
+    c = load(spark, sf_dir, "customer")
+    rich = F.when(F.col("c_acctbal") > 5000, 1).otherwise(0)
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(rich).alias("n_rich"),
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias("n_negative"),
+        F.round(F.avg(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))), 4).alias(
+            "avg_positive_bal"
+        ),
+        F.round(100.0 * F.sum(rich) / F.count(F.lit(1)), 4).alias("pct_rich"),
+    )
+
+
+@query(
+    "q19_math_profile",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(sqrt(l_quantity)), 2)            AS sum_sqrt_qty,
+       round(sum(ln(l_extendedprice)), 2)         AS sum_ln_price,
+       round(sum(abs(l_discount - 0.05)), 4)      AS sum_abs_disc_dev,
+       round(sum(pow(l_tax, 2)), 6)               AS sum_tax_sq,
+       sum(CAST(floor(l_quantity) AS BIGINT))     AS sum_floor_qty,
+       sum(CAST(ceil(l_quantity) AS BIGINT))      AS sum_ceil_qty,
+       sum(CAST(l_linenumber % 3 AS BIGINT))      AS sum_mod3
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q19_math_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math functions (sqrt/ln/abs/pow/floor/ceil/mod) — all JVM-side
+    codegen'd expressions."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.sqrt("l_quantity")), 2).alias("sum_sqrt_qty"),
+        F.round(F.sum(F.log("l_extendedprice")), 2).alias("sum_ln_price"),
+        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("sum_abs_disc_dev"),
+        F.round(F.sum(F.pow("l_tax", F.lit(2))), 6).alias("sum_tax_sq"),
+        F.sum(F.floor("l_quantity").cast("bigint")).alias("sum_floor_qty"),
+        F.sum(F.ceil("l_quantity").cast("bigint")).alias("sum_ceil_qty"),
+        F.sum((F.col("l_linenumber") % 3).cast("bigint")).alias("sum_mod3"),
+    )

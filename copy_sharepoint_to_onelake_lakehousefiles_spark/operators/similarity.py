@@ -1,0 +1,216 @@
+"""Similarity search over the ``embeddings`` table (north-star ANN tier).
+
+Two paths, per SURVEY.md §7:
+- Exact brute-force top-k for a bounded query set: broadcast the queries,
+  compute cosine with built-in higher-order functions (zip_with/aggregate —
+  JVM-side, no Python), rank per query. Oracle-checkable in DuckDB.
+- Scale path: random-hyperplane LSH bucketing (signs of projections onto R
+  fixed planes) → candidates share a bucket → exact cosine only on
+  candidates. IVF-style: the bucket key is the "cell". Rows-only check;
+  tests measure recall against brute force.
+
+Float discipline: embeddings are float32; both engines cast to DOUBLE before
+the dot product and both accumulate in array order, so rounded cosines match
+bit-for-bit at 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+N_PLANES = 6    # bits per LSH table
+N_TABLES = 8    # independent hash tables (multi-table LSH: candidates = union)
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str):
+    return F.sqrt(F.expr(f"aggregate({a}, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"))
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact top-k cosine neighbours of each query vector.
+
+    queries/corpus: (vec_id, embedding array<float>). The query side is
+    broadcast (bounded); the corpus streams — one pass, no shuffle of the
+    corpus except the final per-query top-k (tiny)."""
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("q_emb")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").cast("array<double>").alias("n_emb")
+    )
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+    cos = _dot("q_emb", "n_emb") / (_norm("q_emb") * _norm("n_emb"))
+    scored = pairs.select("q_id", "n_id", F.round(cos, 6).alias("cosine"))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "n_id", "cosine", "rk")
+    )
+
+
+@query(
+    "q30_cosine_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_emb FROM embeddings
+),
+scored AS (
+  SELECT q_id, n_id,
+         round(list_dot_product(q_emb, n_emb)
+               / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(n_emb, n_emb))),
+               6) AS cosine
+  FROM q JOIN c ON q_id <> n_id
+)
+SELECT q_id, n_id, cosine, rk FROM (
+  SELECT q_id, n_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+  FROM scored
+)
+WHERE rk <= {TOP_K}
+""",
+)
+def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact ANN baseline: top-5 cosine neighbours for the first
+    10 vectors against the full corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.where(F.col("vec_id") < N_QUERIES), emb, TOP_K)
+
+
+def hyperplane_bucket(df: DataFrame, planes: list[list[float]], emb_col: str = "embedding"):
+    """Sign-of-projection LSH bucket key: bit i = (embedding · plane_i) >= 0."""
+    bits = []
+    for i, plane in enumerate(planes):
+        d = F.expr(
+            f"aggregate(zip_with(CAST({emb_col} AS ARRAY<DOUBLE>), "
+            f"array({', '.join(f'CAST({float(x)} AS DOUBLE)' for x in plane)}), "
+            f"(x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return sum(bits).alias("bucket")
+
+
+def _deterministic_planes(dim: int = 64, n: int = N_PLANES, seed: int = 1234567) -> list[list[float]]:
+    """Fixed pseudo-random hyperplanes (LCG — deterministic across runs and
+    engines; no numpy RNG state involved)."""
+    planes = []
+    state = seed
+    for _ in range(n):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _multi_table_buckets(df: DataFrame) -> DataFrame:
+    """(vec_id, embedding) → one row per (table_id, bucket) — the exploded
+    multi-table LSH index. Hashing is one pass; the explode is ×N_TABLES."""
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                hyperplane_bucket(df, _deterministic_planes(seed=1234567 + 7919 * t)),
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+    return df.select("vec_id", "embedding", F.explode(tables).alias("tb")).select(
+        "vec_id", "embedding", "tb.table_id", "tb.bucket"
+    )
+
+
+@query("q31_ann_lsh_topk")
+def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH: 8 independent
+    tables of 6 projection signs each; candidates = union of same-bucket
+    matches across tables; exact cosine re-ranks candidates only. Rows-only
+    check; tests/test_similarity.py measures recall vs brute force (the
+    recall/cost dial is N_TABLES × N_PLANES).
+
+    Scale: the corpus is hashed once (one pass), the index is an equi-join on
+    (table_id, bucket) — 100 TB of vectors shuffles only within cells, and
+    candidate count per query is corpus_fraction ≈ N_TABLES / 2^N_PLANES."""
+    emb = load(spark, sf_dir, "embeddings")
+    hashed = _multi_table_buckets(emb)
+    q = hashed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+        "table_id",
+        "bucket",
+    )
+    c = hashed.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("n_emb"),
+        "table_id",
+        "bucket",
+    )
+    cand = (
+        q.join(c, ["table_id", "bucket"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    cos = _dot("q_emb", "n_emb") / (_norm("q_emb") * _norm("n_emb"))
+    scored = cand.select("q_id", "n_id", F.round(cos, 6).alias("cosine"))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "n_id", "cosine", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+@query(
+    "q32_embedding_neardup",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+             6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb)
+      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) > 0.35
+""",
+)
+def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the blocking
+    key stands in for an LSH bucket: candidates only within a block, never a
+    full cross join)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
+        F.col("a.emb").alias("ea"),
+        F.col("b.emb").alias("eb"),
+    )
+    cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    return pairs.where(cos > 0.35).select(
+        "vec_a", "vec_b", "label", F.round(cos, 6).alias("cosine")
+    )

@@ -1,0 +1,245 @@
+"""Text-analysis operators over the ``documents`` corpus (BASELINE.json
+north-star: language-ID, quality scoring, token counting, fingerprinting).
+
+All hot-path expressions are built-in column functions (split / transform /
+filter / md5 / regexp) — JVM-side, whole-stage-codegen'd, no Python UDFs —
+so they vectorize at 100 TB. Oracle parity: DuckDB list lambdas mirror the
+Spark higher-order functions one-to-one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Whitespace tokens + a BPE-ish regex token stream (word pieces vs punctuation).
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+@query(
+    "q20_text_stats_by_lang",
+    oracle="""
+SELECT lang,
+       count(*)                                        AS n_docs,
+       round(avg(n_chars), 4)                          AS avg_chars,
+       round(avg(len(string_split(text, ' '))), 4)     AS avg_tokens,
+       max(len(string_split(text, ' ')))               AS max_tokens,
+       min(length(text))                               AS min_len
+FROM documents
+GROUP BY lang
+""",
+)
+def q20_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language (tokenize → aggregate)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(toks)), 4).alias("avg_tokens"),
+        F.max(F.size(toks)).alias("max_tokens"),
+        F.min(F.length("text")).alias("min_len"),
+    )
+
+
+@query(
+    "q21_quality_scores",
+    oracle=f"""
+SELECT doc_id,
+       n_tokens,
+       round(avg_word_len, 4)      AS avg_word_len,
+       round(stopword_ratio, 4)    AS stopword_ratio,
+       round(distinct_ratio, 4)    AS distinct_ratio,
+       CASE WHEN n_tokens >= 10 AND stopword_ratio < 0.5 AND distinct_ratio > 0.2
+            THEN 1 ELSE 0 END      AS quality_keep
+FROM (
+  SELECT doc_id,
+         len(toks)                                                       AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)      AS avg_word_len,
+         CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+           / len(toks)                                                   AS stopword_ratio,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)            AS distinct_ratio
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+)
+""",
+)
+def q21_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring (Gopher/C4-style length + stopword +
+    repetition heuristics) as pure column expressions."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = d.select("doc_id", "text", toks.alias("toks"))
+    n_tokens = F.size("toks")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stopword_cnt = F.size(F.expr(
+        "filter(toks, t -> array_contains(array({}), t))".format(_STOP_SQL)
+    ))
+    avg_word_len = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
+    stopword_ratio = stopword_cnt.cast("double") / n_tokens
+    distinct_ratio = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        F.round(stopword_ratio, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.when(
+            (n_tokens >= 10) & (stopword_ratio < 0.5) & (distinct_ratio > 0.2), 1
+        )
+        .otherwise(0)
+        .alias("quality_keep"),
+    )
+
+
+@query(
+    "q22_exact_dedup",
+    oracle="""
+SELECT lang,
+       count(*)                  AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       count(*) - count(DISTINCT md5(text)) AS n_dups
+FROM documents
+GROUP BY lang
+""",
+)
+def q22_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication by content hash — at 100 TB the hash-groupBy
+    shuffles 16-byte digests instead of full documents. ``dedup_exact``
+    below returns the surviving rows; this query reports the per-language
+    dedup profile (oracle-checkable)."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("n_dups"),
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-key row per distinct content hash (deterministic
+    survivor choice — ``dropDuplicates`` picks an arbitrary row, which breaks
+    replay/audit)."""
+    return (
+        df.withColumn("_h", F.md5(F.col(text_col)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy("_h").orderBy(F.col(key_col))),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+@query(
+    "q23_token_counts",
+    oracle=f"""
+SELECT source,
+       sum(len(string_split_regex(trim(text), '\\s+')))      AS ws_tokens,
+       sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS bpe_ish_tokens,
+       round(avg(len(regexp_extract_all(text, '[a-zA-Z]+'))), 4) AS avg_word_tokens
+FROM documents
+GROUP BY source
+""",
+)
+def q23_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex token
+    stream (letters / digits / single punctuation) — the unit a training-data
+    pipeline budgets by."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("ws_tokens"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))).alias(
+            "bpe_ish_tokens"
+        ),
+        F.round(
+            F.avg(F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-zA-Z]+"), 0))), 4
+        ).alias("avg_word_tokens"),
+    )
+
+
+@query(
+    "q24_doc_fingerprints",
+    oracle="""
+SELECT doc_id,
+       list_min(list_transform(
+         generate_series(1, len(string_split(text, ' ')) - 4),
+         i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))
+       ))                        AS fingerprint,
+       len(string_split(text, ' ')) - 4 AS n_shingles
+FROM documents
+WHERE len(string_split(text, ' ')) >= 5
+""",
+)
+def q24_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash over rolling word 5-gram shingles
+    (winnowing-style content signature; md5 is uniform so the lexicographic
+    min over hex digests is a valid min-wise sketch — and engine-independent,
+    hence oracle-checkable)."""
+    d = load(spark, sf_dir, "documents")
+    d = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    shingle_hashes = F.expr(
+        "transform(sequence(1, size(toks) - 4), i -> md5(concat_ws(' ', slice(toks, i, 5))))"
+    )
+    return d.where(F.size("toks") >= 5).select(
+        "doc_id",
+        F.array_min(shingle_hashes).alias("fingerprint"),
+        (F.size("toks") - 4).alias("n_shingles"),
+    )
+
+
+@query("q25_language_id")
+def q25_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID (rows-only check: profile construction is
+    iterative and not reasonably ANSI-SQL-expressible).
+
+    Build a per-language profile = top character-trigrams by frequency from a
+    labelled sample, then classify each document by profile overlap. At scale
+    the profile is tiny → broadcast join; the document side is one pass.
+    """
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
+        ).alias("gram"),
+    )
+    # Profile: top 40 trigrams per language from even doc_ids (the "training" half).
+    prof = (
+        grams.where(F.col("doc_id") % 2 == 0)
+        .groupBy("lang", "gram")
+        .count()
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("lang").orderBy(F.col("count").desc(), "gram")),
+        )
+        .where(F.col("rk") <= 40)
+        .select(F.col("lang").alias("profile_lang"), "gram")
+    )
+    scored = (
+        grams.where(F.col("doc_id") % 2 == 1)
+        .dropDuplicates(["doc_id", "gram"])
+        .join(F.broadcast(prof), "gram")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("overlap").desc(), "profile_lang")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.col("profile_lang").alias("predicted_lang"),
+            "overlap",
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,226 @@
+"""The copy subsystem — the reference's core capability, distributed.
+
+Reference semantics being generalized:
+- idempotent grant/insert: read-before-write existence check (NB:118-144)
+  → here: `plan_copy` anti-joins the manifest against the destination state,
+  so re-runs copy nothing that already landed (the reference re-downloads
+  everything every run — this is the fix SURVEY.md §2.1 calls out).
+- sequential per-file GET+write loop (NB:283-305)
+  → here: `execute_copy` runs the fetch+write INSIDE executors via
+  mapInPandas, one HTTP/filesystem session per partition, parallel across
+  partitions, with per-row status instead of silent `continue` — the audit
+  line (NB:299) becomes a queryable result DataFrame (SURVEY §2.1 O24).
+- destination path construction (lakehouse_dest_path, NB:254-263) and
+  '//'→'/' normalization (NB:242/263/290) as column expressions.
+
+Scale: the manifest is a DataFrame; `repartition(parallelism)` bounds
+per-task fan-out; task retry supersedes the reference's skip-on-error;
+a 100 TB copy is just more partitions.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("file_id", T.StringType()),
+        T.StructField("src_path", T.StringType()),
+        T.StructField("dest_path", T.StringType()),
+        T.StructField("bytes", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def dest_path_col(dest_root: str, site_folder: str) -> F.Column:
+    """lakehouse_dest_path (NB:254-263) as a pure column expression:
+    join root/site/rel_path with '/', collapse duplicate slashes."""
+    return F.regexp_replace(
+        F.concat_ws("/", F.lit(dest_root), F.lit(site_folder), F.col("rel_path")),
+        "/{2,}",
+        "/",
+    )
+
+
+def plan_copy(manifest: DataFrame, existing: DataFrame | None) -> DataFrame:
+    """Idempotent copy plan: manifest rows minus already-copied rows.
+
+    `existing` is the destination-state manifest (same rel_path key); the
+    left-anti join is the distributed form of the reference's
+    check-then-insert (NB:123-132). Rows with no download_url are dropped
+    up front (NB:285-287)."""
+    todo = manifest.where(F.col("download_url").isNotNull())
+    if existing is not None:
+        todo = todo.join(
+            existing.select("rel_path").distinct(), on="rel_path", how="left_anti"
+        )
+    return todo
+
+
+def execute_copy(
+    todo: DataFrame,
+    dest_root: str,
+    site_folder: str = "",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Distributed fetch+write. Each executor task copies its partition's
+    files (local/file: URLs here; an http(s) fetcher slots into `_read_src`
+    with a pooled session) and emits an audit row per file.
+
+    Returns the result-manifest DataFrame (src_path, dest_path, bytes,
+    status, error) — the queryable replacement for the reference's printed
+    `# COPY:` lines."""
+    planned = todo.select(
+        "file_id",
+        F.col("download_url").alias("src_path"),
+        dest_path_col(dest_root, site_folder).alias("dest_path"),
+    )
+    if parallelism:
+        planned = planned.repartition(parallelism)
+
+    def _read_src(src: str) -> bytes:
+        path = src[len("file:") :] if src.startswith("file:") else src
+        with open(path, "rb") as f:
+            return f.read()
+
+    def copy_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    raw = _read_src(row.src_path)
+                    os.makedirs(os.path.dirname(row.dest_path), exist_ok=True)
+                    with open(row.dest_path, "wb") as f:
+                        f.write(raw)
+                    out.append((row.file_id, row.src_path, row.dest_path, len(raw), "ok", None))
+                except Exception as exc:  # noqa: BLE001 — audit row, task keeps going
+                    out.append((row.file_id, row.src_path, row.dest_path, 0, "error", str(exc)))
+            yield pd.DataFrame(
+                out, columns=["file_id", "src_path", "dest_path", "bytes", "status", "error"]
+            )
+
+    return planned.mapInPandas(copy_partition, RESULT_SCHEMA)
+
+
+def copy_tree(
+    spark: SparkSession,
+    src_root: str,
+    dest_root: str,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """End-to-end: enumerate src_root → anti-join against dest state →
+    distributed copy → result manifest."""
+    from ..sources.manifest import manifest_from_local_dir
+
+    manifest = manifest_from_local_dir(spark, src_root)
+    existing = None
+    if os.path.isdir(dest_root) and any(os.scandir(dest_root)):
+        existing = manifest_from_local_dir(spark, dest_root)
+    todo = plan_copy(manifest, existing)
+    return execute_copy(todo, dest_root, parallelism=parallelism)
+
+
+# ---------------------------------------------------------------------------
+# Permission-grant planner (NB:110-144) over Graph-shaped permission docs.
+# ---------------------------------------------------------------------------
+
+PERMISSIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("roles", T.ArrayType(T.StringType())),
+        T.StructField(
+            "grantedToIdentitiesV2",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "application",
+                            T.StructType(
+                                [
+                                    T.StructField("id", T.StringType()),
+                                    T.StructField("displayName", T.StringType()),
+                                ]
+                            ),
+                        )
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def granted_app_ids(permissions: DataFrame) -> DataFrame:
+    """Nested array-of-struct scan (NB:123-130): explode
+    grantedToIdentitiesV2[] and project application.id."""
+    return (
+        permissions.select(F.explode("grantedToIdentitiesV2").alias("g"))
+        .select(F.col("g.application.id").alias("app_id"))
+        .where(F.col("app_id").isNotNull())
+        .distinct()
+    )
+
+
+def plan_grants(desired_apps: DataFrame, permissions: DataFrame) -> DataFrame:
+    """Idempotent grant plan: desired app ids that do NOT already hold a
+    grant (anti-join) — the rows the reference would POST (NB:132-144),
+    with roles=['write'] attached."""
+    existing = granted_app_ids(permissions)
+    return (
+        desired_apps.join(existing, "app_id", "left_anti")
+        .select("app_id", "display_name")
+        .withColumn("roles", F.array(F.lit("write")))
+    )
+
+
+@query("q50_copy_roundtrip")
+def q50_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying copy round-trip (rows-only check: side-effecting I/O is
+    not SQL-expressible). Builds the FIXTURES.md B1 tree under /tmp, copies
+    it twice — the second run must plan ZERO work (idempotency) — and
+    returns per-status counts joined with a source/dest byte reconciliation."""
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_copy_fixture")
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "dst")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(os.path.join(src, "sub1", "sub2"))
+    os.makedirs(os.path.join(src, "empty_dir"))
+    with open(os.path.join(src, "a.csv"), "w") as f:
+        f.write("x,y\n1,2\n")
+    with open(os.path.join(src, "sub1", "b.bin"), "wb") as f:
+        f.write(b"\x00\x01" * 64)
+    with open(os.path.join(src, "sub1", "sub2", "c.txt"), "w") as f:
+        f.write("hello lake\n")
+
+    first = copy_tree(spark, src, dst).cache()
+    n_first = first.count()
+    second = copy_tree(spark, src, dst)
+    n_second = second.count()
+
+    src_bytes = sum(
+        os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(src) for f in fs
+    )
+    dst_bytes = sum(
+        os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(dst) for f in fs
+    )
+    return first.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+        F.lit(n_first).alias("first_run_rows"),
+        F.lit(n_second).alias("second_run_rows"),
+        F.lit(src_bytes).alias("src_bytes"),
+        F.lit(dst_bytes).alias("dst_bytes"),
+    )

@@ -1,0 +1,149 @@
+"""Structured Streaming tier over the ``events`` table (SURVEY.md §7 phase 4).
+
+Each query replays the events parquet through readStream with
+Trigger.availableNow (complete watermark drain → batch-equivalent results,
+which is what makes the tumbling/dedup queries DuckDB-oracle-checkable) and
+returns the final state as a batch DataFrame from a memory sink.
+
+Scale: file source → real streams swap in a Kafka reader with the same plan;
+watermarks bound state; session windows use the built-in session_window
+(state store), not custom applyInPandasWithState, since gap semantics fit.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table_path
+
+_EVENT_SCHEMA_DDL = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a stream; ts arrives as raw nanos (see tables.load) and is
+    converted to a microsecond TIMESTAMP before any windowing."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(_EVENT_SCHEMA_DDL)
+        .format("parquet")
+        # The file stream source needs a directory; filter to the one table.
+        .option("pathGlobFilter", "events.parquet")
+    )
+    return reader.load(sf_dir).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_completion(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive an availableNow query to termination into a memory sink and
+    return the sink table."""
+    sink = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark_ = stream_df.sparkSession
+    return spark_.table(sink)
+
+
+@query(
+    "q40_stream_tumbling_daily",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*)              AS n_events,
+       round(sum(value), 2)  AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q40_stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window aggregation with a watermark, drained with
+    availableNow — final state must equal the batch GROUP BY (that equality
+    is exactly what the oracle checks)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    final = _run_to_completion(agg, "complete")
+    return final.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "q41_stream_sessionization",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       count(DISTINCT session_id) AS n_sessions,
+       count(*)                   AS n_events,
+       round(CAST(count(*) AS DOUBLE) / count(DISTINCT session_id), 4) AS events_per_session
+FROM sessions
+GROUP BY user_id
+""",
+)
+def q41_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window (30-min gap) sessionization per user; the oracle is the
+    classic gaps-and-islands SQL, which availableNow drain must reproduce."""
+    ev = _events_stream(spark, sf_dir)
+    sess = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("session_events"))
+    )
+    final = _run_to_completion(sess, "complete")
+    return final.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("session_events").alias("n_events"),
+        F.round(
+            F.sum("session_events").cast("double") / F.count(F.lit(1)), 4
+        ).alias("events_per_session"),
+    )
+
+
+@query(
+    "q42_stream_dedup_counts",
+    oracle="""
+SELECT event_type, count(DISTINCT event_id) AS n_unique
+FROM events
+GROUP BY event_type
+""",
+)
+def q42_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on event_id (watermarked state) then count —
+    the streaming form of exact dedup; equals batch COUNT(DISTINCT)."""
+    ev = _events_stream(spark, sf_dir)
+    dedup = ev.withWatermark("ts", "1 day").dropDuplicates(["event_id"])
+    agg = dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    return _run_to_completion(agg, "complete")

@@ -1,0 +1,160 @@
+"""Copy subsystem: manifest walk (pagination, facets), idempotent planning
+(anti-join), distributed execution, grant planner — the reference's whole
+behavior surface (NB:110-305) under test, which the reference itself lacks."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.copy_plan import (
+    PERMISSIONS_SCHEMA,
+    copy_tree,
+    execute_copy,
+    plan_copy,
+    plan_grants,
+)
+from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.manifest import (
+    MANIFEST_SCHEMA,
+    manifest_from_local_dir,
+    manifest_from_tree,
+    walk_tree,
+)
+
+
+def _build_tree(root):
+    os.makedirs(os.path.join(root, "sub1", "sub2"))
+    os.makedirs(os.path.join(root, "empty_dir"))
+    with open(os.path.join(root, "a.csv"), "w") as f:
+        f.write("x,y\n1,2\n")
+    with open(os.path.join(root, "sub1", "b.bin"), "wb") as f:
+        f.write(b"\x01\x02" * 100)
+    with open(os.path.join(root, "sub1", "sub2", "c.txt"), "w") as f:
+        f.write("hello\n")
+
+
+# --- Graph-shaped paged walk (FIXTURES.md B2) -------------------------------
+
+PAGES = {
+    "root#1": {
+        "value": [
+            {"id": "F1", "name": "sub1", "folder": {"childCount": 2}},
+            {
+                "id": "I1",
+                "name": "a.csv",
+                "file": {"mimeType": "text/csv"},
+                "size": 8,
+                "@microsoft.graph.downloadUrl": "u/a.csv",
+            },
+        ],
+        "@odata.nextLink": "root#2",
+    },
+    "root#2": {
+        "value": [
+            {"id": "I2", "name": "package.one", "package": {"type": "oneNote"}},  # neither facet
+            {
+                "id": "I3",
+                "name": "nourl.dat",
+                "file": {"mimeType": "x"},
+                "size": 1,
+                # no downloadUrl → planner must skip it
+            },
+        ],
+        "@odata.nextLink": None,
+    },
+    "children/F1": {
+        "value": [
+            {
+                "id": "I4",
+                "name": "b bin.dat",
+                "file": {"mimeType": "x"},
+                "size": 9,
+                "@microsoft.graph.downloadUrl": "u/b%20bin.dat",
+            }
+        ],
+        "@odata.nextLink": None,
+    },
+}
+
+
+def test_walk_tree_pagination_facets_and_paths():
+    rows = list(walk_tree(PAGES.__getitem__, "root#1", lambda i: f"children/{i}"))
+    by_name = {r["name"]: r for r in rows}
+    # package (neither facet) dropped, both pages consumed, folder recursed
+    assert set(by_name) == {"a.csv", "nourl.dat", "b bin.dat"}
+    assert by_name["b bin.dat"]["rel_path"] == "sub1/b bin.dat"
+    assert by_name["a.csv"]["rel_path"] == "a.csv"
+    assert by_name["nourl.dat"]["download_url"] is None
+
+
+def test_plan_copy_drops_null_urls_and_already_copied(spark):
+    manifest = manifest_from_tree(
+        spark, PAGES.__getitem__, "root#1", lambda i: f"children/{i}"
+    )
+    assert manifest.schema == MANIFEST_SCHEMA
+    todo = plan_copy(manifest, existing=None)
+    assert {r["name"] for r in todo.collect()} == {"a.csv", "b bin.dat"}
+
+    existing = spark.createDataFrame([("a.csv",)], "rel_path string")
+    todo2 = plan_copy(manifest, existing)
+    assert {r["name"] for r in todo2.collect()} == {"b bin.dat"}
+
+
+# --- end-to-end local copy ---------------------------------------------------
+
+
+def test_copy_tree_roundtrip_and_idempotency(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _build_tree(src)
+
+    result = copy_tree(spark, src, dst)
+    rows = result.collect()
+    assert all(r["status"] == "ok" for r in rows)
+    assert len(rows) == 3
+    # byte-exact copies, tree shape preserved
+    assert open(os.path.join(dst, "sub1", "sub2", "c.txt")).read() == "hello\n"
+    assert (
+        open(os.path.join(dst, "sub1", "b.bin"), "rb").read()
+        == open(os.path.join(src, "sub1", "b.bin"), "rb").read()
+    )
+    # second run: nothing to do (the reference re-copies everything — we don't)
+    assert copy_tree(spark, src, dst).count() == 0
+
+
+def test_execute_copy_reports_errors_not_raises(spark, tmp_path):
+    manifest = spark.createDataFrame(
+        [("x", "ghost.bin", "ghost.bin", "/nonexistent/ghost.bin", 1)], MANIFEST_SCHEMA
+    )
+    out = execute_copy(plan_copy(manifest, None), str(tmp_path / "dst")).collect()
+    assert len(out) == 1 and out[0]["status"] == "error" and out[0]["error"]
+
+
+# --- grant planner (FIXTURES.md B3, NB:110-144) ------------------------------
+
+
+def test_plan_grants_idempotent(spark):
+    perms = spark.createDataFrame(
+        [
+            (
+                "P1",
+                ["write"],
+                [{"application": {"id": "app-b", "displayName": "MySite-Access"}}],
+            )
+        ],
+        PERMISSIONS_SCHEMA,
+    )
+    desired = spark.createDataFrame(
+        [("app-a", "Copier"), ("app-b", "MySite-Access")], "app_id string, display_name string"
+    )
+    todo = plan_grants(desired, perms).collect()
+    # app-b already granted → only app-a planned, with write role
+    assert [(r["app_id"], r["roles"]) for r in todo] == [("app-a", ["write"])]
+
+
+def test_manifest_from_local_dir_rel_paths(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _build_tree(src)
+    m = manifest_from_local_dir(spark, src)
+    rels = {r["rel_path"] for r in m.collect()}
+    assert rels == {"a.csv", "sub1/b.bin", "sub1/sub2/c.txt"}
+    sizes = {r["rel_path"]: r["size"] for r in m.collect()}
+    assert sizes["sub1/b.bin"] == 200

@@ -1,0 +1,67 @@
+"""Dedup tier: MinHash-LSH vs exact Jaccard ground truth, SimHash properties,
+exact dedup survivor determinism."""
+
+from pyspark.sql import functions as F
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.operators import dedup as D
+from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.text import dedup_exact
+from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import load
+
+
+def test_lsh_pairs_subset_of_exact_pairs(spark, sf_dir):
+    """Every LSH-confirmed pair (jaccard≥0.5) must appear in the exact
+    inverted-index pairs (threshold 0.3) — no false positives survive the
+    verify step."""
+    lsh = {(r["doc_a"], r["doc_b"]) for r in D.q26_minhash_lsh_pairs(spark, sf_dir).collect()}
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.q27_ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert lsh, "corpus should contain planted near-dups"
+    assert lsh.issubset(set(exact))
+
+
+def test_lsh_recall_on_high_jaccard_pairs(spark, sf_dir):
+    """Pairs with true jaccard ≥ 0.7 should essentially always collide in
+    ≥1 of 6 bands (P(miss) = (1-j²)⁶ ≤ 0.013 at j=0.7)."""
+    lsh = {(r["doc_a"], r["doc_b"]) for r in D.q26_minhash_lsh_pairs(spark, sf_dir).collect()}
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.q27_ngram_jaccard_pairs(spark, sf_dir).collect()
+        if r["jaccard"] >= 0.7
+    }
+    assert truth
+    recall = len(lsh & truth) / len(truth)
+    assert recall >= 0.9
+
+
+def test_simhash_identical_docs_zero_hamming(spark, sf_dir):
+    """Exact duplicate texts must land at hamming distance 0 and be caught."""
+    d = load(spark, sf_dir, "documents").limit(3)
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    both = d.unionByName(dup)
+    both.createOrReplaceTempView("___tmp")
+    # run the simhash pipeline over the doubled corpus via a monkey-table
+    import copy_sharepoint_to_onelake_lakehousefiles_spark.operators.dedup as dd
+
+    sh = dd._shingled(both)
+    sig = sh.select("doc_id", dd.minhash_signature().alias("sig"))
+    # identical text → identical minhash signature
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in sig.collect()}
+    for r in d.collect():
+        assert sigs[r["doc_id"]] == sigs[r["doc_id"] + 100000]
+
+
+def test_dedup_exact_keeps_lowest_key(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").limit(5)
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    both = d.unionByName(dup)
+    kept = dedup_exact(both)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == sorted(r["doc_id"] for r in d.collect())  # low keys survive
+
+
+def test_simhash_query_shape(spark, sf_dir):
+    rows = D.q28_simhash_buckets(spark, sf_dir).collect()
+    assert all(0 <= r["hamming"] <= 12 for r in rows)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)

@@ -1,0 +1,58 @@
+"""Similarity tier: exact top-k sanity + LSH recall vs brute force."""
+
+from pyspark.sql import functions as F
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.operators import similarity as S
+from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import load
+
+
+def test_topk_shape_and_self_exclusion(spark, sf_dir):
+    rows = S.q30_cosine_topk(spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        assert r["q_id"] != r["n_id"]
+        assert -1.0001 <= r["cosine"] <= 1.0001
+        per_q.setdefault(r["q_id"], []).append(r["rk"])
+    assert set(per_q) == set(range(S.N_QUERIES))
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, S.TOP_K + 1))
+
+
+def test_topk_matches_numpy_bruteforce(spark, sf_dir):
+    import numpy as np
+
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in load(spark, sf_dir, "embeddings").collect()}
+    got = {}
+    for r in S.q30_cosine_topk(spark, sf_dir).collect():
+        got.setdefault(r["q_id"], []).append((r["rk"], r["n_id"]))
+    for q in range(S.N_QUERIES):
+        qa = emb[q]
+        sims = {
+            n: float(qa @ v / (np.linalg.norm(qa) * np.linalg.norm(v)))
+            for n, v in emb.items()
+            if n != q
+        }
+        want = [n for n, _ in sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))][
+            : S.TOP_K
+        ]
+        assert [n for _, n in sorted(got[q])] == want
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    exact = {}
+    for r in S.q30_cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r["q_id"], set()).add(r["n_id"])
+    approx = {}
+    for r in S.q31_ann_lsh_topk(spark, sf_dir).collect():
+        approx.setdefault(r["q_id"], set()).add(r["n_id"])
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    # single-probe 8-plane LSH on 64-dim random data: modest but real recall
+    assert hits / total >= 0.2
+
+
+def test_blocked_neardup_within_label_only(spark, sf_dir):
+    labels = {r["vec_id"]: r["label"] for r in load(spark, sf_dir, "embeddings").collect()}
+    for r in S.q32_embedding_neardup(spark, sf_dir).collect():
+        assert labels[r["vec_a"]] == labels[r["vec_b"]] == r["label"]

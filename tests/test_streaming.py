@@ -1,0 +1,45 @@
+"""Streaming tier: availableNow drain must equal the batch equivalent."""
+
+from pyspark.sql import functions as F
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.streaming import windows as SW
+from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import load
+
+
+def test_tumbling_equals_batch(spark, sf_dir):
+    stream = {
+        (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in SW.q40_stream_tumbling_daily(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    batch = {
+        (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert stream == batch
+
+
+def test_stream_dedup_equals_distinct(spark, sf_dir):
+    got = {
+        r["event_type"]: r["n_unique"]
+        for r in SW.q42_stream_dedup_counts(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("event_id").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_sessionization_event_conservation(spark, sf_dir):
+    rows = SW.q41_stream_sessionization(spark, sf_dir).collect()
+    assert sum(r["n_events"] for r in rows) == load(spark, sf_dir, "events").count()
+    assert all(r["n_sessions"] >= 1 for r in rows)
