@@ -613,3 +613,120 @@ def q19_math_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.ceil("l_quantity").cast("bigint")).alias("sum_ceil_qty"),
         F.sum((F.col("l_linenumber") % 3).cast("bigint")).alias("sum_mod3"),
     )
+
+
+@query(
+    "q33_cube_priority_status",
+    oracle="""
+SELECT o_orderpriority,
+       o_orderstatus,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 2) AS total_value
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+)
+def q33_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^k grouping combinations in one pass (Catalyst Expand)."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "q34_grouping_sets",
+    oracle="""
+SELECT r_name, c_mktsegment, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+""",
+)
+def q34_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst plan as the
+    DataFrame rollup/cube family; demonstrates the spark.sql entry point)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_gs_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("_gs_nation")
+    load(spark, sf_dir, "region").createOrReplaceTempView("_gs_region")
+    return spark.sql(
+        """
+        SELECT r_name, c_mktsegment, count(*) AS n_customers
+        FROM _gs_customer
+        JOIN _gs_nation ON c_nationkey = n_nationkey
+        JOIN _gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        """
+    )
+
+
+@query(
+    "q35_above_segment_average",
+    oracle="""
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal > (
+  SELECT avg(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_mktsegment = c.c_mktsegment
+)
+""",
+)
+def q35_above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates to agg + join —
+    one shuffle on the correlation key, not a per-row subplan)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_sub_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+        FROM _sub_customer c
+        WHERE c_acctbal > (
+          SELECT avg(c2.c_acctbal) FROM _sub_customer c2
+          WHERE c2.c_mktsegment = c.c_mktsegment
+        )
+        """
+    )
+
+
+@query(
+    "q37_event_time_profile",
+    oracle="""
+SELECT event_type,
+       hour(ts)                                                       AS hr,
+       count(*)                                                       AS n_events,
+       round(avg(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)), 4) AS avg_k,
+       min(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts))     AS min_day_idx,
+       max(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts))     AS max_day_idx
+FROM events
+GROUP BY event_type, hour(ts)
+""",
+)
+def q37_event_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp scalar functions (hour, day arithmetic) + from_json: props
+    is parsed with an explicit schema (from_json) rather than per-key string
+    extraction — the declared-schema form SURVEY §1.3 mandates for payloads."""
+    e = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    day_idx = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    return e.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.min(day_idx).alias("min_day_idx"),
+        F.max(day_idx).alias("max_day_idx"),
+    )
+
+
+@query("q38_approx_distinct")
+def q38_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) beside the exact count — the
+    100 TB cardinality path (single pass, mergeable sketches, no dedup
+    shuffle). Rows-only: HLL estimates are engine-specific by construction;
+    tests assert relative error < 5% against the exact value."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )

@@ -243,3 +243,52 @@ def q25_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q29_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id < 100
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok)
+SELECT doc_id, token, tf,
+       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+       rk
+FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df, tot.n_docs,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(CAST(tot.n_docs AS DOUBLE) / df.df) DESC, tf.token
+         ) AS rk
+  FROM tf JOIN df USING (token) CROSS JOIN tot
+)
+WHERE rk <= 3
+""",
+)
+def q29_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, the classic text-relevance score, as a pure DataFrame plan:
+    explode → tf (hash agg) → df (hash agg) → broadcast-join df + N → window
+    top-3 per doc. The document-frequency table is vocabulary-sized → always
+    broadcast; only the token explode shuffles."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.select("doc_id").distinct().count()  # scalar; bounded by corpus size
+    scored = tf.join(F.broadcast(df), "token").withColumn(
+        "tfidf_raw", F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", F.round("tfidf_raw", 6).alias("tfidf"), "rk")
+    )

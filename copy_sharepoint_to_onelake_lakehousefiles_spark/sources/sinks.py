@@ -1,0 +1,50 @@
+"""Sinks: partitioned/bucketed parquet writers + idempotent append.
+
+The reference's only sink is a per-file byte write through a mount
+(NB:279-281). The engine's sinks are lake-native:
+
+- `write_partitioned` — hive-style partition layout; readers get partition
+  PRUNING (a filter on the partition column skips whole directories — the
+  100 TB table-layout primitive).
+- `write_bucketed` — pre-shuffled, bucket-sorted table so future equi-joins
+  and aggs on the bucket key are shuffle-free (`saveAsTable`, since bucket
+  metadata lives in the catalog).
+- `append_new_rows` — idempotent append: anti-join on key against the
+  current sink state before writing (the copy planner's primitive applied
+  to tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8, mode: str = "overwrite"
+) -> None:
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def append_new_rows(spark: SparkSession, df: DataFrame, path: str, key: str) -> int:
+    """Append only rows whose `key` is not already present at `path`.
+    Returns the number of rows appended."""
+    try:
+        existing = spark.read.parquet(path).select(key).distinct()
+        fresh = df.join(existing, key, "left_anti")
+    except Exception:  # first write — path doesn't exist yet
+        fresh = df
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(path)
+    return n

@@ -12,6 +12,7 @@ watermarks bound state; session windows use the built-in session_window
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -147,3 +148,88 @@ def q42_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = ev.withWatermark("ts", "1 day").dropDuplicates(["event_id"])
     agg = dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
     return _run_to_completion(agg, "complete")
+
+
+@query(
+    "q43_stream_sliding_hourly",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts) - (o * INTERVAL 1 HOUR), '%Y-%m-%d %H:%M') AS win_start,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events, (VALUES (0), (1)) AS offs(o)
+GROUP BY 1
+""",
+)
+def q43_stream_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2 h length, 1 h slide): every event lands in exactly
+    two windows; the oracle materializes that membership with an offset
+    unnest. Windows are epoch-aligned in both engines."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    final = _run_to_completion(agg, "complete")
+    return final.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "q44_stream_foreachbatch_sink",
+    oracle="""
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type
+""",
+)
+def q44_stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: the stream filters conversion events and each
+    micro-batch is appended to a parquet directory (partitioned by
+    event_type) with the batch id stamped on — the idempotent-append pattern
+    for arbitrary sinks. The query then reads the sink back and aggregates;
+    the oracle checks the round-trip lost/duplicated nothing."""
+    import shutil
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_febatch_{uuid.uuid4().hex[:8]}"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("event_type")
+            .parquet(out_dir)
+        )
+
+    ev = _events_stream(spark, sf_dir)
+    filtered = ev.where(F.col("event_type").isin("purchase", "signup"))
+    q = (
+        filtered.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    result = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    rows = result.collect()  # materialize before cleanup
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(out_dir + "_ckpt", ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

@@ -55,3 +55,24 @@ def test_rollup_grand_total(spark, sf_dir):
     grand = df[df["r_name"].isna() & df["n_name"].isna()]
     assert len(grand) == 1
     assert int(grand["n_customers"].iloc[0]) == load(spark, sf_dir, "customer").count()
+
+
+def test_approx_distinct_within_5pct(spark, sf_dir):
+    for r in R.q38_approx_distinct(spark, sf_dir).collect():
+        assert abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"] < 0.1
+        assert abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"] < 0.1
+
+
+def test_cube_has_all_grouping_levels(spark, sf_dir):
+    df = R.q33_cube_priority_status(spark, sf_dir).toPandas()
+    total = load(spark, sf_dir, "orders").count()
+    # grand total row
+    grand = df[df["o_orderpriority"].isna() & df["o_orderstatus"].isna()]
+    assert int(grand["n_orders"].iloc[0]) == total
+    # every level sums back to the total
+    lvl1 = df[df["o_orderpriority"].notna() & df["o_orderstatus"].isna()]
+    lvl2 = df[df["o_orderpriority"].isna() & df["o_orderstatus"].notna()]
+    both = df[df["o_orderpriority"].notna() & df["o_orderstatus"].notna()]
+    assert int(lvl1["n_orders"].sum()) == total
+    assert int(lvl2["n_orders"].sum()) == total
+    assert int(both["n_orders"].sum()) == total
