@@ -117,8 +117,10 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffle over the corpus; candidate verification touches only
     colliding pairs (not n²)."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingled(d)
-    sig = sh.select("doc_id", "shingles", minhash_signature().alias("sig"))
+    # Persist the shingle table: it feeds the signature AND the two
+    # re-attach joins (at 100 TB: write it to the lake once instead).
+    sh = _shingled(d).persist()
+    sig = sh.select("doc_id", minhash_signature().alias("sig"))
     band_structs = F.array(
         *[
             F.struct(
@@ -131,26 +133,28 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = sig.select(
-        "doc_id", "shingles", F.explode(band_structs).alias("band")
-    ).select("doc_id", "shingles", "band.band_id", "band.band_key")
+    # Band rows carry ONLY (doc_id, band_id, band_key) — the candidate join
+    # must never shuffle/broadcast the shingle payload (75 MB at sf0.1,
+    # unbounded at 100 TB). Shingles re-attach by doc_id afterwards.
+    bands = sig.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = (
+        cand_ids.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jaccard = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
@@ -187,7 +191,7 @@ def q27_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = _shingled(d).select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
-    )
+    ).persist()  # both sides of the inverted-index self-join read this once
     a = sh.alias("a")
     b = sh.alias("b")
     pair = (
@@ -211,29 +215,29 @@ def q28_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     no clean ANSI equivalent; tests/test_dedup.py verifies Hamming-distance
     properties against a Python reference implementation).
 
-    SimHash: per token-shingle, md5 → 64 bits; per bit, +1 if set else -1;
-    sign of the sum per bit = fingerprint bit. Near-dups = fingerprints equal
-    on ≥ 3 of 4 16-bit chunks (banding again — equi-join, no n²)."""
+    SimHash: per shingle, md5 → 60 bits; per bit, majority vote across the
+    document's shingles = fingerprint bit. Near-dups = fingerprints sharing a
+    15-bit chunk at the same position (banding again — equi-join, no n²).
+
+    The bit-majority is computed ARRAY-LOCALLY per document (hash each
+    shingle to a long once, then per bit compare popcount·2 vs total) — no
+    explode, so nothing shuffles until the tiny (doc_id, simhash) table."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingled(d).select("doc_id", F.explode("shingles").alias("shingle"))
-    # 64-bit hash from the first 16 hex chars of the md5 digest.
-    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-    bits = sh.select(
+    hashed = _shingled(d).select(
         "doc_id",
-        *[
-            (F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-                f"b{i}"
-            )
-            for i in range(60)
-        ],
+        F.expr(
+            "transform(shingles, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("hashes"),
+        F.size("shingles").alias("n"),
     )
-    sums = bits.groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(60)])
-    fp = sums.select(
+    fp = hashed.select(
         "doc_id",
         sum(
             (
                 F.when(
-                    F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                    F.expr(f"2 * size(filter(hashes, h -> (h div {1 << i}) % 2 = 1))")
+                    > F.col("n"),
+                    F.shiftleft(F.lit(1).cast("long"), i),
                 ).otherwise(F.lit(0).cast("long"))
             )
             for i in range(60)
@@ -246,7 +250,7 @@ def q28_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright("simhash", c * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias(f"chunk{c}")
             for c in range(4)
         ],
-    )
+    ).persist()  # read 8x by the 4 chunk-wise self-joins below
     # Candidate pairs: share any 15-bit chunk value at the same position.
     pairs = None
     for c in range(4):
@@ -263,8 +267,7 @@ def q28_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
-    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    hamming = sum(F.shiftright(xor, i).bitwiseAND(F.lit(1)) for i in range(60)).alias("hamming")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
     return (
         pairs.select("doc_a", "doc_b", hamming)
         .where(F.col("hamming") <= 12)

@@ -149,7 +149,7 @@ def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (table_id, bucket) — 100 TB of vectors shuffles only within cells, and
     candidate count per query is corpus_fraction ≈ N_TABLES / 2^N_PLANES."""
     emb = load(spark, sf_dir, "embeddings")
-    hashed = _multi_table_buckets(emb)
+    hashed = _multi_table_buckets(emb).persist()  # query + corpus sides share it
     q = hashed.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
