@@ -730,3 +730,28 @@ def q38_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
     )
+
+
+@query(
+    "q39_price_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4)  AS p90_price,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99_price,
+       round(avg(o_totalprice), 4)                 AS mean_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q39_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont). At 100 TB switch to approx_percentile (t-digest sketch,
+    single pass, mergeable) — exact kept here for oracle parity."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+    )

@@ -292,3 +292,39 @@ def q29_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "token", "tf", F.round("tfidf_raw", 6).alias("tfidf"), "rk")
     )
+
+
+@query(
+    "q45_doc_zscores",
+    oracle="""
+SELECT doc_id,
+       lang,
+       round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+             / stddev_samp(n_chars) OVER (PARTITION BY lang), 4) AS z_chars
+FROM documents
+""",
+)
+def q45_doc_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped transform via applyInPandas (the Arrow-batched escape
+    hatch for semantics Spark lacks): per-language z-score of document
+    length. Deliberately oracle-checked against plain window SQL to prove the
+    Pandas path computes exactly what the declarative path would — the
+    pattern to copy for genuinely non-SQL group transforms.
+
+    Scale: one shuffle on the grouping key; each group must fit in one
+    worker's memory (fine for per-language stats; use window functions when
+    groups can be huge)."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)  # sample stddev = stddev_samp
+        out = pdf[["doc_id", "lang"]].copy()
+        out["z_chars"] = ((pdf["n_chars"] - mu) / sd).round(4)
+        return out
+
+    return d.groupBy("lang").applyInPandas(
+        zscore, "doc_id bigint, lang string, z_chars double"
+    )

@@ -191,8 +191,9 @@ def q50_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns per-status counts joined with a source/dest byte reconciliation."""
     import shutil
     import tempfile
+    import uuid
 
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_copy_fixture")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_copy_{uuid.uuid4().hex[:8]}")
     src = os.path.join(base, "src")
     dst = os.path.join(base, "dst")
     shutil.rmtree(base, ignore_errors=True)
@@ -216,7 +217,7 @@ def q50_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst_bytes = sum(
         os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(dst) for f in fs
     )
-    return first.groupBy("status").agg(
+    summary = first.groupBy("status").agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum("bytes").alias("total_bytes"),
         F.lit(n_first).alias("first_run_rows"),
@@ -224,3 +225,7 @@ def q50_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(src_bytes).alias("src_bytes"),
         F.lit(dst_bytes).alias("dst_bytes"),
     )
+    rows = summary.collect()  # materialize before cleanup
+    first.unpersist()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, summary.schema)

@@ -1,0 +1,31 @@
+"""Physical-plan audit across every registered BATCH query: no accidental
+cartesian products or nested-loop joins — the plans that die at 100 TB.
+
+q30 is exempt: it deliberately broadcasts the 10-row query side with a
+non-equi condition (BroadcastNestedLoopJoin over a bounded build side is
+the intended brute-force baseline)."""
+
+import pytest
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark import all_queries
+
+# streaming / side-effecting queries execute eagerly — skip plan text checks
+NON_BATCH = {
+    "q40_stream_tumbling_daily",
+    "q41_stream_sessionization",
+    "q42_stream_dedup_counts",
+    "q43_stream_sliding_hourly",
+    "q44_stream_foreachbatch_sink",
+    "q50_copy_roundtrip",
+    "q60_media_features",
+}
+NLJ_ALLOWED = {"q30_cosine_topk"}  # bounded broadcast side by construction
+
+
+@pytest.mark.parametrize("name", sorted(set(all_queries()) - NON_BATCH))
+def test_no_cartesian_or_nlj(name, spark, sf_dir):
+    df = all_queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+    if name not in NLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a nested-loop join"
