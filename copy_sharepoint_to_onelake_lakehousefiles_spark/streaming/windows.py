@@ -233,3 +233,72 @@ def q44_stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(out_dir + "_ckpt", ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "q46_stream_stateful_profile",
+    oracle="""
+SELECT user_id,
+       count(*)                                        AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S')          AS first_seen,
+       arg_max(event_type, event_id)                   AS last_type
+FROM events
+GROUP BY user_id
+""",
+)
+def q46_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-user running profile (event count, first-seen ts, latest event type
+    by event_id) maintained in the state store across micro-batches and
+    emitted each batch; the availableNow drain's final emission must equal
+    the batch GROUP BY (the oracle).
+
+    Scale: state is keyed by user_id and shuffled once per batch; the state
+    payload is O(1) per user — this is the template for session state,
+    running dedup windows, or online feature stores that the built-in
+    aggregates can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+
+    out_schema = "user_id BIGINT, n_events BIGINT, first_seen STRING, last_type STRING"
+    state_schema = "n BIGINT, first_us BIGINT, last_eid BIGINT, last_type STRING"
+
+    def update(key, pdfs, state: GroupState):
+        n, first_us, last_eid, last_type = (
+            state.get if state.exists else (0, None, -1, None)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_first = pdf["ts"].min()
+            us = int(batch_first.value // 1000)  # pandas ns → µs
+            first_us = us if first_us is None else min(first_us, us)
+            top = pdf.loc[pdf["event_id"].idxmax()]
+            if int(top["event_id"]) > last_eid:
+                last_eid = int(top["event_id"])
+                last_type = str(top["event_type"])
+        state.update((n, first_us, last_eid, last_type))
+        first_seen = pd.Timestamp(first_us * 1000).strftime("%Y-%m-%d %H:%M:%S")
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "first_seen": [first_seen],
+                "last_type": [last_type],
+            }
+        )
+
+    profiled = ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    final = _run_to_completion(profiled, "update")
+    # keep only each user's LAST emission (multi-batch runs re-emit)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        final.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )

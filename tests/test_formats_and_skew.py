@@ -1,0 +1,69 @@
+"""CSV/JSON declared-schema round-trips + salted join/aggregate equivalence."""
+
+from pyspark.sql import functions as F
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+)
+from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.formats import (
+    read_csv,
+    read_jsonl,
+)
+from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import load
+
+NATION_DDL = "n_nationkey INT, n_name STRING, n_regionkey INT"
+
+
+def test_csv_roundtrip_declared_schema(spark, sf_dir, tmp_path):
+    n = load(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    n.write.option("header", "true").csv(path)
+    back = read_csv(spark, path, NATION_DDL)
+    assert back.schema.simpleString() == n.schema.simpleString()
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in n.collect()
+    )
+
+
+def test_jsonl_roundtrip_declared_schema(spark, sf_dir, tmp_path):
+    n = load(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_json")
+    n.write.json(path)
+    back = read_jsonl(spark, path, NATION_DDL)
+    assert back.count() == 25
+    assert dict(back.dtypes)["n_nationkey"] == "int"
+
+
+def test_csv_corrupt_rows_are_permissive(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("n_nationkey,n_name,n_regionkey\n1,ok,2\nnot_an_int,broken,x\n")
+    back = read_csv(spark, str(p), NATION_DDL)
+    rows = back.collect()
+    assert len(rows) == 2  # bad row kept as nulls, not dropped
+    assert rows[1]["n_nationkey"] is None
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = o.join(c, "o_custkey").select("o_orderkey", "c_mktsegment")
+    salted = salted_join(o, c, "o_custkey", n_salts=4).select("o_orderkey", "c_mktsegment")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_aggregate_equals_plain(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    plain = {
+        r["l_returnflag"]: (round(r["s"], 2), r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (round(r["sum_l_quantity"], 2), r["n_rows"])
+        for r in salted_aggregate(li, "l_returnflag", "l_quantity", n_salts=4).collect()
+    }
+    assert plain == salted
