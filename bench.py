@@ -26,7 +26,13 @@ HEADLINE = [
     "q22_exact_dedup",
     "q26_minhash_lsh_pairs",
     "q27_ngram_jaccard_pairs",
+    "q28_simhash_buckets",
     "q30_cosine_topk",
+    "q31_ann_lsh_topk",
+    "q36_purchases_near_errors",
+    "q39_price_percentiles",
+    "q45_doc_zscores",
+    "q48_rolling_7day_revenue",
 ]
 
 

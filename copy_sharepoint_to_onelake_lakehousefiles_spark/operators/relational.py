@@ -755,3 +755,77 @@ def q39_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99_price"),
         F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
     )
+
+
+@query(
+    "q47_customer_order_fill",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       coalesce(n_orders, 0)             AS n_orders,
+       round(coalesce(total_spend, 0), 2) AS total_spend,
+       CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END AS is_inactive
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total_spend
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+""",
+)
+def q47_customer_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with null-fill — aggregate BEFORE the join (the
+    join-then-agg form shuffles the fact table; agg-then-join shuffles one
+    row per customer)."""
+    c = load(spark, sf_dir, "customer")
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total_spend"))
+    )
+    j = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("total_spend", F.lit(0.0)), 2).alias("total_spend"),
+        F.when(F.col("n_orders").isNull(), 1).otherwise(0).alias("is_inactive"),
+    )
+
+
+@query(
+    "q48_rolling_7day_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS day_idx,
+         sum(o_totalprice) AS revenue
+  FROM orders
+  GROUP BY 1
+)
+SELECT day_idx,
+       round(revenue, 2) AS revenue,
+       round(sum(revenue) OVER (ORDER BY day_idx
+                                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_7d,
+       count(*) OVER (ORDER BY day_idx
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS days_in_window
+FROM daily
+""",
+)
+def q48_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based frame, not row-based): 7-day rolling
+    revenue over a sparse daily series — days with no orders correctly
+    shrink the window, which rowsBetween(-6, 0) would get wrong."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "day_idx"
+        )
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    w = W.orderBy("day_idx").rangeBetween(-6, 0)
+    return daily.select(
+        "day_idx",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.sum("revenue").over(w), 2).alias("rolling_7d"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )

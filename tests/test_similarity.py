@@ -56,3 +56,26 @@ def test_blocked_neardup_within_label_only(spark, sf_dir):
     labels = {r["vec_id"]: r["label"] for r in load(spark, sf_dir, "embeddings").collect()}
     for r in S.q32_embedding_neardup(spark, sf_dir).collect():
         assert labels[r["vec_a"]] == labels[r["vec_b"]] == r["label"]
+
+
+def test_pandas_udf_cosine_matches_expression(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.functions.vectors import (
+        cosine,
+        cosine_pandas_udf,
+    )
+
+    e = load(spark, sf_dir, "embeddings").limit(50)
+    a = e.select(F2.col("vec_id").alias("ia"), F2.col("embedding").cast("array<double>").alias("ea"))
+    b = e.select(F2.col("vec_id").alias("ib"), F2.col("embedding").cast("array<double>").alias("eb"))
+    pairs = a.join(b, F2.col("ia") < F2.col("ib")).limit(500)
+    cos_udf = cosine_pandas_udf()
+    both = pairs.select(
+        "ia", "ib",
+        F2.round(cosine("ea", "eb"), 8).alias("expr_cos"),
+        F2.round(cos_udf("ea", "eb"), 8).alias("udf_cos"),
+    ).collect()
+    assert both
+    for r in both:
+        assert abs(r["expr_cos"] - r["udf_cos"]) < 1e-6
