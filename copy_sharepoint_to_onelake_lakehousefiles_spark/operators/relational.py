@@ -829,3 +829,43 @@ def q48_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("revenue").over(w), 2).alias("rolling_7d"),
         F.count(F.lit(1)).over(w).alias("days_in_window"),
     )
+
+
+@query(
+    "q49_user_name_resolution",
+    oracle="""
+SELECT u.user_id,
+       coalesce(c.c_name, s.s_name, 'unknown-' || CAST(u.user_id AS VARCHAR)) AS display_name,
+       CASE WHEN c.c_name IS NOT NULL THEN 'customer'
+            WHEN s.s_name IS NOT NULL THEN 'supplier'
+            ELSE 'default' END AS resolved_from,
+       u.n_events
+FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) u
+LEFT JOIN customer c ON c.c_custkey = u.user_id
+LEFT JOIN supplier s ON s.s_suppkey = u.user_id
+""",
+)
+def q49_user_name_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized lookup with fallback chain — the reference's
+    resolve_app_name (NB:78-107: try servicePrincipals, then applications,
+    else default, dict-cached) as two broadcast LEFT joins + coalesce. The
+    'cache' is the broadcast itself: each executor holds the dim table once,
+    every probe is an in-memory hash lookup."""
+    ev = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    j = u.join(F.broadcast(c), c.c_custkey == u.user_id, "left").join(
+        F.broadcast(s), s.s_suppkey == u.user_id, "left"
+    )
+    return j.select(
+        "user_id",
+        F.coalesce(
+            "c_name", "s_name", F.concat(F.lit("unknown-"), F.col("user_id").cast("string"))
+        ).alias("display_name"),
+        F.when(F.col("c_name").isNotNull(), "customer")
+        .when(F.col("s_name").isNotNull(), "supplier")
+        .otherwise("default")
+        .alias("resolved_from"),
+        "n_events",
+    )

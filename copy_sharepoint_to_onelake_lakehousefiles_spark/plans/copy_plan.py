@@ -89,6 +89,19 @@ def execute_copy(
         planned = planned.repartition(parallelism)
 
     def _read_src(src: str) -> bytes:
+        # http(s) downloadUrls (the reference's case, NB:293) or local paths.
+        if src.startswith(("http://", "https://")):
+            try:
+                import requests  # pooled session per interpreter if available
+
+                resp = requests.get(src, timeout=60)
+                resp.raise_for_status()
+                return resp.content
+            except ImportError:
+                from urllib.request import urlopen
+
+                with urlopen(src, timeout=60) as r:
+                    return r.read()
         path = src[len("file:") :] if src.startswith("file:") else src
         with open(path, "rb") as f:
             return f.read()
