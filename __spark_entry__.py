@@ -11,9 +11,15 @@ this module just re-exports the registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:  # driver may import this module from another cwd
+    sys.path.insert(0, _HERE)
 
 import copy_sharepoint_to_onelake_lakehousefiles_spark as engine
 

@@ -88,22 +88,24 @@ LIMIT 20
 """,
 )
 def q02_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Big-big equi-join (lineitem⋈orders, shuffles on orderkey) + broadcast
-    dim join (customer) + hash agg + global top-k.
+    """Big-big equi-join + broadcast dim join + hash agg + global top-k.
 
-    Scale: customer is the small side of a star → broadcast; top-k is
+    Scale shape: lineitem is PRE-AGGREGATED to order grain before the join —
+    the join input shrinks ~4× and the count-distinct disappears (each order
+    is one row, so n_orders is a plain count). Customer broadcasts; top-k is
     TakeOrderedAndProject (no global sort materialization).
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
+    per_order = li.groupBy("l_orderkey").agg(F.sum(REVENUE()).alias("order_rev"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum(REVENUE()), 2).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("order_rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -130,8 +132,10 @@ GROUP BY r_name
 def q03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: fact⋈fact then a chain of broadcast dim joins.
 
-    Scale: nation/region/customer broadcast (no shuffle); only the
-    lineitem⋈orders join shuffles, keyed on orderkey.
+    Scale: lineitem pre-aggregates to order grain (revenue + lineitem count
+    per order) BEFORE the join — count-distinct becomes a plain count and
+    the only big shuffle carries one row per order. nation/region/customer
+    broadcast (no shuffle).
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").where(
@@ -141,16 +145,19 @@ def q03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(REVENUE()).alias("order_rev"), F.count(F.lit(1)).alias("n_li")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.round(F.sum(REVENUE()), 2).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("order_rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_li").alias("n_lineitems"),
         )
     )
 
