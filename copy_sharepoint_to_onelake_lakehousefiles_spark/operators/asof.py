@@ -61,9 +61,12 @@ def asof_join(
     )
 
     merged = lhs.unionByName(rhs)
+    # _rrow as the final sort key makes the survivor among equal right
+    # timestamps deterministic (max payload struct); left rows all carry
+    # null _rrow and never tie against right rows (tags differ).
     w = (
         W.partitionBy("_k")
-        .orderBy("_ts", "_tag")
+        .orderBy("_ts", "_tag", "_rrow")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = merged.withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))

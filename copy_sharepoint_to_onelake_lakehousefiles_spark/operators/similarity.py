@@ -214,3 +214,126 @@ def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(cos > 0.35).select(
         "vec_a", "vec_b", "label", F.round(cos, 6).alias("cosine")
     )
+
+
+N_CELLS = 16
+KMEANS_ITERS = 3
+N_PROBE = 2
+
+
+def _ivf_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """Deterministic mini k-means for IVF cells, run AS DATAFRAME JOBS:
+    init = the N_CELLS lowest vec_ids; each Lloyd iteration is one
+    assign(broadcast centroids)+groupBy(avg) round. Centroid count is tiny,
+    so only the (small) centroid table ever reaches the driver — the corpus
+    is never collected.
+
+    Scale: this is the standard IVF build — O(iters) passes over the corpus,
+    each a broadcast join + hash agg; 100 TB just means more partitions."""
+    dim_arr = F.col("embedding").cast("array<double>")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["emb"]])
+        for r in emb.orderBy("vec_id")
+        .limit(N_CELLS)
+        .select("vec_id", dim_arr.alias("emb"))
+        .collect()
+    ]
+    corpus = emb.select("vec_id", dim_arr.alias("emb"))
+    dim = len(cents[0][1])
+    for _ in range(KMEANS_ITERS):
+        assigned = corpus.select(
+            "vec_id", "emb", _nearest_cell_expr([c for _, c in cents]).alias("cell")
+        )
+        new = (
+            assigned.select(
+                "cell", *[F.element_at("emb", i + 1).alias(f"d{i}") for i in range(dim)]
+            )
+            .groupBy("cell")
+            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        cents = [(int(r["cell"]), [float(r[f"d{i}"]) for i in range(dim)]) for r in new]
+        cents.sort()
+    return cents
+
+
+def _nearest_cell_expr(centroids: list[list[float]], emb_col: str = "emb"):
+    """Argmin over squared L2 distance to each centroid, as a fold over a
+    literal array of (cell_id, centroid) structs — pure codegen expression."""
+    structs = ", ".join(
+        f"named_struct('cid', {cid}, 'c', array({', '.join(f'CAST({x} AS DOUBLE)' for x in c)}))"
+        for cid, c in enumerate(centroids)
+    )
+    return F.expr(
+        f"""
+        aggregate(
+          array({structs}),
+          named_struct('cid', -1, 'best', CAST('Infinity' AS DOUBLE)),
+          (acc, s) -> CASE WHEN
+              aggregate(zip_with({emb_col}, s.c, (x, y) -> (x - y) * (x - y)),
+                        CAST(0 AS DOUBLE), (a, v) -> a + v) < acc.best
+            THEN named_struct('cid', s.cid, 'best',
+              aggregate(zip_with({emb_col}, s.c, (x, y) -> (x - y) * (x - y)),
+                        CAST(0 AS DOUBLE), (a, v) -> a + v))
+            ELSE acc END,
+          acc -> acc.cid)
+        """
+    )
+
+
+def _cells_ranked_expr(centroids: list[list[float]], n: int, emb_col: str = "emb"):
+    """Array of the n nearest cell ids (for multi-probe queries)."""
+    structs = ", ".join(
+        f"named_struct('cid', {cid}, 'c', array({', '.join(f'CAST({x} AS DOUBLE)' for x in c)}))"
+        for cid, c in enumerate(centroids)
+    )
+    return F.expr(
+        f"""
+        slice(transform(
+          array_sort(
+            transform(array({structs}),
+              s -> named_struct(
+                'd', aggregate(zip_with({emb_col}, s.c, (x, y) -> (x - y) * (x - y)),
+                               CAST(0 AS DOUBLE), (a, v) -> a + v),
+                'cid', s.cid))),
+          s -> s.cid), 1, {n})
+        """
+    )
+
+
+@query("q51_ann_ivf_topk")
+def q51_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means cells built iteratively with
+    DataFrame jobs, corpus assigned to its nearest cell, queries probe their
+    2 nearest cells, exact cosine re-ranks within probed cells. Rows-only;
+    tests measure recall vs brute force.
+
+    The candidate join is an equi-join on cell id (like the LSH variant),
+    but cells adapt to the data distribution — better recall/candidate ratio
+    on clustered corpora than data-oblivious hyperplanes."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(emb)
+    centroids = [c for _, c in cents]
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").cast("array<double>").alias("emb")
+    ).select("n_id", F.col("emb").alias("n_emb"), _nearest_cell_expr(centroids, "emb").alias("cell"))
+    queries = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("q_emb"),
+        )
+        .select("q_id", "q_emb", F.explode(_cells_ranked_expr(centroids, N_PROBE, "q_emb")).alias("cell"))
+    )
+    cand = queries.join(corpus, "cell").where(F.col("q_id") != F.col("n_id")).dropDuplicates(
+        ["q_id", "n_id"]
+    )
+    cos = _dot("q_emb", "n_emb") / (_norm("q_emb") * _norm("n_emb"))
+    scored = cand.select("q_id", "n_id", F.round(cos, 6).alias("cosine"))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "n_id", "cosine", "rk")
+        .orderBy("q_id", "rk")
+    )

@@ -79,3 +79,16 @@ def test_pandas_udf_cosine_matches_expression(spark, sf_dir):
     assert both
     for r in both:
         assert abs(r["expr_cos"] - r["udf_cos"]) < 1e-6
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    exact = {}
+    for r in S.q30_cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r["q_id"], set()).add(r["n_id"])
+    approx = {}
+    for r in S.q51_ann_ivf_topk(spark, sf_dir).collect():
+        approx.setdefault(r["q_id"], set()).add(r["n_id"])
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    # 16 cells / probe 2 on 64-dim uniform data: coarse but real recall
+    assert hits / total >= 0.2
