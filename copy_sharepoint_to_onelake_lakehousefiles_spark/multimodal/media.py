@@ -180,3 +180,41 @@ def q60_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("digest").alias("n_distinct"),
         F.round(F.sum(F.element_at("features", 1)), 4).alias("f0_sum"),
     )
+
+
+@query("q61_media_similarity")
+def q61_media_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline (rows-only): binaryFile ingest → 
+    Arrow-batched stub decode to feature vectors → exact cosine top-1
+    neighbour per blob via the similarity tier. This is the shape of an
+    image-dedup / frame-retrieval pipeline with real codecs dropped in.
+
+    Scale: decode is mapInPandas (CPU-bound, partition-parallel); the ANN
+    step reuses operators/similarity (broadcast queries or LSH cells)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.similarity import cosine_topk
+
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_media_sim_{uuid.uuid4().hex[:8]}")
+    os.makedirs(os.path.join(root, "nested"))
+    # 8 blobs; pairs (0,1), (2,3), ... share content prefixes so their stub
+    # features correlate deterministically
+    for i in range(8):
+        payload = bytes([i // 2]) * 256 + bytes([i]) * 32
+        sub = "nested" if i % 3 == 0 else ""
+        with open(os.path.join(root, sub, f"m{i}.bin"), "wb") as f:
+            f.write(payload)
+
+    media = read_media_dir(spark, root, kind="image")
+    feats = extract_features(media, dim=16)
+    vecs = feats.select(
+        F.abs(F.hash("media_id")).alias("vec_id"),
+        F.col("features").cast("array<float>").alias("embedding"),
+    )
+    top1 = cosine_topk(vecs, vecs, k=1)
+    rows = top1.collect()  # materialize before cleanup
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, top1.schema)
