@@ -240,7 +240,7 @@ def q06_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.round("o_totalprice", 2).alias("totalprice"),
-            "rn",
+            F.col("rn").cast("bigint").alias("rn"),
         )
     )
 
@@ -268,7 +268,7 @@ def q07_running_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "running_total"
         ),
         F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias("prev_price"),
-        F.rank().over(w).alias("order_seq"),
+        F.rank().over(w).cast("bigint").alias("order_seq"),
     )
 
 
@@ -516,9 +516,9 @@ def q16_nation_revenue_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_name",
         "revenue",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
 
 
@@ -557,8 +557,8 @@ def q17_document_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "//+",
             "/",
         ).alias("dest_path"),
-        F.length("text").alias("text_len"),
-        F.size(toks).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("text_len"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
         toks.getItem(0).alias("first_word"),
         F.substring("text", 1, 16).alias("prefix16"),
     )
@@ -600,9 +600,9 @@ SELECT l_returnflag,
        round(sum(ln(l_extendedprice)), 2)         AS sum_ln_price,
        round(sum(abs(l_discount - 0.05)), 4)      AS sum_abs_disc_dev,
        round(sum(pow(l_tax, 2)), 6)               AS sum_tax_sq,
-       sum(CAST(floor(l_quantity) AS BIGINT))     AS sum_floor_qty,
-       sum(CAST(ceil(l_quantity) AS BIGINT))      AS sum_ceil_qty,
-       sum(CAST(l_linenumber % 3 AS BIGINT))      AS sum_mod3
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_floor_qty,
+       CAST(sum(CAST(ceil(l_quantity) AS BIGINT)) AS BIGINT)  AS sum_ceil_qty,
+       CAST(sum(CAST(l_linenumber % 3 AS BIGINT)) AS BIGINT)  AS sum_mod3
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -716,11 +716,11 @@ def q37_event_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     k = F.from_json("props", "k BIGINT").getField("k")
     day_idx = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
-    return e.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+    return e.groupBy("event_type", F.hour("ts").cast("bigint").alias("hr")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg(k), 4).alias("avg_k"),
-        F.min(day_idx).alias("min_day_idx"),
-        F.max(day_idx).alias("max_day_idx"),
+        F.min(day_idx).cast("bigint").alias("min_day_idx"),
+        F.max(day_idx).cast("bigint").alias("max_day_idx"),
     )
 
 
@@ -825,9 +825,9 @@ def q48_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink the window, which rowsBetween(-6, 0) would get wrong."""
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
-            "day_idx"
-        )
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx")
     ).agg(F.sum("o_totalprice").alias("revenue"))
     w = W.orderBy("day_idx").rangeBetween(-6, 0)
     return daily.select(

@@ -58,7 +58,7 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFr
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
-        .select("q_id", "n_id", "cosine", "rk")
+        .select("q_id", "n_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
     )
 
 

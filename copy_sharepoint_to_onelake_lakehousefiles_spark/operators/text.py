@@ -44,8 +44,8 @@ def q20_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.round(F.avg(F.size(toks)), 4).alias("avg_tokens"),
-        F.max(F.size(toks)).alias("max_tokens"),
-        F.min(F.length("text")).alias("min_len"),
+        F.max(F.size(toks)).cast("bigint").alias("max_tokens"),
+        F.min(F.length("text")).cast("bigint").alias("min_len"),
     )
 
 
@@ -86,7 +86,7 @@ def q21_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct_ratio = F.size(F.array_distinct("toks")).cast("double") / n_tokens
     return d.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("bigint").alias("n_tokens"),
         F.round(avg_word_len, 4).alias("avg_word_len"),
         F.round(stopword_ratio, 4).alias("stopword_ratio"),
         F.round(distinct_ratio, 4).alias("distinct_ratio"),
@@ -191,7 +191,7 @@ def q24_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(F.size("toks") >= 5).select(
         "doc_id",
         F.array_min(shingle_hashes).alias("fingerprint"),
-        (F.size("toks") - 4).alias("n_shingles"),
+        (F.size("toks") - 4).cast("bigint").alias("n_shingles"),
     )
 
 
@@ -290,7 +290,13 @@ def q29_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
-        .select("doc_id", "token", "tf", F.round("tfidf_raw", 6).alias("tfidf"), "rk")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round("tfidf_raw", 6).alias("tfidf"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
     )
 
 
