@@ -302,3 +302,52 @@ def q46_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+@query(
+    "q52_stream_stream_join",
+    oracle="""
+SELECT c.user_id,
+       count(*) AS n_pairs,
+       min(p.event_id) AS first_purchase
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+""",
+)
+def q52_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to purchases of the same
+    user within the following 30 minutes. Both sides are watermarked and the
+    join condition carries the time bound, so the state store can evict
+    rows once the watermark passes — the unbounded-state trap of naive
+    stream joins is structurally avoided. availableNow drain + final batch
+    aggregation equals the batch range join (the oracle)."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    pairs = _run_to_completion(joined, "append")
+    return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("p_id").alias("first_purchase"),
+    )
