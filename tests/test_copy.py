@@ -158,3 +158,26 @@ def test_manifest_from_local_dir_rel_paths(spark, tmp_path):
     assert rels == {"a.csv", "sub1/b.bin", "sub1/sub2/c.txt"}
     sizes = {r["rel_path"]: r["size"] for r in m.collect()}
     assert sizes["sub1/b.bin"] == 200
+
+
+def test_local_fetcher_adapts_fs_to_graph_protocol(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    _build_tree(src)
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.manifest import local_fetcher
+
+    fetch, root_url, child_url = local_fetcher(src)
+    rows = list(walk_tree(fetch, root_url, child_url))
+    assert {r["rel_path"] for r in rows} == {"a.csv", "sub1/b.bin", "sub1/sub2/c.txt"}
+    # facet discrimination happened through the page protocol, not os.walk
+    assert all(r["download_url"] for r in rows)
+
+
+def test_manifest_from_tree_empty(spark, tmp_path):
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.manifest import local_fetcher
+
+    fetch, root_url, child_url = local_fetcher(str(empty))
+    m = manifest_from_tree(spark, fetch, root_url, child_url)
+    assert m.count() == 0
+    assert m.schema == MANIFEST_SCHEMA
