@@ -876,3 +876,47 @@ def q49_user_name_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("resolved_from"),
         "n_events",
     )
+
+
+@query(
+    "q53_monthly_trend_cte",
+    oracle="""
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         sum(o_totalprice) AS revenue,
+         count(*) AS n_orders
+  FROM orders
+  GROUP BY 1
+)
+SELECT month,
+       round(revenue, 2) AS revenue,
+       n_orders,
+       round(revenue - lag(revenue) OVER (ORDER BY month), 2)        AS mom_delta,
+       round(avg(revenue) OVER (ORDER BY month
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rev_3mo_avg
+FROM monthly
+""",
+)
+def q53_monthly_trend_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end path: a CTE + window query submitted as SQL text —
+    Catalyst produces the identical plan to the DataFrame form, so the engine
+    exposes both surfaces interchangeably (SURVEY §3 lifecycle)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_cte_orders")
+    return spark.sql(
+        """
+        WITH monthly AS (
+          SELECT date_format(date_trunc('month', o_orderdate), 'yyyy-MM') AS month,
+                 sum(o_totalprice) AS revenue,
+                 count(*) AS n_orders
+          FROM _cte_orders
+          GROUP BY 1
+        )
+        SELECT month,
+               round(revenue, 2) AS revenue,
+               n_orders,
+               round(revenue - lag(revenue) OVER (ORDER BY month), 2)        AS mom_delta,
+               round(avg(revenue) OVER (ORDER BY month
+                                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rev_3mo_avg
+        FROM monthly
+        """
+    )
