@@ -33,6 +33,7 @@ HEADLINE = [
     "q39_price_percentiles",
     "q45_doc_zscores",
     "q48_rolling_7day_revenue",
+    "q54_copy_throughput",
 ]
 
 

@@ -242,3 +242,38 @@ def q50_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     first.unpersist()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, summary.schema)
+
+
+@query("q54_copy_throughput")
+def q54_copy_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-subsystem throughput probe (rows-only): 256 × 16 KB files copied
+    with partition parallelism — the workload the reference performs with a
+    strictly sequential driver loop (NB:284-303). The returned row carries
+    files/bytes copied and elapsed wall so BENCH tracks copy throughput,
+    not just query latency."""
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_tput_{uuid.uuid4().hex[:8]}")
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "dst")
+    for d in range(8):
+        os.makedirs(os.path.join(src, f"d{d}"))
+    payload = bytes(range(256)) * 64  # 16 KB
+    for i in range(256):
+        with open(os.path.join(src, f"d{i % 8}", f"f{i:03d}.bin"), "wb") as f:
+            f.write(payload)
+
+    t0 = time.time()
+    result = copy_tree(spark, src, dst, parallelism=32).cache()
+    n_ok = result.where(F.col("status") == "ok").count()
+    elapsed = time.time() - t0
+    total_bytes = result.agg(F.sum("bytes")).collect()[0][0]
+    result.unpersist()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_ok, int(total_bytes), round(elapsed, 3), round(n_ok / elapsed, 1))],
+        "files_copied bigint, bytes_copied bigint, wall_sec double, files_per_sec double",
+    )
