@@ -32,3 +32,35 @@ def test_append_new_rows_idempotent(spark, sf_dir, tmp_path):
     extra = n.select((F.col("n_nationkey") + 100).alias("n_nationkey"), "n_name", "n_regionkey")
     assert append_new_rows(spark, extra.limit(3), path, "n_nationkey") == 3
     assert spark.read.parquet(path).count() == 28
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """Two tables bucketed+sorted on the same key join with NO Exchange on
+    either side — the pre-shuffled layout that makes repeated 100 TB joins
+    pay the shuffle once at write time."""
+    import uuid
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.sinks import write_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"orders_b_{suffix}", f"cust_b_{suffix}"
+    write_bucketed(
+        load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"), ta, "o_custkey"
+    )
+    write_bucketed(
+        load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        tb,
+        "o_custkey",
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(ta).join(spark.table(tb), "o_custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == load(spark, sf_dir, "orders").count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
