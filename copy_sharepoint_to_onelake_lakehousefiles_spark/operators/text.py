@@ -334,3 +334,42 @@ def q45_doc_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").applyInPandas(
         zscore, "doc_id bigint, lang string, z_chars double"
     )
+
+
+@query(
+    "q55_deterministic_splits",
+    oracle="""
+WITH assigned AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bucket
+  FROM documents
+)
+SELECT lang,
+       count(*)                                    AS n_docs,
+       count(*) FILTER (WHERE bucket <= 7)         AS n_train,
+       count(*) FILTER (WHERE bucket = 8)          AS n_val,
+       count(*) FILTER (WHERE bucket = 9)          AS n_test
+FROM assigned
+GROUP BY lang
+""",
+)
+def q55_deterministic_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10) — the
+    reproducible-sampling pattern for training pipelines: membership is a
+    pure function of the stable key (md5 mod), so the split survives
+    re-runs, engine changes, and data re-partitioning — unlike
+    rand()/TABLESAMPLE, which are nondeterministic under retry. Same
+    expression evaluates in DuckDB, which is exactly the point."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    a = d.select("lang", bucket.alias("bucket"))
+    return a.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("bucket") <= 7, 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("bucket") == 8, 1).otherwise(0)).alias("n_val"),
+        F.sum(F.when(F.col("bucket") == 9, 1).otherwise(0)).alias("n_test"),
+    )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.paths import join_path
 from ..registry import query
 
 RESULT_SCHEMA = T.StructType(
@@ -45,11 +46,7 @@ RESULT_SCHEMA = T.StructType(
 def dest_path_col(dest_root: str, site_folder: str) -> F.Column:
     """lakehouse_dest_path (NB:254-263) as a pure column expression:
     join root/site/rel_path with '/', collapse duplicate slashes."""
-    return F.regexp_replace(
-        F.concat_ws("/", F.lit(dest_root), F.lit(site_folder), F.col("rel_path")),
-        "/{2,}",
-        "/",
-    )
+    return join_path(F.lit(dest_root), F.lit(site_folder), F.col("rel_path"))
 
 
 def plan_copy(manifest: DataFrame, existing: DataFrame | None) -> DataFrame:
