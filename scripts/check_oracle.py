@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 import traceback
@@ -49,7 +50,15 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     filters = sys.argv[2:]
 
-    spark = get_spark("check_oracle")
+    if os.environ.get("VANILLA"):
+        # Replicate the driver's environment: a bare session with default
+        # configs (ANSI on, 200 shuffle partitions, no Arrow tuning).
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("vanilla_gate").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
