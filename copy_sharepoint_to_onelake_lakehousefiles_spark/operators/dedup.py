@@ -273,3 +273,114 @@ def q28_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 12)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 20
+) -> DataFrame:
+    """Min-label propagation connected components over an undirected edge
+    list → (node, component) where component = min node id reachable.
+
+    Iterative DataFrame algorithm (SURVEY §7: recursion lives in a bounded
+    driver loop): each round joins labels across edges and takes the min;
+    stops at fixpoint. Rounds needed = graph diameter (near-dup clusters are
+    shallow); each round is one shuffle keyed on node id — at 100 TB this is
+    the standard large-graph CC pattern (large-star/small-star simplified).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "q56_neardup_clusters",
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle, len({_DUCK_SHINGLES}) AS n_sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS shared, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pair
+  WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.3
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component
+FROM reach
+GROUP BY a
+""",
+)
+def q56_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: exact-Jaccard pairs (q27's inverted index)
+    fed into iterative connected components — the step that turns pairwise
+    near-dup hits into dedup groups (keep one survivor per component). The
+    oracle computes the same components with a recursive-CTE transitive
+    closure."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingled(d).select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    ).persist()
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pair = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first(F.col("a.n_sh")).alias("na"),
+            F.first(F.col("b.n_sh")).alias("nb"),
+        )
+    )
+    jaccard = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    edges = pair.where(jaccard >= 0.3).select("doc_a", "doc_b")
+    return connected_components(edges, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )

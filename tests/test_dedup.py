@@ -65,3 +65,27 @@ def test_simhash_query_shape(spark, sf_dir):
     rows = D.q28_simhash_buckets(spark, sf_dir).collect()
     assert all(0 <= r["hamming"] <= 12 for r in rows)
     assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_connected_components_known_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)],  # chain, pair, self-loop
+        "src bigint, dst bigint",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in D.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_cluster_members_are_actually_similar(spark, sf_dir):
+    comps = D.q56_neardup_clusters(spark, sf_dir).collect()
+    by_comp = {}
+    for r in comps:
+        by_comp.setdefault(r["component"], set()).add(r["doc_id"])
+    multi = [m for m in by_comp.values() if len(m) > 1]
+    assert multi, "expected at least one non-trivial near-dup cluster"
+    # every clustered doc appears in exactly one component
+    all_docs = [r["doc_id"] for r in comps]
+    assert len(all_docs) == len(set(all_docs))
