@@ -48,3 +48,42 @@ def append_new_rows(spark: SparkSession, df: DataFrame, path: str, key: str) -> 
     if n:
         fresh.write.mode("append").parquet(path)
     return n
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(bytes / target) files via a staged swap. The small-files problem is
+    the chronic failure mode of incremental/streaming sinks at scale — a
+    100 TB table written in 10k-row appends reads 100× slower than the same
+    data in right-sized files. Returns {files_before, files_after, bytes}."""
+    import math
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    files_before = df.inputFiles()
+    total_bytes = sum(os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+                      for f in files_before)
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    staged = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.coalesce(n_out).write.mode("overwrite").parquet(staged)
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(staged, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return {
+        "files_before": len(files_before),
+        "files_after": len(spark.read.parquet(path).inputFiles()),
+        "bytes": total_bytes,
+    }
+
+
+def read_merged_schema(spark: SparkSession, path: str):
+    """Schema-evolution read: union the footer schemas of every file in the
+    directory (mergeSchema) so older files surface missing columns as
+    nulls — the append-only evolution contract."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -64,3 +64,36 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    load(spark, sf_dir, "lineitem").repartition(40).write.parquet(path)
+    before = spark.read.parquet(path)
+    n_rows = before.count()
+
+    stats = compact_parquet(spark, path, target_file_mb=128)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] == 1  # tiny table → single right-sized file
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert sorted(after.columns) == sorted(before.columns)
+
+
+def test_merge_schema_evolution(spark, sf_dir, tmp_path):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.sinks import (
+        read_merged_schema,
+    )
+
+    path = str(tmp_path / "evolving")
+    n = load(spark, sf_dir, "nation")
+    n.write.parquet(path)  # v1 schema
+    n.withColumn("quality_score", F.lit(0.5)).write.mode("append").parquet(path)  # v2
+
+    merged = read_merged_schema(spark, path)
+    assert "quality_score" in merged.columns
+    assert merged.count() == 50
+    # old files surface the new column as null
+    assert merged.where(F.col("quality_score").isNull()).count() == 25
