@@ -163,6 +163,28 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
+    """Shared inverted-index exact-Jaccard kernel: explode shingles →
+    equi-join on shingle → per-pair shared count → Jaccard ≥ threshold.
+    Returns (doc_a, doc_b, jaccard)."""
+    sh = _shingled(d).select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    ).persist()  # both sides of the inverted-index self-join read this once
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pair = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first(F.col("a.n_sh")).alias("na"),
+            F.first(F.col("b.n_sh")).alias("nb"),
+        )
+    )
+    jaccard = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return pair.where(jaccard >= threshold).select("doc_a", "doc_b", jaccard.alias("jaccard"))
+
+
 @query(
     "q27_ngram_jaccard_pairs",
     oracle=f"""
@@ -189,24 +211,8 @@ def q27_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere; the shingle join IS the candidate generator. (At 100 TB, cap
     postings-list length for ubiquitous shingles — document-frequency cut.)"""
     d = load(spark, sf_dir, "documents")
-    sh = _shingled(d).select(
-        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
-    ).persist()  # both sides of the inverted-index self-join read this once
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pair = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("shared"),
-            F.first(F.col("a.n_sh")).alias("na"),
-            F.first(F.col("b.n_sh")).alias("nb"),
-        )
-    )
-    jaccard = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return pair.select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")).where(
-        jaccard >= 0.3
-    )
+    pairs = _jaccard_pairs(d, threshold=0.3)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 @query("q28_simhash_buckets")
@@ -365,22 +371,7 @@ def q56_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the same components with a recursive-CTE transitive
     closure."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingled(d).select(
-        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
-    ).persist()
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pair = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("shared"),
-            F.first(F.col("a.n_sh")).alias("na"),
-            F.first(F.col("b.n_sh")).alias("nb"),
-        )
-    )
-    jaccard = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
-    edges = pair.where(jaccard >= 0.3).select("doc_a", "doc_b")
+    edges = _jaccard_pairs(d, threshold=0.3).select("doc_a", "doc_b")
     return connected_components(edges, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), "component"
     )

@@ -351,3 +351,31 @@ def q52_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.min("p_id").alias("first_purchase"),
     )
+
+
+@query(
+    "q57_stream_static_enrichment",
+    oracle="""
+SELECT c_mktsegment,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+JOIN customer ON c_custkey = user_id
+GROUP BY c_mktsegment
+""",
+)
+def q57_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (broadcast per micro-batch — no stream state at all,
+    the dimension is re-resolved each batch so slowly-changing dims pick up
+    updates). Aggregated per segment after the join."""
+    from ..tables import load as load_table
+
+    ev = _events_stream(spark, sf_dir)
+    customers = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    enriched = ev.join(customers, ev.user_id == F.col("c_custkey"))
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return _run_to_completion(agg, "complete")
