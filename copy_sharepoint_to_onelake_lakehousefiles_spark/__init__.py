@@ -22,7 +22,15 @@ __all__ = ["registry", "get_spark", "all_queries", "all_oracles"]
 
 def _load_all_operator_modules() -> None:
     # Import for registration side effects (the @query decorator).
-    from .operators import asof, dedup, rangejoin, relational, similarity, text  # noqa: F401
+    from .operators import (  # noqa: F401
+        asof,
+        dedup,
+        rangejoin,
+        relational,
+        similarity,
+        skew,
+        text,
+    )
     from . import plans as _plans  # noqa: F401
     from .plans import copy_plan  # noqa: F401
     from .streaming import windows  # noqa: F401

@@ -920,3 +920,22 @@ def q53_monthly_trend_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM monthly
         """
     )
+
+
+@query("q63_approx_percentiles")
+def q63_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile beside the exact value (rows-only: the sketch is
+    engine-specific). The single-pass mergeable sketch is the 100 TB
+    percentile path; tests assert the approximation lands within the
+    accuracy parameter of the exact result."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_median"),
+        F.round(
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2
+        ).alias("approx_median"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("exact_p95"),
+        F.round(
+            F.expr("approx_percentile(o_totalprice, 0.95, 10000)"), 2
+        ).alias("approx_p95"),
+    )

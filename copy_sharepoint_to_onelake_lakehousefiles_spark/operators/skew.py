@@ -54,3 +54,32 @@ def salted_aggregate(
         F.sum("_psum").alias(f"sum_{agg_col}"),
         F.sum("_pcnt").alias("n_rows"),
     )
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..registry import query  # noqa: E402
+from ..tables import load  # noqa: E402
+
+
+@query(
+    "q59_salted_aggregate",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS sum_l_quantity,
+       count(*)                  AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q59_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation, oracle-checked identical to the plain
+    GROUP BY — proof that the skew-mitigation path changes the shuffle
+    layout, not the answer."""
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_aggregate(li, "l_returnflag", "l_quantity", n_salts=8)
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
+        "n_rows",
+    )

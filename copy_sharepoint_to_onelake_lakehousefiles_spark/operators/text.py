@@ -373,3 +373,37 @@ def q55_deterministic_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("bucket") == 8, 1).otherwise(0)).alias("n_val"),
         F.sum(F.when(F.col("bucket") == 9, 1).otherwise(0)).alias("n_test"),
     )
+
+
+@query(
+    "q58_text_cleaning",
+    oracle="""
+SELECT doc_id,
+       length(cleaned)                          AS clean_len,
+       len(string_split(cleaned, ' '))          AS clean_tokens,
+       substr(cleaned, 1, 20)                   AS clean_prefix
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS cleaned
+  FROM documents
+  WHERE doc_id < 200
+)
+""",
+)
+def q58_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the first stage of every training-data pipeline:
+    lowercase → strip non-alphanumerics → collapse whitespace → trim, all as
+    codegen'd regexp expressions (one projection, no UDF, no shuffle)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(cleaned).cast("bigint").alias("clean_len"),
+        F.size(F.split(cleaned, " ")).cast("bigint").alias("clean_tokens"),
+        F.substring(cleaned, 1, 20).alias("clean_prefix"),
+    )

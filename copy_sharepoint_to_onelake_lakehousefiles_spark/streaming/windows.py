@@ -379,3 +379,27 @@ def q57_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return _run_to_completion(agg, "complete")
+
+
+@query(
+    "q62_stream_dedup_within_watermark",
+    oracle="""
+SELECT user_id, count(DISTINCT event_id) AS n_unique, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q62_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: like streaming dropDuplicates but the
+    dedup state for a key is dropped once the watermark passes it — bounded
+    state for at-least-once sources whose duplicates arrive close together
+    (the practical 100 TB setting; plain dropDuplicates keeps keys forever).
+    events are unique already, so the drained result equals the batch
+    distinct aggregation."""
+    ev = _events_stream(spark, sf_dir)
+    dedup = ev.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(["event_id"])
+    agg = dedup.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return _run_to_completion(agg, "complete")

@@ -76,3 +76,9 @@ def test_cube_has_all_grouping_levels(spark, sf_dir):
     assert int(lvl1["n_orders"].sum()) == total
     assert int(lvl2["n_orders"].sum()) == total
     assert int(both["n_orders"].sum()) == total
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    for r in R.q63_approx_percentiles(spark, sf_dir).collect():
+        assert abs(r["approx_median"] - r["exact_median"]) / r["exact_median"] < 0.05
+        assert abs(r["approx_p95"] - r["exact_p95"]) / r["exact_p95"] < 0.05
