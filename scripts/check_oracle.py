@@ -82,8 +82,8 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows ({el:.1f}s) [rows-only tier]")
-            if len(srows) == 0 and name != "q26_minhash_lsh_pairs":
-                print(f"      warning: zero rows")
+            if len(srows) == 0:
+                print("      warning: zero rows")
             continue
         try:
             rel = con.sql(oracles[name])
