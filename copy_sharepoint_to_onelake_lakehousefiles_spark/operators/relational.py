@@ -939,3 +939,87 @@ def q63_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("approx_percentile(o_totalprice, 0.95, 10000)"), 2
         ).alias("approx_p95"),
     )
+
+
+@query(
+    "q64_yoy_reconciliation",
+    oracle="""
+WITH y95 AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend_95
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY o_custkey
+),
+y96 AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend_96
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY o_custkey
+)
+SELECT coalesce(y95.o_custkey, y96.o_custkey) AS custkey,
+       coalesce(spend_95, 0) AS spend_95,
+       coalesce(spend_96, 0) AS spend_96,
+       CASE WHEN y95.o_custkey IS NULL THEN 'new'
+            WHEN y96.o_custkey IS NULL THEN 'churned'
+            ELSE 'retained' END AS cohort
+FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
+""",
+)
+def q64_yoy_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — year-over-year customer reconciliation (the
+    new/churned/retained cohort split that only an outer join expresses).
+    Both inputs pre-aggregate to one row per customer before joining."""
+    o = load(spark, sf_dir, "orders")
+
+    def year_spend(y: int, alias: str) -> DataFrame:
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01 00:00:00"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias(alias))
+        )
+
+    y95 = year_spend(1995, "spend_95").withColumnRenamed("o_custkey", "k95")
+    y96 = year_spend(1996, "spend_96").withColumnRenamed("o_custkey", "k96")
+    j = y95.join(y96, y95.k95 == y96.k96, "full_outer")
+    return j.select(
+        F.coalesce("k95", "k96").alias("custkey"),
+        F.coalesce("spend_95", F.lit(0.0)).alias("spend_95"),
+        F.coalesce("spend_96", F.lit(0.0)).alias("spend_96"),
+        F.when(F.col("k95").isNull(), "new")
+        .when(F.col("k96").isNull(), "churned")
+        .otherwise("retained")
+        .alias("cohort"),
+    )
+
+
+@query(
+    "q65_unpivot_quantities",
+    oracle="""
+SELECT l_returnflag, 'qty_f' AS status_col, round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 'qty_o' AS status_col, round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q65_unpivot_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide pivot of q15 reshaped back to long form with
+    the built-in unpivot operator — wide↔long is a single Expand, no joins."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select("l_returnflag", F.col("F").alias("qty_f"), F.col("O").alias("qty_o"))
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_f", "qty_o"],
+        variableColumnName="status_col",
+        valueColumnName="qty",
+    )
