@@ -375,3 +375,33 @@ def q56_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+@query("q66_ml_minhash_lsh")
+def q66_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via pyspark.ml's MinHashLSH (HashingTF sparse shingle
+    vectors → approxSimilarityJoin) — the standard-library alternative to the
+    hand-built q26 pipeline. Rows-only (ml hash seeds are engine-internal);
+    tests assert the high-similarity pairs agree with the exact q27 truth.
+
+    Scale: approxSimilarityJoin is the same band-join idea under the hood;
+    HashingTF keeps the feature space fixed-width (2^18) so vector size is
+    independent of corpus vocabulary."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load(spark, sf_dir, "documents")
+    sh = _shingled(d)  # (doc_id, shingles: array<string>)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=6, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, threshold=0.5, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

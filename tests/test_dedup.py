@@ -89,3 +89,23 @@ def test_cluster_members_are_actually_similar(spark, sf_dir):
     # every clustered doc appears in exactly one component
     all_docs = [r["doc_id"] for r in comps]
     assert len(all_docs) == len(set(all_docs))
+
+
+def test_ml_lsh_agrees_with_exact_truth(spark, sf_dir):
+    """pyspark.ml MinHashLSH pairs at jaccard>=0.5 must be a subset of the
+    exact inverted-index pairs (>=0.3), and catch most of the >=0.7 ones."""
+    ml_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.q66_ml_minhash_lsh(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.q27_ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert ml_pairs
+    assert set(ml_pairs) <= set(exact)
+    for k, jac in ml_pairs.items():
+        assert abs(jac - exact[k]) < 1e-3  # approxSimilarityJoin reports TRUE jaccard
+    truth_high = {k for k, j in exact.items() if j >= 0.7}
+    recall = len(set(ml_pairs) & truth_high) / len(truth_high)
+    assert recall >= 0.9
