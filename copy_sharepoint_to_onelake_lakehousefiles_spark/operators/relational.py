@@ -1023,3 +1023,77 @@ def q65_unpivot_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="status_col",
         valueColumnName="qty",
     )
+
+
+@query(
+    "q67_percentile_ranks",
+    oracle="""
+SELECT c_custkey,
+       round(c_acctbal, 2)                                        AS acctbal,
+       round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+       round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 6)    AS cume,
+       CAST(ntile(100) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS percentile_bucket
+FROM customer
+WHERE c_mktsegment = 'MACHINERY'
+""",
+)
+def q67_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile — the relative-standing window trio
+    (quality-score percentile filtering in a training pipeline is exactly
+    this shape: keep docs above the p-th within-bucket percentile)."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "MACHINERY")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(100).over(w).cast("bigint").alias("percentile_bucket"),
+    )
+
+
+@query(
+    "q68_collect_status_sets",
+    oracle="""
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+       CAST(len(list(DISTINCT o_orderstatus)) AS BIGINT)             AS n_statuses,
+       count(*)                                                      AS n_orders
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def q68_collect_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_set) — emitted as a SORTED joined string so
+    the set is order-canonical in both engines."""
+    o = load(spark, sf_dir, "orders")
+    statuses = F.sort_array(F.collect_set("o_orderstatus"))
+    return o.groupBy("o_custkey").agg(
+        F.array_join(statuses, ",").alias("statuses"),
+        F.size(statuses).cast("bigint").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q69_biggest_order_per_status",
+    oracle="""
+SELECT o_orderstatus,
+       (max({'p': o_totalprice, 'k': o_orderkey})).k           AS top_orderkey,
+       round((max({'p': o_totalprice, 'k': o_orderkey})).p, 2) AS top_price,
+       round((min({'p': o_totalprice, 'k': o_orderkey})).p, 2) AS bottom_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q69_biggest_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax via struct max — the deterministic form of max_by: the struct
+    compares lexicographically (price, then key) so ties can't flip between
+    engines; one hash aggregation, no window, no join."""
+    o = load(spark, sf_dir, "orders")
+    s = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_orderstatus").agg(
+        F.max(s).getField("o_orderkey").alias("top_orderkey"),
+        F.round(F.max(s).getField("o_totalprice"), 2).alias("top_price"),
+        F.round(F.min(s).getField("o_totalprice"), 2).alias("bottom_price"),
+    )
