@@ -94,6 +94,8 @@ def q40_stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH flagged AS (
   SELECT user_id, ts,
+         -- boundary verified empirically: an event at EXACTLY prev+30min is
+         -- MERGED into the session (tests/test_streaming.py), so strict >
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

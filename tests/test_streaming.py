@@ -43,3 +43,20 @@ def test_sessionization_event_conservation(spark, sf_dir):
     rows = SW.q41_stream_sessionization(spark, sf_dir).collect()
     assert sum(r["n_events"] for r in rows) == load(spark, sf_dir, "events").count()
     assert all(r["n_sessions"] >= 1 for r in rows)
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Pin the session_window boundary semantics the q41 oracle relies on:
+    an event at exactly prev + gap belongs to the SAME session."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(minutes=30)),
+         (1, base + dt.timedelta(minutes=61))],
+        "user_id bigint, ts timestamp",
+    )
+    sessions = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().collect()
+    )
+    assert sorted(r["count"] for r in sessions) == [1, 2]  # exact gap merged, 61min split
