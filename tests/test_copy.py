@@ -181,3 +181,23 @@ def test_manifest_from_tree_empty(spark, tmp_path):
     m = manifest_from_tree(spark, fetch, root_url, child_url)
     assert m.count() == 0
     assert m.schema == MANIFEST_SCHEMA
+
+
+def test_observe_metrics_on_copy_result(spark, tmp_path):
+    """O23 (success counter) the Spark-native way: df.observe attaches
+    aggregate metrics to the copy-result materialization — no second pass
+    over the data, no driver-side counting loop (NB:283/303/305)."""
+    from pyspark.sql import Observation
+
+    src = str(tmp_path / "src3")
+    _build_tree(src)
+    obs = Observation("copy_metrics")
+    result = copy_tree(spark, src, str(tmp_path / "dst3")).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+        F.sum("bytes").alias("total_bytes"),
+    )
+    result.collect()
+    got = obs.get
+    assert got["n_files"] == 3 and got["n_ok"] == 3 and got["total_bytes"] > 0

@@ -60,3 +60,46 @@ def test_session_window_exact_gap_merges(spark):
         df.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().collect()
     )
     assert sorted(r["count"] for r in sessions) == [1, 2]  # exact gap merged, 61min split
+
+
+def test_checkpointed_incremental_ingestion(spark, tmp_path):
+    """The reference re-downloads the full tree every run (BASELINE.md:
+    'incremental sync: none'). The engine's streaming file source +
+    checkpoint gives exactly-once incremental pickup: a second run with the
+    same checkpoint processes ONLY files that appeared since."""
+    import shutil
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch_file(name, ids):
+        df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in __import__("os").listdir(tmp) if p.endswith(".parquet"))
+        shutil.copy(f"{tmp}/{part}", str(src / f"{name}.parquet"))
+
+    def drain():
+        q = (
+            spark.readStream.schema("id bigint")
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch_file("a", [1, 2, 3])
+    drain()
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+    write_batch_file("b", [4, 5])
+    drain()  # same checkpoint → only the new file is processed
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [1, 2, 3, 4, 5]
+
+    drain()  # nothing new → no duplicates (exactly-once)
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [1, 2, 3, 4, 5]
