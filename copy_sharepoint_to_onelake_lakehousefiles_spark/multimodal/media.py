@@ -218,3 +218,36 @@ def q61_media_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = top1.collect()  # materialize before cleanup
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, top1.schema)
+
+
+def extract_features_arrow(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Arrow-NATIVE feature extraction (mapInArrow): operates directly on
+    pyarrow RecordBatches — no pandas materialization of the binary column,
+    which matters when batches carry hundreds of MB of image/video bytes
+    (pandas would copy every blob into Python objects; Arrow keeps them as
+    zero-copy buffers until the digest loop touches them)."""
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            media_ids = batch.column("media_id").to_pylist()
+            kinds = batch.column("kind").to_pylist()
+            contents = batch.column("content").to_pylist()
+            n_bytes, digests, feats = [], [], []
+            for c in contents:
+                c = c or b""
+                n_bytes.append(len(c))
+                digests.append(hashlib.sha256(c).hexdigest())
+                feats.append(_stub_decode(c, dim))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(media_ids, pa.string()),
+                    pa.array(kinds, pa.string()),
+                    pa.array(n_bytes, pa.int64()),
+                    pa.array(digests, pa.string()),
+                    pa.array(feats, pa.list_(pa.float32())),
+                ],
+                names=["media_id", "kind", "n_bytes", "digest", "features"],
+            )
+
+    return media.select("media_id", "kind", "content").mapInArrow(run, FEATURE_SCHEMA)

@@ -47,3 +47,14 @@ def test_resize_passthrough_updates_meta(spark, tmp_path):
     root, _ = _mk_blobs(tmp_path)
     out = M.resize_images(M.read_media_dir(spark, root), 32, 32).collect()
     assert all(r["width"] == 32 and r["height"] == 32 for r in out)
+
+
+def test_arrow_extractor_matches_pandas_extractor(spark, tmp_path):
+    root, _ = _mk_blobs(tmp_path)
+    media = M.read_media_dir(spark, root)
+    via_pandas = {r["digest"]: r for r in M.extract_features(media).collect()}
+    via_arrow = {r["digest"]: r for r in M.extract_features_arrow(media).collect()}
+    assert set(via_pandas) == set(via_arrow)
+    for k in via_pandas:
+        assert via_pandas[k]["n_bytes"] == via_arrow[k]["n_bytes"]
+        assert via_pandas[k]["features"] == via_arrow[k]["features"]
