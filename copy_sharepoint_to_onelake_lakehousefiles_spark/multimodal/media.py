@@ -107,10 +107,17 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.select("media_id", "kind", "content").mapInPandas(run, FEATURE_SCHEMA)
 
 
+def decode_image(content: bytes):
+    """Real pixel decode — NOT IMPLEMENTED in this container (no Pillow /
+    libjpeg). The Spark-side plumbing around it (schema, batching,
+    partitioning) is real and tested; plug a codec in here for production."""
+    raise NotImplementedError("image codecs are not available in this container")
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: real codecs are absent, so this validates the plumbing
-    (binary in → binary out with updated meta) and raises only if actually
-    asked to decode pixels."""
+    """Resize stub: validates the plumbing (binary in → binary out with
+    updated meta); a real implementation calls decode_image + resample in
+    place of the passthrough."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
