@@ -6,8 +6,9 @@ Design for 100 TB:
   or shared shingle), so the shuffle is keyed and skew is bounded by bucket
   size; exact Jaccard is computed only on candidates.
 - Hashing uses md5 (uniform, engine-independent) so the MinHash / banding
-  queries are DuckDB-oracle-checkable — lexicographic min over hex digests is
-  a valid min-wise sketch.
+  queries are DuckDB-oracle-checkable. The n-hash family reuses the shingle's
+  own 128 digest bits plus ceil(n/4)-1 salted re-digests — 4 independent
+  32-bit words per md5 — so n min-hashes cost ~n/4 hash calls, not n.
 - The corpus vocabulary is tiny (31 words), so token-SET similarity
   saturates; all shingling is on word 5-gram *sequences*.
 """
@@ -41,16 +42,36 @@ def _shingled(d: DataFrame) -> DataFrame:
     )
 
 
+def _spark_hash_words(shingles_col: str = "shingles", n: int = N_MINHASH) -> str:
+    """SQL expr: shingles → array of per-shingle word arrays (n bigints each).
+
+    A shingle is already an md5 hex digest — 128 uniform bits = four 32-bit
+    words for free. Each additional group of 4 words comes from one more md5
+    over a salted copy, so n hashes cost ceil(n/4)-1 extra md5 calls per
+    shingle instead of n (the dominant cost of the old md5-per-seed family,
+    ~4× less hashing for n=12) while every word stays fully independent
+    (distinct bits of independent digests)."""
+    n_sources = (n + 3) // 4
+    sources = ["s"] + [
+        f"md5(concat('{k}:', s))" for k in range(1, n_sources)
+    ]
+    words = []
+    for i in range(n):
+        src = sources[i // 4]
+        pos = 1 + 8 * (i % 4)
+        words.append(f"cast(conv(substring({src}, {pos}, 8), 16, 10) AS BIGINT)")
+    return f"transform({shingles_col}, s -> array({', '.join(words)}))"
+
+
 def minhash_signature(shingles_col: str = "shingles", n: int = N_MINHASH):
-    """n seeded min-hashes: min over md5(seed ‖ shingle) per seed. Pure column
-    expression (JVM codegen); one pass over the shingle array per seed."""
-    return F.array(
-        *[
-            F.array_min(
-                F.expr(f"transform({shingles_col}, s -> md5(concat('{seed}:', s)))")
-            )
-            for seed in range(n)
-        ]
+    """n min-hashes as one pass: materialize per-shingle hash words, then an
+    elementwise-min fold (aggregate + zip_with) over the shingle array. All
+    JVM codegen — no Python, no per-seed re-hash."""
+    inf = 1 << 32  # > any 32-bit word
+    return F.expr(
+        f"aggregate({_spark_hash_words(shingles_col, n)}, "
+        f"array_repeat(cast({inf} AS BIGINT), {n}), "
+        f"(acc, w) -> zip_with(acc, w, (x, y) -> least(x, y)))"
     )
 
 
@@ -60,10 +81,21 @@ _DUCK_SHINGLES = (
 )
 
 
-def _duck_minhash_sig() -> str:
+def _duck_hash_words(n: int = N_MINHASH) -> str:
+    """DuckDB twin of _spark_hash_words (hex parse via ('0x'||…)::BIGINT)."""
+    n_sources = (n + 3) // 4
+    sources = ["s"] + [f"md5('{k}:' || s)" for k in range(1, n_sources)]
+    words = []
+    for i in range(n):
+        src = sources[i // 4]
+        pos = 1 + 8 * (i % 4)
+        words.append(f"('0x' || substring({src}, {pos}, 8))::BIGINT")
+    return f"list_transform(shingles, s -> [{', '.join(words)}])"
+
+
+def _duck_minhash_sig(n: int = N_MINHASH) -> str:
     parts = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{seed}:' || s)))"
-        for seed in range(N_MINHASH)
+        f"list_min(list_transform(hw, w -> w[{i + 1}]))" for i in range(n)
     )
     return f"[{parts}]"
 
@@ -88,8 +120,11 @@ WITH sh AS (
   FROM documents
   WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
 ),
+hwt AS (
+  SELECT doc_id, shingles, {_duck_hash_words()} AS hw FROM sh
+),
 sig AS (
-  SELECT doc_id, shingles, {_duck_minhash_sig()} AS sig FROM sh
+  SELECT doc_id, shingles, {_duck_minhash_sig()} AS sig FROM hwt
 ),
 bands AS (
   {_duck_bands()}
