@@ -1,0 +1,522 @@
+"""Training-data pipeline operators (north-star tier beyond the reference):
+chunking, chunk-level dedup, split decontamination, vocabulary building,
+n-gram statistics, masking, repetition scoring, stratified sampling, date
+spines, and embedding hygiene.
+
+Everything is built-in column expressions (split / slice / sequence /
+higher-order lambdas / window functions) — JVM codegen end-to-end, no Python
+in the hot path — and every query has an exact DuckDB oracle twin.
+
+Scale notes per query are in the docstrings; the common theme: per-document
+work stays array-local (no explode until the data is minimal), cross-corpus
+steps are equi-joins or single hash aggregations on bounded keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+from .dedup import _DUCK_SHINGLES, _shingled
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def chunked(d: DataFrame) -> DataFrame:
+    """documents → (doc_id, chunk_idx, n_chunk_tokens, chunk_text): fixed-size
+    token windows (CHUNK_TOKENS) with stride CHUNK_STRIDE. The k-th chunk
+    starts at token k*stride+1; the tail chunk may be short but is never
+    empty. Array-local: tokenization and window math happen inside one row
+    before the explode, so the shuffle carries only final chunks."""
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    k = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(
+                f"sequence(0, (greatest(size(toks) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1}) "
+                f"div {CHUNK_STRIDE})"
+            )
+        ).alias("chunk_idx"),
+    )
+    chunk = F.expr(f"slice(toks, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})")
+    return k.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+_DUCK_CHUNKS = f"""
+  WITH __t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  chunks AS (
+    SELECT doc_id, chunk_idx,
+           len(toks[chunk_idx*{CHUNK_STRIDE}+1 : chunk_idx*{CHUNK_STRIDE}+{CHUNK_TOKENS}]) AS n_chunk_tokens,
+           array_to_string(toks[chunk_idx*{CHUNK_STRIDE}+1 : chunk_idx*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ') AS chunk_text
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(0, (greatest(len(toks) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1})
+                        // {CHUNK_STRIDE})) AS chunk_idx
+          FROM __t)
+  )
+"""
+
+
+@query(
+    "q70_document_chunks",
+    oracle=f"""
+{_DUCK_CHUNKS}
+SELECT doc_id, chunk_idx, n_chunk_tokens,
+       substr(chunk_text, 1, 24) AS chunk_prefix,
+       md5(chunk_text)           AS chunk_hash
+FROM chunks
+WHERE doc_id < 300
+""",
+)
+def q70_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking — the unit-of-training-example
+    operator every LLM pipeline starts with. 100 TB: embarrassingly parallel
+    (per-row), no shuffle at all until a downstream op groups chunks."""
+    d = load(spark, sf_dir, "documents")
+    return chunked(d.where(F.col("doc_id") < 300)).select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.substring("chunk_text", 1, 24).alias("chunk_prefix"),
+        F.md5("chunk_text").alias("chunk_hash"),
+    )
+
+
+@query(
+    "q71_chunk_novelty",
+    oracle=f"""
+{_DUCK_CHUNKS},
+h AS (SELECT doc_id, md5(chunk_text) AS h FROM chunks),
+dup AS (
+  SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT doc_id,
+       count(*)                                        AS n_chunks,
+       count(*) FILTER (WHERE dup.h IS NOT NULL)       AS n_dup_chunks,
+       round(CAST(count(*) FILTER (WHERE dup.h IS NOT NULL) AS DOUBLE)
+             / count(*), 4)                            AS dup_ratio
+FROM h LEFT JOIN dup USING (h)
+GROUP BY doc_id
+HAVING count(*) FILTER (WHERE dup.h IS NOT NULL) > 0
+""",
+)
+def q71_chunk_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplicate-content ratio per document (the RefinedWeb-style
+    'how much of this doc exists elsewhere' signal). A chunk is duplicated if
+    its hash occurs in ≥2 distinct documents. Scale: one hash aggregation
+    over chunk hashes (bounded key = 128-bit digest, uniform — no skew), one
+    equi-join back; nothing quadratic."""
+    d = load(spark, sf_dir, "documents")
+    h = chunked(d).select("doc_id", F.md5("chunk_text").alias("h"))
+    dup = (
+        h.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    j = h.join(dup, "h", "left")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+        .where(F.col("n_dup_chunks") > 0)
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 4).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
+_BUCKET_DUCK = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10"
+
+
+def _bucket_col():
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+
+
+@query(
+    "q72_split_contamination",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_BUCKET_DUCK} AS bucket, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+),
+train AS (SELECT DISTINCT shingle FROM sh WHERE bucket <= 7),
+test AS (SELECT doc_id, shingle FROM sh WHERE bucket = 9)
+SELECT t.doc_id,
+       count(DISTINCT t.shingle)                                   AS n_shingles,
+       count(DISTINCT t.shingle) FILTER (WHERE tr.shingle IS NOT NULL) AS n_shared,
+       CASE WHEN count(*) FILTER (WHERE tr.shingle IS NOT NULL) > 0
+            THEN 1 ELSE 0 END                                      AS contaminated
+FROM test t LEFT JOIN train tr ON t.shingle = tr.shingle
+GROUP BY t.doc_id
+""",
+)
+def q72_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test decontamination check: for every test-split document, how
+    many of its word-5-gram shingles also appear anywhere in the train split
+    (the standard n-gram-overlap contamination test used before training).
+    Scale: the train shingle set is a DISTINCT hash agg (uniform digest keys);
+    the probe is one equi-join — the same shape as an inverted-index lookup.
+    Splits reuse q55's deterministic md5 bucketing, so membership is stable
+    across engines and re-runs."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingled(d).select(
+        "doc_id", _bucket_col().alias("bucket"), F.explode("shingles").alias("shingle")
+    )
+    train = sh.where(F.col("bucket") <= 7).select("shingle").distinct()
+    test = sh.where(F.col("bucket") == 9).select("doc_id", "shingle")
+    j = test.join(train.withColumn("hit", F.lit(1)), "shingle", "left")
+    return j.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shingles"),
+        F.countDistinct(F.when(F.col("hit").isNotNull(), F.col("shingle"))).alias("n_shared"),
+        F.max(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).cast("int").alias("contaminated"),
+    )
+
+
+@query(
+    "q73_vocabulary",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS doc_freq
+  FROM tok GROUP BY token
+)
+SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS vocab_id,
+       token, n_occurrences, doc_freq
+FROM counts
+""",
+)
+def q73_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: token → stable contiguous id, ordered by corpus
+    frequency (ties broken lexically). The global window runs on the
+    POST-AGGREGATION table (one row per distinct token — bounded by
+    vocabulary size, ~100k-1M at web scale, not corpus size), so the
+    single-partition sort is safe; the heavy step is the distributed token
+    count, a plain map-side-combined hash agg."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    w = W.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return counts.select(
+        F.row_number().over(w).cast("bigint").alias("vocab_id"),
+        "token",
+        "n_occurrences",
+        "doc_freq",
+    )
+
+
+@query(
+    "q74_bigram_counts",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)
+)
+SELECT bigram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS doc_freq
+FROM bg
+GROUP BY bigram
+HAVING count(*) >= 20
+""",
+)
+def q74_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence (adjacent-bigram) statistics — the building block for
+    collocation mining and tokenizer-merge candidates (BPE's first step is
+    exactly 'count adjacent pairs'). Bigram construction is array-local
+    (transform over an index sequence, no self-join); the count is one hash
+    agg keyed by bigram."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .where(F.col("n_occurrences") >= 20)
+    )
+
+
+@query(
+    "q75_masked_events",
+    oracle="""
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '#', 'g')     AS masked_props,
+       len(regexp_extract_all(props, '[0-9]+'))      AS n_masked,
+       regexp_replace(event_type, '[aeiou]', '*', 'g') AS masked_kind
+FROM events
+WHERE event_id < 300
+""",
+)
+def q75_masked_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern masking / redaction (the PII-scrub shape: replace every match
+    of a pattern, count what was masked). Pure regexp column expressions —
+    at 100 TB this is a map-only pass with full codegen, no shuffle."""
+    e = load(spark, sf_dir, "events")
+    return e.where(F.col("event_id") < 300).select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "#").alias("masked_props"),
+        F.expr("size(regexp_extract_all(props, '[0-9]+', 0))")
+        .cast("bigint")
+        .alias("n_masked"),
+        F.regexp_replace("event_type", "[aeiou]", "*").alias("masked_kind"),
+    )
+
+
+@query(
+    "q76_repetition_scores",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tc AS (
+  SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
+),
+top AS (
+  SELECT doc_id,
+         sum(cnt)                                AS n_tokens,
+         (max({'cnt': cnt, 'token': token})).token AS top_token,
+         max(cnt)                                AS top_cnt
+  FROM tc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         len(toks) - 1                                         AS n_bigrams,
+         len(list_distinct(list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1])))               AS n_distinct_bigrams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT t.doc_id,
+       t.n_tokens,
+       t.top_token,
+       round(CAST(t.top_cnt AS DOUBLE) / t.n_tokens, 4)              AS top_share,
+       round(CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 4)  AS bigram_diversity,
+       CASE WHEN CAST(t.top_cnt AS DOUBLE) / t.n_tokens > 0.2
+              OR CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams < 0.6
+            THEN 1 ELSE 0 END                                        AS repetitive
+FROM top t JOIN bg b ON t.doc_id = b.doc_id
+WHERE t.doc_id < 300
+""",
+)
+def q76_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate scoring: top-token share and distinct-bigram
+    diversity (a cheap compression-ratio proxy), flagged against thresholds —
+    the Gopher/C4-style quality filters. Tie-break on the argmax token is
+    made deterministic by comparing (count, token) structs in both engines.
+    Bigram diversity is array-local; the token counts are a two-level hash
+    agg keyed by (doc_id, token) — no skew (doc_id leads the key)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = tc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.max(F.struct("cnt", "token")).getField("token").alias("top_token"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    bg = d.select(
+        "doc_id",
+        (F.size(F.split(F.col("text"), " ")) - 1).cast("bigint").alias("n_bigrams"),
+        F.expr(
+            "size(array_distinct(transform(sequence(1, size(split(text, ' ')) - 1), "
+            "i -> concat(element_at(split(text, ' '), i), ' ', "
+            "element_at(split(text, ' '), i + 1)))))"
+        )
+        .cast("bigint")
+        .alias("n_distinct_bigrams"),
+    )
+    top_share = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    diversity = F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+    return top.join(bg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "top_token",
+        F.round(top_share, 4).alias("top_share"),
+        F.round(diversity, 4).alias("bigram_diversity"),
+        F.when((top_share > 0.2) | (diversity < 0.6), 1).otherwise(0).cast("int").alias(
+            "repetitive"
+        ),
+    )
+
+
+@query(
+    "q77_grouped_correlation",
+    oracle="""
+SELECT l_returnflag,
+       count(*)                                        AS n,
+       round(corr(l_quantity, l_extendedprice), 4)     AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 6)    AS covar_qty_disc,
+       round(stddev_samp(l_extendedprice), 2)          AS sd_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q77_grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped statistical moments (corr / covariance / stddev) — dataset
+    profiling before training. Single-pass distributed moment aggregation
+    (Welford-style partial+final merge, Catalyst built-ins)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+    )
+
+
+@query(
+    "q78_event_date_spine",
+    oracle="""
+WITH bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+),
+spine AS (
+  SELECT k.event_type, CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 day)) AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM events) k, bounds b
+),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+         round(sum(value), 2) AS revenue
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT s.event_type, s.day,
+       COALESCE(d.n_events, 0)    AS n_events,
+       COALESCE(d.revenue, 0.0)   AS revenue
+FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+""",
+)
+def q78_event_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: dense (event_type × day) grid via sequence(), left
+    join of sparse daily aggregates, zeros for missing days — the
+    time-series regularization step before windowed training features.
+    Scale: the spine is |event types| × |days| (tiny, broadcast); the daily agg is
+    the only shuffle over the fact table."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"), F.max(F.col("ts").cast("date")).alias("d1")
+    )
+    kinds = e.select("event_type").distinct()
+    spine = kinds.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("revenue")
+    )
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+
+
+@query(
+    "q79_balanced_sample",
+    oracle="""
+WITH sized AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+target AS (SELECT min(n) AS m FROM sized),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, rk
+FROM ranked, target
+WHERE rk <= target.m
+""",
+)
+def q79_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balanced downsampling: rank documents within each
+    language by a stable pseudo-random key (md5 of the id) and keep the
+    smallest class's count from every class. Unlike sampleBy()/rand(), the
+    selection is a pure function of the data — reproducible across engines,
+    retries, and repartitioning. Scale: one window per class partition
+    (parallel across classes; within-class sort is the cost — for huge
+    classes switch to the bucket<threshold approximate form of q55)."""
+    d = load(spark, sf_dir, "documents")
+    target = d.groupBy("lang").count().agg(F.min("count").alias("m"))
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rk"))
+    return ranked.crossJoin(F.broadcast(target)).where(F.col("rk") <= F.col("m")).select(
+        "doc_id", "lang", "rk"
+    )
+
+
+@query(
+    "q80_embedding_norm_stats",
+    oracle="""
+SELECT label,
+       count(*)                                                       AS n,
+       round(avg(l2), 4)                                              AS avg_norm,
+       round(min(l2), 4)                                              AS min_norm,
+       round(max(l2), 4)                                              AS max_norm,
+       count(*) FILTER (WHERE l2 < 0.5 OR l2 > 2.0)                   AS n_outliers
+FROM (
+  SELECT label,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) AS l2
+  FROM embeddings
+)
+GROUP BY label
+""",
+)
+def q80_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: per-label L2-norm distribution and out-of-range
+    counts (degenerate/exploding vectors are the first thing to filter
+    before ANN indexing or contrastive training). Norms are computed
+    array-locally (aggregate lambda over the vector, double precision on
+    both engines); the per-label rollup is a plain hash agg."""
+    emb = load(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.expr(
+            "aggregate(cast(embedding AS array<double>), cast(0 AS double), "
+            "(acc, x) -> acc + x * x)"
+        )
+    )
+    normed = emb.select("label", l2.alias("l2"))
+    return normed.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l2"), 4).alias("avg_norm"),
+        F.round(F.min("l2"), 4).alias("min_norm"),
+        F.round(F.max("l2"), 4).alias("max_norm"),
+        F.sum(F.when((F.col("l2") < 0.5) | (F.col("l2") > 2.0), 1).otherwise(0)).alias(
+            "n_outliers"
+        ),
+    )

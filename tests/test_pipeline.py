@@ -1,0 +1,79 @@
+"""Training-pipeline operators: chunking boundary semantics, decontamination
+determinism, balanced sampling, vocabulary ids."""
+
+from pyspark.sql import functions as F
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.operators import pipeline as P
+from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import load
+
+
+def _doc(spark, text, doc_id=0):
+    return spark.createDataFrame([(doc_id, text)], "doc_id: long, text: string")
+
+
+def test_chunk_boundaries_exact(spark):
+    """n=32 → one chunk; n=33 → two (second holds the 9-token tail including
+    the 8-token overlap); every token appears in ≥1 chunk."""
+    t32 = " ".join(f"w{i}" for i in range(32))
+    t33 = " ".join(f"w{i}" for i in range(33))
+    one = P.chunked(_doc(spark, t32)).collect()
+    assert len(one) == 1 and one[0]["n_chunk_tokens"] == 32
+    two = P.chunked(_doc(spark, t33)).orderBy("chunk_idx").collect()
+    assert [r["n_chunk_tokens"] for r in two] == [32, 9]
+    assert two[1]["chunk_text"].split(" ") == [f"w{i}" for i in range(24, 33)]
+
+
+def test_chunk_full_coverage(spark, sf_dir):
+    """Chunks with stride < size must cover every token of every document:
+    sum over chunks of (tokens advanced) reconstructs the token count."""
+    d = load(spark, sf_dir, "documents").limit(50)
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in d.select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()
+    }
+    ch = P.chunked(d).groupBy("doc_id").agg(
+        F.max(F.col("chunk_idx") * P.CHUNK_STRIDE + F.col("n_chunk_tokens")).alias("covered")
+    )
+    for r in ch.collect():
+        assert r["covered"] == n_tok[r["doc_id"]]
+
+
+def test_contamination_planted(spark, sf_dir):
+    """A test-split doc that shares a 5-gram with a train doc must be flagged;
+    the check is a pure function of doc_id (rerun-stable)."""
+    a = P.q72_split_contamination(spark, sf_dir).collect()
+    b = P.q72_split_contamination(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    flagged = [r for r in a if r["contaminated"] == 1]
+    for r in flagged:
+        assert 0 < r["n_shared"] <= r["n_shingles"]
+
+
+def test_balanced_sample_is_balanced(spark, sf_dir):
+    out = P.q79_balanced_sample(spark, sf_dir)
+    per_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert len(set(per_lang.values())) == 1, per_lang
+    totals = {
+        r["lang"]: r["n"]
+        for r in load(spark, sf_dir, "documents").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_lang.values()) == {min(totals.values())}
+
+
+def test_vocabulary_ids_contiguous(spark, sf_dir):
+    rows = P.q73_vocabulary(spark, sf_dir).orderBy("vocab_id").collect()
+    assert [r["vocab_id"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_chunk_novelty_detects_planted_dup(spark, sf_dir):
+    """Append a verbatim copy of one document under a new id → both get a
+    dup_ratio of 1.0 (every chunk appears in ≥2 docs)."""
+    d = load(spark, sf_dir, "documents").limit(1)
+    dup = d.select((F.col("doc_id") + 900000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    both = d.unionByName(dup).select("doc_id", "text")
+    h = P.chunked(both).select("doc_id", F.md5("chunk_text").alias("h"))
+    dupes = h.groupBy("h").agg(F.countDistinct("doc_id").alias("nd")).where(F.col("nd") >= 2)
+    n_chunks = h.groupBy("doc_id").count().collect()
+    assert dupes.count() == n_chunks[0]["count"]

@@ -19,7 +19,10 @@ NON_BATCH = {
     "q50_copy_roundtrip",
     "q60_media_features",
 }
-NLJ_ALLOWED = {"q30_cosine_topk"}  # bounded broadcast side by construction
+# Bounded broadcast side by construction: q30 broadcasts the 10-row query
+# set; q78/q79 broadcast a 1-row global aggregate (date bounds / min class
+# size) — O(n · 1), not O(n²).
+NLJ_ALLOWED = {"q30_cosine_topk", "q78_event_date_spine", "q79_balanced_sample"}
 
 
 @pytest.mark.parametrize("name", sorted(set(all_queries()) - NON_BATCH))
