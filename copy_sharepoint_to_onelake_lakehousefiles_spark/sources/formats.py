@@ -29,3 +29,26 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | str) -> Da
         .option("mode", "PERMISSIVE")
         .json(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default; columnar + predicate-pushdown-capable, the
+    Hive-ecosystem twin of parquet)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — schema comes from the file footer (self-describing, unlike
+    CSV/JSON); filter/column pushdown works exactly as for parquet."""
+    return spark.read.orc(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """spark-avro is an external module (org.apache.spark:spark-avro); absent
+    in this container. Probe cheaply via the DataSource registry."""
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.spark.sql.avro.AvroFileFormat  # noqa: B018
+        return True
+    except Exception:
+        return False

@@ -67,3 +67,35 @@ def test_salted_aggregate_equals_plain(spark, sf_dir):
         for r in salted_aggregate(li, "l_returnflag", "l_quantity", n_salts=4).collect()
     }
     assert plain == salted
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC roundtrip preserves schema + values; a filtered read shows
+    pushed-down predicates in the scan (same contract as parquet)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.formats import read_orc, write_orc
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import load
+
+    n = load(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(n, path)
+    back = read_orc(spark, path)
+    assert back.schema == n.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+    plan = (
+        back.where(back.n_regionkey == 2)
+        .select("n_name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
+
+
+def test_avro_probe_is_honest(spark):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.formats import avro_available
+
+    if not avro_available(spark):
+        import pytest
+
+        with pytest.raises(Exception):
+            spark.range(1).write.format("avro").save("/tmp/_avro_should_fail")
