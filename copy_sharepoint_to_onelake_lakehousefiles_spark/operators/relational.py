@@ -1097,3 +1097,171 @@ def q69_biggest_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(s).getField("o_totalprice"), 2).alias("top_price"),
         F.round(F.min(s).getField("o_totalprice"), 2).alias("bottom_price"),
     )
+
+
+@query(
+    "q82_binational_volume",
+    oracle="""
+SELECT sn.n_name                                    AS supp_nation,
+       cn.n_name                                    AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT)              AS ship_year,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+       count(*)                                     AS n_lines
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+WHERE sn.n_name < cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+HAVING count(*) >= 5
+""",
+)
+def q82_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between (supplier nation, customer
+    nation) pairs by ship year. The fact table joins four broadcast dims
+    (nation twice under different roles); the only fact-sized shuffle is the
+    final group-by — the canonical star-join plan AQE should produce.
+    Revenue accumulates in DECIMAL so the sum is exact (double addition is
+    order-dependent across shuffle partitioning; the last cent flipped
+    between engines), then casts to double on output."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .where(F.col("n_lines") >= 5)
+    )
+
+
+@query(
+    "q83_important_parts",
+    oracle="""
+SELECT l_partkey,
+       round(sum(l_extendedprice * l_quantity), 2) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(l_extendedprice * l_quantity) >
+       (SELECT 1.5 * sum(l_extendedprice * l_quantity) / count(DISTINCT l_partkey)
+        FROM lineitem)
+""",
+)
+def q83_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value exceeds 1.5× the mean
+    per-part value — an uncorrelated scalar subquery (scale-factor-robust,
+    unlike an absolute share threshold). Expressed in Spark SQL so
+    Catalyst plans the total as a one-row SubqueryExec broadcast into the
+    HAVING filter (no nested-loop join, no driver collect)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__li83")
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               round(sum(l_extendedprice * l_quantity), 2) AS part_value
+        FROM __li83
+        GROUP BY l_partkey
+        HAVING sum(l_extendedprice * l_quantity) >
+               (SELECT 1.5 * sum(l_extendedprice * l_quantity) / count(DISTINCT l_partkey)
+                FROM __li83)
+        """
+    )
+
+
+@query(
+    "q84_large_orders",
+    oracle="""
+SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+       round(q.total_qty, 2) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 100
+) q
+JOIN orders o   ON q.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q84_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity crosses a threshold,
+    re-joined to their customer. The HAVING pre-aggregation shrinks the fact
+    table BEFORE any join touches it — filter-early is the whole point of
+    this plan at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    q = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .where(F.col("tq") > 100)
+    )
+    return (
+        q.join(o, q.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.round("tq", 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q85_rich_inactive_customers",
+    oracle="""
+SELECT substr(c_name, 1, 9)        AS name_prefix,
+       count(*)                    AS n_custs,
+       round(sum(c_acctbal), 2)    AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+GROUP BY substr(c_name, 1, 9)
+""",
+)
+def q85_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    high-value orders —
+    scalar average subquery + anti join, grouped by a name prefix. The anti
+    join probes orders with only its join key (column pruning); the average
+    is a SubqueryExec scalar, not a driver round-trip."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__c85")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__o85")
+    return spark.sql(
+        """
+        SELECT substr(c_name, 1, 9)        AS name_prefix,
+               count(*)                    AS n_custs,
+               round(sum(c_acctbal), 2)    AS total_bal
+        FROM __c85 c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM __c85 WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM __o85 o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        GROUP BY substr(c_name, 1, 9)
+        """
+    )
