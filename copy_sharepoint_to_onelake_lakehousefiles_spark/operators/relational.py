@@ -1265,3 +1265,100 @@ def q85_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY substr(c_name, 1, 9)
         """
     )
+
+
+@query(
+    "q86_batch_sessions",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       count(*)                                         AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S')           AS session_start,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec,
+       round(sum(value), 2)                             AS session_value
+FROM sess
+GROUP BY user_id, session_id
+""",
+)
+def q86_batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via lag + cumulative sum (gap > 30 min starts a
+    new session) — the window-function twin of the streaming session_window
+    (q41). One shuffle keyed by user_id; both windows reuse the same sort —
+    Catalyst plans a single Window operator chain, no second exchange."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .cast("bigint")
+        .alias("duration_sec"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@query(
+    "q87_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS INT)          AS day_offset,
+       count(*)                         AS n_users
+FROM activity
+GROUP BY cohort_day, day_offset
+""",
+)
+def q87_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted on
+    each subsequent active day offset. Two shuffles total (first-seen agg,
+    final rollup); the firsts table is user-cardinality — broadcast when it
+    fits, else it co-partitions with events on user_id."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+    activity = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
