@@ -17,8 +17,16 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.01"
     spark = get_spark("plans")
     qs = all_queries()
+    extra = [
+        "q70_document_chunks",
+        "q71_chunk_novelty",
+        "q72_split_contamination",
+        "q82_binational_volume",
+        "q86_batch_sessions",
+        "q87_cohort_retention",
+    ]
     out = ["# PLANS — formatted physical plans of the headline queries (sf0.01)\n"]
-    for name in HEADLINE:
+    for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
