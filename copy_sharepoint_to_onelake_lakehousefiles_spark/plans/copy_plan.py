@@ -37,6 +37,8 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("src_path", T.StringType()),
         T.StructField("dest_path", T.StringType()),
         T.StructField("bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("attempts", T.IntegerType()),
         T.StructField("status", T.StringType()),
         T.StructField("error", T.StringType()),
     ]
@@ -69,14 +71,20 @@ def execute_copy(
     dest_root: str,
     site_folder: str = "",
     parallelism: int | None = None,
+    max_attempts: int = 3,
+    backoff_s: float = 0.05,
 ) -> DataFrame:
     """Distributed fetch+write. Each executor task copies its partition's
     files (local/file: URLs here; an http(s) fetcher slots into `_read_src`
     with a pooled session) and emits an audit row per file.
 
+    Per-row retry with exponential backoff (max_attempts, base backoff_s)
+    covers transient fetch errors WITHIN a task before Spark's own task
+    retry kicks in — the reference has neither (skip-on-error, NB:294-296).
+
     Returns the result-manifest DataFrame (src_path, dest_path, bytes,
-    status, error) — the queryable replacement for the reference's printed
-    `# COPY:` lines."""
+    checksum, attempts, status, error) — the queryable replacement for the
+    reference's printed `# COPY:` lines; checksum feeds `verify_copy`."""
     planned = todo.select(
         "file_id",
         F.col("download_url").alias("src_path"),
@@ -104,22 +112,113 @@ def execute_copy(
             return f.read()
 
     def copy_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import time
+
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                try:
-                    raw = _read_src(row.src_path)
-                    os.makedirs(os.path.dirname(row.dest_path), exist_ok=True)
-                    with open(row.dest_path, "wb") as f:
-                        f.write(raw)
-                    out.append((row.file_id, row.src_path, row.dest_path, len(raw), "ok", None))
-                except Exception as exc:  # noqa: BLE001 — audit row, task keeps going
-                    out.append((row.file_id, row.src_path, row.dest_path, 0, "error", str(exc)))
+                err = None
+                for attempt in range(1, max_attempts + 1):
+                    try:
+                        raw = _read_src(row.src_path)
+                        os.makedirs(os.path.dirname(row.dest_path), exist_ok=True)
+                        with open(row.dest_path, "wb") as f:
+                            f.write(raw)
+                        out.append(
+                            (
+                                row.file_id,
+                                row.src_path,
+                                row.dest_path,
+                                len(raw),
+                                hashlib.md5(raw).hexdigest(),
+                                attempt,
+                                "ok",
+                                None,
+                            )
+                        )
+                        err = None
+                        break
+                    except Exception as exc:  # noqa: BLE001 — audit row, task keeps going
+                        err = str(exc)
+                        if attempt < max_attempts:
+                            time.sleep(backoff_s * (2 ** (attempt - 1)))
+                if err is not None:
+                    out.append(
+                        (row.file_id, row.src_path, row.dest_path, 0, None, max_attempts, "error", err)
+                    )
             yield pd.DataFrame(
-                out, columns=["file_id", "src_path", "dest_path", "bytes", "status", "error"]
+                out,
+                columns=[
+                    "file_id",
+                    "src_path",
+                    "dest_path",
+                    "bytes",
+                    "checksum",
+                    "attempts",
+                    "status",
+                    "error",
+                ],
             )
 
     return planned.mapInPandas(copy_partition, RESULT_SCHEMA)
+
+
+def plan_sync(manifest: DataFrame, existing: DataFrame) -> DataFrame:
+    """Incremental-sync plan: full-outer compare of source manifest vs
+    destination state on rel_path → one action per path:
+
+      new        in source only                     → copy
+      changed    both sides, size differs           → re-copy
+      unchanged  both sides, same size              → skip
+      orphan     in destination only                → candidate delete
+
+    The reference re-downloads the whole tree every scheduled run
+    (RM:154-159, NB:283-305); `plan_copy` fixed 'new'; this adds
+    change detection and orphan discovery. One shuffle keyed by rel_path
+    (or zero if both manifests are bucketed by rel_path at the lake)."""
+    src = manifest.select(
+        "rel_path", F.col("file_id"), F.col("download_url"), F.col("size").alias("src_size")
+    )
+    dst = existing.select("rel_path", F.col("size").alias("dst_size"))
+    j = src.join(dst, "rel_path", "full_outer")
+    action = (
+        F.when(F.col("dst_size").isNull(), "new")
+        .when(F.col("src_size").isNull(), "orphan")
+        .when(F.col("src_size") != F.col("dst_size"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select("rel_path", "file_id", "download_url", "src_size", "dst_size", action.alias("action"))
+
+
+def verify_copy(spark: SparkSession, result: DataFrame, dest_root: str) -> DataFrame:
+    """Post-copy verification: re-read the destination tree through the
+    binaryFile source, md5 it JVM-side, and join against the checksum the
+    copy recorded → (dest_path, verify_status ∈ verified|mismatch|missing).
+
+    Distributed end-to-end: the dest scan is a parallel binaryFile read, the
+    comparison one equi-join on dest_path — no driver collect of content.
+    (At the lake, run it as a sampled audit rather than a full second pass.)"""
+    copied = result.where(F.col("status") == "ok").select(
+        "dest_path", F.col("checksum").alias("expected")
+    )
+    dest = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(os.path.abspath(dest_root))
+        .select(
+            F.replace(F.col("path"), F.lit("file:"), F.lit("")).alias("dest_path"),
+            F.md5("content").alias("actual"),
+        )
+    )
+    j = copied.join(dest, "dest_path", "left")
+    return j.select(
+        "dest_path",
+        F.when(F.col("actual").isNull(), "missing")
+        .when(F.col("actual") == F.col("expected"), "verified")
+        .otherwise("mismatch")
+        .alias("verify_status"),
+    )
 
 
 def copy_tree(

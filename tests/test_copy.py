@@ -201,3 +201,85 @@ def test_observe_metrics_on_copy_result(spark, tmp_path):
     result.collect()
     got = obs.get
     assert got["n_files"] == 3 and got["n_ok"] == 3 and got["total_bytes"] > 0
+
+
+def test_plan_sync_actions(spark, tmp_path):
+    """new / changed / unchanged / orphan classification from a full-outer
+    manifest compare."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.copy_plan import plan_sync
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.manifest import (
+        manifest_from_local_dir,
+    )
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    for d in (src, dst):
+        d.mkdir()
+    (src / "same.txt").write_bytes(b"identical")
+    (dst / "same.txt").write_bytes(b"identical")
+    (src / "changed.txt").write_bytes(b"new content longer")
+    (dst / "changed.txt").write_bytes(b"old")
+    (src / "fresh.txt").write_bytes(b"brand new")
+    (dst / "stale.txt").write_bytes(b"only in dest")
+
+    plan = plan_sync(
+        manifest_from_local_dir(spark, str(src)), manifest_from_local_dir(spark, str(dst))
+    )
+    actions = {r["rel_path"]: r["action"] for r in plan.collect()}
+    assert actions == {
+        "same.txt": "unchanged",
+        "changed.txt": "changed",
+        "fresh.txt": "new",
+        "stale.txt": "orphan",
+    }
+
+
+def test_copy_retry_and_checksum(spark, tmp_path):
+    """A copy records the md5 of what it wrote and attempts=1 on clean runs;
+    a missing source exhausts max_attempts and lands as an error row."""
+    import hashlib
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.copy_plan import execute_copy
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.bin").write_bytes(b"payload-a")
+    manifest = spark.createDataFrame(
+        [
+            ("id-a", str(src / "a.bin"), "a.bin", 9),
+            ("id-b", str(src / "missing.bin"), "missing.bin", 0),
+        ],
+        "file_id: string, download_url: string, rel_path: string, size: long",
+    )
+    result = execute_copy(manifest, str(tmp_path / "dst"), max_attempts=2, backoff_s=0.0)
+    rows = {r["file_id"]: r for r in result.collect()}
+    ok = rows["id-a"]
+    assert ok["status"] == "ok" and ok["attempts"] == 1
+    assert ok["checksum"] == hashlib.md5(b"payload-a").hexdigest()
+    bad = rows["id-b"]
+    assert bad["status"] == "error" and bad["attempts"] == 2 and bad["checksum"] is None
+
+
+def test_verify_copy_detects_corruption(spark, tmp_path):
+    """verify_copy: clean copies verify; a post-copy corruption and a deleted
+    file surface as mismatch / missing."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.copy_plan import (
+        copy_tree,
+        verify_copy,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):
+        (src / f"f{i}.bin").write_bytes(b"x" * (i + 1) * 10)
+    dest = tmp_path / "dst"
+    result = copy_tree(spark, str(src), str(dest)).cache()
+    assert result.where("status = 'ok'").count() == 4
+
+    (dest / "f0.bin").write_bytes(b"corrupted!")
+    (dest / "f1.bin").unlink()
+    verdict = {r["dest_path"].split("/")[-1]: r["verify_status"]
+               for r in verify_copy(spark, result, str(dest)).collect()}
+    assert verdict["f0.bin"] == "mismatch"
+    assert verdict["f1.bin"] == "missing"
+    assert verdict["f2.bin"] == "verified" and verdict["f3.bin"] == "verified"
