@@ -1362,3 +1362,131 @@ def q87_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
         F.col("day_offset").cast("int").alias("day_offset"),
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "q88_map_roundtrip",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         count(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type,
+       count(*)        AS n_days,
+       min(day)        AS first_day,
+       max(n)          AS peak_day_events,
+       sum(n)          AS total_events
+FROM daily
+GROUP BY event_type
+""",
+)
+def q88_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per event type, build a day→count map
+    (map_from_entries over collected structs), then interrogate it with map
+    functions (map_keys / map_values / cardinality) and explode back to
+    verify nothing was lost. The oracle computes the same scalars directly —
+    equality proves the map construction/inspection is faithful.
+    Scale: the map is per-GROUP (bounded by days-per-type), never
+    corpus-wide; collect_list feeds map_from_entries inside one agg."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mapped = daily.groupBy("event_type").agg(
+        F.map_from_entries(F.collect_list(F.struct("day", "n"))).alias("m")
+    )
+    return mapped.select(
+        "event_type",
+        F.cardinality("m").cast("bigint").alias("n_days"),
+        F.array_min(F.map_keys("m")).alias("first_day"),
+        F.array_max(F.map_values("m")).alias("peak_day_events"),
+        F.expr("aggregate(map_values(m), cast(0 as bigint), (acc, v) -> acc + v)").alias(
+            "total_events"
+        ),
+    )
+
+
+@query(
+    "q89_token_lambda_stats",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), t -> length(t) > 5))      AS n_long,
+       list_aggregate(list_transform(string_split(text, ' '),
+                                     t -> length(t)), 'sum')              AS total_chars,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+                                 t -> t IN ('the','a','of','and','to','in'))) > 0
+            THEN 1 ELSE 0 END                                             AS has_stopword,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+                                 t -> length(t) >= 2)) = len(string_split(text, ' '))
+            THEN 1 ELSE 0 END                                             AS all_ge2
+FROM documents
+WHERE doc_id < 200
+""",
+)
+def q89_token_lambda_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda coverage in one query: filter (n_long), transform
+    + aggregate (total_chars), exists (has_stopword), forall (all_ge2) —
+    all array-local, zero shuffles beyond the scan, full codegen."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = "split(text, ' ')"
+    return d.select(
+        "doc_id",
+        F.expr(f"size(filter({toks}, t -> length(t) > 5))").cast("bigint").alias("n_long"),
+        F.expr(f"aggregate(transform({toks}, t -> length(t)), 0, (acc, x) -> acc + x)")
+        .cast("bigint")
+        .alias("total_chars"),
+        F.expr(
+            f"case when exists({toks}, t -> t IN ('the','a','of','and','to','in')) "
+            "then 1 else 0 end"
+        )
+        .cast("int")
+        .alias("has_stopword"),
+        F.expr(f"case when forall({toks}, t -> length(t) >= 2) then 1 else 0 end")
+        .cast("int")
+        .alias("all_ge2"),
+    )
+
+
+@query(
+    "q90_scd2_segments",
+    oracle="""
+WITH updates AS (
+  SELECT c_custkey, 'PREMIUM' AS new_segment
+  FROM customer WHERE c_acctbal > 9000
+)
+SELECT c.c_custkey,
+       c.c_mktsegment            AS segment,
+       1                         AS version,
+       CASE WHEN u.c_custkey IS NOT NULL THEN 0 ELSE 1 END AS is_current
+FROM customer c LEFT JOIN updates u USING (c_custkey)
+UNION ALL
+SELECT c_custkey, new_segment, 2, 1 FROM updates
+""",
+)
+def q90_scd2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply a deterministic update set
+    (high-balance customers move to PREMIUM) by closing the old version
+    (is_current=0) and appending version 2 — the union-based SCD2 pattern
+    that a MERGE with WHEN MATCHED/NOT MATCHED executes on a real lakehouse
+    table (plans/merge.py holds the write-path twin)."""
+    c = load(spark, sf_dir, "customer")
+    updates = c.where(F.col("c_acctbal") > 9000).select(
+        "c_custkey", F.lit("PREMIUM").alias("new_segment")
+    )
+    closed = (
+        c.join(updates.select("c_custkey", F.lit(1).alias("u")), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.lit(1).cast("int").alias("version"),
+            F.when(F.col("u").isNotNull(), 0).otherwise(1).cast("int").alias("is_current"),
+        )
+    )
+    fresh = updates.select(
+        "c_custkey",
+        F.col("new_segment").alias("segment"),
+        F.lit(2).cast("int").alias("version"),
+        F.lit(1).cast("int").alias("is_current"),
+    )
+    return closed.unionByName(fresh)

@@ -64,3 +64,48 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_split(spark):
+    """A pathologically skewed key (90% of rows) under a shuffle join: AQE
+    must mark the sort-merge join skew-handled (skew=true) and split the hot
+    partition — the runtime complement of the manual salting in
+    operators/skew.py."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("label")
+        )
+        # keep the (incompressible-ish) payload alive through the join so the
+        # hot partition's shuffle bytes actually exceed the skew threshold
+        j = (
+            left.join(right, "k")
+            .groupBy("label")
+            .agg(F.sum(F.length("payload")).alias("chars"))
+        )
+        j.collect()  # AQE decides skew handling at runtime — must execute
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
