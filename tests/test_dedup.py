@@ -45,7 +45,7 @@ def test_simhash_identical_docs_zero_hamming(spark, sf_dir):
     import copy_sharepoint_to_onelake_lakehousefiles_spark.operators.dedup as dd
 
     sh = dd._shingled(both)
-    sig = sh.select("doc_id", dd.minhash_signature().alias("sig"))
+    sig = dd.with_minhash_signature(sh).select("doc_id", "sig")
     # identical text → identical minhash signature
     sigs = {r["doc_id"]: tuple(r["sig"]) for r in sig.collect()}
     for r in d.collect():
