@@ -283,8 +283,11 @@ def q28_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     15-bit chunk at the same position (banding again — equi-join, no n²).
 
     The bit-majority is computed ARRAY-LOCALLY per document (hash each
-    shingle to a long once, then per bit compare popcount·2 vs total) — no
-    explode, so nothing shuffles until the tiny (doc_id, simhash) table."""
+    shingle to a long once, then ONE fold accumulates all 60 bit-counts and
+    a second array-local pass packs majority bits into the fingerprint) — no
+    explode, so nothing shuffles until the tiny (doc_id, simhash) table.
+    A single compact fold, not 60 per-bit filter passes: the generated code
+    stays small (the 60-branch form cost ~5s of one-time JIT per session)."""
     d = load(spark, sf_dir, "documents")
     hashed = _shingled(d).select(
         "doc_id",
@@ -295,41 +298,54 @@ def q28_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = hashed.select(
         "doc_id",
-        sum(
-            (
-                F.when(
-                    F.expr(f"2 * size(filter(hashes, h -> (h div {1 << i}) % 2 = 1))")
-                    > F.col("n"),
-                    F.shiftleft(F.lit(1).cast("long"), i),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-            for i in range(60)
+        F.expr(
+            "aggregate("
+            "  transform("
+            "    aggregate(hashes, array_repeat(0, 60),"
+            "      (acc, h) -> transform(acc, (c, i) ->"
+            "        c + cast((h div shiftleft(cast(1 as bigint), i)) % 2 as int))),"
+            "    (c, i) -> if(2*c > n, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),"
+            "  cast(0 as bigint), (a, b) -> a + b)"
         ).alias("simhash"),
     )
-    chunks = fp.select(
+    fp = fp.persist()  # both sides of the band self-join read this once
+    # Candidate pairs: share any 15-bit chunk value at the same position.
+    # ONE exploded (pos, val) band join — a single keyed shuffle — instead of
+    # 4 chunk-wise self-joins + unions (same candidates, 1/4 the exchanges).
+    bands = fp.select(
         "doc_id",
         "simhash",
-        *[
-            F.shiftright("simhash", c * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias(f"chunk{c}")
-            for c in range(4)
-        ],
-    ).persist()  # read 8x by the 4 chunk-wise self-joins below
-    # Candidate pairs: share any 15-bit chunk value at the same position.
-    pairs = None
-    for c in range(4):
-        a = chunks.alias("a")
-        b = chunks.alias("b")
-        p = a.join(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("pos"),
+                        F.shiftright("simhash", c * 15)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.pos").alias("pos"), F.col("b.val").alias("val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
             b,
-            (F.col(f"a.chunk{c}") == F.col(f"b.chunk{c}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
     return (
         pairs.select("doc_a", "doc_b", hamming)
