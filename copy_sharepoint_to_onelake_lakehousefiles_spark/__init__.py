@@ -25,10 +25,12 @@ def _load_all_operator_modules() -> None:
     from .operators import (  # noqa: F401
         asof,
         dedup,
+        incremental,
         pipeline,
         rangejoin,
         relational,
         similarity,
+        sketches,
         skew,
         text,
     )

@@ -450,6 +450,51 @@ def q56_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q91_editdist_neardup_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+txt AS (SELECT doc_id, text FROM documents)
+SELECT doc_a, doc_b, CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+FROM cand JOIN txt ta ON ta.doc_id = doc_a JOIN txt tb ON tb.doc_id = doc_b
+WHERE levenshtein(ta.text, tb.text) <= 20
+""",
+)
+def q91_editdist_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy dedup: shingle-blocked candidates verified with
+    levenshtein ≤ 20 on the full text — the classic blocking + expensive-verify
+    shape for record linkage (generalizes the reference's exact-path identity
+    checks to fuzzy identity).
+
+    Scale: levenshtein is O(len²) per pair, so it runs ONLY on blocked
+    candidates (shared word-5-gram), never n²; texts re-attach by doc_id after
+    the id-only candidate join, so the candidate shuffle carries no payload."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingled(d).select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    txt = d.select("doc_id", "text")
+    dist = F.levenshtein("ta", "tb").cast("bigint")
+    return (
+        cand.join(txt.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")), "doc_a")
+        .join(txt.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")), "doc_b")
+        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+        .where(F.col("edit_dist") <= 20)
+    )
+
+
 @query("q66_ml_minhash_lsh")
 def q66_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via pyspark.ml's MinHashLSH (HashingTF sparse shingle
