@@ -27,6 +27,7 @@ def _load_all_operator_modules() -> None:
         dedup,
         incremental,
         pipeline,
+        profile,
         rangejoin,
         relational,
         similarity,

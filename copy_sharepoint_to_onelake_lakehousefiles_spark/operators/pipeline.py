@@ -520,3 +520,123 @@ def q80_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers"
         ),
     )
+
+
+@query(
+    "q96_interpolated_hourly",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events
+),
+spine AS (
+  SELECT k.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 hour)) AS hour
+  FROM (SELECT DISTINCT event_type FROM events) k, bounds b
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(round(avg(value) * 1000000) AS BIGINT) AS v6
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+g AS (
+  SELECT s.event_type, s.hour, h.v6 FROM spine s
+  LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+),
+ctx AS (
+  SELECT event_type, hour, v6,
+    last_value(v6 IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv6,
+    last_value(CASE WHEN v6 IS NOT NULL THEN hour END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    first_value(v6 IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv6,
+    first_value(CASE WHEN v6 IS NOT NULL THEN hour END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY hour
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM g
+),
+terms AS (
+  SELECT event_type, hour, v6, pv6, nv6,
+    CAST(epoch(hour) - epoch(pd) AS BIGINT) // 3600 AS a,
+    CAST(epoch(nd) - epoch(pd) AS BIGINT) // 3600 AS b
+  FROM ctx
+)
+SELECT event_type, hour,
+  (CASE
+    WHEN v6 IS NOT NULL THEN (v6 + 50) // 100
+    WHEN pv6 IS NULL THEN (nv6 + 50) // 100
+    WHEN nv6 IS NULL THEN (pv6 + 50) // 100
+    ELSE (pv6 * (b - a) + nv6 * a + (b * 100) // 2) // (b * 100)
+  END) / 10000.0 AS value_interp,
+  (v6 IS NOT NULL) AS observed
+FROM terms
+""",
+)
+def q96_interpolated_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series LINEAR INTERPOLATION over an hourly grid: where q78
+    zero-fills daily gaps, this estimates missing hours from the neighboring
+    observed hours (prev + slope * elapsed-fraction), edge gaps taking the
+    nearest observation -- the resampling step before feeding regular series
+    to a model. (Hourly, not daily: the fixture's daily grid is fully dense,
+    so days would never exercise the interpolation branch.)
+
+    Numeric determinism: the interpolation runs in SCALED INTEGER arithmetic
+    (micro-units, half-up integer division) because float round() semantics
+    differ between engines at exact .5 boundaries (Spark rounds the shortest
+    decimal repr, DuckDB the binary value) -- linear interpolation on a
+    regular grid lands on such boundaries constantly (frac = 1/2). Only the
+    final /10000.0 produces a double, identically on both sides.
+
+    Scale: the spine join is the only fact-table shuffle; the prev/next
+    context is two window passes over the dense grid, which is
+    |event types| x |hours| -- bounded by the calendar, not event volume."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour")
+        )
+    )
+    hourly = e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.round(F.avg("value") * 1000000).cast("bigint").alias("v6")
+    )
+    g = spine.join(hourly, ["event_type", "hour"], "left")
+    wp = W.partitionBy("event_type").orderBy("hour").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy("event_type").orderBy("hour").rowsBetween(0, W.unboundedFollowing)
+    obs_hour = F.when(F.col("v6").isNotNull(), F.col("hour"))
+    ctx = g.select(
+        "event_type",
+        "hour",
+        "v6",
+        F.last("v6", ignorenulls=True).over(wp).alias("pv6"),
+        F.last(obs_hour, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v6", ignorenulls=True).over(wn).alias("nv6"),
+        F.first(obs_hour, ignorenulls=True).over(wn).alias("nd"),
+    )
+    terms = ctx.select(
+        "event_type",
+        "hour",
+        "v6",
+        "pv6",
+        "nv6",
+        F.expr("(unix_timestamp(hour) - unix_timestamp(pd)) div 3600").alias("a"),
+        F.expr("(unix_timestamp(nd) - unix_timestamp(pd)) div 3600").alias("b"),
+    )
+    e4 = F.expr(
+        "CASE WHEN v6 IS NOT NULL THEN (v6 + 50) div 100 "
+        "WHEN pv6 IS NULL THEN (nv6 + 50) div 100 "
+        "WHEN nv6 IS NULL THEN (pv6 + 50) div 100 "
+        "ELSE (pv6 * (b - a) + nv6 * a + (b * 100) div 2) div (b * 100) END"
+    )
+    return terms.select(
+        "event_type",
+        "hour",
+        (e4 / 10000.0).alias("value_interp"),
+        F.col("v6").isNotNull().alias("observed"),
+    )

@@ -407,3 +407,73 @@ def q58_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(cleaned, " ")).cast("bigint").alias("clean_tokens"),
         F.substring(cleaned, 1, 20).alias("clean_prefix"),
     )
+
+
+BM25_TERMS = ("customer", "join", "hash")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "q95_bm25_scores",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM tok WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+c AS (
+  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+  FROM documents
+)
+SELECT doc_id,
+       round(sum(
+         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         * tf * ({BM25_K1} + 1)
+         / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+       ), 4) AS bm25
+FROM tf JOIN dft USING (term), c
+GROUP BY doc_id
+""",
+)
+def q95_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set —
+    the retrieval-scoring step of a data-curation pipeline (rank corpus
+    documents against a probe query), built from the same tf/df statistics
+    as q29's TF-IDF.
+
+    Scale: one explode→filter→count pass for term frequencies (the filter
+    cuts the exploded stream to query terms BEFORE the shuffle), a tiny
+    per-term document-frequency table (broadcast), and a scalar stats row
+    (broadcast) — the corpus-sized shuffle is the single tf aggregation."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).where(F.col("term").isin(*BM25_TERMS))
+    tf = tok.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    consts = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    idf = F.log(F.lit(1) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    w = (
+        F.col("tf")
+        * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * w), 4).alias("bm25"))
+    )

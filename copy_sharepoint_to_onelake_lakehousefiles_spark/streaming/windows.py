@@ -405,3 +405,120 @@ def q62_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return _run_to_completion(agg, "complete")
+
+
+def _events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a stream followed by two far-future sentinel batches.
+
+    Outer-join null emission needs the watermark to PASS a row's eviction
+    bound *and* one more batch to run the eviction — the file source's last
+    real file satisfies neither for rows near stream end. Staging the table
+    with two sentinel files (one click + one purchase each, user_id = -1,
+    30/60 days in the future; maxFilesPerTrigger=1 so each is its own batch)
+    advances the watermark and then drains the state. Callers must filter
+    user_id/-keyed output ≥ 0. Mirrors a production heartbeat topic — the
+    standard fix for watermark stall on quiet sources."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    mx = (
+        spark.read.schema(_EVENT_SCHEMA_DDL)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .agg(F.max("ts"))
+        .first()[0]
+    )
+    stage = tempfile.mkdtemp(prefix="stream_flush_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), f"{stage}/aa_events.parquet")
+    day_ns = 24 * 3600 * 10**9
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("ns")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    for i in (1, 2):
+        t = pa.table(
+            {
+                "event_id": [-(2 * i), -(2 * i + 1)],
+                "ts": pa.array(
+                    [mx + 30 * i * day_ns, mx + 30 * i * day_ns + 2 * 3600 * 10**9],
+                    pa.timestamp("ns"),
+                ),
+                "user_id": [-1, -1],
+                "event_type": ["click", "purchase"],
+                "value": [0.0, 0.0],
+                "props": ["{}", "{}"],
+            },
+            schema=schema,
+        )
+        pq.write_table(t, f"{stage}/zz_flush{i}.parquet")
+    reader = (
+        spark.readStream.schema(_EVENT_SCHEMA_DDL)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+    )
+    return reader.load(stage).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+@query(
+    "q94_stream_left_outer_join",
+    oracle="""
+SELECT c.user_id,
+       CAST(count(p.event_id) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+""",
+)
+def q94_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits — matched
+    against purchases of the same user in the next 30 minutes, or with nulls
+    once the watermark proves no match can still arrive. The interval bound
+    keeps state evictable (as in q52); the sentinel flush batches (see
+    _events_stream_with_flush) drain the tail so the availableNow result
+    equals the batch LEFT JOIN oracle exactly."""
+    ev = _events_stream_with_flush(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    pairs = _run_to_completion(joined, "append")
+    return (
+        pairs.where(F.col("c_user") >= 0)  # drop sentinel rows
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("p_id").cast("bigint").alias("n_matched"),
+            F.sum(F.when(F.col("p_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched"),
+        )
+    )

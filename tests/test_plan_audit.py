@@ -20,9 +20,15 @@ NON_BATCH = {
     "q60_media_features",
 }
 # Bounded broadcast side by construction: q30 broadcasts the 10-row query
-# set; q78/q79 broadcast a 1-row global aggregate (date bounds / min class
-# size) — O(n · 1), not O(n²).
-NLJ_ALLOWED = {"q30_cosine_topk", "q78_event_date_spine", "q79_balanced_sample"}
+# set; q78/q79/q95/q96 broadcast a 1-row global aggregate (date/hour bounds,
+# min class size, corpus stats) — O(n · 1), not O(n²).
+NLJ_ALLOWED = {
+    "q30_cosine_topk",
+    "q78_event_date_spine",
+    "q79_balanced_sample",
+    "q95_bm25_scores",
+    "q96_interpolated_hourly",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(all_queries()) - NON_BATCH))
