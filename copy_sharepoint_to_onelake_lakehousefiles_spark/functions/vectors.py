@@ -45,3 +45,27 @@ def cosine_pandas_udf():
         return pd.Series(num / den)
 
     return _cos
+
+
+def weighted_mean_udaf():
+    """True UDAF shape: a GROUPED_AGG @pandas_udf — the whole group's column
+    pair arrives as pandas Series, one scalar returns per group. Used by q98
+    (grouped weighted mean); Spark runs it as a real aggregate (partial
+    batches per group via Arrow), unlike applyInPandas which materializes the
+    group as a DataFrame.
+
+    Scale: GROUPED_AGG state is the group's data in memory per task — fine
+    for bounded groups (event types); for unbounded groups prefer the
+    algebraic decomposition (sum(w*x)/sum(w) in builtins, see the q98 oracle
+    — which is also the plan to choose at 100 TB; q98 exists to cover the
+    UDAF API surface with a verified twin)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # Explicit functionType: this module uses `from __future__ import
+    # annotations`, which breaks pandas_udf type-hint inference.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _wmean(x, w):
+        denom = w.sum()
+        return float((x * w).sum() / denom) if denom else float("nan")
+
+    return _wmean

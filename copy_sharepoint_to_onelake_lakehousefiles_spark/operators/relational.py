@@ -1490,3 +1490,32 @@ def q90_scd2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("int").alias("is_current"),
     )
     return closed.unionByName(fresh)
+
+
+@query(
+    "q98_weighted_mean_udaf",
+    oracle="""
+SELECT event_type,
+       round(sum(value * CAST(json_extract_string(props, '$.k') AS BIGINT))
+             / sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS wmean
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+""",
+)
+def q98_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface: per-type weighted mean of `value` (weight = the
+    JSON `props.k` field) computed by a GROUPED_AGG @pandas_udf — a real
+    user-defined aggregate running through Arrow, verified against the
+    algebraic sum(w·x)/sum(w) oracle. At 100 TB prefer that algebraic form
+    (builtin partial aggregation); the UDAF exists for aggregation logic
+    builtins can't express (see functions/vectors.weighted_mean_udaf)."""
+    from ..functions.vectors import weighted_mean_udaf
+
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    src = e.where(k.isNotNull()).select("event_type", "value", k.alias("w"))
+    wmean = weighted_mean_udaf()
+    return src.groupBy("event_type").agg(
+        F.round(wmean(F.col("value"), F.col("w")), 4).alias("wmean")
+    )
