@@ -1,0 +1,157 @@
+"""A real pluggable source for the Graph-shaped tree listing: the PySpark
+Python Data Source API (Spark 4) upgrade of `manifest.walk_tree`.
+
+The reference lists a drive tree with driver-side recursion + cursor pages
+(collect_files_recursive NB:213-236, list_children_paged NB:204-211) and
+pushes `$filter`/`$select` to the service (NB:86/95/161 — O6 in SURVEY §2).
+This source reproduces that split with Spark's own source contract:
+
+- The DRIVER enumerates only the directory frontier (cheap: names, no file
+  stats) and plans ONE InputPartition PER DIRECTORY.
+- EXECUTORS page through their directory's listing and emit manifest rows —
+  the per-page fetching the reference did serially on the driver runs in
+  parallel across the cluster.
+- `pushFilters` accepts size comparisons and name prefix/equality filters —
+  the engine-side equivalent of the reference's server-evaluated OData
+  `$filter` — so non-matching rows never leave the lister. Unsupported
+  filters are returned to Spark, which re-applies them (correctness never
+  depends on the pushdown).
+
+Local directories stand in for the Graph endpoint (same substitution as
+tests/test_copy.py); a live connector would swap `_list_dir` for the paged
+HTTPS fetch with the same partition-per-folder planning.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+)
+
+MANIFEST_DDL = "file_id string, name string, rel_path string, download_url string, size long"
+
+
+@dataclass
+class DirPartition(InputPartition):
+    dir_path: str
+    rel_base: str
+
+
+def _row_filter(filters: list[Filter]):
+    """Compile the pushed filters into one row predicate (AND semantics)."""
+
+    def keep(name: str, size: int) -> bool:
+        for f in filters:
+            col = f.attribute[0]
+            if col == "name":
+                if isinstance(f, EqualTo) and name != f.value:
+                    return False
+                if isinstance(f, StringStartsWith) and not name.startswith(f.value):
+                    return False
+            elif col == "size":
+                if isinstance(f, GreaterThan) and not size > f.value:
+                    return False
+                if isinstance(f, GreaterThanOrEqual) and not size >= f.value:
+                    return False
+                if isinstance(f, LessThan) and not size < f.value:
+                    return False
+                if isinstance(f, LessThanOrEqual) and not size <= f.value:
+                    return False
+                if isinstance(f, EqualTo) and size != f.value:
+                    return False
+        return True
+
+    return keep
+
+
+class GraphManifestReader(DataSourceReader):
+    """Base reader: partition-per-directory planning, NO pushFilters —
+    merely defining pushFilters makes Spark demand the
+    `spark.sql.python.filterPushdown.enabled` conf, which a stock session
+    lacks; the pushdown flavor is the opt-in subclass below."""
+
+    def __init__(self, options):
+        self.root = os.path.abspath(options.get("path"))
+        if not os.path.isdir(self.root):
+            raise FileNotFoundError(self.root)
+        self.pushed: list[Filter] = []
+
+    def partitions(self):
+        # Frontier walk over DIRECTORIES only — the driver never touches
+        # file metadata; that cost is paid inside each partition's read().
+        parts = [DirPartition(self.root, "")]
+        frontier = [(self.root, "")]
+        while frontier:
+            nxt = []
+            for d, base in frontier:
+                for e in sorted(os.scandir(d), key=lambda e: e.name):
+                    if e.is_dir():
+                        rel = f"{base}/{e.name}" if base else e.name
+                        nxt.append((e.path, rel))
+                        parts.append(DirPartition(e.path, rel))
+            frontier = nxt
+        return parts
+
+    def read(self, partition: DirPartition):
+        keep = _row_filter(self.pushed)
+        for e in sorted(os.scandir(partition.dir_path), key=lambda e: e.name):
+            if not e.is_file():
+                continue
+            size = e.stat().st_size
+            if not keep(e.name, size):
+                continue
+            rel = f"{partition.rel_base}/{e.name}" if partition.rel_base else e.name
+            yield (partition.dir_path + "/" + e.name, e.name, rel, e.path, size)
+
+
+class GraphManifestPushdownReader(GraphManifestReader):
+    """Pushdown flavor (option pushdown=true): requires the session conf
+    `spark.sql.python.filterPushdown.enabled=true`."""
+
+    _SUPPORTED_COLS = {
+        "name": (EqualTo, StringStartsWith),
+        "size": (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual),
+    }
+
+    def pushFilters(self, filters):
+        for f in filters:
+            col = f.attribute[0] if f.attribute else None
+            supported = self._SUPPORTED_COLS.get(col, ())
+            if isinstance(f, supported) and len(f.attribute) == 1:
+                self.pushed.append(f)
+            elif isinstance(f, IsNotNull):
+                pass  # listing never emits null name/size — trivially satisfied
+            else:
+                yield f  # give it back: Spark re-applies it above the scan
+
+
+class GraphManifestDataSource(DataSource):
+    """`spark.read.format("graph_manifest").load(root)` after
+    `spark.dataSource.register(GraphManifestDataSource)`. Pass
+    .option("pushdown", "true") (plus the filterPushdown session conf) for
+    source-side filtering."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graph_manifest"
+
+    def schema(self) -> str:
+        return MANIFEST_DDL
+
+    def reader(self, schema) -> GraphManifestReader:
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return GraphManifestPushdownReader(self.options)
+        return GraphManifestReader(self.options)
