@@ -90,3 +90,36 @@ def q92_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = rollup_partials(li.where(F.col("l_shipdate") < F.lit(CUTOFF)))
     delta = rollup_partials(li.where(F.col("l_shipdate") >= F.lit(CUTOFF)))
     return rollup_read(merge_partials(base, delta))
+
+
+EVENTS_CUTOFF = "2024-01-20"
+
+
+@query("q99_incremental_distinct")
+def q99_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained DISTINCT counts: per-type HLL sketch states
+    (hll_sketch_agg) stored for the base window, merged losslessly with the
+    delta batch's sketches via hll_union_agg — the sketch-state analogue of
+    q92 for the one aggregate the algebraic partials can't carry
+    (COUNT DISTINCT is holistic). Rows-only tier (sketch estimates have no
+    ANSI twin); tests/test_incremental.py proves merge-losslessness: the
+    merged estimate is IDENTICAL to the single-pass sketch over all data.
+
+    Scale: the stored state is one ~4 KB sketch per key, not the key's
+    distinct set; re-aggregation shuffles sketches, never raw ids."""
+    from ..tables import load as _load
+
+    e = _load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    base = e.where(day < F.lit(EVENTS_CUTOFF)).groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    delta = e.where(day >= F.lit(EVENTS_CUTOFF)).groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = base.unionByName(delta).groupBy("event_type").agg(
+        F.hll_union_agg("sk").alias("sk")
+    )
+    return merged.select(
+        "event_type", F.hll_sketch_estimate("sk").cast("bigint").alias("n_users_est")
+    )

@@ -52,3 +52,30 @@ def test_three_way_merge_associative(spark, sf_dir):
     for k in want:
         assert merged[k]["cnt"] == want[k]["cnt"]
         assert merged[k]["sum_qty"] == pytest.approx(want[k]["sum_qty"], abs=1e-6)
+
+
+def test_hll_merge_is_lossless_and_accurate(spark, sf_dir):
+    """Merged base+delta sketches must estimate IDENTICALLY to a single-pass
+    sketch over the full table (register-state merge is exact), and land
+    within HLL error of the true distinct counts."""
+    from pyspark.sql import functions as F
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.incremental import (
+        q99_incremental_distinct,
+    )
+
+    e = load(spark, sf_dir, "events")
+    merged = {r["event_type"]: r["n_users_est"] for r in q99_incremental_distinct(spark, sf_dir).collect()}
+    single = {
+        r["event_type"]: r["est"]
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint").alias("est"))
+        .collect()
+    }
+    assert merged == single
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for t, n in exact.items():
+        assert abs(merged[t] - n) <= max(2, 0.05 * n)
