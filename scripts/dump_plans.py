@@ -24,6 +24,12 @@ def main() -> None:
         "q82_binational_volume",
         "q86_batch_sessions",
         "q87_cohort_retention",
+        "q91_editdist_neardup_pairs",
+        "q92_incremental_rollup",
+        "q93_heavy_hitters",
+        "q95_bm25_scores",
+        "q96_interpolated_hourly",
+        "q97_column_profile",
     ]
     out = ["# PLANS — formatted physical plans of the headline queries (sf0.01)\n"]
     for name in HEADLINE + extra:
