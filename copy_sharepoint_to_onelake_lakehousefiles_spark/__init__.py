@@ -25,6 +25,7 @@ def _load_all_operator_modules() -> None:
     from .operators import (  # noqa: F401
         asof,
         dedup,
+        graph,
         incremental,
         pipeline,
         profile,

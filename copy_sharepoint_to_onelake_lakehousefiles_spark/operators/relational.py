@@ -1519,3 +1519,67 @@ def q98_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.groupBy("event_type").agg(
         F.round(wmean(F.col("value"), F.col("w")), 4).alias("wmean")
     )
+
+
+@query(
+    "q100_point_in_time_join",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+         CASE WHEN c_acctbal > 9000 THEN TIMESTAMP '2024-01-15 00:00:00' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'PREMIUM', TIMESTAMP '2024-01-15 00:00:00', NULL
+  FROM customer WHERE c_acctbal > 9000
+)
+SELECT d.segment,
+       CAST(count(*) AS BIGINT)               AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e
+JOIN dim d
+  ON d.c_custkey = e.user_id
+ AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+GROUP BY d.segment
+""",
+)
+def q100_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME (temporal) join: each event joins the SCD2 dimension
+    VERSION that was valid at the event's timestamp — the correctness-critical
+    lookup for training-data assembly (joining today's dimension onto
+    historical facts leaks the future). The dimension is q90's segment
+    history given [valid_from, valid_to) intervals.
+
+    Scale: an EQUI join on the dimension key with the interval check as a
+    residual predicate — never a range-only join; the dimension (few versions
+    per key) broadcasts."""
+    c = load(spark, sf_dir, "customer")
+    v1_end = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    dim = (
+        c.select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+            F.when(F.col("c_acctbal") > 9000, v1_end).alias("valid_to"),
+        )
+        .unionByName(
+            c.where(F.col("c_acctbal") > 9000).select(
+                "c_custkey",
+                F.lit("PREMIUM").alias("segment"),
+                v1_end.alias("valid_from"),
+                F.lit(None).cast("timestamp").alias("valid_to"),
+            )
+        )
+    )
+    e = load(spark, sf_dir, "events")
+    j = e.join(
+        F.broadcast(dim),
+        (F.col("c_custkey") == F.col("user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
