@@ -1583,3 +1583,99 @@ def q100_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "q102_late_orders_by_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def q102_late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with ≥1 item shipped >30 days after the order
+    date, counted per priority. The correlated EXISTS compiles to a LEFT SEMI
+    join on the order key with the date comparison as a residual — one keyed
+    shuffle, no subquery re-execution."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+@query(
+    "q103_priority_mix_by_status",
+    oracle="""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate
+GROUP BY l_linestatus
+""",
+)
+def q103_priority_mix_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per line status, how many joined lines belong to
+    high- vs low-priority orders (two conditional sums in ONE aggregation
+    pass over the join — not two filtered scans)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    j = o.join(li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+@query(
+    "q104_last_shipper_per_order",
+    oracle="""
+SELECT l1.l_suppkey, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_blocking
+FROM lineitem l1
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+AND NOT EXISTS (
+  SELECT 1 FROM lineitem l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY l1.l_suppkey
+""",
+)
+def q104_last_shipper_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the supplier holding the LAST ship date of each
+    multi-supplier order ('who blocked the order'), via EXISTS (another
+    supplier participated) + NOT EXISTS (no later-shipped line) — a
+    left-semi and a left-anti join on the same key, the hardest correlated
+    pattern in the TPC-H suite, both with residual non-equi predicates."""
+    li = load(spark, sf_dir, "lineitem")
+    l1, l2, l3 = li.alias("l1"), li.alias("l2"), li.alias("l3")
+    multi = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    last = multi.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return last.groupBy(F.col("l_suppkey")).agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_blocking")
+    )
