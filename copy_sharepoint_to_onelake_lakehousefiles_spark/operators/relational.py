@@ -1679,3 +1679,95 @@ def q104_last_shipper_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last.groupBy(F.col("l_suppkey")).agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_blocking")
     )
+
+
+N_HIST_BUCKETS = 20
+
+
+@query(
+    "q105_price_histogram",
+    oracle=f"""
+WITH b AS (
+  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+)
+SELECT LEAST(CAST(floor((l_extendedprice - lo) / ((hi - lo) / {N_HIST_BUCKETS}.0) ) AS BIGINT),
+             {N_HIST_BUCKETS - 1}) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(l_extendedprice), 2) AS lo_price,
+       round(max(l_extendedprice), 2) AS hi_price
+FROM lineitem, b
+GROUP BY 1
+""",
+)
+def q105_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of extended price: global min/max (one scalar
+    row, broadcast) → bucket index by integer floor → one hash aggregation.
+    The profiling primitive behind range-partition boundary picking and skew
+    detection; at 100 TB the min/max come from footer stats for free."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / float(N_HIST_BUCKETS)
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("bigint"),
+        F.lit(N_HIST_BUCKETS - 1).cast("bigint"),
+    )
+    return (
+        li.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi_price"),
+        )
+    )
+
+
+@query(
+    "q106_order_gap_analysis",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         lead(o_orderdate) OVER w                    AS next_date,
+         first_value(o_totalprice) OVER w            AS first_price,
+         nth_value(o_totalprice, 2) OVER w           AS second_price,
+         row_number() OVER w                         AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_custkey,
+       CAST(date_diff('day', o_orderdate, next_date) AS BIGINT) AS days_to_next,
+       round(first_price, 2)  AS first_price,
+       round(second_price, 2) AS second_price
+FROM seq
+WHERE rn = 1 AND next_date IS NOT NULL
+""",
+)
+def q106_order_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function completeness: lead (gap to the next order),
+    first_value / nth_value over an unbounded frame, computed in ONE window
+    pass per customer and filtered to each customer's first order. (lag /
+    running sums live in q07; rank family in q16/q67.)"""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(wo).alias("next_date"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    return seq.where((F.col("rn") == 1) & F.col("next_date").isNotNull()).select(
+        "o_custkey",
+        F.datediff("next_date", "o_orderdate").cast("bigint").alias("days_to_next"),
+        F.round("first_price", 2).alias("first_price"),
+        F.round("second_price", 2).alias("second_price"),
+    )

@@ -28,6 +28,7 @@ NLJ_ALLOWED = {
     "q79_balanced_sample",
     "q95_bm25_scores",
     "q96_interpolated_hourly",
+    "q105_price_histogram",
 }
 
 
