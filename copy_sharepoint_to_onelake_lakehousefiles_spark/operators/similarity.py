@@ -337,3 +337,64 @@ def q51_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", "cosine", "rk")
         .orderBy("q_id", "rk")
     )
+
+
+Q8_BITS = 127  # int8 quantization range
+
+
+def quantize_int8(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Append per-vector symmetric int8 quantization: `q8` (array<int> in
+    [-127, 127]) + `scale` (max|v| / 127). 4× smaller than float32 and 8×
+    smaller than the double intermediates — at 100 TB of embeddings the scan
+    is memory-bandwidth-bound, so this is the standard first compression
+    step (FAISS SQ8). Dot products then use INTEGER multiply-adds and one
+    final scale_a·scale_b correction."""
+    mx = F.expr(
+        f"aggregate({emb_col}, CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE))))"
+    )
+    return df.withColumn("scale", (mx / Q8_BITS)).withColumn(
+        "q8",
+        F.expr(
+            f"transform({emb_col}, v -> CAST(round(CAST(v AS DOUBLE) / scale) AS INT))"
+        ),
+    )
+
+
+@query("q107_quantized_cosine_topk")
+def q107_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k cosine over INT8-quantized embeddings: integer dot
+    products rescaled by the per-vector scales, same broadcast-query plan as
+    q30. Rows-only tier; tests/test_similarity_q8.py measures recall@5
+    against the exact q30 answer (quantization error on 64-dim unit-ish
+    vectors is ~1e-3 — recall stays ≥0.9)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qz = quantize_int8(emb)
+    q = qz.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q8").alias("q_q8"),
+        F.col("scale").alias("q_scale"),
+    )
+    c = qz.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("q8").alias("n_q8"),
+        F.col("scale").alias("n_scale"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+    # integer dot + int self-dots, floats only in the final correction
+    idot = F.expr(
+        "aggregate(zip_with(q_q8, n_q8, (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    qnorm = F.expr(
+        "sqrt(aggregate(q_q8, CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT) * v))"
+    )
+    nnorm = F.expr(
+        "sqrt(aggregate(n_q8, CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT) * v))"
+    )
+    cos = idot / (qnorm * nnorm)
+    scored = pairs.select("q_id", "n_id", F.round(cos, 6).alias("cosine_q8"))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_q8").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "n_id", "cosine_q8", F.col("rk").cast("bigint").alias("rk"))
+    )
