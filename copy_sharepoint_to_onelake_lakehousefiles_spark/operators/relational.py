@@ -1771,3 +1771,62 @@ def q106_order_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("first_price", 2).alias("first_price"),
         F.round("second_price", 2).alias("second_price"),
     )
+
+
+@query(
+    "q108_event_funnel",
+    oracle="""
+WITH steps AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+),
+flags AS (
+  SELECT user_id,
+         CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+         CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END AS s2,
+         CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                   AND t_purchase > t_click THEN 1 ELSE 0 END AS s3
+  FROM steps
+)
+SELECT CAST(sum(s1) AS BIGINT) AS n_view,
+       CAST(sum(s2) AS BIGINT) AS n_view_click,
+       CAST(sum(s3) AS BIGINT) AS n_view_click_purchase,
+       round(CAST(sum(s3) AS DOUBLE) / sum(s1), 4) AS conversion
+FROM flags
+""",
+)
+def q108_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel (view → click → purchase): a user advances a step only
+    if the next event type FIRST occurs after the previous step's first
+    occurrence. One conditional-min aggregation per user (single shuffle),
+    then a scalar rollup — no joins, no explosion; the standard product-
+    analytics funnel in two hash aggregations."""
+    e = load(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    steps = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+    s2 = F.when(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1).otherwise(0)
+    s3 = F.when(
+        F.col("t_view").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_purchase") > F.col("t_click")),
+        1,
+    ).otherwise(0)
+    flags = steps.select(s1.alias("s1"), s2.alias("s2"), s3.alias("s3"))
+    return flags.agg(
+        F.sum("s1").cast("bigint").alias("n_view"),
+        F.sum("s2").cast("bigint").alias("n_view_click"),
+        F.sum("s3").cast("bigint").alias("n_view_click_purchase"),
+        F.round(F.sum("s3").cast("double") / F.sum("s1"), 4).alias("conversion"),
+    )

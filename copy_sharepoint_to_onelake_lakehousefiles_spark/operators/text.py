@@ -477,3 +477,49 @@ def q95_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * w), 4).alias("bm25"))
     )
+
+
+@query(
+    "q109_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (
+  SELECT (SELECT count(*) FROM tok) AS n,
+         (SELECT count(*) FROM cnt) AS v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln((c + 1.0) / (n + v))), 4) AS avg_neg_logprob
+FROM tok JOIN cnt USING (term), tot
+GROUP BY doc_id
+""",
+)
+def q109_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring: average negative log-probability of
+    each document under the corpus's own add-1-smoothed unigram model — the
+    simplest 'perplexity filter' of a training-data pipeline (high score =
+    unusual token mix = candidate for review).
+
+    Scale: the model is a (term, count) table — bounded by vocabulary, so it
+    BROADCASTS; scoring is one exploded pass over the corpus joined against
+    the broadcast model, one aggregation back to doc grain. The corpus never
+    self-joins."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("bigint").alias("n"), F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    neg_lp = -F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v")))
+    return (
+        tok.join(F.broadcast(cnt), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(neg_lp), 4).alias("avg_neg_logprob"),
+        )
+    )

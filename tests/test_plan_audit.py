@@ -29,6 +29,7 @@ NLJ_ALLOWED = {
     "q95_bm25_scores",
     "q96_interpolated_hourly",
     "q105_price_histogram",
+    "q109_unigram_logprob",
 }
 
 
