@@ -122,18 +122,35 @@ def _deterministic_planes(dim: int = 64, n: int = N_PLANES, seed: int = 1234567)
 
 def _multi_table_buckets(df: DataFrame) -> DataFrame:
     """(vec_id, embedding) → one row per (table_id, bucket) — the exploded
-    multi-table LSH index. Hashing is one pass; the explode is ×N_TABLES."""
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_id"),
-                hyperplane_bucket(df, _deterministic_planes(seed=1234567 + 7919 * t)),
-            )
-            for t in range(N_TABLES)
-        ]
-    )
-    return df.select("vec_id", "embedding", F.explode(tables).alias("tb")).select(
-        "vec_id", "embedding", "tb.table_id", "tb.bucket"
+    multi-table LSH index. Hashing is one pass; the explode is ×N_TABLES.
+
+    The 48 projections are ONE numpy matmul per Arrow batch inside a
+    pandas_udf: higher-order-function dot products don't enter whole-stage
+    codegen (interpreted, boxed — measured ~0.7s WARM for 2000×48×64 at
+    sf0.1, plus ~1.7s one-time JIT), while (batch × 64) @ (64 × 48) is
+    microseconds. This is the sanctioned vectorized-UDF case: the builtin
+    path is structurally slower, not just unoptimized."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    all_planes = []
+    for t in range(N_TABLES):
+        all_planes.extend(_deterministic_planes(seed=1234567 + 7919 * t))
+    planes_t = np.asarray(all_planes, dtype=np.float64).T  # (dim, tables*planes)
+    weights = (2 ** np.arange(N_PLANES - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf("array<int>", PandasUDFType.SCALAR)
+    def _buckets(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        signs = (m @ planes_t) >= 0  # (n, tables*planes)
+        b = signs.reshape(len(m), N_TABLES, N_PLANES) @ weights  # (n, tables)
+        return pd.Series(list(b.astype(np.int32)))
+
+    return (
+        df.withColumn("__b", _buckets("embedding"))
+        .select("vec_id", "embedding", F.posexplode("__b").alias("table_id", "bucket"))
     )
 
 
