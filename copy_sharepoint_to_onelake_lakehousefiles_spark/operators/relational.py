@@ -1830,3 +1830,87 @@ def q108_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s3").cast("bigint").alias("n_view_click_purchase"),
         F.round(F.sum("s3").cast("double") / F.sum("s1"), 4).alias("conversion"),
     )
+
+
+@query(
+    "q110_robust_price_stats",
+    oracle="""
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med_price
+  FROM lineitem GROUP BY l_returnflag
+),
+dev AS (
+  SELECT l.l_returnflag, m.med_price,
+         quantile_cont(abs(l.l_extendedprice - m.med_price), 0.5) AS mad
+  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+  GROUP BY l.l_returnflag, m.med_price
+)
+SELECT d.l_returnflag,
+       round(d.med_price, 2) AS med_price,
+       round(d.mad, 2)       AS mad,
+       CAST(sum(CASE WHEN abs(l.l_extendedprice - d.med_price) > 3 * 1.4826 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM lineitem l JOIN dev d ON l.l_returnflag = d.l_returnflag
+GROUP BY d.l_returnflag, d.med_price, d.mad
+""",
+)
+def q110_robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier statistics per return flag: exact median, MAD (median
+    absolute deviation), and the count beyond 3 robust sigmas (1.4826·MAD) —
+    the outlier screen that, unlike q45's z-scores, a few extreme values
+    cannot drag. Three passes by necessity (median and MAD are holistic);
+    the tiny per-group stats broadcast back onto the fact table each time."""
+    li = load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price")
+    )
+    dev = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med_price")
+        .agg(F.expr("percentile(abs(l_extendedprice - med_price), 0.5)").alias("mad"))
+    )
+    is_out = F.abs(F.col("l_extendedprice") - F.col("med_price")) > 3 * 1.4826 * F.col("mad")
+    return (
+        li.join(F.broadcast(dev), "l_returnflag")
+        .groupBy("l_returnflag", "med_price", "mad")
+        .agg(F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"))
+        .select(
+            "l_returnflag",
+            F.round("med_price", 2).alias("med_price"),
+            F.round("mad", 2).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+@query(
+    "q111_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def q111_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: counts of consecutive event-type
+    transitions per user (the Markov transition matrix driving
+    next-action prediction features). One window pass to pair each event
+    with its successor, one aggregation over the 5×5 type space."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
