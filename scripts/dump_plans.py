@@ -30,6 +30,12 @@ def main() -> None:
         "q95_bm25_scores",
         "q96_interpolated_hourly",
         "q97_column_profile",
+        "q100_point_in_time_join",
+        "q104_last_shipper_per_order",
+        "q105_price_histogram",
+        "q107_quantized_cosine_topk",
+        "q109_unigram_logprob",
+        "q110_robust_price_stats",
     ]
     out = ["# PLANS — formatted physical plans of the headline queries (sf0.01)\n"]
     for name in HEADLINE + extra:

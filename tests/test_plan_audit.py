@@ -19,11 +19,12 @@ NON_BATCH = {
     "q50_copy_roundtrip",
     "q60_media_features",
 }
-# Bounded broadcast side by construction: q30 broadcasts the 10-row query
-# set; q78/q79/q95/q96 broadcast a 1-row global aggregate (date/hour bounds,
-# min class size, corpus stats) — O(n · 1), not O(n²).
+# Bounded broadcast side by construction: q30/q107 broadcast the 10-row
+# query set; q78/q79/q95/q96/q105/q109 broadcast a 1-row global aggregate
+# (date/hour bounds, min class size, corpus stats) — O(n · 1), not O(n²).
 NLJ_ALLOWED = {
     "q30_cosine_topk",
+    "q107_quantized_cosine_topk",
     "q78_event_date_spine",
     "q79_balanced_sample",
     "q95_bm25_scores",
