@@ -1914,3 +1914,77 @@ def q111_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@query(
+    "q112_supplier_diversity",
+    oracle="""
+SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+""",
+)
+def q112_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type) for selected
+    part sizes, EXCLUDING a blacklist subquery (NOT IN → left-anti join; the
+    lineitem bridge stands in for partsupp). The part dim broadcasts; the
+    anti-join side is a handful of keys."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_size").isin(1, 5, 9, 13))
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("n_supp"))
+    )
+
+
+@query(
+    "q113_top_volume_suppliers",
+    oracle="""
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+),
+threshold AS (
+  SELECT l_partkey, 0.5 * sum(qty) AS half_qty FROM shipped GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_dominant_parts
+FROM shipped sh
+JOIN threshold t ON sh.l_partkey = t.l_partkey
+JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+WHERE sh.qty > t.half_qty
+GROUP BY s.s_suppkey, s.s_name
+""",
+)
+def q113_top_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped MORE THAN HALF of a part's
+    1996 volume ('dominant supplier' per part) — aggregate, re-aggregate to
+    a per-part threshold, then a same-key join back: the 'compare each group
+    member to a group-level statistic' pattern (here via self-join; q45 does
+    the window flavor)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    threshold = shipped.groupBy("l_partkey").agg(
+        (0.5 * F.sum("qty")).alias("half_qty")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        shipped.join(threshold, "l_partkey")
+        .where(F.col("qty") > F.col("half_qty"))
+        .join(F.broadcast(s), shipped.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dominant_parts"))
+    )
