@@ -28,6 +28,7 @@ def _load_all_operator_modules() -> None:
         graph,
         incremental,
         pipeline,
+        pq,
         profile,
         rangejoin,
         relational,

@@ -1,0 +1,145 @@
+"""Product Quantization ANN (Jégou et al. 2011) — the billion-scale
+similarity-search path: 64-dim vectors become M=8 one-byte codes (one
+16-centroid codebook per 8-dim subspace), queries scan the code table with
+ADC (asymmetric distance computation = M table lookups per candidate), and
+a small shortlist is re-ranked exactly.
+
+Spark-first shape:
+- All M codebooks train TOGETHER: subvectors explode to (vec_id, sub_id,
+  subvec) and one Lloyd iteration is ONE join + ONE aggregation keyed by
+  (sub_id, cid) — 8 independent k-means runs share every shuffle.
+- The trained codebook is M·K tiny rows → broadcast everywhere.
+- ADC is an equi-join of the code table against the per-query distance
+  table on (sub_id, cid), then a sum over M — no vector math touches the
+  corpus at query time; at 100 TB the scan reads 8 bytes per vector
+  instead of 256.
+- The ADC shortlist (top SHORTLIST per query) is re-ranked with exact L2
+  on the original vectors — the standard recall repair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+M_SUB = 8      # subspaces
+D_SUB = 8      # dims per subspace (M_SUB * D_SUB = 64)
+K_CB = 16      # centroids per subspace (4-bit codes)
+N_QUERIES = 10
+TOP_K = 5
+SHORTLIST = 50
+LLOYD_ITERS = 3
+
+_D2 = (
+    "aggregate(zip_with(subvec, centroid, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _subvectors(df: DataFrame) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, sub_id, subvec: array<double>)."""
+    subs = F.expr(
+        f"transform(sequence(0, {M_SUB - 1}), m -> struct(m AS sub_id, "
+        f"slice(CAST(embedding AS ARRAY<DOUBLE>), m * {D_SUB} + 1, {D_SUB}) AS subvec))"
+    )
+    return df.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", "s.sub_id", "s.subvec"
+    )
+
+
+def _assign(sv: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest centroid per (vec_id, sub_id) against broadcast codebook."""
+    j = sv.join(F.broadcast(cb), "sub_id")
+    d2 = F.expr(_D2)
+    best = F.min_by(F.struct("cid", "centroid"), F.struct(d2, F.col("cid")))
+    return (
+        j.groupBy("vec_id", "sub_id", "subvec")
+        .agg(best.alias("b"), F.min(F.struct(d2, F.col("cid"))).alias("_"))
+        .select("vec_id", "sub_id", "subvec", F.col("b.cid").alias("cid"))
+    )
+
+
+def train_codebooks(emb: DataFrame, iters: int = LLOYD_ITERS) -> DataFrame:
+    """Lloyd iterations over ALL subspaces at once → (sub_id, cid, centroid).
+    Deterministic init: the K_CB lowest vec_ids seed every subspace."""
+    sv = _subvectors(emb).persist()
+    cb = (
+        sv.where(F.col("vec_id") < K_CB)
+        .select("sub_id", F.col("vec_id").cast("int").alias("cid"), F.col("subvec").alias("centroid"))
+    )
+    for _ in range(iters):
+        assigned = _assign(sv, cb)
+        # centroid = elementwise mean: posexplode → per-position avg → rebuild
+        pos = assigned.select(
+            "sub_id", "cid", F.posexplode("subvec").alias("pos", "val")
+        )
+        means = pos.groupBy("sub_id", "cid", "pos").agg(F.avg("val").alias("m"))
+        cb = (
+            means.groupBy("sub_id", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "sub_id", "cid", F.expr("transform(pm, x -> x.m)").alias("centroid")
+            )
+        )
+    cb = cb.persist()
+    cb.count()
+    sv.unpersist()
+    return cb
+
+
+def encode(emb: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, sub_id, cid) PQ code table — 8 half-byte codes per vector."""
+    return _assign(_subvectors(emb), cb).select("vec_id", "sub_id", "cid")
+
+
+@query("q114_pq_ann_topk")
+def q114_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN: train codebooks, encode the corpus, ADC-score the code table
+    for the first 10 query vectors, exact-L2 re-rank the top-50 shortlist,
+    return top-5. Rows-only tier (iterative k-means + float argmins have no
+    ANSI twin); tests/test_pq.py measures recall@5 against exact L2."""
+    emb = load(spark, sf_dir, "embeddings")
+    cb = train_codebooks(emb)
+    codes = encode(emb, cb).persist()
+
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    # per-query distance table: (q_id, sub_id, cid, d2) — M*K rows per query
+    dtab = (
+        _subvectors(q)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(F.broadcast(cb), "sub_id")
+        .select("q_id", "sub_id", "cid", F.expr(_D2).alias("d2"))
+    )
+    adc = (
+        codes.withColumnRenamed("vec_id", "n_id")
+        .join(F.broadcast(dtab), ["sub_id", "cid"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("d2").alias("adc2"))
+    )
+    ws = W.partitionBy("q_id").orderBy(F.col("adc2").asc(), F.col("n_id"))
+    short = adc.withColumn("srk", F.row_number().over(ws)).where(F.col("srk") <= SHORTLIST)
+
+    # exact re-rank of the shortlist only
+    qv = q.select(F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("q_emb"))
+    nv = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").cast("array<double>").alias("n_emb"))
+    exact_d2 = F.expr(
+        "aggregate(zip_with(q_emb, n_emb, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    rer = (
+        short.join(F.broadcast(qv), "q_id")
+        .join(nv, "n_id")
+        .select("q_id", "n_id", F.round(exact_d2, 6).alias("l2sq"))
+    )
+    wf = W.partitionBy("q_id").orderBy(F.col("l2sq").asc(), F.col("n_id"))
+    return (
+        rer.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "n_id", "l2sq", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("q_id", "rk")
+    )
