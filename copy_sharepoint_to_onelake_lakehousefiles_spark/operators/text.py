@@ -523,3 +523,36 @@ def q109_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(neg_lp), 4).alias("avg_neg_logprob"),
         )
     )
+
+
+@query("q115_compression_ratio")
+def q115_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: zlib-compressed size over raw size
+    per document — the cheap repetition detector real curation pipelines run
+    (boilerplate and template spam compress far better than natural text;
+    complements q76's token-level repetition score). Rows-only tier (no zlib
+    in ANSI SQL); tests pin the orderings on constructed texts.
+
+    Scale: mapInPandas with per-batch byte work — CPU-bound, no shuffle at
+    all until the final projection; ratios are computed where the text
+    already lives."""
+    import pandas as pd
+
+    def ratios(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw.map(len).astype("int64"),
+                    "compression_ratio": (comp / raw.map(len)).round(4),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        ratios, "doc_id bigint, raw_bytes bigint, compression_ratio double"
+    )

@@ -28,3 +28,55 @@ def test_language_id_emits_one_prediction_per_heldout_doc(spark, sf_dir):
     assert all(r["doc_id"] % 2 == 1 for r in rows)  # held-out half only
     langs = {r["predicted_lang"] for r in rows}
     assert langs <= {"de", "en", "es", "fr", "zh"}
+
+
+def test_compression_ratio_orders_repetition(spark, sf_dir):
+    """Repetitive text must compress harder (lower ratio) than high-entropy
+    text; fixture docs sit between."""
+    import random
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.text import (
+        q115_compression_ratio,
+    )
+
+    rng = random.Random(7)
+    rep = "spam " * 200
+    ent = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789 ") for _ in range(1000))
+    extra = spark.createDataFrame(
+        [(900001, rep), (900002, ent)], "doc_id bigint, text string"
+    )
+    extra.createOrReplaceTempView("__crdocs")
+    import pandas as pd  # noqa: F401  (mapInPandas path)
+
+    rows = {r["doc_id"]: r["compression_ratio"] for r in q115_compression_ratio(spark, sf_dir).collect()}
+    assert rows, "fixture docs scored"
+    # score the constructed texts through the same kernel
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators import text as T
+
+    def kernel(df):
+        return df.mapInPandas(
+            # reuse the inner generator by round-tripping through the query fn
+            # shape: simplest is inline zlib here mirroring the operator
+            _ratios, "doc_id bigint, raw_bytes bigint, compression_ratio double"
+        )
+
+    def _ratios(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw.map(len).astype("int64"),
+                    "compression_ratio": (comp / raw.map(len)).round(4),
+                }
+            )
+
+    scored = {r["doc_id"]: r["compression_ratio"] for r in kernel(extra).collect()}
+    fixture_avg = sum(rows.values()) / len(rows)
+    assert scored[900001] < 0.1 < fixture_avg  # spam compresses away
+    assert scored[900002] > fixture_avg  # random chars barely compress
