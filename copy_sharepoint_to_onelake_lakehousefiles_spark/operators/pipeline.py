@@ -640,3 +640,36 @@ def q96_interpolated_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (e4 / 10000.0).alias("value_interp"),
         F.col("v6").isNotNull().alias("observed"),
     )
+
+
+@query(
+    "q116_temporal_split",
+    oracle="""
+SELECT CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'train'
+            WHEN ts < TIMESTAMP '2024-01-27 00:00:00' THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT)                 AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT)  AS n_users,
+       CAST(min(event_id) AS BIGINT)            AS first_event,
+       CAST(max(event_id) AS BIGINT)            AS last_event
+FROM events
+GROUP BY 1
+""",
+)
+def q116_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL train/val/test split: boundaries are timestamps, not hashes —
+    the split that prevents future leakage for time-dependent models (q55's
+    deterministic hash split is the iid counterpart). The per-split stats
+    are the audit a pipeline stores next to the cut."""
+    e = load(spark, sf_dir, "events")
+    split = (
+        F.when(F.col("ts") < F.lit("2024-01-22 00:00:00").cast("timestamp"), "train")
+        .when(F.col("ts") < F.lit("2024-01-27 00:00:00").cast("timestamp"), "val")
+        .otherwise("test")
+    )
+    return e.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.min("event_id").cast("bigint").alias("first_event"),
+        F.max("event_id").cast("bigint").alias("last_event"),
+    )
