@@ -211,24 +211,24 @@ FROM counts
 )
 def q73_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building: token → stable contiguous id, ordered by corpus
-    frequency (ties broken lexically). The global window runs on the
-    POST-AGGREGATION table (one row per distinct token — bounded by
-    vocabulary size, ~100k-1M at web scale, not corpus size), so the
-    single-partition sort is safe; the heavy step is the distributed token
-    count, a plain map-side-combined hash agg."""
+    frequency (ties broken lexically). The heavy step is the distributed
+    token count (map-side-combined hash agg); the id assignment uses the
+    two-pass partition-offset ranking from
+    :func:`..operators.ranking.global_row_number` — a 100 TB web corpus has
+    10^8+ distinct tokens, so even the post-aggregation table is too big
+    for a single-partition row_number sort."""
+    from .ranking import global_row_number
+
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     counts = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("doc_freq"),
     )
-    w = W.orderBy(F.col("n_occurrences").desc(), F.col("token"))
-    return counts.select(
-        F.row_number().over(w).cast("bigint").alias("vocab_id"),
-        "token",
-        "n_occurrences",
-        "doc_freq",
+    ranked = global_row_number(
+        counts, [F.col("n_occurrences").desc(), F.col("token")], rank_name="vocab_id"
     )
+    return ranked.select("vocab_id", "token", "n_occurrences", "doc_freq")
 
 
 @query(
@@ -325,10 +325,12 @@ bg AS (
 SELECT t.doc_id,
        t.n_tokens,
        t.top_token,
-       round(CAST(t.top_cnt AS DOUBLE) / t.n_tokens, 4)              AS top_share,
-       round(CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 4)  AS bigram_diversity,
-       CASE WHEN CAST(t.top_cnt AS DOUBLE) / t.n_tokens > 0.2
-              OR CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams < 0.6
+       ((t.top_cnt * 20000 + t.n_tokens) // (t.n_tokens * 2)) / 10000.0
+                                                                     AS top_share,
+       ((b.n_distinct_bigrams * 20000 + b.n_bigrams) // (b.n_bigrams * 2)) / 10000.0
+                                                                     AS bigram_diversity,
+       CASE WHEN t.top_cnt * 5 > t.n_tokens
+              OR b.n_distinct_bigrams * 5 < b.n_bigrams * 3
             THEN 1 ELSE 0 END                                        AS repetitive
 FROM top t JOIN bg b ON t.doc_id = b.doc_id
 WHERE t.doc_id < 300
@@ -340,7 +342,13 @@ def q76_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Gopher/C4-style quality filters. Tie-break on the argmax token is
     made deterministic by comparing (count, token) structs in both engines.
     Bigram diversity is array-local; the token counts are a two-level hash
-    agg keyed by (doc_id, token) — no skew (doc_id leads the key)."""
+    agg keyed by (doc_id, token) — no skew (doc_id leads the key).
+
+    Numeric determinism: the 4-decimal shares are computed as SCALED-INTEGER
+    half-up division on the exact integer counts (the q96 pattern) and the
+    repetitive flag as exact rational comparisons (cnt*5 > n, nd*5 < nb*3) —
+    float round() at .5 boundaries differs between Spark and DuckDB, and
+    count ratios land on such boundaries."""
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -360,17 +368,18 @@ def q76_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_distinct_bigrams"),
     )
-    top_share = F.col("top_cnt").cast("double") / F.col("n_tokens")
-    diversity = F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+    top_share4 = F.expr("(top_cnt * 20000 + n_tokens) div (n_tokens * 2)")
+    diversity4 = F.expr("(n_distinct_bigrams * 20000 + n_bigrams) div (n_bigrams * 2)")
+    repetitive = F.expr(
+        "top_cnt * 5 > n_tokens OR n_distinct_bigrams * 5 < n_bigrams * 3"
+    )
     return top.join(bg, "doc_id").select(
         "doc_id",
         "n_tokens",
         "top_token",
-        F.round(top_share, 4).alias("top_share"),
-        F.round(diversity, 4).alias("bigram_diversity"),
-        F.when((top_share > 0.2) | (diversity < 0.6), 1).otherwise(0).cast("int").alias(
-            "repetitive"
-        ),
+        (top_share4 / 10000.0).alias("top_share"),
+        (diversity4 / 10000.0).alias("bigram_diversity"),
+        F.when(repetitive, 1).otherwise(0).cast("int").alias("repetitive"),
     )
 
 

@@ -1028,27 +1028,70 @@ def q65_unpivot_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q67_percentile_ranks",
     oracle="""
+WITH m AS (
+  SELECT c_custkey, c_acctbal,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rnk,
+         count(*) OVER () AS n
+  FROM customer
+  WHERE c_mktsegment = 'MACHINERY'
+)
 SELECT c_custkey,
-       round(c_acctbal, 2)                                        AS acctbal,
-       round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
-       round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 6)    AS cume,
-       CAST(ntile(100) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS percentile_bucket
-FROM customer
-WHERE c_mktsegment = 'MACHINERY'
+       round(c_acctbal, 2) AS acctbal,
+       (CASE WHEN n = 1 THEN 0
+             ELSE ((rnk - 1) * 2000000 + (n - 1)) // ((n - 1) * 2) END
+       ) / 1000000.0 AS pct_rank,
+       ((rnk * 2000000 + n) // (n * 2)) / 1000000.0 AS cume,
+       CAST(CASE WHEN rnk <= (n % 100) * ((n // 100) + 1)
+                 THEN (rnk + (n // 100)) // ((n // 100) + 1)
+                 ELSE (n % 100)
+                      + (rnk - (n % 100) * ((n // 100) + 1) + (n // 100) - 1)
+                        // (n // 100)
+            END AS BIGINT) AS percentile_bucket
+FROM m
 """,
 )
 def q67_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank / cume_dist / ntile — the relative-standing window trio
+    """percent_rank / cume_dist / ntile — the relative-standing trio
     (quality-score percentile filtering in a training pipeline is exactly
-    this shape: keep docs above the p-th within-bucket percentile)."""
+    this shape: keep docs above the p-th percentile).
+
+    Scale: NO global window — the rank comes from the two-pass
+    partition-offset scheme in :func:`..operators.ranking.global_row_number`
+    (range-partition, broadcast cumulative offsets, rank locally), so the
+    plan has no single-partition sort. percent_rank/cume_dist/ntile are
+    then closed-form in (rank, n): the order key (c_acctbal, c_custkey)
+    is unique, so rank()==row_number(), cume_dist = rank/n, and ANSI
+    ntile(100) assigns the first n%100 buckets ceil(n/100) rows. All three
+    are emitted via SCALED-INTEGER half-up arithmetic (the q96/q76
+    pattern) so Spark and DuckDB agree bit-for-bit."""
+    from .ranking import global_row_number
+
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "MACHINERY")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    ranked = global_row_number(
+        c.select("c_custkey", "c_acctbal"), ["c_acctbal", "c_custkey"], rank_name="rnk"
+    )
+    n1 = c.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    r = ranked.crossJoin(F.broadcast(n1))
+    pct_rank = (
+        F.expr(
+            "CASE WHEN __n = 1 THEN 0 "
+            "ELSE ((rnk - 1) * 2000000 + (__n - 1)) div ((__n - 1) * 2) END"
+        )
+        / 1000000.0
+    )
+    cume = F.expr("(rnk * 2000000 + __n) div (__n * 2)") / 1000000.0
+    bucket = F.expr(
+        "CAST(CASE WHEN rnk <= (__n % 100) * ((__n div 100) + 1) "
+        "THEN (rnk + (__n div 100)) div ((__n div 100) + 1) "
+        "ELSE (__n % 100) + (rnk - (__n % 100) * ((__n div 100) + 1) "
+        "+ (__n div 100) - 1) div (__n div 100) END AS BIGINT)"
+    )
+    return r.select(
         "c_custkey",
         F.round("c_acctbal", 2).alias("acctbal"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(100).over(w).cast("bigint").alias("percentile_bucket"),
+        pct_rank.alias("pct_rank"),
+        cume.alias("cume"),
+        bucket.alias("percentile_bucket"),
     )
 
 
@@ -1835,23 +1878,29 @@ def q108_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q110_robust_price_stats",
     oracle="""
-WITH med AS (
-  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med_price
-  FROM lineitem GROUP BY l_returnflag
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+med AS (
+  SELECT l_returnflag,
+         CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2
+  FROM c GROUP BY l_returnflag
 ),
 dev AS (
-  SELECT l.l_returnflag, m.med_price,
-         quantile_cont(abs(l.l_extendedprice - m.med_price), 0.5) AS mad
-  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
-  GROUP BY l.l_returnflag, m.med_price
+  SELECT l.l_returnflag, m.med2,
+         CAST(quantile_cont(abs(2 * l.cents - m.med2), 0.5) * 2 AS BIGINT) AS mad4
+  FROM c l JOIN med m ON l.l_returnflag = m.l_returnflag
+  GROUP BY l.l_returnflag, m.med2
 )
 SELECT d.l_returnflag,
-       round(d.med_price, 2) AS med_price,
-       round(d.mad, 2)       AS mad,
-       CAST(sum(CASE WHEN abs(l.l_extendedprice - d.med_price) > 3 * 1.4826 * d.mad
+       ((d.med2 + 1) // 2) / 100.0 AS med_price,
+       ((d.mad4 + 2) // 4) / 100.0 AS mad,
+       CAST(sum(CASE WHEN 20000 * abs(2 * l.cents - d.med2) > 44478 * d.mad4
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-FROM lineitem l JOIN dev d ON l.l_returnflag = d.l_returnflag
-GROUP BY d.l_returnflag, d.med_price, d.mad
+FROM c l JOIN dev d ON l.l_returnflag = d.l_returnflag
+GROUP BY d.l_returnflag, d.med2, d.mad4
 """,
 )
 def q110_robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1859,25 +1908,42 @@ def q110_robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute deviation), and the count beyond 3 robust sigmas (1.4826·MAD) —
     the outlier screen that, unlike q45's z-scores, a few extreme values
     cannot drag. Three passes by necessity (median and MAD are holistic);
-    the tiny per-group stats broadcast back onto the fact table each time."""
+    the tiny per-group stats broadcast back onto the fact table each time.
+
+    Numeric determinism: prices are 2-decimal, so everything runs in EXACT
+    integer units — cents, then half-cents for the median (even-N medians
+    are midpoints, i.e. ±0.5 cent: med2 = 2·median is always integral),
+    then quarter-cents for the MAD (mad4 = 4·MAD). Display rounding is
+    half-up integer division and the 3·1.4826 threshold is the integer
+    comparison 20000·dev > 44478·mad4 — no float round() anywhere, because
+    interpolated medians land on exact .5 boundaries where Spark and DuckDB
+    round() disagree (caught at sf0.001 by the strict repr gate)."""
     li = load(spark, sf_dir, "lineitem")
-    med = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price")
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    med = c.groupBy("l_returnflag").agg(
+        F.expr("CAST(percentile(cents, 0.5) * 2 AS BIGINT)").alias("med2")
     )
     dev = (
-        li.join(F.broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag", "med_price")
-        .agg(F.expr("percentile(abs(l_extendedprice - med_price), 0.5)").alias("mad"))
+        c.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med2")
+        .agg(
+            F.expr(
+                "CAST(percentile(abs(2 * cents - med2), 0.5) * 2 AS BIGINT)"
+            ).alias("mad4")
+        )
     )
-    is_out = F.abs(F.col("l_extendedprice") - F.col("med_price")) > 3 * 1.4826 * F.col("mad")
+    is_out = F.expr("20000 * abs(2 * cents - med2) > 44478 * mad4")
     return (
-        li.join(F.broadcast(dev), "l_returnflag")
-        .groupBy("l_returnflag", "med_price", "mad")
+        c.join(F.broadcast(dev), "l_returnflag")
+        .groupBy("l_returnflag", "med2", "mad4")
         .agg(F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"))
         .select(
             "l_returnflag",
-            F.round("med_price", 2).alias("med_price"),
-            F.round("mad", 2).alias("mad"),
+            (F.expr("(med2 + 1) div 2") / 100.0).alias("med_price"),
+            (F.expr("(mad4 + 2) div 4") / 100.0).alias("mad"),
             "n_outliers",
         )
     )

@@ -28,7 +28,11 @@ def canonical_cell(v) -> str:
             return "nan"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.10g}"
+        # Full repr (shortest round-trip decimal), NOT %.10g: the 10-digit
+        # format hid a sub-1e-10 Spark/DuckDB round() divergence in round 1
+        # (q76) that the driver's hash caught. Any bit-level double
+        # difference must fail locally too.
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)

@@ -41,3 +41,36 @@ def test_no_cartesian_or_nlj(name, spark, sf_dir):
     assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
     if name not in NLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a nested-loop join"
+
+
+# Queries allowed to keep a GLOBAL (unpartitioned) window: every entry is
+# bounded by construction — the window input is a dimension/calendar-sized
+# table, not a fact-table subset. q67/q73 were moved OFF this list in round
+# 2 (two-pass partition-offset ranking in operators/ranking.py).
+GLOBAL_WINDOW_ALLOWED = {
+    "q16_nation_revenue_ranks",  # ≤ #nations rows post-agg
+    "q48_rolling_7day_revenue",  # ≤ #calendar-days rows post-agg
+    "q53_monthly_trend_cte",  # ≤ #calendar-months rows post-agg
+}
+
+
+def _unpartitioned_window_lines(plan: str) -> list[str]:
+    # WindowExec renders as `Window [funcs], [partitionSpec], [orderSpec]`;
+    # with NO partition spec the middle bracket group is absent, leaving
+    # exactly one top-level `], [` separator (see ranking.py rationale).
+    out = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-*: ").strip()
+        if s.startswith("Window ") and line.count("], [") == 1:
+            out.append(line.strip())
+    return out
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(all_queries()) - NON_BATCH - GLOBAL_WINDOW_ALLOWED)
+)
+def test_no_unpartitioned_window(name, spark, sf_dir):
+    df = all_queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = _unpartitioned_window_lines(plan)
+    assert not bad, f"{name} moves all rows to one partition: {bad[0]}"
