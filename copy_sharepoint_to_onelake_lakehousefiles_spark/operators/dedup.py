@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import query, track_persist
 from ..tables import load
 
 N_MINHASH = 12  # signature length
@@ -176,7 +176,7 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # Persist the shingle table: it feeds the signature AND the two
     # re-attach joins (at 100 TB: write it to the lake once instead).
-    sh = _shingled(d).persist()
+    sh = track_persist(_shingled(d))
     sig = with_minhash_signature(sh).select("doc_id", "sig")
     band_structs = F.array(
         *[
@@ -224,9 +224,9 @@ def _jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
     """Shared inverted-index exact-Jaccard kernel: explode shingles →
     equi-join on shingle → per-pair shared count → Jaccard ≥ threshold.
     Returns (doc_a, doc_b, jaccard)."""
-    sh = _shingled(d).select(
+    sh = track_persist(_shingled(d).select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
-    ).persist()  # both sides of the inverted-index self-join read this once
+    ))  # both sides of the inverted-index self-join read this once
     a = sh.alias("a")
     b = sh.alias("b")
     pair = (
@@ -308,7 +308,7 @@ def q28_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "  cast(0 as bigint), (a, b) -> a + b)"
         ).alias("simhash"),
     )
-    fp = fp.persist()  # both sides of the band self-join read this once
+    fp = track_persist(fp)  # both sides of the band self-join read this once
     # Candidate pairs: share any 15-bit chunk value at the same position.
     # ONE exploded (pos, val) band join — a single keyed shuffle — instead of
     # 4 chunk-wise self-joins + unions (same candidates, 1/4 the exchanges).
@@ -403,7 +403,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return track_persist(labels)
 
 
 @query(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import query, track_persist
 from ..tables import load
 from .dedup import _jaccard_pairs
 
@@ -39,7 +39,7 @@ def pagerank(
         .persist()
     )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = sym.select(F.col("a").alias("node")).distinct().persist()
+    nodes = track_persist(sym.select(F.col("a").alias("node")).distinct())
     n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):

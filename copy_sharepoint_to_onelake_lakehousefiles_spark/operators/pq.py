@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import query, track_persist
 from ..tables import load
 
 M_SUB = 8      # subspaces
@@ -85,7 +85,7 @@ def train_codebooks(emb: DataFrame, iters: int = LLOYD_ITERS) -> DataFrame:
                 "sub_id", "cid", F.expr("transform(pm, x -> x.m)").alias("centroid")
             )
         )
-    cb = cb.persist()
+    cb = track_persist(cb)
     cb.count()
     sv.unpersist()
     return cb
@@ -104,7 +104,7 @@ def q114_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANSI twin); tests/test_pq.py measures recall@5 against exact L2."""
     emb = load(spark, sf_dir, "embeddings")
     cb = train_codebooks(emb)
-    codes = encode(emb, cb).persist()
+    codes = track_persist(encode(emb, cb))
 
     q = emb.where(F.col("vec_id") < N_QUERIES)
     # per-query distance table: (q_id, sub_id, cid, d2) — M*K rows per query

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import query, track_persist
 from ..tables import load
 
 TOP_K = 5
@@ -166,7 +166,7 @@ def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (table_id, bucket) — 100 TB of vectors shuffles only within cells, and
     candidate count per query is corpus_fraction ≈ N_TABLES / 2^N_PLANES."""
     emb = load(spark, sf_dir, "embeddings")
-    hashed = _multi_table_buckets(emb).persist()  # query + corpus sides share it
+    hashed = track_persist(_multi_table_buckets(emb))  # query + corpus sides share it
     q = hashed.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),

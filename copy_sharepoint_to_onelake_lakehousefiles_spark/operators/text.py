@@ -542,13 +542,18 @@ def q115_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         import zlib
 
         for pdf in batches:
-            raw = pdf["text"].str.encode("utf-8")
+            # null text → empty (str.encode yields NaN for nulls, which
+            # crashes zlib.compress); empty text → denominator clamped to 1
+            # so the ratio is finite (= compressed header size, flagged
+            # "compresses suspiciously well", not inf)
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            raw_len = raw.map(len).astype("int64")
             comp = raw.map(lambda b: len(zlib.compress(b, 6)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "raw_bytes": raw.map(len).astype("int64"),
-                    "compression_ratio": (comp / raw.map(len)).round(4),
+                    "raw_bytes": raw_len,
+                    "compression_ratio": (comp / raw_len.clip(lower=1)).round(4),
                 }
             )
 

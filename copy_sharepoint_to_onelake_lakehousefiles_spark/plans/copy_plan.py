@@ -45,6 +45,50 @@ RESULT_SCHEMA = T.StructType(
 )
 
 
+class FetchClientError(Exception):
+    """A definitive HTTP client error (4xx): retrying cannot help, so the
+    copy loop records the status row immediately instead of backing off —
+    the reference's non-200 skip (NB:294-296) with the status preserved."""
+
+
+_HTTP_SESSION = None  # one pooled requests.Session per Python worker
+
+
+def _http_fetch(url: str, timeout: float = 60.0) -> bytes:
+    """GET via a per-interpreter pooled `requests.Session` (connection
+    keep-alive across the many small files a copy partition fetches —
+    the reference opens a fresh connection per file, NB:293). Raises
+    FetchClientError on 4xx (no retry), generic errors on 5xx/transport
+    (retried by the caller's backoff loop). Falls back to urllib when
+    requests is unavailable."""
+    global _HTTP_SESSION
+    try:
+        import requests
+    except ImportError:
+        from urllib.error import HTTPError
+        from urllib.request import urlopen
+
+        try:
+            with urlopen(url, timeout=timeout) as r:
+                return r.read()
+        except HTTPError as e:
+            if 400 <= e.code < 500:
+                raise FetchClientError(f"HTTP {e.code} for {url}") from e
+            raise
+    if _HTTP_SESSION is None:
+        _HTTP_SESSION = requests.Session()
+        adapter = requests.adapters.HTTPAdapter(
+            pool_connections=4, pool_maxsize=16
+        )
+        _HTTP_SESSION.mount("http://", adapter)
+        _HTTP_SESSION.mount("https://", adapter)
+    resp = _HTTP_SESSION.get(url, timeout=timeout)
+    if 400 <= resp.status_code < 500:
+        raise FetchClientError(f"HTTP {resp.status_code} for {url}")
+    resp.raise_for_status()
+    return resp.content
+
+
 def dest_path_col(dest_root: str, site_folder: str) -> F.Column:
     """lakehouse_dest_path (NB:254-263) as a pure column expression:
     join root/site/rel_path with '/', collapse duplicate slashes."""
@@ -96,17 +140,7 @@ def execute_copy(
     def _read_src(src: str) -> bytes:
         # http(s) downloadUrls (the reference's case, NB:293) or local paths.
         if src.startswith(("http://", "https://")):
-            try:
-                import requests  # pooled session per interpreter if available
-
-                resp = requests.get(src, timeout=60)
-                resp.raise_for_status()
-                return resp.content
-            except ImportError:
-                from urllib.request import urlopen
-
-                with urlopen(src, timeout=60) as r:
-                    return r.read()
+            return _http_fetch(src)
         path = src[len("file:") :] if src.startswith("file:") else src
         with open(path, "rb") as f:
             return f.read()
@@ -119,6 +153,7 @@ def execute_copy(
             out = []
             for row in pdf.itertuples(index=False):
                 err = None
+                attempts_used = max_attempts
                 for attempt in range(1, max_attempts + 1):
                     try:
                         raw = _read_src(row.src_path)
@@ -139,13 +174,20 @@ def execute_copy(
                         )
                         err = None
                         break
+                    except FetchClientError as exc:
+                        # definitive 4xx: the reference skips these files
+                        # (NB:294-296) — record and move on, no backoff
+                        err = str(exc)
+                        attempts_used = attempt
+                        break
                     except Exception as exc:  # noqa: BLE001 — audit row, task keeps going
                         err = str(exc)
+                        attempts_used = attempt
                         if attempt < max_attempts:
                             time.sleep(backoff_s * (2 ** (attempt - 1)))
                 if err is not None:
                     out.append(
-                        (row.file_id, row.src_path, row.dest_path, 0, None, max_attempts, "error", err)
+                        (row.file_id, row.src_path, row.dest_path, 0, None, attempts_used, "error", err)
                     )
             yield pd.DataFrame(
                 out,
@@ -199,15 +241,30 @@ def verify_copy(spark: SparkSession, result: DataFrame, dest_root: str) -> DataF
     Distributed end-to-end: the dest scan is a parallel binaryFile read, the
     comparison one equi-join on dest_path — no driver collect of content.
     (At the lake, run it as a sampled audit rather than a full second pass.)"""
+    # Anchor both sides on the same absolute form: binaryFile returns
+    # file:-scheme absolute URIs, while the recorded dest_path is whatever
+    # dest_root the caller passed (possibly relative). Strip ONLY the
+    # scheme prefix (anchored regex — a path merely containing 'file:'
+    # must survive) and abspath the recorded side before joining.
+    abs_root = os.path.abspath(dest_root)
+    # mirror join_path's slash collapsing, then drop any trailing slash, so
+    # the prefix length matches the recorded dest_path exactly
+    import re as _re
+
+    norm_root = _re.sub("/{2,}", "/", dest_root).rstrip("/")
     copied = result.where(F.col("status") == "ok").select(
-        "dest_path", F.col("checksum").alias("expected")
+        F.concat(
+            F.lit(abs_root),
+            F.expr(f"substring(dest_path, {len(norm_root) + 1})"),
+        ).alias("dest_path"),
+        F.col("checksum").alias("expected"),
     )
     dest = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
-        .load(os.path.abspath(dest_root))
+        .load(abs_root)
         .select(
-            F.replace(F.col("path"), F.lit("file:"), F.lit("")).alias("dest_path"),
+            F.regexp_replace(F.col("path"), r"^file:(//)?", "").alias("dest_path"),
             F.md5("content").alias("actual"),
         )
     )

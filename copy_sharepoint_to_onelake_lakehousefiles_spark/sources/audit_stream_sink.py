@@ -29,9 +29,19 @@ class AuditCommit(WriterCommitMessage):
 
 class AuditJsonlStreamWriter(DataSourceStreamWriter):
     def __init__(self, options):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("audit_jsonl sink requires a path")
+        # Per-writer (per-run) id baked into every filename: taskAttemptId
+        # restarts from 0 in a new application, so (part, attempt) alone
+        # can collide with a file an earlier run's committed ledger entry
+        # still references — a replay would overwrite committed data. The
+        # run id makes names collision-free across restarts; within a run,
+        # the attempt id keeps retried tasks from half-overwriting a live
+        # file.
+        self.run_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> AuditCommit:
         from pyspark import TaskContext
@@ -39,9 +49,9 @@ class AuditJsonlStreamWriter(DataSourceStreamWriter):
         ctx = TaskContext.get()
         part, attempt = ctx.partitionId(), ctx.taskAttemptId()
         os.makedirs(self.path, exist_ok=True)
-        # attempt id in the name → a retried task never half-overwrites a
-        # live file; the ledger points at the surviving attempt's files.
-        fname = os.path.join(self.path, f"part-{part}-attempt-{attempt}.jsonl")
+        fname = os.path.join(
+            self.path, f"run-{self.run_id}-part-{part}-attempt-{attempt}.jsonl"
+        )
         msg = AuditCommit()
         with open(fname, "w") as f:
             for row in iterator:

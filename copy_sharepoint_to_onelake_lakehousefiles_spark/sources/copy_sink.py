@@ -60,10 +60,16 @@ class BinaryCopyWriter(DataSourceWriter):
                 continue
             with open(src, "rb") as f:
                 data = f.read()
-            staged = os.path.join(task_dir, row.rel_path.replace("/", "__"))
+            # Stage under the REAL relative directory structure: flattening
+            # rel_path ('/' -> '__') makes 'a/b' and 'a__b' collide in the
+            # same task dir — the second write silently overwrites the
+            # first, and commit() then fails on the already-moved path.
+            rel = row.rel_path.lstrip("/")  # keep joins anchored under dest
+            staged = os.path.join(task_dir, rel)
+            os.makedirs(os.path.dirname(staged), exist_ok=True)
             with open(staged, "wb") as f:
                 f.write(data)
-            msg.staged.append((staged, row.rel_path))
+            msg.staged.append((staged, rel))
             msg.bytes_written += len(data)
         return msg
 

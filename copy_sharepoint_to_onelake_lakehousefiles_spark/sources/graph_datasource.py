@@ -17,15 +17,21 @@ This source reproduces that split with Spark's own source contract:
   filters are returned to Spark, which re-applies them (correctness never
   depends on the pushdown).
 
-Local directories stand in for the Graph endpoint (same substitution as
-tests/test_copy.py); a live connector would swap `_list_dir` for the paged
-HTTPS fetch with the same partition-per-folder planning.
+Two backends behind the same planning:
+- a local directory tree (same substitution as tests/test_copy.py), and
+- a LIVE paged-REST listing when `path` is an http(s) URL: every directory
+  is a JSON listing endpoint returning `{"value": [items...],
+  "@odata.nextLink": "...?cursor=..."}` pages — the reference's cursor walk
+  (NB:204-211) executed with real HTTP fetches (loopback-served in tests),
+  executors following each directory's cursor chain in parallel.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
+from urllib.request import urlopen
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -46,8 +52,19 @@ MANIFEST_DDL = "file_id string, name string, rel_path string, download_url strin
 
 @dataclass
 class DirPartition(InputPartition):
-    dir_path: str
+    dir_path: str  # filesystem path OR http(s) listing-endpoint URL
     rel_base: str
+
+
+def _iter_pages(url: str, timeout: float = 30.0):
+    """Follow a cursor-paged listing: GET url → {"value": [...],
+    "@odata.nextLink": next_url?} until no nextLink remains (the
+    reference's list_children_paged loop, NB:204-211)."""
+    while url:
+        with urlopen(url, timeout=timeout) as r:
+            page = json.load(r)
+        yield from page.get("value", [])
+        url = page.get("@odata.nextLink")
 
 
 def _row_filter(filters: list[Filter]):
@@ -84,36 +101,71 @@ class GraphManifestReader(DataSourceReader):
     lacks; the pushdown flavor is the opt-in subclass below."""
 
     def __init__(self, options):
-        self.root = os.path.abspath(options.get("path"))
-        if not os.path.isdir(self.root):
-            raise FileNotFoundError(self.root)
+        raw = options.get("path")
+        self.http = str(raw).startswith(("http://", "https://"))
+        if self.http:
+            self.root = raw
+        else:
+            self.root = os.path.abspath(raw)
+            if not os.path.isdir(self.root):
+                raise FileNotFoundError(self.root)
         self.pushed: list[Filter] = []
 
     def partitions(self):
         # Frontier walk over DIRECTORIES only — the driver never touches
         # file metadata; that cost is paid inside each partition's read().
+        # In http mode the driver pages each directory's listing just to
+        # find subfolders (cheap: names + facets), exactly the recursion
+        # the reference runs on the driver (NB:213-236) — but file-row
+        # emission happens in read(), parallel across executors.
         parts = [DirPartition(self.root, "")]
         frontier = [(self.root, "")]
         while frontier:
             nxt = []
             for d, base in frontier:
-                for e in sorted(os.scandir(d), key=lambda e: e.name):
-                    if e.is_dir():
-                        rel = f"{base}/{e.name}" if base else e.name
-                        nxt.append((e.path, rel))
-                        parts.append(DirPartition(e.path, rel))
+                for name, child in self._subdirs(d):
+                    rel = f"{base}/{name}" if base else name
+                    nxt.append((child, rel))
+                    parts.append(DirPartition(child, rel))
             frontier = nxt
         return parts
 
+    def _subdirs(self, d: str):
+        if self.http:
+            for item in _iter_pages(d):
+                if "folder" in item and item.get("childrenUrl"):
+                    yield item["name"], item["childrenUrl"]
+        else:
+            for e in sorted(os.scandir(d), key=lambda e: e.name):
+                if e.is_dir():
+                    yield e.name, e.path
+
     def read(self, partition: DirPartition):
         keep = _row_filter(self.pushed)
+        base = partition.rel_base
+        if self.http:
+            for item in _iter_pages(partition.dir_path):
+                if "folder" in item:
+                    continue
+                name, size = item["name"], int(item.get("size", 0))
+                if not keep(name, size):
+                    continue
+                rel = f"{base}/{name}" if base else name
+                yield (
+                    item.get("id", rel),
+                    name,
+                    rel,
+                    item.get("@microsoft.graph.downloadUrl") or item.get("downloadUrl"),
+                    size,
+                )
+            return
         for e in sorted(os.scandir(partition.dir_path), key=lambda e: e.name):
             if not e.is_file():
                 continue
             size = e.stat().st_size
             if not keep(e.name, size):
                 continue
-            rel = f"{partition.rel_base}/{e.name}" if partition.rel_base else e.name
+            rel = f"{base}/{e.name}" if base else e.name
             yield (partition.dir_path + "/" + e.name, e.name, rel, e.path, size)
 
 

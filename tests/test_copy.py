@@ -283,3 +283,28 @@ def test_verify_copy_detects_corruption(spark, tmp_path):
     assert verdict["f0.bin"] == "mismatch"
     assert verdict["f1.bin"] == "missing"
     assert verdict["f2.bin"] == "verified" and verdict["f3.bin"] == "verified"
+
+
+def test_verify_copy_with_relative_dest_root(spark, tmp_path):
+    """verify_copy must anchor the recorded dest_path and the binaryFile
+    scan on the same absolute form — a relative dest_root used to mis-join
+    and report every file as missing."""
+    import os
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.copy_plan import (
+        copy_tree,
+        verify_copy,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "one.bin").write_bytes(b"payload-1")
+    (src / "two.bin").write_bytes(b"payload-22")
+    rel_dest = os.path.relpath(str(tmp_path / "dst"), os.getcwd())
+    result = copy_tree(spark, str(src), rel_dest).cache()
+    assert result.where("status = 'ok'").count() == 2
+    verdict = {
+        r["dest_path"].split("/")[-1]: r["verify_status"]
+        for r in verify_copy(spark, result, rel_dest).collect()
+    }
+    assert verdict == {"one.bin": "verified", "two.bin": "verified"}

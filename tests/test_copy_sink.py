@@ -67,3 +67,22 @@ def test_failed_job_publishes_nothing(spark, tmp_path):
         if "__staging__" not in root
     ] if os.path.isdir(dest) else []
     assert published == []  # nothing escaped staging
+
+
+def test_staged_rel_paths_do_not_collide(spark, tmp_path):
+    """'a/b' and 'a__b' must land as distinct files: the old staging scheme
+    flattened '/' to '__', so the second write silently clobbered the first
+    staged file and commit() then failed on the missing path."""
+    src = tmp_path / "src"
+    os.makedirs(src / "a")
+    (src / "a" / "b").write_bytes(b"nested")
+    (src / "a__b").write_bytes(b"flat")
+    dest = str(tmp_path / "dest")
+    _register(spark)
+    manifest = spark.createDataFrame(
+        [("a/b", str(src / "a" / "b")), ("a__b", str(src / "a__b"))],
+        "rel_path string, download_url string",
+    ).coalesce(1)  # same task → same staging dir, the collision case
+    manifest.write.format("binary_copy").mode("append").save(dest)
+    assert (tmp_path / "dest" / "a" / "b").read_bytes() == b"nested"
+    assert (tmp_path / "dest" / "a__b").read_bytes() == b"flat"

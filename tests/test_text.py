@@ -80,3 +80,36 @@ def test_compression_ratio_orders_repetition(spark, sf_dir):
     fixture_avg = sum(rows.values()) / len(rows)
     assert scored[900001] < 0.1 < fixture_avg  # spam compresses away
     assert scored[900002] > fixture_avg  # random chars barely compress
+
+
+def test_compression_ratio_null_and_empty_text(spark):
+    """Null text must not crash the zlib kernel and empty text must yield a
+    finite ratio (denominator clamped to 1), not inf."""
+    import math
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.text import (
+        q115_compression_ratio,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import TABLE_NAMES
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (1, "normal text here", "en", "web", 16),
+                (2, "", "en", "web", 0),
+                (3, None, "en", "web", 0),
+            ],
+            "doc_id bigint, text string, lang string, source string, n_chars int",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            r["doc_id"]: r
+            for r in q115_compression_ratio(spark, d).collect()
+        }
+    assert len(rows) == 3
+    for r in rows.values():
+        assert r["compression_ratio"] is not None
+        assert math.isfinite(r["compression_ratio"])
+    assert rows[2]["raw_bytes"] == 0 and rows[3]["raw_bytes"] == 0
