@@ -158,11 +158,13 @@ cand AS (
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
-       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 4) AS jaccard
+       ((len(list_intersect(sh_a, sh_b)) * 20000
+         + (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))))
+        // ((len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) * 2))
+       / 10000.0 AS jaccard
 FROM cand
-WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-      / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5
+WHERE len(list_intersect(sh_a, sh_b)) * 2
+      >= len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))
 """,
 )
 def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,10 +215,18 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand_ids.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jaccard = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    return cand.select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")).where(
-        jaccard >= 0.5
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - inter
+    # scaled-integer half-up 4-decimal jaccard + exact rational threshold:
+    # i/u rounds at .00005 boundaries (e.g. 3/32) where Spark and DuckDB
+    # float round() disagree — the q76/q110 determinism pattern
+    return (
+        cand.where(inter * 2 >= union)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor((inter * 20000 + union) / (union * 2)) / 10000.0).alias("jaccard"),
+        )
     )
 
 
@@ -238,8 +248,17 @@ def _jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
             F.first(F.col("b.n_sh")).alias("nb"),
         )
     )
-    jaccard = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return pair.where(jaccard >= threshold).select("doc_a", "doc_b", jaccard.alias("jaccard"))
+    union = (F.col("na") + F.col("nb") - F.col("shared")).cast("bigint")
+    shared = F.col("shared").cast("bigint")
+    # threshold as an exact rational (num/den) — float jaccard >= 0.3 can
+    # flip on 1-ulp division differences between engines
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1000)
+    jacc4 = F.floor((shared * 20000 + union) / (union * 2)) / 10000.0
+    return pair.where(shared * frac.denominator >= union * frac.numerator).select(
+        "doc_a", "doc_b", jacc4.alias("jaccard")
+    )
 
 
 @query(
@@ -257,9 +276,10 @@ pair AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
-       round(CAST(shared AS DOUBLE) / (na + nb - shared), 4) AS jaccard
+       ((shared * 20000 + (na + nb - shared)) // ((na + nb - shared) * 2))
+       / 10000.0 AS jaccard
 FROM pair
-WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.3
+WHERE shared * 10 >= (na + nb - shared) * 3
 """,
 )
 def q27_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,14 +289,57 @@ def q27_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings-list length for ubiquitous shingles — document-frequency cut.)"""
     d = load(spark, sf_dir, "documents")
     pairs = _jaccard_pairs(d, threshold=0.3)
-    return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    return pairs.select("doc_a", "doc_b", "jaccard")
 
 
-@query("q28_simhash_buckets")
+@query(
+    "q28_simhash_buckets",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+),
+hx AS (
+  SELECT doc_id,
+         list_transform(shingles,
+                        s -> ('0x' || substring(md5(s), 1, 15))::BIGINT) AS hashes,
+         len(shingles) AS n
+  FROM sh
+),
+bits AS (
+  SELECT doc_id, n, i,
+         len(list_filter(hashes, h -> ((h >> i) & 1) = 1)) AS ones
+  FROM hx, unnest(generate_series(0, 59)) AS t(i)
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN 2 * ones > n THEN ((1::BIGINT) << i) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, pos, (simhash >> (pos * 15)) & 32767 AS val
+  FROM fp, unnest([0, 1, 2, 3]) AS t(pos)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a
+  JOIN bands b ON a.pos = b.pos AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 12
+""",
+)
 def q28_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup candidates (rows-only check: bit-twiddling has
-    no clean ANSI equivalent; tests/test_dedup.py verifies Hamming-distance
-    properties against a Python reference implementation).
+    """64-bit SimHash near-dup candidates. Oracle-backed as of round 2: the
+    whole pipeline (md5 60-bit hashes, per-bit majority, 15-bit banding,
+    Hamming filter) has an exact DuckDB twin via ('0x'||hex)::BIGINT parsing
+    and integer bit ops; tests/test_dedup.py additionally verifies
+    Hamming-distance properties against a Python reference implementation.
 
     SimHash: per shingle, md5 → 60 bits; per bit, majority vote across the
     document's shingles = fingerprint bit. Near-dups = fingerprints sharing a

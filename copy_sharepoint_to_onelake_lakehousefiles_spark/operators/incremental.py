@@ -123,3 +123,51 @@ def q99_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "event_type", F.hll_sketch_estimate("sk").cast("bigint").alias("n_users_est")
     )
+
+
+@query(
+    "q117_incremental_exact_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+                                THEN user_id END) AS BIGINT) AS n_users_base,
+       CAST(count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                                THEN user_id END) AS BIGINT) AS n_users_delta
+FROM events
+GROUP BY event_type
+""",
+)
+def q117_incremental_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT incremental COUNT DISTINCT — the oracle-backed companion to
+    q99's HLL path. The stored state is the per-(key, user) DISTINCT PAIR
+    set (not a counter: distinct is holistic, counters can't merge); the
+    delta batch's pair set unions in and the count re-aggregates. The
+    oracle recomputes from scratch — merge must equal recompute.
+
+    Scale: state is |keys × distinct users per key| rows — exact but
+    linear in distinct cardinality; q99's HLL sketches are the constant-
+    size alternative when estimates suffice. Both shuffles are keyed
+    (event_type, user_id) — no driver materialization."""
+    e = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    base = (
+        e.where(day < F.lit(EVENTS_CUTOFF))
+        .select("event_type", "user_id").distinct()
+        .withColumn("from_base", F.lit(1))
+    )
+    delta = (
+        e.where(day >= F.lit(EVENTS_CUTOFF))
+        .select("event_type", "user_id").distinct()
+        .withColumn("from_base", F.lit(0))
+    )
+    merged = base.unionByName(delta)
+    return merged.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.countDistinct(F.when(F.col("from_base") == 1, F.col("user_id")))
+        .cast("bigint")
+        .alias("n_users_base"),
+        F.countDistinct(F.when(F.col("from_base") == 0, F.col("user_id")))
+        .cast("bigint")
+        .alias("n_users_delta"),
+    )

@@ -54,24 +54,44 @@ class FetchClientError(Exception):
 _HTTP_SESSION = None  # one pooled requests.Session per Python worker
 
 
-def _http_fetch(url: str, timeout: float = 60.0) -> bytes:
+def _http_fetch(url: str, timeout: float = 60.0, auth=None) -> bytes:
     """GET via a per-interpreter pooled `requests.Session` (connection
     keep-alive across the many small files a copy partition fetches —
     the reference opens a fresh connection per file, NB:293). Raises
     FetchClientError on 4xx (no retry), generic errors on 5xx/transport
     (retried by the caller's backoff loop). Falls back to urllib when
-    requests is unavailable."""
+    requests is unavailable.
+
+    `auth` is an O3 token provider (sources/auth.py): its bearer header is
+    attached to every request, and a 401 triggers ONE invalidate+refresh
+    retry before the 4xx is treated as definitive (token expired
+    server-side — the reference would simply crash, NB:141-143)."""
+    raw = _http_get_once(url, timeout, auth)
+    if raw is None:  # 401 with an auth provider → refresh once
+        auth.invalidate()
+        raw = _http_get_once(url, timeout, auth)
+        if raw is None:
+            raise FetchClientError(f"HTTP 401 for {url} (after token refresh)")
+    return raw
+
+
+def _http_get_once(url: str, timeout: float, auth) -> bytes | None:
+    """One GET. Returns None for a refreshable 401 (auth provided);
+    raises FetchClientError for other 4xx, generic errors for 5xx."""
     global _HTTP_SESSION
+    headers = auth.auth_headers() if auth is not None else {}
     try:
         import requests
     except ImportError:
         from urllib.error import HTTPError
-        from urllib.request import urlopen
+        from urllib.request import Request, urlopen
 
         try:
-            with urlopen(url, timeout=timeout) as r:
+            with urlopen(Request(url, headers=headers), timeout=timeout) as r:
                 return r.read()
         except HTTPError as e:
+            if e.code == 401 and auth is not None:
+                return None
             if 400 <= e.code < 500:
                 raise FetchClientError(f"HTTP {e.code} for {url}") from e
             raise
@@ -82,7 +102,9 @@ def _http_fetch(url: str, timeout: float = 60.0) -> bytes:
         )
         _HTTP_SESSION.mount("http://", adapter)
         _HTTP_SESSION.mount("https://", adapter)
-    resp = _HTTP_SESSION.get(url, timeout=timeout)
+    resp = _HTTP_SESSION.get(url, timeout=timeout, headers=headers)
+    if resp.status_code == 401 and auth is not None:
+        return None
     if 400 <= resp.status_code < 500:
         raise FetchClientError(f"HTTP {resp.status_code} for {url}")
     resp.raise_for_status()
@@ -117,6 +139,7 @@ def execute_copy(
     parallelism: int | None = None,
     max_attempts: int = 3,
     backoff_s: float = 0.05,
+    auth=None,
 ) -> DataFrame:
     """Distributed fetch+write. Each executor task copies its partition's
     files (local/file: URLs here; an http(s) fetcher slots into `_read_src`
@@ -139,8 +162,10 @@ def execute_copy(
 
     def _read_src(src: str) -> bytes:
         # http(s) downloadUrls (the reference's case, NB:293) or local paths.
+        # `auth` (O3, sources/auth.py) rides into the closure; its lazy
+        # per-interpreter token state means each worker fetches its own.
         if src.startswith(("http://", "https://")):
-            return _http_fetch(src)
+            return _http_fetch(src, auth=auth)
         path = src[len("file:") :] if src.startswith("file:") else src
         with open(path, "rb") as f:
             return f.read()
@@ -403,12 +428,15 @@ def q54_copy_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     with partition parallelism — the workload the reference performs with a
     strictly sequential driver loop (NB:284-303). The returned row carries
     files/bytes copied and elapsed wall so BENCH tracks copy throughput,
-    not just query latency."""
+    not just query latency. The driver-side fixture generation is reported
+    SEPARATELY (setup_sec); wall_sec covers only the engine's copy pass, and
+    bench.py uses wall_sec as q54's headline number."""
     import shutil
     import tempfile
     import time
     import uuid
 
+    t_setup = time.time()
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_tput_{uuid.uuid4().hex[:8]}")
     src = os.path.join(base, "src")
     dst = os.path.join(base, "dst")
@@ -418,6 +446,7 @@ def q54_copy_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(256):
         with open(os.path.join(src, f"d{i % 8}", f"f{i:03d}.bin"), "wb") as f:
             f.write(payload)
+    setup_sec = time.time() - t_setup
 
     t0 = time.time()
     result = copy_tree(spark, src, dst, parallelism=32).cache()
@@ -427,6 +456,15 @@ def q54_copy_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.unpersist()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
-        [(n_ok, int(total_bytes), round(elapsed, 3), round(n_ok / elapsed, 1))],
-        "files_copied bigint, bytes_copied bigint, wall_sec double, files_per_sec double",
+        [
+            (
+                n_ok,
+                int(total_bytes),
+                round(elapsed, 3),
+                round(n_ok / elapsed, 1),
+                round(setup_sec, 3),
+            )
+        ],
+        "files_copied bigint, bytes_copied bigint, wall_sec double, "
+        "files_per_sec double, setup_sec double",
     )

@@ -17,26 +17,43 @@ ORACLES: dict[str, str] = {}
 
 # DataFrames persisted inside query builders (self-join inputs read twice
 # within one returned plan). They cannot be unpersisted before the CALLER's
-# terminal action, so builders register them via track_persist() and the
-# next query invocation releases them — cache residency is bounded to one
-# query instead of accumulating across a 115-query gate/bench session.
-_TRACKED_CACHES: list[Any] = []
+# terminal action, so builders register them via track_persist() and query
+# invocations age them out by GENERATION: caches older than KEEP_GENERATIONS
+# query invocations are released. Residency is bounded (≤3 queries' caches
+# across a 115-query gate session) while consecutive related queries still
+# hit Spark's plan-matching cache lookup — e.g. q27/q28 reuse q26's cached
+# shingle table, worth seconds at bench scale; releasing immediately would
+# forfeit that.
+_TRACKED_CACHES: list[tuple[int, Any]] = []
+_GENERATION = 0
+KEEP_GENERATIONS = 3
 
 
 def track_persist(df):
-    """persist() a DataFrame and schedule it for release when the NEXT
-    registered query starts (or on an explicit release_caches())."""
+    """persist() a DataFrame and register it for generational release via
+    release_caches() (called automatically at every query invocation)."""
     df.persist()
-    _TRACKED_CACHES.append(df)
+    _TRACKED_CACHES.append((_GENERATION, df))
     return df
 
 
-def release_caches() -> None:
-    while _TRACKED_CACHES:
-        try:
-            _TRACKED_CACHES.pop().unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
+def release_caches(keep_generations: int | None = None) -> None:
+    """Advance the query generation and unpersist caches older than
+    ``keep_generations`` invocations. Pass 0 to release everything."""
+    global _GENERATION
+    keep = KEEP_GENERATIONS if keep_generations is None else keep_generations
+    _GENERATION += 1
+    cutoff = _GENERATION - keep
+    survivors: list[tuple[int, Any]] = []
+    for gen, df in _TRACKED_CACHES:
+        if gen < cutoff:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
+        else:
+            survivors.append((gen, df))
+    _TRACKED_CACHES[:] = survivors
 
 
 def query(name: str, oracle: str | None = None):

@@ -56,13 +56,28 @@ class DirPartition(InputPartition):
     rel_base: str
 
 
-def _iter_pages(url: str, timeout: float = 30.0):
+def _iter_pages(url: str, timeout: float = 30.0, auth=None):
     """Follow a cursor-paged listing: GET url → {"value": [...],
     "@odata.nextLink": next_url?} until no nextLink remains (the
-    reference's list_children_paged loop, NB:204-211)."""
+    reference's list_children_paged loop, NB:204-211). `auth` is an O3
+    token provider (sources/auth.py) supplying the bearer header the
+    reference sends on every Graph call (NB:53-59)."""
+    from urllib.error import HTTPError
+    from urllib.request import Request
+
     while url:
-        with urlopen(url, timeout=timeout) as r:
-            page = json.load(r)
+        headers = auth.auth_headers() if auth is not None else {}
+        try:
+            with urlopen(Request(url, headers=headers), timeout=timeout) as r:
+                page = json.load(r)
+        except HTTPError as e:
+            if e.code == 401 and auth is not None:  # expired → refresh once
+                auth.invalidate()
+                headers = auth.auth_headers()
+                with urlopen(Request(url, headers=headers), timeout=timeout) as r:
+                    page = json.load(r)
+            else:
+                raise
         yield from page.get("value", [])
         url = page.get("@odata.nextLink")
 
@@ -110,6 +125,19 @@ class GraphManifestReader(DataSourceReader):
             if not os.path.isdir(self.root):
                 raise FileNotFoundError(self.root)
         self.pushed: list[Filter] = []
+        # O3: optional client-credentials auth for the http backend —
+        # .option("auth_token_url", ...).option("auth_client_id", ...)
+        # .option("auth_client_secret", ...)[.option("auth_scope", ...)]
+        self.auth = None
+        if self.http and options.get("auth_token_url"):
+            from .auth import ClientCredentialsTokenProvider
+
+            self.auth = ClientCredentialsTokenProvider(
+                options.get("auth_token_url"),
+                options.get("auth_client_id", ""),
+                options.get("auth_client_secret", ""),
+                scope=options.get("auth_scope"),
+            )
 
     def partitions(self):
         # Frontier walk over DIRECTORIES only — the driver never touches
@@ -132,7 +160,7 @@ class GraphManifestReader(DataSourceReader):
 
     def _subdirs(self, d: str):
         if self.http:
-            for item in _iter_pages(d):
+            for item in _iter_pages(d, auth=self.auth):
                 if "folder" in item and item.get("childrenUrl"):
                     yield item["name"], item["childrenUrl"]
         else:
@@ -144,7 +172,7 @@ class GraphManifestReader(DataSourceReader):
         keep = _row_filter(self.pushed)
         base = partition.rel_base
         if self.http:
-            for item in _iter_pages(partition.dir_path):
+            for item in _iter_pages(partition.dir_path, auth=self.auth):
                 if "folder" in item:
                     continue
                 name, size = item["name"], int(item.get("size", 0))

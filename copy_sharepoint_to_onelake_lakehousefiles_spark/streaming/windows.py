@@ -42,17 +42,29 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_completion(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive an availableNow query to termination into a memory sink and
-    return the sink table."""
-    sink = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    return the sink table.
+
+    Stateful operators allocate one state store per shuffle partition per
+    micro-batch; a vanilla session's 200 partitions over the small gate
+    fixtures is pure constant overhead (q94: 3 batches × 2 join sides).
+    The partition count is pinned at stream start and these runs use fresh
+    checkpoints, so scoping it to 8 here is safe and shaves multi-second
+    store-init cost; the conf is restored before the caller's batch aggs."""
     spark_ = stream_df.sparkSession
+    prev = spark_.conf.get("spark.sql.shuffle.partitions")
+    spark_.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sink = f"sink_{uuid.uuid4().hex[:12]}"
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark_.conf.set("spark.sql.shuffle.partitions", prev)
     return spark_.table(sink)
 
 
