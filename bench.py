@@ -37,6 +37,17 @@ HEADLINE = [
 ]
 
 
+# Documented idle cost of the q01 warm-up at sf0.1 on this container
+# (0.6-0.8 s across rounds 1-3). A warm-up far above it means the sandbox is
+# under external load and every number would inflate uniformly (round 2: a
+# loaded run recorded 57.7 s for a 25 s workload). The canary retries briefly
+# for a quiet window, then annotates the JSON so a loaded artifact is
+# self-describing instead of a phantom regression.
+WARMUP_IDLE_SEC = 0.8
+WARMUP_LOAD_FACTOR = 1.5
+WARMUP_RETRIES = 3
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from copy_sharepoint_to_onelake_lakehousefiles_spark import all_queries, get_spark
@@ -44,8 +55,20 @@ def main() -> None:
     spark = get_spark("bench")
     qs = all_queries()
 
-    # Warm-up: trigger JVM/codegen/parquet-footer paths once.
+    # Warm-up: trigger JVM/codegen/parquet-footer paths once, timed as the
+    # load canary. First iteration always absorbs JVM startup; only the
+    # RE-warmed cost is load signal.
     qs["q01_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    warmup = None
+    for attempt in range(WARMUP_RETRIES):
+        t0 = time.time()
+        qs["q01_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        warmup = round(time.time() - t0, 3)
+        if warmup <= WARMUP_IDLE_SEC * WARMUP_LOAD_FACTOR:
+            break
+        if attempt < WARMUP_RETRIES - 1:
+            time.sleep(15)  # wait out a load spike before measuring
+    load_inflated = warmup > WARMUP_IDLE_SEC * WARMUP_LOAD_FACTOR
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -73,6 +96,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "warmup_sec": warmup,
+                "load_inflated": load_inflated,
             }
         )
     )

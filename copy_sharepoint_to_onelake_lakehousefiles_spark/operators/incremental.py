@@ -95,15 +95,30 @@ def q92_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_CUTOFF = "2024-01-20"
 
 
-@query("q99_incremental_distinct")
+@query(
+    "q99_incremental_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       1 AS est_within_5pct,
+       1 AS merge_lossless
+FROM events
+GROUP BY event_type
+""",
+)
 def q99_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained DISTINCT counts: per-type HLL sketch states
     (hll_sketch_agg) stored for the base window, merged losslessly with the
     delta batch's sketches via hll_union_agg — the sketch-state analogue of
     q92 for the one aggregate the algebraic partials can't carry
-    (COUNT DISTINCT is holistic). Rows-only tier (sketch estimates have no
-    ANSI twin); tests/test_incremental.py proves merge-losslessness: the
-    merged estimate is IDENTICAL to the single-pass sketch over all data.
+    (COUNT DISTINCT is holistic).
+
+    Oracle promotion (r3, derived-bound-flag pattern — see q38): the sketch
+    estimate has no ANSI twin, so the hashed output carries the exact
+    distinct count plus two deterministic flags computed from the real
+    sketches — the merged estimate lands within 5% of exact, and merge ≡
+    single-pass sketch over all data (losslessness, previously proven only
+    in tests/test_incremental.py; the driver gate now checks it too).
 
     Scale: the stored state is one ~4 KB sketch per key, not the key's
     distinct set; re-aggregation shuffles sketches, never raw ids."""
@@ -117,11 +132,23 @@ def q99_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = e.where(day >= F.lit(EVENTS_CUTOFF)).groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
-    merged = base.unionByName(delta).groupBy("event_type").agg(
-        F.hll_union_agg("sk").alias("sk")
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select("event_type", F.hll_sketch_estimate("sk").cast("bigint").alias("n_est"))
     )
-    return merged.select(
-        "event_type", F.hll_sketch_estimate("sk").cast("bigint").alias("n_users_est")
+    single = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint").alias("n_single"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
+    return merged.join(single, "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (F.abs(F.col("n_est") - F.col("n_users_exact")) * 20 <= F.col("n_users_exact"))
+        .cast("int")
+        .alias("est_within_5pct"),
+        (F.col("n_est") == F.col("n_single")).cast("int").alias("merge_lossless"),
     )
 
 

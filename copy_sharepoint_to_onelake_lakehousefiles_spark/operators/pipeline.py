@@ -307,12 +307,16 @@ WITH tok AS (
 tc AS (
   SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
 ),
-top AS (
+agg AS (
   SELECT doc_id,
-         sum(cnt)                                AS n_tokens,
-         (max({'cnt': cnt, 'token': token})).token AS top_token,
-         max(cnt)                                AS top_cnt
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(max(cnt) AS BIGINT) AS top_cnt
   FROM tc GROUP BY doc_id
+),
+top AS (
+  SELECT a.doc_id, a.n_tokens, a.top_cnt, min(t.token) AS top_token
+  FROM agg a JOIN tc t ON t.doc_id = a.doc_id AND t.cnt = a.top_cnt
+  GROUP BY a.doc_id, a.n_tokens, a.top_cnt
 ),
 bg AS (
   SELECT doc_id,
@@ -325,10 +329,10 @@ bg AS (
 SELECT t.doc_id,
        t.n_tokens,
        t.top_token,
-       ((t.top_cnt * 20000 + t.n_tokens) // (t.n_tokens * 2)) / 10000.0
-                                                                     AS top_share,
-       ((b.n_distinct_bigrams * 20000 + b.n_bigrams) // (b.n_bigrams * 2)) / 10000.0
-                                                                     AS bigram_diversity,
+       CAST((t.top_cnt * 20000 + t.n_tokens) // (t.n_tokens * 2) AS BIGINT)
+                                                                     AS top_share_x10k,
+       CAST((b.n_distinct_bigrams * 20000 + b.n_bigrams) // (b.n_bigrams * 2) AS BIGINT)
+                                                                     AS bigram_diversity_x10k,
        CASE WHEN t.top_cnt * 5 > t.n_tokens
               OR b.n_distinct_bigrams * 5 < b.n_bigrams * 3
             THEN 1 ELSE 0 END                                        AS repetitive
@@ -339,23 +343,29 @@ WHERE t.doc_id < 300
 def q76_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition / boilerplate scoring: top-token share and distinct-bigram
     diversity (a cheap compression-ratio proxy), flagged against thresholds —
-    the Gopher/C4-style quality filters. Tie-break on the argmax token is
-    made deterministic by comparing (count, token) structs in both engines.
-    Bigram diversity is array-local; the token counts are a two-level hash
-    agg keyed by (doc_id, token) — no skew (doc_id leads the key).
+    the Gopher/C4-style quality filters. Bigram diversity is array-local; the
+    token counts are a two-level hash agg keyed by (doc_id, token) — no skew
+    (doc_id leads the key).
 
-    Numeric determinism: the 4-decimal shares are computed as SCALED-INTEGER
-    half-up division on the exact integer counts (the q96 pattern) and the
-    repetitive flag as exact rational comparisons (cnt*5 > n, nd*5 < nb*3) —
-    float round() at .5 boundaries differs between Spark and DuckDB, and
-    count ratios land on such boundaries."""
+    Hash-proof contract (two rounds of driver-only divergence taught this):
+    NO doubles and NO engine-specific constructs anywhere in the output —
+    the 4-decimal shares are emitted as BIGINT scaled integers (x10k,
+    half-up integer division on exact counts), the repetitive flag as exact
+    rational comparisons, and the argmax token as an explicit
+    "min(token) among cnt = max(cnt)" join, identical in both dialects
+    (struct-max orderings and HUGEINT division are where engines diverge)."""
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    top = tc.groupBy("doc_id").agg(
+    agg = tc.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_tokens"),
-        F.max(F.struct("cnt", "token")).getField("token").alias("top_token"),
         F.max("cnt").alias("top_cnt"),
+    )
+    top = (
+        tc.join(agg, "doc_id")
+        .where(F.col("cnt") == F.col("top_cnt"))
+        .groupBy("doc_id", "n_tokens", "top_cnt")
+        .agg(F.min("token").alias("top_token"))
     )
     bg = d.select(
         "doc_id",
@@ -377,8 +387,8 @@ def q76_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "top_token",
-        (top_share4 / 10000.0).alias("top_share"),
-        (diversity4 / 10000.0).alias("bigram_diversity"),
+        top_share4.cast("bigint").alias("top_share_x10k"),
+        diversity4.cast("bigint").alias("bigram_diversity_x10k"),
         F.when(repetitive, 1).otherwise(0).cast("int").alias("repetitive"),
     )
 

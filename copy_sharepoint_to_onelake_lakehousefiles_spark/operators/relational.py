@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import epoch_seconds, load
 
 def REVENUE():
     # lazy: F.col needs an active session in classic PySpark
@@ -724,18 +724,45 @@ def q37_event_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q38_approx_distinct")
+@query(
+    "q38_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       1 AS parts_within_5pct,
+       1 AS orders_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def q38_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) beside the exact count — the
     100 TB cardinality path (single pass, mergeable sketches, no dedup
-    shuffle). Rows-only: HLL estimates are engine-specific by construction;
-    tests assert relative error < 5% against the exact value."""
+    shuffle).
+
+    Oracle promotion (r3, derived-bound-flag pattern): the raw HLL estimate
+    is engine-specific and can never hash-match an ANSI twin, so the hashed
+    output carries the EXACT counts plus a deterministic accuracy flag
+    (|est − exact| · 20 ≤ exact, i.e. within 5%) computed from the real
+    sketch; the oracle asserts the flag is 1. The driver gate now verifies
+    the sketch's accuracy contract instead of skipping it."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    within = lambda est, exact: (  # noqa: E731
+        (F.abs(est - exact) * 20 <= exact).cast("int")
+    )
+    agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within(F.col("approx_parts"), F.col("exact_parts")).alias("parts_within_5pct"),
+        within(F.col("approx_orders"), F.col("exact_orders")).alias("orders_within_5pct"),
     )
 
 
@@ -922,22 +949,43 @@ def q53_monthly_trend_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q63_approx_percentiles")
+@query(
+    "q63_approx_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2)  AS exact_median,
+       round(quantile_cont(o_totalprice, 0.95), 2) AS exact_p95,
+       1 AS median_within_1pct,
+       1 AS p95_within_1pct
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
 def q63_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile beside the exact value (rows-only: the sketch is
-    engine-specific). The single-pass mergeable sketch is the 100 TB
-    percentile path; tests assert the approximation lands within the
-    accuracy parameter of the exact result."""
+    """approx_percentile (single-pass mergeable sketch — the 100 TB
+    percentile path) checked against the exact value.
+
+    Oracle promotion (r3, derived-bound-flag pattern — see q38): the sketch
+    estimate is engine-specific, so the hashed output carries the exact
+    interpolated percentiles (Spark `percentile` ≡ DuckDB quantile_cont, the
+    q39 equivalence) plus a flag that the approx estimate lands within 1% of
+    exact; the oracle asserts the flag."""
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_median"),
-        F.round(
-            F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2
-        ).alias("approx_median"),
-        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("exact_p95"),
-        F.round(
-            F.expr("approx_percentile(o_totalprice, 0.95, 10000)"), 2
-        ).alias("approx_p95"),
+    within = lambda est, exact: (  # noqa: E731
+        (F.abs(est - exact) * 100 <= exact).cast("int")
+    )
+    agg = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("em"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("am"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("ep"),
+        F.expr("approx_percentile(o_totalprice, 0.95, 10000)").alias("ap"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.round(F.col("em"), 2).alias("exact_median"),
+        F.round(F.col("ep"), 2).alias("exact_p95"),
+        within(F.col("am"), F.col("em")).alias("median_within_1pct"),
+        within(F.col("ap"), F.col("ep")).alias("p95_within_1pct"),
     )
 
 
@@ -1343,7 +1391,9 @@ def q86_batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plans a single Window operator chain, no second exchange."""
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # epoch_seconds, not cast("long"): ts is TIMESTAMP_NTZ, which Spark 4
+    # refuses to cast to a numeric.
+    gap = epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
     marked = e.select(
         "user_id",
         "ts",
@@ -1360,7 +1410,7 @@ def q86_batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        (F.max(epoch_seconds("ts")) - F.min(epoch_seconds("ts")))
         .cast("bigint")
         .alias("duration_sec"),
         F.round(F.sum("value"), 2).alias("session_value"),

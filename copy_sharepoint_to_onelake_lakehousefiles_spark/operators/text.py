@@ -195,10 +195,42 @@ def q24_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q25_language_id")
+@query(
+    "q25_language_id",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           generate_series(1, greatest(length(text) - 2, 1)),
+           i -> substring(text, i, 3))) AS gram
+  FROM documents
+),
+prof AS (
+  SELECT lang AS profile_lang, gram FROM (
+    SELECT lang, gram,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, gram) AS rk
+    FROM grams WHERE doc_id % 2 = 0 GROUP BY lang, gram
+  ) WHERE rk <= 40
+),
+dedup AS (SELECT DISTINCT doc_id, lang, gram FROM grams WHERE doc_id % 2 = 1),
+scored AS (
+  SELECT d.doc_id, d.lang, p.profile_lang, count(*) AS overlap
+  FROM dedup d JOIN prof p ON d.gram = p.gram
+  GROUP BY d.doc_id, d.lang, p.profile_lang
+)
+SELECT doc_id, lang AS true_lang, profile_lang AS predicted_lang, overlap
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY overlap DESC, profile_lang) AS rk
+      FROM scored)
+WHERE rk = 1
+""",
+)
 def q25_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram-heuristic language ID (rows-only check: profile construction is
-    iterative and not reasonably ANSI-SQL-expressible).
+    """N-gram-heuristic language ID, fully oracle-backed (promoted in r3:
+    the heuristic is deterministic windowed SQL, not iterative — train/score
+    split by doc_id parity, top-40 trigram profile, overlap argmax with
+    lexicographic tie-breaks in both dialects).
 
     Build a per-language profile = top character-trigrams by frequency from a
     labelled sample, then classify each document by profile overlap. At scale

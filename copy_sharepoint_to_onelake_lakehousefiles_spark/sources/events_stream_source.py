@@ -41,9 +41,11 @@ class EventsReplayReader(SimpleDataSourceStreamReader):
             import pyarrow.parquet as pq
 
             t = pq.read_table(self.path).sort_by("event_id")
-            # ts is TIMESTAMP(NANOS) in the fixture — expose as raw int64
-            # nanos (the declared ts_ns) instead of datetimes.
-            ts_ns = t.column("ts").cast(pa.int64()).to_pylist()
+            # Expose ts as raw int64 NANOS (the declared ts_ns) whatever the
+            # fixture's physical unit — cast through timestamp[ns] first so a
+            # micros-encoded file doesn't leak micros into a nanos column
+            # (the round-2 fixture drift).
+            ts_ns = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()).to_pylist()
             cols = ["event_id", "user_id", "event_type", "value", "props"]
             ev, uid, et, val, pr = (t.column(c).to_pylist() for c in cols)
             self._table = list(zip(ev, ts_ns, uid, et, val, pr))

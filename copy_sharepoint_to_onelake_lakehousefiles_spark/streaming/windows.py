@@ -19,25 +19,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import table_path
+from ..tables import events_ts_unit, table_path
 
-_EVENT_SCHEMA_DDL = (
+# Two stream schemas for the two fixture encodings the generator has shipped
+# (see tables.events_ts_unit): TIMESTAMP(MICROS) reads directly into a
+# TIMESTAMP column (not NTZ — watermarks demand TIMESTAMP, and under the UTC
+# session TZ the values are identical); legacy TIMESTAMP(NANOS) must be
+# declared BIGINT (raw nanos) and converted. The loaders below branch on the
+# observed parquet footer so a fixture regeneration can't silently scale
+# every timestamp (the round-2 breakage: micros read as "nanos" div 1000 →
+# 1970 dates).
+_EVENT_SCHEMA_TS = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+_EVENT_SCHEMA_NS = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
 
 
+def _stream_reader(spark: SparkSession, sf_dir: str):
+    """(readStream reader, needs_nanos_conversion) for the observed footer."""
+    unit = events_ts_unit(sf_dir)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.readStream.schema(_EVENT_SCHEMA_NS).format("parquet"), True
+    return spark.readStream.schema(_EVENT_SCHEMA_TS).format("parquet"), False
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as a stream; ts arrives as raw nanos (see tables.load) and is
-    converted to a microsecond TIMESTAMP before any windowing."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = (
-        spark.readStream.schema(_EVENT_SCHEMA_DDL)
-        .format("parquet")
-        # The file stream source needs a directory; filter to the one table.
-        .option("pathGlobFilter", "events.parquet")
-    )
-    return reader.load(sf_dir).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """events as a stream with ``ts`` normalized to a microsecond timestamp,
+    mirroring the batch ``tables.load`` (the oracle-validated path)."""
+    reader, needs_ns = _stream_reader(spark, sf_dir)
+    # The file stream source needs a directory; filter to the one table.
+    df = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
+    if needs_ns:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def _run_to_completion(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
@@ -48,11 +67,18 @@ def _run_to_completion(stream_df: DataFrame, output_mode: str = "complete") -> D
     micro-batch; a vanilla session's 200 partitions over the small gate
     fixtures is pure constant overhead (q94: 3 batches × 2 join sides).
     The partition count is pinned at stream start and these runs use fresh
-    checkpoints, so scoping it to 8 here is safe and shaves multi-second
-    store-init cost; the conf is restored before the caller's batch aggs."""
+    checkpoints, so scoping it down here is safe and shaves multi-second
+    store-init cost; the conf is restored before the caller's batch aggs.
+
+    The count is DERIVED from the session's shuffle parallelism, not a
+    constant: a quarter of the batch setting (floor 8) keeps state-store
+    count proportional to cluster size — on a 1000-executor cluster with
+    shuffle.partitions in the thousands this stays in the hundreds, instead
+    of serializing all streaming state through 8 stores."""
     spark_ = stream_df.sparkSession
     prev = spark_.conf.get("spark.sql.shuffle.partitions")
-    spark_.conf.set("spark.sql.shuffle.partitions", "8")
+    stream_parts = max(8, int(prev) // 4)
+    spark_.conf.set("spark.sql.shuffle.partitions", str(stream_parts))
     try:
         sink = f"sink_{uuid.uuid4().hex[:12]}"
         q = (
@@ -430,26 +456,27 @@ def _events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     advances the watermark and then drains the state. Callers must filter
     user_id/-keyed output ≥ 0. Mirrors a production heartbeat topic — the
     standard fix for watermark stall on quiet sources."""
+    import datetime as dt
     import shutil
     import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    mx = (
-        spark.read.schema(_EVENT_SCHEMA_DDL)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
-        .agg(F.max("ts"))
-        .first()[0]
-    )
+    from ..tables import load as load_table
+
+    unit = events_ts_unit(sf_dir)
+    # Max event time via the normalized batch loader (a python datetime) —
+    # unit-proof: sentinel offsets are computed as timedeltas, and the
+    # sentinel files are written in the SAME physical unit as the fixture so
+    # the staged directory has one uniform schema.
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
     stage = tempfile.mkdtemp(prefix="stream_flush_")
     shutil.copy(os.path.join(sf_dir, "events.parquet"), f"{stage}/aa_events.parquet")
-    day_ns = 24 * 3600 * 10**9
     schema = pa.schema(
         [
             ("event_id", pa.int64()),
-            ("ts", pa.timestamp("ns")),
+            ("ts", pa.timestamp(unit)),
             ("user_id", pa.int64()),
             ("event_type", pa.string()),
             ("value", pa.float64()),
@@ -457,13 +484,11 @@ def _events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     for i in (1, 2):
+        base = mx + dt.timedelta(days=30 * i)
         t = pa.table(
             {
                 "event_id": [-(2 * i), -(2 * i + 1)],
-                "ts": pa.array(
-                    [mx + 30 * i * day_ns, mx + 30 * i * day_ns + 2 * 3600 * 10**9],
-                    pa.timestamp("ns"),
-                ),
+                "ts": pa.array([base, base + dt.timedelta(hours=2)], pa.timestamp(unit)),
                 "user_id": [-1, -1],
                 "event_type": ["click", "purchase"],
                 "value": [0.0, 0.0],
@@ -472,12 +497,11 @@ def _events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema=schema,
         )
         pq.write_table(t, f"{stage}/zz_flush{i}.parquet")
-    reader = (
-        spark.readStream.schema(_EVENT_SCHEMA_DDL)
-        .format("parquet")
-        .option("maxFilesPerTrigger", "1")
-    )
-    return reader.load(stage).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    reader, needs_ns = _stream_reader(spark, sf_dir)
+    df = reader.option("maxFilesPerTrigger", "1").load(stage)
+    if needs_ns:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 @query(

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -79,13 +79,44 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def events_ts_unit(sf_dir: str) -> str:
+    """Physical unit of ``events.ts`` from the parquet footer ('us' or 'ns').
+
+    The fixture generator has shipped both TIMESTAMP(NANOS) (rounds 1-2) and
+    TIMESTAMP(MICROS) (round 3+); every loader — batch and streaming — must
+    branch on the *observed* footer, never assume one encoding. Driver-side
+    footer read only; no data IO."""
+    import pyarrow.parquet as pq
+
+    field = pq.read_schema(table_path(sf_dir, "events")).field("ts")
+    unit = getattr(field.type, "unit", None)
+    if unit not in ("us", "ns", "ms", "s"):
+        raise ValueError(f"events.ts has unexpected physical type {field.type}")
+    return unit
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Seconds since epoch for a TIMESTAMP_NTZ (or TIMESTAMP) column.
+
+    TIMESTAMP_NTZ cannot be cast to long (DATATYPE_MISMATCH in Spark 4);
+    timestampdiff from the NTZ epoch literal is exact, integer, and
+    session-timezone-independent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "SECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),  # TIMESTAMP→NTZ is identity under the UTC session TZ
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; validates declared column names.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    rejects; we read it as raw nanos (legacy conf) and convert to microsecond
-    TIMESTAMP — the same truncation DuckDB applies, so oracle comparisons
-    agree."""
+    ``events.ts`` normalizes to a microsecond timestamp whatever the fixture's
+    physical encoding: TIMESTAMP(MICROS) reads natively as timestamp_ntz;
+    legacy TIMESTAMP(NANOS) (which Spark's vectorized reader rejects) arrives
+    as raw nanos under the legacy conf and is truncated to micros — the same
+    truncation DuckDB applies, so oracle comparisons agree either way."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))

@@ -5,12 +5,11 @@ import glob
 import json
 import os
 
-from pyspark.sql import functions as F
-
 from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.audit_stream_sink import (
     AuditJsonlDataSource,
     read_committed,
 )
+from copy_sharepoint_to_onelake_lakehousefiles_spark.streaming.windows import _events_stream
 from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import load
 
 
@@ -21,16 +20,7 @@ def test_stream_writes_ledgered_jsonl(spark, sf_dir, tmp_path):
         pass
     out = str(tmp_path / "audit")
     ckpt = str(tmp_path / "ckpt")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .select("event_id", "event_type", "user_id")
-    )
+    stream = _events_stream(spark, sf_dir).select("event_id", "event_type", "user_id")
     q = (
         stream.writeStream.format("audit_jsonl")
         .option("checkpointLocation", ckpt)

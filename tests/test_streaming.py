@@ -45,6 +45,32 @@ def test_sessionization_event_conservation(spark, sf_dir):
     assert all(r["n_sessions"] >= 1 for r in rows)
 
 
+def test_sessionization_equals_batch_sessions(spark, sf_dir):
+    """VALUE-sensitive parity (round-2 lesson: conservation-style asserts
+    survive a uniform timestamp-scaling bug — per-user session COUNTS don't):
+    streaming session_window (q41) must agree with the batch gaps-and-islands
+    sessionization (q86) user by user."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.relational import (
+        q86_batch_sessions,
+    )
+
+    stream = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in SW.q41_stream_sessionization(spark, sf_dir).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q86_batch_sessions(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    assert stream == batch
+
+
 def test_session_window_exact_gap_merges(spark):
     """Pin the session_window boundary semantics the q41 oracle relies on:
     an event at exactly prev + gap belongs to the SAME session."""

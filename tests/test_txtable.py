@@ -1,0 +1,147 @@
+"""TxTable: atomic commit log, snapshot isolation, time travel, CoW merge
+with file pruning, and optimistic concurrency."""
+
+import json
+import os
+
+import pytest
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.merge import merge_upsert_partitioned
+from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.txtable import TxTable
+from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import load
+
+
+def _nation_table(spark, sf_dir, tmp_path, name="t"):
+    nation = load(spark, sf_dir, "nation").repartitionByRange(4, "n_nationkey")
+    return TxTable.create(spark, str(tmp_path / name), nation, key="n_nationkey")
+
+
+def test_create_and_read(spark, sf_dir, tmp_path):
+    t = _nation_table(spark, sf_dir, tmp_path)
+    assert t.latest_version() == 0
+    assert t.read().count() == 25
+    # manifest carries per-file key stats for data skipping
+    m = t._manifest(0)
+    assert len(m["files"]) >= 2
+    assert all(fe["min_key"] is not None for fe in m["files"])
+
+
+def test_merge_updates_inserts_carries_files(spark, sf_dir, tmp_path):
+    t = _nation_table(spark, sf_dir, tmp_path)
+    updates = spark.createDataFrame(
+        [(0, "RENAMED", 9), (999, "NEWLAND", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    stats = t.merge(updates)
+    assert stats["updated"] == 1 and stats["inserted"] == 1
+    # key range [0, 999] spans all 4 range-partitioned files → no pruning
+    # here; the pruning case is tested below with a narrow batch
+    after = {r["n_nationkey"]: r["n_name"] for r in t.read().collect()}
+    assert len(after) == 26 and after[0] == "RENAMED" and after[999] == "NEWLAND"
+
+
+def test_merge_prunes_untouched_files(spark, sf_dir, tmp_path):
+    t = _nation_table(spark, sf_dir, tmp_path)
+    n_files = len(t._manifest(0)["files"])
+    narrow = spark.createDataFrame(
+        [(1, "X", 1), (2, "Y", 1)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    stats = t.merge(narrow)
+    assert stats["files_rewritten"] < n_files, "narrow batch must not rewrite all files"
+    assert stats["files_carried"] >= 1
+    assert t.read().count() == 25  # both keys existed → pure update
+
+
+def test_time_travel_snapshots_are_immutable(spark, sf_dir, tmp_path):
+    t = _nation_table(spark, sf_dir, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [(999, "NEWLAND", 1)], "n_nationkey int, n_name string, n_regionkey int"
+        )
+    )
+    assert t.read(0).count() == 25  # pre-merge snapshot unchanged
+    assert t.read(1).count() == 26
+    assert [h["op"] for h in t.history()] == ["create", "merge"]
+
+
+def test_append_carries_prior_files(spark, sf_dir, tmp_path):
+    t = _nation_table(spark, sf_dir, tmp_path)
+    before = {fe["path"] for fe in t._manifest(0)["files"]}
+    t.append(
+        spark.createDataFrame(
+            [(500, "APPENDED", 0)], "n_nationkey int, n_name string, n_regionkey int"
+        )
+    )
+    after_manifest = t._manifest(1)
+    assert before <= {fe["path"] for fe in after_manifest["files"]}
+    assert t.read().count() == 26
+
+
+def test_concurrent_commit_loses_atomically(spark, sf_dir, tmp_path):
+    """Simulate a racing writer by pre-creating the next version's manifest;
+    the second committer must fail (and merge() retries onto v2)."""
+    t = _nation_table(spark, sf_dir, tmp_path)
+    race = os.path.join(t.log_dir, "00000001.json")
+    with open(race, "w") as f:
+        json.dump({"version": 1, "op": "race", "key": "n_nationkey",
+                   "files": t._manifest(0)["files"]}, f)
+    stats = t.merge(
+        spark.createDataFrame(
+            [(3, "Z", 1)], "n_nationkey int, n_name string, n_regionkey int"
+        )
+    )
+    assert stats["updated"] == 1
+    assert t.latest_version() == 2  # landed after the racer, not over it
+
+
+def test_crashed_writer_files_invisible(spark, sf_dir, tmp_path):
+    """Orphan data files (written, never committed) must not appear in
+    reads — manifest-only resolution."""
+    t = _nation_table(spark, sf_dir, tmp_path)
+    orphan = spark.createDataFrame(
+        [(777, "ORPHAN", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    # write data files directly, then "crash" before commit
+    t._write_files(orphan)
+    assert t.read().count() == 25
+    assert 777 not in {r["n_nationkey"] for r in t.read().collect()}
+
+
+def test_compact_bin_packs_small_files(spark, sf_dir, tmp_path):
+    t = _nation_table(spark, sf_dir, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [(999, "NEWLAND", 1)], "n_nationkey int, n_name string, n_regionkey int"
+        )
+    )
+    before = len(t._manifest(t.latest_version())["files"])
+    stats = t.compact(target_files=1)
+    assert stats["files_compacted"] == before
+    assert stats["files_after"] == 1
+    assert t.read().count() == 26  # content preserved
+    assert t.read(1).count() == 26  # pre-compaction snapshot still readable
+    assert [h["op"] for h in t.history()][-1] == "compact"
+
+
+def test_merge_upsert_partitioned_rewrites_only_hit_partitions(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "part_target")
+    load(spark, sf_dir, "nation").write.partitionBy("n_regionkey").parquet(target)
+    parts_before = {
+        p: os.path.getmtime(os.path.join(target, p))
+        for p in os.listdir(target) if p.startswith("n_regionkey=")
+    }
+    updates = spark.createDataFrame(
+        [(0, "RENAMED", 0), (998, "NEWLAND", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    stats = merge_upsert_partitioned(
+        spark, target, updates, key="n_nationkey", part_col="n_regionkey"
+    )
+    assert stats == {"updated": 1, "inserted": 1, "partitions_rewritten": 1}
+    after = spark.read.option("basePath", target).parquet(target)
+    vals = {r["n_nationkey"]: r["n_name"] for r in after.collect()}
+    assert vals[0] == "RENAMED" and vals[998] == "NEWLAND" and len(vals) == 26
+    # untouched partitions were not rewritten (same mtime)
+    for p, mt in parts_before.items():
+        if p != "n_regionkey=0":
+            assert os.path.getmtime(os.path.join(target, p)) == pytest.approx(mt)
