@@ -91,12 +91,15 @@ class TxTable:
             )
         return out
 
-    def _commit(self, op: str, files: list[dict], version: int) -> None:
+    def _commit(self, op: str, files: list[dict], version: int, txn: str | None = None) -> None:
         """Atomically publish ``version``; raises FileExistsError if another
         writer won the race (optimistic concurrency — caller may retry on
-        the fresh snapshot)."""
+        the fresh snapshot). ``txn`` stamps an application transaction id
+        into the manifest for idempotent writers (see seen_txn)."""
         os.makedirs(self.log_dir, exist_ok=True)
         manifest = {"version": version, "op": op, "key": self.key, "files": files}
+        if txn is not None:
+            manifest["txn"] = txn
         tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -104,6 +107,11 @@ class TxTable:
             os.link(tmp, os.path.join(self.log_dir, _fmt_version(version)))
         finally:
             os.unlink(tmp)
+
+    def seen_txn(self, txn: str) -> bool:
+        """True if any commit carries this transaction id (log scan is
+        bounded by version count; production variants index txn → version)."""
+        return any(self._manifest(v).get("txn") == txn for v in self.versions())
 
     # --------------------------------------------------------------- data
 
@@ -170,20 +178,29 @@ class TxTable:
         self._commit("append", prior + added, version=base + 1)
         return {"appended": sum(fe["rows"] for fe in added), "new_files": len(added)}
 
-    def merge(self, updates: DataFrame, max_retries: int = 3) -> dict:
+    def merge(self, updates: DataFrame, max_retries: int = 3, txn: str | None = None) -> dict:
         """MERGE updates INTO table ON key (matched → replace, not matched →
         insert). Copy-on-write with file pruning: files whose key range
         can't contain an update key are carried by reference. Retries on
-        concurrent-commit conflicts (optimistic concurrency)."""
+        concurrent-commit conflicts (optimistic concurrency). A ``txn`` id
+        makes the merge IDEMPOTENT: a replayed transaction (streaming batch
+        retry after a crash) is skipped — the exactly-once sink contract."""
+        if txn is not None and self.seen_txn(txn):
+            return {"updated": 0, "inserted": 0, "files_rewritten": 0,
+                    "files_carried": 0, "skipped_duplicate_txn": True}
         for attempt in range(max_retries):
             try:
-                return self._merge_once(updates)
+                return self._merge_once(updates, txn)
             except FileExistsError:
+                if txn is not None and self.seen_txn(txn):
+                    # the racer that beat us WAS this txn's earlier attempt
+                    return {"updated": 0, "inserted": 0, "files_rewritten": 0,
+                            "files_carried": 0, "skipped_duplicate_txn": True}
                 if attempt == max_retries - 1:
                     raise
         raise AssertionError("unreachable")
 
-    def _merge_once(self, updates: DataFrame) -> dict:
+    def _merge_once(self, updates: DataFrame, txn: str | None = None) -> dict:
         key = self.key
         base = self.latest_version()
         files = self._manifest(base)["files"]
@@ -195,7 +212,7 @@ class TxTable:
         # (same shape as Delta's data-skipping over add-file stats).
         ulo, uhi = updates.agg(F.min(key), F.max(key)).first()
         if ulo is None:  # empty update batch → no-op commit
-            self._commit("merge", files, version=base + 1)
+            self._commit("merge", files, version=base + 1, txn=txn)
             return {"updated": 0, "inserted": 0, "files_rewritten": 0,
                     "files_carried": len(files)}
         touched = [
@@ -216,7 +233,7 @@ class TxTable:
             matched = 0
             rewritten = self._write_files(updates)
 
-        self._commit("merge", carried + rewritten, version=base + 1)
+        self._commit("merge", carried + rewritten, version=base + 1, txn=txn)
         n_updates = updates.count()
         return {
             "updated": matched,
@@ -224,6 +241,107 @@ class TxTable:
             "files_rewritten": len(touched),
             "files_carried": len(carried),
         }
+
+    def delete(self, predicate: str) -> dict:
+        """DELETE WHERE predicate, copy-on-write. Data skipping is a
+        metadata-cheap pre-pass: one scan of only the predicate's columns
+        (column pruning) counts matches per file via input_file_name();
+        files with zero matches are carried by reference, the rest are
+        rewritten without the matching rows."""
+        base = self.latest_version()
+        files = self._manifest(base)["files"]
+        by_path = {
+            os.path.abspath(os.path.join(self.root, fe["path"])): fe for fe in files
+        }
+        all_df = self.spark.read.parquet(*by_path)
+        hits = (
+            all_df.where(predicate)
+            .groupBy(F.input_file_name().alias("path"))
+            .count()
+            .collect()  # bounded: one row per file containing matches
+        )
+        hit_paths = {
+            os.path.abspath(p["path"][5:] if p["path"].startswith("file:") else p["path"])
+            for p in hits
+        }
+        touched = [by_path[p] for p in hit_paths]
+        carried = [fe for fe in files if fe not in touched]
+        n_deleted = sum(p["count"] for p in hits)
+
+        new_files: list[dict] = []
+        if touched:
+            touched_df = self.spark.read.parquet(
+                *[os.path.join(self.root, fe["path"]) for fe in touched]
+            )
+            kept = touched_df.where(f"NOT ({predicate})")
+            if kept.limit(1).count() > 0:
+                new_files = self._write_files(kept)
+        self._commit("delete", carried + new_files, version=base + 1)
+        return {
+            "deleted": n_deleted,
+            "files_rewritten": len(touched),
+            "files_carried": len(carried),
+        }
+
+    def changes(self, v_from: int, v_to: int) -> DataFrame:
+        """Change data feed between two versions, recovered from the commit
+        log alone: rows in files added minus rows in files removed are the
+        post-change side, the reverse is the pre-change side (CoW rewrites
+        carry unchanged rows into new files, so full-row set difference —
+        exceptAll — filters them out). Classified by key membership:
+
+        - insert            (key only in v_to)
+        - delete            (key only in v_from)
+        - update_preimage   (key in both, old row)
+        - update_postimage  (key in both, new row)
+
+        Scale: reads only the files that CHANGED between the versions, not
+        either snapshot."""
+        key = self.key
+        mf, mt = self._manifest(v_from), self._manifest(v_to)
+        from_paths = {fe["path"] for fe in mf["files"]}
+        to_paths = {fe["path"] for fe in mt["files"]}
+        removed = [p for p in from_paths - to_paths]
+        added = [p for p in to_paths - from_paths]
+
+        def read_files(paths):
+            if not paths:
+                return None
+            return self.spark.read.parquet(
+                *[os.path.join(self.root, p) for p in paths]
+            )
+
+        old_df, new_df = read_files(removed), read_files(added)
+        empty = self.spark.createDataFrame(
+            [], self.read(v_to).withColumn("change_type", F.lit("")).schema
+        )
+        if old_df is None and new_df is None:
+            return empty
+        cols = (new_df or old_df).columns
+        if old_df is None:
+            return new_df.withColumn("change_type", F.lit("insert"))
+        if new_df is None:
+            return old_df.withColumn("change_type", F.lit("delete"))
+        pre = old_df.exceptAll(new_df)   # rewritten-but-identical rows drop out
+        post = new_df.exceptAll(old_df)
+        both_keys = pre.select(key).intersect(post.select(key))
+        return (
+            post.join(both_keys, key, "left_anti")
+            .withColumn("change_type", F.lit("insert"))
+            .unionByName(
+                pre.join(both_keys, key, "left_anti")
+                .withColumn("change_type", F.lit("delete"))
+            )
+            .unionByName(
+                pre.join(both_keys, key, "left_semi")
+                .withColumn("change_type", F.lit("update_preimage"))
+            )
+            .unionByName(
+                post.join(both_keys, key, "left_semi")
+                .withColumn("change_type", F.lit("update_postimage"))
+            )
+            .select(*cols, "change_type")
+        )
 
     def compact(self, target_files: int = 1, small_rows: int = 1_000_000) -> dict:
         """Bin-pack small files (the lakehouse small-files problem: every
@@ -245,6 +363,28 @@ class TxTable:
         )
         self._commit("compact", big + packed, version=base + 1)
         return {"files_compacted": len(small), "files_after": len(big) + len(packed)}
+
+
+def stream_upsert(table: TxTable, stream_df: DataFrame, stream_id: str, checkpoint: str):
+    """Exactly-once streaming upsert into a TxTable: each micro-batch MERGEs
+    under txn id ``<stream_id>/<batchId>``, so a batch replayed after a
+    crash-restart (same checkpoint → same batchId) is skipped by the commit
+    log instead of double-applied. This is the foreachBatch idempotent-sink
+    pattern with the dedup ledger in the table itself, mirroring the
+    engine's audit_jsonl sink but with MERGE semantics.
+
+    Runs with Trigger.availableNow; returns after the drain completes."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda batch_df, batch_id: table.merge(
+                batch_df, txn=f"{stream_id}/{batch_id}"
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 # --------------------------------------------------------------- queries
@@ -326,3 +466,27 @@ def q119_txtable_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(version).alias("version"), "n_rows", "key_sum")
 
     return _materialize_and_clean(t, summarize(0).unionByName(summarize(1)))
+
+
+@query(
+    "q120_txtable_changes",
+    oracle=f"""
+WITH updates(n_nationkey, n_name, n_regionkey) AS ({_UPDATE_VALUES_SQL})
+SELECT u.n_nationkey, u.n_name, u.n_regionkey,
+       CASE WHEN t.n_nationkey IS NULL THEN 'insert'
+            ELSE 'update_postimage' END AS change_type
+FROM updates u LEFT JOIN nation t ON t.n_nationkey = u.n_nationkey
+UNION ALL
+SELECT t.n_nationkey, t.n_name, t.n_regionkey, 'update_preimage'
+FROM nation t JOIN updates u ON t.n_nationkey = u.n_nationkey
+""",
+)
+def q120_txtable_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed: the row-level diff between two table versions,
+    recovered purely from the commit log's file diff (no change tracking at
+    write time). For the merge commit this must be exactly the update
+    pre/post-images plus the insert — rewritten-but-unchanged rows must NOT
+    appear (the exceptAll filter). The oracle derives the same feed
+    relationally from the update batch."""
+    t = _merged_nation_table(spark, sf_dir)
+    return _materialize_and_clean(t, t.changes(0, 1))

@@ -123,6 +123,86 @@ def test_compact_bin_packs_small_files(spark, sf_dir, tmp_path):
     assert [h["op"] for h in t.history()][-1] == "compact"
 
 
+def test_delete_prunes_and_removes_rows(spark, sf_dir, tmp_path):
+    t = _nation_table(spark, sf_dir, tmp_path)
+    n_files = len(t._manifest(0)["files"])
+    stats = t.delete("n_nationkey <= 2")
+    assert stats["deleted"] == 3
+    assert stats["files_rewritten"] == 1  # keys 0-2 live in one range file
+    assert stats["files_carried"] == n_files - 1
+    assert t.read().count() == 22
+    assert t.read(0).count() == 25  # snapshot untouched
+    remaining = {r["n_nationkey"] for r in t.read().collect()}
+    assert remaining.isdisjoint({0, 1, 2})
+
+
+def test_changes_emits_only_logical_changes(spark, sf_dir, tmp_path):
+    t = _nation_table(spark, sf_dir, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [(0, "RENAMED", 9), (999, "NEWLAND", 1)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        )
+    )
+    feed = {(r["change_type"], r["n_nationkey"]) for r in t.changes(0, 1).collect()}
+    # rewritten-but-identical rows must NOT surface in the feed
+    assert feed == {
+        ("update_preimage", 0),
+        ("update_postimage", 0),
+        ("insert", 999),
+    }
+
+
+def test_changes_after_delete_reports_deletes(spark, sf_dir, tmp_path):
+    t = _nation_table(spark, sf_dir, tmp_path)
+    t.delete("n_nationkey = 24")
+    feed = [(r["change_type"], r["n_nationkey"]) for r in t.changes(0, 1).collect()]
+    assert feed == [("delete", 24)]
+
+
+def test_txn_merge_is_idempotent(spark, sf_dir, tmp_path):
+    t = _nation_table(spark, sf_dir, tmp_path)
+    u = spark.createDataFrame(
+        [(999, "NEWLAND", 1)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    first = t.merge(u, txn="stream-a/0")
+    replay = t.merge(u, txn="stream-a/0")  # crash-replay of the same batch
+    assert "skipped_duplicate_txn" not in first
+    assert replay.get("skipped_duplicate_txn") is True
+    assert t.read().count() == 26  # applied exactly once
+    assert t.latest_version() == 1
+
+
+def test_stream_upsert_exactly_once(spark, sf_dir, tmp_path):
+    """Drain a stream into the table twice with the same checkpoint: the
+    second drain has nothing new and replays nothing — counts stable."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.txtable import stream_upsert
+
+    t = _nation_table(spark, sf_dir, tmp_path)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(999, "NEWLAND", 1), (0, "RENAMED", 9)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "batch0"))
+    stream = (
+        spark.readStream.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stream_upsert(t, stream, "nation-feed", ckpt)
+    assert t.read().count() == 26
+    v_after_first = t.latest_version()
+
+    # same checkpoint, no new files → no new commits, no duplicates
+    stream_upsert(t, stream, "nation-feed", ckpt)
+    assert t.read().count() == 26
+    after = {r["n_nationkey"]: r["n_name"] for r in t.read().collect()}
+    assert after[0] == "RENAMED" and after[999] == "NEWLAND"
+    assert t.latest_version() == v_after_first
+
+
 def test_merge_upsert_partitioned_rewrites_only_hit_partitions(spark, sf_dir, tmp_path):
     target = str(tmp_path / "part_target")
     load(spark, sf_dir, "nation").write.partitionBy("n_regionkey").parquet(target)
