@@ -394,9 +394,21 @@ _UPDATE_DDL = "n_nationkey int, n_name string, n_regionkey int"
 _UPDATE_VALUES_SQL = "VALUES (0, 'RENAMED', 9), (7, 'PATCHED', 2), (999, 'NEWLAND', 1)"
 
 
+_TABLE_CACHE: dict[tuple[int, str], TxTable] = {}
+
+
 def _merged_nation_table(spark: SparkSession, sf_dir: str) -> TxTable:
     """nation → TxTable v0 (range-partitioned into 4 files so the commit
-    log's min/max stats give real pruning), then one MERGE → v1."""
+    log's min/max stats give real pruning), then one MERGE → v1.
+
+    Memoized per (session, sf_dir): q118/q119/q120 all interrogate the same
+    two commits, and rebuilding costs ~8 s of tiny Spark jobs per query in
+    the driver gate. The table is a few KB on local disk; it lives for the
+    session (commits are immutable, so reuse is safe)."""
+    cache_key = (id(spark), sf_dir)
+    t = _TABLE_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.log_dir):
+        return t
     import tempfile
 
     root = os.path.join(tempfile.gettempdir(), f"txtable_{uuid.uuid4().hex[:8]}")
@@ -404,16 +416,17 @@ def _merged_nation_table(spark: SparkSession, sf_dir: str) -> TxTable:
     t = TxTable.create(spark, root, nation, key="n_nationkey")
     updates = spark.createDataFrame(_UPDATE_ROWS, _UPDATE_DDL)
     t.merge(updates)
+    _TABLE_CACHE[cache_key] = t
     return t
 
 
-def _materialize_and_clean(t: TxTable, df: DataFrame) -> DataFrame:
-    import shutil
-
+def _materialize(t: TxTable, df: DataFrame) -> DataFrame:
+    # Materialize eagerly so the result does not depend on the cached
+    # table's files outliving the caller (parity with the other
+    # side-effectful queries, which never hand back lazy plans over
+    # temp dirs).
     rows = df.collect()
-    schema = df.schema
-    shutil.rmtree(t.root, ignore_errors=True)
-    return t.spark.createDataFrame(rows, schema)
+    return t.spark.createDataFrame(rows, df.schema)
 
 
 @query(
@@ -433,7 +446,7 @@ def q118_txtable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin — a FULL OUTER JOIN with update precedence — so the driver verifies
     the transactional path produces exactly the relational-merge result."""
     t = _merged_nation_table(spark, sf_dir)
-    return _materialize_and_clean(t, t.read())
+    return _materialize(t, t.read())
 
 
 @query(
@@ -465,7 +478,7 @@ def q119_txtable_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_nationkey").alias("key_sum"),
         ).select(F.lit(version).alias("version"), "n_rows", "key_sum")
 
-    return _materialize_and_clean(t, summarize(0).unionByName(summarize(1)))
+    return _materialize(t, summarize(0).unionByName(summarize(1)))
 
 
 @query(
@@ -489,4 +502,4 @@ def q120_txtable_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear (the exceptAll filter). The oracle derives the same feed
     relationally from the update batch."""
     t = _merged_nation_table(spark, sf_dir)
-    return _materialize_and_clean(t, t.changes(0, 1))
+    return _materialize(t, t.changes(0, 1))
