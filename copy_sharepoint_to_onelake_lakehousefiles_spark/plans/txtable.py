@@ -365,6 +365,36 @@ class TxTable:
         return {"files_compacted": len(small), "files_after": len(big) + len(packed)}
 
 
+    def vacuum(self, keep_versions: int = 2) -> dict:
+        """Garbage-collect data files referenced ONLY by expired versions
+        (older than the newest ``keep_versions``), plus orphans from crashed
+        writers. Expired manifests are dropped too, so time travel is
+        bounded to the retained window — the Delta VACUUM trade. The live
+        set is computed from retained manifests before anything is deleted;
+        a reader of a retained version is never broken."""
+        vs = self.versions()
+        retained = vs[-keep_versions:]
+        live = {
+            os.path.normpath(os.path.join(self.root, fe["path"]))
+            for v in retained
+            for fe in self._manifest(v)["files"]
+        }
+        removed_files = 0
+        for dirpath, _, names in os.walk(self.data_dir):
+            for n in names:
+                p = os.path.normpath(os.path.join(dirpath, n))
+                if n.endswith(".parquet") and p not in live:
+                    os.unlink(p)
+                    removed_files += 1
+        for v in vs[:-keep_versions] if keep_versions else vs:
+            os.unlink(os.path.join(self.log_dir, _fmt_version(v)))
+        return {
+            "files_removed": removed_files,
+            "versions_removed": len(vs) - len(retained),
+            "versions_retained": retained,
+        }
+
+
 def stream_upsert(table: TxTable, stream_df: DataFrame, stream_id: str, checkpoint: str):
     """Exactly-once streaming upsert into a TxTable: each micro-batch MERGEs
     under txn id ``<stream_id>/<batchId>``, so a batch replayed after a

@@ -203,6 +203,61 @@ def test_stream_upsert_exactly_once(spark, sf_dir, tmp_path):
     assert t.latest_version() == v_after_first
 
 
+def test_vacuum_removes_only_expired_and_orphan_files(spark, sf_dir, tmp_path):
+    t = _nation_table(spark, sf_dir, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [(999, "NEWLAND", 1)], "n_nationkey int, n_name string, n_regionkey int"
+        )
+    )
+    t.compact(target_files=1)  # v2; v0 files now referenced only by v0/v1
+    # plus an orphan from a "crashed" writer
+    t._write_files(
+        spark.createDataFrame(
+            [(777, "ORPHAN", 0)], "n_nationkey int, n_name string, n_regionkey int"
+        )
+    )
+    stats = t.vacuum(keep_versions=1)
+    assert stats["files_removed"] >= 2  # old snapshot files + the orphan
+    assert stats["versions_retained"] == [2]
+    assert t.read().count() == 26  # retained snapshot fully readable
+    with pytest.raises(FileNotFoundError):
+        t._manifest(0)  # expired version gone (bounded time travel)
+
+
+def test_merge_model_based_random_batches(spark, sf_dir, tmp_path):
+    """Model-based check: a random sequence of merge batches must leave the
+    table equal to a plain dict replay (last write per key wins within and
+    across batches). Catches pruning bugs that curated batches miss —
+    batches are drawn adversarially around file-range boundaries."""
+    import random
+
+    rng = random.Random(20260813)
+    t = _nation_table(spark, sf_dir, tmp_path)
+    model = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in t.read().collect()
+    }
+    for step in range(4):
+        keys = rng.sample(range(-5, 40), rng.randint(1, 6))
+        batch = [(k, f"V{step}_{k}", rng.randint(0, 4)) for k in keys]
+        for k, name, reg in batch:
+            model[k] = (name, reg)
+        t.merge(
+            spark.createDataFrame(
+                batch, "n_nationkey int, n_name string, n_regionkey int"
+            )
+        )
+    got = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in t.read().collect()
+    }
+    assert got == model
+    # every intermediate snapshot is still consistent (monotone row counts)
+    counts = [t.read(v).count() for v in t.versions()]
+    assert counts == sorted(counts)
+
+
 def test_merge_upsert_partitioned_rewrites_only_hit_partitions(spark, sf_dir, tmp_path):
     target = str(tmp_path / "part_target")
     load(spark, sf_dir, "nation").write.partitionBy("n_regionkey").parquet(target)
