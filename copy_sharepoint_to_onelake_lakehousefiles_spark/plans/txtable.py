@@ -122,20 +122,26 @@ class TxTable:
             return self._manifest(vs[-1])["key"]
         return getattr(self, "_key", "")
 
-    def _write_files(self, df: DataFrame) -> list[dict]:
+    def _write_files(self, df: DataFrame, stats_cols: list[str] | None = None) -> list[dict]:
         """Write df as new immutable files; return manifest entries with
-        per-file min/max stats on the key (the data-skipping index)."""
+        per-file min/max stats on the key (the data-skipping index) and,
+        optionally, on extra ``stats_cols`` (populated by cluster_by so
+        multi-column predicates can skip files too)."""
         out = os.path.join(self.data_dir, uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(out)
         key = self.key or self._key
+        extra = [c for c in (stats_cols or []) if c != key]
+        aggs = [
+            F.count(F.lit(1)).alias("rows"),
+            F.min(key).alias("min_key"),
+            F.max(key).alias("max_key"),
+        ]
+        for c in extra:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
         stats = (
             self.spark.read.parquet(out)
             .groupBy(F.input_file_name().alias("path"))
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.min(key).alias("min_key"),
-                F.max(key).alias("max_key"),
-            )
+            .agg(*aggs)
             .collect()  # bounded: one row per written file
         )
         entries = []
@@ -143,14 +149,17 @@ class TxTable:
             path = r["path"]
             if path.startswith("file:"):
                 path = path[len("file:"):]
-            entries.append(
-                {
-                    "path": os.path.relpath(path, self.root),
-                    "rows": r["rows"],
-                    "min_key": r["min_key"],
-                    "max_key": r["max_key"],
+            entry = {
+                "path": os.path.relpath(path, self.root),
+                "rows": r["rows"],
+                "min_key": r["min_key"],
+                "max_key": r["max_key"],
+            }
+            if extra:
+                entry["col_stats"] = {
+                    c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in extra
                 }
-            )
+            entries.append(entry)
         return entries
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -365,6 +374,87 @@ class TxTable:
         return {"files_compacted": len(small), "files_after": len(big) + len(packed)}
 
 
+    def cluster_by(self, cols: list[str], target_files: int = 8, bits: int = 5) -> dict:
+        """Z-ORDER rewrite: co-locate rows that are close in EVERY listed
+        (numeric) column, so a multi-dimensional predicate skips most files
+        (a linear sort helps only its leading column). Each column is
+        equi-depth bucketed to ``bits`` bits using approxQuantile
+        boundaries (a mergeable sketch — NO global-window rank, which would
+        funnel the table through one partition), the bucket ids are
+        bit-interleaved into one z-value with a small fold expression (the
+        Janino lesson: folds, not unrolled sums), and the table is
+        range-repartitioned on z. Per-file min/max for ALL clustered
+        columns land in the manifest; scan() uses them.
+
+        Scale: one quantile-sketch pass + one repartitionByRange shuffle —
+        the cost of a compaction pass; clustering is maintenance, not a
+        per-query tax."""
+        base = self.latest_version()
+        df = self.read(base)
+        nb = 1 << bits
+        n = len(cols)
+        bucketed = df
+        for i, c in enumerate(cols):
+            qs = df.stat.approxQuantile(c, [j / nb for j in range(1, nb)], 0.001)
+            arr = ", ".join(f"{float(q)!r}D" for q in qs)
+            bucketed = bucketed.withColumn(
+                f"__b{i}",
+                F.expr(
+                    f"size(filter(array({arr}), x -> x <= cast({c} AS DOUBLE)))"
+                ).cast("long"),
+            )
+        parts = [
+            f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> "
+            f"acc + (((__b{i} >> j) & 1) << (j * {n} + {i})))"
+            for i in range(n)
+        ]
+        zed = bucketed.withColumn("__z", F.expr(" + ".join(parts)))
+        packed = (
+            zed.repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop(*[f"__b{i}" for i in range(n)], "__z")
+        )
+        files = self._write_files(packed, stats_cols=cols)
+        self._commit("cluster", files, version=base + 1)
+        return {"clustered_by": cols, "files": len(files)}
+
+    def scan(self, bounds: dict[str, tuple] | None = None) -> tuple[DataFrame, dict]:
+        """Snapshot read with manifest-level data skipping: ``bounds`` maps
+        column → (lo, hi); files whose recorded [min,max] for EVERY bounded
+        column misses the range are never opened. Returns (DataFrame with
+        the residual filter applied, skip stats). The same predicate is
+        re-applied row-level, so skipping is purely an optimization."""
+        m = self._manifest(self.latest_version())
+        files = m["files"]
+        key = self.key
+
+        def overlaps(fe: dict) -> bool:
+            for c, (lo, hi) in (bounds or {}).items():
+                if c == key:
+                    cmin, cmax = fe["min_key"], fe["max_key"]
+                else:
+                    cs = fe.get("col_stats", {}).get(c)
+                    if cs is None:
+                        continue  # no stats → cannot skip
+                    cmin, cmax = cs
+                if cmin is None:
+                    continue
+                if cmax < lo or cmin > hi:
+                    return False
+            return True
+
+        live = [fe for fe in files if overlaps(fe)]
+        stats = {"files_total": len(files), "files_read": len(live),
+                 "files_skipped": len(files) - len(live)}
+        if not live:
+            return self.read().limit(0), stats
+        df = self.spark.read.parquet(
+            *[os.path.join(self.root, fe["path"]) for fe in live]
+        )
+        for c, (lo, hi) in (bounds or {}).items():
+            df = df.where((F.col(c) >= lo) & (F.col(c) <= hi))
+        return df, stats
+
     def vacuum(self, keep_versions: int = 2) -> dict:
         """Garbage-collect data files referenced ONLY by expired versions
         (older than the newest ``keep_versions``), plus orphans from crashed
@@ -509,6 +599,36 @@ def q119_txtable_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(version).alias("version"), "n_rows", "key_sum")
 
     return _materialize(t, summarize(0).unionByName(summarize(1)))
+
+
+@query(
+    "q121_txtable_zorder_scan",
+    oracle="""
+SELECT event_id, user_id, value
+FROM events
+WHERE user_id BETWEEN 1 AND 3 AND value BETWEEN 0.0 AND 60.0
+""",
+)
+def q121_txtable_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering + manifest data skipping, verified end-to-end: the
+    events table is rewritten clustered on (user_id, value) and scanned with
+    a 2-D box predicate through the manifest's per-file min/max stats —
+    files outside the box are never opened, and the surviving rows must
+    equal the plain relational filter (the oracle). The query also asserts
+    skipping actually happened, so a stats regression fails loudly."""
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = os.path.join(tempfile.gettempdir(), f"txz_{uuid.uuid4().hex[:8]}")
+    t = TxTable.create(spark, root, ev, key="event_id")
+    t.cluster_by(["user_id", "value"], target_files=8)
+    df, skip = t.scan({"user_id": (1, 3), "value": (0.0, 60.0)})
+    assert skip["files_skipped"] >= 1, f"z-order produced no skipping: {skip}"
+    rows = df.collect()
+    schema = df.schema
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @query(

@@ -5,6 +5,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.merge import merge_upsert_partitioned
 from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.txtable import TxTable
@@ -256,6 +257,32 @@ def test_merge_model_based_random_batches(spark, sf_dir, tmp_path):
     # every intermediate snapshot is still consistent (monotone row counts)
     counts = [t.read(v).count() for v in t.versions()]
     assert counts == sorted(counts)
+
+
+def test_cluster_by_zorder_enables_multi_column_skipping(spark, sf_dir, tmp_path):
+    """Z-order the events table on (user_id, value); a narrow 2-D box
+    predicate must (a) return exactly the rows a plain filter returns and
+    (b) skip at least one file via manifest stats on BOTH columns."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    t = TxTable.create(spark, str(tmp_path / "ev"), ev, key="event_id")
+    stats = t.cluster_by(["user_id", "value"], target_files=8)
+    assert stats["files"] >= 4
+    m = t._manifest(t.latest_version())
+    assert all("col_stats" in fe and set(fe["col_stats"]) == {"user_id", "value"}
+               for fe in m["files"])
+
+    bounds = {"user_id": (1, 3), "value": (0.0, 60.0)}
+    df, skip = t.scan(bounds)
+    got = {r["event_id"] for r in df.collect()}
+    want = {
+        r["event_id"]
+        for r in ev.where(
+            (F.col("user_id").between(1, 3)) & (F.col("value").between(0.0, 60.0))
+        ).collect()
+    }
+    assert got == want
+    assert skip["files_skipped"] >= 1, f"no skipping: {skip}"
+    assert skip["files_read"] + skip["files_skipped"] == skip["files_total"]
 
 
 def test_merge_upsert_partitioned_rewrites_only_hit_partitions(spark, sf_dir, tmp_path):
