@@ -5,7 +5,10 @@ mapInPandas decode, partitioning) is real and tested. The codec tier is
 PROBED at import: Pillow/soundfile are used when present; without them the
 module still REALLY decodes the formats stdlib+numpy can handle — P6 PPM
 and uncompressed 24-bit BMP images, and PCM WAV audio (`wave` module).
-Compressed formats (JPEG/PNG/MP3/video containers) fall back to a
+For compressed formats, HEADER METADATA (dimensions, duration, mime) is
+parsed for real from the container bytes — PNG/JPEG/GIF/BMP/PPM/WAV/MP3,
+see probe_metadata — because metadata is what pipeline filters consume;
+only the pixel/sample decode of compressed formats falls back to a
 clearly-marked deterministic stub (BASELINE north-star: "STUB the decode
 step ... make the Spark-side plumbing real").
 
@@ -95,6 +98,105 @@ def read_media_dir(spark: SparkSession, root: str, kind: str = "image") -> DataF
     )
 
 
+def probe_metadata(content: bytes) -> tuple[str, int | None, int | None, int | None]:
+    """(mime, width, height, duration_ms) from container HEADERS only —
+    pure-Python byte parsing, no codec libraries. Pixel/sample decode for
+    compressed formats still needs Pillow/soundfile (probed above); header
+    metadata does not, and it is what pipeline FILTERS actually consume
+    (drop tiny images, cap durations) — so that tier is real, not stubbed.
+
+    Recognizes PNG (IHDR), JPEG (SOF0-15), GIF (logical screen), BMP
+    (BITMAPINFOHEADER), P6 PPM, PCM WAV (byte rate → duration), and MPEG
+    audio (first frame header bitrate → duration estimate, ID3v2-aware).
+    Unknown payloads return ("application/octet-stream", None, None, None)."""
+    n = len(content)
+    if n >= 24 and content[:8] == b"\x89PNG\r\n\x1a\n":
+        w = int.from_bytes(content[16:20], "big")
+        h = int.from_bytes(content[20:24], "big")
+        return ("image/png", w, h, None)
+    if n >= 4 and content[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < n:
+            if content[i] != 0xFF:
+                i += 1
+                continue
+            marker = content[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+            # SOFn markers carry dimensions (skip DHT C4, JPG C8, DAC CC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(content[i + 5 : i + 7], "big")
+                w = int.from_bytes(content[i + 7 : i + 9], "big")
+                return ("image/jpeg", w, h, None)
+            i += 2 + seg_len
+        return ("image/jpeg", None, None, None)
+    if n >= 10 and content[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(content[6:8], "little")
+        h = int.from_bytes(content[8:10], "little")
+        return ("image/gif", w, h, None)
+    if n >= 26 and content[:2] == b"BM":
+        w = int.from_bytes(content[18:22], "little")
+        h = int.from_bytes(content[22:26], "little", signed=True)
+        return ("image/bmp", w, abs(h), None)
+    if content[:2] == b"P6":
+        try:
+            w, h, _, _ = _ppm_header(content)
+            return ("image/x-portable-pixmap", w, h, None)
+        except Exception:
+            return ("image/x-portable-pixmap", None, None, None)
+    if n >= 44 and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        try:
+            byte_rate = int.from_bytes(content[28:32], "little")
+            data_size = int.from_bytes(content[40:44], "little")
+            dur = int(data_size * 1000 // byte_rate) if byte_rate else None
+            return ("audio/wav", None, None, dur)
+        except Exception:
+            return ("audio/wav", None, None, None)
+    # MPEG audio: optional ID3v2 tag, then a frame sync
+    off = 0
+    if n >= 10 and content[:3] == b"ID3":
+        sz = content[6:10]
+        off = 10 + ((sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3])
+    if n >= off + 4 and content[off] == 0xFF and (content[off + 1] & 0xE0) == 0xE0:
+        hdr = content[off : off + 4]
+        version = (hdr[1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2
+        layer = (hdr[1] >> 1) & 0x3  # 1=III
+        br_idx = (hdr[2] >> 4) & 0xF
+        _MP3_BR = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0]
+        _MP2_BR = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0]
+        if version == 3 and layer == 1 and 0 < br_idx < 15:
+            kbps = _MP3_BR[br_idx]
+        elif version in (0, 2) and 0 < br_idx < 15:
+            kbps = _MP2_BR[br_idx]
+        else:
+            kbps = 0
+        if kbps:
+            dur = int((n - off) * 8 // kbps)  # bytes→bits / (kbps) = ms (CBR estimate)
+            return ("audio/mpeg", None, None, dur)
+        return ("audio/mpeg", None, None, None)
+    return ("application/octet-stream", None, None, None)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Fill the meta struct from container headers (probe_metadata) in
+    Arrow-batched mapInPandas — the metadata tier of the decode pipeline
+    that works with no codec libraries at all."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [probe_metadata(bytes(c)) for c in pdf["content"]]
+            out = pdf[["media_id", "kind", "content"]].copy()
+            out["meta"] = [
+                {"mime": m, "width": w, "height": h, "duration_ms": d}
+                for (m, w, h, d) in metas
+            ]
+            yield out
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def _stub_decode(content: bytes, dim: int = 8) -> list[float]:
     """DETERMINISTIC FAKE decoder. A real deployment plugs Pillow/librosa/
     ffmpeg in here; the container has none, so features are derived from a
@@ -169,8 +271,8 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.select("media_id", "kind", "content").mapInPandas(run, FEATURE_SCHEMA)
 
 
-def _decode_ppm(content: bytes) -> np.ndarray:
-    """P6 (binary) PPM → (H, W, 3) uint8. Pure stdlib+numpy."""
+def _ppm_header(content: bytes) -> tuple[int, int, int, int]:
+    """Parse a P6 header → (width, height, maxval, raster_offset)."""
     if not content.startswith(b"P6"):
         raise NotImplementedError("not a P6 PPM payload")
     # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
@@ -188,6 +290,12 @@ def _decode_ppm(content: bytes) -> np.ndarray:
         fields.append(int(content[start:pos]))
     pos += 1  # the single whitespace before the raster
     w, h, maxval = fields
+    return w, h, maxval, pos
+
+
+def _decode_ppm(content: bytes) -> np.ndarray:
+    """P6 (binary) PPM → (H, W, 3) uint8. Pure stdlib+numpy."""
+    w, h, maxval, pos = _ppm_header(content)
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
     raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)

@@ -169,3 +169,76 @@ def test_sample_frames_real_audio_windows(spark, tmp_path):
     assert [r["frame_ts_ms"] for r in rows] == [0, 250, 500, 750]
     for r in rows:  # every real window of a steady sine has RMS ≈ amp/√2
         assert abs(r["frame_features"][0] - 0.5 / np.sqrt(2)) < 0.01
+
+
+# --- header metadata probe (no codec libraries needed) ------------------------
+
+
+def _png_bytes(w, h):
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr + b"\x00" * 4
+    )
+
+
+def _jpeg_bytes(w, h):
+    # SOI, APP0 stub, SOF0 with dims, EOI
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def _gif_bytes(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 4
+
+
+def _mp3_bytes(kbps_idx=9, n_frames_bytes=4000):
+    # MPEG1 Layer III header: FF FB, bitrate index in high nibble of byte 2
+    hdr = bytes([0xFF, 0xFB, (kbps_idx << 4) | 0x00, 0x00])
+    return hdr + b"\x00" * n_frames_bytes
+
+
+def test_probe_metadata_parses_all_headers():
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        probe_metadata,
+    )
+
+    assert probe_metadata(_png_bytes(640, 480)) == ("image/png", 640, 480, None)
+    assert probe_metadata(_jpeg_bytes(1920, 1080)) == ("image/jpeg", 1920, 1080, None)
+    assert probe_metadata(_gif_bytes(32, 16)) == ("image/gif", 32, 16, None)
+    assert probe_metadata(_bmp_bytes(5, 2, [1, 2, 3]))[:3] == ("image/bmp", 5, 2)
+    assert probe_metadata(_ppm_bytes(4, 3, [9, 9, 9]))[:3] == (
+        "image/x-portable-pixmap", 4, 3,
+    )
+    wav, _ = _wav_bytes(rate=8000, seconds=0.5)
+    mime, _, _, dur = probe_metadata(wav)
+    assert mime == "audio/wav" and abs(dur - 500) <= 1
+    # 128 kbps CBR estimate: 4004 bytes * 8 / 128 kbps ≈ 250 ms
+    mime, _, _, dur = probe_metadata(_mp3_bytes())
+    assert mime == "audio/mpeg" and abs(dur - 250) <= 5
+    # ID3v2-tagged payload: tag skipped before the frame sync
+    tagged = b"ID3" + b"\x03\x00\x00" + b"\x00\x00\x00\x0a" + b"\x00" * 10 + _mp3_bytes()
+    assert probe_metadata(tagged)[0] == "audio/mpeg"
+    assert probe_metadata(b"\x00\x01\x02garbage") == (
+        "application/octet-stream", None, None, None,
+    )
+
+
+def test_probe_media_fills_meta_struct(spark, tmp_path):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        probe_media,
+        read_media_dir,
+    )
+
+    (tmp_path / "a.png").write_bytes(_png_bytes(100, 50))
+    (tmp_path / "b.jpg").write_bytes(_jpeg_bytes(12, 34))
+    (tmp_path / "c.wav").write_bytes(_wav_bytes(seconds=0.25)[0])
+    media = read_media_dir(spark, str(tmp_path), kind="image")
+    metas = {r["meta"]["mime"]: r["meta"] for r in probe_media(media).collect()}
+    assert metas["image/png"]["width"] == 100 and metas["image/png"]["height"] == 50
+    assert metas["image/jpeg"]["width"] == 12 and metas["image/jpeg"]["height"] == 34
+    assert abs(metas["audio/wav"]["duration_ms"] - 250) <= 1
