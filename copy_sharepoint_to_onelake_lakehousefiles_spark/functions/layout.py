@@ -12,6 +12,10 @@ standard lakehouse Z-ORDER primitive, built here from public Spark APIs
 Scale: the clustering write is one range shuffle (sampled range
 boundaries); reads then skip via footer stats with no index structure to
 maintain.
+
+See also plans/txtable.TxTable.cluster_by — the table-format flavor of the
+same primitive (n numeric columns, equi-depth quantile bucketing, skipping
+via commit-log manifest stats instead of parquet footers).
 """
 
 from __future__ import annotations

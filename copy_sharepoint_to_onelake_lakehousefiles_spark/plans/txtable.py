@@ -386,6 +386,13 @@ class TxTable:
         range-repartitioned on z. Per-file min/max for ALL clustered
         columns land in the manifest; scan() uses them.
 
+        Relation to functions/layout.cluster_by_morton: that is the
+        DataFrame-level primitive (2 int columns, min-max normalization,
+        skipping via parquet footer stats); this is the table-format level
+        (any number of numeric columns, equi-depth bucketing so skewed
+        distributions still split evenly, skipping via the commit-log
+        manifest without opening footers).
+
         Scale: one quantile-sketch pass + one repartitionByRange shuffle —
         the cost of a compaction pass; clustering is maintenance, not a
         per-query tax."""
