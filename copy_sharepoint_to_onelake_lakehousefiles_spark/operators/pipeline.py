@@ -692,3 +692,59 @@ def q116_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").cast("bigint").alias("first_event"),
         F.max("event_id").cast("bigint").alias("last_event"),
     )
+
+
+SEQ_CAPACITY = 512  # tokens per packed training sequence
+
+
+@query(
+    "q122_sequence_packing",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+)
+SELECT CAST(cum_before // {SEQ_CAPACITY} AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_tok) AS BIGINT)    AS total_tokens,
+       min(doc_id)                   AS first_doc,
+       max(doc_id)                   AS last_doc
+FROM c
+GROUP BY 1
+""",
+)
+def q122_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING (concat-and-chunk): documents are concatenated in
+    doc_id order and cut into fixed-capacity token windows — the standard
+    way pretraining data becomes fixed-length examples (each doc's sequence
+    = its cumulative token offset div capacity). Emits per-sequence packing
+    stats (doc count, token fill, doc span) — the audit table behind
+    fill-ratio tuning.
+
+    Scale: the only global step is the prefix sum of token counts, computed
+    with the two-pass partition-offset scan (operators/ranking.py
+    global_running_sum) — NO single-partition window; everything after is
+    a keyed hash aggregation on seq_id. The oracle is the same cumsum in
+    windowed SQL."""
+    from .ranking import global_running_sum
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok")
+    )
+    c = global_running_sum(d, ["doc_id"], "n_tok", sum_name="cum")
+    return (
+        c.withColumn("seq_id", F.expr(f"(cum - n_tok) div {SEQ_CAPACITY}").cast("bigint"))
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

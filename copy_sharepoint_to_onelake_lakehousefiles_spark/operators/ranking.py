@@ -66,3 +66,42 @@ def global_row_number(
         )
         .drop("__pid", "__off")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    *,
+    sum_name: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``sum_name`` (bigint) = INCLUSIVE prefix sum of ``value_col``
+    over the global total order given by ``order_cols`` (a unique key).
+
+    Same two-pass shape as global_row_number, with per-partition SUMS as
+    the broadcast offsets instead of counts — the distributed scan
+    primitive behind sequence packing, cumulative quotas, and offset
+    assignment. No single-partition WindowExec anywhere."""
+    spark = df.sparkSession
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(nparts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    pc = ranged.groupBy("__pid").agg(F.sum(value_col).cast("bigint").alias("__psum"))
+    a, b = pc.alias("a"), pc.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__psum"), F.lit(0)).cast("bigint").alias("__off"))
+    )
+    local = W.partitionBy("__pid").orderBy(*cols).rowsBetween(W.unboundedPreceding, 0)
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            sum_name,
+            F.sum(value_col).over(local).cast("bigint") + F.col("__off"),
+        )
+        .drop("__pid", "__off")
+    )

@@ -48,3 +48,32 @@ def test_global_row_number_plan_has_no_global_window(spark):
 def test_global_row_number_single_row(spark):
     df = spark.createDataFrame([(42,)], "id: long")
     assert global_row_number(df, ["id"], rank_name="rnk").collect()[0]["rnk"] == 1
+
+
+def test_global_running_sum_matches_sequential(spark):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    vals = [(i, (i * 7) % 11 + 1) for i in range(57)]
+    df = spark.createDataFrame(vals, "id: long, v: long")
+    got = {
+        r["id"]: r["cum"]
+        for r in global_running_sum(df, ["id"], "v", sum_name="cum",
+                                    num_partitions=4).collect()
+    }
+    running = 0
+    for i, v in vals:
+        running += v
+        assert got[i] == running
+
+
+def test_global_running_sum_plan_has_no_global_window(spark):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 7 + 1).alias("v"))
+    summed = global_running_sum(df, ["id"], "v", num_partitions=5)
+    plan = summed._jdf.queryExecution().executedPlan().toString()
+    assert not _unpartitioned_window_lines(plan), plan
