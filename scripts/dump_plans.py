@@ -36,6 +36,7 @@ def main() -> None:
         "q107_quantized_cosine_topk",
         "q109_unigram_logprob",
         "q110_robust_price_stats",
+        "q122_sequence_packing",
     ]
     out = ["# PLANS — formatted physical plans of the headline queries (sf0.01)\n"]
     for name in HEADLINE + extra:

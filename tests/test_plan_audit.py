@@ -25,10 +25,12 @@ NON_BATCH = {
 NLJ_ALLOWED = {
     "q30_cosine_topk",
     "q107_quantized_cosine_topk",
-    # ranking.global_row_number's offset table: triangular self-join over
-    # ≤ #shuffle-partitions rows (and q67's 1-row total broadcast)
+    # ranking.global_row_number / global_running_sum offset table:
+    # triangular self-join over ≤ #shuffle-partitions rows (and q67's
+    # 1-row total broadcast)
     "q67_percentile_ranks",
     "q73_vocabulary",
+    "q122_sequence_packing",
     "q78_event_date_spine",
     "q79_balanced_sample",
     "q95_bm25_scores",
