@@ -586,3 +586,66 @@ def q66_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q123_containment_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle, len({_DUCK_SHINGLES}) AS n_sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS shared, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST((shared * 20000 + na) // (na * 2) AS BIGINT) AS cont_a_in_b_x10k,
+       CAST((shared * 20000 + nb) // (nb * 2) AS BIGINT) AS cont_b_in_a_x10k
+FROM pair
+WHERE shared * 10 >= least(na, nb) * 6
+""",
+)
+def q123_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup pairs: |A∩B| / |A| per direction — the
+    asymmetric companion to Jaccard (q27) that catches PARTIAL copies
+    (a quote, a template wrapper, a doc embedded in a larger one), which
+    symmetric Jaccard misses when the containing document is much larger.
+    Pairs survive when either direction's containment ≥ 0.6, tested as an
+    exact rational (shared·10 ≥ min(n)·6); scores are BIGINT x10k
+    scaled integers (the q76 hash-proof contract).
+
+    Scale: identical shape to q27 — the shingle equi-join IS the candidate
+    generator (inverted index), one hash aggregation per pair; nothing
+    quadratic in the corpus."""
+    d = load(spark, sf_dir, "documents")
+    sh = track_persist(
+        _shingled(d).select(
+            "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+        )
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared"),
+            F.first("a.n_sh").cast("bigint").alias("na"),
+            F.first("b.n_sh").cast("bigint").alias("nb"),
+        )
+    )
+    return pair.where(
+        F.col("shared") * 10 >= F.least("na", "nb") * 6
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.expr("(shared * 20000 + na) div (na * 2)").cast("bigint").alias("cont_a_in_b_x10k"),
+        F.expr("(shared * 20000 + nb) div (nb * 2)").cast("bigint").alias("cont_b_in_a_x10k"),
+    )

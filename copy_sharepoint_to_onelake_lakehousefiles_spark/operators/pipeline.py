@@ -748,3 +748,50 @@ def q122_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+N_BINS = 16
+
+
+@query(
+    "q124_equidepth_binning",
+    oracle=f"""
+WITH r AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT CAST((rk - 1) * {N_BINS} // n AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT)   AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM r GROUP BY 1
+""",
+)
+def q124_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth feature binning (quantile bucketing for model
+    features): bin = (rank-1)·k div n over the global price order — every
+    bin gets ⌈n/k⌉ or ⌊n/k⌋ rows exactly, unlike approxQuantile buckets.
+    Emits the per-bin audit (count + value bounds) a feature store keeps.
+
+    Scale: the global rank is the two-pass partition-offset ranking
+    (operators/ranking.py — no single-partition sort); n is a 1-row
+    broadcast. This is the exact counterpart to the sketch-based bucketing
+    used by TxTable.cluster_by — exact when bins feed a model contract,
+    sketched when they only guide layout."""
+    from .ranking import global_row_number
+
+    o = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = global_row_number(o, ["o_totalprice", "o_orderkey"], rank_name="rk")
+    n1 = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n1))
+        .withColumn("bin", F.expr(f"(rk - 1) * {N_BINS} div n").cast("bigint"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

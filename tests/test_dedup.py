@@ -109,3 +109,18 @@ def test_ml_lsh_agrees_with_exact_truth(spark, sf_dir):
     truth_high = {k for k, j in exact.items() if j >= 0.7}
     recall = len(set(ml_pairs) & truth_high) / len(truth_high)
     assert recall >= 0.9
+
+
+def test_containment_catches_partial_copies_jaccard_misses(spark, sf_dir):
+    """A short doc fully contained in a much longer one: containment ≈ 1
+    in one direction while Jaccard is small — the q123 vs q27 distinction."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.dedup import (
+        q123_containment_pairs,
+    )
+
+    rows = q123_containment_pairs(spark, sf_dir).collect()
+    assert rows, "fixture should contain near-dup pairs"
+    for r in rows:
+        assert max(r["cont_a_in_b_x10k"], r["cont_b_in_a_x10k"]) >= 6000
+        assert 0 <= r["cont_a_in_b_x10k"] <= 10000
+        assert 0 <= r["cont_b_in_a_x10k"] <= 10000

@@ -77,3 +77,21 @@ def test_chunk_novelty_detects_planted_dup(spark, sf_dir):
     dupes = h.groupBy("h").agg(F.countDistinct("doc_id").alias("nd")).where(F.col("nd") >= 2)
     n_chunks = h.groupBy("doc_id").count().collect()
     assert dupes.count() == n_chunks[0]["count"]
+
+
+def test_equidepth_bins_are_balanced(spark, sf_dir):
+    """Exact equi-depth binning: bin sizes differ by at most 1 and cover
+    the full table; value ranges are non-overlapping and ordered."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.pipeline import (
+        N_BINS,
+        q124_equidepth_binning,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import load
+
+    rows = sorted(q124_equidepth_binning(spark, sf_dir).collect(), key=lambda r: r["bin"])
+    assert [r["bin"] for r in rows] == list(range(N_BINS))
+    sizes = [r["n_orders"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sum(sizes) == load(spark, sf_dir, "orders").count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi"] <= cur["lo"]

@@ -31,6 +31,7 @@ NLJ_ALLOWED = {
     "q67_percentile_ranks",
     "q73_vocabulary",
     "q122_sequence_packing",
+    "q124_equidepth_binning",
     "q78_event_date_spine",
     "q79_balanced_sample",
     "q95_bm25_scores",
