@@ -19,10 +19,12 @@ from pyspark.sql import functions as F
 
 from ..registry import query, track_persist
 from ..tables import load
-from .dedup import _jaccard_pairs
+from .dedup import _DUCK_SHINGLES, SHINGLE_WORDS, _jaccard_pairs
 
 DAMPING = 0.85
 CHECKPOINT_EVERY = 5
+PR_SCALE = 10**12  # fixed-point rank unit (rank_x1e12)
+PR_ITERS = 10
 
 
 def pagerank(
@@ -59,20 +61,119 @@ def pagerank(
     return ranks
 
 
-@query("q101_neardup_pagerank")
+def pagerank_fixedpoint(
+    edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = PR_ITERS
+) -> DataFrame:
+    """PageRank in FIXED-POINT integer arithmetic → (node, rank BIGINT in
+    units of 1/PR_SCALE). Every operation is a bigint add / truncating
+    div, so the result is bit-identical regardless of evaluation or
+    partition order (integer sums are associative; float sums are not) —
+    which is what makes an iterative algorithm ORACLE-CHECKABLE across
+    engines. Damping 0.85 is the exact rational 17/20:
+
+        rank0      = PR_SCALE div n
+        rank_{{t+1}} = (3·PR_SCALE) div (20·n) + (17·Σ(rank_t div deg)) div 20
+
+    Truncation loses < 1 unit (1e-12) per div — irrelevant to ranking, and
+    identical in both engines. Same shuffle shape as `pagerank`."""
+    spark = edges.sparkSession
+    # Iteration shuffles carry (node, value) tables bounded by |V|; a
+    # vanilla session's 200 partitions × 10 iterations is pure task-
+    # scheduling overhead on the gate fixture. Scope the parallelism down
+    # proportionally (the q94/_run_to_completion pattern — derived from
+    # the session conf, not a constant) and restore it after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, int(prev) // 4)))
+    try:
+        sym = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .distinct()
+            .persist()
+        )
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        nodes = track_persist(sym.select(F.col("a").alias("node")).distinct())
+        n = nodes.count()
+        base = (3 * PR_SCALE) // (20 * n)
+        ranks = nodes.withColumn("rank", F.lit(PR_SCALE // n).cast("bigint"))
+        for i in range(iters):
+            contribs = (
+                sym.join(ranks, sym.a == ranks.node)
+                .join(deg, "a")
+                .select(F.col("b").alias("node2"), F.expr("rank div deg").alias("c"))
+            )
+            incoming = contribs.groupBy("node2").agg(F.sum("c").alias("s"))
+            ranks = nodes.join(incoming, nodes.node == F.col("node2"), "left").select(
+                "node",
+                (F.lit(base) + F.expr("(17 * coalesce(s, 0L)) div 20"))
+                .cast("bigint")
+                .alias("rank"),
+            )
+            if (i + 1) % CHECKPOINT_EVERY == 0:
+                ranks = ranks.localCheckpoint(eager=True)  # truncate lineage
+        sym.unpersist()
+        return ranks
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """The 10-iteration fixed-point update unrolled as chained CTEs (no
+    recursive-CTE aggregation restrictions to worry about); arithmetic
+    mirrors pagerank_fixedpoint exactly — all-integer, truncating div."""
+    head = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle, len({_DUCK_SHINGLES}) AS n_sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS shared, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+e0 AS (SELECT doc_a, doc_b FROM pair WHERE shared * 10 >= (na + nb - shared) * 3),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM e0 UNION SELECT doc_b, doc_a FROM e0),
+deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (SELECT node, CAST({PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS rank FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+pr{k} AS (
+  SELECT n.node,
+         CAST((3 * {PR_SCALE}) // (20 * (SELECT n FROM nn))
+              + (17 * coalesce(inc.s, 0)) // 20 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+      SELECT e.b AS node, CAST(sum(p.rank // d.deg) AS BIGINT) AS s
+      FROM pr{k - 1} p JOIN edges e ON e.a = p.node JOIN deg d ON d.a = p.node
+      GROUP BY e.b) inc USING (node)
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node AS doc_id, rank AS rank_x1e12 FROM pr{iters}"
+    )
+
+
+@query("q101_neardup_pagerank", oracle=_pagerank_oracle(PR_ITERS))
 def q101_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the exact-Jaccard near-dup graph (q27's edges): the
     centrality ordering a dedup pipeline uses to choose cluster
-    representatives. Rows-only tier (iterative float fixpoint has no ANSI
-    twin); tests/test_graph.py verifies against NumPy power iteration on a
-    known graph and checks the rank axioms here (sum=1, uniform inside
-    symmetric cliques)."""
+    representatives.
+
+    PROMOTED to full oracle in r3 by switching the iteration to fixed-point
+    integer arithmetic (pagerank_fixedpoint): bigint adds and truncating
+    divs are evaluation-order-independent, so ten unrolled iterations in
+    DuckDB reproduce the Spark ranks bit-for-bit — an iterative algorithm
+    with an exact ANSI twin. tests/test_graph.py keeps the float variant's
+    NumPy power-iteration parity and checks fixed-point/float agreement.
+
+    10 rounds: near-dup clusters are tiny diameter-≤3 components, where
+    power iteration is already at fixpoint well before 10."""
     dcs = load(spark, sf_dir, "documents")
     edges = _jaccard_pairs(dcs, threshold=0.3).select("doc_a", "doc_b")
-    # 10 rounds: near-dup clusters are tiny diameter-≤3 components, where
-    # power iteration is already at fixpoint well before 10 (keeps the
-    # correctness-gate wall-clock down; the parity test drives iters itself).
-    pr = pagerank(edges, "doc_a", "doc_b", iters=10)
-    return pr.select(
-        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
-    ).orderBy(F.col("rank").desc(), "doc_id")
+    pr = pagerank_fixedpoint(edges, "doc_a", "doc_b", iters=PR_ITERS)
+    return pr.select(F.col("node").alias("doc_id"), F.col("rank").alias("rank_x1e12"))
