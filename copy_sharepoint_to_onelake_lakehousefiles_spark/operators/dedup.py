@@ -44,9 +44,14 @@ def _shingled(d: DataFrame) -> DataFrame:
     d = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     return d.where(F.size("toks") >= SHINGLE_WORDS).select(
         "doc_id",
+        # explicit step 1: sequence(1, 0) auto-DESCENDS to [1, 0] in Spark,
+        # and Catalyst may evaluate this projection before the size filter
+        # (project/filter reordering), so the expression must be total for
+        # short docs — sequence(1, 0, 1) is empty (caught by the
+        # hypothesis corpus property test, round 3)
         F.array_distinct(
             F.expr(
-                f"transform(sequence(1, size(toks) - {SHINGLE_WORDS - 1}), "
+                f"transform(sequence(1, size(toks) - {SHINGLE_WORDS - 1}, 1), "
                 f"i -> concat_ws(' ', slice(toks, i, {SHINGLE_WORDS})))"
             )
         ).alias("shingles"),

@@ -257,7 +257,8 @@ def q74_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(toks) - 1), "
+                # step 1: sequence(1, 0) descends; (1, 0, 1) is empty
+                "transform(sequence(1, size(toks) - 1, 1), "
                 "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
             )
         ).alias("bigram"),
@@ -371,7 +372,7 @@ def q76_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.size(F.split(F.col("text"), " ")) - 1).cast("bigint").alias("n_bigrams"),
         F.expr(
-            "size(array_distinct(transform(sequence(1, size(split(text, ' ')) - 1), "
+            "size(array_distinct(transform(sequence(1, size(split(text, ' ')) - 1, 1), "
             "i -> concat(element_at(split(text, ' '), i), ' ', "
             "element_at(split(text, ' '), i + 1)))))"
         )

@@ -186,7 +186,8 @@ def q24_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     d = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     shingle_hashes = F.expr(
-        "transform(sequence(1, size(toks) - 4), i -> md5(concat_ws(' ', slice(toks, i, 5))))"
+        # step 1: sequence(1, 0) descends; (1, 0, 1) is empty
+        "transform(sequence(1, size(toks) - 4, 1), i -> md5(concat_ws(' ', slice(toks, i, 5))))"
     )
     return d.where(F.size("toks") >= 5).select(
         "doc_id",
