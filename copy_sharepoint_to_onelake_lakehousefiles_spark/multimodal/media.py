@@ -466,25 +466,59 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 @query("q60_media_features")
 def q60_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline round-trip (rows-only: binary I/O). Builds a tiny
-    blob tree under /tmp, ingests via binaryFile, extracts stub features,
-    and returns a per-kind profile."""
+    TYPED blob tree under /tmp — real P6 PPM images, PNG containers, PCM
+    WAV tones — ingests via binaryFile, probes container metadata
+    (probe_media: mime + dimensions + duration, no codec libs), extracts
+    features (real decode for PPM/WAV, stub only where compressed pixels
+    would need Pillow), and profiles per detected mime."""
+    import io
     import os
     import shutil
+    import struct
     import tempfile
+    import wave
 
     root = os.path.join(tempfile.gettempdir(), "spark_graft_media_fixture")
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(os.path.join(root, "nested"))
-    for i in range(6):
-        with open(os.path.join(root, "nested" if i % 2 else "", f"blob{i}.bin"), "wb") as f:
-            f.write(bytes([i]) * (64 * (i + 1)))
 
-    media = read_media_dir(spark, root, kind="image")
+    def _blob(name: str, payload: bytes) -> None:
+        with open(os.path.join(root, name), "wb") as f:
+            f.write(payload)
+
+    for i in range(2):  # real P6 images (decodable pixels)
+        img = np.full((4 + i, 6, 3), 40 * (i + 1), np.uint8)
+        _blob(f"img{i}.ppm", encode_ppm(img))
+    for i in range(2):  # PNG containers (header metadata only)
+        w, h = 32 * (i + 1), 16 * (i + 1)
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        _blob(
+            f"nested/pic{i}.png",
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4,
+        )
+    for i in range(2):  # PCM WAV tones (decodable samples + duration)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"\x00\x40" * (2000 * (i + 1)))
+        _blob(f"nested/tone{i}.wav", buf.getvalue())
+
+    media = probe_media(read_media_dir(spark, root, kind="image"))
     feats = extract_features(media)
-    return feats.groupBy("kind").agg(
+    enriched = feats.join(
+        media.select("media_id", F.col("meta.mime").alias("mime"),
+                     F.col("meta.width").alias("width"),
+                     F.col("meta.duration_ms").alias("duration_ms")),
+        "media_id",
+    )
+    return enriched.groupBy("mime").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
         F.countDistinct("digest").alias("n_distinct"),
+        F.count("width").alias("n_with_dims"),
+        F.count("duration_ms").alias("n_with_duration"),
         F.round(F.sum(F.element_at("features", 1)), 4).alias("f0_sum"),
     )
 

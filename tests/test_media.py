@@ -242,3 +242,16 @@ def test_probe_media_fills_meta_struct(spark, tmp_path):
     assert metas["image/png"]["width"] == 100 and metas["image/png"]["height"] == 50
     assert metas["image/jpeg"]["width"] == 12 and metas["image/jpeg"]["height"] == 34
     assert abs(metas["audio/wav"]["duration_ms"] - 250) <= 1
+
+
+def test_q60_profiles_by_detected_mime(spark, sf_dir):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        q60_media_features,
+    )
+
+    rows = {r["mime"]: r for r in q60_media_features(spark, sf_dir).collect()}
+    assert set(rows) == {"image/x-portable-pixmap", "image/png", "audio/wav"}
+    for r in rows.values():
+        assert r["n_media"] == 2 and r["n_distinct"] == 2
+    assert rows["image/png"]["n_with_dims"] == 2  # header-probed dimensions
+    assert rows["audio/wav"]["n_with_duration"] == 2  # byte-rate durations
