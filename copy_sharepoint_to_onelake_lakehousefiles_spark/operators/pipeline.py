@@ -796,3 +796,80 @@ def q124_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "q126_mixture_resample",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+         (CAST(substr(source, 4) AS INT) % 4) + 1 AS wt,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+  FROM documents
+),
+agg AS (SELECT source, any_value(wt) AS wt, count(*) AS n_s FROM w GROUP BY source),
+tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total, CAST(sum(wt) AS BIGINT) AS w_total FROM agg),
+sel AS (
+  SELECT w.source, a.n_s,
+         count(*) FILTER (
+           WHERE w.bucket * t.w_total * a.n_s < (t.n_total // 2) * a.wt * 10000
+         ) AS n_selected
+  FROM w JOIN agg a ON w.source = a.source, tot t
+  GROUP BY w.source, a.n_s
+)
+SELECT source,
+       CAST(n_s AS BIGINT)        AS n_docs,
+       CAST(n_selected AS BIGINT) AS n_selected,
+       CAST(n_selected * 10000 // n_s AS BIGINT) AS achieved_x10k
+FROM sel
+""",
+)
+def q126_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED MIXTURE resampling: each source gets a target
+    share of the output corpus proportional to its weight (here derived
+    from the source id; in production a config), and documents are
+    accepted by md5-bucket against the per-source rate — the
+    domain-reweighting step (DoReMi-style fixed weights) that turns raw
+    crawl proportions into a training mixture. Acceptance is an exact
+    integer cross-multiplication (bucket·W·n_s < N_target·w_s·10⁴): no
+    floats, no RNG state, stable under re-runs and across engines — and
+    rates > 1 saturate naturally (a source smaller than its quota is taken
+    whole).
+
+    Scale: one hash-agg for per-source counts (broadcast back — sources
+    are few), one stateless filter pass; resampling never shuffles the
+    corpus itself."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    w = d.select(
+        "doc_id",
+        "source",
+        (F.expr("CAST(substr(source, 4) AS INT) % 4") + 1).alias("wt"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 10000
+        ).alias("bucket"),
+    )
+    agg = w.groupBy("source").agg(
+        F.first("wt").alias("wt"), F.count(F.lit(1)).alias("n_s")
+    )
+    tot = agg.agg(
+        F.sum("n_s").cast("bigint").alias("n_total"),
+        F.sum("wt").cast("bigint").alias("w_total"),
+    )
+    accept = F.col("bucket") * F.col("w_total") * F.col("n_s") < (
+        F.expr("n_total div 2") * F.col("wt") * 10000
+    )
+    return (
+        w.drop("wt")  # per-source wt re-attaches from the broadcast agg
+        .join(F.broadcast(agg), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s")
+        .agg(F.sum(F.when(accept, 1).otherwise(0)).cast("bigint").alias("n_selected"))
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_docs"),
+            "n_selected",
+            F.expr("n_selected * 10000 div n_s").cast("bigint").alias("achieved_x10k"),
+        )
+    )

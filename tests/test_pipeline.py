@@ -95,3 +95,26 @@ def test_equidepth_bins_are_balanced(spark, sf_dir):
     assert sum(sizes) == load(spark, sf_dir, "orders").count()
     for prev, cur in zip(rows, rows[1:]):
         assert prev["hi"] <= cur["lo"]
+
+
+def test_mixture_resample_tracks_target_shares(spark, sf_dir):
+    """Selected counts must track each source's weight-proportional quota
+    (md5-bucket noise is a few percent at 25-3000 docs/source), saturate at
+    n_docs, and be deterministic across invocations."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.pipeline import (
+        q126_mixture_resample,
+    )
+
+    rows = q126_mixture_resample(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_docs"] for r in rows)
+    wts = {r["source"]: (int(r["source"][3:]) % 4) + 1 for r in rows}
+    for r in rows:
+        assert 0 <= r["n_selected"] <= r["n_docs"]
+        target = (total // 2) * wts[r["source"]] / (sum(wts.values()))
+        # within 25% relative or 5 docs absolute of quota (hash noise on
+        # small per-source counts), unless saturated
+        if target < r["n_docs"]:
+            assert abs(r["n_selected"] - target) <= max(5, 0.25 * target)
+    again = {r["source"]: r["n_selected"] for r in q126_mixture_resample(spark, sf_dir).collect()}
+    assert again == {r["source"]: r["n_selected"] for r in rows}

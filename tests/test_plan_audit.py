@@ -32,6 +32,7 @@ NLJ_ALLOWED = {
     "q73_vocabulary",
     "q122_sequence_packing",
     "q124_equidepth_binning",
+    "q126_mixture_resample",  # 1-row totals broadcast
     "q78_event_date_spine",
     "q79_balanced_sample",
     "q95_bm25_scores",
