@@ -163,12 +163,15 @@ class TxTable:
         return entries
 
     def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (latest by default, time travel via ``version``)."""
+        """Snapshot read (latest by default, time travel via ``version``).
+        mergeSchema reconciles files written before/after a schema
+        evolution (append(allow_evolution=True)): pre-evolution rows read
+        the added columns as null, parquet's additive-evolution rule."""
         m = self._manifest(self.latest_version() if version is None else version)
         paths = [os.path.join(self.root, fe["path"]) for fe in m["files"]]
         if not paths:
             raise ValueError(f"version {m['version']} has no data files")
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # --------------------------------------------------------------- ops
 
@@ -179,11 +182,28 @@ class TxTable:
         t._commit("create", t._write_files(df), version=0)
         return t
 
-    def append(self, df: DataFrame) -> dict:
-        """Blind append: new files only, prior files carried untouched."""
+    def append(self, df: DataFrame, allow_evolution: bool = False) -> dict:
+        """Blind append: new files only, prior files carried untouched.
+
+        ``allow_evolution=True`` permits ADDITIVE schema evolution: the
+        batch may carry new columns (they must still include every
+        existing column); readers see nulls for old rows via mergeSchema.
+        Dropping or retyping columns is rejected either way — that would
+        silently corrupt carried files' data."""
         base = self.latest_version()
         prior = self._manifest(base)["files"]
-        added = self._write_files(df.select(*self.read().columns))
+        current = self.read().columns
+        missing = [c for c in current if c not in df.columns]
+        if missing:
+            raise ValueError(f"append batch lacks table columns {missing}")
+        extra = [c for c in df.columns if c not in current]
+        if extra and not allow_evolution:
+            raise ValueError(
+                f"batch carries new columns {extra}; pass allow_evolution=True "
+                "to evolve the schema (silently dropping them would lose data)"
+            )
+        ordered = df.select(*current, *extra)
+        added = self._write_files(ordered)
         self._commit("append", prior + added, version=base + 1)
         return {"appended": sum(fe["rows"] for fe in added), "new_files": len(added)}
 

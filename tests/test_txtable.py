@@ -307,3 +307,25 @@ def test_merge_upsert_partitioned_rewrites_only_hit_partitions(spark, sf_dir, tm
     for p, mt in parts_before.items():
         if p != "n_regionkey=0":
             assert os.path.getmtime(os.path.join(target, p)) == pytest.approx(mt)
+
+
+def test_append_with_schema_evolution(spark, sf_dir, tmp_path):
+    t = _nation_table(spark, sf_dir, tmp_path)
+    evolved = spark.createDataFrame(
+        [(600, "TAGGED", 2, "new-col")],
+        "n_nationkey int, n_name string, n_regionkey int, tag string",
+    )
+    with pytest.raises(Exception):
+        t.append(evolved)  # evolution must be explicit
+    t.append(evolved, allow_evolution=True)
+    df = t.read()
+    assert "tag" in df.columns
+    rows = {r["n_nationkey"]: r["tag"] for r in df.collect()}
+    assert rows[600] == "new-col"
+    assert rows[0] is None  # pre-evolution rows read null
+    assert len(rows) == 26
+    # dropping columns is rejected even with evolution on
+    with pytest.raises(ValueError):
+        t.append(
+            spark.createDataFrame([(601,)], "n_nationkey int"), allow_evolution=True
+        )
