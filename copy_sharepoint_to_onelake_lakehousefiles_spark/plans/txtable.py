@@ -36,7 +36,7 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -122,19 +122,43 @@ class TxTable:
             return self._manifest(vs[-1])["key"]
         return getattr(self, "_key", "")
 
+    BLOOM_BITS = 1024  # per-file key bloom (2 hash positions per key)
+    MAX_BLOOM_PROBE_KEYS = 10_000  # above this, range-only pruning (no key collect)
+
+    def _key_positions(self, col: Column) -> tuple[Column, Column]:
+        """The two bloom positions of a key value — Murmur3 under two seeds,
+        folded into [0, BLOOM_BITS). Must be the ONLY place positions are
+        computed so writer and pruner can never disagree."""
+        m = self.BLOOM_BITS
+        return (
+            F.pmod(F.hash(col), F.lit(m)),
+            F.pmod(F.hash(col, F.lit(0x5EED)), F.lit(m)),
+        )
+
     def _write_files(self, df: DataFrame, stats_cols: list[str] | None = None) -> list[dict]:
         """Write df as new immutable files; return manifest entries with
-        per-file min/max stats on the key (the data-skipping index) and,
-        optionally, on extra ``stats_cols`` (populated by cluster_by so
-        multi-column predicates can skip files too)."""
+        per-file min/max stats on the key, a per-file key BLOOM (set bit
+        positions — exact, so membership misses are proof of absence), and
+        optionally min/max for extra ``stats_cols`` (populated by
+        cluster_by so multi-column predicates can skip files too).
+
+        The bloom closes the gap min/max ranges can't: a merge batch with
+        SCATTERED keys (0 and 999) spans every file's range, but each
+        file's bloom still rules it out unless the key is really there. At
+        BLOOM_BITS=1024 the position list is ≤2 KB JSON per file; at
+        lakehouse scale the same bits serialize as a base64 bitmap."""
         out = os.path.join(self.data_dir, uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(out)
         key = self.key or self._key
         extra = [c for c in (stats_cols or []) if c != key]
+        p1, p2 = self._key_positions(F.col(key))
         aggs = [
             F.count(F.lit(1)).alias("rows"),
             F.min(key).alias("min_key"),
             F.max(key).alias("max_key"),
+            F.sort_array(
+                F.array_union(F.collect_set(p1), F.collect_set(p2))
+            ).alias("__bloom"),
         ]
         for c in extra:
             aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
@@ -154,6 +178,7 @@ class TxTable:
                 "rows": r["rows"],
                 "min_key": r["min_key"],
                 "max_key": r["max_key"],
+                "key_bloom": list(r["__bloom"]),
             }
             if extra:
                 entry["col_stats"] = {
@@ -235,10 +260,12 @@ class TxTable:
         files = self._manifest(base)["files"]
         updates = updates.select(*self.read(base).columns)
 
-        # File pruning against update key bounds. The per-file check is
-        # range overlap with the updates' [min,max]; at fixture scale the
-        # two bounds suffice, and the manifest scan is driver-side metadata
-        # (same shape as Delta's data-skipping over add-file stats).
+        # File pruning, two tiers of driver-side metadata (the shape of
+        # Delta's data skipping over add-file stats):
+        # 1. range overlap with the updates' [min, max] key bounds;
+        # 2. per-file key BLOOM probe — a scattered batch (keys 0 and 999)
+        #    spans every range but only truly-hit files pass the bloom
+        #    (no false negatives: set positions are exact).
         ulo, uhi = updates.agg(F.min(key), F.max(key)).first()
         if ulo is None:  # empty update batch → no-op commit
             self._commit("merge", files, version=base + 1, txn=txn)
@@ -249,6 +276,23 @@ class TxTable:
             if fe["min_key"] is not None
             and not (fe["max_key"] < ulo or fe["min_key"] > uhi)
         ]
+        ukeys = updates.select(key).distinct()
+        if any("key_bloom" in fe for fe in touched) and ukeys.limit(
+            self.MAX_BLOOM_PROBE_KEYS + 1
+        ).count() <= self.MAX_BLOOM_PROBE_KEYS:
+            pairs = [
+                (r[0], r[1])
+                for r in ukeys.select(*self._key_positions(F.col(key))).collect()
+            ]
+
+            def may_contain(fe: dict) -> bool:
+                bloom = fe.get("key_bloom")
+                if bloom is None:
+                    return True  # legacy manifest entry: range-only
+                bs = set(bloom)
+                return any(a in bs and b in bs for a, b in pairs)
+
+            touched = [fe for fe in touched if may_contain(fe)]
         carried = [fe for fe in files if fe not in touched]
 
         if touched:

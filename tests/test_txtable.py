@@ -329,3 +329,22 @@ def test_append_with_schema_evolution(spark, sf_dir, tmp_path):
         t.append(
             spark.createDataFrame([(601,)], "n_nationkey int"), allow_evolution=True
         )
+
+
+def test_bloom_prunes_scattered_key_merge(spark, sf_dir, tmp_path):
+    """Keys 0 and 24 span the full [min, max] range of a range-partitioned
+    table — range stats alone would rewrite every file; the per-file key
+    bloom must narrow the rewrite to the files actually containing them."""
+    t = _nation_table(spark, sf_dir, tmp_path)
+    n_files = len(t._manifest(0)["files"])
+    assert n_files >= 3
+    scattered = spark.createDataFrame(
+        [(0, "FIRST", 0), (24, "LAST", 4)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    stats = t.merge(scattered)
+    assert stats["updated"] == 2 and stats["inserted"] == 0
+    assert stats["files_rewritten"] <= 2, f"bloom failed to prune: {stats}"
+    assert stats["files_carried"] >= n_files - 2
+    after = {r["n_nationkey"]: r["n_name"] for r in t.read().collect()}
+    assert after[0] == "FIRST" and after[24] == "LAST" and len(after) == 25
