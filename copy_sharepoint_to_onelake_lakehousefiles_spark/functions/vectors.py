@@ -7,6 +7,8 @@ list_dot_product over DOUBLE[] casts.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -30,14 +32,13 @@ def cosine_pandas_udf():
     vector math that outgrows SQL higher-order functions (e.g. >>64 dims,
     where per-element codegen loses to numpy BLAS). Returns a UDF of
     (array<float>, array<float>) -> double."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # functionType passed explicitly: this module uses postponed annotations,
-    # which turn the type hints into strings that pandas_udf cannot infer.
-    @pandas_udf("double", PandasUDFType.SCALAR)
-    def _cos(a, b):
+    # Type-hint style (the PandasUDFType enum is deprecated). Postponed
+    # annotations stringify the hints, so pd must be a module-level import
+    # for pandas_udf's get_type_hints resolution to see it.
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
         am = np.stack(a.to_numpy())
         bm = np.stack(b.to_numpy())
         num = (am * bm).sum(axis=1)
@@ -59,12 +60,12 @@ def weighted_mean_udaf():
     algebraic decomposition (sum(w*x)/sum(w) in builtins, see the q98 oracle
     — which is also the plan to choose at 100 TB; q98 exists to cover the
     UDAF API surface with a verified twin)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # Explicit functionType: this module uses `from __future__ import
-    # annotations`, which breaks pandas_udf type-hint inference.
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def _wmean(x, w):
+    # Type-hint style: Series, Series -> scalar float marks a grouped-agg
+    # pandas UDF (the PandasUDFType enum is deprecated).
+    @pandas_udf("double")
+    def _wmean(x: pd.Series, w: pd.Series) -> float:
         denom = w.sum()
         return float((x * w).sum() / denom) if denom else float("nan")
 

@@ -96,12 +96,34 @@ def encode(emb: DataFrame, cb: DataFrame) -> DataFrame:
     return _assign(_subvectors(emb), cb).select("vec_id", "sub_id", "cid")
 
 
-@query("q114_pq_ann_topk")
-def q114_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def exact_l2_topk(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact L2² top-k for the query vectors — brute force, broadcast query
+    side, same fold order as the DuckDB oracle (list_sum over (x-y)²)."""
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").cast("array<double>").alias("n_emb")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(q_emb, n_emb, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id", F.round(d2, 6).alias("l2sq")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("l2sq").asc(), F.col("n_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "n_id", "l2sq", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN: train codebooks, encode the corpus, ADC-score the code table
     for the first 10 query vectors, exact-L2 re-rank the top-50 shortlist,
-    return top-5. Rows-only tier (iterative k-means + float argmins have no
-    ANSI twin); tests/test_pq.py measures recall@5 against exact L2."""
+    return top-5."""
     emb = load(spark, sf_dir, "embeddings")
     cb = train_codebooks(emb)
     codes = track_persist(encode(emb, cb))
@@ -141,5 +163,49 @@ def q114_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rer.withColumn("rk", F.row_number().over(wf))
         .where(F.col("rk") <= TOP_K)
         .select("q_id", "n_id", "l2sq", F.col("rk").cast("bigint").alias("rk"))
-        .orderBy("q_id", "rk")
     )
+
+
+@query(
+    "q114_pq_ann_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_emb FROM embeddings
+),
+scored AS (
+  SELECT q_id, n_id,
+         round(list_sum(list_transform(list_zip(q_emb, n_emb),
+                                       x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS l2sq
+  FROM q JOIN c ON q_id <> n_id
+),
+topk AS (
+  SELECT q_id, n_id, l2sq, rk FROM (
+    SELECT q_id, n_id, l2sq,
+           row_number() OVER (PARTITION BY q_id ORDER BY l2sq ASC, n_id) AS rk
+    FROM scored
+  )
+  WHERE rk <= {TOP_K}
+)
+SELECT q_id, n_id, l2sq, rk, 1 AS pq_recall_ok, 1 AS pq_global_recall_ok FROM topk
+""",
+)
+def q114_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN promoted to a full oracle (r4, derived-bound-flag pattern):
+    hashed output = exact L2² top-k (DuckDB recomputes the brute-force
+    answer with the same left-to-right fold) + `pq_recall_ok` (per-query
+    recall@5 of the ADC+re-rank answer ≥ 20%) + `pq_global_recall_ok`
+    (global ≥ 60%), computed from the real PQ pipeline in the same query.
+
+    Margins: measured deterministic per-query minimum is 2/5 and global is
+    74-78% at sf0.001/sf0.01 — one hit/query and ≥7 hits of global headroom.
+    tests/test_pq.py keeps the raw ≥0.6 recall check."""
+    from .similarity import _recall_flags
+
+    exact = exact_l2_topk(load(spark, sf_dir, "embeddings"))
+    ann = pq_topk(spark, sf_dir)
+    return _recall_flags(
+        exact, ann, ("pq_recall_ok", 20), ("pq_global_recall_ok", 60)
+    ).orderBy("q_id", "rk")

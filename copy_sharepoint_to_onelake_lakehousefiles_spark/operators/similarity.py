@@ -16,6 +16,8 @@ bit-for-bit at 6dp.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -62,6 +64,33 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFr
     )
 
 
+# Shared oracle CTE: exact top-k cosine neighbours (DuckDB recomputes the
+# whole exact answer; ANN queries append literal-1 recall flags to it).
+_EXACT_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < {{n_queries}}
+),
+c AS (
+  SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_emb FROM embeddings
+),
+scored AS (
+  SELECT q_id, n_id,
+         round(list_dot_product(q_emb, n_emb)
+               / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(n_emb, n_emb))),
+               6) AS cosine
+  FROM q JOIN c ON q_id <> n_id
+),
+topk AS (
+  SELECT q_id, n_id, cosine, rk FROM (
+    SELECT q_id, n_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+    FROM scored
+  )
+  WHERE rk <= {{k}}
+)
+"""
+
+
 @query(
     "q30_cosine_topk",
     oracle=f"""
@@ -91,6 +120,53 @@ def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 vectors against the full corpus."""
     emb = load(spark, sf_dir, "embeddings")
     return cosine_topk(emb.where(F.col("vec_id") < N_QUERIES), emb, TOP_K)
+
+
+def _recall_flags(
+    exact: DataFrame,
+    ann: DataFrame,
+    per_q: tuple[str, int] | None,
+    global_: tuple[str, int],
+) -> DataFrame:
+    """Join integer recall flags for a deterministic ANN result onto the
+    exact top-k (the derived-bound-flag pattern that promoted q38/q63/q99).
+
+    The hashed output stays fully oracle-recomputable: the exact top-k rows
+    plus int flags asserting "ANN recall ≥ threshold"; the DuckDB oracle
+    recomputes the exact top-k and emits literal 1 for each flag. Because
+    every ANN path here is deterministic (LCG hyperplanes, lowest-vec_id
+    k-means seeds), measured recall at a given fixture IS the gate value;
+    thresholds sit below it with explicit margin so only a real regression
+    or a fixture regeneration can flip a flag. All comparisons are exact
+    integer arithmetic (hits·100 ≥ n·threshold) — no doubles in the output.
+    """
+    ids = (
+        ann.select("q_id", "n_id")
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("__hit", F.lit(1))
+    )
+    marked = exact.join(F.broadcast(ids), ["q_id", "n_id"], "left").withColumn(
+        "__hit", F.coalesce("__hit", F.lit(0))
+    )
+    out = marked
+    if per_q is not None:
+        name, thr = per_q
+        pq = (
+            marked.groupBy("q_id")
+            .agg(F.sum("__hit").alias("__hits"), F.count(F.lit(1)).alias("__n"))
+            .select(
+                "q_id",
+                (F.col("__hits") * 100 >= F.col("__n") * thr).cast("int").alias(name),
+            )
+        )
+        out = out.join(F.broadcast(pq), "q_id")
+    gname, gthr = global_
+    g = (
+        marked.agg(F.sum("__hit").alias("__h"), F.count(F.lit(1)).alias("__n"))
+        .select((F.col("__h") * 100 >= F.col("__n") * gthr).cast("int").alias(gname))
+    )
+    out = out.crossJoin(F.broadcast(g))  # 1-row aggregate broadcast (allowlisted shape)
+    return out.drop("__hit")
 
 
 def hyperplane_bucket(df: DataFrame, planes: list[list[float]], emb_col: str = "embedding"):
@@ -130,10 +206,7 @@ def _multi_table_buckets(df: DataFrame) -> DataFrame:
     sf0.1, plus ~1.7s one-time JIT), while (batch × 64) @ (64 × 48) is
     microseconds. This is the sanctioned vectorized-UDF case: the builtin
     path is structurally slower, not just unoptimized."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     all_planes = []
     for t in range(N_TABLES):
@@ -141,7 +214,7 @@ def _multi_table_buckets(df: DataFrame) -> DataFrame:
     planes_t = np.asarray(all_planes, dtype=np.float64).T  # (dim, tables*planes)
     weights = (2 ** np.arange(N_PLANES - 1, -1, -1)).astype(np.int64)
 
-    @pandas_udf("array<int>", PandasUDFType.SCALAR)
+    @pandas_udf("array<int>")
     def _buckets(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
         signs = (m @ planes_t) >= 0  # (n, tables*planes)
@@ -154,13 +227,10 @@ def _multi_table_buckets(df: DataFrame) -> DataFrame:
     )
 
 
-@query("q31_ann_lsh_topk")
-def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH: 8 independent
     tables of 6 projection signs each; candidates = union of same-bucket
-    matches across tables; exact cosine re-ranks candidates only. Rows-only
-    check; tests/test_similarity.py measures recall vs brute force (the
-    recall/cost dial is N_TABLES × N_PLANES).
+    matches across tables; exact cosine re-ranks candidates only.
 
     Scale: the corpus is hashed once (one pass), the index is an equi-join on
     (table_id, bucket) — 100 TB of vectors shuffles only within cells, and
@@ -191,8 +261,34 @@ def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TOP_K)
         .select("q_id", "n_id", "cosine", "rk")
-        .orderBy("q_id", "rk")
     )
+
+
+@query(
+    "q31_ann_lsh_topk",
+    oracle=_EXACT_COSINE_TOPK.format(n_queries=N_QUERIES, k=TOP_K)
+    + """
+SELECT q_id, n_id, cosine, rk, 1 AS lsh_recall_ok FROM topk
+""",
+)
+def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane LSH ANN, promoted to a full oracle (r4) via the
+    derived-bound-flag pattern: the hashed output is the EXACT top-k (which
+    DuckDB recomputes) plus `lsh_recall_ok` = "global recall@5 of the LSH
+    answer ≥ 20%", computed from the real LSH result inside the same query.
+
+    Threshold margin: measured deterministic global recall is 36% (18/50) at
+    both sf0.001 and sf0.01 against a ~12.5% candidate fraction (≈3× lift
+    over random); per-query recall dips to 0 on individual queries (uniform
+    64-dim data has weak neighbourhood structure), so only the global bound
+    is asserted. tests/test_similarity.py still measures raw recall."""
+    exact = cosine_topk(
+        load(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES),
+        load(spark, sf_dir, "embeddings"),
+        TOP_K,
+    )
+    ann = lsh_topk(spark, sf_dir)
+    return _recall_flags(exact, ann, None, ("lsh_recall_ok", 20)).orderBy("q_id", "rk")
 
 
 @query(
@@ -318,12 +414,10 @@ def _cells_ranked_expr(centroids: list[list[float]], n: int, emb_col: str = "emb
     )
 
 
-@query("q51_ann_ivf_topk")
-def q51_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: k-means cells built iteratively with
     DataFrame jobs, corpus assigned to its nearest cell, queries probe their
-    2 nearest cells, exact cosine re-ranks within probed cells. Rows-only;
-    tests measure recall vs brute force.
+    2 nearest cells, exact cosine re-ranks within probed cells.
 
     The candidate join is an equi-join on cell id (like the LSH variant),
     but cells adapt to the data distribution — better recall/candidate ratio
@@ -352,8 +446,34 @@ def q51_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TOP_K)
         .select("q_id", "n_id", "cosine", "rk")
-        .orderBy("q_id", "rk")
     )
+
+
+@query(
+    "q51_ann_ivf_topk",
+    oracle=_EXACT_COSINE_TOPK.format(n_queries=N_QUERIES, k=TOP_K)
+    + """
+SELECT q_id, n_id, cosine, rk, 1 AS ivf_recall_ok, 1 AS ivf_global_recall_ok FROM topk
+""",
+)
+def q51_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN promoted to a full oracle (r4, derived-bound-flag pattern):
+    hashed output = exact top-k (DuckDB recomputes) + `ivf_recall_ok`
+    (per-query recall@5 ≥ 40%) + `ivf_global_recall_ok` (global ≥ 70%),
+    both computed from the real IVF answer in the same query.
+
+    Margins: measured deterministic per-query minimum is 3/5 (60%) and
+    global is 80-88% at sf0.001/sf0.01, so the asserted bounds keep ≥1
+    hit/query and ≥5 hits of headroom against fixture drift."""
+    exact = cosine_topk(
+        load(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES),
+        load(spark, sf_dir, "embeddings"),
+        TOP_K,
+    )
+    ann = ivf_topk(spark, sf_dir)
+    return _recall_flags(
+        exact, ann, ("ivf_recall_ok", 40), ("ivf_global_recall_ok", 70)
+    ).orderBy("q_id", "rk")
 
 
 Q8_BITS = 127  # int8 quantization range
@@ -377,13 +497,10 @@ def quantize_int8(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     )
 
 
-@query("q107_quantized_cosine_topk")
-def q107_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k cosine over INT8-quantized embeddings: integer dot
     products rescaled by the per-vector scales, same broadcast-query plan as
-    q30. Rows-only tier; tests/test_similarity_q8.py measures recall@5
-    against the exact q30 answer (quantization error on 64-dim unit-ish
-    vectors is ~1e-3 — recall stays ≥0.9)."""
+    q30 (quantization error on 64-dim unit-ish vectors is ~1e-3)."""
     emb = load(spark, sf_dir, "embeddings")
     qz = quantize_int8(emb)
     q = qz.where(F.col("vec_id") < N_QUERIES).select(
@@ -415,3 +532,30 @@ def q107_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .select("q_id", "n_id", "cosine_q8", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+@query(
+    "q107_quantized_cosine_topk",
+    oracle=_EXACT_COSINE_TOPK.format(n_queries=N_QUERIES, k=TOP_K)
+    + """
+SELECT q_id, n_id, cosine, rk, 1 AS q8_recall_ok, 1 AS q8_global_recall_ok FROM topk
+""",
+)
+def q107_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 (scalar-quantized) ANN promoted to a full oracle (r4,
+    derived-bound-flag pattern): hashed output = exact full-precision top-k
+    (DuckDB recomputes) + `q8_recall_ok` (per-query recall@5 of the
+    int8-ranked answer ≥ 60%) + `q8_global_recall_ok` (global ≥ 90%).
+
+    Margins: measured deterministic per-query minimum is 4/5 and global is
+    49/50 (98%) at both sf0.001 and sf0.01 — one hit/query and 4 hits of
+    global headroom. tests/test_similarity_q8.py keeps the raw ≥0.9 check."""
+    exact = cosine_topk(
+        load(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES),
+        load(spark, sf_dir, "embeddings"),
+        TOP_K,
+    )
+    ann = quantized_topk(spark, sf_dir)
+    return _recall_flags(
+        exact, ann, ("q8_recall_ok", 60), ("q8_global_recall_ok", 90)
+    ).orderBy("q_id", "rk")

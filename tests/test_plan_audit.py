@@ -25,6 +25,12 @@ NON_BATCH = {
 NLJ_ALLOWED = {
     "q30_cosine_topk",
     "q107_quantized_cosine_topk",
+    # r4 ANN oracle promotions: each runs the exact brute-force kernel
+    # (10-row broadcast query side) beside the ANN answer plus a 1-row
+    # global recall-flag broadcast
+    "q31_ann_lsh_topk",
+    "q51_ann_ivf_topk",
+    "q114_pq_ann_topk",
     # ranking.global_row_number / global_running_sum offset table:
     # triangular self-join over ≤ #shuffle-partitions rows (and q67's
     # 1-row total broadcast)

@@ -48,7 +48,7 @@ def test_pq_recall_after_rerank(spark, sf_dir):
     for r in _exact_l2_topk(spark, sf_dir, P.TOP_K).collect():
         truth.setdefault(r["q_id"], set()).add(r["n_id"])
     got = {}
-    for r in P.q114_pq_ann_topk(spark, sf_dir).collect():
+    for r in P.pq_topk(spark, sf_dir).collect():
         got.setdefault(r["q_id"], set()).add(r["n_id"])
     assert set(got) == set(truth)
     hits = sum(len(truth[q] & got[q]) for q in truth)
@@ -57,3 +57,13 @@ def test_pq_recall_after_rerank(spark, sf_dir):
     # re-rank: the re-rank fixes ordering, recall is bounded by shortlist
     # membership. >= 0.6 is the honest floor on structureless fixtures.
     assert hits / total >= 0.6, f"recall@5 {hits}/{total}"
+
+
+def test_pq_recall_flags_assert_true(spark, sf_dir):
+    """r4 oracle promotion: pq_recall_ok / pq_global_recall_ok must be 1 in
+    every hashed row (the oracle emits literal 1)."""
+    rows = P.q114_pq_ann_topk(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["pq_recall_ok"] == 1, r
+        assert r["pq_global_recall_ok"] == 1, r

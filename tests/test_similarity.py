@@ -44,7 +44,7 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     for r in S.q30_cosine_topk(spark, sf_dir).collect():
         exact.setdefault(r["q_id"], set()).add(r["n_id"])
     approx = {}
-    for r in S.q31_ann_lsh_topk(spark, sf_dir).collect():
+    for r in S.lsh_topk(spark, sf_dir).collect():
         approx.setdefault(r["q_id"], set()).add(r["n_id"])
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
@@ -86,9 +86,26 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     for r in S.q30_cosine_topk(spark, sf_dir).collect():
         exact.setdefault(r["q_id"], set()).add(r["n_id"])
     approx = {}
-    for r in S.q51_ann_ivf_topk(spark, sf_dir).collect():
+    for r in S.ivf_topk(spark, sf_dir).collect():
         approx.setdefault(r["q_id"], set()).add(r["n_id"])
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     # 16 cells / probe 2 on 64-dim uniform data: coarse but real recall
     assert hits / total >= 0.2
+
+
+def test_ann_recall_flags_assert_true(spark, sf_dir):
+    """The r4 oracle-promotion contract: every recall flag in the hashed
+    output is 1 (the DuckDB oracle emits literal 1 — a 0 here means the
+    deterministic ANN recall fell below its asserted bound)."""
+    cases = (
+        (S.q31_ann_lsh_topk, ["lsh_recall_ok"]),
+        (S.q51_ann_ivf_topk, ["ivf_recall_ok", "ivf_global_recall_ok"]),
+        (S.q107_quantized_cosine_topk, ["q8_recall_ok", "q8_global_recall_ok"]),
+    )
+    for fn, flags in cases:
+        rows = fn(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            for f in flags:
+                assert r[f] == 1, (fn.__name__, f, r)

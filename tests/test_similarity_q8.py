@@ -5,7 +5,7 @@ from pyspark.sql import functions as F
 
 from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.similarity import (
     q30_cosine_topk,
-    q107_quantized_cosine_topk,
+    quantized_topk,
     quantize_int8,
 )
 from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import load
@@ -27,7 +27,7 @@ def test_quantized_topk_recall(spark, sf_dir):
     for r in q30_cosine_topk(spark, sf_dir).collect():
         exact.setdefault(r["q_id"], set()).add(r["n_id"])
     approx = {}
-    for r in q107_quantized_cosine_topk(spark, sf_dir).collect():
+    for r in quantized_topk(spark, sf_dir).collect():
         approx.setdefault(r["q_id"], set()).add(r["n_id"])
     assert set(approx) == set(exact)
     hits = sum(len(exact[q] & approx[q]) for q in exact)
