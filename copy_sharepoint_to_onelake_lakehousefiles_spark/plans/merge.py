@@ -3,9 +3,13 @@
 Lakehouse formats (Delta/Iceberg) give MERGE natively; on raw parquet the
 engine composes it: full-outer-style combine = updates take precedence on
 key match (matched → UPDATE), unmatched updates append (NOT MATCHED →
-INSERT), untouched target rows carry over. The rewrite is staged to a temp
-directory and swapped in, so a failed job never half-writes the target —
-the same publish-safety instinct as the reference's copy-then-verify flow.
+INSERT), untouched target rows carry over. The rewrite is staged to a
+SIBLING temp directory (dot-prefixed, outside the target tree, so no
+recursive reader can pick it up) and swapped in with two renames, so a
+failed job never half-writes the target. NOTE the swap itself is two
+renames, not one atomic operation: a crash or concurrent reader between
+them can observe the target (or a partition) missing. For true snapshot
+isolation use plans.txtable.TxTable, whose commit-log publish is atomic.
 
 At 100 TB you don't rewrite the whole table: partition the target and
 rewrite ONLY partitions containing matched keys (merge_upsert_partitioned
@@ -22,6 +26,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _sibling(path: str, tag: str) -> str:
+    """Staging/backup dir OUTSIDE the target tree: a dot-prefixed sibling.
+    Same parent directory (so os.rename stays same-filesystem) but never
+    inside ``path`` itself, and hidden from Spark's file index (leading
+    dot), so a later recursive read of the target can't pick up leftovers
+    from a crashed swap (ADVICE r3)."""
+    parent, base = os.path.split(os.path.abspath(path))
+    return os.path.join(parent, f".{base}__{tag}_{uuid.uuid4().hex[:8]}")
+
+
 def merge_upsert(spark: SparkSession, target_path: str, updates: DataFrame, key: str) -> dict:
     """MERGE updates INTO target ON key: matched rows replaced, new rows
     inserted. Returns counts {updated, inserted, carried}."""
@@ -32,11 +46,11 @@ def merge_upsert(spark: SparkSession, target_path: str, updates: DataFrame, key:
     carried_df = target.join(updates.select(key), key, "left_anti")
     merged = carried_df.unionByName(updates)
 
-    staged = f"{target_path}__staged_{uuid.uuid4().hex[:8]}"
+    staged = _sibling(target_path, "staged")
     merged.write.mode("overwrite").parquet(staged)
     n_updates = updates.count()
 
-    backup = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
+    backup = _sibling(target_path, "old")
     os.rename(target_path, backup)
     os.rename(staged, target_path)
     shutil.rmtree(backup, ignore_errors=True)
@@ -58,8 +72,11 @@ def merge_upsert_partitioned(
     """MERGE into a hive-partitioned parquet target, rewriting ONLY the
     partitions that contain update rows — the 100 TB shape of merge_upsert
     (an update batch touching 3 of 10 000 daily partitions reads and
-    rewrites 3). Partition overwrite is per-directory staged+rename, so each
-    partition flips atomically; untouched partitions are never read.
+    rewrites 3). Partition overwrite is per-directory staged+rename with
+    staging OUTSIDE the target tree; the two renames are NOT one atomic
+    operation — a reader racing the swap can see that partition absent for
+    an instant (TxTable's commit log is the isolation-correct path);
+    untouched partitions are never read.
 
     For key-level (not partition-level) pruning plus snapshot isolation and
     time travel, use plans.txtable.TxTable.merge."""
@@ -78,10 +95,10 @@ def merge_upsert_partitioned(
         else:
             matched = 0
             merged = u
-        staged = f"{part_dir}__staged_{uuid.uuid4().hex[:8]}"
+        staged = _sibling(part_dir, "staged")
         merged.drop(part_col).write.mode("overwrite").parquet(staged)
         if os.path.isdir(part_dir):
-            backup = f"{part_dir}__old_{uuid.uuid4().hex[:8]}"
+            backup = _sibling(part_dir, "old")
             os.rename(part_dir, backup)
             os.rename(staged, part_dir)
             shutil.rmtree(backup, ignore_errors=True)

@@ -91,13 +91,25 @@ class TxTable:
             )
         return out
 
-    def _commit(self, op: str, files: list[dict], version: int, txn: str | None = None) -> None:
+    def _commit(
+        self,
+        op: str,
+        files: list[dict],
+        version: int,
+        txn: str | None = None,
+        schema_json: str | None = None,
+    ) -> None:
         """Atomically publish ``version``; raises FileExistsError if another
         writer won the race (optimistic concurrency — caller may retry on
         the fresh snapshot). ``txn`` stamps an application transaction id
-        into the manifest for idempotent writers (see seen_txn)."""
+        into the manifest for idempotent writers (see seen_txn).
+        ``schema_json`` persists the snapshot schema so a version with ZERO
+        data files (a delete that matched every row) stays readable as an
+        empty table instead of erroring (ADVICE r3)."""
         os.makedirs(self.log_dir, exist_ok=True)
         manifest = {"version": version, "op": op, "key": self.key, "files": files}
+        if schema_json is not None:
+            manifest["schema"] = schema_json
         if txn is not None:
             manifest["txn"] = txn
         tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex}.json")
@@ -191,12 +203,34 @@ class TxTable:
         """Snapshot read (latest by default, time travel via ``version``).
         mergeSchema reconciles files written before/after a schema
         evolution (append(allow_evolution=True)): pre-evolution rows read
-        the added columns as null, parquet's additive-evolution rule."""
+        the added columns as null, parquet's additive-evolution rule.
+        A version with zero data files (delete matched every row) returns
+        an EMPTY DataFrame with the schema persisted in its manifest."""
         m = self._manifest(self.latest_version() if version is None else version)
         paths = [os.path.join(self.root, fe["path"]) for fe in m["files"]]
         if not paths:
-            raise ValueError(f"version {m['version']} has no data files")
+            sj = m.get("schema")
+            if sj is None:
+                raise ValueError(
+                    f"version {m['version']} has no data files and no recorded schema"
+                )
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame([], StructType.fromJson(json.loads(sj)))
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def _read_subset(self, paths: list[str], schema) -> DataFrame:
+        """Read a SUBSET of a snapshot's data files aligned to the snapshot
+        schema: mergeSchema reconciles mixed pre/post-evolution files, and
+        any evolved column the subset predates is added as a typed null —
+        without this, a merge whose touched files are all pre-evolution
+        would produce a DataFrame missing the evolved column and break
+        unionByName against the aligned updates (ADVICE r3)."""
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        for f in schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df.select(*[f.name for f in schema.fields])
 
     # --------------------------------------------------------------- ops
 
@@ -204,7 +238,7 @@ class TxTable:
     def create(cls, spark: SparkSession, root: str, df: DataFrame, key: str) -> "TxTable":
         t = cls(spark, root)
         t._key = key
-        t._commit("create", t._write_files(df), version=0)
+        t._commit("create", t._write_files(df), version=0, schema_json=df.schema.json())
         return t
 
     def append(self, df: DataFrame, allow_evolution: bool = False) -> dict:
@@ -229,7 +263,9 @@ class TxTable:
             )
         ordered = df.select(*current, *extra)
         added = self._write_files(ordered)
-        self._commit("append", prior + added, version=base + 1)
+        self._commit(
+            "append", prior + added, version=base + 1, schema_json=ordered.schema.json()
+        )
         return {"appended": sum(fe["rows"] for fe in added), "new_files": len(added)}
 
     def merge(self, updates: DataFrame, max_retries: int = 3, txn: str | None = None) -> dict:
@@ -258,7 +294,16 @@ class TxTable:
         key = self.key
         base = self.latest_version()
         files = self._manifest(base)["files"]
-        updates = updates.select(*self.read(base).columns)
+        snap_schema = self.read(base).schema
+        # Align the batch to the snapshot schema, key column FIRST: bloom
+        # positions hash the key value, and F.hash(1 int) != F.hash(1L
+        # bigint) — a type-widened batch would probe wrong positions, carry
+        # truly-hit files unrewritten, and silently insert duplicate keys
+        # (unionByName would coerce types, so nothing would error). ADVICE r3.
+        updates = updates.withColumn(key, F.col(key).cast(snap_schema[key].dataType))
+        updates = updates.select(
+            *[F.col(f.name).cast(f.dataType) for f in snap_schema.fields]
+        )
 
         # File pruning, two tiers of driver-side metadata (the shape of
         # Delta's data skipping over add-file stats):
@@ -268,7 +313,10 @@ class TxTable:
         #    (no false negatives: set positions are exact).
         ulo, uhi = updates.agg(F.min(key), F.max(key)).first()
         if ulo is None:  # empty update batch → no-op commit
-            self._commit("merge", files, version=base + 1, txn=txn)
+            self._commit(
+                "merge", files, version=base + 1, txn=txn,
+                schema_json=snap_schema.json(),
+            )
             return {"updated": 0, "inserted": 0, "files_rewritten": 0,
                     "files_carried": len(files)}
         touched = [
@@ -296,8 +344,8 @@ class TxTable:
         carried = [fe for fe in files if fe not in touched]
 
         if touched:
-            touched_df = self.spark.read.parquet(
-                *[os.path.join(self.root, fe["path"]) for fe in touched]
+            touched_df = self._read_subset(
+                [os.path.join(self.root, fe["path"]) for fe in touched], snap_schema
             )
             matched = touched_df.join(updates.select(key), key, "left_semi").count()
             kept = touched_df.join(updates.select(key), key, "left_anti")
@@ -306,7 +354,10 @@ class TxTable:
             matched = 0
             rewritten = self._write_files(updates)
 
-        self._commit("merge", carried + rewritten, version=base + 1, txn=txn)
+        self._commit(
+            "merge", carried + rewritten, version=base + 1, txn=txn,
+            schema_json=snap_schema.json(),
+        )
         n_updates = updates.count()
         return {
             "updated": matched,
@@ -323,10 +374,11 @@ class TxTable:
         rewritten without the matching rows."""
         base = self.latest_version()
         files = self._manifest(base)["files"]
+        snap_schema = self.read(base).schema
         by_path = {
             os.path.abspath(os.path.join(self.root, fe["path"])): fe for fe in files
         }
-        all_df = self.spark.read.parquet(*by_path)
+        all_df = self._read_subset(list(by_path), snap_schema)
         hits = (
             all_df.where(predicate)
             .groupBy(F.input_file_name().alias("path"))
@@ -343,13 +395,17 @@ class TxTable:
 
         new_files: list[dict] = []
         if touched:
-            touched_df = self.spark.read.parquet(
-                *[os.path.join(self.root, fe["path"]) for fe in touched]
+            touched_df = self._read_subset(
+                [os.path.join(self.root, fe["path"]) for fe in touched], snap_schema
             )
             kept = touched_df.where(f"NOT ({predicate})")
             if kept.limit(1).count() > 0:
                 new_files = self._write_files(kept)
-        self._commit("delete", carried + new_files, version=base + 1)
+        # schema persisted so a delete-all (zero files) stays readable
+        self._commit(
+            "delete", carried + new_files, version=base + 1,
+            schema_json=snap_schema.json(),
+        )
         return {
             "deleted": n_deleted,
             "files_rewritten": len(touched),
@@ -377,11 +433,13 @@ class TxTable:
         removed = [p for p in from_paths - to_paths]
         added = [p for p in to_paths - from_paths]
 
+        snap_schema = self.read(v_to).schema  # additive evolution: ⊇ v_from's
+
         def read_files(paths):
             if not paths:
                 return None
-            return self.spark.read.parquet(
-                *[os.path.join(self.root, p) for p in paths]
+            return self._read_subset(
+                [os.path.join(self.root, p) for p in paths], snap_schema
             )
 
         old_df, new_df = read_files(removed), read_files(added)
@@ -430,11 +488,16 @@ class TxTable:
         big = [fe for fe in files if fe["rows"] > small_rows]
         if len(small) <= 1:
             return {"files_compacted": 0, "files_after": len(files)}
-        df = self.spark.read.parquet(*[os.path.join(self.root, fe["path"]) for fe in small])
+        snap_schema = self.read(base).schema
+        df = self._read_subset(
+            [os.path.join(self.root, fe["path"]) for fe in small], snap_schema
+        )
         packed = self._write_files(
             df.repartitionByRange(target_files, self.key)
         )
-        self._commit("compact", big + packed, version=base + 1)
+        self._commit(
+            "compact", big + packed, version=base + 1, schema_json=snap_schema.json()
+        )
         return {"files_compacted": len(small), "files_after": len(big) + len(packed)}
 
 
@@ -486,7 +549,9 @@ class TxTable:
             .drop(*[f"__b{i}" for i in range(n)], "__z")
         )
         files = self._write_files(packed, stats_cols=cols)
-        self._commit("cluster", files, version=base + 1)
+        self._commit(
+            "cluster", files, version=base + 1, schema_json=df.schema.json()
+        )
         return {"clustered_by": cols, "files": len(files)}
 
     def scan(self, bounds: dict[str, tuple] | None = None) -> tuple[DataFrame, dict]:
@@ -526,13 +591,26 @@ class TxTable:
             df = df.where((F.col(c) >= lo) & (F.col(c) <= hi))
         return df, stats
 
-    def vacuum(self, keep_versions: int = 2) -> dict:
+    def vacuum(self, keep_versions: int = 2, min_age_seconds: float = 0.0) -> dict:
         """Garbage-collect data files referenced ONLY by expired versions
         (older than the newest ``keep_versions``), plus orphans from crashed
         writers. Expired manifests are dropped too, so time travel is
         bounded to the retained window — the Delta VACUUM trade. The live
         set is computed from retained manifests before anything is deleted;
-        a reader of a retained version is never broken."""
+        a reader of a retained version is never broken.
+
+        SINGLE-WRITER operation: a CONCURRENT writer's already-written but
+        not-yet-committed files look like orphans and would be deleted,
+        breaking its commit. ``min_age_seconds`` is the Delta-style
+        retention guard for that window — files younger than it are spared
+        (pass e.g. 3600 when other writers may be in flight; the default 0
+        keeps single-writer tests deterministic). ``keep_versions`` must be
+        ≥ 1: retaining zero versions would delete every manifest and leave
+        the data unreadable (ADVICE r3)."""
+        if keep_versions < 1:
+            raise ValueError("vacuum requires keep_versions >= 1")
+        import time
+
         vs = self.versions()
         retained = vs[-keep_versions:]
         live = {
@@ -540,14 +618,17 @@ class TxTable:
             for v in retained
             for fe in self._manifest(v)["files"]
         }
+        now = time.time()
         removed_files = 0
         for dirpath, _, names in os.walk(self.data_dir):
             for n in names:
                 p = os.path.normpath(os.path.join(dirpath, n))
                 if n.endswith(".parquet") and p not in live:
+                    if min_age_seconds and now - os.path.getmtime(p) < min_age_seconds:
+                        continue  # possibly an in-flight writer's file
                     os.unlink(p)
                     removed_files += 1
-        for v in vs[:-keep_versions] if keep_versions else vs:
+        for v in vs[:-keep_versions]:
             os.unlink(os.path.join(self.log_dir, _fmt_version(v)))
         return {
             "files_removed": removed_files,

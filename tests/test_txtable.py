@@ -348,3 +348,111 @@ def test_bloom_prunes_scattered_key_merge(spark, sf_dir, tmp_path):
     assert stats["files_carried"] >= n_files - 2
     after = {r["n_nationkey"]: r["n_name"] for r in t.read().collect()}
     assert after[0] == "FIRST" and after[24] == "LAST" and len(after) == 25
+
+
+def test_merge_after_schema_evolution_touching_old_files(spark, sf_dir, tmp_path):
+    """ADVICE r3 #1: evolve the schema via append, then merge a batch whose
+    touched files are all PRE-evolution — the subset read must align to the
+    evolved schema (null for the added column) instead of failing
+    unionByName or picking a file's schema nondeterministically."""
+    t = _nation_table(spark, sf_dir, tmp_path)
+    t.append(
+        spark.createDataFrame(
+            [(100, "EVOLVED", 1, "note")],
+            "n_nationkey int, n_name string, n_regionkey int, comment string",
+        ),
+        allow_evolution=True,
+    )
+    # touched files: only the original pre-evolution files containing key 3
+    updates = spark.createDataFrame(
+        [(3, "PATCHED", 1, None)],
+        "n_nationkey int, n_name string, n_regionkey int, comment string",
+    )
+    stats = t.merge(updates)
+    assert stats["updated"] == 1
+    after = {r["n_nationkey"]: (r["n_name"], r["comment"]) for r in t.read().collect()}
+    assert after[3] == ("PATCHED", None)
+    assert after[100] == ("EVOLVED", "note")
+    assert len(after) == 26
+
+
+def test_merge_type_widened_batch_no_duplicate_keys(spark, sf_dir, tmp_path):
+    """ADVICE r3 #2: a BIGINT-keyed update batch against an INT-keyed table
+    must hash bloom positions on the stored type — otherwise hit files are
+    carried unrewritten and the merge silently inserts duplicate keys."""
+    t = _nation_table(spark, sf_dir, tmp_path)
+    updates = spark.createDataFrame(
+        [(3, "WIDE", 1), (7, "WIDE", 1)],
+        "n_nationkey bigint, n_name string, n_regionkey int",
+    )
+    stats = t.merge(updates)
+    assert stats["updated"] == 2 and stats["inserted"] == 0
+    rows = t.read().collect()
+    assert len(rows) == 25  # no duplicates
+    keys = [r["n_nationkey"] for r in rows]
+    assert len(set(keys)) == len(keys)
+    by_key = {r["n_nationkey"]: r["n_name"] for r in rows}
+    assert by_key[3] == "WIDE" and by_key[7] == "WIDE"
+    # stored key type unchanged (updates were cast to the table type)
+    assert dict(t.read().dtypes)["n_nationkey"] == "int"
+
+
+def test_delete_all_rows_leaves_readable_empty_table(spark, sf_dir, tmp_path):
+    """ADVICE r3 #4: a delete matching every row must leave an EMPTY table,
+    not an unreadable one — the manifest persists the schema."""
+    t = _nation_table(spark, sf_dir, tmp_path)
+    stats = t.delete("n_nationkey >= 0")
+    assert stats["deleted"] == 25
+    empty = t.read()
+    assert empty.count() == 0
+    assert empty.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    df, skip = t.scan({"n_nationkey": (0, 5)})
+    assert df.count() == 0
+    # and the table keeps working: a merge into the empty table re-inserts
+    stats = t.merge(
+        spark.createDataFrame(
+            [(1, "BACK", 1)], "n_nationkey int, n_name string, n_regionkey int"
+        )
+    )
+    assert stats["inserted"] == 1
+    assert t.read().count() == 1
+
+
+def test_vacuum_rejects_zero_keep_versions(spark, sf_dir, tmp_path):
+    """ADVICE r3 #3: keep_versions=0 would delete every manifest while
+    retaining all data files — reject it."""
+    t = _nation_table(spark, sf_dir, tmp_path)
+    with pytest.raises(ValueError, match="keep_versions"):
+        t.vacuum(keep_versions=0)
+
+
+def test_vacuum_age_guard_spares_recent_orphans(spark, sf_dir, tmp_path):
+    """The min_age_seconds retention guard: a just-written orphan (a
+    concurrent writer's uncommitted file) survives vacuum."""
+    t = _nation_table(spark, sf_dir, tmp_path)
+    orphan_files = t._write_files(t.read())  # written but never committed
+    removed = t.vacuum(keep_versions=1, min_age_seconds=3600)
+    assert removed["files_removed"] == 0
+    # without the guard the same orphans are collected
+    removed = t.vacuum(keep_versions=1)
+    assert removed["files_removed"] == len(orphan_files)
+
+
+def test_merge_staging_dirs_outside_target(spark, sf_dir, tmp_path):
+    """ADVICE r3 #5: partitioned-merge staging must never live INSIDE the
+    target tree where a recursive reader could pick it up."""
+    target = str(tmp_path / "ptab")
+    load(spark, sf_dir, "nation").withColumn(
+        "part", F.col("n_regionkey")
+    ).write.partitionBy("part").parquet(target)
+    updates = spark.createDataFrame(
+        [(0, "RENAMED", 9, 0)],
+        "n_nationkey int, n_name string, n_regionkey int, part int",
+    )
+    merge_upsert_partitioned(spark, target, updates, key="n_nationkey", part_col="part")
+    leftovers = [
+        n for n in os.listdir(target) if "__staged_" in n or "__old_" in n
+    ]
+    assert leftovers == []
+    after = spark.read.parquet(target)
+    assert after.count() == 25
