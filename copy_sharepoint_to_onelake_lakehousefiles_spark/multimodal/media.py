@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..registry import query
+from ..registry import materialize, query
 
 try:  # pragma: no cover - not present in this container
     from PIL import Image as _PILImage
@@ -556,9 +556,9 @@ def q61_media_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features").cast("array<float>").alias("embedding"),
     )
     top1 = cosine_topk(vecs, vecs, k=1)
-    rows = top1.collect()  # materialize before cleanup
+    out = materialize(top1)  # executor-side re-write; no driver collect
     shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, top1.schema)
+    return out
 
 
 def extract_features_arrow(media: DataFrame, dim: int = 8) -> DataFrame:

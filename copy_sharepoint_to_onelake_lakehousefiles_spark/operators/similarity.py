@@ -349,7 +349,7 @@ def _ivf_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
         for r in emb.orderBy("vec_id")
         .limit(N_CELLS)
         .select("vec_id", dim_arr.alias("emb"))
-        .collect()
+        .collect()  # bounded: N_CELLS seed rows
     ]
     corpus = emb.select("vec_id", dim_arr.alias("emb"))
     dim = len(cents[0][1])
@@ -363,7 +363,7 @@ def _ivf_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
             )
             .groupBy("cell")
             .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)])
-            .collect()
+            .collect()  # bounded: one row per cell (N_CELLS)
         )
         cents = [(int(r["cell"]), [float(r[f"d{i}"]) for i in range(dim)]) for r in new]
         cents.sort()

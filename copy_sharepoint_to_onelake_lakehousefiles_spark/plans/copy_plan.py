@@ -416,7 +416,7 @@ def q50_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(src_bytes).alias("src_bytes"),
         F.lit(dst_bytes).alias("dst_bytes"),
     )
-    rows = summary.collect()  # materialize before cleanup
+    rows = summary.collect()  # bounded: one row per status value
     first.unpersist()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, summary.schema)
@@ -452,7 +452,7 @@ def q54_copy_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = copy_tree(spark, src, dst, parallelism=32).cache()
     n_ok = result.where(F.col("status") == "ok").count()
     elapsed = time.time() - t0
-    total_bytes = result.agg(F.sum("bytes")).collect()[0][0]
+    total_bytes = result.agg(F.sum("bytes")).collect()[0][0]  # bounded: 1-row agg
     result.unpersist()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(

@@ -82,6 +82,7 @@ def merge_upsert_partitioned(
     time travel, use plans.txtable.TxTable.merge."""
     target_all = spark.read.option("basePath", target_path).parquet(target_path)
     updates = updates.select(*target_all.columns)
+    # bounded: one row per partition hit by the update batch
     hit_parts = [r[0] for r in updates.select(part_col).distinct().collect()]
 
     stats = {"updated": 0, "inserted": 0, "partitions_rewritten": 0}

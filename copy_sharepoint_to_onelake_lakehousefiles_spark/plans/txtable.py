@@ -39,7 +39,7 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import materialize, query
 from ..tables import load
 
 
@@ -330,6 +330,7 @@ class TxTable:
         ).count() <= self.MAX_BLOOM_PROBE_KEYS:
             pairs = [
                 (r[0], r[1])
+                # bounded: guarded above by MAX_BLOOM_PROBE_KEYS
                 for r in ukeys.select(*self._key_positions(F.col(key))).collect()
             ]
 
@@ -693,12 +694,10 @@ def _merged_nation_table(spark: SparkSession, sf_dir: str) -> TxTable:
 
 
 def _materialize(t: TxTable, df: DataFrame) -> DataFrame:
-    # Materialize eagerly so the result does not depend on the cached
-    # table's files outliving the caller (parity with the other
-    # side-effectful queries, which never hand back lazy plans over
-    # temp dirs).
-    rows = df.collect()
-    return t.spark.createDataFrame(rows, df.schema)
+    # Materialize so the result does not depend on the cached table's files
+    # outliving the caller — executor-side (write + lazy re-read), not a
+    # driver collect, so it scales with the selected row count (r4).
+    return materialize(df)
 
 
 @query(
@@ -777,10 +776,9 @@ def q121_txtable_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.cluster_by(["user_id", "value"], target_files=8)
     df, skip = t.scan({"user_id": (1, 3), "value": (0.0, 60.0)})
     assert skip["files_skipped"] >= 1, f"z-order produced no skipping: {skip}"
-    rows = df.collect()
-    schema = df.schema
+    out = materialize(df)  # executor-side; selected rows never hit the driver
     shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return out
 
 
 @query(

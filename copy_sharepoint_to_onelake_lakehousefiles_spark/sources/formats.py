@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..registry import query
+from ..registry import materialize, query
 
 
 def read_csv(
@@ -110,7 +110,6 @@ def q125_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
         )
     )
-    rows = out.collect()
-    schema = out.schema
+    result = materialize(out)  # executor-side re-write; no driver collect
     shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return result

@@ -18,7 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import materialize, query
 from ..tables import events_ts_unit, table_path
 
 # Two stream schemas for the two fixture encodings the generator has shipped
@@ -269,10 +269,10 @@ def q44_stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    rows = result.collect()  # materialize before cleanup
+    out = materialize(result)  # executor-side re-write; no driver collect
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(out_dir + "_ckpt", ignore_errors=True)
-    return spark.createDataFrame(rows, result.schema)
+    return out
 
 
 @query(

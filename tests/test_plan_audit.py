@@ -88,3 +88,38 @@ def test_no_unpartitioned_window(name, spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     bad = _unpartitioned_window_lines(plan)
     assert not bad, f"{name} moves all rows to one partition: {bad[0]}"
+
+
+def test_every_driver_collect_is_annotated_bounded():
+    """Mechanical gate (r4): every ``.collect()`` in the engine package must
+    carry an inline ``# bounded:`` justification — result sets that scale
+    with selected data must go through registry.materialize() (executor-side
+    write + lazy re-read), never through the driver."""
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "copy_sharepoint_to_onelake_lakehousefiles_spark",
+    )
+    offenders = []
+    for dirpath, _, names in os.walk(pkg):
+        for n in names:
+            if not n.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, n)
+            with open(path) as f:
+                for i, line in enumerate(f, 1):
+                    if ".collect()" in line and "# bounded:" not in line:
+                        # allow the annotation on the line directly above
+                        offenders.append(f"{os.path.relpath(path, pkg)}:{i}")
+    allowed_prev_line = set()
+    for off in list(offenders):
+        path, lineno = off.rsplit(":", 1)
+        lines = open(os.path.join(pkg, path)).read().splitlines()
+        if int(lineno) >= 2 and "# bounded:" in lines[int(lineno) - 2]:
+            allowed_prev_line.add(off)
+    offenders = [o for o in offenders if o not in allowed_prev_line]
+    assert offenders == [], (
+        "unannotated driver-side collect() — use registry.materialize() or "
+        f"add '# bounded: <reason>': {offenders}"
+    )
