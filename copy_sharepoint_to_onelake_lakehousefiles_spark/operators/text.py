@@ -558,13 +558,19 @@ def q109_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q115_compression_ratio")
-def q115_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compression-ratio quality signal: zlib-compressed size over raw size
-    per document — the cheap repetition detector real curation pipelines run
+def compression_ratios(docs: DataFrame) -> DataFrame:
+    """Compression-ratio kernel: (doc_id, raw_bytes, compression_ratio,
+    comp_bounded, comp_subadditive) per document — zlib-compressed size over
+    raw size, the cheap repetition detector real curation pipelines run
     (boilerplate and template spam compress far better than natural text;
-    complements q76's token-level repetition score). Rows-only tier (no zlib
-    in ANSI SQL); tests pin the orderings on constructed texts.
+    complements q76's token-level repetition score).
+
+    The two int flags are deterministic zlib contracts (used by the q115
+    oracle promotion):
+    - comp_bounded: compressed size within zlib's published worst-case
+      envelope (raw + raw/1000 + 64 — compressBound-shaped);
+    - comp_subadditive: compressing text+text beats 2× compressing text
+      (repetition must help; trivially true for empty text).
 
     Scale: mapInPandas with per-batch byte work — CPU-bound, no shuffle at
     all until the final projection; ratios are computed where the text
@@ -582,15 +588,45 @@ def q115_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw = pdf["text"].fillna("").str.encode("utf-8")
             raw_len = raw.map(len).astype("int64")
             comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            comp2 = raw.map(lambda b: len(zlib.compress(b + b, 6)))
+            bound = raw_len + raw_len // 1000 + 64
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "raw_bytes": raw_len,
                     "compression_ratio": (comp / raw_len.clip(lower=1)).round(4),
+                    "comp_bounded": (comp <= bound).astype("int32"),
+                    "comp_subadditive": (
+                        (raw_len == 0) | (comp2 < 2 * comp)
+                    ).astype("int32"),
                 }
             )
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return d.mapInPandas(
-        ratios, "doc_id bigint, raw_bytes bigint, compression_ratio double"
+    return docs.select("doc_id", "text").mapInPandas(
+        ratios,
+        "doc_id bigint, raw_bytes bigint, compression_ratio double, "
+        "comp_bounded int, comp_subadditive int",
+    )
+
+
+@query(
+    "q115_compression_ratio",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS raw_bytes,
+       1 AS comp_bounded,
+       1 AS comp_subadditive
+FROM documents
+""",
+)
+def q115_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio signal, promoted to a full oracle (r4,
+    derived-bound-flag pattern): the float ratio has no ANSI twin, so the
+    hashed output is the EXACT per-doc byte count (octet_length of the utf-8
+    encoding, which DuckDB recomputes) plus two deterministic zlib-behavior
+    flags the oracle asserts as literal 1 (worst-case size envelope,
+    repetition subadditivity — see compression_ratios). The ratio itself
+    stays available via the kernel and is pinned by ordering tests."""
+    return compression_ratios(load(spark, sf_dir, "documents")).drop(
+        "compression_ratio"
     )

@@ -36,8 +36,9 @@ def test_compression_ratio_orders_repetition(spark, sf_dir):
     import random
 
     from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.text import (
-        q115_compression_ratio,
+        compression_ratios,
     )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import load as _load
 
     rng = random.Random(7)
     rep = "spam " * 200
@@ -48,7 +49,10 @@ def test_compression_ratio_orders_repetition(spark, sf_dir):
     extra.createOrReplaceTempView("__crdocs")
     import pandas as pd  # noqa: F401  (mapInPandas path)
 
-    rows = {r["doc_id"]: r["compression_ratio"] for r in q115_compression_ratio(spark, sf_dir).collect()}
+    rows = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in compression_ratios(_load(spark, sf_dir, "documents")).collect()
+    }
     assert rows, "fixture docs scored"
     # score the constructed texts through the same kernel
     from copy_sharepoint_to_onelake_lakehousefiles_spark.operators import text as T
@@ -88,9 +92,9 @@ def test_compression_ratio_null_and_empty_text(spark):
     import math
 
     from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.text import (
-        q115_compression_ratio,
+        compression_ratios,
     )
-    from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import TABLE_NAMES
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import TABLE_NAMES, load as _load
 
     import os
     import tempfile
@@ -106,10 +110,23 @@ def test_compression_ratio_null_and_empty_text(spark):
         ).write.parquet(os.path.join(d, "documents.parquet"))
         rows = {
             r["doc_id"]: r
-            for r in q115_compression_ratio(spark, d).collect()
+            for r in compression_ratios(_load(spark, d, "documents")).collect()
         }
     assert len(rows) == 3
     for r in rows.values():
         assert r["compression_ratio"] is not None
         assert math.isfinite(r["compression_ratio"])
     assert rows[2]["raw_bytes"] == 0 and rows[3]["raw_bytes"] == 0
+
+
+def test_compression_flags_hold_on_fixture(spark, sf_dir):
+    """r4 oracle promotion: both zlib-contract flags must be 1 for every
+    fixture document (the DuckDB oracle asserts literal 1)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.text import (
+        q115_compression_ratio,
+    )
+
+    rows = q115_compression_ratio(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["comp_bounded"] == 1 and r["comp_subadditive"] == 1, r
