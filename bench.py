@@ -38,13 +38,15 @@ HEADLINE = [
 
 
 # Documented idle cost of the q01 warm-up at sf0.1 on this container
-# (0.6-0.8 s across rounds 1-3). A warm-up far above it means the sandbox is
+# (0.6-0.8 s across rounds 1-3). A warm-up above it means the sandbox is
 # under external load and every number would inflate uniformly (round 2: a
-# loaded run recorded 57.7 s for a 25 s workload). The canary retries briefly
-# for a quiet window, then annotates the JSON so a loaded artifact is
-# self-describing instead of a phantom regression.
+# loaded run recorded 57.7 s for a 25 s workload; round 3: a 1.07 s warmup
+# run overstated the total ~20% while still claiming load_inflated=false —
+# hence the flag now matches the documented ≤0.8 s rule EXACTLY, no slack
+# factor). The canary retries briefly for a quiet window, then annotates
+# the JSON so a loaded artifact is self-describing instead of a phantom
+# regression.
 WARMUP_IDLE_SEC = 0.8
-WARMUP_LOAD_FACTOR = 1.5
 WARMUP_RETRIES = 3
 
 
@@ -64,11 +66,11 @@ def main() -> None:
         t0 = time.time()
         qs["q01_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
         warmup = round(time.time() - t0, 3)
-        if warmup <= WARMUP_IDLE_SEC * WARMUP_LOAD_FACTOR:
+        if warmup <= WARMUP_IDLE_SEC:
             break
         if attempt < WARMUP_RETRIES - 1:
             time.sleep(15)  # wait out a load spike before measuring
-    load_inflated = warmup > WARMUP_IDLE_SEC * WARMUP_LOAD_FACTOR
+    load_inflated = warmup > WARMUP_IDLE_SEC
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
