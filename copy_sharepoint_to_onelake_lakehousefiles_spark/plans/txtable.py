@@ -25,9 +25,12 @@ range cannot contain any update key are CARRIED into the new manifest
 without being read, let alone rewritten; only overlapping files are
 rewritten (anti-join out matched keys, union the updates). That is the
 Delta/Iceberg data-skipping MERGE, so cost is O(touched files), not
-O(table). Manifests here are one JSON per commit (full snapshot); at very
-large file counts the same design switches to delta manifests + periodic
-checkpoints — noted, not needed at fixture scale.
+O(table). Commits are DELTA manifests (add/remove file lists) with a full
+checkpoint every CHECKPOINT_INTERVAL versions (r4): resolving a snapshot
+reads one checkpoint plus at most CHECKPOINT_INTERVAL deltas, so planning
+cost is O(changed files since checkpoint), not O(history) — the Delta-log
+checkpoint design. Legacy full manifests (a "files" key) are read as
+self-checkpoints, so pre-r4 tables stay readable.
 """
 
 from __future__ import annotations
@@ -47,14 +50,22 @@ def _fmt_version(v: int) -> str:
     return f"{v:08d}.json"
 
 
+def _fmt_checkpoint(v: int) -> str:
+    return f"{v:08d}.checkpoint.json"
+
+
 class TxTable:
     """Handle to a transactional parquet table rooted at ``root``."""
+
+    CHECKPOINT_INTERVAL = 10  # full snapshot manifest every N commits
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         self.log_dir = os.path.join(root, "_log")
         self.data_dir = os.path.join(root, "data")
+        self._snapshot_cache: dict[int, list[dict]] = {}
+        self.manifest_reads = 0  # instrumentation: log files opened (tests)
 
     # ---------------------------------------------------------------- log
 
@@ -73,20 +84,85 @@ class TxTable:
         return vs[-1]
 
     def _manifest(self, version: int) -> dict:
+        self.manifest_reads += 1
         with open(os.path.join(self.log_dir, _fmt_version(version))) as f:
             return json.load(f)
 
+    def checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f[: -len(".checkpoint.json")])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".checkpoint.json")
+            and f[: -len(".checkpoint.json")].isdigit()
+        )
+
+    def _read_checkpoint(self, version: int) -> list[dict]:
+        self.manifest_reads += 1
+        with open(os.path.join(self.log_dir, _fmt_checkpoint(version))) as f:
+            return json.load(f)["files"]
+
+    @staticmethod
+    def _apply_delta(by_path: dict[str, dict], m: dict) -> dict[str, dict]:
+        """Apply one commit to a path→entry snapshot dict (in place)."""
+        if "files" in m:  # legacy full manifest: a self-checkpoint
+            return {fe["path"]: fe for fe in m["files"]}
+        for p in m.get("remove", []):
+            by_path.pop(p, None)
+        for fe in m.get("add", []):
+            by_path[fe["path"]] = fe
+        return by_path
+
+    def _files(self, version: int) -> list[dict]:
+        """Resolve the live file list of ``version``: nearest checkpoint at
+        or below it, plus the delta manifests after — O(CHECKPOINT_INTERVAL)
+        log reads regardless of history length (the Delta-log shape).
+        Snapshots are immutable, so resolution is cached per handle."""
+        cached = self._snapshot_cache.get(version)
+        if cached is not None:
+            return cached
+        m = self._manifest(version)
+        if "files" in m:
+            files = list(m["files"])
+        else:
+            ckpts = [c for c in self.checkpoints() if c <= version]
+            if ckpts:
+                start = max(ckpts)
+                by_path = {fe["path"]: fe for fe in self._read_checkpoint(start)}
+                lo = start + 1
+            else:
+                by_path = {}
+                lo = min(self.versions())
+            for v in range(lo, version + 1):
+                by_path = self._apply_delta(by_path, self._manifest(v))
+            files = list(by_path.values())
+        self._snapshot_cache[version] = files
+        return files
+
+    def _schema_json(self, version: int) -> str | None:
+        """Most recent persisted schema at or below ``version`` (every op
+        since r4 stamps one; the walk only runs for empty snapshots)."""
+        for v in sorted((x for x in self.versions() if x <= version), reverse=True):
+            sj = self._manifest(v).get("schema")
+            if sj is not None:
+                return sj
+        return None
+
     def history(self) -> list[dict]:
-        """Commit metadata, oldest first (op, version, file/row counts)."""
+        """Commit metadata, oldest first (op, version, file/row counts) —
+        one cumulative replay of the delta log, not a snapshot per version."""
         out = []
+        by_path: dict[str, dict] = {}
         for v in self.versions():
             m = self._manifest(v)
+            by_path = self._apply_delta(by_path, m)
             out.append(
                 {
                     "version": v,
                     "op": m["op"],
-                    "n_files": len(m["files"]),
-                    "n_rows": sum(fe["rows"] for fe in m["files"]),
+                    "n_files": len(by_path),
+                    "n_rows": sum(fe["rows"] for fe in by_path.values()),
                 }
             )
         return out
@@ -94,20 +170,33 @@ class TxTable:
     def _commit(
         self,
         op: str,
-        files: list[dict],
+        add: list[dict],
+        remove: list[str],
         version: int,
         txn: str | None = None,
         schema_json: str | None = None,
     ) -> None:
-        """Atomically publish ``version``; raises FileExistsError if another
-        writer won the race (optimistic concurrency — caller may retry on
-        the fresh snapshot). ``txn`` stamps an application transaction id
-        into the manifest for idempotent writers (see seen_txn).
-        ``schema_json`` persists the snapshot schema so a version with ZERO
-        data files (a delete that matched every row) stays readable as an
-        empty table instead of erroring (ADVICE r3)."""
+        """Atomically publish ``version`` as a DELTA manifest (files added +
+        file paths removed); raises FileExistsError if another writer won
+        the race (optimistic concurrency — caller may retry on the fresh
+        snapshot). ``txn`` stamps an application transaction id into the
+        manifest for idempotent writers (see seen_txn). ``schema_json``
+        persists the snapshot schema so a version with ZERO data files (a
+        delete that matched every row) stays readable as an empty table
+        instead of erroring (ADVICE r3).
+
+        Every CHECKPOINT_INTERVAL commits the full resolved snapshot is
+        also written as ``<version>.checkpoint.json`` — checkpoints are
+        derived data (idempotent to rewrite, safe to lose), so they publish
+        with a plain atomic replace after the manifest wins its race."""
         os.makedirs(self.log_dir, exist_ok=True)
-        manifest = {"version": version, "op": op, "key": self.key, "files": files}
+        manifest = {
+            "version": version,
+            "op": op,
+            "key": self.key,
+            "add": add,
+            "remove": remove,
+        }
         if schema_json is not None:
             manifest["schema"] = schema_json
         if txn is not None:
@@ -119,6 +208,16 @@ class TxTable:
             os.link(tmp, os.path.join(self.log_dir, _fmt_version(version)))
         finally:
             os.unlink(tmp)
+        self._snapshot_cache.pop(version, None)
+        if version > 0 and version % self.CHECKPOINT_INTERVAL == 0:
+            self._write_checkpoint(version)
+
+    def _write_checkpoint(self, version: int) -> None:
+        files = self._files(version)
+        tmp = os.path.join(self.log_dir, f"_tmpckpt_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "files": files}, f)
+        os.replace(tmp, os.path.join(self.log_dir, _fmt_checkpoint(version)))
 
     def seen_txn(self, txn: str) -> bool:
         """True if any commit carries this transaction id (log scan is
@@ -206,13 +305,13 @@ class TxTable:
         the added columns as null, parquet's additive-evolution rule.
         A version with zero data files (delete matched every row) returns
         an EMPTY DataFrame with the schema persisted in its manifest."""
-        m = self._manifest(self.latest_version() if version is None else version)
-        paths = [os.path.join(self.root, fe["path"]) for fe in m["files"]]
+        v = self.latest_version() if version is None else version
+        paths = [os.path.join(self.root, fe["path"]) for fe in self._files(v)]
         if not paths:
-            sj = m.get("schema")
+            sj = self._schema_json(v)
             if sj is None:
                 raise ValueError(
-                    f"version {m['version']} has no data files and no recorded schema"
+                    f"version {v} has no data files and no recorded schema"
                 )
             from pyspark.sql.types import StructType
 
@@ -238,7 +337,9 @@ class TxTable:
     def create(cls, spark: SparkSession, root: str, df: DataFrame, key: str) -> "TxTable":
         t = cls(spark, root)
         t._key = key
-        t._commit("create", t._write_files(df), version=0, schema_json=df.schema.json())
+        t._commit(
+            "create", t._write_files(df), [], version=0, schema_json=df.schema.json()
+        )
         return t
 
     def append(self, df: DataFrame, allow_evolution: bool = False) -> dict:
@@ -250,7 +351,6 @@ class TxTable:
         Dropping or retyping columns is rejected either way — that would
         silently corrupt carried files' data."""
         base = self.latest_version()
-        prior = self._manifest(base)["files"]
         current = self.read().columns
         missing = [c for c in current if c not in df.columns]
         if missing:
@@ -264,7 +364,7 @@ class TxTable:
         ordered = df.select(*current, *extra)
         added = self._write_files(ordered)
         self._commit(
-            "append", prior + added, version=base + 1, schema_json=ordered.schema.json()
+            "append", added, [], version=base + 1, schema_json=ordered.schema.json()
         )
         return {"appended": sum(fe["rows"] for fe in added), "new_files": len(added)}
 
@@ -293,7 +393,7 @@ class TxTable:
     def _merge_once(self, updates: DataFrame, txn: str | None = None) -> dict:
         key = self.key
         base = self.latest_version()
-        files = self._manifest(base)["files"]
+        files = self._files(base)
         snap_schema = self.read(base).schema
         # Align the batch to the snapshot schema, key column FIRST: bloom
         # positions hash the key value, and F.hash(1 int) != F.hash(1L
@@ -314,7 +414,7 @@ class TxTable:
         ulo, uhi = updates.agg(F.min(key), F.max(key)).first()
         if ulo is None:  # empty update batch → no-op commit
             self._commit(
-                "merge", files, version=base + 1, txn=txn,
+                "merge", [], [], version=base + 1, txn=txn,
                 schema_json=snap_schema.json(),
             )
             return {"updated": 0, "inserted": 0, "files_rewritten": 0,
@@ -356,8 +456,8 @@ class TxTable:
             rewritten = self._write_files(updates)
 
         self._commit(
-            "merge", carried + rewritten, version=base + 1, txn=txn,
-            schema_json=snap_schema.json(),
+            "merge", rewritten, [fe["path"] for fe in touched],
+            version=base + 1, txn=txn, schema_json=snap_schema.json(),
         )
         n_updates = updates.count()
         return {
@@ -374,7 +474,7 @@ class TxTable:
         files with zero matches are carried by reference, the rest are
         rewritten without the matching rows."""
         base = self.latest_version()
-        files = self._manifest(base)["files"]
+        files = self._files(base)
         snap_schema = self.read(base).schema
         by_path = {
             os.path.abspath(os.path.join(self.root, fe["path"])): fe for fe in files
@@ -404,8 +504,8 @@ class TxTable:
                 new_files = self._write_files(kept)
         # schema persisted so a delete-all (zero files) stays readable
         self._commit(
-            "delete", carried + new_files, version=base + 1,
-            schema_json=snap_schema.json(),
+            "delete", new_files, [fe["path"] for fe in touched],
+            version=base + 1, schema_json=snap_schema.json(),
         )
         return {
             "deleted": n_deleted,
@@ -428,9 +528,8 @@ class TxTable:
         Scale: reads only the files that CHANGED between the versions, not
         either snapshot."""
         key = self.key
-        mf, mt = self._manifest(v_from), self._manifest(v_to)
-        from_paths = {fe["path"] for fe in mf["files"]}
-        to_paths = {fe["path"] for fe in mt["files"]}
+        from_paths = {fe["path"] for fe in self._files(v_from)}
+        to_paths = {fe["path"] for fe in self._files(v_to)}
         removed = [p for p in from_paths - to_paths]
         added = [p for p in to_paths - from_paths]
 
@@ -484,7 +583,7 @@ class TxTable:
         of old versions are unaffected (their manifests still reference the
         old files — compaction is a metadata swap, not a delete)."""
         base = self.latest_version()
-        files = self._manifest(base)["files"]
+        files = self._files(base)
         small = [fe for fe in files if fe["rows"] <= small_rows]
         big = [fe for fe in files if fe["rows"] > small_rows]
         if len(small) <= 1:
@@ -497,7 +596,8 @@ class TxTable:
             df.repartitionByRange(target_files, self.key)
         )
         self._commit(
-            "compact", big + packed, version=base + 1, schema_json=snap_schema.json()
+            "compact", packed, [fe["path"] for fe in small],
+            version=base + 1, schema_json=snap_schema.json(),
         )
         return {"files_compacted": len(small), "files_after": len(big) + len(packed)}
 
@@ -551,7 +651,8 @@ class TxTable:
         )
         files = self._write_files(packed, stats_cols=cols)
         self._commit(
-            "cluster", files, version=base + 1, schema_json=df.schema.json()
+            "cluster", files, [fe["path"] for fe in self._files(base)],
+            version=base + 1, schema_json=df.schema.json(),
         )
         return {"clustered_by": cols, "files": len(files)}
 
@@ -561,8 +662,7 @@ class TxTable:
         column misses the range are never opened. Returns (DataFrame with
         the residual filter applied, skip stats). The same predicate is
         re-applied row-level, so skipping is purely an optimization."""
-        m = self._manifest(self.latest_version())
-        files = m["files"]
+        files = self._files(self.latest_version())
         key = self.key
 
         def overlaps(fe: dict) -> bool:
@@ -617,8 +717,12 @@ class TxTable:
         live = {
             os.path.normpath(os.path.join(self.root, fe["path"]))
             for v in retained
-            for fe in self._manifest(v)["files"]
+            for fe in self._files(v)
         }
+        # The oldest retained version must stay resolvable after older delta
+        # manifests are dropped: materialize its snapshot as a checkpoint
+        # first (idempotent if one already exists).
+        self._write_checkpoint(retained[0])
         now = time.time()
         removed_files = 0
         for dirpath, _, names in os.walk(self.data_dir):
@@ -631,6 +735,9 @@ class TxTable:
                     removed_files += 1
         for v in vs[:-keep_versions]:
             os.unlink(os.path.join(self.log_dir, _fmt_version(v)))
+        for c in self.checkpoints():
+            if c < retained[0]:
+                os.unlink(os.path.join(self.log_dir, _fmt_checkpoint(c)))
         return {
             "files_removed": removed_files,
             "versions_removed": len(vs) - len(retained),
@@ -778,6 +885,71 @@ def q121_txtable_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert skip["files_skipped"] >= 1, f"z-order produced no skipping: {skip}"
     out = materialize(df)  # executor-side; selected rows never hit the driver
     shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
+    "q127_txtable_cdc_stream",
+    oracle=f"""
+WITH updates(n_nationkey, n_name, n_regionkey) AS ({_UPDATE_VALUES_SQL})
+SELECT coalesce(u.n_nationkey, t.n_nationkey) AS n_nationkey,
+       coalesce(u.n_name, t.n_name)           AS n_name,
+       coalesce(u.n_regionkey, t.n_regionkey) AS n_regionkey
+FROM nation t FULL OUTER JOIN updates u ON t.n_nationkey = u.n_nationkey
+""",
+)
+def q127_txtable_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC source over the commit log, verified end-to-end: the
+    txtable_cdc stream (version offsets, exactly-once) drains the nation
+    table's create+merge history with Trigger.availableNow, and the raw
+    add/remove feed is reconciled back to a snapshot — a key's last 'add'
+    wins unless a strictly-later 'remove' dropped it. The reconciled state
+    must equal the relational merge (the q118 oracle), proving the feed
+    carries exactly the information a downstream materializer needs.
+
+    Scale: the source ships file-diff batches per commit (O(changed files));
+    reconciliation is one window + one aggregate keyed by the table key —
+    the standard CDF-consumer shape."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..sources.txtable_cdc_source import TxTableCdcDataSource
+
+    try:
+        spark.dataSource.register(TxTableCdcDataSource)
+    except Exception:
+        pass  # already registered this session
+    t = _merged_nation_table(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="txcdc_q127_")
+    q = (
+        spark.readStream.format("txtable_cdc")
+        .load(t.root)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(base, "sink"))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(os.path.join(base, "sink"))
+    adds = feed.where(F.col("cdc_type") == "add")
+    w = W.partitionBy("n_nationkey").orderBy(F.col("cdc_version").desc())
+    last_add = adds.withColumn("__rk", F.row_number().over(w)).where(F.col("__rk") == 1)
+    last_rm = (
+        feed.where(F.col("cdc_type") == "remove")
+        .groupBy("n_nationkey")
+        .agg(F.max("cdc_version").alias("__rm_v"))
+    )
+    final = (
+        last_add.join(F.broadcast(last_rm), "n_nationkey", "left")
+        .where(F.col("__rm_v").isNull() | (F.col("cdc_version") >= F.col("__rm_v")))
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+    out = materialize(final)
+    shutil.rmtree(base, ignore_errors=True)
     return out
 
 

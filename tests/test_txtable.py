@@ -22,9 +22,9 @@ def test_create_and_read(spark, sf_dir, tmp_path):
     assert t.latest_version() == 0
     assert t.read().count() == 25
     # manifest carries per-file key stats for data skipping
-    m = t._manifest(0)
-    assert len(m["files"]) >= 2
-    assert all(fe["min_key"] is not None for fe in m["files"])
+    files = t._files(0)
+    assert len(files) >= 2
+    assert all(fe["min_key"] is not None for fe in files)
 
 
 def test_merge_updates_inserts_carries_files(spark, sf_dir, tmp_path):
@@ -43,7 +43,7 @@ def test_merge_updates_inserts_carries_files(spark, sf_dir, tmp_path):
 
 def test_merge_prunes_untouched_files(spark, sf_dir, tmp_path):
     t = _nation_table(spark, sf_dir, tmp_path)
-    n_files = len(t._manifest(0)["files"])
+    n_files = len(t._files(0))
     narrow = spark.createDataFrame(
         [(1, "X", 1), (2, "Y", 1)], "n_nationkey int, n_name string, n_regionkey int"
     )
@@ -67,14 +67,13 @@ def test_time_travel_snapshots_are_immutable(spark, sf_dir, tmp_path):
 
 def test_append_carries_prior_files(spark, sf_dir, tmp_path):
     t = _nation_table(spark, sf_dir, tmp_path)
-    before = {fe["path"] for fe in t._manifest(0)["files"]}
+    before = {fe["path"] for fe in t._files(0)}
     t.append(
         spark.createDataFrame(
             [(500, "APPENDED", 0)], "n_nationkey int, n_name string, n_regionkey int"
         )
     )
-    after_manifest = t._manifest(1)
-    assert before <= {fe["path"] for fe in after_manifest["files"]}
+    assert before <= {fe["path"] for fe in t._files(1)}
     assert t.read().count() == 26
 
 
@@ -85,7 +84,7 @@ def test_concurrent_commit_loses_atomically(spark, sf_dir, tmp_path):
     race = os.path.join(t.log_dir, "00000001.json")
     with open(race, "w") as f:
         json.dump({"version": 1, "op": "race", "key": "n_nationkey",
-                   "files": t._manifest(0)["files"]}, f)
+                   "files": t._files(0)}, f)
     stats = t.merge(
         spark.createDataFrame(
             [(3, "Z", 1)], "n_nationkey int, n_name string, n_regionkey int"
@@ -115,7 +114,7 @@ def test_compact_bin_packs_small_files(spark, sf_dir, tmp_path):
             [(999, "NEWLAND", 1)], "n_nationkey int, n_name string, n_regionkey int"
         )
     )
-    before = len(t._manifest(t.latest_version())["files"])
+    before = len(t._files(t.latest_version()))
     stats = t.compact(target_files=1)
     assert stats["files_compacted"] == before
     assert stats["files_after"] == 1
@@ -126,7 +125,7 @@ def test_compact_bin_packs_small_files(spark, sf_dir, tmp_path):
 
 def test_delete_prunes_and_removes_rows(spark, sf_dir, tmp_path):
     t = _nation_table(spark, sf_dir, tmp_path)
-    n_files = len(t._manifest(0)["files"])
+    n_files = len(t._files(0))
     stats = t.delete("n_nationkey <= 2")
     assert stats["deleted"] == 3
     assert stats["files_rewritten"] == 1  # keys 0-2 live in one range file
@@ -267,9 +266,8 @@ def test_cluster_by_zorder_enables_multi_column_skipping(spark, sf_dir, tmp_path
     t = TxTable.create(spark, str(tmp_path / "ev"), ev, key="event_id")
     stats = t.cluster_by(["user_id", "value"], target_files=8)
     assert stats["files"] >= 4
-    m = t._manifest(t.latest_version())
     assert all("col_stats" in fe and set(fe["col_stats"]) == {"user_id", "value"}
-               for fe in m["files"])
+               for fe in t._files(t.latest_version()))
 
     bounds = {"user_id": (1, 3), "value": (0.0, 60.0)}
     df, skip = t.scan(bounds)
@@ -336,7 +334,7 @@ def test_bloom_prunes_scattered_key_merge(spark, sf_dir, tmp_path):
     table — range stats alone would rewrite every file; the per-file key
     bloom must narrow the rewrite to the files actually containing them."""
     t = _nation_table(spark, sf_dir, tmp_path)
-    n_files = len(t._manifest(0)["files"])
+    n_files = len(t._files(0))
     assert n_files >= 3
     scattered = spark.createDataFrame(
         [(0, "FIRST", 0), (24, "LAST", 4)],
@@ -456,3 +454,134 @@ def test_merge_staging_dirs_outside_target(spark, sf_dir, tmp_path):
     assert leftovers == []
     after = spark.read.parquet(target)
     assert after.count() == 25
+
+
+def test_checkpointed_log_plans_in_bounded_reads(spark, sf_dir, tmp_path):
+    """r4 delta-manifest log: resolving a snapshot after 120 commits must
+    read O(CHECKPOINT_INTERVAL) log files, not the whole history."""
+    t = _nation_table(spark, sf_dir, tmp_path)
+    base_files = len(t._files(0))
+    for i in range(1, 121):  # synthetic delta commits (log-planning test)
+        fake = {
+            "path": f"data/fake_{i}.parquet",
+            "rows": 1,
+            "min_key": 1000 + i,
+            "max_key": 1000 + i,
+            "key_bloom": [i % 1024],
+        }
+        t._commit("append", [fake], [], version=i)
+    assert t.latest_version() == 120
+    assert len(t.checkpoints()) == 12  # every CHECKPOINT_INTERVAL commits
+    fresh = TxTable(spark, t.root)  # no caches, counts log I/O from zero
+    files = fresh._files(120)
+    assert len(files) == base_files + 120
+    assert fresh.manifest_reads <= TxTable.CHECKPOINT_INTERVAL + 2, (
+        f"snapshot resolution read {fresh.manifest_reads} log files"
+    )
+
+
+def test_checkpointed_log_end_to_end_reads(spark, sf_dir, tmp_path):
+    """Real appends across a checkpoint boundary: content stays correct and
+    time travel still resolves pre-checkpoint versions."""
+    t = _nation_table(spark, sf_dir, tmp_path)
+    for i in range(12):
+        t.append(
+            spark.createDataFrame(
+                [(600 + i, f"A{i}", 0)],
+                "n_nationkey int, n_name string, n_regionkey int",
+            )
+        )
+    assert t.read().count() == 37
+    assert t.checkpoints() == [10]
+    assert t.read(5).count() == 30  # pre-checkpoint time travel
+    assert [h["op"] for h in t.history()] == ["create"] + ["append"] * 12
+
+
+def test_vacuum_keeps_oldest_retained_resolvable(spark, sf_dir, tmp_path):
+    """Vacuum drops delta manifests older than the window; the oldest
+    retained version must still resolve (checkpoint materialized first)."""
+    t = _nation_table(spark, sf_dir, tmp_path)
+    for i in range(4):
+        t.merge(
+            spark.createDataFrame(
+                [(0, f"V{i}", 9)], "n_nationkey int, n_name string, n_regionkey int"
+            )
+        )
+    t.vacuum(keep_versions=2)
+    fresh = TxTable(spark, t.root)
+    assert fresh.versions() == [3, 4]
+    assert fresh.read(3).count() == 25
+    assert fresh.read(4).count() == 25
+    assert {r["n_name"] for r in fresh.read(4).collect() if r["n_nationkey"] == 0} == {
+        "V3"
+    }
+
+
+def test_cdc_stream_feed_and_exactly_once_restart(spark, sf_dir, tmp_path):
+    """Streaming CDC over the commit log: the feed carries every commit's
+    added/removed rows tagged with its version; a restart from the same
+    checkpoint emits nothing until a NEW commit lands (version offsets =
+    exactly-once)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.txtable_cdc_source import (
+        TxTableCdcDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxTableCdcDataSource)
+    except Exception:
+        pass
+
+    t = _nation_table(spark, sf_dir, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [(0, "RENAMED", 9), (999, "NEWLAND", 1)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        )
+    )
+    sink = str(tmp_path / "cdc_sink")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("txtable_cdc")
+            .load(t.root)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    feed = spark.read.parquet(sink).collect()
+    v0 = [r for r in feed if r["cdc_version"] == 0]
+    assert len(v0) == 25 and all(r["cdc_type"] == "add" for r in v0)
+    v1_adds = {r["n_nationkey"] for r in feed if r["cdc_version"] == 1 and r["cdc_type"] == "add"}
+    v1_removes = {r["n_nationkey"] for r in feed if r["cdc_version"] == 1 and r["cdc_type"] == "remove"}
+    assert {0, 999} <= v1_adds
+    assert 0 in v1_removes  # the rewritten file's old rows leave the set
+    assert 999 not in v1_removes
+    n_after_first = len(feed)
+
+    drain()  # no new commits → nothing new
+    assert len(spark.read.parquet(sink).collect()) == n_after_first
+
+    t.delete("n_nationkey = 24")
+    drain()
+    feed = spark.read.parquet(sink).collect()
+    new = [r for r in feed if r["cdc_version"] == 2]
+    assert len(feed) == n_after_first + len(new) and new
+    assert {r["n_nationkey"] for r in new if r["cdc_type"] == "remove"} >= {24}
+    # reconcile the raw feed to the final snapshot: replay strictly by
+    # version (removes first, then adds — rewritten rows re-add themselves)
+    alive = {}
+    for v in sorted({r["cdc_version"] for r in feed}):
+        removed = {r["n_nationkey"] for r in feed if r["cdc_version"] == v and r["cdc_type"] == "remove"}
+        added = {r["n_nationkey"]: r["n_name"] for r in feed if r["cdc_version"] == v and r["cdc_type"] == "add"}
+        for k in removed:
+            alive.pop(k, None)
+        alive.update(added)
+    want = {r["n_nationkey"]: r["n_name"] for r in t.read().collect()}
+    assert alive == want
