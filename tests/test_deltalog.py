@@ -1,0 +1,227 @@
+"""Delta transaction-log interop (plans/deltalog.py): round-trip, time
+travel, partition reconstruction + pruning, checkpointing, spec-structure
+fidelity, reading a log written by a foreign writer, optimistic concurrency,
+and TxTable export."""
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+    PROTOCOL,
+    DeltaTable,
+    _fmt_commit,
+    txtable_to_delta,
+)
+
+
+@pytest.fixture()
+def root():
+    d = os.path.join(tempfile.gettempdir(), f"delta_test_{uuid.uuid4().hex[:8]}")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_create_read_roundtrip(spark, root):
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = DeltaTable.create(spark, root, df)
+    assert _rows(t.read()) == _rows(df)
+    assert t.latest_version() == 0
+    assert [f.name for f in t.schema().fields] == ["k", "v"]
+
+
+def test_append_overwrite_time_travel(spark, root):
+    base = spark.range(10).select(F.col("id").alias("k"))
+    t = DeltaTable.create(spark, root, base)
+    t.append(spark.range(10, 20).select(F.col("id").alias("k")))
+    t.overwrite(spark.range(5).select(F.col("id").alias("k")))
+    assert t.read(0).count() == 10
+    assert t.read(1).count() == 20
+    assert t.read().count() == 5
+    ops = [h["operation"] for h in t.history()]
+    assert ops[0].startswith("CREATE") and "Overwrite" in ops[2]
+
+
+def test_partitioned_write_reconstructs_partition_columns(spark, root):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30), (4, None, 40)],
+        "k int, part string, v int",
+    )
+    t = DeltaTable.create(spark, root, df, partition_by=["part"])
+    back = t.read()
+    assert _rows(back.select("k", "part", "v")) == _rows(df)
+    # spec: partition column is NOT in the data files, only in the log
+    data_files = [a for a in t.files()]
+    assert data_files
+    import pyarrow.parquet as pq
+
+    for a in data_files:
+        phys = pq.read_schema(t._abs_path(a["path"]))
+        assert "part" not in phys.names
+        assert "part" in (a.get("partitionValues") or {})
+
+
+def test_partition_pruning_consults_log_only(spark, root):
+    df = spark.createDataFrame(
+        [(i, f"p{i % 4}") for i in range(40)], "k int, part string"
+    )
+    t = DeltaTable.create(spark, root, df.coalesce(1), partition_by=["part"])
+    pruned = t.files(partition_filter={"part": "p1"})
+    assert len(pruned) == 1 and len(t.files()) == 4
+    got = t.read(partition_filter={"part": "p1"})
+    assert got.count() == 10
+    assert got.select("part").distinct().collect()[0][0] == "p1"
+
+
+def test_log_structure_matches_delta_spec(spark, root):
+    df = spark.range(5).select(F.col("id").alias("k")).coalesce(1)
+    t = DeltaTable.create(spark, root, df)
+    name = _fmt_commit(0)
+    assert name == "0" * 20 + ".json" and len(name) == 25
+    path = os.path.join(root, "_delta_log", name)
+    with open(path) as f:
+        actions = [json.loads(line) for line in f if line.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert "protocol" in kinds and "metaData" in kinds and "add" in kinds
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == PROTOCOL
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    # schemaString is Spark StructType JSON — must round-trip
+    from pyspark.sql import types as T
+
+    st = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    assert [f.name for f in st.fields] == ["k"]
+    assert meta["format"]["provider"] == "parquet"
+    add = next(a["add"] for a in actions if "add" in a)
+    stats = json.loads(add["stats"])
+    assert stats["numRecords"] == 5
+    assert stats["minValues"]["k"] == 0 and stats["maxValues"]["k"] == 4
+    assert stats["nullCount"]["k"] == 0
+    assert add["dataChange"] is True and add["size"] > 0
+
+
+def test_checkpoint_written_and_used(spark, root):
+    t = DeltaTable.create(spark, root, spark.range(3).select(F.col("id").alias("k")))
+    for i in range(12):
+        t.append(spark.range(i, i + 1).select(F.col("id").alias("k")))
+    log = os.path.join(root, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint")) as f:
+        last = json.load(f)
+    assert last["version"] == 10
+    expected = t.read().count()
+    # expire pre-checkpoint commits (log cleanup): snapshot must resolve
+    # from the checkpoint + trailing deltas alone
+    for v in range(0, 10):
+        os.unlink(os.path.join(log, _fmt_commit(v)))
+    t2 = DeltaTable(spark, root)
+    assert t2.read().count() == expected
+    # time travel to the checkpoint version itself also still works
+    assert t2.read(10).count() == expected - 2
+
+
+def test_reads_foreign_written_log(spark, root):
+    """Reader robustness against a log WE did not write: URL-encoded paths
+    with special characters, a remove action, and schema from metaData —
+    handcrafted the way another engine would lay it down."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(os.path.join(root, "sub dir"))
+    f1 = os.path.join(root, "sub dir", "file one.parquet")
+    f2 = os.path.join(root, "plain.parquet")
+    pq.write_table(pa.table({"k": [1, 2], "v": ["x", "y"]}), f1)
+    pq.write_table(pa.table({"k": [3], "v": ["z"]}), f2)
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    actions0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "abc",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        },
+        {"add": {"path": "sub%20dir/file%20one.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "plain.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    actions1 = [
+        {"remove": {"path": "plain.parquet", "deletionTimestamp": 0, "dataChange": True}},
+    ]
+    for v, acts in ((0, actions0), (1, actions1)):
+        with open(os.path.join(root, "_delta_log", _fmt_commit(v)), "w") as f:
+            for a in acts:
+                f.write(json.dumps(a) + "\n")
+    t = DeltaTable(spark, root)
+    assert _rows(t.read(0)) == [(1, "x"), (2, "y"), (3, "z")]
+    assert _rows(t.read()) == [(1, "x"), (2, "y")]
+
+
+def test_commit_conflict_raises(spark, root):
+    t = DeltaTable.create(spark, root, spark.range(3).select(F.col("id").alias("k")))
+    with pytest.raises(FileExistsError):
+        t._publish(0, [{"commitInfo": {"operation": "X"}}])
+
+
+def test_txn_action_recorded(spark, root):
+    t = DeltaTable.create(spark, root, spark.range(3).select(F.col("id").alias("k")))
+    t.append(spark.range(2).select(F.col("id").alias("k")), txn=("app-1", 7))
+    assert t.seen_txn("app-1") == 7
+    assert t.seen_txn("other") is None
+
+
+def test_txtable_export_preserves_history(spark, sf_dir, root):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.txtable import TxTable
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import load
+
+    src_root = os.path.join(tempfile.gettempdir(), f"tx_{uuid.uuid4().hex[:8]}")
+    try:
+        nation = load(spark, sf_dir, "nation").repartitionByRange(2, "n_nationkey")
+        t = TxTable.create(spark, src_root, nation, key="n_nationkey")
+        upd = spark.createDataFrame(
+            [(0, "ZZZ", 0), (99, "NEW", 1)], "n_nationkey int, n_name string, n_regionkey int"
+        )
+        t.merge(upd)
+        d = txtable_to_delta(t, root)
+        assert len(d.versions()) == len(t.versions())
+        for dv, sv in zip(d.versions(), t.versions()):
+            assert _rows(d.read(dv)) == _rows(t.read(sv))
+        # hardlink export: no duplicated bytes
+        a = d.files()[0]
+        st = os.stat(d._abs_path(a["path"]))
+        assert st.st_nlink >= 2
+    finally:
+        shutil.rmtree(src_root, ignore_errors=True)
+
+
+def test_empty_snapshot_after_overwrite_with_empty(spark, root):
+    df = spark.range(3).select(F.col("id").alias("k"))
+    t = DeltaTable.create(spark, root, df)
+    t.overwrite(df.where(F.lit(False)))
+    got = t.read()
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k"]
