@@ -35,3 +35,97 @@ def test_q01_shape_invariant_under_16x_union(spark, sf_dir):
     }
     got = {(r["l_returnflag"], r["l_linestatus"]): r["count_order"] for r in agg.collect()}
     assert got == {k: 16 * v for k, v in base.items()}
+
+
+# ---------------------------------------------------------------------------
+# Heavy-query 10× inflation (VERDICT r3 #7): the LSH/SimHash dedup kernels and
+# the prefix-sum pipeline queries must keep their distributed plan shape when
+# documents/orders are exploded 10× — identical copies make the dedup band
+# joins STRICTLY harder (every copy group collides in every band), which is
+# the adversarial case for candidate-generation scaling. Uses sf0.01×10
+# (= sf0.1's corpus size) so the default suite stays fast; point
+# SCALE_SMOKE_SF at sf0.1 for the full 10×-of-sf0.1 run.
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark import all_queries
+
+_SCALE_SRC = os.environ.get("SCALE_SMOKE_SF", "/root/testdata/sf0.01")
+_HEAVY = [
+    "q26_minhash_lsh_pairs",
+    "q28_simhash_buckets",
+    "q122_sequence_packing",
+    "q124_equidepth_binning",
+]
+# q122/q124 legitimately broadcast a 1-row global aggregate / the bounded
+# partition-offset table (same allowlist as tests/test_plan_audit.py)
+_NLJ_OK = {"q122_sequence_packing", "q124_equidepth_binning"}
+
+
+@pytest.fixture(scope="module")
+def inflated_dir(spark):
+    root = os.path.join(tempfile.gettempdir(), f"scale10_{uuid.uuid4().hex[:8]}")
+    os.makedirs(root)
+    d = spark.read.parquet(os.path.join(_SCALE_SRC, "documents.parquet"))
+    (
+        d.withColumn("copy", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .withColumn("doc_id", (F.col("doc_id") * 10 + F.col("copy")).cast("long"))
+        .select(d.columns)
+        .write.parquet(os.path.join(root, "documents.parquet"))
+    )
+    o = spark.read.parquet(os.path.join(_SCALE_SRC, "orders.parquet"))
+    (
+        o.withColumn("copy", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .withColumn("o_orderkey", (F.col("o_orderkey") * 10 + F.col("copy")).cast("long"))
+        .select(o.columns)
+        .write.parquet(os.path.join(root, "orders.parquet"))
+    )
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", _HEAVY)
+def test_heavy_query_plan_shape_at_10x(name, spark, inflated_dir):
+    df = all_queries()[name](spark, inflated_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product at 10×"
+    if name not in _NLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: NLJ at 10×"
+    n = df.count()
+    assert n > 0
+
+
+def test_sequence_packing_output_scales_linearly(spark, inflated_dir):
+    base = all_queries()["q122_sequence_packing"](spark, _SCALE_SRC).count()
+    scaled = all_queries()["q122_sequence_packing"](spark, inflated_dir).count()
+    # 10× tokens → 10× fixed-capacity sequences (±1 for the partial tail)
+    assert abs(scaled - 10 * base) <= 10
+
+
+def test_equidepth_bins_stay_exact_at_10x(spark, inflated_dir):
+    rows = all_queries()["q124_equidepth_binning"](spark, inflated_dir).collect()
+    counts = [r["n_orders"] for r in rows]
+    assert len(counts) == 16
+    assert max(counts) - min(counts) <= 1  # exact equi-depth survives 10×
+
+
+def test_minhash_finds_every_identical_copy_group(spark, inflated_dir):
+    """Every doc's 10 identical copies must collide: ≥ 45 pairs per group
+    with jaccard 1.0 — missing self-copies at 10× means the band join or
+    candidate re-attach silently dropped rows under inflation."""
+    pairs = all_queries()["q26_minhash_lsh_pairs"](spark, inflated_dir)
+    same_group = pairs.where(
+        (F.col("doc_a") / 10).cast("long") == (F.col("doc_b") / 10).cast("long")
+    )
+    exact = same_group.where(F.col("jaccard") == 1.0).count()
+    d = spark.read.parquet(os.path.join(_SCALE_SRC, "documents.parquet"))
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.dedup import (
+        SHINGLE_WORDS,
+    )
+    eligible = d.where(F.size(F.split(F.col("text"), r"\s+")) >= SHINGLE_WORDS).count()
+    assert exact == 45 * eligible
