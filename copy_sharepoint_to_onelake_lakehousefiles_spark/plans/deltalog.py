@@ -250,10 +250,16 @@ class DeltaTable:
         return os.path.join(self.root, p)
 
     def files(
-        self, version: int | None = None, partition_filter: dict | None = None
+        self,
+        version: int | None = None,
+        partition_filter: dict | None = None,
+        bounds: dict | None = None,
     ) -> list[dict]:
-        """Live add-actions, optionally pruned by partition-value equality —
-        pruning happens on the LOG, before any parquet footer is opened."""
+        """Live add-actions, optionally pruned by partition-value equality
+        and/or per-column [lo, hi] ``bounds`` against the add-action's stats
+        (minValues/maxValues) — all pruning happens on the LOG, before any
+        parquet footer is opened. Files without stats for a bounded column
+        are conservatively kept."""
         adds, _ = self.snapshot(version)
         if partition_filter:
             want = {k: str(v) for k, v in partition_filter.items()}
@@ -262,18 +268,38 @@ class DeltaTable:
                 for a in adds
                 if all((a.get("partitionValues") or {}).get(k) == v for k, v in want.items())
             ]
+        if bounds:
+            def overlaps(a: dict) -> bool:
+                raw = a.get("stats")
+                if not raw:
+                    return True
+                st = json.loads(raw) if isinstance(raw, str) else raw
+                mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
+                for c, (lo, hi) in bounds.items():
+                    if c not in mins or c not in maxs:
+                        continue
+                    if (hi is not None and mins[c] > hi) or (lo is not None and maxs[c] < lo):
+                        return False
+                return True
+
+            adds = [a for a in adds if overlaps(a)]
         return adds
 
     def read(
-        self, version: int | None = None, partition_filter: dict | None = None
+        self,
+        version: int | None = None,
+        partition_filter: dict | None = None,
+        bounds: dict | None = None,
     ) -> DataFrame:
         """Snapshot read (time travel via ``version``). Partition columns are
         reconstructed from each file's ``partitionValues`` — grouped by
         partition tuple so Spark gets one multi-path scan per live partition
-        combination (bounded by partition count), then unioned."""
+        combination (bounded by partition count), then unioned. ``bounds``
+        skips files via log stats; callers still apply the row-level filter
+        (skipping is a superset guarantee, same as Delta's)."""
         full_schema = self.schema(version)
         part_cols = self.partition_columns(version)
-        adds = self.files(version, partition_filter)
+        adds = self.files(version, partition_filter, bounds)
         data_schema = T.StructType([f for f in full_schema.fields if f.name not in part_cols])
         if not adds:
             return self.spark.createDataFrame([], full_schema)
@@ -491,12 +517,42 @@ class DeltaTable:
         t._publish(0, actions)
         return t
 
-    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> dict:
-        part_cols = self.partition_columns()
-        adds = self._stage_files(df.select(*self.schema().fieldNames()), part_cols)
+    def append(
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        allow_evolution: bool = False,
+    ) -> dict:
+        """Append ``df``. With ``allow_evolution``, NEW columns in ``df``
+        widen the table schema via a fresh metaData action (additive only —
+        Delta's mergeSchema); readers align pre-evolution files to the new
+        schema with nulls (parquet-missing-column semantics), so old
+        snapshots stay byte-identical."""
+        adds_meta: list[dict] = []
+        _, meta = self.snapshot()
+        cur = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = list(meta.get("partitionColumns") or [])
+        new_cols = [f for f in df.schema.fields if f.name not in cur.fieldNames()]
+        if new_cols:
+            if not allow_evolution:
+                raise ValueError(
+                    f"append has new columns {[f.name for f in new_cols]}; "
+                    "pass allow_evolution=True to widen the schema"
+                )
+            merged = T.StructType(list(cur.fields) + new_cols)
+            new_meta = dict(meta)
+            new_meta["schemaString"] = merged.json()
+            adds_meta.append({"metaData": new_meta})
+            cur = merged
+        aligned = df
+        for f in cur.fields:
+            if f.name not in df.columns:
+                aligned = aligned.withColumn(f.name, F.lit(None).cast(f.dataType))
+        adds = self._stage_files(aligned.select(*cur.fieldNames()), part_cols)
         actions: list[dict] = [self._commit_info("WRITE")]
         if txn is not None:
             actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
+        actions.extend(adds_meta)
         actions.extend({"add": a} for a in adds)
         v = self.latest_version() + 1
         self._publish(v, actions)
@@ -525,6 +581,40 @@ class DeltaTable:
         v = self.latest_version() + 1
         self._publish(v, actions)
         return {"version": v, "files_added": len(adds), "files_removed": len(old)}
+
+
+    def vacuum(self, retain_versions: int = 2, min_age_seconds: float = 3600.0) -> dict:
+        """Delete data files referenced by NO retained version. Guards (the
+        TxTable ADVICE r3 lessons, applied from day one here): at least one
+        version is always retained; files younger than ``min_age_seconds``
+        survive regardless (a concurrent writer's staged-but-uncommitted
+        files must not be reaped — Delta's retention-check default is 7
+        days for the same reason); the log itself is never deleted by
+        vacuum (snapshots older than the horizon become unreadable only in
+        their FILE references, history metadata stays auditable)."""
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
+        vs = self.versions()
+        keep_vs = vs[-retain_versions:]
+        live: set[str] = set()
+        for v in keep_vs:
+            for a in self.files(v):
+                live.add(os.path.abspath(self._abs_path(a["path"])))
+        removed = []
+        now = time.time()
+        for dirpath, dirnames, filenames in os.walk(self.root):
+            dirnames[:] = [d for d in dirnames if d != "_delta_log" and not d.startswith(".stage_")]
+            for n in filenames:
+                if not n.endswith(".parquet"):
+                    continue
+                p = os.path.abspath(os.path.join(dirpath, n))
+                if p in live:
+                    continue
+                if now - os.path.getmtime(p) < min_age_seconds:
+                    continue
+                os.unlink(p)
+                removed.append(p)
+        return {"files_deleted": len(removed)}
 
 
 def txtable_to_delta(t, dest: str) -> DeltaTable:
@@ -765,3 +855,77 @@ def q129_delta_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(pruned)).cast("bigint").alias("files_scanned"),
         )
     )
+
+
+_Q130_ORACLE = """
+WITH dim AS (
+  SELECT n_nationkey, n_name, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+suppliers AS (
+  SELECT d.r_name, CAST(count(*) AS BIGINT) AS metric_value
+  FROM supplier s JOIN dim d ON s.s_nationkey = d.n_nationkey
+  GROUP BY d.n_nationkey, d.r_name
+),
+customers AS (
+  SELECT d.r_name, CAST(count(*) AS BIGINT) AS metric_value
+  FROM customer c JOIN dim d ON c.c_nationkey = d.n_nationkey
+  GROUP BY d.n_nationkey, d.r_name
+),
+v1 AS (
+  SELECT * FROM suppliers UNION ALL SELECT * FROM customers
+),
+v2 AS (SELECT * FROM v1 WHERE r_name <> 'EUROPE')
+SELECT 0 AS commit_version, 'add' AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(metric_value) AS BIGINT) AS total
+FROM suppliers
+UNION ALL
+SELECT 1, 'add', CAST(count(*) AS BIGINT), CAST(sum(metric_value) AS BIGINT) FROM customers
+UNION ALL
+SELECT 2, 'add', CAST(count(*) AS BIGINT), CAST(sum(metric_value) AS BIGINT) FROM v2
+UNION ALL
+SELECT 2, 'remove', CAST(count(*) AS BIGINT), CAST(sum(metric_value) AS BIGINT) FROM v1
+"""
+
+
+@query("q130_delta_cdc_stream", oracle=_Q130_ORACLE)
+def q130_delta_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming subscription to a real Delta log, verified end-to-end: the
+    delta_cdc source (version offsets, exactly-once) drains the demo table's
+    CREATE/APPEND/OVERWRITE history with Trigger.availableNow; the per-commit
+    add/remove row counts and metric sums must equal the relational twins of
+    each commit's delta (OVERWRITE = remove-everything-live + add-rewritten).
+    Partition columns are reconstructed from the log's partitionValues inside
+    the STREAM (files don't store them), so the feed is usable downstream
+    without consulting the log again."""
+    import shutil
+    import tempfile
+
+    from ..sources.delta_stream_source import DeltaCdcDataSource
+
+    try:
+        spark.dataSource.register(DeltaCdcDataSource)
+    except Exception:
+        pass  # already registered this session
+    t = _demo_delta_table(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="deltacdc_q130_")
+    q = (
+        spark.readStream.format("delta_cdc")
+        .load(t.root)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(base, "sink"))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(os.path.join(base, "sink"))
+    out = materialize(
+        feed.groupBy("commit_version", "change_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("metric_value").cast("bigint").alias("total"),
+        )
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out

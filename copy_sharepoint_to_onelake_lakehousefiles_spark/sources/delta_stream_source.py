@@ -1,0 +1,140 @@
+"""Streaming CDC source over a real Delta transaction log.
+
+``spark.readStream.format("delta_cdc").load(<table root>)`` emits one row per
+data-file row added or removed by each Delta commit, tagged with
+(commit_version, change_type ∈ {'add', 'remove'}) — the change feed of a
+``_delta_log`` table (plans/deltalog.py), so a pipeline can SUBSCRIBE to a
+table your other engines write instead of rescanning it (the reference's only
+"incremental" story is scheduled re-runs, RM:154-159). Offsets are Delta
+VERSIONS: a committed micro-batch covers an exact version range, so
+restart/replay is exactly-once by construction — the same offset design as
+``txtable_cdc_source`` and Delta's own CDF reader.
+
+Partitioned tables: data files do not contain the partition columns (spec);
+each emitted row re-attaches them from the add/remove action's
+``partitionValues`` with a type-directed cast from the log's string encoding.
+
+Scale: SimpleDataSourceStreamReader reads driver-side BY DESIGN (the simple
+API trades locality for a trivial contract); the production flavor is the
+partition-planned DataSourceStreamReader with one input partition per changed
+file — the offset/version logic here carries over unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+
+def _cast_partition_value(raw: str | None, type_name: str):
+    if raw is None:
+        return None
+    if type_name in ("byte", "short", "integer", "long"):
+        return int(raw)
+    if type_name in ("float", "double"):
+        return float(raw)
+    if type_name == "boolean":
+        return raw == "true"
+    return raw
+
+
+class DeltaCdcReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("delta_cdc requires .load(<table root>)")
+        from ..plans.deltalog import DeltaTable
+
+        # pure-python log access; no SparkSession on this path
+        self._t = DeltaTable(None, self.root)
+        self._schema_fields: list[tuple[str, str]] | None = None
+        self._part_cols: list[str] | None = None
+
+    def _fields(self) -> tuple[list[tuple[str, str]], list[str]]:
+        if self._schema_fields is None:
+            _, meta = self._t.snapshot()
+            st = json.loads(meta["schemaString"])
+            self._schema_fields = [(f["name"], f["type"]) for f in st["fields"]]
+            self._part_cols = list(meta.get("partitionColumns") or [])
+        return self._schema_fields, self._part_cols
+
+    def _rows_of(self, action: dict):
+        import pyarrow.parquet as pq
+
+        fields, part_cols = self._fields()
+        pvals = action.get("partitionValues") or {}
+        tbl = pq.read_table(self._t._abs_path(action["path"]))
+        names = set(tbl.column_names)
+        n = tbl.num_rows
+        cols = []
+        for name, type_name in fields:
+            if name in part_cols:
+                v = _cast_partition_value(pvals.get(name), type_name)
+                cols.append([v] * n)
+            elif name in names:
+                cols.append(tbl.column(name).to_pylist())
+            else:  # pre-evolution file: evolved column reads as null
+                cols.append([None] * n)
+        return zip(*cols) if cols else iter(())
+
+    def _emit(self, v_from: int, v_to: int):
+        """Rows for versions in (v_from, v_to]; v_from=-1 includes create.
+        Uses each commit's OWN add/remove actions (a delta, not a snapshot
+        diff), so cost is O(changed files per commit)."""
+        for v in range(v_from + 1, v_to + 1):
+            if v not in self._t.versions():
+                continue  # expired below a checkpoint: no replayable delta
+            adds, removes = [], []
+            for action in self._t._commit_actions(v):
+                if "add" in action:
+                    adds.append(action["add"])
+                elif "remove" in action:
+                    removes.append(action["remove"])
+            for a in sorted(adds, key=lambda x: x["path"]):
+                for row in self._rows_of(a):
+                    yield (*row, v, "add")
+            for r in sorted(removes, key=lambda x: x["path"]):
+                for row in self._rows_of(r):
+                    yield (*row, v, "remove")
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def read(self, start: dict):
+        latest = self._t.latest_version()
+        if latest <= start["version"]:
+            return iter(()), start
+        rows = list(self._emit(start["version"], latest))
+        return iter(rows), {"version": latest}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._emit(start["version"], end["version"])))
+
+
+class DeltaCdcDataSource(DataSource):
+    """Register with ``spark.dataSource.register(DeltaCdcDataSource)``, then
+    ``spark.readStream.format("delta_cdc").load(root)``. The schema is the
+    table's current Delta schema plus (commit_version BIGINT, change_type
+    STRING)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_cdc"
+
+    def schema(self) -> str:
+        from pyspark.sql.types import StructType
+
+        from ..plans.deltalog import DeltaTable
+
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("delta_cdc requires .load(<table root>)")
+        _, meta = DeltaTable(None, root).snapshot()
+        st = StructType.fromJson(json.loads(meta["schemaString"]))
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
+        return f"{cols}, commit_version bigint, change_type string"
+
+    def simpleStreamReader(self, schema) -> DeltaCdcReader:
+        return DeltaCdcReader(self.options)

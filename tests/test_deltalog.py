@@ -225,3 +225,92 @@ def test_empty_snapshot_after_overwrite_with_empty(spark, root):
     got = t.read()
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["k"]
+
+
+def test_stats_bounds_skip_files_from_log(spark, root):
+    # 4 range-partitioned files → a narrow bound keeps 1 file, read stays correct
+    df = spark.range(400).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    t = DeltaTable.create(spark, root, df.repartitionByRange(4, "k"))
+    assert len(t.files()) == 4
+    kept = t.files(bounds={"k": (150, 160)})
+    assert len(kept) == 1
+    got = t.read(bounds={"k": (150, 160)}).where(F.col("k").between(150, 160))
+    assert got.count() == 11
+    # file with no stats for the bounded column is conservatively kept
+    kept_all = t.files(bounds={"missing_col": (0, 1)})
+    assert len(kept_all) == 4
+
+
+def test_schema_evolution_append(spark, root):
+    t = DeltaTable.create(spark, root, spark.range(3).select(F.col("id").alias("k")))
+    with pytest.raises(ValueError):
+        t.append(spark.range(2).select(F.col("id").alias("k"), F.lit("x").alias("tag")))
+    t.append(
+        spark.range(3, 5).select(F.col("id").alias("k"), F.lit("x").alias("tag")),
+        allow_evolution=True,
+    )
+    got = t.read()
+    assert [f.name for f in got.schema.fields] == ["k", "tag"]
+    assert got.where(F.col("tag").isNull()).count() == 3  # pre-evolution rows
+    assert got.where(F.col("tag") == "x").count() == 2
+    # old snapshot keeps the old schema
+    assert [f.name for f in t.read(0).schema.fields] == ["k"]
+    # appending WITHOUT the evolved column still aligns (nulls)
+    t.append(spark.range(9, 10).select(F.col("id").alias("k")))
+    assert t.read().where(F.col("tag").isNull()).count() == 4
+
+
+def test_vacuum_guards_and_reclaim(spark, root):
+    t = DeltaTable.create(spark, root, spark.range(5).select(F.col("id").alias("k")).coalesce(1))
+    t.overwrite(spark.range(3).select(F.col("id").alias("k")).coalesce(1))
+    with pytest.raises(ValueError):
+        t.vacuum(retain_versions=0)
+    # young files survive (grace window)
+    assert t.vacuum(retain_versions=1, min_age_seconds=3600)["files_deleted"] == 0
+    n = t.vacuum(retain_versions=1, min_age_seconds=0.0)["files_deleted"]
+    assert n == 1  # v0's file reclaimed
+    assert t.read().count() == 3  # latest still reads
+
+
+def test_delta_cdc_stream_source(spark, root):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_stream_source import (
+        DeltaCdcDataSource,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "k int, part string"
+    )
+    t = DeltaTable.create(spark, root, df.coalesce(1), partition_by=["part"])
+    t.append(spark.createDataFrame([(4, "b")], "k int, part string").coalesce(1))
+    t.overwrite(spark.createDataFrame([(9, "c")], "k int, part string").coalesce(1))
+    try:
+        spark.dataSource.register(DeltaCdcDataSource)
+    except Exception:
+        pass
+    sink = os.path.join(root, "_cdc_sink")
+    q = (
+        spark.readStream.format("delta_cdc")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "_cdc_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    got = sorted(
+        (r["commit_version"], r["change_type"], r["k"], r["part"]) for r in feed.collect()
+    )
+    assert got == [
+        (0, "add", 1, "a"),
+        (0, "add", 2, "b"),
+        (0, "add", 3, "a"),
+        (1, "add", 4, "b"),
+        (2, "add", 9, "c"),
+        (2, "remove", 1, "a"),
+        (2, "remove", 2, "b"),
+        (2, "remove", 3, "a"),
+        (2, "remove", 4, "b"),
+    ]
