@@ -909,7 +909,7 @@ def q130_delta_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass  # already registered this session
     t = _demo_delta_table(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="deltacdc_q130_")
-    q = (
+    stream = (
         spark.readStream.format("delta_cdc")
         .load(t.root)
         .writeStream.format("parquet")
@@ -919,7 +919,7 @@ def q130_delta_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    stream.awaitTermination()
     feed = spark.read.parquet(os.path.join(base, "sink"))
     out = materialize(
         feed.groupBy("commit_version", "change_type").agg(
@@ -929,3 +929,55 @@ def q130_delta_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+_Q131_ORACLE = """
+WITH dim AS (
+  SELECT n_nationkey, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+v1 AS (
+  SELECT d.r_name, CAST(count(*) AS BIGINT) AS metric_value
+  FROM supplier s JOIN dim d ON s.s_nationkey = d.n_nationkey
+  GROUP BY d.n_nationkey, d.r_name
+  UNION ALL
+  SELECT d.r_name, CAST(count(*) AS BIGINT)
+  FROM customer c JOIN dim d ON c.c_nationkey = d.n_nationkey
+  GROUP BY d.n_nationkey, d.r_name
+)
+SELECT r_name,
+       CAST(count(*) AS BIGINT)          AS n_rows,
+       CAST(sum(metric_value) AS BIGINT) AS total
+FROM v1
+WHERE r_name <> 'EUROPE'
+GROUP BY r_name
+"""
+
+
+@query("q131_delta_sql_source", oracle=_Q131_ORACLE)
+def q131_delta_sql_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta table consumed through Spark's OWN source contract: the
+    pluggable delta_lite batch DataSource (partition-per-file planning,
+    Arrow-batch reads, partition-column reconstruction inside executors) is
+    registered, mounted as a temp view, and queried with plain spark.sql —
+    proving interop reaches the SQL front door, not just a bespoke reader
+    API. Oracle = the relational twin of the latest snapshot."""
+    from ..sources.delta_datasource import DeltaLiteDataSource
+
+    try:
+        spark.dataSource.register(DeltaLiteDataSource)
+    except Exception:
+        pass  # already registered this session
+    t = _demo_delta_table(spark, sf_dir)
+    view = f"delta_lite_demo_{uuid.uuid4().hex[:8]}"
+    spark.read.format("delta_lite").load(t.root).createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
+        SELECT r_name,
+               CAST(count(*) AS BIGINT)          AS n_rows,
+               CAST(sum(metric_value) AS BIGINT) AS total
+        FROM {view}
+        GROUP BY r_name
+        """
+    )
+    return materialize(out)

@@ -1,0 +1,213 @@
+"""Pluggable BATCH source for Delta tables: the Python Data Source API
+packaging of ``plans/deltalog.DeltaTable``.
+
+``spark.dataSource.register(DeltaLiteDataSource)`` then
+``spark.read.format("delta_lite").load(root)`` — after which the table works
+everywhere a DataFrame does, including ``createOrReplaceTempView`` + plain
+``spark.sql``. This is the Spark-idiomatic delivery of the interop layer: the
+log-replay logic stays in one place (deltalog.py), and this module maps it
+onto Spark's source contract:
+
+- The DRIVER resolves the snapshot from the log only (one checkpoint + tail
+  deltas) and plans ONE InputPartition PER LIVE DATA FILE — scan parallelism
+  equals file count, the same planning Delta's own reader does.
+- EXECUTORS read their file with pyarrow and yield Arrow RecordBatches
+  (zero-copy into Spark), reconstructing partition columns from the log's
+  ``partitionValues`` and nulling columns the file predates (schema
+  evolution).
+- The pushdown flavor (``.option("pushdown", "true")`` + the
+  ``spark.sql.python.filterPushdown.enabled`` conf, same opt-in as
+  graph_datasource) prunes files at PLANNING time: partition-column
+  equality is accepted outright (file-level exact); data-column comparisons
+  prune via the add-actions' min/max stats but are handed back to Spark for
+  row-level re-application — file skipping is a superset guarantee, so
+  correctness never depends on it.
+
+Options: ``version`` (time travel), ``pushdown``.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+
+@dataclass
+class FilePartition(InputPartition):
+    path: str  # absolute path of the data file
+    partition_values: dict  # raw string-encoded, from the add action
+    schema_json: str  # full logical schema (Spark StructType JSON)
+    part_cols: list
+
+
+def _cast_pv(raw: str | None, type_name: str) -> Any:
+    if raw is None:
+        return None
+    if type_name in ("byte", "short", "integer", "long", "int", "bigint", "smallint", "tinyint"):
+        return int(raw)
+    if type_name in ("float", "double"):
+        return float(raw)
+    if type_name == "boolean":
+        return raw == "true"
+    return raw
+
+
+class DeltaLiteReader(DataSourceReader):
+    def __init__(self, options):
+        from ..plans.deltalog import DeltaTable
+
+        root = options.get("path")
+        if not root:
+            raise ValueError("delta_lite requires .load(<table root>)")
+        self._t = DeltaTable(None, root)
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
+        self.pushed_partition: list[Filter] = []
+        self.pushed_bounds: dict[str, list] = {}
+
+    def _meta(self):
+        adds, meta = self._t.snapshot(self.version)
+        part_cols = list(meta.get("partitionColumns") or [])
+        return adds, meta["schemaString"], part_cols
+
+    def partitions(self):
+        adds, schema_json, part_cols = self._meta()
+        if self.pushed_partition:
+            want = {
+                f.attribute[0]: str(f.value) for f in self.pushed_partition
+            }
+            adds = [
+                a
+                for a in adds
+                if all(
+                    (a.get("partitionValues") or {}).get(k) == v for k, v in want.items()
+                )
+            ]
+        if self.pushed_bounds:
+            bounds = {
+                c: (
+                    max((lo for lo, _ in cmp if lo is not None), default=None),
+                    min((hi for _, hi in cmp if hi is not None), default=None),
+                )
+                for c, cmp in self.pushed_bounds.items()
+            }
+            adds = [a for a in adds if self._overlaps(a, bounds)]
+        return [
+            FilePartition(
+                self._t._abs_path(a["path"]),
+                a.get("partitionValues") or {},
+                schema_json,
+                part_cols,
+            )
+            for a in adds
+        ]
+
+    @staticmethod
+    def _overlaps(a: dict, bounds: dict) -> bool:
+        raw = a.get("stats")
+        if not raw:
+            return True
+        st = json.loads(raw) if isinstance(raw, str) else raw
+        mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
+        for c, (lo, hi) in bounds.items():
+            if c not in mins or c not in maxs:
+                continue
+            if (hi is not None and mins[c] > hi) or (lo is not None and maxs[c] < lo):
+                return False
+        return True
+
+    def read(self, partition: FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromJson(json.loads(partition.schema_json))
+        tbl = pq.read_table(partition.path)
+        n = tbl.num_rows
+        names = set(tbl.column_names)
+        arrays, out_names = [], []
+        for f in st.fields:
+            at = to_arrow_type(f.dataType)
+            if f.name in partition.part_cols:
+                v = _cast_pv(partition.partition_values.get(f.name), f.dataType.simpleString())
+                arrays.append(pa.array([v] * n, type=at))
+            elif f.name in names:
+                col = tbl.column(f.name).combine_chunks()
+                arrays.append(col if col.type == at else col.cast(at))
+            else:  # pre-evolution file: evolved column is all-null
+                arrays.append(pa.nulls(n, type=at))
+            out_names.append(f.name)
+        yield from pa.table(dict(zip(out_names, arrays))).to_batches()
+
+
+class DeltaLitePushdownReader(DeltaLiteReader):
+    """Opt-in pushdown flavor (option pushdown=true + the
+    spark.sql.python.filterPushdown.enabled session conf)."""
+
+    _CMP = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+
+    def pushFilters(self, filters):
+        _, _, part_cols = self._meta()
+        for f in filters:
+            col = f.attribute[0] if f.attribute else None
+            if col in part_cols and isinstance(f, EqualTo) and len(f.attribute) == 1:
+                # exact at file granularity: accepted, not handed back
+                self.pushed_partition.append(f)
+            elif isinstance(f, self._CMP) and col and len(f.attribute) == 1:
+                lo: Any = None
+                hi: Any = None
+                if isinstance(f, EqualTo):
+                    lo = hi = f.value
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    lo = f.value
+                else:
+                    hi = f.value
+                self.pushed_bounds.setdefault(col, []).append((lo, hi))
+                yield f  # stats pruning is file-level: Spark re-applies rows
+            elif isinstance(f, IsNotNull):
+                yield f
+            else:
+                yield f
+
+
+class DeltaLiteDataSource(DataSource):
+    """``spark.read.format("delta_lite").option("version", 2).load(root)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_lite"
+
+    def schema(self) -> str:
+        from pyspark.sql.types import StructType
+
+        from ..plans.deltalog import DeltaTable
+
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("delta_lite requires .load(<table root>)")
+        t = DeltaTable(None, root)
+        v = self.options.get("version")
+        st = StructType.fromJson(
+            json.loads(t.snapshot(int(v) if v is not None else None)[1]["schemaString"])
+        )
+        return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
+
+    def reader(self, schema) -> DeltaLiteReader:
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return DeltaLitePushdownReader(self.options)
+        return DeltaLiteReader(self.options)
