@@ -692,6 +692,33 @@ def txtable_to_delta(t, dest: str) -> DeltaTable:
     return d
 
 
+def stream_append(table: DeltaTable, stream_df: DataFrame, stream_id: str, checkpoint: str):
+    """Exactly-once streaming append into a Delta table: each micro-batch
+    commits under a SetTransaction action (appId=stream_id,
+    version=batchId), so a batch replayed after a crash-restart (same
+    checkpoint → same batchId) is detected via ``seen_txn`` and skipped
+    instead of double-appended — Delta's own idempotent-writes contract,
+    with the dedup ledger in the table's log. The idempotency window is the
+    retained JSON log (txn actions expire with their commits — Delta's
+    default behaves the same way).
+
+    Runs with Trigger.availableNow; returns after the drain completes."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        seen = table.seen_txn(stream_id)
+        if seen is not None and seen >= batch_id:
+            return  # replayed batch: this txn already committed
+        table.append(batch_df, txn=(stream_id, batch_id))
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ------------------------------------------------------------------ queries
 
 _DELTA_CACHE: dict = {}

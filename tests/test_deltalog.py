@@ -314,3 +314,40 @@ def test_delta_cdc_stream_source(spark, root):
         (2, "remove", 3, "a"),
         (2, "remove", 4, "b"),
     ]
+
+
+def test_stream_append_exactly_once(spark, root, tmp_path):
+    """availableNow drain into a Delta table via foreachBatch + txn actions;
+    a manual replay of an already-committed batch id must be a no-op, and a
+    NEW batch id must still land — the Delta idempotent-writes contract."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        stream_append,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"k": [1, 2, 3]}), os.path.join(src, "a.parquet"))
+    t = DeltaTable.create(
+        spark, root, spark.createDataFrame([], "k long")
+    )
+    stream = spark.readStream.schema("k long").parquet(src)
+    stream_append(t, stream, "s1", os.path.join(str(tmp_path), "ckpt"))
+    assert t.read().count() == 3
+    committed = t.seen_txn("s1")
+    assert committed is not None
+    one = spark.createDataFrame([(9,)], "k long")
+    v_before = t.latest_version()
+
+    def _write(batch_df, batch_id):
+        s = t.seen_txn("s1")
+        if s is not None and s >= batch_id:
+            return
+        t.append(batch_df, txn=("s1", batch_id))
+
+    _write(one, committed)  # replay: skipped
+    assert t.latest_version() == v_before
+    _write(one, committed + 1)  # new batch: lands
+    assert t.read().count() == 4
