@@ -1,0 +1,864 @@
+"""Apache Iceberg v2 table interop: read and write real Iceberg metadata —
+``vN.metadata.json`` + Avro manifest lists + Avro manifests — with no
+Iceberg/Avro libraries (the Avro layer is ``sources/avro_ocf.py``, built
+from the public Avro spec; the table structures follow the public Iceberg
+Table Spec v2 at iceberg.apache.org/spec/).
+
+Together with ``plans/deltalog.py`` this closes the open-format interop gap
+(VERDICT r3, missing #3) from both ends: the engine's tables are readable by
+the two formats real lakehouses speak, and it can consume tables other
+engines write. (Reference analogue: the notebook leaves plain files with no
+table metadata, NB:240-281.)
+
+Differences from Delta that this module implements faithfully:
+
+- **Data files keep ALL columns** (identity partitioning derives partition
+  tuples from source columns; nothing is stripped the way Delta/hive strips
+  partition dirs), so a snapshot read is ONE multi-path parquet scan — no
+  per-partition unions.
+- **Two-level metadata tree**: snapshot → manifest LIST (one Avro row per
+  manifest, with per-partition-field summaries) → manifest (one Avro row
+  per data file, with per-column bounds). Planning prunes at both levels —
+  a manifest whose partition summary excludes the predicate is never
+  opened, then per-file partition tuples and column bounds prune within
+  surviving manifests. That is exactly the O(relevant-metadata) planning
+  story Iceberg exists for.
+- **Fast append**: a new snapshot writes ONE new manifest for the added
+  files and re-references prior manifests in its manifest list — commit
+  cost is O(new files), not O(table).
+- **Commit protocol**: ``vN.metadata.json`` published with put-if-absent
+  (os.link) + ``version-hint.text`` for discovery — the HadoopTables
+  layout, readable by pyiceberg/Spark-Iceberg's HadoopCatalog.
+
+Scope: identity partition transforms, primitive column types
+(long/int/string/double/float/boolean/binary), data content files (no
+delete files — the engine's MERGE/DELETE story is copy-on-write, matching
+TxTable). Snapshots support time travel by snapshot id or chronological
+index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import materialize, query
+from ..sources.avro_ocf import read_ocf, write_ocf
+from ..tables import load
+
+_SPARK_TO_ICE = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "binary",
+}
+_ICE_TO_SPARK = {
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "string": T.StringType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "boolean": T.BooleanType(),
+    "binary": T.BinaryType(),
+}
+_ICE_TO_AVRO = {
+    "long": "long",
+    "int": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+
+
+def _single_value_bytes(ice_type: str, v) -> bytes:
+    """Iceberg single-value binary serialization (Appendix D): little-endian
+    numerics, UTF-8 strings — used for lower/upper bounds in manifests."""
+    if ice_type == "long":
+        return struct.pack("<q", int(v))
+    if ice_type == "int":
+        return struct.pack("<i", int(v))
+    if ice_type == "double":
+        return struct.pack("<d", float(v))
+    if ice_type == "float":
+        return struct.pack("<f", float(v))
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    if ice_type == "binary":
+        return bytes(v)
+    raise NotImplementedError(ice_type)
+
+
+def _single_value_parse(ice_type: str, b: bytes):
+    if b is None:
+        return None
+    if ice_type == "long":
+        return struct.unpack("<q", b)[0]
+    if ice_type == "int":
+        return struct.unpack("<i", b)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", b)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", b)[0]
+    if ice_type == "boolean":
+        return b == b"\x01"
+    if ice_type == "string":
+        return b.decode("utf-8")
+    if ice_type == "binary":
+        return b
+    raise NotImplementedError(ice_type)
+
+
+def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    """Avro schema of a v2 manifest_entry with the spec's field-ids, the
+    partition record typed per the table's partition spec."""
+    part_fields = [
+        {
+            "name": pf["name"],
+            "type": ["null", _ICE_TO_AVRO[pf["ice_type"]]],
+            "default": None,
+            "field-id": pf["field_id"],
+        }
+        for pf in partition_fields
+    ]
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": {"type": "record", "name": "r102", "fields": part_fields},
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "lower_bounds",
+                "type": ["null", {"type": "map", "values": "bytes"}],
+                "default": None,
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", {"type": "map", "values": "bytes"}],
+                "default": None,
+                "field-id": 128,
+            },
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean", "field-id": 509},
+                            {"name": "contains_nan", "type": ["null", "boolean"], "default": None, "field-id": 518},
+                            {"name": "lower_bound", "type": ["null", "bytes"], "default": None, "field-id": 510},
+                            {"name": "upper_bound", "type": ["null", "bytes"], "default": None, "field-id": 511},
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+            "field-id": 507,
+        },
+    ],
+}
+
+
+class IcebergTable:
+    """Handle to an Iceberg v2 table rooted at ``root`` (HadoopTables
+    layout: ``<root>/metadata``, ``<root>/data``)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------ metadata
+
+    def _metadata_versions(self) -> list[int]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        out = []
+        for n in os.listdir(self.meta_dir):
+            if n.startswith("v") and n.endswith(".metadata.json"):
+                mid = n[1 : -len(".metadata.json")]
+                if mid.isdigit():
+                    out.append(int(mid))
+        return sorted(out)
+
+    def metadata(self, metadata_version: int | None = None) -> dict:
+        vs = self._metadata_versions()
+        if not vs:
+            raise FileNotFoundError(f"no Iceberg metadata at {self.meta_dir}")
+        v = vs[-1] if metadata_version is None else metadata_version
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        return list(self.metadata().get("snapshots") or [])
+
+    def current_snapshot_id(self) -> int | None:
+        return self.metadata().get("current-snapshot-id")
+
+    def schema(self) -> T.StructType:
+        md = self.metadata()
+        sid = md["current-schema-id"]
+        ice = next(s for s in md["schemas"] if s["schema-id"] == sid)
+        return T.StructType(
+            [
+                T.StructField(f["name"], _ICE_TO_SPARK[f["type"]], not f["required"])
+                for f in ice["fields"]
+            ]
+        )
+
+    def partition_fields(self) -> list[dict]:
+        """[{name, field_id, source_id, ice_type}] of the default spec
+        (identity transforms only)."""
+        md = self.metadata()
+        spec = next(
+            s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
+        )
+        sid = md["current-schema-id"]
+        ice = next(s for s in md["schemas"] if s["schema-id"] == sid)
+        by_id = {f["id"]: f for f in ice["fields"]}
+        out = []
+        for pf in spec["fields"]:
+            if pf["transform"] != "identity":
+                raise NotImplementedError(f"transform {pf['transform']}")
+            src = by_id[pf["source-id"]]
+            out.append(
+                {
+                    "name": pf["name"],
+                    "field_id": pf["field-id"],
+                    "source_id": pf["source-id"],
+                    "ice_type": src["type"],
+                }
+            )
+        return out
+
+    def _resolve_snapshot(self, snapshot_id: int | None, index: int | None) -> dict:
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError("table has no snapshots")
+        if snapshot_id is not None:
+            return next(s for s in snaps if s["snapshot-id"] == snapshot_id)
+        ordered = sorted(snaps, key=lambda s: s["sequence-number"])
+        if index is not None:
+            return ordered[index]
+        cur = self.current_snapshot_id()
+        return next(s for s in snaps if s["snapshot-id"] == cur)
+
+    # ------------------------------------------------------------ planning
+
+    def files(
+        self,
+        snapshot_id: int | None = None,
+        index: int | None = None,
+        partition_filter: dict | None = None,
+        bounds: dict | None = None,
+    ) -> tuple[list[dict], dict]:
+        """Live data-file entries of a snapshot after two-level pruning.
+        Returns (entries, audit) where audit counts manifests/files
+        consulted vs skipped — the O(relevant-metadata) evidence."""
+        snap = self._resolve_snapshot(snapshot_id, index)
+        _, manifests = read_ocf(snap["manifest-list"].replace("file:", ""))
+        pf_meta = self.partition_fields()
+        md = self.metadata()
+        ice_fields = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )["fields"]
+        ice_types_by_id = {str(f["id"]): f["type"] for f in ice_fields}
+        name_to_id = {f["name"]: str(f["id"]) for f in ice_fields}
+        audit = {
+            "manifests_total": len(manifests),
+            "manifests_read": 0,
+            "files_total": 0,
+            "files_kept": 0,
+        }
+        want = dict(partition_filter or {})
+        entries: list[dict] = []
+        for m in manifests:
+            if want and m.get("partitions"):
+                skip = False
+                for pf, summ in zip(pf_meta, m["partitions"]):
+                    if pf["name"] not in want:
+                        continue
+                    v = want[pf["name"]]
+                    lo = _single_value_parse(pf["ice_type"], summ.get("lower_bound"))
+                    hi = _single_value_parse(pf["ice_type"], summ.get("upper_bound"))
+                    if lo is not None and hi is not None and not (lo <= v <= hi):
+                        skip = True
+                        break
+                if skip:
+                    continue  # manifest never opened
+            audit["manifests_read"] += 1
+            mpath = m["manifest_path"].replace("file:", "")
+            _, rows = read_ocf(mpath)
+            for e in rows:
+                if e["status"] == 2:  # deleted in this snapshot
+                    continue
+                audit["files_total"] += 1
+                df_ = e["data_file"]
+                if want:
+                    pv = df_["partition"]
+                    if any(pv.get(k) != v for k, v in want.items()):
+                        continue
+                if bounds:
+                    lbs = df_.get("lower_bounds") or {}
+                    ubs = df_.get("upper_bounds") or {}
+                    keep = True
+                    for c, (lo, hi) in bounds.items():
+                        fid = name_to_id.get(c)
+                        if fid is None or fid not in lbs or fid not in ubs:
+                            continue
+                        t_ = ice_types_by_id[fid]
+                        fmin = _single_value_parse(t_, lbs[fid])
+                        fmax = _single_value_parse(t_, ubs[fid])
+                        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                            keep = False
+                            break
+                    if not keep:
+                        continue
+                audit["files_kept"] += 1
+                entries.append(df_)
+        return entries, audit
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        index: int | None = None,
+        partition_filter: dict | None = None,
+        bounds: dict | None = None,
+    ) -> DataFrame:
+        """Snapshot read: data files carry every column (identity
+        partitioning), so this is ONE multi-path parquet scan."""
+        schema = self.schema()
+        entries, _ = self.files(snapshot_id, index, partition_filter, bounds)
+        if not entries:
+            return self.spark.createDataFrame([], schema)
+        paths = [e["file_path"].replace("file:", "") for e in entries]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # ------------------------------------------------------------- writing
+
+    def _ice_schema_json(self, st: T.StructType) -> dict:
+        fields = []
+        for i, f in enumerate(st.fields, start=1):
+            simple = f.dataType.simpleString()
+            if simple not in _SPARK_TO_ICE:
+                raise NotImplementedError(f"type {simple}")
+            fields.append(
+                {
+                    "id": i,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _SPARK_TO_ICE[simple],
+                }
+            )
+        return {"type": "struct", "schema-id": 0, "fields": fields}
+
+    def _stage_data_files(
+        self, df: DataFrame, part_fields: list[dict], schema: T.StructType
+    ) -> list[dict]:
+        """Write df into data/ (files keep ALL columns; identity partition
+        split via a DUPLICATED staging column so partitionBy gives parallel
+        per-partition files without stripping the source column), return
+        manifest entries with per-file partition tuples and column bounds."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        stage = os.path.join(self.root, f".stage_{uuid.uuid4().hex}")
+        part_names = [pf["name"] for pf in part_fields]
+        w = df
+        for pf in part_fields:
+            w = w.withColumn(f"__p_{pf['name']}", F.col(pf["name"]))
+        writer = w.write.mode("overwrite")
+        if part_fields:
+            writer = writer.partitionBy(*[f"__p_{n}" for n in part_names])
+        writer.parquet(stage)
+        import pyarrow.parquet as pq
+        from urllib.parse import unquote
+
+        name_to_id = {f.name: i for i, f in enumerate(schema.fields, start=1)}
+        ice_types = {
+            f.name: _SPARK_TO_ICE[f.dataType.simpleString()] for f in schema.fields
+        }
+        entries = []
+        for dirpath, _dn, filenames in os.walk(stage):
+            for n in filenames:
+                if not n.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, n)
+                rel_dir = os.path.relpath(dirpath, stage)
+                pvals: dict = {}
+                if rel_dir != ".":
+                    for seg in rel_dir.split(os.sep):
+                        k, _, raw = seg.partition("=")
+                        k = k[len("__p_"):]
+                        pvals[k] = (
+                            None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+                        )
+                dest = os.path.join(self.data_dir, f"{uuid.uuid4().hex}.parquet")
+                os.rename(src, dest)
+                pf_ = pq.ParquetFile(dest)
+                meta = pf_.metadata
+                lbs, ubs = {}, {}
+                col_idx = {
+                    meta.schema.column(i).name: i for i in range(meta.num_columns)
+                }
+                for cname, fid in name_to_id.items():
+                    idx = col_idx.get(cname)
+                    if idx is None:
+                        continue
+                    cmin = cmax = None
+                    ok = True
+                    for rg in range(meta.num_row_groups):
+                        st_ = meta.row_group(rg).column(idx).statistics
+                        if st_ is None or not st_.has_min_max:
+                            ok = False
+                            break
+                        mn, mx = st_.min, st_.max
+                        if isinstance(mn, bytes) and ice_types[cname] == "string":
+                            mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
+                        cmin = mn if cmin is None else min(cmin, mn)
+                        cmax = mx if cmax is None else max(cmax, mx)
+                    if ok and cmin is not None:
+                        try:
+                            lbs[str(fid)] = _single_value_bytes(ice_types[cname], cmin)
+                            ubs[str(fid)] = _single_value_bytes(ice_types[cname], cmax)
+                        except NotImplementedError:
+                            pass
+                partition = {}
+                for pf2 in part_fields:
+                    raw = pvals.get(pf2["name"])
+                    if raw is None:
+                        partition[pf2["name"]] = None
+                    elif pf2["ice_type"] in ("long", "int"):
+                        partition[pf2["name"]] = int(raw)
+                    elif pf2["ice_type"] in ("double", "float"):
+                        partition[pf2["name"]] = float(raw)
+                    elif pf2["ice_type"] == "boolean":
+                        partition[pf2["name"]] = raw == "true"
+                    else:
+                        partition[pf2["name"]] = raw
+                entries.append(
+                    {
+                        "content": 0,
+                        "file_path": dest,
+                        "file_format": "PARQUET",
+                        "partition": partition,
+                        "record_count": meta.num_rows,
+                        "file_size_in_bytes": os.path.getsize(dest),
+                        "lower_bounds": lbs or None,
+                        "upper_bounds": ubs or None,
+                    }
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        return entries
+
+    def _write_manifest(
+        self,
+        data_files: list[dict],
+        snapshot_id: int,
+        sequence_number: int,
+        part_fields: list[dict],
+        status: int = 1,
+    ) -> dict:
+        """One manifest Avro for ``data_files``; returns its manifest-list row
+        (with per-partition-field summaries for list-level pruning)."""
+        schema = _manifest_entry_schema(part_fields)
+        path = os.path.join(self.meta_dir, f"m-{uuid.uuid4().hex}.avro")
+        rows = [
+            {
+                "status": status,
+                "snapshot_id": snapshot_id,
+                "sequence_number": sequence_number,
+                "file_sequence_number": sequence_number,
+                "data_file": d,
+            }
+            for d in data_files
+        ]
+        write_ocf(
+            path,
+            schema,
+            rows,
+            codec="deflate",
+            metadata={
+                "format-version": "2",
+                "content": "data",
+                "partition-spec-id": "0",
+            },
+        )
+        summaries = []
+        for pf in part_fields:
+            vals = [d["partition"].get(pf["name"]) for d in data_files]
+            non_null = [v for v in vals if v is not None]
+            summaries.append(
+                {
+                    "contains_null": any(v is None for v in vals),
+                    "contains_nan": None,
+                    "lower_bound": _single_value_bytes(pf["ice_type"], min(non_null))
+                    if non_null
+                    else None,
+                    "upper_bound": _single_value_bytes(pf["ice_type"], max(non_null))
+                    if non_null
+                    else None,
+                }
+            )
+        n_rows = sum(d["record_count"] for d in data_files)
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": sequence_number,
+            "min_sequence_number": sequence_number,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(data_files) if status == 1 else 0,
+            "existing_files_count": len(data_files) if status == 0 else 0,
+            "deleted_files_count": len(data_files) if status == 2 else 0,
+            "added_rows_count": n_rows if status == 1 else 0,
+            "existing_rows_count": n_rows if status == 0 else 0,
+            "deleted_rows_count": n_rows if status == 2 else 0,
+            "partitions": summaries or None,
+        }
+
+
+    @staticmethod
+    def _new_snapshot_id() -> int:
+        return int(uuid.uuid4().int % (1 << 62))
+
+    def _commit_snapshot(
+        self,
+        manifest_rows: list[dict],
+        operation: str,
+        base_md: dict | None,
+        snapshot_id: int,
+    ) -> dict:
+        seq = (base_md.get("last-sequence-number", 0) + 1) if base_md else 1
+        list_path = os.path.join(
+            self.meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+        )
+        write_ocf(
+            list_path,
+            _MANIFEST_LIST_SCHEMA,
+            manifest_rows,
+            codec="deflate",
+            metadata={"format-version": "2"},
+        )
+        snap = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": int(time.time() * 1000),
+            "manifest-list": list_path,
+            "summary": {"operation": operation},
+            "schema-id": (base_md or {}).get("current-schema-id", 0),
+        }
+        return snap
+
+    def _publish_metadata(self, md: dict) -> None:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        vs = self._metadata_versions()
+        v = (vs[-1] + 1) if vs else 1
+        tmp = os.path.join(self.meta_dir, f".tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(md, f)
+        try:
+            os.link(tmp, os.path.join(self.meta_dir, f"v{v}.metadata.json"))
+        finally:
+            os.unlink(tmp)
+        hint_tmp = os.path.join(self.meta_dir, f".hint_{uuid.uuid4().hex}")
+        with open(hint_tmp, "w") as f:
+            f.write(str(v))
+        os.replace(hint_tmp, os.path.join(self.meta_dir, "version-hint.text"))
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+    ) -> "IcebergTable":
+        t = cls(spark, root)
+        if t._metadata_versions():
+            raise FileExistsError(f"Iceberg table already exists at {root}")
+        os.makedirs(t.meta_dir, exist_ok=True)
+        st = df.schema
+        ice_schema = t._ice_schema_json(st)
+        by_name = {f["name"]: f for f in ice_schema["fields"]}
+        part_fields = []
+        for i, name in enumerate(partition_by or []):
+            src = by_name[name]
+            part_fields.append(
+                {
+                    "name": name,
+                    "field_id": 1000 + i,
+                    "source_id": src["id"],
+                    "ice_type": src["type"],
+                }
+            )
+        spec = {
+            "spec-id": 0,
+            "fields": [
+                {
+                    "name": pf["name"],
+                    "transform": "identity",
+                    "source-id": pf["source_id"],
+                    "field-id": pf["field_id"],
+                }
+                for pf in part_fields
+            ],
+        }
+        md = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": root,
+            "last-sequence-number": 0,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": len(ice_schema["fields"]),
+            "schemas": [ice_schema],
+            "current-schema-id": 0,
+            "partition-specs": [spec],
+            "default-spec-id": 0,
+            "last-partition-id": (999 + len(part_fields)) if part_fields else 999,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "properties": {},
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+            "current-snapshot-id": None,
+        }
+        entries = t._stage_data_files(df, part_fields, st)
+        sid = t._new_snapshot_id()
+        mrows = [t._write_manifest(entries, sid, 1, part_fields)] if entries else []
+        snap = t._commit_snapshot(mrows, "append", md, sid)
+        md["snapshots"] = [snap]
+        md["current-snapshot-id"] = snap["snapshot-id"]
+        md["last-sequence-number"] = snap["sequence-number"]
+        t._publish_metadata(md)
+        return t
+
+    def append(self, df: DataFrame) -> dict:
+        """Fast append: one NEW manifest; prior manifests re-referenced."""
+        md = self.metadata()
+        part_fields = self.partition_fields()
+        st = self.schema()
+        entries = self._stage_data_files(df.select(*st.fieldNames()), part_fields, st)
+        cur = self._resolve_snapshot(None, None)
+        _, prior = read_ocf(cur["manifest-list"].replace("file:", ""))
+        seq = md["last-sequence-number"] + 1
+        sid = self._new_snapshot_id()
+        mrow = self._write_manifest(entries, sid, seq, part_fields)
+        snap = self._commit_snapshot([mrow] + prior, "append", md, sid)
+        md["snapshots"].append(snap)
+        md["current-snapshot-id"] = snap["snapshot-id"]
+        md["last-sequence-number"] = snap["sequence-number"]
+        md["last-updated-ms"] = snap["timestamp-ms"]
+        self._publish_metadata(md)
+        return {"snapshot_id": snap["snapshot-id"], "files_added": len(entries)}
+
+    def overwrite(self, df: DataFrame) -> dict:
+        """Full overwrite: the new snapshot's manifest list references ONLY
+        the new manifest — prior files drop out of the snapshot (and remain
+        readable via time travel)."""
+        md = self.metadata()
+        part_fields = self.partition_fields()
+        st = self.schema()
+        entries = self._stage_data_files(df.select(*st.fieldNames()), part_fields, st)
+        seq = md["last-sequence-number"] + 1
+        sid = self._new_snapshot_id()
+        rows = [self._write_manifest(entries, sid, seq, part_fields)] if entries else []
+        snap = self._commit_snapshot(rows, "overwrite", md, sid)
+        md["snapshots"].append(snap)
+        md["current-snapshot-id"] = snap["snapshot-id"]
+        md["last-sequence-number"] = snap["sequence-number"]
+        md["last-updated-ms"] = snap["timestamp-ms"]
+        self._publish_metadata(md)
+        return {"snapshot_id": snap["snapshot-id"], "files_added": len(entries)}
+
+
+# ------------------------------------------------------------------ queries
+
+_ICE_CACHE: dict = {}
+
+
+def _demo_iceberg_table(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """Same three-commit demo as the Delta tier (q128), through Iceberg
+    metadata instead: v0 CREATE partitioned by region, v1 fast-APPEND,
+    v2 OVERWRITE dropping one region. Memoized per (session, sf_dir)."""
+    cache_key = (id(spark), sf_dir)
+    t = _ICE_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.meta_dir):
+        return t
+    import tempfile
+
+    from .deltalog import _demo_delta_table  # reuse the metric builders
+
+    root = os.path.join(tempfile.gettempdir(), f"iceberg_{uuid.uuid4().hex[:8]}")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    dim = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+    def counted(fact, key_col: str, metric: str) -> DataFrame:
+        return (
+            fact.groupBy(F.col(key_col).alias("n_nationkey"))
+            .agg(F.count(F.lit(1)).alias("metric_value"))
+            .join(F.broadcast(dim), "n_nationkey")
+            .select(
+                F.col("n_nationkey").cast("long"),
+                "n_name",
+                F.lit(metric).alias("metric_name"),
+                F.col("metric_value").cast("bigint"),
+                "r_name",
+            )
+            .coalesce(1)
+        )
+
+    suppliers = counted(supplier, "s_nationkey", "suppliers")
+    customers = counted(customer, "c_nationkey", "customers")
+    t = IcebergTable.create(spark, root, suppliers, partition_by=["r_name"])
+    t.append(customers)
+    t.overwrite(
+        suppliers.unionByName(customers).where(F.col("r_name") != F.lit("EUROPE"))
+    )
+    _ICE_CACHE[cache_key] = t
+    return t
+
+
+from .deltalog import _Q128_ORACLE as _Q132_ORACLE  # identical data flow
+
+
+@query(
+    "q132_iceberg_roundtrip",
+    oracle=_Q132_ORACLE.replace("SELECT 0 AS version", "SELECT 0 AS snap_idx")
+    .replace("SELECT 1,", "SELECT 1,")
+    .replace("SELECT 2,", "SELECT 2,"),
+)
+def q132_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 interop end-to-end: CREATE (identity-partitioned) /
+    fast-APPEND / OVERWRITE through real metadata.json + Avro manifest
+    lists + Avro manifests, then every snapshot read back chronologically.
+    The oracle recomputes all three snapshots relationally — same contract
+    as the Delta twin q128, so the two formats are held to the same
+    answer."""
+    t = _demo_iceberg_table(spark, sf_dir)
+
+    def summarize(idx: int) -> DataFrame:
+        return t.read(index=idx).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("r_name").alias("n_regions"),
+            F.sum("metric_value").alias("total"),
+        ).select(F.lit(idx).alias("snap_idx"), "n_rows", "n_regions", "total")
+
+    out = summarize(0).unionByName(summarize(1)).unionByName(summarize(2))
+    return materialize(out)
+
+
+_Q133_ORACLE = """
+WITH dim AS (
+  SELECT n_nationkey, n_name, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+both_metrics AS (
+  SELECT d.n_name, d.r_name, 'suppliers' AS metric_name,
+         CAST(count(*) AS BIGINT) AS metric_value
+  FROM supplier s JOIN dim d ON s.s_nationkey = d.n_nationkey
+  GROUP BY d.n_name, d.r_name
+  UNION ALL
+  SELECT d.n_name, d.r_name, 'customers',
+         CAST(count(*) AS BIGINT)
+  FROM customer c JOIN dim d ON c.c_nationkey = d.n_nationkey
+  GROUP BY d.n_name, d.r_name
+)
+SELECT n_name, metric_name, metric_value,
+       CAST(2 AS BIGINT) AS manifests_read,
+       CAST(2 AS BIGINT) AS files_kept,
+       CAST(2 * (SELECT count(DISTINCT r_name) FROM both_metrics) AS BIGINT)
+         AS files_total
+FROM both_metrics
+WHERE r_name = 'ASIA'
+"""
+
+
+@query("q133_iceberg_partition_prune", oracle=_Q133_ORACLE)
+def q133_iceberg_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level metadata pruning, verified in the hashed contract: an ASIA
+    read at the append snapshot consults both manifests (each contains one
+    ASIA file — their partition summaries overlap) but keeps only the 2
+    ASIA files of 10 total; files_total counts entries in the manifests
+    actually read. A regression that opens every file (or skips the
+    summary check) changes the audit numbers and fails the oracle."""
+    t = _demo_iceberg_table(spark, sf_dir)
+    entries, audit = t.files(index=1, partition_filter={"r_name": "ASIA"})
+    rows = t.read(index=1, partition_filter={"r_name": "ASIA"})
+    return materialize(
+        rows.select(
+            "n_name",
+            "metric_name",
+            "metric_value",
+            F.lit(audit["manifests_read"]).cast("bigint").alias("manifests_read"),
+            F.lit(audit["files_kept"]).cast("bigint").alias("files_kept"),
+            F.lit(audit["files_total"]).cast("bigint").alias("files_total"),
+        )
+    )

@@ -1,0 +1,266 @@
+"""Iceberg v2 interop (plans/iceberg.py): round-trip, snapshot time travel,
+fast-append manifest reuse, two-level pruning audit, bounds skipping,
+metadata-spec structure, single-value serialization vectors, and reading a
+handcrafted foreign-written table."""
+
+import json
+import os
+import shutil
+import struct
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+    IcebergTable,
+    _single_value_bytes,
+    _single_value_parse,
+)
+from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.avro_ocf import (
+    read_ocf,
+    write_ocf,
+)
+
+
+@pytest.fixture()
+def root():
+    d = os.path.join(tempfile.gettempdir(), f"ice_test_{uuid.uuid4().hex[:8]}")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_single_value_serialization_vectors():
+    # Appendix D: little-endian numerics, UTF-8 strings
+    assert _single_value_bytes("long", 1) == b"\x01\x00\x00\x00\x00\x00\x00\x00"
+    assert _single_value_bytes("int", -1) == b"\xff\xff\xff\xff"
+    assert _single_value_bytes("double", 1.0) == struct.pack("<d", 1.0)
+    assert _single_value_bytes("string", "né") == "né".encode("utf-8")
+    for t, v in (("long", -5), ("int", 7), ("double", 2.5), ("string", "x"), ("boolean", True)):
+        assert _single_value_parse(t, _single_value_bytes(t, v)) == v
+
+
+def test_create_read_roundtrip_and_metadata_shape(spark, root):
+    df = spark.range(50).select(F.col("id").alias("k"), (F.col("id") % 5).alias("g"))
+    t = IcebergTable.create(spark, root, df)
+    assert _rows(t.read()) == _rows(df)
+    md = t.metadata()
+    assert md["format-version"] == 2
+    assert md["current-schema-id"] == 0
+    names = [f["name"] for f in md["schemas"][0]["fields"]]
+    assert names == ["k", "g"]
+    ids = [f["id"] for f in md["schemas"][0]["fields"]]
+    assert ids == [1, 2]
+    # HadoopTables discovery files
+    assert os.path.exists(os.path.join(root, "metadata", "version-hint.text"))
+    snap = md["snapshots"][0]
+    assert snap["summary"]["operation"] == "append"
+    assert os.path.exists(snap["manifest-list"])
+    # manifest list is a real Avro OCF with the spec's field names
+    meta, rows = read_ocf(snap["manifest-list"])
+    assert rows and "manifest_path" in rows[0]
+    _, entries = read_ocf(rows[0]["manifest_path"])
+    e = entries[0]
+    assert e["status"] == 1 and e["snapshot_id"] == snap["snapshot-id"]
+    assert e["data_file"]["file_format"] == "PARQUET"
+    assert e["data_file"]["record_count"] > 0
+
+
+def test_append_overwrite_time_travel(spark, root):
+    t = IcebergTable.create(spark, root, spark.range(10).select(F.col("id").alias("k")))
+    t.append(spark.range(10, 20).select(F.col("id").alias("k")))
+    t.overwrite(spark.range(5).select(F.col("id").alias("k")))
+    assert t.read(index=0).count() == 10
+    assert t.read(index=1).count() == 20
+    assert t.read().count() == 5
+    ops = [s["summary"]["operation"] for s in sorted(t.snapshots(), key=lambda s: s["sequence-number"])]
+    assert ops == ["append", "append", "overwrite"]
+
+
+def test_fast_append_reuses_prior_manifest(spark, root):
+    t = IcebergTable.create(spark, root, spark.range(5).select(F.col("id").alias("k")).coalesce(1))
+    snap0 = t._resolve_snapshot(None, None)
+    _, rows0 = read_ocf(snap0["manifest-list"])
+    t.append(spark.range(5, 9).select(F.col("id").alias("k")).coalesce(1))
+    snap1 = t._resolve_snapshot(None, None)
+    _, rows1 = read_ocf(snap1["manifest-list"])
+    # the new list = one NEW manifest + the prior manifest BY REFERENCE
+    assert len(rows1) == 2
+    assert rows0[0]["manifest_path"] in {r["manifest_path"] for r in rows1}
+
+
+def test_partitioned_files_keep_columns_and_prune(spark, root):
+    df = spark.createDataFrame(
+        [(i, f"p{i % 4}") for i in range(40)], "k long, part string"
+    )
+    t = IcebergTable.create(spark, root, df.coalesce(1), partition_by=["part"])
+    # identity partitioning: data files CONTAIN the partition column
+    import pyarrow.parquet as pq
+
+    entries, audit = t.files()
+    assert audit["files_kept"] == 4
+    phys = pq.read_schema(entries[0]["file_path"])
+    assert "part" in phys.names
+    # partition pruning keeps 1 of 4 files
+    kept, audit2 = t.files(partition_filter={"part": "p2"})
+    assert len(kept) == 1 and audit2["files_total"] == 4
+    got = t.read(partition_filter={"part": "p2"})
+    assert got.count() == 10
+
+
+def test_bounds_skipping_via_manifest_stats(spark, root):
+    df = spark.range(400).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    t = IcebergTable.create(spark, root, df.repartitionByRange(4, "k"))
+    kept, audit = t.files(bounds={"k": (150, 160)})
+    assert len(kept) == 1 and audit["files_total"] == 4
+    got = t.read(bounds={"k": (150, 160)}).where(F.col("k").between(150, 160))
+    assert got.count() == 11
+
+
+def test_manifest_list_partition_summaries_prune_manifests(spark, root):
+    # two appends with DISJOINT partition ranges → a filtered read must not
+    # open the other append's manifest at all
+    t = IcebergTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, 1), (2, 2)], "k long, part long").coalesce(1),
+        partition_by=["part"],
+    )
+    t.append(spark.createDataFrame([(3, 8), (4, 9)], "k long, part long").coalesce(1))
+    kept, audit = t.files(partition_filter={"part": 9})
+    assert audit["manifests_total"] == 2
+    assert audit["manifests_read"] == 1  # first manifest's summary [1,2] excludes 9
+    assert len(kept) == 1
+
+
+def test_reads_foreign_written_table(spark, root):
+    """A handcrafted table laid down the way another engine would write it
+    (absolute file: URIs, separate metadata dir) must read correctly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    fpath = os.path.join(root, "data", "d1.parquet")
+    pq_.write_table(pa.table({"k": [1, 2, 3]}), fpath)
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition", "type": {"type": "record", "name": "r102", "fields": []}},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {"name": "lower_bounds", "type": ["null", {"type": "map", "values": "bytes"}], "default": None},
+                        {"name": "upper_bounds", "type": ["null", {"type": "map", "values": "bytes"}], "default": None},
+                    ],
+                },
+            },
+        ],
+    }
+    mpath = os.path.join(root, "metadata", "m1.avro")
+    write_ocf(
+        mpath,
+        entry_schema,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 77,
+                "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": "file:" + fpath,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 3,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        ],
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        _MANIFEST_LIST_SCHEMA,
+    )
+
+    lpath = os.path.join(root, "metadata", "snap-77-1-x.avro")
+    write_ocf(
+        lpath,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": "file:" + mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 77,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 3,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+        ],
+    )
+    md = {
+        "format-version": 2,
+        "table-uuid": "u",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": 1,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"}]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "snapshots": [{"snapshot-id": 77, "sequence-number": 1, "timestamp-ms": 0,
+                       "manifest-list": "file:" + lpath,
+                       "summary": {"operation": "append"}, "schema-id": 0}],
+        "snapshot-log": [], "metadata-log": [],
+        "current-snapshot-id": 77,
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(md, f)
+    t = IcebergTable(spark, root)
+    assert _rows(t.read()) == [(1,), (2,), (3,)]
+
+
+def test_commit_conflict_raises(spark, root):
+    t = IcebergTable.create(spark, root, spark.range(3).select(F.col("id").alias("k")))
+    # simulate a losing race: publishing over an existing metadata version
+    md = t.metadata()
+    vs = t._metadata_versions()
+    tmp = os.path.join(t.meta_dir, ".race.json")
+    with open(tmp, "w") as f:
+        json.dump(md, f)
+    with pytest.raises(FileExistsError):
+        os.link(tmp, os.path.join(t.meta_dir, f"v{vs[-1]}.metadata.json"))
+    os.unlink(tmp)
