@@ -387,14 +387,43 @@ class IcebergTable:
         partition_filter: dict | None = None,
         bounds: dict | None = None,
     ) -> DataFrame:
-        """Snapshot read: data files carry every column (identity
-        partitioning), so this is ONE multi-path parquet scan."""
+        """Snapshot read. Unpartitioned: ONE multi-path parquet scan.
+        Identity-partitioned: partition values are CONSTANT per file by
+        definition, so they are overlaid from the manifests' partition
+        tuples (grouped per tuple — bounded by partition count). This is
+        the spec's migrated-table behavior and makes the reader correct
+        for tables whose data files do NOT carry the partition columns
+        (e.g. Iceberg metadata generated over a Delta/hive layout)."""
         schema = self.schema()
+        part_fields = self.partition_fields()
         entries, _ = self.files(snapshot_id, index, partition_filter, bounds)
         if not entries:
             return self.spark.createDataFrame([], schema)
-        paths = [e["file_path"].replace("file:", "") for e in entries]
-        return self.spark.read.schema(schema).parquet(*paths)
+        if not part_fields:
+            paths = [e["file_path"].replace("file:", "") for e in entries]
+            return self.spark.read.schema(schema).parquet(*paths)
+        part_names = [pf["name"] for pf in part_fields]
+        data_schema = T.StructType(
+            [f for f in schema.fields if f.name not in part_names]
+        )
+        by_name = {f.name: f for f in schema.fields}
+        groups: dict[tuple, list[str]] = {}
+        for e in entries:
+            key = tuple(e["partition"].get(n) for n in part_names)
+            groups.setdefault(key, []).append(e["file_path"].replace("file:", ""))
+        parts = []
+        for key, paths in sorted(
+            groups.items(), key=lambda kv: tuple("" if k is None else str(k) for k in kv[0])
+        ):
+            df = self.spark.read.schema(data_schema).parquet(*paths)
+            for n, v in zip(part_names, key):
+                lit = F.lit(None) if v is None else F.lit(v)
+                df = df.withColumn(n, lit.cast(by_name[n].dataType))
+            parts.append(df.select(schema.fieldNames()))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ------------------------------------------------------------- writing
 
@@ -734,6 +763,136 @@ class IcebergTable:
         return {"snapshot_id": snap["snapshot-id"], "files_added": len(entries)}
 
 
+def delta_to_iceberg_uniform(delta, ice_root: str | None = None) -> IcebergTable:
+    """UniForm-style dual-format metadata: generate Iceberg v2 metadata over
+    an existing Delta table's DATA FILES — one copy of the data, readable by
+    both ecosystems (the same trick as Delta UniForm / XTable, built here
+    from the two specs). Every Delta version becomes an Iceberg snapshot, so
+    time travel is preserved across formats.
+
+    No data file is copied or rewritten: manifests reference the Delta
+    files' absolute paths; Delta's per-file stats JSON becomes Iceberg
+    Appendix-D column bounds; ``partitionValues`` becomes the identity
+    partition tuple (the Iceberg reader overlays identity values from
+    metadata, so Delta's stripped partition columns are reconstructed
+    exactly — the migrated-table behavior in the spec).
+
+    By default the metadata lands INSIDE the Delta root (``<root>/metadata``
+    next to ``_delta_log``) — a single directory that is simultaneously a
+    valid Delta table and a valid Iceberg table."""
+    from .deltalog import DeltaTable as _DT
+
+    assert isinstance(delta, _DT)
+    root = ice_root or delta.root
+    t = IcebergTable(delta.spark, root)
+    if t._metadata_versions():
+        raise FileExistsError(f"Iceberg metadata already exists at {t.meta_dir}")
+    os.makedirs(t.meta_dir, exist_ok=True)
+
+    latest_meta = delta.snapshot()[1]
+    st = T.StructType.fromJson(json.loads(latest_meta["schemaString"]))
+    ice_schema = t._ice_schema_json(st)
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    part_cols = list(latest_meta.get("partitionColumns") or [])
+    part_fields = [
+        {
+            "name": name,
+            "field_id": 1000 + i,
+            "source_id": by_name[name]["id"],
+            "ice_type": by_name[name]["type"],
+        }
+        for i, name in enumerate(part_cols)
+    ]
+    spec = {
+        "spec-id": 0,
+        "fields": [
+            {
+                "name": pf["name"],
+                "transform": "identity",
+                "source-id": pf["source_id"],
+                "field-id": pf["field_id"],
+            }
+            for pf in part_fields
+        ],
+    }
+    ice_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+
+    def to_entry(a: dict) -> dict:
+        raw = a.get("stats")
+        stats = json.loads(raw) if isinstance(raw, str) else (raw or {})
+        n_rows = stats.get("numRecords")
+        path = delta._abs_path(a["path"])
+        if n_rows is None:
+            import pyarrow.parquet as pq
+
+            n_rows = pq.ParquetFile(path).metadata.num_rows
+        lbs, ubs = {}, {}
+        for c, v in (stats.get("minValues") or {}).items():
+            if c in ice_types:
+                lbs[str(name_to_id[c])] = _single_value_bytes(ice_types[c], v)
+        for c, v in (stats.get("maxValues") or {}).items():
+            if c in ice_types:
+                ubs[str(name_to_id[c])] = _single_value_bytes(ice_types[c], v)
+        pv = a.get("partitionValues") or {}
+        partition = {}
+        for pf in part_fields:
+            rawv = pv.get(pf["name"])
+            if rawv is None:
+                partition[pf["name"]] = None
+            elif pf["ice_type"] in ("long", "int"):
+                partition[pf["name"]] = int(rawv)
+            elif pf["ice_type"] in ("double", "float"):
+                partition[pf["name"]] = float(rawv)
+            elif pf["ice_type"] == "boolean":
+                partition[pf["name"]] = rawv == "true"
+            else:
+                partition[pf["name"]] = rawv
+        return {
+            "content": 0,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "partition": partition,
+            "record_count": n_rows,
+            "file_size_in_bytes": a.get("size", 0) or os.path.getsize(path),
+            "lower_bounds": lbs or None,
+            "upper_bounds": ubs or None,
+        }
+
+    md = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": root,
+        "last-sequence-number": 0,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": len(ice_schema["fields"]),
+        "schemas": [ice_schema],
+        "current-schema-id": 0,
+        "partition-specs": [spec],
+        "default-spec-id": 0,
+        "last-partition-id": (999 + len(part_fields)) if part_fields else 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {"converted-from": "delta"},
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+        "current-snapshot-id": None,
+    }
+    for dv in delta.versions():
+        adds, _m = delta.snapshot(dv)
+        entries = [to_entry(a) for a in adds]
+        sid = t._new_snapshot_id()
+        seq = md["last-sequence-number"] + 1
+        mrows = [t._write_manifest(entries, sid, seq, part_fields)] if entries else []
+        snap = t._commit_snapshot(mrows, "append" if dv == 0 else "overwrite", md, sid)
+        md["snapshots"].append(snap)
+        md["current-snapshot-id"] = snap["snapshot-id"]
+        md["last-sequence-number"] = snap["sequence-number"]
+    t._publish_metadata(md)
+    return t
+
+
 # ------------------------------------------------------------------ queries
 
 _ICE_CACHE: dict = {}
@@ -862,3 +1021,57 @@ def q133_iceberg_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(audit["files_total"]).cast("bigint").alias("files_total"),
         )
     )
+
+
+_Q134_ORACLE = """
+WITH dim AS (
+  SELECT n_nationkey, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+v1 AS (
+  SELECT d.r_name, CAST(count(*) AS BIGINT) AS metric_value
+  FROM supplier s JOIN dim d ON s.s_nationkey = d.n_nationkey
+  GROUP BY d.n_nationkey, d.r_name
+  UNION ALL
+  SELECT d.r_name, CAST(count(*) AS BIGINT)
+  FROM customer c JOIN dim d ON c.c_nationkey = d.n_nationkey
+  GROUP BY d.n_nationkey, d.r_name
+),
+v2 AS (SELECT * FROM v1 WHERE r_name <> 'EUROPE'),
+s AS (
+  SELECT CAST(count(*) AS BIGINT)          AS n_rows,
+         CAST(count(DISTINCT r_name) AS BIGINT) AS n_regions,
+         CAST(sum(metric_value) AS BIGINT) AS total
+  FROM v2
+)
+SELECT 'delta' AS fmt, n_rows, n_regions, total FROM s
+UNION ALL
+SELECT 'iceberg', n_rows, n_regions, total FROM s
+"""
+
+
+@query("q134_uniform_dual_format", oracle=_Q134_ORACLE)
+def q134_uniform_dual_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm dual-format proof, in the hashed contract: Iceberg metadata
+    is generated over the Delta demo table's data files (no rewrite — the
+    manifests point at the same parquet), and the SAME snapshot is read
+    through BOTH formats' readers. The oracle demands identical aggregates
+    from each, so any divergence between the two metadata stacks (partition
+    reconstruction, stats conversion, snapshot mapping) is a wrong answer,
+    not a warning."""
+    from .deltalog import _demo_delta_table
+
+    d = _demo_delta_table(spark, sf_dir)
+    ice = IcebergTable(spark, d.root)
+    if not ice._metadata_versions():  # memoized alongside the delta demo
+        ice = delta_to_iceberg_uniform(d)
+
+    def summarize(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("r_name").alias("n_regions"),
+            F.sum("metric_value").alias("total"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "n_regions", "total")
+
+    out = summarize(d.read(), "delta").unionByName(summarize(ice.read(), "iceberg"))
+    return materialize(out)

@@ -264,3 +264,39 @@ def test_commit_conflict_raises(spark, root):
     with pytest.raises(FileExistsError):
         os.link(tmp, os.path.join(t.meta_dir, f"v{vs[-1]}.metadata.json"))
     os.unlink(tmp)
+
+
+def test_uniform_over_delta_shares_files_and_time_travels(spark, root):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        DeltaTable,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        delta_to_iceberg_uniform,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30), (4, "b", 40)],
+        "k long, part string, v long",
+    )
+    d = DeltaTable.create(spark, root, df.coalesce(1), partition_by=["part"])
+    d.append(
+        spark.createDataFrame([(5, "c", 50)], "k long, part string, v long").coalesce(1)
+    )
+    d.overwrite(df.where(F.col("part") == "a").coalesce(1))
+    ice = delta_to_iceberg_uniform(d)
+    # dual-format root: both stacks present, no data copied
+    assert os.path.isdir(os.path.join(root, "_delta_log"))
+    assert os.path.isdir(os.path.join(root, "metadata"))
+    entries, _ = ice.files()
+    assert all(e["file_path"].startswith(os.path.abspath(root)) for e in entries)
+    # every delta version reads identically through iceberg snapshots
+    for i, dv in enumerate(d.versions()):
+        a = sorted(tuple(r) for r in d.read(dv).select("k", "part", "v").collect())
+        b = sorted(tuple(r) for r in ice.read(index=i).select("k", "part", "v").collect())
+        assert a == b, f"version {dv} diverges"
+    # converted stats give bounds pruning on the iceberg side
+    kept, audit = ice.files(index=1, bounds={"k": (5, 5)})
+    assert audit["files_total"] > len(kept)
+    # partition pruning through converted partitionValues
+    keptp, _ = ice.files(index=1, partition_filter={"part": "c"})
+    assert len(keptp) == 1
