@@ -617,6 +617,25 @@ class DeltaTable:
         return {"files_deleted": len(removed)}
 
 
+    def cleanup_log(self, keep_versions: int = 10) -> dict:
+        """Expire JSON commits covered by a checkpoint: a commit may be
+        deleted only if it is BELOW the latest checkpoint (so every retained
+        snapshot still resolves) and outside the last ``keep_versions``
+        (time-travel window). Delta's metadata-retention policy, applied to
+        the log only — data files are vacuum()'s job."""
+        ck = self._checkpoint_version_at_or_before(self.latest_version())
+        if ck is None:
+            return {"commits_deleted": 0}
+        vs = self.versions()
+        keep_floor = vs[-keep_versions] if len(vs) > keep_versions else vs[0]
+        deleted = 0
+        for v in vs:
+            if v < ck and v < keep_floor:
+                os.unlink(os.path.join(self.log_dir, _fmt_commit(v)))
+                deleted += 1
+        return {"commits_deleted": deleted}
+
+
 def txtable_to_delta(t, dest: str) -> DeltaTable:
     """Replay a TxTable's commit history into a Delta log version-for-version
     so time travel survives the format hop. Data files are HARDLINKED (both

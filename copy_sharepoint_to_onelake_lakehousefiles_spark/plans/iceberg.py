@@ -763,6 +763,59 @@ class IcebergTable:
         return {"snapshot_id": snap["snapshot-id"], "files_added": len(entries)}
 
 
+    def expire_snapshots(self, retain_last: int = 2) -> dict:
+        """Drop all but the last ``retain_last`` snapshots from the metadata
+        and delete metadata/data files referenced by NO retained snapshot.
+        Guards mirror vacuum's (TxTable ADVICE r3): at least one snapshot is
+        always retained, and the current snapshot can never be expired."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        md = self.metadata()
+        ordered = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
+        keep = ordered[-retain_last:]
+        cur = md["current-snapshot-id"]
+        if cur is not None and cur not in {s["snapshot-id"] for s in keep}:
+            keep.append(next(s for s in ordered if s["snapshot-id"] == cur))
+        drop = [s for s in ordered if s not in keep]
+        if not drop:
+            return {"snapshots_expired": 0, "files_deleted": 0}
+        live_manifests: set[str] = set()
+        live_data: set[str] = set()
+        for s in keep:
+            _, rows = read_ocf(s["manifest-list"].replace("file:", ""))
+            for m in rows:
+                mp = m["manifest_path"].replace("file:", "")
+                live_manifests.add(os.path.abspath(mp))
+                _, entries = read_ocf(mp)
+                for e in entries:
+                    live_data.add(
+                        os.path.abspath(e["data_file"]["file_path"].replace("file:", ""))
+                    )
+        deleted = 0
+        for s in drop:
+            lp = s["manifest-list"].replace("file:", "")
+            _, rows = read_ocf(lp)
+            for m in rows:
+                mp = os.path.abspath(m["manifest_path"].replace("file:", ""))
+                if mp in live_manifests or not os.path.exists(mp):
+                    continue
+                _, entries = read_ocf(mp)
+                for e in entries:
+                    dp = os.path.abspath(
+                        e["data_file"]["file_path"].replace("file:", "")
+                    )
+                    if dp not in live_data and os.path.exists(dp):
+                        os.unlink(dp)
+                        deleted += 1
+                os.unlink(mp)
+            if os.path.exists(lp):
+                os.unlink(lp)
+        md["snapshots"] = keep
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(md)
+        return {"snapshots_expired": len(drop), "files_deleted": deleted}
+
+
 def delta_to_iceberg_uniform(delta, ice_root: str | None = None) -> IcebergTable:
     """UniForm-style dual-format metadata: generate Iceberg v2 metadata over
     an existing Delta table's DATA FILES — one copy of the data, readable by

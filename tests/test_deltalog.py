@@ -351,3 +351,17 @@ def test_stream_append_exactly_once(spark, root, tmp_path):
     assert t.latest_version() == v_before
     _write(one, committed + 1)  # new batch: lands
     assert t.read().count() == 4
+
+
+def test_cleanup_log_respects_checkpoint_and_window(spark, root):
+    t = DeltaTable.create(spark, root, spark.range(2).select(F.col("id").alias("k")))
+    for i in range(12):  # versions 1..12; checkpoint at 10
+        t.append(spark.range(1).select(F.col("id").alias("k")))
+    before = t.read().count()
+    res = t.cleanup_log(keep_versions=5)
+    # deletable: v < 10 (checkpoint) AND v < 8 (last-5 floor) → v0..v7
+    assert res["commits_deleted"] == 8
+    t2 = DeltaTable(spark, root)
+    assert t2.read().count() == before
+    assert t2.read(10).count() == before - 2  # checkpoint version still travels
+    assert t2.cleanup_log(keep_versions=5)["commits_deleted"] == 0  # idempotent

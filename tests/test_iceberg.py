@@ -300,3 +300,18 @@ def test_uniform_over_delta_shares_files_and_time_travels(spark, root):
     # partition pruning through converted partitionValues
     keptp, _ = ice.files(index=1, partition_filter={"part": "c"})
     assert len(keptp) == 1
+
+
+def test_expire_snapshots_keeps_current_and_reclaims(spark, root):
+    t = IcebergTable.create(spark, root, spark.range(4).select(F.col("id").alias("k")).coalesce(1))
+    t.append(spark.range(4, 6).select(F.col("id").alias("k")).coalesce(1))
+    t.overwrite(spark.range(2).select(F.col("id").alias("k")).coalesce(1))
+    with pytest.raises(ValueError):
+        t.expire_snapshots(retain_last=0)
+    res = t.expire_snapshots(retain_last=1)
+    assert res["snapshots_expired"] == 2
+    assert res["files_deleted"] >= 2  # v0+v1 files orphaned by the overwrite
+    assert t.read().count() == 2  # current snapshot intact
+    assert len(t.snapshots()) == 1
+    # expiring again is a no-op
+    assert t.expire_snapshots(retain_last=1)["snapshots_expired"] == 0
