@@ -300,6 +300,11 @@ class DeltaTable:
         full_schema = self.schema(version)
         part_cols = self.partition_columns(version)
         adds = self.files(version, partition_filter, bounds)
+        return self._read_entries(adds, full_schema, part_cols)
+
+    def _read_entries(
+        self, adds: list[dict], full_schema: T.StructType, part_cols: list[str]
+    ) -> DataFrame:
         data_schema = T.StructType([f for f in full_schema.fields if f.name not in part_cols])
         if not adds:
             return self.spark.createDataFrame([], full_schema)
@@ -582,6 +587,125 @@ class DeltaTable:
         self._publish(v, actions)
         return {"version": v, "files_added": len(adds), "files_removed": len(old)}
 
+
+    def _remove_action(self, a: dict, now_ms: int) -> dict:
+        return {
+            "remove": {
+                "path": a["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": a.get("partitionValues") or {},
+            }
+        }
+
+    def merge(self, updates: DataFrame, key: str, txn: tuple[str, int] | None = None) -> dict:
+        """Copy-on-write MERGE (upsert) by ``key``: files whose stats range
+        cannot contain any update key are CARRIED by reference (never read);
+        overlapping files are rewritten with matched keys replaced; inserts
+        land with the rewrite. One atomic commit of remove+add actions —
+        Delta's data-skipping MERGE shape, driven by the add-action stats
+        this writer already records (mirrors plans/txtable._merge_once,
+        minus the bloom tier: Delta's stats schema has no bloom field)."""
+        _, meta = self.snapshot()
+        schema = self.schema()
+        part_cols = self.partition_columns()
+        updates = updates.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+        adds = self.files()
+        ulo, uhi = updates.agg(F.min(key), F.max(key)).first()
+        now_ms = int(time.time() * 1000)
+        v = self.latest_version() + 1
+        actions: list[dict] = [self._commit_info("MERGE")]
+        if txn is not None:
+            actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
+        if ulo is None:  # empty batch → no-op commit (idempotency ledger)
+            self._publish(v, actions)
+            return {"updated": 0, "inserted": 0, "files_rewritten": 0,
+                    "files_carried": len(adds)}
+
+        # scattered batches (keys 150 and 999) span every file's range, so a
+        # global [ulo, uhi] check alone touches everything; when the batch's
+        # distinct keys are driver-bounded, probe each file's range against
+        # the SORTED key list instead (bisect: any key inside [min, max]?)
+        import bisect
+
+        MAX_PROBE_KEYS = 10_000
+        ukeys_df = updates.select(key).distinct()
+        sorted_keys = None
+        if ukeys_df.limit(MAX_PROBE_KEYS + 1).count() <= MAX_PROBE_KEYS:
+            sorted_keys = sorted(r[0] for r in ukeys_df.collect())  # bounded above
+
+        def overlaps_key(a: dict) -> bool:
+            raw = a.get("stats")
+            if not raw:
+                return True
+            st = json.loads(raw) if isinstance(raw, str) else raw
+            mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
+            if key not in mins or key not in maxs:
+                return True
+            if maxs[key] < ulo or mins[key] > uhi:
+                return False
+            if sorted_keys is not None:
+                i = bisect.bisect_left(sorted_keys, mins[key])
+                return i < len(sorted_keys) and sorted_keys[i] <= maxs[key]
+            return True
+
+        touched = [a for a in adds if overlaps_key(a)]
+        if touched:
+            touched_df = self._read_entries(touched, schema, part_cols)
+            matched = touched_df.join(updates.select(key), key, "left_semi").count()
+            kept = touched_df.join(updates.select(key), key, "left_anti")
+            new_adds = self._stage_files(kept.unionByName(updates), part_cols)
+        else:
+            matched = 0
+            new_adds = self._stage_files(updates, part_cols)
+        actions.extend(self._remove_action(a, now_ms) for a in touched)
+        actions.extend({"add": a} for a in new_adds)
+        self._publish(v, actions)
+        n_updates = updates.count()
+        return {
+            "updated": matched,
+            "inserted": n_updates - matched,
+            "files_rewritten": len(touched),
+            "files_carried": len(adds) - len(touched),
+        }
+
+    def delete(self, predicate: str) -> dict:
+        """DELETE WHERE predicate, copy-on-write: only files that actually
+        contain matching rows are rewritten (located via input_file_name on
+        a predicate-only scan); everything else is carried by reference."""
+        schema = self.schema()
+        part_cols = self.partition_columns()
+        adds = self.files()
+        by_abs = {os.path.abspath(self._abs_path(a["path"])): a for a in adds}
+        now_ms = int(time.time() * 1000)
+        v = self.latest_version() + 1
+        actions: list[dict] = [self._commit_info("DELETE")]
+        # per-partition-group scan so partition columns participate in the
+        # predicate; input_file_name survives the literal overlay
+        full = self._read_entries(adds, schema, part_cols).withColumn(
+            "__file", F.input_file_name()
+        )
+        hit_files = [
+            r["__file"] for r in full.where(predicate).select("__file").distinct().collect()
+        ]  # bounded: one row per file containing matches
+        hit = []
+        for p in hit_files:
+            p2 = os.path.abspath(p[len("file:"):] if p.startswith("file:") else p)
+            if p2 in by_abs:
+                hit.append(by_abs[p2])
+        if not hit:
+            self._publish(v, actions)
+            return {"deleted": 0, "files_rewritten": 0}
+        hit_df = self._read_entries(hit, schema, part_cols)
+        deleted = hit_df.where(predicate).count()
+        kept = hit_df.where(f"NOT ({predicate}) OR ({predicate}) IS NULL")
+        new_adds = self._stage_files(kept, part_cols)
+        actions.extend(self._remove_action(a, now_ms) for a in hit)
+        actions.extend({"add": a} for a in new_adds)
+        self._publish(v, actions)
+        return {"deleted": deleted, "files_rewritten": len(hit)}
 
     def vacuum(self, retain_versions: int = 2, min_age_seconds: float = 3600.0) -> dict:
         """Delete data files referenced by NO retained version. Guards (the
@@ -1027,3 +1151,46 @@ def q131_delta_sql_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return materialize(out)
+
+
+_MERGE_ROWS = [(0, "RENAMED", 9), (7, "PATCHED", 2), (999, "NEWLAND", 1)]
+_MERGE_DDL = "n_nationkey int, n_name string, n_regionkey int"
+_MERGE_VALUES_SQL = "VALUES (0, 'RENAMED', 9), (7, 'PATCHED', 2), (999, 'NEWLAND', 1)"
+
+_MERGED_CACHE: dict = {}
+
+
+def _merged_delta_nation(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    cache_key = (id(spark), sf_dir)
+    t = _MERGED_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.log_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"delta_merge_{uuid.uuid4().hex[:8]}")
+    nation = load(spark, sf_dir, "nation").repartitionByRange(4, "n_nationkey")
+    t = DeltaTable.create(spark, root, nation)
+    t.merge(spark.createDataFrame(_MERGE_ROWS, _MERGE_DDL), key="n_nationkey")
+    _MERGED_CACHE[cache_key] = t
+    return t
+
+
+@query(
+    "q135_delta_merge",
+    oracle=f"""
+WITH updates(n_nationkey, n_name, n_regionkey) AS ({_MERGE_VALUES_SQL})
+SELECT coalesce(u.n_nationkey, t.n_nationkey) AS n_nationkey,
+       coalesce(u.n_name, t.n_name)           AS n_name,
+       coalesce(u.n_regionkey, t.n_regionkey) AS n_regionkey
+FROM nation t FULL OUTER JOIN updates u ON t.n_nationkey = u.n_nationkey
+""",
+)
+def q135_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE through a real Delta log, same oracle contract as
+    the TxTable twin q118: matched keys replaced, unmatched inserted,
+    non-overlapping files carried by reference via add-action stats pruning
+    (per-file key-range probe against the sorted update keys). The driver
+    verifies the transactional Delta path equals the declarative
+    full-outer-join merge."""
+    t = _merged_delta_nation(spark, sf_dir)
+    return materialize(t.read())

@@ -365,3 +365,55 @@ def test_cleanup_log_respects_checkpoint_and_window(spark, root):
     assert t2.read().count() == before
     assert t2.read(10).count() == before - 2  # checkpoint version still travels
     assert t2.cleanup_log(keep_versions=5)["commits_deleted"] == 0  # idempotent
+
+
+def test_merge_upsert_with_file_pruning(spark, root):
+    df = spark.range(400).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    t = DeltaTable.create(spark, root, df.repartitionByRange(4, "k"))
+    assert len(t.files()) == 4
+    upd = spark.createDataFrame([(150, 999), (155, 998), (999, 111)], "k long, v long")
+    res = t.merge(upd, key="k")
+    assert res["updated"] == 2 and res["inserted"] == 1
+    # keys 150/155/999: ranges [100,200) and [300,400) overlap → ≤2 rewritten
+    assert res["files_rewritten"] <= 2 and res["files_carried"] >= 2
+    got = t.read()
+    assert got.count() == 401
+    assert {r["v"] for r in got.where(F.col("k").isin(150, 155, 999)).collect()} == {999, 998, 111}
+    # pre-merge snapshot unchanged
+    assert t.read(0).where(F.col("k") == 999).count() == 0
+
+
+def test_merge_empty_batch_is_noop_commit(spark, root):
+    t = DeltaTable.create(spark, root, spark.range(5).select(F.col("id").alias("k"), F.lit(0).alias("v")))
+    res = t.merge(spark.createDataFrame([], "k long, v int"), key="k", txn=("m", 1))
+    assert res == {"updated": 0, "inserted": 0, "files_rewritten": 0,
+                   "files_carried": res["files_carried"]}
+    assert t.seen_txn("m") == 1  # idempotency ledger still advanced
+
+
+def test_merge_partitioned_table(spark, root):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)], "k long, part string, v long"
+    )
+    t = DeltaTable.create(spark, root, df.coalesce(1), partition_by=["part"])
+    upd = spark.createDataFrame([(2, "b", 99), (4, "c", 44)], "k long, part string, v long")
+    res = t.merge(upd, key="k")
+    assert res["updated"] == 1 and res["inserted"] == 1
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert (2, "b", 99) in got and (4, "c", 44) in got and (1, "a", 10) in got
+    # rewritten files still hive-partitioned (partition col not in files)
+    import pyarrow.parquet as pq
+
+    for a in t.files():
+        assert "part" not in pq.read_schema(t._abs_path(a["path"])).names
+
+
+def test_delete_rewrites_only_matching_files(spark, root):
+    df = spark.range(400).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    t = DeltaTable.create(spark, root, df.repartitionByRange(4, "k"))
+    res = t.delete("k BETWEEN 150 AND 160")
+    assert res["deleted"] == 11 and res["files_rewritten"] == 1
+    assert t.read().count() == 389
+    assert t.read(0).count() == 400  # time travel intact
+    # deleting nothing commits a no-op
+    assert t.delete("k = -1") == {"deleted": 0, "files_rewritten": 0}
