@@ -630,3 +630,120 @@ def q115_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratios(load(spark, sf_dir, "documents")).drop(
         "compression_ratio"
     )
+
+
+# ------------------------------------------------------------------- BPE
+
+N_BPE_MERGES = 6
+
+
+def _bpe_oracle_sql(n_merges: int = N_BPE_MERGES) -> str:
+    """Unrolled n-step DuckDB twin of the BPE merge loop (the q101
+    fixed-point-CTE pattern): every step recomputes pair counts over the
+    word-frequency table, picks argmax with the same (count DESC, pair ASC)
+    tie-break, and applies the same greedy left-to-right delimited-string
+    replace. All-integer counts + exact strings → hash-stable."""
+    sql = """
+WITH w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents
+  ) WHERE regexp_matches(word, '^[a-z0-9]+$')
+  GROUP BY word
+),
+d0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', chr(31)||'\\1'||chr(31), 'g') AS d, cnt FROM w0
+)"""
+    for i in range(1, n_merges + 1):
+        p, b_, dprev, dcur = f"p{i}", f"b{i}", f"d{i-1}", f"d{i}"
+        # MATERIALIZED: DuckDB inlines plain CTEs, so without it each
+        # d_i's three scalar-subquery references to b_i re-expand the whole
+        # chain — exponential re-evaluation across the unrolled steps
+        sql += f""",
+{p} AS MATERIALIZED (
+  SELECT u.p[1] AS a, u.p[2] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+  FROM (SELECT string_split(trim(d, chr(31)), chr(31)||chr(31)) AS syms, cnt
+        FROM {dprev}) t,
+       unnest(list_zip(syms[:-2], syms[2:])) u(p)
+  GROUP BY 1, 2
+),
+{b_} AS MATERIALIZED (SELECT a, b, pc FROM {p} ORDER BY pc DESC, a, b LIMIT 1),
+{dcur} AS MATERIALIZED (
+  SELECT replace(d,
+                 chr(31)||(SELECT a FROM {b_})||chr(31)||chr(31)||(SELECT b FROM {b_})||chr(31),
+                 chr(31)||(SELECT a FROM {b_})||(SELECT b FROM {b_})||chr(31)) AS d,
+         cnt
+  FROM {dprev}
+)"""
+    selects = [
+        f"SELECT {i} AS step, a AS left_sym, b AS right_sym, a||b AS merged, "
+        f"pc AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("q136_bpe_merges", oracle=_bpe_oracle_sql())
+def q136_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning — the classic subword-tokenizer
+    training loop, run on the word-FREQUENCY table (the standard algorithm:
+    pair statistics weight by word count, so the corpus is touched once).
+
+    Per merge step: adjacent-symbol pair counts are a keyed hash aggregation
+    over the distinct-word table; the argmax is ONE row to the driver (a
+    global top-1 reduce — the only driver round-trip, by construction of the
+    algorithm); the merge itself is a map-side string replace. Symbols live
+    in a char(31)-delimited representation where replace()'s left-to-right
+    non-overlapping semantics IS BPE's greedy merge order — and DuckDB's
+    replace shares those semantics, which is what makes the unrolled-CTE
+    oracle exact (ties broken by count DESC, pair ASC in both engines).
+
+    Scale: the state is O(distinct words), not O(corpus); each iteration is
+    one shuffle on (a, b) pairs. 100 TB posture: identical loop, with the
+    word table as a persisted lakehouse table. (SURVEY §2.2 text-analysis
+    row; the token-counting tier's natural next step.)"""
+    from ..registry import track_persist
+
+    sep = F.lit("\x1f")
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .where(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    state = track_persist(
+        words.select(
+            F.expr(r"regexp_replace(word, '(.)', concat(char(31), '$1', char(31)))").alias("d"),
+            "cnt",
+        )
+    )
+    merges = []
+    for step in range(1, N_BPE_MERGES + 1):
+        syms = F.expr("split(trim(BOTH char(31) FROM d), concat(char(31), char(31)))")
+        pairs_df = (
+            state.select(syms.alias("syms"), "cnt")
+            .where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, F.size("syms") - 1).alias("l"),
+                        F.slice("syms", 2, F.size("syms") - 1).alias("r"),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .select(F.col("p.l").alias("a"), F.col("p.r").alias("b"), "cnt")
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").cast("bigint").alias("pc"))
+        )
+        top = pairs_df.orderBy(F.col("pc").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, pc = top[0]["a"], top[0]["b"], top[0]["pc"]
+        merges.append((step, a, b, a + b, pc))
+        find = F.concat(sep, F.lit(a), sep, sep, F.lit(b), sep)
+        repl = F.concat(sep, F.lit(a + b), sep)
+        state = state.select(F.replace(F.col("d"), find, repl).alias("d"), "cnt")
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, merged string, pair_count bigint"
+    )

@@ -130,3 +130,39 @@ def test_compression_flags_hold_on_fixture(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["comp_bounded"] == 1 and r["comp_subadditive"] == 1, r
+
+
+def test_bpe_merges_hand_computed(spark, tmp_path):
+    """BPE on a controlled corpus: 'aa aa ab' → word freqs {aa:2, ab:1};
+    step 1 merges (a,a) pc=2 (ties broken lexicographically), step 2 (a,b)
+    pc=1; greedy left-to-right within 'aaa'-style runs is covered by the
+    'aaa' word: pairs (a,a) count 2 there, after merge1 it becomes
+    [aa, a] contributing (aa, a)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.text import (
+        q136_bpe_merges,
+    )
+
+    d = str(tmp_path)
+    docs = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": ["aa aa ab", "aaa"],
+            "lang": ["en", "en"],
+            "source": ["s1", "s1"],
+            "n_chars": [8, 3],
+        }
+    )
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    rows = {r["step"]: r for r in q136_bpe_merges(spark, d).collect()}
+    # freqs: aa:2, ab:1, aaa:1 → (a,a) pc = 2 + 2 = 4 wins step 1
+    assert (rows[1]["left_sym"], rows[1]["right_sym"], rows[1]["pair_count"]) == ("a", "a", 4)
+    # after merge: aa→[aa], ab→[a,b], aaa→[aa,a] (greedy L2R, not [a,aa])
+    # pairs: (a,b):1, (aa,a):1 → lexicographic tie-break picks (a,b)
+    assert (rows[2]["left_sym"], rows[2]["right_sym"], rows[2]["pair_count"]) == ("a", "b", 1)
+    assert (rows[3]["left_sym"], rows[3]["right_sym"]) == ("aa", "a")
+    assert rows[3]["merged"] == "aaa"
