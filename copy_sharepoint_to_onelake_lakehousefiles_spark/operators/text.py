@@ -682,25 +682,11 @@ d0 AS MATERIALIZED (
     return sql + "\n" + "\nUNION ALL\n".join(selects)
 
 
-@query("q136_bpe_merges", oracle=_bpe_oracle_sql())
-def q136_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE vocabulary learning — the classic subword-tokenizer
-    training loop, run on the word-FREQUENCY table (the standard algorithm:
-    pair statistics weight by word count, so the corpus is touched once).
 
-    Per merge step: adjacent-symbol pair counts are a keyed hash aggregation
-    over the distinct-word table; the argmax is ONE row to the driver (a
-    global top-1 reduce — the only driver round-trip, by construction of the
-    algorithm); the merge itself is a map-side string replace. Symbols live
-    in a char(31)-delimited representation where replace()'s left-to-right
-    non-overlapping semantics IS BPE's greedy merge order — and DuckDB's
-    replace shares those semantics, which is what makes the unrolled-CTE
-    oracle exact (ties broken by count DESC, pair ASC in both engines).
-
-    Scale: the state is O(distinct words), not O(corpus); each iteration is
-    one shuffle on (a, b) pairs. 100 TB posture: identical loop, with the
-    word table as a persisted lakehouse table. (SURVEY §2.2 text-analysis
-    row; the token-counting tier's natural next step.)"""
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Shared BPE merge loop (see q136 docstring for semantics + scale
+    notes): returns (final delimited-symbol state DataFrame, merge list of
+    (step, a, b, merged, pair_count))."""
     from ..registry import track_persist
 
     sep = F.lit("\x1f")
@@ -720,7 +706,7 @@ def q136_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = []
     for step in range(1, N_BPE_MERGES + 1):
         syms = F.expr("split(trim(BOTH char(31) FROM d), concat(char(31), char(31)))")
-        pairs_df = (
+        top = (
             state.select(syms.alias("syms"), "cnt")
             .where(F.size("syms") >= 2)
             .select(
@@ -735,8 +721,10 @@ def q136_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("p.l").alias("a"), F.col("p.r").alias("b"), "cnt")
             .groupBy("a", "b")
             .agg(F.sum("cnt").cast("bigint").alias("pc"))
+            .orderBy(F.col("pc").desc(), "a", "b")
+            .limit(1)
+            .collect()  # ONE row: the global argmax — the only driver hop
         )
-        top = pairs_df.orderBy(F.col("pc").desc(), "a", "b").limit(1).collect()
         if not top:
             break
         a, b, pc = top[0]["a"], top[0]["b"], top[0]["pc"]
@@ -744,6 +732,59 @@ def q136_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         find = F.concat(sep, F.lit(a), sep, sep, F.lit(b), sep)
         repl = F.concat(sep, F.lit(a + b), sep)
         state = state.select(F.replace(F.col("d"), find, repl).alias("d"), "cnt")
+    return state, merges
+
+
+@query("q136_bpe_merges", oracle=_bpe_oracle_sql())
+def q136_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning — the classic subword-tokenizer
+    training loop, run on the word-FREQUENCY table (the standard algorithm:
+    pair statistics weight by word count, so the corpus is touched once).
+
+    Per merge step: adjacent-symbol pair counts are a keyed hash aggregation
+    over the distinct-word table; the argmax is ONE row to the driver (a
+    global top-1 reduce — the only driver round-trip, by construction of the
+    algorithm); the merge itself is a map-side string replace. Symbols live
+    in a char(31)-delimited representation where replace()'s left-to-right
+    non-overlapping semantics IS BPE's greedy merge order — and DuckDB's
+    replace shares those semantics, which is what makes the unrolled-CTE
+    oracle exact (ties broken by count DESC, pair ASC in both engines).
+
+    Scale: the state is O(distinct words), not O(corpus); each iteration is
+    one shuffle on (a, b) pairs. 100 TB posture: identical loop, with the
+    word table as a persisted lakehouse table. (SURVEY §2.2 text-analysis
+    row; the token-counting tier's natural next step.)"""
+    _state, merges = _bpe_learn(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, merged string, pair_count bigint"
+    )
+
+
+def _bpe_token_oracle_sql(n_merges: int = N_BPE_MERGES) -> str:
+    """Token histogram after applying the learned merges: the q136 CTE chain
+    plus one explode of the final symbol state, weighted by word count."""
+    base = _bpe_oracle_sql(n_merges)
+    # reuse the full chain, replace the final SELECT with the tokenization
+    head = base[: base.rindex("\nSELECT 1 AS step")]
+    return head + f"""
+SELECT token, CAST(sum(cnt) AS BIGINT) AS tok_count
+FROM (SELECT unnest(string_split(trim(d, chr(31)), chr(31)||chr(31))) AS token, cnt
+      FROM d{n_merges})
+GROUP BY token
+"""
+
+
+@query("q137_bpe_token_counts", oracle=_bpe_token_oracle_sql())
+def q137_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of BPE: apply the q136-learned merge table to the
+    corpus (the same replace chain, now with a FIXED merge list) and emit
+    the corpus-wide token histogram — the tokenizer-frequency audit a
+    pretraining pipeline keeps next to its vocab. Shares q136's loop, so
+    learned merges and applied merges can never drift apart."""
+    state, _merges = _bpe_learn(spark, sf_dir)
+    syms = F.expr("split(trim(BOTH char(31) FROM d), concat(char(31), char(31)))")
+    return (
+        state.select(F.explode(syms).alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("tok_count"))
     )
