@@ -707,6 +707,40 @@ class DeltaTable:
         self._publish(v, actions)
         return {"deleted": deleted, "files_rewritten": len(hit)}
 
+    def compact(self, target_files: int = 1) -> dict:
+        """OPTIMIZE-style small-file compaction: rewrite each partition's
+        files into ``target_files``, committing remove+add with
+        ``dataChange: false`` — the spec's marker that the commit rearranges
+        bytes without changing rows, so CDC readers skip it entirely (the
+        delta_cdc source honors the flag)."""
+        schema = self.schema()
+        part_cols = self.partition_columns()
+        adds = self.files()
+        groups: dict[tuple, list[dict]] = {}
+        for a in adds:
+            pv = a.get("partitionValues") or {}
+            groups.setdefault(tuple(pv.get(c) for c in part_cols), []).append(a)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [self._commit_info("OPTIMIZE")]
+        rewritten = 0
+        for _key, group in groups.items():
+            if len(group) <= target_files:
+                continue
+            df = self._read_entries(group, schema, part_cols).coalesce(target_files)
+            new_adds = self._stage_files(df, part_cols)
+            for a in group:
+                r = self._remove_action(a, now_ms)
+                r["remove"]["dataChange"] = False
+                actions.append(r)
+            for a in new_adds:
+                a["dataChange"] = False
+                actions.append({"add": a})
+            rewritten += len(group)
+        if rewritten == 0:
+            return {"files_rewritten": 0}
+        self._publish(self.latest_version() + 1, actions)
+        return {"files_rewritten": rewritten}
+
     def vacuum(self, retain_versions: int = 2, min_age_seconds: float = 3600.0) -> dict:
         """Delete data files referenced by NO retained version. Guards (the
         TxTable ADVICE r3 lessons, applied from day one here): at least one

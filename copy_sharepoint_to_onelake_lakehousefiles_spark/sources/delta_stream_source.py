@@ -88,10 +88,14 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
                 continue  # expired below a checkpoint: no replayable delta
             adds, removes = [], []
             for action in self._t._commit_actions(v):
+                # dataChange=false marks a rearrangement (OPTIMIZE/compaction)
+                # — no row changed, so the change feed skips it (spec behavior)
                 if "add" in action:
-                    adds.append(action["add"])
+                    if action["add"].get("dataChange", True):
+                        adds.append(action["add"])
                 elif "remove" in action:
-                    removes.append(action["remove"])
+                    if action["remove"].get("dataChange", True):
+                        removes.append(action["remove"])
             for a in sorted(adds, key=lambda x: x["path"]):
                 for row in self._rows_of(a):
                     yield (*row, v, "add")

@@ -417,3 +417,49 @@ def test_delete_rewrites_only_matching_files(spark, root):
     assert t.read(0).count() == 400  # time travel intact
     # deleting nothing commits a no-op
     assert t.delete("k = -1") == {"deleted": 0, "files_rewritten": 0}
+
+
+def test_compact_datachange_false_and_cdc_skips_it(spark, root, tmp_path):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_stream_source import (
+        DeltaCdcDataSource,
+    )
+
+    df = spark.createDataFrame([(i, f"p{i % 2}") for i in range(20)], "k int, part string")
+    t = DeltaTable.create(spark, root, df.coalesce(1), partition_by=["part"])
+    for i in range(3):  # accumulate small files
+        t.append(
+            spark.createDataFrame([(100 + i, "p0")], "k int, part string").coalesce(1)
+        )
+    before = sorted(tuple(r) for r in t.read().collect())
+    assert len(t.files()) == 2 + 3
+    res = t.compact(target_files=1)
+    assert res["files_rewritten"] == 4  # p0's 4 files; p1 already compact
+    assert len(t.files()) == 2
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    # the OPTIMIZE commit carries dataChange=false on every action
+    acts = t._commit_actions(t.latest_version())
+    flags = [a["add"].get("dataChange") for a in acts if "add" in a] + [
+        a["remove"].get("dataChange") for a in acts if "remove" in a
+    ]
+    assert flags and all(f is False for f in flags)
+    # CDC drain sees the data commits but NOT the compaction
+    try:
+        spark.dataSource.register(DeltaCdcDataSource)
+    except Exception:
+        pass
+    sink = os.path.join(str(tmp_path), "sink")
+    q = (
+        spark.readStream.format("delta_cdc")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    assert feed.where(F.col("commit_version") == t.latest_version()).count() == 0
+    assert feed.where(F.col("change_type") == "remove").count() == 0
+    assert feed.count() == 23  # 20 create + 3 append rows, nothing from OPTIMIZE
