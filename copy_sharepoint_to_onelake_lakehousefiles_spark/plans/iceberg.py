@@ -1128,3 +1128,59 @@ def q134_uniform_dual_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = summarize(d.read(), "delta").unionByName(summarize(ice.read(), "iceberg"))
     return materialize(out)
+
+
+_Q138_ORACLE = """
+WITH dim AS (
+  SELECT n_nationkey, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+v1 AS (
+  SELECT d.r_name, CAST(count(*) AS BIGINT) AS metric_value
+  FROM supplier s JOIN dim d ON s.s_nationkey = d.n_nationkey
+  GROUP BY d.n_nationkey, d.r_name
+  UNION ALL
+  SELECT d.r_name, CAST(count(*) AS BIGINT)
+  FROM customer c JOIN dim d ON c.c_nationkey = d.n_nationkey
+  GROUP BY d.n_nationkey, d.r_name
+)
+SELECT r_name,
+       CAST(count(*) AS BIGINT)          AS n_rows,
+       CAST(sum(metric_value) AS BIGINT) AS total
+FROM v1
+GROUP BY r_name
+"""
+
+
+@query("q138_iceberg_sql_source", oracle=_Q138_ORACLE)
+def q138_iceberg_sql_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg through Spark's own source contract: the pluggable
+    iceberg_lite batch DataSource (partition-per-file planning off the Avro
+    manifest tree, Arrow-batch reads, identity-partition overlay in
+    executors) mounted as a temp view and queried with plain spark.sql, at
+    the APPEND snapshot via chronological time travel. The SQL twin of the
+    Delta-side q131 — both formats reach the SQL front door."""
+    from ..sources.iceberg_datasource import IcebergLiteDataSource
+
+    try:
+        spark.dataSource.register(IcebergLiteDataSource)
+    except Exception:
+        pass  # already registered this session
+    t = _demo_iceberg_table(spark, sf_dir)
+    view = f"iceberg_lite_demo_{uuid.uuid4().hex[:8]}"
+    (
+        spark.read.format("iceberg_lite")
+        .option("snapshot_index", "1")
+        .load(t.root)
+        .createOrReplaceTempView(view)
+    )
+    out = spark.sql(
+        f"""
+        SELECT r_name,
+               CAST(count(*) AS BIGINT)          AS n_rows,
+               CAST(sum(metric_value) AS BIGINT) AS total
+        FROM {view}
+        GROUP BY r_name
+        """
+    )
+    return materialize(out)

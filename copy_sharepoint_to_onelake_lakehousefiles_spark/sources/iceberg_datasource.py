@@ -1,0 +1,162 @@
+"""Pluggable BATCH source for Iceberg v2 tables — the twin of
+``delta_datasource`` over ``plans/iceberg.IcebergTable``, so Iceberg tables
+reach ``spark.read.format("iceberg_lite")`` / temp views / plain
+``spark.sql`` through Spark's own source contract.
+
+- DRIVER planning resolves the snapshot from vN.metadata.json + the Avro
+  manifest tree (two-level pruning happens there: manifest partition
+  summaries, then per-file partition tuples + Appendix-D bounds) and plans
+  ONE InputPartition per surviving data file.
+- EXECUTORS read their file with pyarrow into Arrow RecordBatches, overlay
+  identity partition values from the manifest tuple (the migrated-table
+  fill — correct whether or not the file carries the columns), and
+  null-fill columns the file predates.
+- Pushdown flavor (``.option("pushdown", "true")`` + the
+  ``spark.sql.python.filterPushdown.enabled`` conf): partition-column
+  equality accepted outright; data-column comparisons prune files via
+  manifest bounds but are handed back for row-level re-application.
+
+Options: ``snapshot_index`` (chronological time travel), ``pushdown``.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+
+@dataclass
+class IceFilePartition(InputPartition):
+    path: str
+    partition_values: dict  # typed values from the manifest's partition record
+    schema_json: str  # Spark StructType JSON
+    part_cols: list
+
+
+class IcebergLiteReader(DataSourceReader):
+    def __init__(self, options):
+        from ..plans.iceberg import IcebergTable
+
+        root = options.get("path")
+        if not root:
+            raise ValueError("iceberg_lite requires .load(<table root>)")
+        self._t = IcebergTable(None, root)
+        idx = options.get("snapshot_index")
+        self.index = int(idx) if idx is not None else None
+        self.partition_filter: dict = {}
+        self.pushed_bounds: dict[str, list] = {}
+
+    def partitions(self):
+        bounds = None
+        if self.pushed_bounds:
+            bounds = {
+                c: (
+                    max((lo for lo, _ in cmp if lo is not None), default=None),
+                    min((hi for _, hi in cmp if hi is not None), default=None),
+                )
+                for c, cmp in self.pushed_bounds.items()
+            }
+        entries, _audit = self._t.files(
+            index=self.index,
+            partition_filter=self.partition_filter or None,
+            bounds=bounds,
+        )
+        schema_json = self._t.schema().json()
+        part_cols = [pf["name"] for pf in self._t.partition_fields()]
+        return [
+            IceFilePartition(
+                e["file_path"].replace("file:", ""),
+                dict(e["partition"]),
+                schema_json,
+                part_cols,
+            )
+            for e in entries
+        ]
+
+    def read(self, partition: IceFilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromJson(json.loads(partition.schema_json))
+        tbl = pq.read_table(partition.path)
+        n = tbl.num_rows
+        names = set(tbl.column_names)
+        arrays, out_names = [], []
+        for f in st.fields:
+            at = to_arrow_type(f.dataType)
+            if f.name in partition.part_cols:
+                # identity partition value is constant per file BY DEFINITION
+                # — overlay from the manifest (migrated-table fill)
+                arrays.append(pa.array([partition.partition_values.get(f.name)] * n, type=at))
+            elif f.name in names:
+                col = tbl.column(f.name).combine_chunks()
+                arrays.append(col if col.type == at else col.cast(at))
+            else:
+                arrays.append(pa.nulls(n, type=at))
+            out_names.append(f.name)
+        yield from pa.table(dict(zip(out_names, arrays))).to_batches()
+
+
+class IcebergLitePushdownReader(IcebergLiteReader):
+    _CMP = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+
+    def pushFilters(self, filters):
+        part_cols = {pf["name"] for pf in self._t.partition_fields()}
+        for f in filters:
+            col = f.attribute[0] if f.attribute else None
+            if col in part_cols and isinstance(f, EqualTo) and len(f.attribute) == 1:
+                self.partition_filter[col] = f.value  # file-exact: consumed
+            elif isinstance(f, self._CMP) and col and len(f.attribute) == 1:
+                lo: Any = None
+                hi: Any = None
+                if isinstance(f, EqualTo):
+                    lo = hi = f.value
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    lo = f.value
+                else:
+                    hi = f.value
+                self.pushed_bounds.setdefault(col, []).append((lo, hi))
+                yield f  # manifest-bounds pruning is file-level only
+            elif isinstance(f, IsNotNull):
+                yield f
+            else:
+                yield f
+
+
+class IcebergLiteDataSource(DataSource):
+    """``spark.read.format("iceberg_lite").option("snapshot_index", 1)
+    .load(root)`` after registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_lite"
+
+    def schema(self) -> str:
+        from ..plans.iceberg import IcebergTable
+
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("iceberg_lite requires .load(<table root>)")
+        st = IcebergTable(None, root).schema()
+        return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
+
+    def reader(self, schema) -> IcebergLiteReader:
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return IcebergLitePushdownReader(self.options)
+        return IcebergLiteReader(self.options)

@@ -315,3 +315,34 @@ def test_expire_snapshots_keeps_current_and_reclaims(spark, root):
     assert len(t.snapshots()) == 1
     # expiring again is a no-op
     assert t.expire_snapshots(retain_last=1)["snapshots_expired"] == 0
+
+
+def test_iceberg_lite_datasource(spark, root):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+        IcebergLiteDataSource,
+        IcebergLitePushdownReader,
+    )
+
+    df = spark.createDataFrame([(i, f"p{i % 4}") for i in range(40)], "k long, part string")
+    t = IcebergTable.create(spark, root, df.coalesce(1), partition_by=["part"])
+    t.append(spark.createDataFrame([(99, "p0")], "k long, part string").coalesce(1))
+    try:
+        spark.dataSource.register(IcebergLiteDataSource)
+    except Exception:
+        pass
+    got = spark.read.format("iceberg_lite").load(root)
+    assert got.count() == 41
+    v0 = spark.read.format("iceberg_lite").option("snapshot_index", "0").load(root)
+    assert v0.count() == 40
+    # planning-level pruning via the reader
+    from pyspark.sql.datasource import EqualTo
+
+    r = IcebergLitePushdownReader({"path": root})
+    residual = list(r.pushFilters([EqualTo(("part",), "p2")]))
+    assert residual == []
+    assert len(r.partitions()) == 1
+    # SQL front door
+    view = f"ice_{uuid.uuid4().hex[:6]}"
+    got.createOrReplaceTempView(view)
+    n = spark.sql(f"SELECT count(*) AS n FROM {view} WHERE part = 'p0'").collect()[0]["n"]
+    assert n == 11
