@@ -613,15 +613,25 @@ class DeltaTable:
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
         adds = self.files()
-        ulo, uhi = updates.agg(F.min(key), F.max(key)).first()
+        n_rows, ulo, uhi = updates.agg(
+            F.count(F.lit(1)), F.min(key), F.max(key)
+        ).first()
         now_ms = int(time.time() * 1000)
         v = self.latest_version() + 1
         actions: list[dict] = [self._commit_info("MERGE")]
         if txn is not None:
             actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
-        if ulo is None:  # empty batch → no-op commit (idempotency ledger)
+        if n_rows == 0:  # empty batch → no-op commit (idempotency ledger)
             self._publish(v, actions)
             return {"updated": 0, "inserted": 0, "files_rewritten": 0,
+                    "files_carried": len(adds)}
+        if ulo is None:
+            # every key is NULL: equality can never match, so this is a pure
+            # insert — min(key)=None must NOT be read as "empty batch"
+            new_adds = self._stage_files(updates, part_cols)
+            actions.extend({"add": a} for a in new_adds)
+            self._publish(v, actions)
+            return {"updated": 0, "inserted": n_rows, "files_rewritten": 0,
                     "files_carried": len(adds)}
 
         # scattered batches (keys 150 and 999) span every file's range, so a
@@ -634,7 +644,11 @@ class DeltaTable:
         ukeys_df = updates.select(key).distinct()
         sorted_keys = None
         if ukeys_df.limit(MAX_PROBE_KEYS + 1).count() <= MAX_PROBE_KEYS:
-            sorted_keys = sorted(r[0] for r in ukeys_df.collect())  # bounded above
+            # drop NULL keys: they never equality-match, and None isn't
+            # orderable against real keys
+            sorted_keys = sorted(
+                r[0] for r in ukeys_df.collect() if r[0] is not None  # bounded above
+            )
 
         def overlaps_key(a: dict) -> bool:
             raw = a.get("stats")

@@ -463,3 +463,22 @@ def test_compact_datachange_false_and_cdc_skips_it(spark, root, tmp_path):
     assert feed.where(F.col("commit_version") == t.latest_version()).count() == 0
     assert feed.where(F.col("change_type") == "remove").count() == 0
     assert feed.count() == 23  # 20 create + 3 append rows, nothing from OPTIMIZE
+
+
+def test_merge_null_keys_are_pure_inserts(spark, root):
+    t = DeltaTable.create(
+        spark, root, spark.createDataFrame([(1, 10)], "k long, v long").coalesce(1)
+    )
+    # all-null-key batch: equality never matches → pure insert, NOT a no-op
+    res = t.merge(spark.createDataFrame([(None, 77)], "k long, v long"), key="k")
+    assert res == {"updated": 0, "inserted": 1, "files_rewritten": 0, "files_carried": 1}
+    assert t.read().count() == 2
+    # mixed batch: null-key row inserts, real key updates; nulls don't break
+    # the sorted probe
+    res2 = t.merge(
+        spark.createDataFrame([(1, 99), (None, 88)], "k long, v long"), key="k"
+    )
+    assert res2["updated"] == 1 and res2["inserted"] == 1
+    got = t.read()
+    assert got.where(F.col("k") == 1).collect()[0]["v"] == 99
+    assert got.where(F.col("k").isNull()).count() == 2  # one per merge batch
