@@ -723,7 +723,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
             .agg(F.sum("cnt").cast("bigint").alias("pc"))
             .orderBy(F.col("pc").desc(), "a", "b")
             .limit(1)
-            .collect()  # ONE row: the global argmax — the only driver hop
+            .collect()  # bounded: ONE row — the global argmax driver hop
         )
         if not top:
             break

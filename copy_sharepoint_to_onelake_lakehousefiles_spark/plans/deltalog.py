@@ -647,7 +647,8 @@ class DeltaTable:
             # drop NULL keys: they never equality-match, and None isn't
             # orderable against real keys
             sorted_keys = sorted(
-                r[0] for r in ukeys_df.collect() if r[0] is not None  # bounded above
+                # bounded: guarded above by MAX_PROBE_KEYS
+                r[0] for r in ukeys_df.collect() if r[0] is not None
             )
 
         def overlaps_key(a: dict) -> bool:
@@ -702,8 +703,9 @@ class DeltaTable:
             "__file", F.input_file_name()
         )
         hit_files = [
+            # bounded: one distinct row per file containing matches
             r["__file"] for r in full.where(predicate).select("__file").distinct().collect()
-        ]  # bounded: one row per file containing matches
+        ]
         hit = []
         for p in hit_files:
             p2 = os.path.abspath(p[len("file:"):] if p.startswith("file:") else p)
