@@ -31,10 +31,12 @@ Differences from Delta that this module implements faithfully:
   layout, readable by pyiceberg/Spark-Iceberg's HadoopCatalog.
 
 Scope: identity partition transforms, primitive column types
-(long/int/string/double/float/boolean/binary), data content files (no
-delete files — the engine's MERGE/DELETE story is copy-on-write, matching
-TxTable). Snapshots support time travel by snapshot id or chronological
-index.
+(long/int/string/double/float/boolean/binary), data content files plus v2
+EQUALITY DELETE files (merge-on-read: ``equality_delete`` writes key rows
+under a deletes manifest, readers anti-join data files with a strictly
+smaller sequence number — position deletes stay out of scope; copy-on-write
+row mutation lives in TxTable/Delta). Snapshots support time travel by
+snapshot id or chronological index.
 """
 
 from __future__ import annotations
@@ -162,6 +164,12 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                 "type": ["null", {"type": "map", "values": "bytes"}],
                 "default": None,
                 "field-id": 128,
+            },
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "default": None,
+                "field-id": 135,
             },
         ],
     }
@@ -354,6 +362,8 @@ class IcebergTable:
             for e in rows:
                 if e["status"] == 2:  # deleted in this snapshot
                     continue
+                if (e["data_file"].get("content") or 0) != 0:
+                    continue  # delete file: surfaced via delete_entries()
                 audit["files_total"] += 1
                 df_ = e["data_file"]
                 if want:
@@ -377,8 +387,35 @@ class IcebergTable:
                     if not keep:
                         continue
                 audit["files_kept"] += 1
+                df_ = dict(df_)
+                df_["__seq"] = e.get("sequence_number") or m["sequence_number"]
                 entries.append(df_)
         return entries, audit
+
+    def delete_entries(
+        self, snapshot_id: int | None = None, index: int | None = None
+    ) -> list[dict]:
+        """Equality-delete files live in a snapshot: [{data_file, seq,
+        equality_ids}] — applied on read to data files with a STRICTLY
+        SMALLER data sequence number (spec §scan-planning)."""
+        snap = self._resolve_snapshot(snapshot_id, index)
+        _, manifests = read_ocf(snap["manifest-list"].replace("file:", ""))
+        out = []
+        for m in manifests:
+            if m.get("content") != 1:  # 1 = deletes manifest
+                continue
+            _, rows = read_ocf(m["manifest_path"].replace("file:", ""))
+            for e in rows:
+                if e["status"] == 2:
+                    continue
+                out.append(
+                    {
+                        "data_file": e["data_file"],
+                        "seq": e.get("sequence_number") or m["sequence_number"],
+                        "equality_ids": e["data_file"].get("equality_ids") or [],
+                    }
+                )
+        return out
 
     def read(
         self,
@@ -397,6 +434,47 @@ class IcebergTable:
         schema = self.schema()
         part_fields = self.partition_fields()
         entries, _ = self.files(snapshot_id, index, partition_filter, bounds)
+        if not entries:
+            return self.spark.createDataFrame([], schema)
+        deletes = self.delete_entries(snapshot_id, index)
+        if deletes:
+            # merge-on-read: equality deletes apply to data files with a
+            # strictly smaller sequence number; group data files by seq
+            # (bounded by snapshot count), anti-join each group against the
+            # applicable delete keys, union
+            by_name = {f.name: f for f in schema.fields}
+            id_to_name = {
+                f["id"]: f["name"]
+                for s in self.metadata()["schemas"]
+                for f in s["fields"]
+            }
+            seqs = sorted({e["__seq"] for e in entries})
+            parts = []
+            for s in seqs:
+                sub = [e for e in entries if e["__seq"] == s]
+                df_s = self._read_data_entries(sub, schema, part_fields)
+                applicable = [d for d in deletes if d["seq"] > s]
+                # group delete files by their equality column set
+                by_cols: dict[tuple, list[str]] = {}
+                for d in applicable:
+                    cols = tuple(id_to_name[i] for i in d["equality_ids"])
+                    by_cols.setdefault(cols, []).append(
+                        d["data_file"]["file_path"].replace("file:", "")
+                    )
+                for cols, paths in sorted(by_cols.items()):
+                    key_schema = T.StructType([by_name[c] for c in cols])
+                    keys = self.spark.read.schema(key_schema).parquet(*paths)
+                    df_s = df_s.join(keys, list(cols), "left_anti")
+                parts.append(df_s)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+        return self._read_data_entries(entries, schema, part_fields)
+
+    def _read_data_entries(
+        self, entries: list[dict], schema: T.StructType, part_fields: list[dict]
+    ) -> DataFrame:
         if not entries:
             return self.spark.createDataFrame([], schema)
         if not part_fields:
@@ -547,6 +625,7 @@ class IcebergTable:
         sequence_number: int,
         part_fields: list[dict],
         status: int = 1,
+        content: int = 0,
     ) -> dict:
         """One manifest Avro for ``data_files``; returns its manifest-list row
         (with per-partition-field summaries for list-level pruning)."""
@@ -594,7 +673,7 @@ class IcebergTable:
             "manifest_path": path,
             "manifest_length": os.path.getsize(path),
             "partition_spec_id": 0,
-            "content": 0,
+            "content": content,
             "sequence_number": sequence_number,
             "min_sequence_number": sequence_number,
             "added_snapshot_id": snapshot_id,
@@ -762,6 +841,64 @@ class IcebergTable:
         self._publish_metadata(md)
         return {"snapshot_id": snap["snapshot-id"], "files_added": len(entries)}
 
+
+    def equality_delete(self, keys_df: DataFrame) -> dict:
+        """MERGE-ON-READ row deletes via v2 EQUALITY DELETE files: the key
+        rows are written as a parquet delete file committed under a deletes
+        manifest (manifest-list content=1, data_file.content=2,
+        equality_ids = the key columns' field ids). No data file is
+        rewritten — readers anti-join data files with a strictly smaller
+        sequence number against the delete keys (the Flink-CDC write shape;
+        compare TxTable/Delta's copy-on-write ``delete``)."""
+        md = self.metadata()
+        ice_fields = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )["fields"]
+        name_to_id = {f["name"]: f["id"] for f in ice_fields}
+        for c in keys_df.columns:
+            if c not in name_to_id:
+                raise ValueError(f"unknown delete key column {c}")
+        eq_ids = [name_to_id[c] for c in keys_df.columns]
+        os.makedirs(self.data_dir, exist_ok=True)
+        path = os.path.join(self.data_dir, f"eqdel-{uuid.uuid4().hex}.parquet")
+        stage = os.path.join(self.root, f".stage_{uuid.uuid4().hex}")
+        keys_df.coalesce(1).write.mode("overwrite").parquet(stage)
+        import pyarrow.parquet as pq
+
+        moved = False
+        for dirpath, _dn, filenames in os.walk(stage):
+            for n in filenames:
+                if n.endswith(".parquet") and not moved:
+                    os.rename(os.path.join(dirpath, n), path)
+                    moved = True
+        shutil.rmtree(stage, ignore_errors=True)
+        if not moved:
+            raise ValueError("empty delete-key batch")
+        n_rows = pq.ParquetFile(path).metadata.num_rows
+        entry = {
+            "content": 2,  # equality deletes
+            "file_path": path,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": n_rows,
+            "file_size_in_bytes": os.path.getsize(path),
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": eq_ids,
+        }
+        cur = self._resolve_snapshot(None, None)
+        _, prior = read_ocf(cur["manifest-list"].replace("file:", ""))
+        seq = md["last-sequence-number"] + 1
+        sid = self._new_snapshot_id()
+        # deletes manifest uses an UNPARTITIONED entry schema (partition {})
+        mrow = self._write_manifest([entry], sid, seq, [], content=1)
+        snap = self._commit_snapshot(prior + [mrow], "delete", md, sid)
+        md["snapshots"].append(snap)
+        md["current-snapshot-id"] = snap["snapshot-id"]
+        md["last-sequence-number"] = snap["sequence-number"]
+        md["last-updated-ms"] = snap["timestamp-ms"]
+        self._publish_metadata(md)
+        return {"snapshot_id": snap["snapshot-id"], "delete_rows": n_rows}
 
     def expire_snapshots(self, retain_last: int = 2) -> dict:
         """Drop all but the last ``retain_last`` snapshots from the metadata
@@ -1184,3 +1321,48 @@ def q138_iceberg_sql_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return materialize(out)
+
+
+_MOR_CACHE: dict = {}
+
+
+def _mor_nation_table(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    cache_key = (id(spark), sf_dir)
+    t = _MOR_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.meta_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"ice_mor_{uuid.uuid4().hex[:8]}")
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long"), "n_name", F.col("n_regionkey").cast("long")
+    )
+    t = IcebergTable.create(spark, root, nation.coalesce(1))
+    t.equality_delete(spark.createDataFrame([(3,), (7,), (11,)], "n_nationkey long"))
+    t.append(
+        spark.createDataFrame([(3, "REBORN", 1)], "n_nationkey long, n_name string, n_regionkey long")
+    )
+    _MOR_CACHE[cache_key] = t
+    return t
+
+
+_Q139_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+WHERE n_nationkey NOT IN (3, 7, 11)
+UNION ALL
+SELECT 3, 'REBORN', 1
+"""
+
+
+@query("q139_iceberg_equality_delete", oracle=_Q139_ORACLE)
+def q139_iceberg_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality deletes, verified in the hashed contract: keys
+    (3, 7, 11) are deleted WITHOUT rewriting any data file, then key 3 is
+    re-appended — the delete's sequence number applies only to STRICTLY
+    OLDER data files, so the new row survives while the original stays
+    deleted. The oracle is the declarative twin (anti-filter + the
+    replacement row), so sequence-number scoping errors are wrong answers."""
+    t = _mor_nation_table(spark, sf_dir)
+    return materialize(t.read())

@@ -70,6 +70,11 @@ class IcebergLiteReader(DataSourceReader):
                 )
                 for c, cmp in self.pushed_bounds.items()
             }
+        if self._t.delete_entries(index=self.index):
+            raise NotImplementedError(
+                "snapshot carries equality-delete files (merge-on-read): "
+                "read it through IcebergTable.read, which applies them"
+            )
         entries, _audit = self._t.files(
             index=self.index,
             partition_filter=self.partition_filter or None,

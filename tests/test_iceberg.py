@@ -346,3 +346,39 @@ def test_iceberg_lite_datasource(spark, root):
     got.createOrReplaceTempView(view)
     n = spark.sql(f"SELECT count(*) AS n FROM {view} WHERE part = 'p0'").collect()[0]["n"]
     assert n == 11
+
+
+def test_equality_delete_merge_on_read(spark, root):
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", i * 10) for i in range(10)], "k long, part string, v long"
+    )
+    t = IcebergTable.create(spark, root, df.coalesce(1), partition_by=["part"])
+    res = t.equality_delete(spark.createDataFrame([(3,), (7,)], "k long"))
+    assert res["delete_rows"] == 2
+    got = t.read()
+    assert got.count() == 8
+    assert got.where(F.col("k").isin(3, 7)).count() == 0
+    # no data file was rewritten (merge-on-read)
+    entries, _ = t.files()
+    assert {e["file_path"] for e in entries} == {
+        e["file_path"] for e in t.files(index=0)[0]
+    }
+    # time travel: pre-delete snapshot still has every row
+    assert t.read(index=0).count() == 10
+    # deletes only apply to OLDER data: re-appending key 3 resurrects it
+    t.append(spark.createDataFrame([(3, "p1", 999)], "k long, part string, v long").coalesce(1))
+    got2 = t.read()
+    assert got2.where(F.col("k") == 3).collect()[0]["v"] == 999
+    assert got2.count() == 9
+    # a second delete hits both old and the new file's rows
+    t.equality_delete(spark.createDataFrame([(3,), (0,)], "k long"))
+    got3 = t.read()
+    assert got3.count() == 7
+    assert got3.where(F.col("k").isin(0, 3)).count() == 0
+    # the pluggable source refuses MoR snapshots rather than mis-reading
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+        IcebergLiteReader,
+    )
+
+    with pytest.raises(NotImplementedError):
+        IcebergLiteReader({"path": root}).partitions()
