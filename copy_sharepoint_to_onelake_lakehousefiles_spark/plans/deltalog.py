@@ -175,6 +175,8 @@ class DeltaTable:
                     m["partitionColumns"] = json.loads(m["partitionColumns"])
                 if isinstance(m.get("format"), str):
                     m["format"] = json.loads(m["format"])
+                if isinstance(m.get("configuration"), str):
+                    m["configuration"] = json.loads(m["configuration"])
                 meta = m
         return adds, meta
 
@@ -369,6 +371,7 @@ class DeltaTable:
                     "format": json.dumps(meta.get("format") or {}),
                     "schemaString": meta["schemaString"],
                     "partitionColumns": json.dumps(meta.get("partitionColumns") or []),
+                    "configuration": json.dumps(meta.get("configuration") or {}),
                 },
                 "protocol": None,
             },
@@ -411,6 +414,7 @@ class DeltaTable:
                             ("format", pa.string()),
                             ("schemaString", pa.string()),
                             ("partitionColumns", pa.string()),
+                            ("configuration", pa.string()),
                         ]
                     ),
                 ),
@@ -434,6 +438,42 @@ class DeltaTable:
         with open(tmp2, "w") as f:
             json.dump(last, f)
         os.replace(tmp2, os.path.join(self.log_dir, "_last_checkpoint"))
+
+    def add_constraint(self, name: str, expr: str) -> dict:
+        """ALTER TABLE ADD CONSTRAINT (CHECK): stored under the protocol's
+        ``delta.constraints.<name>`` metadata configuration key; every
+        subsequent write (append/merge/overwrite) verifies the predicate
+        over the incoming rows and refuses the commit on violation. The
+        existing table must already satisfy it."""
+        n_bad = self.read().where(f"NOT coalesce(({expr}), false)").count()
+        if n_bad:
+            raise ValueError(
+                f"cannot add constraint {name}: {n_bad} existing rows violate ({expr})"
+            )
+        _, meta = self.snapshot()
+        new_meta = dict(meta)
+        cfg = dict(new_meta.get("configuration") or {})
+        cfg[f"delta.constraints.{name}"] = expr
+        new_meta["configuration"] = cfg
+        v = self.latest_version() + 1
+        self._publish(
+            v, [self._commit_info("ADD CONSTRAINT"), {"metaData": new_meta}]
+        )
+        return {"version": v, "constraint": name}
+
+    def constraints(self) -> dict[str, str]:
+        _, meta = self.snapshot()
+        cfg = meta.get("configuration") or {}
+        prefix = "delta.constraints."
+        return {k[len(prefix):]: v for k, v in cfg.items() if k.startswith(prefix)}
+
+    def _check_constraints(self, df: DataFrame) -> None:
+        for name, expr in self.constraints().items():
+            n_bad = df.where(f"NOT coalesce(({expr}), false)").count()
+            if n_bad:
+                raise ValueError(
+                    f"CHECK constraint {name} ({expr}) violated by {n_bad} rows"
+                )
 
     def _stage_files(self, df: DataFrame, part_cols: list[str]) -> list[dict]:
         """Write df's data files into the table dir (hive layout for
@@ -553,7 +593,9 @@ class DeltaTable:
         for f in cur.fields:
             if f.name not in df.columns:
                 aligned = aligned.withColumn(f.name, F.lit(None).cast(f.dataType))
-        adds = self._stage_files(aligned.select(*cur.fieldNames()), part_cols)
+        aligned = aligned.select(*cur.fieldNames())
+        self._check_constraints(aligned)
+        adds = self._stage_files(aligned, part_cols)
         actions: list[dict] = [self._commit_info("WRITE")]
         if txn is not None:
             actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
@@ -568,7 +610,9 @@ class DeltaTable:
         one atomic commit, old snapshots still readable (time travel)."""
         part_cols = self.partition_columns()
         old, _ = self.snapshot()
-        adds = self._stage_files(df.select(*self.schema().fieldNames()), part_cols)
+        df = df.select(*self.schema().fieldNames())
+        self._check_constraints(df)
+        adds = self._stage_files(df, part_cols)
         now_ms = int(time.time() * 1000)
         actions = [self._commit_info("WRITE (mode=Overwrite)")]
         actions.extend(
@@ -612,6 +656,7 @@ class DeltaTable:
         updates = updates.select(
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
+        self._check_constraints(updates)
         adds = self.files()
         n_rows, ulo, uhi = updates.agg(
             F.count(F.lit(1)), F.min(key), F.max(key)

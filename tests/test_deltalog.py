@@ -482,3 +482,41 @@ def test_merge_null_keys_are_pure_inserts(spark, root):
     got = t.read()
     assert got.where(F.col("k") == 1).collect()[0]["v"] == 99
     assert got.where(F.col("k").isNull()).count() == 2  # one per merge batch
+
+
+def test_check_constraints_enforced_on_writes(spark, root):
+    t = DeltaTable.create(
+        spark, root, spark.createDataFrame([(1, 10)], "k long, v long").coalesce(1)
+    )
+    t.add_constraint("v_positive", "v > 0")
+    assert t.constraints() == {"v_positive": "v > 0"}
+    # violating append refused, table unchanged
+    with pytest.raises(ValueError, match="v_positive"):
+        t.append(spark.createDataFrame([(2, -5)], "k long, v long"))
+    assert t.read().count() == 1
+    # violating merge refused (NULL counts as violation under coalesce-false)
+    with pytest.raises(ValueError, match="v_positive"):
+        t.merge(spark.createDataFrame([(1, None)], "k long, v long"), key="k")
+    # valid writes pass
+    t.append(spark.createDataFrame([(2, 5)], "k long, v long"))
+    assert t.read().count() == 2
+    # adding a constraint the existing data violates is refused
+    with pytest.raises(ValueError, match="existing rows"):
+        t.add_constraint("k_small", "k < 2")
+    # constraints survive through the metaData action (fresh handle)
+    t2 = DeltaTable(spark, root)
+    assert t2.constraints() == {"v_positive": "v > 0"}
+
+
+def test_constraints_survive_checkpoint_and_log_cleanup(spark, root):
+    t = DeltaTable.create(
+        spark, root, spark.createDataFrame([(1, 10)], "k long, v long").coalesce(1)
+    )
+    t.add_constraint("v_positive", "v > 0")
+    for i in range(10):  # cross the checkpoint interval
+        t.append(spark.createDataFrame([(10 + i, 1)], "k long, v long").coalesce(1))
+    t.cleanup_log(keep_versions=1)
+    t2 = DeltaTable(spark, root)
+    assert t2.constraints() == {"v_positive": "v > 0"}
+    with pytest.raises(ValueError, match="v_positive"):
+        t2.append(spark.createDataFrame([(99, -1)], "k long, v long"))
