@@ -1366,3 +1366,75 @@ def q139_iceberg_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement row), so sequence-number scoping errors are wrong answers."""
     t = _mor_nation_table(spark, sf_dir)
     return materialize(t.read())
+
+
+_Q140_ORACLE = """
+WITH dim AS (
+  SELECT n_nationkey, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+suppliers AS (
+  SELECT d.r_name, CAST(count(*) AS BIGINT) AS metric_value
+  FROM supplier s JOIN dim d ON s.s_nationkey = d.n_nationkey
+  GROUP BY d.n_nationkey, d.r_name
+),
+customers AS (
+  SELECT d.r_name, CAST(count(*) AS BIGINT) AS metric_value
+  FROM customer c JOIN dim d ON c.c_nationkey = d.n_nationkey
+  GROUP BY d.n_nationkey, d.r_name
+),
+v1 AS (SELECT * FROM suppliers UNION ALL SELECT * FROM customers),
+v2 AS (SELECT * FROM v1 WHERE r_name <> 'EUROPE')
+SELECT 0 AS snapshot_idx, 'add' AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(metric_value) AS BIGINT) AS total
+FROM suppliers
+UNION ALL
+SELECT 1, 'add', CAST(count(*) AS BIGINT), CAST(sum(metric_value) AS BIGINT) FROM customers
+UNION ALL
+SELECT 2, 'add', CAST(count(*) AS BIGINT), CAST(sum(metric_value) AS BIGINT) FROM v2
+UNION ALL
+SELECT 2, 'remove', CAST(count(*) AS BIGINT), CAST(sum(metric_value) AS BIGINT) FROM v1
+"""
+
+
+@query("q140_iceberg_cdc_stream", oracle=_Q140_ORACLE)
+def q140_iceberg_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming subscription to Iceberg snapshots (the Iceberg twin of the
+    Delta-side q130): the iceberg_cdc source drains the demo table's
+    CREATE/fast-APPEND/OVERWRITE snapshot history with Trigger.availableNow;
+    per-snapshot add/remove row counts and metric sums must equal the
+    relational twins of each adjacent-snapshot diff. Fast append means the
+    idx-1 batch ships ONLY the customers manifest's files — the incremental
+    read is O(changed files) because prior manifests are reused, which the
+    hashed counts verify."""
+    import shutil
+    import tempfile
+
+    from ..sources.iceberg_stream_source import IcebergCdcDataSource
+
+    try:
+        spark.dataSource.register(IcebergCdcDataSource)
+    except Exception:
+        pass  # already registered this session
+    t = _demo_iceberg_table(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="icecdc_q140_")
+    stream = (
+        spark.readStream.format("iceberg_cdc")
+        .load(t.root)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(base, "sink"))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    feed = spark.read.parquet(os.path.join(base, "sink"))
+    out = materialize(
+        feed.groupBy("snapshot_idx", "change_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("metric_value").cast("bigint").alias("total"),
+        )
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out

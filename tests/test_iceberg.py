@@ -382,3 +382,38 @@ def test_equality_delete_merge_on_read(spark, root):
 
     with pytest.raises(NotImplementedError):
         IcebergLiteReader({"path": root}).partitions()
+
+
+def test_iceberg_cdc_stream_with_delete_keys(spark, root, tmp_path):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_stream_source import (
+        IcebergCdcDataSource,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string")
+    t = IcebergTable.create(spark, root, df.coalesce(1))
+    t.equality_delete(spark.createDataFrame([(2,)], "k long"))
+    try:
+        spark.dataSource.register(IcebergCdcDataSource)
+    except Exception:
+        pass
+    sink = os.path.join(str(tmp_path), "sink")
+    q = (
+        spark.readStream.format("iceberg_cdc")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    got = sorted(
+        (r["snapshot_idx"], r["change_type"], r["k"], r["tag"]) for r in feed.collect()
+    )
+    assert got == [
+        (0, "add", 1, "a"),
+        (0, "add", 2, "b"),
+        (1, "delete_key", 2, None),
+    ]

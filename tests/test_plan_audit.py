@@ -20,6 +20,7 @@ NON_BATCH = {
     "q60_media_features",
     "q127_txtable_cdc_stream",  # streaming drain (availableNow)
     "q130_delta_cdc_stream",  # streaming drain (availableNow)
+    "q140_iceberg_cdc_stream",  # streaming drain (availableNow)
 }
 # Bounded broadcast side by construction: q30/q107 broadcast the 10-row
 # query set; q78/q79/q95/q96/q105/q109 broadcast a 1-row global aggregate
