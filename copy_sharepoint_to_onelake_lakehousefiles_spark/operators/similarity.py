@@ -559,3 +559,109 @@ def q107_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_flags(
         exact, ann, ("q8_recall_ok", 60), ("q8_global_recall_ok", 90)
     ).orderBy("q_id", "rk")
+
+
+SEMDEDUP_TAU = 0.30  # exact decimal: round(cos, 6) >= τ is engine-consistent
+
+
+def _semdedup_planes() -> list[list[float]]:
+    return _deterministic_planes(dim=64, n=N_PLANES, seed=1234567)
+
+
+def _duck_plane_array(plane: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({float(x)} AS DOUBLE)" for x in plane) + "]"
+
+
+def _semdedup_oracle() -> str:
+    planes = _semdedup_planes()
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, {_duck_plane_array(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+b AS (
+  SELECT vec_id, emb, {bucket_terms} AS bucket FROM e
+),
+pair AS (
+  SELECT a.vec_id AS va, b2.vec_id AS vb
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  WHERE round(list_dot_product(a.emb, b2.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b2.emb, b2.emb))),
+              6) >= {SEMDEDUP_TAU}
+),
+sym AS (
+  SELECT va AS a, vb AS b FROM pair UNION SELECT vb, va FROM pair
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (
+  SELECT a AS vec_id, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT CAST(component AS BIGINT)  AS cluster_rep,
+       CAST(count(*) AS BIGINT)   AS cluster_size,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM comp
+GROUP BY component
+"""
+
+
+@query("q141_semdedup_clusters", oracle=_semdedup_oracle())
+def q141_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped SEMANTIC deduplication, fully oracle-backed: bucket
+    embeddings with the deterministic hyperplane LSH (integer sign bits — no
+    k-means float drift), take within-bucket pairs whose 6dp-rounded cosine
+    clears an exact-decimal threshold, run connected components over the
+    edges, and emit one row per dedup cluster (representative = min id,
+    size, member id-sum). The keep-one-per-cluster decision a semantic
+    dedup pass feeds back into the corpus IS this output.
+
+    Scale: candidate generation is a bucket equi-join (never all-pairs
+    across buckets); CC is the q56 iterative kernel (per-round keyed
+    shuffle). The oracle recomputes buckets from the same plane constants,
+    the same rounded cosines, and a recursive-CTE transitive closure —
+    bit-exact because every decision input is integer or 6dp-rounded."""
+    from .dedup import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    planes = _semdedup_planes()
+    b = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        hyperplane_bucket(emb, planes, emb_col="embedding"),
+    )
+    a = b.alias("a")
+    b2 = b.alias("b2")
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(a.emb, b2.emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        / (
+            F.sqrt(F.expr("aggregate(a.emb, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"))
+            * F.sqrt(F.expr("aggregate(b2.emb, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"))
+        ),
+        6,
+    )
+    edges = (
+        a.join(
+            b2,
+            (F.col("a.bucket") == F.col("b2.bucket"))
+            & (F.col("a.vec_id") < F.col("b2.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b2.vec_id").alias("vb"), cos.alias("cos"))
+        .where(F.col("cos") >= F.lit(SEMDEDUP_TAU))
+        .select("va", "vb")
+    )
+    cc = connected_components(edges, "va", "vb")
+    return (
+        cc.groupBy(F.col("component").cast("bigint").alias("cluster_rep"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.sum("node").cast("bigint").alias("id_sum"),
+        )
+    )
