@@ -88,3 +88,29 @@ def test_partitioned_differential(spark):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_three_delete_paths_agree(spark):
+    """The same logical delete through three different mechanisms — TxTable
+    copy-on-write predicate delete, Delta copy-on-write predicate delete,
+    Iceberg merge-on-read equality delete — must leave identical tables."""
+    ddl = "k long, tag string, v long"
+    rows = [(i, f"t{i % 3}", i * 10) for i in range(30)]
+    kill = [(k,) for k in (3, 7, 11, 25)]
+    base = os.path.join(tempfile.gettempdir(), f"diffdel_{uuid.uuid4().hex[:6]}")
+    try:
+        df = spark.createDataFrame(rows, ddl)
+        tx = TxTable.create(spark, os.path.join(base, "tx"), df, key="k")
+        dl = DeltaTable.create(spark, os.path.join(base, "dl"), df)
+        ic = IcebergTable.create(spark, os.path.join(base, "ic"), df)
+        pred = "k IN (3, 7, 11, 25)"
+        tx.delete(pred)
+        dl.delete(pred)
+        ic.equality_delete(spark.createDataFrame(kill, "k long"))
+        r_tx = _rows(tx.read())
+        r_dl = _rows(dl.read())
+        r_ic = _rows(ic.read())
+        assert r_tx == r_dl == r_ic
+        assert len(r_tx) == 26
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
