@@ -45,6 +45,9 @@ class IceFilePartition(InputPartition):
     partition_values: dict  # typed values from the manifest's partition record
     schema_json: str  # Spark StructType JSON
     part_cols: list
+    # equality-delete files applicable to THIS data file (strictly newer
+    # sequence number): [(delete_file_path, [key_col, ...]), ...]
+    deletes: list
 
 
 class IcebergLiteReader(DataSourceReader):
@@ -70,11 +73,6 @@ class IcebergLiteReader(DataSourceReader):
                 )
                 for c, cmp in self.pushed_bounds.items()
             }
-        if self._t.delete_entries(index=self.index):
-            raise NotImplementedError(
-                "snapshot carries equality-delete files (merge-on-read): "
-                "read it through IcebergTable.read, which applies them"
-            )
         entries, _audit = self._t.files(
             index=self.index,
             partition_filter=self.partition_filter or None,
@@ -82,15 +80,34 @@ class IcebergLiteReader(DataSourceReader):
         )
         schema_json = self._t.schema().json()
         part_cols = [pf["name"] for pf in self._t.partition_fields()]
-        return [
-            IceFilePartition(
-                e["file_path"].replace("file:", ""),
-                dict(e["partition"]),
-                schema_json,
-                part_cols,
+        # merge-on-read: ship each data file's APPLICABLE equality-delete
+        # files (strictly newer sequence number) into its partition so the
+        # executor applies the anti-join locally
+        md = self._t.metadata()
+        id_to_name = {
+            f["id"]: f["name"] for s in md["schemas"] for f in s["fields"]
+        }
+        dels = self._t.delete_entries(index=self.index)
+        out = []
+        for e in entries:
+            applicable = [
+                (
+                    d["data_file"]["file_path"].replace("file:", ""),
+                    [id_to_name[i] for i in d["equality_ids"]],
+                )
+                for d in dels
+                if d["seq"] > e["__seq"]
+            ]
+            out.append(
+                IceFilePartition(
+                    e["file_path"].replace("file:", ""),
+                    dict(e["partition"]),
+                    schema_json,
+                    part_cols,
+                    applicable,
+                )
             )
-            for e in entries
-        ]
+        return out
 
     def read(self, partition: IceFilePartition):
         import pyarrow as pa
@@ -100,6 +117,22 @@ class IcebergLiteReader(DataSourceReader):
 
         st = StructType.fromJson(json.loads(partition.schema_json))
         tbl = pq.read_table(partition.path)
+        # merge-on-read: apply this file's equality deletes executor-side
+        # (pandas anti-join per delete key-set; delete files are metadata-
+        # sized relative to data)
+        for dpath, key_cols in partition.deletes:
+            if tbl.num_rows == 0:
+                break
+            dt = pq.read_table(dpath, columns=key_cols)
+            dead = set(zip(*[dt.column(c).to_pylist() for c in key_cols]))
+            if not dead:
+                continue
+            cols_present = [c for c in key_cols if c in tbl.column_names]
+            if len(cols_present) != len(key_cols):
+                continue  # key column absent: equality can never match
+            rows = zip(*[tbl.column(c).to_pylist() for c in key_cols])
+            mask = pa.array([t not in dead for t in rows])
+            tbl = tbl.filter(mask)
         n = tbl.num_rows
         names = set(tbl.column_names)
         arrays, out_names = [], []

@@ -375,13 +375,19 @@ def test_equality_delete_merge_on_read(spark, root):
     got3 = t.read()
     assert got3.count() == 7
     assert got3.where(F.col("k").isin(0, 3)).count() == 0
-    # the pluggable source refuses MoR snapshots rather than mis-reading
+    # the pluggable source applies MoR deletes executor-side and agrees
     from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
-        IcebergLiteReader,
+        IcebergLiteDataSource,
     )
 
-    with pytest.raises(NotImplementedError):
-        IcebergLiteReader({"path": root}).partitions()
+    try:
+        spark.dataSource.register(IcebergLiteDataSource)
+    except Exception:
+        pass
+    via_source = spark.read.format("iceberg_lite").load(root)
+    assert sorted(tuple(r) for r in via_source.collect()) == sorted(
+        tuple(r) for r in got3.collect()
+    )
 
 
 def test_iceberg_cdc_stream_with_delete_keys(spark, root, tmp_path):
