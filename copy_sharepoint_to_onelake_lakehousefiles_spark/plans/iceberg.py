@@ -1438,3 +1438,104 @@ def q140_iceberg_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+_Q142_ORACLE = """
+WITH updates(n_nationkey, n_name, n_regionkey) AS (
+  VALUES (0, 'RENAMED', 9), (7, 'PATCHED', 2), (999, 'NEWLAND', 1)
+),
+merged AS (
+  SELECT coalesce(u.n_nationkey, t.n_nationkey) AS n_nationkey,
+         coalesce(u.n_regionkey, t.n_regionkey) AS n_regionkey
+  FROM nation t FULL OUTER JOIN updates u ON t.n_nationkey = u.n_nationkey
+),
+dim AS (
+  SELECT n_nationkey, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+v1 AS (
+  SELECT d.r_name, CAST(count(*) AS BIGINT) AS metric_value
+  FROM supplier s JOIN dim d ON s.s_nationkey = d.n_nationkey
+  GROUP BY d.n_nationkey, d.r_name
+  UNION ALL
+  SELECT d.r_name, CAST(count(*) AS BIGINT)
+  FROM customer c JOIN dim d ON c.c_nationkey = d.n_nationkey
+  GROUP BY d.n_nationkey, d.r_name
+),
+v2 AS (SELECT * FROM v1 WHERE r_name <> 'EUROPE'),
+nations_per_region AS (
+  SELECT r2.r_name, CAST(count(DISTINCT m.n_nationkey) AS BIGINT) AS n_nations
+  FROM merged m JOIN region r2 ON m.n_regionkey = r2.r_regionkey
+  GROUP BY r2.r_name
+),
+delta_totals AS (
+  SELECT r_name, CAST(sum(metric_value) AS BIGINT) AS delta_total
+  FROM v2 GROUP BY r_name
+)
+SELECT v.r_name,
+       CAST(any_value(nn.n_nations) AS BIGINT)          AS n_nations,
+       CAST(sum(v.metric_value) AS BIGINT)              AS iceberg_total,
+       CAST(coalesce(any_value(dt.delta_total), 0) AS BIGINT) AS delta_total
+FROM v1 v
+LEFT JOIN nations_per_region nn ON nn.r_name = v.r_name
+LEFT JOIN delta_totals dt ON dt.r_name = v.r_name
+GROUP BY v.r_name
+"""
+
+
+@query("q142_federated_lakehouse_sql", oracle=_Q142_ORACLE)
+def q142_federated_lakehouse_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone federation query: ONE spark.sql statement joins four
+    table technologies — a TxTable snapshot (post-MERGE), a Delta table via
+    the delta_lite source (post-OVERWRITE), an Iceberg snapshot via the
+    iceberg_lite source (time-traveled to the append snapshot), and a raw
+    parquet dimension — through ordinary temp views. Per region: nation
+    count from the transactional table, metric totals from each open
+    format (EUROPE's delta total is 0: the overwrite dropped it). The
+    oracle recomputes everything relationally, so any reader divergence
+    across the stacks is a wrong answer in one hashed contract."""
+    from ..sources.delta_datasource import DeltaLiteDataSource
+    from ..sources.iceberg_datasource import IcebergLiteDataSource
+    from .deltalog import _demo_delta_table
+    from .txtable import _merged_nation_table
+
+    for ds in (DeltaLiteDataSource, IcebergLiteDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            pass  # already registered this session
+    sfx = uuid.uuid4().hex[:8]
+    tx = _merged_nation_table(spark, sf_dir)
+    dl = _demo_delta_table(spark, sf_dir)
+    ice = _demo_iceberg_table(spark, sf_dir)
+    tx.read().createOrReplaceTempView(f"tx_{sfx}")
+    spark.read.format("delta_lite").load(dl.root).createOrReplaceTempView(f"dl_{sfx}")
+    (
+        spark.read.format("iceberg_lite")
+        .option("snapshot_index", "1")
+        .load(ice.root)
+        .createOrReplaceTempView(f"ice_{sfx}")
+    )
+    load(spark, sf_dir, "region").createOrReplaceTempView(f"region_{sfx}")
+    out = spark.sql(
+        f"""
+        WITH nations_per_region AS (
+          SELECT r.r_name, CAST(count(DISTINCT t.n_nationkey) AS BIGINT) AS n_nations
+          FROM tx_{sfx} t JOIN region_{sfx} r ON t.n_regionkey = r.r_regionkey
+          GROUP BY r.r_name
+        ),
+        delta_totals AS (
+          SELECT r_name, CAST(sum(metric_value) AS BIGINT) AS delta_total
+          FROM dl_{sfx} GROUP BY r_name
+        )
+        SELECT i.r_name,
+               CAST(any_value(nn.n_nations) AS BIGINT)               AS n_nations,
+               CAST(sum(i.metric_value) AS BIGINT)                   AS iceberg_total,
+               CAST(coalesce(any_value(dt.delta_total), 0) AS BIGINT) AS delta_total
+        FROM ice_{sfx} i
+        LEFT JOIN nations_per_region nn ON nn.r_name = i.r_name
+        LEFT JOIN delta_totals dt ON dt.r_name = i.r_name
+        GROUP BY i.r_name
+        """
+    )
+    return materialize(out)
