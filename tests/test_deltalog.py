@@ -520,3 +520,21 @@ def test_constraints_survive_checkpoint_and_log_cleanup(spark, root):
     assert t2.constraints() == {"v_positive": "v > 0"}
     with pytest.raises(ValueError, match="v_positive"):
         t2.append(spark.createDataFrame([(99, -1)], "k long, v long"))
+
+
+def test_delete_on_partitioned_table(spark, root):
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", i * 10) for i in range(20)], "k long, part string, v long"
+    )
+    t = DeltaTable.create(spark, root, df.coalesce(1), partition_by=["part"])
+    # predicate mixes a data column and the reconstructed partition column
+    res = t.delete("part = 'p0' AND k >= 10")
+    assert res["deleted"] == 5 and res["files_rewritten"] == 1
+    got = t.read()
+    assert got.count() == 15
+    assert got.where("part = 'p0' AND k >= 10").count() == 0
+    # rewritten files keep the hive layout (partition col not in files)
+    import pyarrow.parquet as pq
+
+    for a in t.files():
+        assert "part" not in pq.read_schema(t._abs_path(a["path"])).names

@@ -129,3 +129,23 @@ def test_minhash_finds_every_identical_copy_group(spark, inflated_dir):
     )
     eligible = d.where(F.size(F.split(F.col("text"), r"\s+")) >= SHINGLE_WORDS).count()
     assert exact == 45 * eligible
+
+
+def test_bpe_merges_invariant_under_duplication(spark, inflated_dir):
+    """BPE's learned merge table must be IDENTICAL under 10× corpus
+    duplication (pair counts scale uniformly, so every argmax and
+    tie-break is preserved) — the property that makes the word-frequency
+    formulation scale-free."""
+    base = {
+        (r["step"]): (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in all_queries()["q136_bpe_merges"](spark, _SCALE_SRC).collect()
+    }
+    big = {
+        (r["step"]): (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in all_queries()["q136_bpe_merges"](spark, inflated_dir).collect()
+    }
+    assert set(base) == set(big)
+    for step, (a, b, pc) in base.items():
+        ba, bb, bpc = big[step]
+        assert (ba, bb) == (a, b), f"step {step} merged a different pair at 10x"
+        assert bpc == 10 * pc, f"step {step} count did not scale by 10"
