@@ -265,9 +265,17 @@ class IcebergTable:
     def current_snapshot_id(self) -> int | None:
         return self.metadata().get("current-snapshot-id")
 
-    def schema(self) -> T.StructType:
+    def schema(
+        self, snapshot_id: int | None = None, index: int | None = None
+    ) -> T.StructType:
+        """Table schema — the snapshot's own ``schema-id`` when time
+        traveling (spec: each snapshot records the schema it was written
+        under), the current schema otherwise."""
         md = self.metadata()
         sid = md["current-schema-id"]
+        if snapshot_id is not None or index is not None:
+            snap = self._resolve_snapshot(snapshot_id, index)
+            sid = snap.get("schema-id", sid)
         ice = next(s for s in md["schemas"] if s["schema-id"] == sid)
         return T.StructType(
             [
@@ -431,7 +439,7 @@ class IcebergTable:
         the spec's migrated-table behavior and makes the reader correct
         for tables whose data files do NOT carry the partition columns
         (e.g. Iceberg metadata generated over a Delta/hive layout)."""
-        schema = self.schema()
+        schema = self.schema(snapshot_id, index)
         part_fields = self.partition_fields()
         entries, _ = self.files(snapshot_id, index, partition_filter, bounds)
         if not entries:
@@ -803,12 +811,56 @@ class IcebergTable:
         t._publish_metadata(md)
         return t
 
-    def append(self, df: DataFrame) -> dict:
-        """Fast append: one NEW manifest; prior manifests re-referenced."""
+    def append(self, df: DataFrame, allow_evolution: bool = False) -> dict:
+        """Fast append: one NEW manifest; prior manifests re-referenced.
+        With ``allow_evolution``, NEW columns register a new schema entry
+        (fresh field ids from last-column-id — Iceberg's id-based evolution,
+        so renames can never alias) and the snapshot records its schema-id;
+        older snapshots keep reading under their own schema."""
         md = self.metadata()
         part_fields = self.partition_fields()
         st = self.schema()
-        entries = self._stage_data_files(df.select(*st.fieldNames()), part_fields, st)
+        new_fields = [f for f in df.schema.fields if f.name not in st.fieldNames()]
+        if new_fields:
+            if not allow_evolution:
+                raise ValueError(
+                    f"append has new columns {[f.name for f in new_fields]}; "
+                    "pass allow_evolution=True to evolve the schema"
+                )
+            cur_ice = next(
+                s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+            )
+            next_sid = max(s["schema-id"] for s in md["schemas"]) + 1
+            next_fid = md["last-column-id"]
+            added = []
+            for f in new_fields:
+                next_fid += 1
+                added.append(
+                    {
+                        "id": next_fid,
+                        "name": f.name,
+                        "required": False,
+                        "type": _SPARK_TO_ICE[f.dataType.simpleString()],
+                    }
+                )
+            md["schemas"].append(
+                {
+                    "type": "struct",
+                    "schema-id": next_sid,
+                    "fields": list(cur_ice["fields"]) + added,
+                }
+            )
+            md["current-schema-id"] = next_sid
+            md["last-column-id"] = next_fid
+            st = T.StructType(
+                list(st.fields)
+                + [T.StructField(f.name, f.dataType, True) for f in new_fields]
+            )
+        aligned = df
+        for f in st.fields:
+            if f.name not in df.columns:
+                aligned = aligned.withColumn(f.name, F.lit(None).cast(f.dataType))
+        entries = self._stage_data_files(aligned.select(*st.fieldNames()), part_fields, st)
         cur = self._resolve_snapshot(None, None)
         _, prior = read_ocf(cur["manifest-list"].replace("file:", ""))
         seq = md["last-sequence-number"] + 1

@@ -423,3 +423,28 @@ def test_iceberg_cdc_stream_with_delete_keys(spark, root, tmp_path):
         (0, "add", 2, "b"),
         (1, "delete_key", 2, None),
     ]
+
+
+def test_schema_evolution_append(spark, root):
+    t = IcebergTable.create(spark, root, spark.range(3).select(F.col("id").alias("k")))
+    with pytest.raises(ValueError, match="new columns"):
+        t.append(spark.range(2).select(F.col("id").alias("k"), F.lit("x").alias("tag")))
+    t.append(
+        spark.range(3, 5).select(F.col("id").alias("k"), F.lit("x").alias("tag")),
+        allow_evolution=True,
+    )
+    got = t.read()
+    assert [f.name for f in got.schema.fields] == ["k", "tag"]
+    assert got.where(F.col("tag").isNull()).count() == 3  # pre-evolution rows
+    assert got.where(F.col("tag") == "x").count() == 2
+    # old snapshot reads under ITS schema (no tag column)
+    assert [f.name for f in t.read(index=0).schema.fields] == ["k"]
+    # id-based evolution: the new column got a fresh field id
+    md = t.metadata()
+    assert md["last-column-id"] == 2
+    assert len(md["schemas"]) == 2
+    new_schema = next(s for s in md["schemas"] if s["schema-id"] == 1)
+    assert [(f["id"], f["name"]) for f in new_schema["fields"]] == [(1, "k"), (2, "tag")]
+    # appending WITHOUT the evolved column still aligns (nulls)
+    t.append(spark.range(9, 10).select(F.col("id").alias("k")))
+    assert t.read().where(F.col("tag").isNull()).count() == 4
