@@ -31,12 +31,16 @@ Differences from Delta that this module implements faithfully:
   layout, readable by pyiceberg/Spark-Iceberg's HadoopCatalog.
 
 Scope: identity partition transforms, primitive column types
-(long/int/string/double/float/boolean/binary), data content files plus v2
-EQUALITY DELETE files (merge-on-read: ``equality_delete`` writes key rows
-under a deletes manifest, readers anti-join data files with a strictly
-smaller sequence number — position deletes stay out of scope; copy-on-write
-row mutation lives in TxTable/Delta). Snapshots support time travel by
-snapshot id or chronological index.
+(long/int/string/double/float/boolean/binary), data content files plus BOTH
+v2 merge-on-read delete flavors: EQUALITY DELETE files (``equality_delete``
+writes key rows under a deletes manifest; readers anti-join data files with
+a strictly smaller sequence number) and POSITION DELETE files
+(``position_delete`` evaluates a predicate over the live snapshot and
+records (file_path, pos) pairs — row ordinals come from Spark's
+``_metadata.row_index``, so computing them is a distributed scan, not a
+driver loop; readers apply them to data files with sequence number <= the
+delete's). Copy-on-write row mutation lives in TxTable/Delta. Snapshots
+support time travel by snapshot id or chronological index.
 """
 
 from __future__ import annotations
@@ -403,9 +407,10 @@ class IcebergTable:
     def delete_entries(
         self, snapshot_id: int | None = None, index: int | None = None
     ) -> list[dict]:
-        """Equality-delete files live in a snapshot: [{data_file, seq,
-        equality_ids}] — applied on read to data files with a STRICTLY
-        SMALLER data sequence number (spec §scan-planning)."""
+        """Delete files live in a snapshot: [{data_file, seq, content,
+        equality_ids}]. ``content`` distinguishes the two v2 flavors —
+        1 = position deletes (applied to data files with seq <= delete seq),
+        2 = equality deletes (STRICTLY SMALLER seq; spec §scan-planning)."""
         snap = self._resolve_snapshot(snapshot_id, index)
         _, manifests = read_ocf(snap["manifest-list"].replace("file:", ""))
         out = []
@@ -420,6 +425,7 @@ class IcebergTable:
                     {
                         "data_file": e["data_file"],
                         "seq": e.get("sequence_number") or m["sequence_number"],
+                        "content": e["data_file"].get("content") or 0,
                         "equality_ids": e["data_file"].get("equality_ids") or [],
                     }
                 )
@@ -431,6 +437,7 @@ class IcebergTable:
         index: int | None = None,
         partition_filter: dict | None = None,
         bounds: dict | None = None,
+        with_positions: bool = False,
     ) -> DataFrame:
         """Snapshot read. Unpartitioned: ONE multi-path parquet scan.
         Identity-partitioned: partition values are CONSTANT per file by
@@ -438,56 +445,107 @@ class IcebergTable:
         tuples (grouped per tuple — bounded by partition count). This is
         the spec's migrated-table behavior and makes the reader correct
         for tables whose data files do NOT carry the partition columns
-        (e.g. Iceberg metadata generated over a Delta/hive layout)."""
+        (e.g. Iceberg metadata generated over a Delta/hive layout).
+
+        Merge-on-read: position deletes anti-join on (file_path, row
+        ordinal) from ``_metadata`` and apply to data files with seq <=
+        delete seq; equality deletes anti-join on key columns and apply
+        strictly to OLDER data files. ``with_positions`` additionally
+        exposes ``__ice_fp``/``__ice_pos`` columns (the normalized file
+        path and within-file row ordinal) — the input to
+        ``position_delete``."""
         schema = self.schema(snapshot_id, index)
         part_fields = self.partition_fields()
         entries, _ = self.files(snapshot_id, index, partition_filter, bounds)
         if not entries:
-            return self.spark.createDataFrame([], schema)
-        deletes = self.delete_entries(snapshot_id, index)
-        if deletes:
-            # merge-on-read: equality deletes apply to data files with a
-            # strictly smaller sequence number; group data files by seq
-            # (bounded by snapshot count), anti-join each group against the
-            # applicable delete keys, union
-            by_name = {f.name: f for f in schema.fields}
-            id_to_name = {
-                f["id"]: f["name"]
-                for s in self.metadata()["schemas"]
-                for f in s["fields"]
-            }
-            seqs = sorted({e["__seq"] for e in entries})
-            parts = []
-            for s in seqs:
-                sub = [e for e in entries if e["__seq"] == s]
-                df_s = self._read_data_entries(sub, schema, part_fields)
-                applicable = [d for d in deletes if d["seq"] > s]
-                # group delete files by their equality column set
-                by_cols: dict[tuple, list[str]] = {}
-                for d in applicable:
-                    cols = tuple(id_to_name[i] for i in d["equality_ids"])
-                    by_cols.setdefault(cols, []).append(
-                        d["data_file"]["file_path"].replace("file:", "")
-                    )
-                for cols, paths in sorted(by_cols.items()):
-                    key_schema = T.StructType([by_name[c] for c in cols])
-                    keys = self.spark.read.schema(key_schema).parquet(*paths)
-                    df_s = df_s.join(keys, list(cols), "left_anti")
-                parts.append(df_s)
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
+            out = self.spark.createDataFrame([], schema)
+            if with_positions:
+                out = out.withColumn("__ice_fp", F.lit(None).cast("string"))
+                out = out.withColumn("__ice_pos", F.lit(None).cast("long"))
             return out
-        return self._read_data_entries(entries, schema, part_fields)
+        deletes = self.delete_entries(snapshot_id, index)
+        pos_deletes = [d for d in deletes if d.get("content") == 1]
+        eq_deletes = [d for d in deletes if d.get("content") == 2]
+        need_pos = with_positions or bool(pos_deletes)
+        if not deletes:
+            return self._read_data_entries(
+                entries, schema, part_fields, with_positions=with_positions
+            )
+        # merge-on-read: group data files by seq (bounded by snapshot
+        # count), anti-join each group against the applicable delete files,
+        # union
+        by_name = {f.name: f for f in schema.fields}
+        id_to_name = {
+            f["id"]: f["name"]
+            for s in self.metadata()["schemas"]
+            for f in s["fields"]
+        }
+        seqs = sorted({e["__seq"] for e in entries})
+        parts = []
+        for s in seqs:
+            sub = [e for e in entries if e["__seq"] == s]
+            df_s = self._read_data_entries(
+                sub, schema, part_fields, with_positions=need_pos
+            )
+            pos_applicable = [d for d in pos_deletes if d["seq"] >= s]
+            if pos_applicable:
+                dpaths = sorted(
+                    {
+                        d["data_file"]["file_path"].replace("file:", "")
+                        for d in pos_applicable
+                    }
+                )
+                dead = (
+                    self.spark.read.schema("file_path string, pos long")
+                    .parquet(*dpaths)
+                    .withColumnRenamed("file_path", "__ice_fp")
+                    .withColumnRenamed("pos", "__ice_pos")
+                )
+                df_s = df_s.join(dead, ["__ice_fp", "__ice_pos"], "left_anti")
+            applicable = [d for d in eq_deletes if d["seq"] > s]
+            # group delete files by their equality column set
+            by_cols: dict[tuple, list[str]] = {}
+            for d in applicable:
+                cols = tuple(id_to_name[i] for i in d["equality_ids"])
+                by_cols.setdefault(cols, []).append(
+                    d["data_file"]["file_path"].replace("file:", "")
+                )
+            for cols, paths in sorted(by_cols.items()):
+                key_schema = T.StructType([by_name[c] for c in cols])
+                keys = self.spark.read.schema(key_schema).parquet(*paths)
+                df_s = df_s.join(keys, list(cols), "left_anti")
+            parts.append(df_s)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if need_pos and not with_positions:
+            out = out.drop("__ice_fp", "__ice_pos")
+        return out
 
     def _read_data_entries(
-        self, entries: list[dict], schema: T.StructType, part_fields: list[dict]
+        self,
+        entries: list[dict],
+        schema: T.StructType,
+        part_fields: list[dict],
+        with_positions: bool = False,
     ) -> DataFrame:
         if not entries:
             return self.spark.createDataFrame([], schema)
+        # (normalized file path, within-file row ordinal) from the parquet
+        # source's hidden _metadata struct — per-file constants/counters, so
+        # this costs nothing extra at scan time and never touches the driver
+        pos_cols = [
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "").alias(
+                "__ice_fp"
+            ),
+            F.col("_metadata.row_index").alias("__ice_pos"),
+        ]
         if not part_fields:
             paths = [e["file_path"].replace("file:", "") for e in entries]
-            return self.spark.read.schema(schema).parquet(*paths)
+            df = self.spark.read.schema(schema).parquet(*paths)
+            if with_positions:
+                df = df.select(*schema.fieldNames(), *pos_cols)
+            return df
         part_names = [pf["name"] for pf in part_fields]
         data_schema = T.StructType(
             [f for f in schema.fields if f.name not in part_names]
@@ -497,15 +555,22 @@ class IcebergTable:
         for e in entries:
             key = tuple(e["partition"].get(n) for n in part_names)
             groups.setdefault(key, []).append(e["file_path"].replace("file:", ""))
+        out_cols = list(schema.fieldNames())
         parts = []
         for key, paths in sorted(
             groups.items(), key=lambda kv: tuple("" if k is None else str(k) for k in kv[0])
         ):
             df = self.spark.read.schema(data_schema).parquet(*paths)
+            if with_positions:
+                df = df.select("*", *pos_cols)
             for n, v in zip(part_names, key):
                 lit = F.lit(None) if v is None else F.lit(v)
                 df = df.withColumn(n, lit.cast(by_name[n].dataType))
-            parts.append(df.select(schema.fieldNames()))
+            parts.append(
+                df.select(*out_cols, "__ice_fp", "__ice_pos")
+                if with_positions
+                else df.select(*out_cols)
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -937,6 +1002,81 @@ class IcebergTable:
             "lower_bounds": None,
             "upper_bounds": None,
             "equality_ids": eq_ids,
+        }
+        cur = self._resolve_snapshot(None, None)
+        _, prior = read_ocf(cur["manifest-list"].replace("file:", ""))
+        seq = md["last-sequence-number"] + 1
+        sid = self._new_snapshot_id()
+        # deletes manifest uses an UNPARTITIONED entry schema (partition {})
+        mrow = self._write_manifest([entry], sid, seq, [], content=1)
+        snap = self._commit_snapshot(prior + [mrow], "delete", md, sid)
+        md["snapshots"].append(snap)
+        md["current-snapshot-id"] = snap["snapshot-id"]
+        md["last-sequence-number"] = snap["sequence-number"]
+        md["last-updated-ms"] = snap["timestamp-ms"]
+        self._publish_metadata(md)
+        return {"snapshot_id": snap["snapshot-id"], "delete_rows": n_rows}
+
+    def position_delete(self, condition) -> dict:
+        """MERGE-ON-READ row deletes via v2 POSITION DELETE files: evaluate
+        ``condition`` (a Column or SQL string) over the LIVE snapshot read
+        with per-row (file_path, pos) identities and commit the matching
+        pairs as a parquet delete file under a deletes manifest
+        (manifest-list content=1, data_file.content=1, sorted by file_path
+        then pos as the spec requires).
+
+        The position computation is fully distributed: ``read(
+        with_positions=True)`` overlays ``_metadata.file_path`` /
+        ``_metadata.row_index`` at scan time, existing position+equality
+        deletes are applied first (so already-dead rows are never re-listed
+        and ``delete_rows`` counts are exact), and the predicate runs as an
+        ordinary Catalyst filter — no driver loop touches row data. Because
+        the pairs name concrete files, the delete's sequence number scopes
+        to data files with seq <= delete seq (spec §scan-planning): rows
+        appended AFTER the delete survive even if they match the predicate.
+        No data file is rewritten (compare TxTable/Delta copy-on-write
+        ``delete``; equality_delete is the key-oriented MoR twin)."""
+        md = self.metadata()
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        matches = (
+            self.read(with_positions=True)
+            .filter(condition)
+            .select(
+                F.col("__ice_fp").alias("file_path"),
+                F.col("__ice_pos").alias("pos"),
+            )
+            .orderBy("file_path", "pos")
+        )
+        os.makedirs(self.data_dir, exist_ok=True)
+        path = os.path.join(self.data_dir, f"posdel-{uuid.uuid4().hex}.parquet")
+        stage = os.path.join(self.root, f".stage_{uuid.uuid4().hex}")
+        matches.coalesce(1).write.mode("overwrite").parquet(stage)
+        import pyarrow.parquet as pq
+
+        moved = False
+        for dirpath, _dn, filenames in os.walk(stage):
+            for n in filenames:
+                if n.endswith(".parquet") and not moved:
+                    os.rename(os.path.join(dirpath, n), path)
+                    moved = True
+        shutil.rmtree(stage, ignore_errors=True)
+        if not moved:
+            return {"snapshot_id": None, "delete_rows": 0}
+        n_rows = pq.ParquetFile(path).metadata.num_rows
+        if n_rows == 0:
+            os.unlink(path)
+            return {"snapshot_id": None, "delete_rows": 0}
+        entry = {
+            "content": 1,  # position deletes
+            "file_path": path,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": n_rows,
+            "file_size_in_bytes": os.path.getsize(path),
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": None,
         }
         cur = self._resolve_snapshot(None, None)
         _, prior = read_ocf(cur["manifest-list"].replace("file:", ""))
@@ -1396,6 +1536,96 @@ def _mor_nation_table(spark: SparkSession, sf_dir: str) -> IcebergTable:
     )
     _MOR_CACHE[cache_key] = t
     return t
+
+
+_POS_CACHE: dict = {}
+
+
+def _pos_supplier_table(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """Position-delete demo, memoized per (session, sf_dir): supplier in 4
+    data files; MoR position-delete of negative balances; append three rows
+    (one with a negative balance — it survives: its file postdates the
+    delete); a second position delete by suppkey digit that spans BOTH the
+    original and the appended files."""
+    cache_key = (id(spark), sf_dir)
+    t = _POS_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.meta_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"ice_pos_{uuid.uuid4().hex[:8]}")
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long"),
+        "s_name",
+        F.col("s_nationkey").cast("long"),
+        F.col("s_acctbal").cast("double"),
+    )
+    t = IcebergTable.create(spark, root, sup.repartition(4, "s_suppkey"))
+    t.position_delete(F.col("s_acctbal") < 0)
+    t.append(
+        spark.createDataFrame(
+            [
+                (90001, "NEWSUP#1", 3, 1234.56),
+                (90002, "NEWSUP#2", 3, -500.0),
+                (90007, "NEWSUP#3", 5, 77.7),
+            ],
+            "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+        )
+    )
+    t.position_delete("s_suppkey % 10 = 7")
+    _POS_CACHE[cache_key] = t
+    return t
+
+
+_Q143_ORACLE = """
+WITH appended(s_suppkey, s_name, s_nationkey, s_acctbal) AS (
+  VALUES (90001, 'NEWSUP#1', 3, 1234.56),
+         (90002, 'NEWSUP#2', 3, -500.0),
+         (90007, 'NEWSUP#3', 5, 77.7)
+),
+live AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+         CAST(s_nationkey AS BIGINT) AS s_nationkey,
+         CAST(s_acctbal AS DOUBLE) AS s_acctbal
+  FROM supplier WHERE s_acctbal >= 0
+  UNION ALL
+  SELECT CAST(s_suppkey AS BIGINT), CAST(s_nationkey AS BIGINT),
+         CAST(s_acctbal AS DOUBLE)
+  FROM appended
+)
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_sup,
+       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM live
+WHERE s_suppkey % 10 <> 7
+GROUP BY s_nationkey
+"""
+
+
+@query("q143_iceberg_position_delete", oracle=_Q143_ORACLE)
+def q143_iceberg_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read POSITION deletes in the hashed contract: negative
+    balances are deleted by (file_path, row ordinal) pairs without
+    rewriting any data file; an appended batch including a NEGATIVE-balance
+    row survives that delete (its file postdates the delete's sequence
+    number); a second position delete then spans both old and new files.
+    Per-nation counts and exact-cents balance sums must equal the oracle's
+    declarative filter chain — so wrong row ordinals, wrong sequence-number
+    scoping, or re-deleting already-dead rows all become wrong answers.
+    Positions come from ``_metadata.row_index`` (distributed scan-time
+    counters), never a driver loop."""
+    t = _pos_supplier_table(spark, sf_dir)
+    out = (
+        t.read()
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_sup"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("bal_cents"),
+        )
+    )
+    return materialize(out)
 
 
 _Q139_ORACLE = """

@@ -48,6 +48,10 @@ class IceFilePartition(InputPartition):
     # equality-delete files applicable to THIS data file (strictly newer
     # sequence number): [(delete_file_path, [key_col, ...]), ...]
     deletes: list
+    # position-delete files applicable to THIS data file (seq >= the data
+    # file's): [delete_file_path, ...] — applied FIRST, because pos values
+    # are row ordinals of the ORIGINAL file
+    pos_deletes: list
 
 
 class IcebergLiteReader(DataSourceReader):
@@ -88,6 +92,8 @@ class IcebergLiteReader(DataSourceReader):
             f["id"]: f["name"] for s in md["schemas"] for f in s["fields"]
         }
         dels = self._t.delete_entries(index=self.index)
+        eq_dels = [d for d in dels if d.get("content") == 2]
+        pos_dels = [d for d in dels if d.get("content") == 1]
         out = []
         for e in entries:
             applicable = [
@@ -95,8 +101,13 @@ class IcebergLiteReader(DataSourceReader):
                     d["data_file"]["file_path"].replace("file:", ""),
                     [id_to_name[i] for i in d["equality_ids"]],
                 )
-                for d in dels
+                for d in eq_dels
                 if d["seq"] > e["__seq"]
+            ]
+            pos_applicable = [
+                d["data_file"]["file_path"].replace("file:", "")
+                for d in pos_dels
+                if d["seq"] >= e["__seq"]
             ]
             out.append(
                 IceFilePartition(
@@ -105,6 +116,7 @@ class IcebergLiteReader(DataSourceReader):
                     schema_json,
                     part_cols,
                     applicable,
+                    pos_applicable,
                 )
             )
         return out
@@ -117,9 +129,33 @@ class IcebergLiteReader(DataSourceReader):
 
         st = StructType.fromJson(json.loads(partition.schema_json))
         tbl = pq.read_table(partition.path)
-        # merge-on-read: apply this file's equality deletes executor-side
-        # (pandas anti-join per delete key-set; delete files are metadata-
-        # sized relative to data)
+        # merge-on-read step 1: position deletes FIRST — their pos values
+        # are ordinals of the original file, so they must mask before any
+        # equality filter renumbers rows
+        if partition.pos_deletes and tbl.num_rows:
+            def _norm(p: str) -> str:
+                for pre in ("file://", "file:"):
+                    if p.startswith(pre):
+                        return p[len(pre):]
+                return p
+
+            me = _norm(partition.path)
+            dead_pos: set = set()
+            for dpath in partition.pos_deletes:
+                dt = pq.read_table(dpath, columns=["file_path", "pos"])
+                fps = dt.column("file_path").to_pylist()
+                poss = dt.column("pos").to_pylist()
+                dead_pos.update(
+                    p for fp, p in zip(fps, poss) if _norm(fp) == me
+                )
+            if dead_pos:
+                mask = pa.array(
+                    [i not in dead_pos for i in range(tbl.num_rows)]
+                )
+                tbl = tbl.filter(mask)
+        # merge-on-read step 2: apply this file's equality deletes executor-
+        # side (pandas anti-join per delete key-set; delete files are
+        # metadata-sized relative to data)
         for dpath, key_cols in partition.deletes:
             if tbl.num_rows == 0:
                 break

@@ -2,7 +2,7 @@
 ``delta_stream_source``: ``spark.readStream.format("iceberg_cdc")
 .load(<table root>)`` emits one row per data-file row entering or leaving
 each snapshot, tagged (snapshot_idx, change_type ∈ {'add', 'remove',
-'delete_key'}).
+'delete_key', 'delete_row'}).
 
 Offsets are CHRONOLOGICAL SNAPSHOT INDEXES (snapshots ordered by sequence
 number): a committed micro-batch covers an exact snapshot range, so
@@ -15,6 +15,10 @@ snapshots' live file sets — O(changed files) when manifests are reused
 Equality-delete files new in a snapshot surface as ``delete_key`` rows
 carrying the key columns (other columns null) — the downstream
 materializer applies them as retractions, the Flink-CDC consumption shape.
+Position-delete files surface as ``delete_row`` rows carrying the FULL
+deleted row (reconstructed by taking the listed ordinals from the
+referenced data files) — positions name concrete rows, so the feed can be
+exact where equality can only be key-scoped.
 
 Scale: SimpleDataSourceStreamReader reads driver-side BY DESIGN (same note
 as the delta/txtable sources); the partition-planned production flavor
@@ -62,11 +66,13 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
     def _n_snapshots(self) -> int:
         return len(self._t.snapshots())
 
-    def _rows_of_data_file(self, entry: dict):
+    def _rows_of_data_file(self, entry: dict, positions: list[int] | None = None):
         import pyarrow.parquet as pq
 
         fields, part_cols = self._schema_fields()
         tbl = pq.read_table(entry["file_path"].replace("file:", ""))
+        if positions is not None:
+            tbl = tbl.take(sorted(positions))
         names = set(tbl.column_names)
         n = tbl.num_rows
         cols = []
@@ -78,6 +84,28 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
             else:
                 cols.append([None] * n)
         return zip(*cols) if cols else iter(())
+
+    def _rows_of_position_delete(self, d: dict, cur: dict):
+        """Reconstruct the ACTUAL deleted rows of a position-delete file:
+        read its (file_path, pos) pairs, then take those ordinals from each
+        referenced live data file — richer CDC than equality's key-only
+        retraction, possible because positions name concrete rows."""
+        import pyarrow.parquet as pq
+
+        dt = pq.read_table(
+            d["data_file"]["file_path"].replace("file:", ""),
+            columns=["file_path", "pos"],
+        )
+        by_file: dict[str, list[int]] = {}
+        for fp, p in zip(
+            dt.column("file_path").to_pylist(), dt.column("pos").to_pylist()
+        ):
+            by_file.setdefault(fp.replace("file:", ""), []).append(p)
+        for fp in sorted(by_file):
+            entry = cur.get(fp)
+            if entry is None:
+                continue  # file left the snapshot in the same commit
+            yield from self._rows_of_data_file(entry, positions=by_file[fp])
 
     def _rows_of_delete_file(self, d: dict):
         import pyarrow.parquet as pq
@@ -118,8 +146,12 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
             ):
                 if d["data_file"]["file_path"] in prev_dels:
                     continue
-                for row in self._rows_of_delete_file(d):
-                    yield (*row, idx, "delete_key")
+                if d.get("content") == 1:  # position delete: full rows
+                    for row in self._rows_of_position_delete(d, cur):
+                        yield (*row, idx, "delete_row")
+                else:  # equality delete: key columns only
+                    for row in self._rows_of_delete_file(d):
+                        yield (*row, idx, "delete_key")
 
     def initialOffset(self) -> dict:
         return {"index": -1}

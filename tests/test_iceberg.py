@@ -448,3 +448,135 @@ def test_schema_evolution_append(spark, root):
     # appending WITHOUT the evolved column still aligns (nulls)
     t.append(spark.range(9, 10).select(F.col("id").alias("k")))
     assert t.read().where(F.col("tag").isNull()).count() == 4
+
+
+def test_position_delete_merge_on_read(spark, root):
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", i * 10) for i in range(10)], "k long, part string, v long"
+    )
+    t = IcebergTable.create(spark, root, df.repartition(3, "k"))
+    res = t.position_delete(F.col("k") % 3 == 0)  # kills k in {0, 3, 6, 9}
+    assert res["delete_rows"] == 4
+    got = t.read()
+    assert got.count() == 6
+    assert got.where(F.col("k") % 3 == 0).count() == 0
+    # merge-on-read: no data file was rewritten
+    entries, _ = t.files()
+    assert {e["file_path"] for e in entries} == {
+        e["file_path"] for e in t.files(index=0)[0]
+    }
+    # time travel: the pre-delete snapshot still has every row
+    assert t.read(index=0).count() == 10
+    # the delete file is sorted by (file_path, pos) as the spec requires
+    d = [e for e in t.delete_entries() if e["content"] == 1][0]
+    dt = pq.read_table(d["data_file"]["file_path"])
+    pairs = list(zip(dt.column("file_path").to_pylist(), dt.column("pos").to_pylist()))
+    assert pairs == sorted(pairs)
+    # re-running the same predicate is a NO-OP: already-dead rows are never
+    # re-listed (the position computation reads the LIVE view first)
+    n_snaps = len(t.snapshots())
+    res2 = t.position_delete(F.col("k") % 3 == 0)
+    assert res2 == {"snapshot_id": None, "delete_rows": 0}
+    assert len(t.snapshots()) == n_snaps
+    # sequence scoping: rows appended AFTER the delete survive even when
+    # they match the predicate (their file postdates the delete)
+    t.append(spark.createDataFrame([(33, "p1", 999)], "k long, part string, v long"))
+    got2 = t.read()
+    assert got2.where(F.col("k") == 33).count() == 1
+    assert got2.count() == 7
+    # a second position delete evaluates over the live view spanning BOTH
+    # old and new files
+    res3 = t.position_delete("v >= 70")  # k=7 (70), k=8 (80), k=33 (999)
+    assert res3["delete_rows"] == 3
+    got3 = t.read()
+    assert _rows(got3.select("k")) == [(1,), (2,), (4,), (5,)]
+
+
+def test_position_delete_partitioned_overlay(spark, root):
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}", float(i)) for i in range(12)], "k long, part string, x double"
+    )
+    t = IcebergTable.create(spark, root, df.coalesce(1), partition_by=["part"])
+    # predicate references the PARTITION column: positions must be computed
+    # over the overlay read (partition values come from manifest tuples)
+    res = t.position_delete((F.col("part") == "p1") & (F.col("k") < 6))
+    assert res["delete_rows"] == 2  # k=1, k=4
+    got = t.read()
+    assert got.count() == 10
+    assert got.where((F.col("part") == "p1") & (F.col("k") < 6)).count() == 0
+    # with_positions exposes per-row file/ordinal identity
+    wp = t.read(with_positions=True)
+    assert {"__ice_fp", "__ice_pos"} <= set(wp.columns)
+    assert wp.where(F.col("__ice_fp").isNull() | F.col("__ice_pos").isNull()).count() == 0
+
+
+def test_position_and_equality_deletes_compose_and_lite_source_agrees(spark, root):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+        IcebergLiteDataSource,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", i * 10) for i in range(10)], "k long, part string, v long"
+    )
+    t = IcebergTable.create(spark, root, df.repartition(2, "k"), partition_by=["part"])
+    t.position_delete(F.col("k").isin(1, 2))
+    t.equality_delete(spark.createDataFrame([(5,), (6,)], "k long"))
+    t.append(spark.createDataFrame([(5, "p1", 555)], "k long, part string, v long"))
+    t.position_delete(F.col("v") == 90)  # k=9
+    got = t.read()
+    # dead: 1,2 (pos), 5,6 (eq), 9 (pos); resurrected: 5 (newer file)
+    assert _rows(got.select("k", "v")) == [
+        (0, 0),
+        (3, 30),
+        (4, 40),
+        (5, 555),
+        (7, 70),
+        (8, 80),
+    ]
+    try:
+        spark.dataSource.register(IcebergLiteDataSource)
+    except Exception:
+        pass
+    via_source = spark.read.format("iceberg_lite").load(root)
+    assert sorted(tuple(r) for r in via_source.collect()) == sorted(
+        tuple(r) for r in got.collect()
+    )
+
+
+def test_iceberg_cdc_position_delete_emits_full_rows(spark, root, tmp_path):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_stream_source import (
+        IcebergCdcDataSource,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, tag string")
+    t = IcebergTable.create(spark, root, df.coalesce(1))
+    t.position_delete(F.col("k") == 2)
+    try:
+        spark.dataSource.register(IcebergCdcDataSource)
+    except Exception:
+        pass
+    sink = os.path.join(str(tmp_path), "sink")
+    q = (
+        spark.readStream.format("iceberg_cdc")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    got = sorted(
+        (r["snapshot_idx"], r["change_type"], r["k"], r["tag"]) for r in feed.collect()
+    )
+    # position deletes retract the FULL row (tag carried), not just a key
+    assert got == [
+        (0, "add", 1, "a"),
+        (0, "add", 2, "b"),
+        (0, "add", 3, "c"),
+        (1, "delete_row", 2, "b"),
+    ]
