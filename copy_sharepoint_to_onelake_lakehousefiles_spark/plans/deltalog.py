@@ -58,6 +58,7 @@ from pyspark.sql import types as T
 
 from ..registry import materialize, query
 from ..tables import load
+from .roaring import deserialize_rba, read_dv_blob, serialize_rba, write_dv_file
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
@@ -304,35 +305,111 @@ class DeltaTable:
         adds = self.files(version, partition_filter, bounds)
         return self._read_entries(adds, full_schema, part_cols)
 
+    def _dv_dead_pairs(self, dv_adds: list[dict]) -> DataFrame:
+        """Distributed decode of the deletion vectors referenced by
+        ``dv_adds`` into a (file, row ordinal) DataFrame: one descriptor row
+        per DV'd file ships to executors, which decode the Roaring bitmaps
+        there (mapInPandas) — dead-row volume scales with data, so it never
+        funnels through the driver."""
+        rows = []
+        for a in dv_adds:
+            d = a["deletionVector"]
+            rows.append(
+                (
+                    os.path.abspath(self._abs_path(a["path"])),
+                    d["pathOrInlineDv"],
+                    int(d["offset"]),
+                    int(d["sizeInBytes"]),
+                )
+            )
+        desc = self.spark.createDataFrame(
+            rows, "__dv_fp string, dv_path string, dv_off long, dv_size long"
+        )
+
+        def decode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                fps: list[str] = []
+                poss: list[int] = []
+                for fp, dp, off, size in zip(
+                    pdf["__dv_fp"], pdf["dv_path"], pdf["dv_off"], pdf["dv_size"]
+                ):
+                    vals = deserialize_rba(read_dv_blob(dp, int(off), int(size)))
+                    fps.extend([fp] * len(vals))
+                    poss.extend(vals)
+                yield pd.DataFrame(
+                    {"__dv_fp": fps, "__dv_pos": pd.Series(poss, dtype="int64")}
+                )
+
+        return desc.mapInPandas(decode, "__dv_fp string, __dv_pos long")
+
     def _read_entries(
-        self, adds: list[dict], full_schema: T.StructType, part_cols: list[str]
+        self,
+        adds: list[dict],
+        full_schema: T.StructType,
+        part_cols: list[str],
+        with_identity: bool = False,
     ) -> DataFrame:
+        """Union of the given add-actions' rows. Files carrying a
+        ``deletionVector`` are masked merge-on-read: each scan attaches the
+        parquet source's hidden per-row identity (``_metadata.file_path`` /
+        ``row_index``) and a single left_anti join against the decoded DV
+        pairs removes the dead rows — distributed end to end. With
+        ``with_identity`` the (file, ordinal) columns ``__dv_fp`` /
+        ``__dv_pos`` stay on the output (the input to ``delete_vectors``)."""
         data_schema = T.StructType([f for f in full_schema.fields if f.name not in part_cols])
         if not adds:
-            return self.spark.createDataFrame([], full_schema)
+            out = self.spark.createDataFrame([], full_schema)
+            if with_identity:
+                out = out.withColumn("__dv_fp", F.lit(None).cast("string"))
+                out = out.withColumn("__dv_pos", F.lit(None).cast("long"))
+            return out
+        dv_adds = [a for a in adds if a.get("deletionVector")]
+        need_id = with_identity or bool(dv_adds)
+        ident = [
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "").alias(
+                "__dv_fp"
+            ),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        ]
+        out_cols = [f.name for f in full_schema.fields]
+        if need_id:
+            out_cols = out_cols + ["__dv_fp", "__dv_pos"]
         if not part_cols:
             paths = [self._abs_path(a["path"]) for a in adds]
-            return self.spark.read.schema(data_schema).parquet(*paths)
-        groups: dict[tuple, list[str]] = {}
-        for a in adds:
-            pv = a.get("partitionValues") or {}
-            key = tuple(pv.get(c) for c in part_cols)
-            groups.setdefault(key, []).append(self._abs_path(a["path"]))
-        by_name = {f.name: f for f in full_schema.fields}
-        parts = []
-        for key, paths in sorted(
-            groups.items(), key=lambda kv: tuple("" if k is None else str(k) for k in kv[0])
-        ):
-            df = self.spark.read.schema(data_schema).parquet(*paths)
-            for c, raw in zip(part_cols, key):
-                # Delta serializes partition values as strings (null = JSON
-                # null); cast back to the declared type on read
-                lit = F.lit(None) if raw is None else F.lit(raw)
-                df = df.withColumn(c, lit.cast(by_name[c].dataType))
-            parts.append(df.select([f.name for f in full_schema.fields]))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+            out = self.spark.read.schema(data_schema).parquet(*paths)
+            if need_id:
+                out = out.select(*data_schema.fieldNames(), *ident)
+        else:
+            groups: dict[tuple, list[str]] = {}
+            for a in adds:
+                pv = a.get("partitionValues") or {}
+                key = tuple(pv.get(c) for c in part_cols)
+                groups.setdefault(key, []).append(self._abs_path(a["path"]))
+            by_name = {f.name: f for f in full_schema.fields}
+            parts = []
+            for key, paths in sorted(
+                groups.items(), key=lambda kv: tuple("" if k is None else str(k) for k in kv[0])
+            ):
+                df = self.spark.read.schema(data_schema).parquet(*paths)
+                if need_id:
+                    df = df.select("*", *ident)
+                for c, raw in zip(part_cols, key):
+                    # Delta serializes partition values as strings (null =
+                    # JSON null); cast back to the declared type on read
+                    lit = F.lit(None) if raw is None else F.lit(raw)
+                    df = df.withColumn(c, lit.cast(by_name[c].dataType))
+                parts.append(df.select(out_cols))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if dv_adds:
+            out = out.join(
+                self._dv_dead_pairs(dv_adds), ["__dv_fp", "__dv_pos"], "left_anti"
+            )
+        if need_id and not with_identity:
+            out = out.drop("__dv_fp", "__dv_pos")
         return out
 
     # -------------------------------------------------------------- write
@@ -386,6 +463,7 @@ class DeltaTable:
                         "modificationTime": a.get("modificationTime", 0),
                         "dataChange": False,
                         "stats": a.get("stats"),
+                        "deletionVector": a.get("deletionVector"),
                     },
                     "metaData": None,
                     "protocol": None,
@@ -403,6 +481,18 @@ class DeltaTable:
                             ("modificationTime", pa.int64()),
                             ("dataChange", pa.bool_()),
                             ("stats", pa.string()),
+                            (
+                                "deletionVector",
+                                pa.struct(
+                                    [
+                                        ("storageType", pa.string()),
+                                        ("pathOrInlineDv", pa.string()),
+                                        ("offset", pa.int64()),
+                                        ("sizeInBytes", pa.int64()),
+                                        ("cardinality", pa.int64()),
+                                    ]
+                                ),
+                            ),
                         ]
                     ),
                 ),
@@ -633,7 +723,7 @@ class DeltaTable:
 
 
     def _remove_action(self, a: dict, now_ms: int) -> dict:
-        return {
+        out = {
             "remove": {
                 "path": a["path"],
                 "deletionTimestamp": now_ms,
@@ -641,6 +731,11 @@ class DeltaTable:
                 "partitionValues": a.get("partitionValues") or {},
             }
         }
+        if a.get("deletionVector"):
+            # the spec carries the removed file's DV so change-feed readers
+            # can reconstruct which rows were live before this commit
+            out["remove"]["deletionVector"] = a["deletionVector"]
+        return out
 
     def merge(self, updates: DataFrame, key: str, txn: tuple[str, int] | None = None) -> dict:
         """Copy-on-write MERGE (upsert) by ``key``: files whose stats range
@@ -733,8 +828,11 @@ class DeltaTable:
 
     def delete(self, predicate: str) -> dict:
         """DELETE WHERE predicate, copy-on-write: only files that actually
-        contain matching rows are rewritten (located via input_file_name on
-        a predicate-only scan); everything else is carried by reference."""
+        contain matching rows are rewritten (located via the scan-time file
+        identity column — computed at the source, so it survives the
+        deletion-vector anti-join, unlike input_file_name); everything else
+        is carried by reference. Files with DVs are read merge-on-read, so
+        the rewrite never resurrects DV-dead rows and drops the DV."""
         schema = self.schema()
         part_cols = self.partition_columns()
         adds = self.files()
@@ -743,17 +841,16 @@ class DeltaTable:
         v = self.latest_version() + 1
         actions: list[dict] = [self._commit_info("DELETE")]
         # per-partition-group scan so partition columns participate in the
-        # predicate; input_file_name survives the literal overlay
-        full = self._read_entries(adds, schema, part_cols).withColumn(
-            "__file", F.input_file_name()
-        )
+        # predicate; __dv_fp is evaluated at the parquet source
+        full = self._read_entries(adds, schema, part_cols, with_identity=True)
         hit_files = [
             # bounded: one distinct row per file containing matches
-            r["__file"] for r in full.where(predicate).select("__file").distinct().collect()
+            r["__dv_fp"]
+            for r in full.where(predicate).select("__dv_fp").distinct().collect()
         ]
         hit = []
         for p in hit_files:
-            p2 = os.path.abspath(p[len("file:"):] if p.startswith("file:") else p)
+            p2 = os.path.abspath(p)
             if p2 in by_abs:
                 hit.append(by_abs[p2])
         if not hit:
@@ -767,6 +864,85 @@ class DeltaTable:
         actions.extend({"add": a} for a in new_adds)
         self._publish(v, actions)
         return {"deleted": deleted, "files_rewritten": len(hit)}
+
+    def delete_vectors(self, predicate: str) -> dict:
+        """DELETE WHERE predicate, MERGE-ON-READ via DELETION VECTORS: no
+        data file is rewritten — matching rows' ordinals are recorded as
+        Roaring bitmaps in a deletion-vector file (``plans/roaring.py``,
+        the public Delta DV format: RoaringBitmapArray portable bytes,
+        version-1 DV file layout, descriptor {storageType "p" absolute
+        path, offset, sizeInBytes, cardinality}), and each touched file is
+        re-added with its descriptor in ONE atomic commit (remove+add of
+        the same path, the spec's DV-update shape).
+
+        The position computation mirrors Iceberg's ``position_delete``:
+        ``_read_entries(..., with_identity=True)`` attaches
+        ``_metadata.file_path``/``row_index`` at scan time and applies
+        EXISTING DVs first, so already-dead rows are never re-listed and a
+        repeated predicate is a no-op. A touched file's new DV is the union
+        of its old DV and the new positions (descriptors always describe
+        the full dead set — readers apply exactly one DV per file). Driver
+        traffic is one (ordinal list per touched file) collect — bounded by
+        rows DELETED THIS COMMIT plus touched files' prior cardinalities,
+        never by table size; Delta's own DV writer makes the same trade.
+        Copy-on-write paths (merge/delete/compact) read through
+        ``_read_entries`` and therefore honor DVs; ``compact()`` rewrites
+        purge them (the OPTIMIZE/PURGE behavior)."""
+        schema = self.schema()
+        part_cols = self.partition_columns()
+        adds = self.files()
+        by_abs = {os.path.abspath(self._abs_path(a["path"])): a for a in adds}
+        v = self.latest_version() + 1
+        full = self._read_entries(adds, schema, part_cols, with_identity=True)
+        matched = (
+            full.where(predicate)
+            .groupBy("__dv_fp")
+            .agg(F.sort_array(F.collect_list("__dv_pos")).alias("poss"))
+        )
+        # bounded: one row per touched file; ordinal payload scales with
+        # rows deleted by THIS predicate, not with the table
+        per_file = {r["__dv_fp"]: list(r["poss"]) for r in matched.collect()}
+        if not per_file:
+            self._publish(v, [self._commit_info("DELETE")])
+            return {"deleted": 0, "files_updated": 0}
+        dv_dir = os.path.join(self.root, "_dv")
+        os.makedirs(dv_dir, exist_ok=True)
+        new_deleted = sum(len(p) for p in per_file.values())
+        blobs, metas = [], []
+        for fp in sorted(per_file):
+            a = by_abs[fp]
+            old: list[int] = []
+            d = a.get("deletionVector")
+            if d:
+                old = deserialize_rba(
+                    read_dv_blob(d["pathOrInlineDv"], int(d["offset"]), int(d["sizeInBytes"]))
+                )
+            vals = sorted(set(old) | set(per_file[fp]))
+            blobs.append(serialize_rba(vals))
+            metas.append((a, len(vals)))
+        dv_path = os.path.join(dv_dir, f"deletion_vector_{uuid.uuid4().hex}.bin")
+        spans = write_dv_file(dv_path, blobs)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [self._commit_info("DELETE")]
+        for (a, card), (off, size) in zip(metas, spans):
+            actions.append(self._remove_action(a, now_ms))
+        for (a, card), (off, size) in zip(metas, spans):
+            na = dict(a)
+            na["dataChange"] = True
+            na["deletionVector"] = {
+                "storageType": "p",
+                "pathOrInlineDv": dv_path,
+                "offset": off,
+                "sizeInBytes": size,
+                "cardinality": card,
+            }
+            actions.append({"add": na})
+        self._publish(v, actions)
+        return {
+            "deleted": new_deleted,
+            "files_updated": len(per_file),
+            "dv_path": dv_path,
+        }
 
     def compact(self, target_files: int = 1) -> dict:
         """OPTIMIZE-style small-file compaction: rewrite each partition's
@@ -819,12 +995,16 @@ class DeltaTable:
         for v in keep_vs:
             for a in self.files(v):
                 live.add(os.path.abspath(self._abs_path(a["path"])))
+                d = a.get("deletionVector")
+                if d and d.get("storageType") == "p":
+                    # a live file's deletion vector is part of the snapshot
+                    live.add(os.path.abspath(d["pathOrInlineDv"]))
         removed = []
         now = time.time()
         for dirpath, dirnames, filenames in os.walk(self.root):
             dirnames[:] = [d for d in dirnames if d != "_delta_log" and not d.startswith(".stage_")]
             for n in filenames:
-                if not n.endswith(".parquet"):
+                if not (n.endswith(".parquet") or n.endswith(".bin")):
                     continue
                 p = os.path.abspath(os.path.join(dirpath, n))
                 if p in live:
@@ -1268,6 +1448,94 @@ def _merged_delta_nation(spark: SparkSession, sf_dir: str) -> DeltaTable:
     t.merge(spark.createDataFrame(_MERGE_ROWS, _MERGE_DDL), key="n_nationkey")
     _MERGED_CACHE[cache_key] = t
     return t
+
+
+_DV_CACHE: dict = {}
+
+
+def _dv_customer_table(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """Deletion-vector demo, memoized per (session, sf_dir): customer in 4
+    data files; DV-delete of negative balances (no file rewritten); append
+    three rows (one with a negative balance — it survives: its file carries
+    no DV); a second DV-delete by custkey digit spanning old and new files;
+    then a copy-on-write DELETE on top, whose rewrite must apply the DVs."""
+    cache_key = (id(spark), sf_dir)
+    t = _DV_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.log_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"delta_dv_{uuid.uuid4().hex[:8]}")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long"),
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double"),
+    )
+    t = DeltaTable.create(spark, root, cust.repartition(4, "c_custkey"))
+    t.delete_vectors("c_acctbal < 0")
+    t.append(
+        spark.createDataFrame(
+            [
+                (900001, "BUILDING", 1234.56),
+                (900002, "MACHINERY", -500.0),
+                (900007, "BUILDING", 77.7),
+            ],
+            "c_custkey long, c_mktsegment string, c_acctbal double",
+        )
+    )
+    t.delete_vectors("c_custkey % 10 = 7")
+    t.delete("c_mktsegment = 'FURNITURE'")
+    _DV_CACHE[cache_key] = t
+    return t
+
+
+_Q144_ORACLE = """
+WITH appended(c_custkey, c_mktsegment, c_acctbal) AS (
+  VALUES (900001, 'BUILDING', 1234.56),
+         (900002, 'MACHINERY', -500.0),
+         (900007, 'BUILDING', 77.7)
+),
+live AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+         CAST(c_acctbal AS DOUBLE) AS c_acctbal
+  FROM customer WHERE c_acctbal >= 0
+  UNION ALL
+  SELECT CAST(c_custkey AS BIGINT), c_mktsegment, CAST(c_acctbal AS DOUBLE)
+  FROM appended
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM live
+WHERE c_custkey % 10 <> 7 AND c_mktsegment <> 'FURNITURE'
+GROUP BY c_mktsegment
+"""
+
+
+@query("q144_delta_deletion_vectors", oracle=_Q144_ORACLE)
+def q144_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETION VECTORS in the hashed contract (the Delta twin of
+    q143's Iceberg position deletes): negative balances die by Roaring-
+    bitmap row ordinals with no file rewritten; an appended NEGATIVE-
+    balance row survives that delete (its file carries no DV); a second
+    DV-delete spans old and new files and must union into the existing
+    DVs without re-listing dead rows; finally a copy-on-write DELETE
+    rewrites touched files and must apply their DVs or deleted rows
+    resurrect. Per-segment counts and exact-cents balances against the
+    oracle's declarative filter chain make any of those failure modes a
+    wrong answer."""
+    t = _dv_customer_table(spark, sf_dir)
+    out = (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("bal_cents"),
+        )
+    )
+    return materialize(out)
 
 
 @query(

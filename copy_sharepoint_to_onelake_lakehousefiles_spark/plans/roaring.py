@@ -1,0 +1,189 @@
+"""From-scratch Roaring bitmap serialization for Delta deletion vectors.
+
+Implements, from the PUBLIC specs only (no roaring/delta libraries in the
+container):
+
+- The standard 32-bit Roaring bitmap "portable" serialization
+  (github.com/RoaringBitmap/RoaringFormatSpec): WRITES the
+  no-run-container flavor (cookie 12346) with array / bitmap containers;
+  READS both flavors including run containers (cookie 12347), so
+  foreign-written bitmaps still load.
+- Delta's 64-bit ``RoaringBitmapArray`` "portable" wrapper
+  (delta.io PROTOCOL.md, Deletion Vector Format): magic 1681511377 (LE),
+  u64 bitmap count, then per bitmap a u32 key (the high 32 bits) followed
+  by the standard 32-bit portable serialization, keys ascending.
+- The on-disk deletion-vector FILE layout (PROTOCOL.md, Deletion Vector
+  File Storage Format): a 1-byte format version (1), then each DV stored
+  as [i32 big-endian size][size bytes of magic+bitmap-array data]
+  [i32 big-endian CRC-32 of those bytes]; a descriptor's ``offset`` points
+  at the size field, ``sizeInBytes`` counts only the data bytes.
+
+All functions are pure bytes<->ints; Spark never sees this module except
+through ``deltalog``'s deletion-vector read/write paths. (Reference
+analogue: none — the notebook has no delete concept at all; this serves
+SURVEY §2.2's transactional-lakehouse tier.)
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+SERIAL_COOKIE_NO_RUNCONTAINER = 12346
+SERIAL_COOKIE = 12347
+NO_OFFSET_THRESHOLD = 4
+_ARRAY_MAX = 4096
+RBA_MAGIC = 1681511377
+
+
+def serialize_roaring32(values) -> bytes:
+    """Portable no-run serialization of a set of u32 values: containers
+    keyed by the high 16 bits; each container is a sorted u16 array when
+    its cardinality is <= 4096, else an 8 KiB bitset."""
+    vals = sorted(set(values))
+    if any(v < 0 or v > 0xFFFFFFFF for v in vals):
+        raise ValueError("roaring32 values must be u32")
+    containers: dict[int, list[int]] = {}
+    for v in vals:
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    out = bytearray()
+    out += struct.pack("<II", SERIAL_COOKIE_NO_RUNCONTAINER, len(keys))
+    for k in keys:
+        out += struct.pack("<HH", k, len(containers[k]) - 1)
+    # offsets: byte position of each container's payload from stream start
+    header_len = 8 + 4 * len(keys) + 4 * len(keys)
+    payloads = []
+    for k in keys:
+        lows = containers[k]
+        if len(lows) <= _ARRAY_MAX:
+            payloads.append(struct.pack(f"<{len(lows)}H", *lows))
+        else:
+            bits = bytearray(8192)
+            for low in lows:
+                bits[low >> 3] |= 1 << (low & 7)
+            payloads.append(bytes(bits))
+    pos = header_len
+    for p in payloads:
+        out += struct.pack("<I", pos)
+        pos += len(p)
+    for p in payloads:
+        out += p
+    return bytes(out)
+
+
+def deserialize_roaring32(buf: bytes, base: int = 0) -> tuple[list[int], int]:
+    """Parse one portable 32-bit roaring bitmap starting at ``base``;
+    returns (sorted values, bytes consumed). Handles both cookies,
+    including run containers."""
+    (cookie32,) = struct.unpack_from("<I", buf, base)
+    cookie = cookie32 & 0xFFFF
+    if cookie == SERIAL_COOKIE_NO_RUNCONTAINER:
+        (size,) = struct.unpack_from("<I", buf, base + 4)
+        pos = base + 8
+        has_run = [False] * size
+    elif cookie == SERIAL_COOKIE:
+        size = (cookie32 >> 16) + 1
+        pos = base + 4
+        nbytes = (size + 7) // 8
+        runbits = buf[pos : pos + nbytes]
+        pos += nbytes
+        has_run = [bool(runbits[i >> 3] & (1 << (i & 7))) for i in range(size)]
+    else:
+        raise ValueError(f"not a portable roaring bitmap (cookie {cookie})")
+    descs = []
+    for _ in range(size):
+        k, cm1 = struct.unpack_from("<HH", buf, pos)
+        descs.append((k, cm1 + 1))
+        pos += 4
+    if cookie == SERIAL_COOKIE_NO_RUNCONTAINER or size >= NO_OFFSET_THRESHOLD:
+        pos += 4 * size  # offsets (recomputable; we read sequentially)
+    out: list[int] = []
+    for i, (k, card) in enumerate(descs):
+        hi = k << 16
+        if has_run[i]:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, extra = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                out.extend(hi | v for v in range(start, start + extra + 1))
+        elif card <= _ARRAY_MAX:
+            lows = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            out.extend(hi | v for v in lows)
+        else:
+            bits = buf[pos : pos + 8192]
+            pos += 8192
+            out.extend(
+                hi | (byte_i << 3 | bit)
+                for byte_i, b in enumerate(bits)
+                if b
+                for bit in range(8)
+                if b & (1 << bit)
+            )
+    return out, pos - base
+
+
+def serialize_rba(values) -> bytes:
+    """Delta RoaringBitmapArray portable serialization of a set of u64
+    values (magic + u64 count + per-bitmap u32 key + 32-bit portable)."""
+    vals = sorted(set(values))
+    if any(v < 0 for v in vals):
+        raise ValueError("positions must be non-negative")
+    by_key: dict[int, list[int]] = {}
+    for v in vals:
+        by_key.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    out = bytearray(struct.pack("<iQ", RBA_MAGIC, len(by_key)))
+    for k in sorted(by_key):
+        out += struct.pack("<I", k)
+        out += serialize_roaring32(by_key[k])
+    return bytes(out)
+
+
+def deserialize_rba(buf: bytes) -> list[int]:
+    magic, n = struct.unpack_from("<iQ", buf, 0)
+    if magic != RBA_MAGIC:
+        raise ValueError(f"bad RoaringBitmapArray magic {magic}")
+    pos = 12
+    out: list[int] = []
+    for _ in range(n):
+        (key,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        vals, used = deserialize_roaring32(buf, pos)
+        pos += used
+        out.extend((key << 32) | v for v in vals)
+    return out
+
+
+def write_dv_file(path: str, dv_blobs: list[bytes]) -> list[tuple[int, int]]:
+    """Write a deletion-vector file holding ``dv_blobs`` (each a serialized
+    RoaringBitmapArray); returns [(offset, sizeInBytes)] per blob for the
+    add-action descriptors. Layout per the public Delta protocol: version
+    byte 1, then per DV [i32 BE size][data][i32 BE CRC-32]."""
+    spans = []
+    with open(path, "wb") as f:
+        f.write(b"\x01")
+        pos = 1
+        for blob in dv_blobs:
+            spans.append((pos, len(blob)))
+            f.write(struct.pack(">i", len(blob)))
+            f.write(blob)
+            f.write(struct.pack(">i", zlib.crc32(blob) & 0x7FFFFFFF))
+            pos += 4 + len(blob) + 4
+    return spans
+
+
+def read_dv_blob(path: str, offset: int, size_in_bytes: int) -> bytes:
+    """Read one DV's data bytes back from a DV file, verifying the size
+    prefix and CRC-32 trailer."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        (n,) = struct.unpack(">i", f.read(4))
+        if n != size_in_bytes:
+            raise ValueError(f"DV size mismatch at {path}:{offset}: {n} != {size_in_bytes}")
+        blob = f.read(n)
+        (crc,) = struct.unpack(">i", f.read(4))
+    if crc != (zlib.crc32(blob) & 0x7FFFFFFF):
+        raise ValueError(f"DV checksum mismatch at {path}:{offset}")
+    return blob

@@ -52,6 +52,9 @@ class FilePartition(InputPartition):
     partition_values: dict  # raw string-encoded, from the add action
     schema_json: str  # full logical schema (Spark StructType JSON)
     part_cols: list
+    # deletion-vector descriptor (dv_path, offset, sizeInBytes) or None —
+    # the executor masks the listed row ordinals before anything else
+    dv: tuple | None = None
 
 
 def _cast_pv(raw: str | None, type_name: str) -> Any:
@@ -106,15 +109,21 @@ class DeltaLiteReader(DataSourceReader):
                 for c, cmp in self.pushed_bounds.items()
             }
             adds = [a for a in adds if self._overlaps(a, bounds)]
-        return [
-            FilePartition(
-                self._t._abs_path(a["path"]),
-                a.get("partitionValues") or {},
-                schema_json,
-                part_cols,
+        out = []
+        for a in adds:
+            d = a.get("deletionVector")
+            out.append(
+                FilePartition(
+                    self._t._abs_path(a["path"]),
+                    a.get("partitionValues") or {},
+                    schema_json,
+                    part_cols,
+                    (d["pathOrInlineDv"], int(d["offset"]), int(d["sizeInBytes"]))
+                    if d
+                    else None,
+                )
             )
-            for a in adds
-        ]
+        return out
 
     @staticmethod
     def _overlaps(a: dict, bounds: dict) -> bool:
@@ -138,6 +147,17 @@ class DeltaLiteReader(DataSourceReader):
 
         st = StructType.fromJson(json.loads(partition.schema_json))
         tbl = pq.read_table(partition.path)
+        if partition.dv is not None and tbl.num_rows:
+            # merge-on-read: decode this file's deletion vector and mask the
+            # dead ordinals executor-side (DVs are metadata-sized vs data)
+            from ..plans.roaring import deserialize_rba, read_dv_blob
+
+            dp, off, size = partition.dv
+            dead = set(deserialize_rba(read_dv_blob(dp, off, size)))
+            if dead:
+                tbl = tbl.filter(
+                    pa.array([i not in dead for i in range(tbl.num_rows)])
+                )
         n = tbl.num_rows
         names = set(tbl.column_names)
         arrays, out_names = [], []

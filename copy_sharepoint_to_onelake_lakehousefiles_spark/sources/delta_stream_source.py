@@ -66,6 +66,26 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
         fields, part_cols = self._fields()
         pvals = action.get("partitionValues") or {}
         tbl = pq.read_table(self._t._abs_path(action["path"]))
+        d = action.get("deletionVector")
+        if d:
+            # the action's DV masks this file's dead ordinals, so 'add' rows
+            # are the rows live AFTER the commit and 'remove' rows (which
+            # carry the PRIOR DV) are the rows live BEFORE it — the add/
+            # remove pair of a DV commit then nets to exactly the newly
+            # deleted rows, with no special-casing here
+            from ..plans.roaring import deserialize_rba, read_dv_blob
+
+            dead = set(
+                deserialize_rba(
+                    read_dv_blob(d["pathOrInlineDv"], int(d["offset"]), int(d["sizeInBytes"]))
+                )
+            )
+            if dead:
+                import pyarrow as pa
+
+                tbl = tbl.filter(
+                    pa.array([i not in dead for i in range(tbl.num_rows)])
+                )
         names = set(tbl.column_names)
         n = tbl.num_rows
         cols = []

@@ -1,0 +1,192 @@
+"""Delta deletion vectors (plans/deltalog.py + plans/roaring.py): MoR
+delete with no rewrite, DV union without re-listing, append survival,
+copy-on-write interplay (merge/delete/compact must apply and then drop
+DVs), checkpoint carry, vacuum liveness, the delta_lite source, and the
+CDC add/remove netting of a DV commit."""
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import DeltaTable
+from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.roaring import (
+    deserialize_rba,
+    read_dv_blob,
+)
+
+
+@pytest.fixture()
+def root():
+    d = os.path.join(tempfile.gettempdir(), f"dv_test_{uuid.uuid4().hex[:8]}")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, root, n=12, files=3):
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}", i * 10) for i in range(n)], "k long, tag string, v long"
+    )
+    return DeltaTable.create(spark, root, df.repartition(files, "k"))
+
+
+def test_dv_delete_no_rewrite_time_travel_and_descriptor(spark, root):
+    t = _mk(spark, root)
+    res = t.delete_vectors("k % 4 = 1")  # kills 1, 5, 9
+    assert res["deleted"] == 3
+    got = t.read()
+    assert got.count() == 9
+    assert got.where("k % 4 = 1").count() == 0
+    # no data file rewritten
+    assert {a["path"] for a in t.files()} == {a["path"] for a in t.files(0)}
+    # time travel unaffected
+    assert t.read(0).count() == 12
+    # descriptor shape + bitmap contents decode to real ordinals
+    dvs = [a["deletionVector"] for a in t.files() if a.get("deletionVector")]
+    assert dvs and all(d["storageType"] == "p" for d in dvs)
+    assert sum(d["cardinality"] for d in dvs) == 3
+    for d in dvs:
+        poss = deserialize_rba(
+            read_dv_blob(d["pathOrInlineDv"], d["offset"], d["sizeInBytes"])
+        )
+        assert len(poss) == d["cardinality"] > 0
+
+
+def test_dv_idempotent_union_and_append_survival(spark, root):
+    t = _mk(spark, root)
+    t.delete_vectors("k < 4")
+    v = t.latest_version()
+    # same predicate again: no rows left to list → bare no-op commit
+    assert t.delete_vectors("k < 4")["deleted"] == 0
+    assert t.latest_version() == v + 1  # ledgered like delete()'s no-op
+    assert t.read().count() == 8
+    # appended rows matching an EARLIER DV predicate survive (their file
+    # has no DV)
+    t.append(spark.createDataFrame([(2, "new", 222)], "k long, tag string, v long"))
+    assert _rows(t.read().where("k = 2").select("v")) == [(222,)]
+    # a second DV-delete unions into existing DVs (old dead rows keep
+    # counting in cardinality exactly once)
+    t.delete_vectors("v >= 100")  # k=10, 11 and the appended 222
+    got = t.read()
+    assert _rows(got.select("k")) == [(4,), (5,), (6,), (7,), (8,), (9,)]
+    total_card = sum(
+        a["deletionVector"]["cardinality"]
+        for a in t.files()
+        if a.get("deletionVector")
+    )
+    assert total_card == 4 + 3  # first delete's 4 + (10, 11, appended 2)
+
+
+def test_dv_cow_merge_and_compact_interplay(spark, root):
+    t = _mk(spark, root)
+    t.delete_vectors("k IN (0, 1, 2)")
+    # CoW merge on a DV'd table must not resurrect the dead rows
+    t.merge(
+        spark.createDataFrame([(3, "upd", 333), (99, "ins", 999)], "k long, tag string, v long"),
+        key="k",
+    )
+    got = t.read()
+    assert got.where("k IN (0, 1, 2)").count() == 0
+    assert _rows(got.where("k IN (3, 99)").select("k", "v")) == [(3, 333), (99, 999)]
+    # compaction rewrites with DVs applied and PURGES the descriptors
+    before = _rows(t.read())
+    t.compact(target_files=1)
+    assert _rows(t.read()) == before
+    assert all(not a.get("deletionVector") for a in t.files())
+
+
+def test_dv_checkpoint_carries_descriptor(spark, root):
+    t = _mk(spark, root)
+    t.delete_vectors("k >= 8")
+    t._write_checkpoint(t.latest_version())
+    # a fresh handle resolves the snapshot FROM the checkpoint; the DV must
+    # still mask (descriptor survives the parquet round-trip)
+    t2 = DeltaTable(spark, root)
+    assert t2._checkpoint_version_at_or_before(t2.latest_version()) == t.latest_version()
+    assert t2.read().count() == 8
+    assert any(a.get("deletionVector") for a in t2.files())
+
+
+def test_dv_vacuum_liveness(spark, root):
+    t = _mk(spark, root)
+    t.delete_vectors("k = 0")
+    dv1 = [a["deletionVector"]["pathOrInlineDv"] for a in t.files() if a.get("deletionVector")][0]
+    t.delete_vectors("k = 1")  # supersedes: touched file's DV now in a new file
+    # single retained version, no age grace: the superseded DV file is
+    # reclaimable, the live one must survive
+    t.vacuum(retain_versions=1, min_age_seconds=0.0)
+    live_dvs = {
+        a["deletionVector"]["pathOrInlineDv"]
+        for a in t.files()
+        if a.get("deletionVector")
+    }
+    for p in live_dvs:
+        assert os.path.exists(p)
+    if dv1 not in live_dvs:
+        assert not os.path.exists(dv1)
+    assert t.read().count() == 10
+
+
+def test_dv_delta_lite_source_agrees(spark, root):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_datasource import (
+        DeltaLiteDataSource,
+    )
+
+    t = _mk(spark, root)
+    t.delete_vectors("k % 2 = 0")
+    try:
+        spark.dataSource.register(DeltaLiteDataSource)
+    except Exception:
+        pass
+    via = spark.read.format("delta_lite").load(root)
+    assert _rows(via) == _rows(t.read())
+    assert via.count() == 6
+
+
+def test_dv_cdc_nets_to_deleted_rows(spark, root, tmp_path):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_stream_source import (
+        DeltaCdcDataSource,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, tag string")
+    t = DeltaTable.create(spark, root, df.coalesce(1))
+    t.delete_vectors("k = 2")
+    try:
+        spark.dataSource.register(DeltaCdcDataSource)
+    except Exception:
+        pass
+    sink = os.path.join(str(tmp_path), "sink")
+    q = (
+        spark.readStream.format("delta_cdc")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    got = sorted(
+        (r["commit_version"], r["change_type"], r["k"]) for r in feed.collect()
+    )
+    # v1: remove carries the PRIOR (empty) DV → all 3 rows out; the re-add
+    # carries the new DV → 1 and 3 back in; the pair nets to deleting k=2
+    assert got == [
+        (0, "add", 1),
+        (0, "add", 2),
+        (0, "add", 3),
+        (1, "add", 1),
+        (1, "add", 3),
+        (1, "remove", 1),
+        (1, "remove", 2),
+        (1, "remove", 3),
+    ]

@@ -3,10 +3,11 @@ delete-by-key-predicate operations applied through all three table stacks
 (TxTable private log, Delta _delta_log, Iceberg v2 metadata) must agree
 with a pure-Python list model at the end, and the create snapshot must
 stay intact under time travel. Iceberg alternates its two merge-on-read
-delete flavors (position deletes and equality deletes) across the
-sequence, so the fuzz also pins that MoR deletes are equivalent to the
-copy-on-write deletes of the other two stacks for key-only predicates
-evaluated over the live table."""
+delete flavors (position deletes and equality deletes) and Delta
+alternates copy-on-write deletes with deletion vectors across the
+sequence, so the fuzz also pins that every MoR delete flavor is
+equivalent to a copy-on-write delete for key-only predicates evaluated
+over the live table."""
 
 import os
 import shutil
@@ -57,7 +58,10 @@ def test_random_op_sequences_agree_across_formats(spark, init, ops):
                 r = r % m
                 pred = f"k % {m} = {r}"
                 tx.delete(pred)
-                dl.delete(pred)
+                if i % 2 == 0:  # alternate Delta CoW delete vs deletion vectors
+                    dl.delete_vectors(pred)
+                else:
+                    dl.delete(pred)
                 if i % 2 == 0:  # alternate Iceberg's two MoR delete flavors
                     ic.position_delete(pred)
                 else:

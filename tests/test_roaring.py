@@ -1,0 +1,130 @@
+"""Roaring bitmap / RoaringBitmapArray / DV-file byte-level tests
+(plans/roaring.py): spec byte vectors, container-type boundaries,
+run-container reads, hypothesis round-trips, and DV-file integrity."""
+
+import os
+import struct
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.roaring import (
+    RBA_MAGIC,
+    SERIAL_COOKIE,
+    SERIAL_COOKIE_NO_RUNCONTAINER,
+    deserialize_rba,
+    deserialize_roaring32,
+    read_dv_blob,
+    serialize_rba,
+    serialize_roaring32,
+    write_dv_file,
+)
+
+
+def _rt32(vals):
+    buf = serialize_roaring32(vals)
+    got, used = deserialize_roaring32(buf)
+    assert used == len(buf)
+    return got
+
+
+def test_roaring32_header_bytes():
+    # {1, 2, 100000}: two containers (keys 0 and 1), both arrays
+    buf = serialize_roaring32([1, 2, 100000])
+    cookie, size = struct.unpack_from("<II", buf, 0)
+    assert cookie == SERIAL_COOKIE_NO_RUNCONTAINER
+    assert size == 2
+    k0, c0 = struct.unpack_from("<HH", buf, 8)
+    k1, c1 = struct.unpack_from("<HH", buf, 12)
+    assert (k0, c0 + 1) == (0, 2)
+    assert (k1, c1 + 1) == (1, 1)  # 100000 = 1<<16 | 34464
+    off0, off1 = struct.unpack_from("<II", buf, 16)
+    assert off0 == 24  # 8 header + 2*4 descs + 2*4 offsets
+    assert off1 == 24 + 2 * 2
+    assert struct.unpack_from("<HH", buf, off0) == (1, 2)
+    assert struct.unpack_from("<H", buf, off1) == (100000 & 0xFFFF,)
+
+
+def test_roaring32_array_bitmap_boundary():
+    # 4096 values stay an array container; 4097 flip to an 8 KiB bitmap
+    arr = list(range(0, 8192, 2))[:4096]
+    assert _rt32(arr) == arr
+    big = list(range(4097))
+    buf = serialize_roaring32(big)
+    # one container, bitmap payload: 8 + 4 + 4 + 8192 bytes
+    assert len(buf) == 8 + 4 + 4 + 8192
+    assert _rt32(big) == big
+
+
+def test_roaring32_reads_run_containers():
+    # hand-build a SERIAL_COOKIE (12347) stream with one run container
+    # covering 5..9 plus one array container in key 2: readers must accept
+    # foreign-written run flavors even though we never write them
+    size = 2
+    buf = bytearray()
+    buf += struct.pack("<I", SERIAL_COOKIE | ((size - 1) << 16))
+    buf += bytes([0b01])  # container 0 is a run, container 1 is not
+    buf += struct.pack("<HH", 0, 5 - 1)  # key 0, card 5
+    buf += struct.pack("<HH", 2, 2 - 1)  # key 2, card 2
+    # size < NO_OFFSET_THRESHOLD → no offsets section
+    buf += struct.pack("<H", 1)  # one run
+    buf += struct.pack("<HH", 5, 4)  # 5..9
+    buf += struct.pack("<HH", 7, 9)  # array payload for key 2
+    vals, used = deserialize_roaring32(bytes(buf))
+    assert used == len(buf)
+    assert vals == [5, 6, 7, 8, 9, (2 << 16) | 7, (2 << 16) | 9]
+
+
+def test_rba_magic_and_keys():
+    vals = [3, (1 << 32) | 7, (1 << 32) | 9, (5 << 32)]
+    buf = serialize_rba(vals)
+    magic, n = struct.unpack_from("<iQ", buf, 0)
+    assert magic == RBA_MAGIC
+    assert n == 3  # keys 0, 1, 5
+    assert deserialize_rba(buf) == sorted(vals)
+
+
+def test_rba_rejects_bad_magic():
+    with pytest.raises(ValueError, match="magic"):
+        deserialize_rba(struct.pack("<iQ", 123, 0))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 40)), min_size=0, max_size=300
+    )
+)
+def test_rba_roundtrip_property(vals):
+    assert deserialize_rba(serialize_rba(vals)) == sorted(set(vals))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=0xFFFFFFFF), min_size=0, max_size=200
+    )
+)
+def test_roaring32_roundtrip_property(vals):
+    assert _rt32(vals) == sorted(set(vals))
+
+
+def test_dv_file_layout_and_integrity(tmp_path):
+    p = os.path.join(str(tmp_path), "x.dv.bin")
+    b1 = serialize_rba([1, 2, 3])
+    b2 = serialize_rba([10**12])
+    spans = write_dv_file(p, [b1, b2])
+    raw = open(p, "rb").read()
+    assert raw[0:1] == b"\x01"  # format version byte
+    (o1, s1), (o2, s2) = spans
+    assert o1 == 1 and s1 == len(b1)
+    assert struct.unpack_from(">i", raw, o1)[0] == s1  # big-endian size
+    assert read_dv_blob(p, o1, s1) == b1
+    assert read_dv_blob(p, o2, s2) == b2
+    assert deserialize_rba(read_dv_blob(p, o2, s2)) == [10**12]
+    # corruption is detected by the CRC trailer
+    mut = bytearray(raw)
+    mut[o1 + 4] ^= 0xFF
+    open(p, "wb").write(bytes(mut))
+    with pytest.raises(ValueError, match="checksum"):
+        read_dv_blob(p, o1, s1)
