@@ -1161,7 +1161,13 @@ def delta_to_iceberg_uniform(delta, ice_root: str | None = None) -> IcebergTable
 
     By default the metadata lands INSIDE the Delta root (``<root>/metadata``
     next to ``_delta_log``) — a single directory that is simultaneously a
-    valid Delta table and a valid Iceberg table."""
+    valid Delta table and a valid Iceberg table.
+
+    Delta DELETION VECTORS translate to Iceberg POSITION DELETES: both
+    name (data file, row ordinal), so each version's DV bitmaps are decoded
+    into one position-delete parquet committed under a deletes manifest at
+    the same sequence number — the Iceberg view of a DV'd Delta table
+    never resurrects deleted rows."""
     from .deltalog import DeltaTable as _DT
 
     assert isinstance(delta, _DT)
@@ -1267,6 +1273,55 @@ def delta_to_iceberg_uniform(delta, ice_root: str | None = None) -> IcebergTable
         sid = t._new_snapshot_id()
         seq = md["last-sequence-number"] + 1
         mrows = [t._write_manifest(entries, sid, seq, part_fields)] if entries else []
+        dv_adds = [a for a in adds if a.get("deletionVector")]
+        if dv_adds:
+            # Delta deletion vectors and Iceberg position deletes both name
+            # (data file, row ordinal) — translate the version's DVs into
+            # ONE position-delete file under a deletes manifest at the same
+            # sequence number (data seq == delete seq → applies, spec's <=
+            # rule), so the Iceberg view never resurrects DV-dead rows.
+            # Decoding happens here on the driver: DV payloads are metadata-
+            # sized (deleted ordinals, not table rows), the same budget the
+            # DV commit itself already spent.
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from .roaring import deserialize_rba, read_dv_blob
+
+            pairs: list[tuple[str, int]] = []
+            for a in dv_adds:
+                d = a["deletionVector"]
+                path = delta._abs_path(a["path"])
+                blob = read_dv_blob(
+                    d["pathOrInlineDv"], int(d["offset"]), int(d["sizeInBytes"])
+                )
+                pairs.extend((path, p) for p in deserialize_rba(blob))
+            pairs.sort()
+            os.makedirs(t.data_dir, exist_ok=True)
+            pd_path = os.path.join(
+                t.data_dir, f"posdel-uniform-{uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        "file_path": pa.array([p for p, _ in pairs], type=pa.string()),
+                        "pos": pa.array([q for _, q in pairs], type=pa.int64()),
+                    }
+                ),
+                pd_path,
+            )
+            del_entry = {
+                "content": 1,  # position deletes
+                "file_path": pd_path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": len(pairs),
+                "file_size_in_bytes": os.path.getsize(pd_path),
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": None,
+            }
+            mrows.append(t._write_manifest([del_entry], sid, seq, [], content=1))
         snap = t._commit_snapshot(mrows, "append" if dv == 0 else "overwrite", md, sid)
         md["snapshots"].append(snap)
         md["current-snapshot-id"] = snap["snapshot-id"]

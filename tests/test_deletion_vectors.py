@@ -190,3 +190,24 @@ def test_dv_cdc_nets_to_deleted_rows(spark, root, tmp_path):
         (1, "remove", 2),
         (1, "remove", 3),
     ]
+
+
+def test_uniform_translates_dvs_to_position_deletes(spark, root):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        delta_to_iceberg_uniform,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", i * 10) for i in range(10)], "k long, part string, v long"
+    )
+    t = DeltaTable.create(spark, root, df.repartition(2, "k"), partition_by=["part"])
+    t.delete_vectors("k % 3 = 0")
+    t.append(spark.createDataFrame([(3, "p1", 999)], "k long, part string, v long"))
+    ice = delta_to_iceberg_uniform(t)
+    # every Delta version reads identically through the Iceberg metadata —
+    # including the DV'd one (translated into a position-delete file)
+    for v in t.versions():
+        assert _rows(ice.read(index=v)) == _rows(t.read(v)), f"version {v}"
+    dels = ice.delete_entries(index=1)
+    assert [d["content"] for d in dels] == [1]
+    assert dels[0]["data_file"]["record_count"] == 4  # k in {0, 3, 6, 9}
