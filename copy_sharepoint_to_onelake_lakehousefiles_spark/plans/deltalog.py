@@ -844,8 +844,8 @@ class DeltaTable:
         # predicate; __dv_fp is evaluated at the parquet source
         full = self._read_entries(adds, schema, part_cols, with_identity=True)
         hit_files = [
-            # bounded: one distinct row per file containing matches
             r["__dv_fp"]
+            # bounded: one distinct row per file containing matches
             for r in full.where(predicate).select("__dv_fp").distinct().collect()
         ]
         hit = []
@@ -901,7 +901,8 @@ class DeltaTable:
         )
         # bounded: one row per touched file; ordinal payload scales with
         # rows deleted by THIS predicate, not with the table
-        per_file = {r["__dv_fp"]: list(r["poss"]) for r in matched.collect()}
+        rows = matched.collect()  # bounded: see above
+        per_file = {r["__dv_fp"]: list(r["poss"]) for r in rows}
         if not per_file:
             self._publish(v, [self._commit_info("DELETE")])
             return {"deleted": 0, "files_updated": 0}
