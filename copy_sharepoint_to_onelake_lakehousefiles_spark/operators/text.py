@@ -683,10 +683,12 @@ d0 AS MATERIALIZED (
 
 
 
-def _bpe_learn(spark: SparkSession, sf_dir: str):
+def _bpe_learn(spark: SparkSession, sf_dir: str, n_merges: int = N_BPE_MERGES):
     """Shared BPE merge loop (see q136 docstring for semantics + scale
     notes): returns (final delimited-symbol state DataFrame, merge list of
-    (step, a, b, merged, pair_count))."""
+    (step, a, b, merged, pair_count)). ``n_merges`` scales the vocabulary —
+    the gate uses N_BPE_MERGES; tests drive larger counts against the
+    parameterized oracle generator."""
     from ..registry import track_persist
 
     sep = F.lit("\x1f")
@@ -704,7 +706,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
         )
     )
     merges = []
-    for step in range(1, N_BPE_MERGES + 1):
+    for step in range(1, n_merges + 1):
         syms = F.expr("split(trim(BOTH char(31) FROM d), concat(char(31), char(31)))")
         top = (
             state.select(syms.alias("syms"), "cnt")

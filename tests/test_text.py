@@ -166,3 +166,26 @@ def test_bpe_merges_hand_computed(spark, tmp_path):
     assert (rows[2]["left_sym"], rows[2]["right_sym"], rows[2]["pair_count"]) == ("a", "b", 1)
     assert (rows[3]["left_sym"], rows[3]["right_sym"]) == ("aa", "a")
     assert rows[3]["merged"] == "aaa"
+
+
+def test_bpe_20_merges_matches_unrolled_oracle(spark):
+    """Larger-vocabulary BPE (NOTES r4 idea #4): 20 merge steps on the real
+    sf0.001 documents corpus must match the 20-step unrolled DuckDB twin
+    step-for-step — count ties, greedy left-to-right replaces, and merged
+    symbols compounding across 20 generations."""
+    import duckdb
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.text import (
+        _bpe_learn,
+        _bpe_oracle_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _state, merges = _bpe_learn(spark, sf, n_merges=20)
+    assert len(merges) == 20
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    exp = sorted(con.execute(_bpe_oracle_sql(20)).fetchall())
+    assert sorted(merges) == exp
