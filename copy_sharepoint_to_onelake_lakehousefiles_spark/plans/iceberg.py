@@ -288,6 +288,15 @@ class IcebergTable:
             ]
         )
 
+    def _schema_id_for(
+        self, snapshot_id: int | None = None, index: int | None = None
+    ) -> int:
+        md = self.metadata()
+        sid = md["current-schema-id"]
+        if snapshot_id is not None or index is not None:
+            sid = self._resolve_snapshot(snapshot_id, index).get("schema-id", sid)
+        return sid
+
     def partition_fields(self) -> list[dict]:
         """[{name, field_id, source_id, ice_type}] of the default spec
         (identity transforms only)."""
@@ -455,6 +464,7 @@ class IcebergTable:
         path and within-file row ordinal) — the input to
         ``position_delete``."""
         schema = self.schema(snapshot_id, index)
+        tgt_sid = self._schema_id_for(snapshot_id, index)
         part_fields = self.partition_fields()
         entries, _ = self.files(snapshot_id, index, partition_filter, bounds)
         if not entries:
@@ -469,7 +479,11 @@ class IcebergTable:
         need_pos = with_positions or bool(pos_deletes)
         if not deletes:
             return self._read_data_entries(
-                entries, schema, part_fields, with_positions=with_positions
+                entries,
+                schema,
+                part_fields,
+                with_positions=with_positions,
+                target_schema_id=tgt_sid,
             )
         # merge-on-read: group data files by seq (bounded by snapshot
         # count), anti-join each group against the applicable delete files,
@@ -485,7 +499,11 @@ class IcebergTable:
         for s in seqs:
             sub = [e for e in entries if e["__seq"] == s]
             df_s = self._read_data_entries(
-                sub, schema, part_fields, with_positions=need_pos
+                sub,
+                schema,
+                part_fields,
+                with_positions=need_pos,
+                target_schema_id=tgt_sid,
             )
             pos_applicable = [d for d in pos_deletes if d["seq"] >= s]
             if pos_applicable:
@@ -528,9 +546,55 @@ class IcebergTable:
         schema: T.StructType,
         part_fields: list[dict],
         with_positions: bool = False,
+        target_schema_id: int | None = None,
     ) -> DataFrame:
+        """Scan the given entries into the target schema. Column resolution
+        is ID-BASED when schemas diverge (Iceberg's evolution contract):
+        each file's WRITE-TIME schema is recovered from its sequence number
+        (snapshots record the schema-id they committed under), the file is
+        read under its own column names, and fields map to the target by
+        FIELD ID — so renames follow the data, drops hide it, and a re-
+        added name with a fresh id can never resurrect old values. Files
+        whose write schema differs only additively stay on the one-multi-
+        path-scan fast path (parquet null-fills missing names)."""
         if not entries:
             return self.spark.createDataFrame([], schema)
+        md = self.metadata()
+        tgt_sid = (
+            target_schema_id
+            if target_schema_id is not None
+            else md["current-schema-id"]
+        )
+        schemas_by_id = {s["schema-id"]: s for s in md["schemas"]}
+        tgt_fields = [
+            (f["id"], f["name"], f["type"])
+            for f in schemas_by_id[tgt_sid]["fields"]
+        ]
+        seq_to_sid = {
+            s["sequence-number"]: s.get("schema-id", md["current-schema-id"])
+            for s in md["snapshots"]
+        }
+
+        def effective_sid(e: dict) -> int:
+            wsid = seq_to_sid.get(e.get("__seq"), tgt_sid)
+            if wsid == tgt_sid or wsid not in schemas_by_id:
+                return tgt_sid
+            # name-compatible (pure-additive) write schemas ride the fast
+            # path. Two hazards force the id-mapped path: a shared field id
+            # under a different name (rename), and a target field whose id
+            # the file predates but whose NAME the file carries under a
+            # retired id (drop + re-add) — name-based reads would resurrect
+            # the dropped values.
+            w_by_id = {f["id"]: f["name"] for f in schemas_by_id[wsid]["fields"]}
+            w_names = set(w_by_id.values())
+            for tid, tname, _tt in tgt_fields:
+                if tid in w_by_id:
+                    if w_by_id[tid] != tname:
+                        return wsid
+                elif tname in w_names:
+                    return wsid
+            return tgt_sid
+
         # (normalized file path, within-file row ordinal) from the parquet
         # source's hidden _metadata struct — per-file constants/counters, so
         # this costs nothing extra at scan time and never touches the driver
@@ -540,30 +604,62 @@ class IcebergTable:
             ),
             F.col("_metadata.row_index").alias("__ice_pos"),
         ]
-        if not part_fields:
-            paths = [e["file_path"].replace("file:", "") for e in entries]
-            df = self.spark.read.schema(schema).parquet(*paths)
-            if with_positions:
-                df = df.select(*schema.fieldNames(), *pos_cols)
-            return df
         part_names = [pf["name"] for pf in part_fields]
+        by_name = {f.name: f for f in schema.fields}
         data_schema = T.StructType(
             [f for f in schema.fields if f.name not in part_names]
         )
-        by_name = {f.name: f for f in schema.fields}
+        # group by (write schema, partition tuple) — bounded by schema count
+        # × partition count; the common single-schema table keeps exactly
+        # its previous grouping (one group per partition tuple)
         groups: dict[tuple, list[str]] = {}
         for e in entries:
-            key = tuple(e["partition"].get(n) for n in part_names)
+            key = (
+                effective_sid(e),
+                tuple(e["partition"].get(n) for n in part_names),
+            )
             groups.setdefault(key, []).append(e["file_path"].replace("file:", ""))
         out_cols = list(schema.fieldNames())
         parts = []
-        for key, paths in sorted(
-            groups.items(), key=lambda kv: tuple("" if k is None else str(k) for k in kv[0])
+        for (wsid, pkey), paths in sorted(
+            groups.items(),
+            key=lambda kv: (
+                kv[0][0],
+                tuple("" if k is None else str(k) for k in kv[0][1]),
+            ),
         ):
-            df = self.spark.read.schema(data_schema).parquet(*paths)
-            if with_positions:
-                df = df.select("*", *pos_cols)
-            for n, v in zip(part_names, key):
+            if wsid == tgt_sid:
+                df = self.spark.read.schema(data_schema).parquet(*paths)
+                if with_positions:
+                    df = df.select(*data_schema.fieldNames(), *pos_cols)
+            else:
+                wfields = [
+                    (f["id"], f["name"], f["type"])
+                    for f in schemas_by_id[wsid]["fields"]
+                ]
+                w_by_id = {i: n for i, n, _ in wfields}
+                wstruct = T.StructType(
+                    [
+                        T.StructField(n, _ICE_TO_SPARK[t], True)
+                        for _i, n, t in wfields
+                        if n not in part_names
+                    ]
+                )
+                df = self.spark.read.schema(wstruct).parquet(*paths)
+                sel = []
+                for tid, tname, ttype in tgt_fields:
+                    if tname in part_names:
+                        continue
+                    if tid in w_by_id and w_by_id[tid] not in part_names:
+                        sel.append(F.col(w_by_id[tid]).alias(tname))
+                    else:
+                        sel.append(
+                            F.lit(None).cast(_ICE_TO_SPARK[ttype]).alias(tname)
+                        )
+                if with_positions:
+                    sel = sel + pos_cols
+                df = df.select(*sel)
+            for n, v in zip(part_names, pkey):
                 lit = F.lit(None) if v is None else F.lit(v)
                 df = df.withColumn(n, lit.cast(by_name[n].dataType))
             parts.append(
@@ -938,6 +1034,81 @@ class IcebergTable:
         md["last-updated-ms"] = snap["timestamp-ms"]
         self._publish_metadata(md)
         return {"snapshot_id": snap["snapshot-id"], "files_added": len(entries)}
+
+    def _guard_evolvable(self, field: dict, op: str) -> None:
+        """Renaming/dropping a partition source would break identity spec
+        resolution; doing it to a column referenced by live EQUALITY DELETE
+        files would silently un-apply them (the stored delete parquet keys
+        by the write-time name) — both refuse loudly."""
+        md = self.metadata()
+        spec = next(
+            s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
+        )
+        if field["id"] in {pf["source-id"] for pf in spec["fields"]}:
+            raise NotImplementedError(
+                f"cannot {op} partition source column {field['name']!r}"
+            )
+        if md.get("current-snapshot-id") is not None:
+            for d in self.delete_entries():
+                if field["id"] in (d.get("equality_ids") or []):
+                    raise NotImplementedError(
+                        f"cannot {op} column {field['name']!r}: referenced by "
+                        "live equality-delete files"
+                    )
+
+    def _evolve_schema(self, new_fields: list[dict]) -> int:
+        md = self.metadata()
+        next_sid = max(s["schema-id"] for s in md["schemas"]) + 1
+        md["schemas"].append(
+            {"type": "struct", "schema-id": next_sid, "fields": new_fields}
+        )
+        md["current-schema-id"] = next_sid
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(md)
+        return next_sid
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ID-based column RENAME (metadata-only, no snapshot, no data
+        rewrite): the field keeps its id under a new name in a fresh schema
+        entry. Readers resolve old files by FIELD ID (see
+        ``_read_data_entries``), so the renamed column's historical data
+        follows it; time travel to pre-rename snapshots reads under the old
+        name (each snapshot records its schema-id). Exactly the evolution
+        contract name-based formats can't offer."""
+        md = self.metadata()
+        cur = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        names = [f["name"] for f in cur["fields"]]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        fld = next(f for f in cur["fields"] if f["name"] == old)
+        self._guard_evolvable(fld, "rename")
+        new_fields = [
+            {**f, "name": new} if f["name"] == old else f for f in cur["fields"]
+        ]
+        return self._evolve_schema(new_fields)
+
+    def drop_column(self, name: str) -> int:
+        """ID-based column DROP (metadata-only): the field id is retired —
+        ``last-column-id`` stays monotonic, so a later column re-added with
+        the SAME NAME gets a fresh id and can never resurrect the dropped
+        values out of old files. Old snapshots still read the column via
+        time travel."""
+        md = self.metadata()
+        cur = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        names = [f["name"] for f in cur["fields"]]
+        if name not in names:
+            raise ValueError(f"no column {name!r} (have {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the last column")
+        fld = next(f for f in cur["fields"] if f["name"] == name)
+        self._guard_evolvable(fld, "drop")
+        return self._evolve_schema([f for f in cur["fields"] if f["name"] != name])
 
     def overwrite(self, df: DataFrame) -> dict:
         """Full overwrite: the new snapshot's manifest list references ONLY

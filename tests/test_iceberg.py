@@ -580,3 +580,84 @@ def test_iceberg_cdc_position_delete_emits_full_rows(spark, root, tmp_path):
         (0, "add", 3, "c"),
         (1, "delete_row", 2, "b"),
     ]
+
+
+def test_rename_column_follows_data_by_field_id(spark, root):
+    t = IcebergTable.create(
+        spark, root, spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    )
+    t.rename_column("v", "val")
+    # metadata-only: no new snapshot, data files untouched
+    assert len(t.snapshots()) == 1
+    got = t.read()
+    assert [f.name for f in got.schema.fields] == ["k", "val"]
+    # OLD files' values surface under the NEW name (id-based resolution)
+    assert _rows(got) == [(1, 10), (2, 20)]
+    # time travel to the pre-rename snapshot reads under the OLD name
+    assert [f.name for f in t.read(index=0).schema.fields] == ["k", "v"]
+    # appends after the rename mix with pre-rename files seamlessly
+    t.append(spark.createDataFrame([(3, 30)], "k long, val long"))
+    assert _rows(t.read()) == [(1, 10), (2, 20), (3, 30)]
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("k", "val")
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("nope", "x")
+
+
+def test_drop_column_and_readd_never_resurrects(spark, root):
+    t = IcebergTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "classified"), (2, "secret2")], "k long, secret string"),
+    )
+    t.drop_column("secret")
+    assert [f.name for f in t.read().schema.fields] == ["k"]
+    # re-adding the SAME NAME gets a FRESH field id: the dropped values
+    # must NOT come back out of the old files
+    t.append(
+        spark.createDataFrame([(3, "fresh")], "k long, secret string"),
+        allow_evolution=True,
+    )
+    got = {r["k"]: r["secret"] for r in t.read().collect()}
+    assert got == {1: None, 2: None, 3: "fresh"}
+    md = t.metadata()
+    ids = {
+        (f["name"], f["id"])
+        for s in md["schemas"]
+        for f in s["fields"]
+        if f["name"] == "secret"
+    }
+    assert len(ids) == 2  # old id 2 retired, new id 3 assigned
+    # the dropped values are still readable via time travel
+    assert _rows(t.read(index=0)) == [(1, "classified"), (2, "secret2")]
+
+
+def test_rename_and_drop_guards(spark, root):
+    df = spark.createDataFrame([(1, "a", 5)], "k long, part string, v long")
+    t = IcebergTable.create(spark, root, df.coalesce(1), partition_by=["part"])
+    with pytest.raises(NotImplementedError, match="partition source"):
+        t.rename_column("part", "p2")
+    with pytest.raises(NotImplementedError, match="partition source"):
+        t.drop_column("part")
+    t.equality_delete(spark.createDataFrame([(1,)], "k long"))
+    with pytest.raises(NotImplementedError, match="equality-delete"):
+        t.rename_column("k", "key")
+    with pytest.raises(ValueError, match="last column"):
+        IcebergTable.create(
+            spark, root + "_single", spark.range(1).select(F.col("id").alias("k"))
+        ).drop_column("k")
+
+
+def test_rename_composes_with_position_deletes(spark, root):
+    t = IcebergTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(i, i * 10) for i in range(6)], "k long, v long").repartition(2, "k"),
+    )
+    t.position_delete(F.col("v") >= 40)
+    t.rename_column("v", "val")
+    got = t.read()
+    assert _rows(got.select("k", "val")) == [(0, 0), (1, 10), (2, 20), (3, 30)]
+    # positions keep masking under the renamed schema; with_positions too
+    wp = t.read(with_positions=True)
+    assert wp.count() == 4
