@@ -262,10 +262,13 @@ class DeltaTable:
         and/or per-column [lo, hi] ``bounds`` against the add-action's stats
         (minValues/maxValues) — all pruning happens on the LOG, before any
         parquet footer is opened. Files without stats for a bounded column
-        are conservatively kept."""
-        adds, _ = self.snapshot(version)
+        are conservatively kept. Filter/bounds keys are LOGICAL names;
+        partitionValues and stats are keyed by PHYSICAL names under column
+        mapping, so both are translated before matching."""
+        adds, meta = self.snapshot(version)
+        phys = self._phys_map(meta)
         if partition_filter:
-            want = {k: str(v) for k, v in partition_filter.items()}
+            want = {phys.get(k, k): str(v) for k, v in partition_filter.items()}
             adds = [
                 a
                 for a in adds
@@ -279,9 +282,10 @@ class DeltaTable:
                 st = json.loads(raw) if isinstance(raw, str) else raw
                 mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
                 for c, (lo, hi) in bounds.items():
-                    if c not in mins or c not in maxs:
+                    pc = phys.get(c, c)
+                    if pc not in mins or pc not in maxs:
                         continue
-                    if (hi is not None and mins[c] > hi) or (lo is not None and maxs[c] < lo):
+                    if (hi is not None and mins[pc] > hi) or (lo is not None and maxs[pc] < lo):
                         return False
                 return True
 
@@ -300,10 +304,13 @@ class DeltaTable:
         combination (bounded by partition count), then unioned. ``bounds``
         skips files via log stats; callers still apply the row-level filter
         (skipping is a superset guarantee, same as Delta's)."""
-        full_schema = self.schema(version)
-        part_cols = self.partition_columns(version)
+        _, meta = self.snapshot(version)
+        full_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = list(meta.get("partitionColumns") or [])
         adds = self.files(version, partition_filter, bounds)
-        return self._read_entries(adds, full_schema, part_cols)
+        return self._read_entries(
+            adds, full_schema, part_cols, phys=self._phys_map(meta)
+        )
 
     def _dv_dead_pairs(self, dv_adds: list[dict]) -> DataFrame:
         """Distributed decode of the deletion vectors referenced by
@@ -350,6 +357,7 @@ class DeltaTable:
         full_schema: T.StructType,
         part_cols: list[str],
         with_identity: bool = False,
+        phys: dict[str, str] | None = None,
     ) -> DataFrame:
         """Union of the given add-actions' rows. Files carrying a
         ``deletionVector`` are masked merge-on-read: each scan attaches the
@@ -357,10 +365,17 @@ class DeltaTable:
         ``row_index``) and a single left_anti join against the decoded DV
         pairs removes the dead rows — distributed end to end. With
         ``with_identity`` the (file, ordinal) columns ``__dv_fp`` /
-        ``__dv_pos`` stay on the output (the input to ``delete_vectors``)."""
-        data_schema = T.StructType([f for f in full_schema.fields if f.name not in part_cols])
+        ``__dv_pos`` stay on the output (the input to ``delete_vectors``).
+        Under column mapping, files are scanned by PHYSICAL name and the
+        output is aliased back to logical names."""
+        phys = phys or {f.name: f.name for f in full_schema.fields}
+        data_fields = [f for f in full_schema.fields if f.name not in part_cols]
+        data_schema = T.StructType(
+            [T.StructField(phys[f.name], f.dataType, f.nullable) for f in data_fields]
+        )
+        to_logical = [F.col(phys[f.name]).alias(f.name) for f in data_fields]
         if not adds:
-            out = self.spark.createDataFrame([], full_schema)
+            out = self.spark.createDataFrame([], T.StructType(list(full_schema.fields)))
             if with_identity:
                 out = out.withColumn("__dv_fp", F.lit(None).cast("string"))
                 out = out.withColumn("__dv_pos", F.lit(None).cast("long"))
@@ -379,13 +394,14 @@ class DeltaTable:
         if not part_cols:
             paths = [self._abs_path(a["path"]) for a in adds]
             out = self.spark.read.schema(data_schema).parquet(*paths)
-            if need_id:
-                out = out.select(*data_schema.fieldNames(), *ident)
+            out = (
+                out.select(*to_logical, *ident) if need_id else out.select(*to_logical)
+            )
         else:
             groups: dict[tuple, list[str]] = {}
             for a in adds:
                 pv = a.get("partitionValues") or {}
-                key = tuple(pv.get(c) for c in part_cols)
+                key = tuple(pv.get(phys[c]) for c in part_cols)
                 groups.setdefault(key, []).append(self._abs_path(a["path"]))
             by_name = {f.name: f for f in full_schema.fields}
             parts = []
@@ -393,8 +409,11 @@ class DeltaTable:
                 groups.items(), key=lambda kv: tuple("" if k is None else str(k) for k in kv[0])
             ):
                 df = self.spark.read.schema(data_schema).parquet(*paths)
-                if need_id:
-                    df = df.select("*", *ident)
+                df = (
+                    df.select(*to_logical, *ident)
+                    if need_id
+                    else df.select(*to_logical)
+                )
                 for c, raw in zip(part_cols, key):
                     # Delta serializes partition values as strings (null =
                     # JSON null); cast back to the declared type on read
@@ -565,17 +584,137 @@ class DeltaTable:
                     f"CHECK constraint {name} ({expr}) violated by {n_bad} rows"
                 )
 
-    def _stage_files(self, df: DataFrame, part_cols: list[str]) -> list[dict]:
+    def enable_column_mapping(self) -> dict:
+        """Upgrade to ``delta.columnMapping.mode = name``: every existing
+        column gets a stable id and a physicalName EQUAL TO ITS CURRENT
+        NAME (so every already-written file, partitionValue, and stats key
+        stays valid), after which rename/drop become metadata-only
+        operations. Idempotent."""
+        _, meta = self.snapshot()
+        cfg = dict(meta.get("configuration") or {})
+        if cfg.get("delta.columnMapping.mode") == "name":
+            return {"version": self.latest_version(), "already_enabled": True}
+        st = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        fields = []
+        for i, f in enumerate(st.fields, start=1):
+            md = dict(f.metadata or {})
+            md["delta.columnMapping.id"] = i
+            md["delta.columnMapping.physicalName"] = f.name
+            fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+        cfg["delta.columnMapping.mode"] = "name"
+        cfg["delta.columnMapping.maxColumnId"] = len(fields)
+        new_meta = dict(meta)
+        new_meta["schemaString"] = T.StructType(fields).json()
+        new_meta["configuration"] = cfg
+        v = self.latest_version() + 1
+        self._publish(
+            v, [self._commit_info("UPGRADE COLUMN MAPPING"), {"metaData": new_meta}]
+        )
+        return {"version": v, "already_enabled": False}
+
+    def _guard_renameable(self, name: str, op: str, meta: dict) -> None:
+        if name in (meta.get("partitionColumns") or []) and op == "drop":
+            raise NotImplementedError(f"cannot drop partition column {name!r}")
+        import re as _re
+
+        for cname, expr in self.constraints().items():
+            if _re.search(rf"\b{_re.escape(name)}\b", expr):
+                raise NotImplementedError(
+                    f"cannot {op} column {name!r}: referenced by CHECK "
+                    f"constraint {cname} ({expr})"
+                )
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Metadata-only column RENAME (requires column mapping): the
+        logical name changes, the id and physicalName stay — no file,
+        partitionValue, or stats key is touched, old versions time-travel
+        under their own names. Partition columns may be renamed too (their
+        hive directories are physical names)."""
+        _, meta = self.snapshot()
+        cfg = meta.get("configuration") or {}
+        if cfg.get("delta.columnMapping.mode") != "name":
+            raise ValueError("rename_column requires enable_column_mapping() first")
+        st = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        names = [f.name for f in st.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self._guard_renameable(old, "rename", meta)
+        fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
+            for f in st.fields
+        ]
+        new_meta = dict(meta)
+        new_meta["schemaString"] = T.StructType(fields).json()
+        new_meta["partitionColumns"] = [
+            new if c == old else c for c in (meta.get("partitionColumns") or [])
+        ]
+        v = self.latest_version() + 1
+        self._publish(
+            v, [self._commit_info("RENAME COLUMN"), {"metaData": new_meta}]
+        )
+        return {"version": v}
+
+    def drop_column(self, name: str) -> dict:
+        """Metadata-only column DROP (requires column mapping): the field
+        leaves the logical schema; its physical column stays in old files
+        but can never surface again — a column re-added with the same
+        LOGICAL name gets a fresh physicalName, so reads select a column
+        old files don't have (nulls), never the dropped values."""
+        _, meta = self.snapshot()
+        cfg = meta.get("configuration") or {}
+        if cfg.get("delta.columnMapping.mode") != "name":
+            raise ValueError("drop_column requires enable_column_mapping() first")
+        st = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        names = [f.name for f in st.fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r} (have {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the last column")
+        self._guard_renameable(name, "drop", meta)
+        fields = [f for f in st.fields if f.name != name]
+        new_meta = dict(meta)
+        new_meta["schemaString"] = T.StructType(fields).json()
+        v = self.latest_version() + 1
+        self._publish(v, [self._commit_info("DROP COLUMN"), {"metaData": new_meta}])
+        return {"version": v}
+
+    @staticmethod
+    def _phys_map(meta: dict) -> dict[str, str]:
+        """Logical → PHYSICAL column names. Identity unless
+        ``delta.columnMapping.mode = name`` is set, in which case each
+        field's ``delta.columnMapping.physicalName`` metadata names the
+        column as stored in parquet files, partitionValues keys, and stats
+        keys — the indirection that makes rename/drop metadata-only
+        operations (the public Delta column-mapping design)."""
+        st = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        cfg = meta.get("configuration") or {}
+        if cfg.get("delta.columnMapping.mode") != "name":
+            return {f.name: f.name for f in st.fields}
+        return {
+            f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+            for f in st.fields
+        }
+
+    def _stage_files(
+        self, df: DataFrame, part_cols: list[str], phys: dict[str, str] | None = None
+    ) -> list[dict]:
         """Write df's data files into the table dir (hive layout for
         partitioned tables) and return their add-actions. Data files for
         partitioned tables do NOT contain the partition columns (spec);
-        values live in ``partitionValues``."""
+        values live in ``partitionValues``. Under column mapping, files,
+        partition dirs, partitionValues, and stats all use PHYSICAL names
+        (``phys`` maps logical → physical; identity when None)."""
+        phys = phys or {c: c for c in df.columns}
+        df = df.select(*[F.col(c).alias(phys.get(c, c)) for c in df.columns])
+        p_part = [phys.get(c, c) for c in part_cols]
         stage = os.path.join(self.root, f".stage_{uuid.uuid4().hex}")
         w = df.write.mode("overwrite")
-        if part_cols:
-            w = w.partitionBy(*part_cols)
+        if p_part:
+            w = w.partitionBy(*p_part)
         w.parquet(stage)
-        data_cols = [c for c in df.columns if c not in part_cols]
+        data_cols = [c for c in df.columns if c not in p_part]
         adds = []
         for dirpath, _dirnames, filenames in os.walk(stage):
             for n in filenames:
@@ -596,7 +735,7 @@ class DeltaTable:
                 adds.append(
                     {
                         "path": quote(rel),
-                        "partitionValues": {c: pvals.get(c) for c in part_cols},
+                        "partitionValues": {c: pvals.get(c) for c in p_part},
                         "size": os.path.getsize(dest),
                         "modificationTime": int(os.path.getmtime(dest) * 1000),
                         "dataChange": True,
@@ -674,10 +813,33 @@ class DeltaTable:
                     f"append has new columns {[f.name for f in new_cols]}; "
                     "pass allow_evolution=True to widen the schema"
                 )
-            merged = T.StructType(list(cur.fields) + new_cols)
             new_meta = dict(meta)
+            cfg = dict(new_meta.get("configuration") or {})
+            if cfg.get("delta.columnMapping.mode") == "name":
+                # evolved columns get fresh ids + physical names: a name
+                # reused after a drop can never read the dropped values
+                next_id = int(cfg.get("delta.columnMapping.maxColumnId", 0))
+                stamped = []
+                for f in new_cols:
+                    next_id += 1
+                    stamped.append(
+                        T.StructField(
+                            f.name,
+                            f.dataType,
+                            True,
+                            {
+                                "delta.columnMapping.id": next_id,
+                                "delta.columnMapping.physicalName": f"col-{uuid.uuid4().hex[:12]}",
+                            },
+                        )
+                    )
+                new_cols = stamped
+                cfg["delta.columnMapping.maxColumnId"] = next_id
+                new_meta["configuration"] = cfg
+            merged = T.StructType(list(cur.fields) + new_cols)
             new_meta["schemaString"] = merged.json()
             adds_meta.append({"metaData": new_meta})
+            meta = new_meta
             cur = merged
         aligned = df
         for f in cur.fields:
@@ -685,7 +847,7 @@ class DeltaTable:
                 aligned = aligned.withColumn(f.name, F.lit(None).cast(f.dataType))
         aligned = aligned.select(*cur.fieldNames())
         self._check_constraints(aligned)
-        adds = self._stage_files(aligned, part_cols)
+        adds = self._stage_files(aligned, part_cols, phys=self._phys_map(meta))
         actions: list[dict] = [self._commit_info("WRITE")]
         if txn is not None:
             actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
@@ -699,10 +861,10 @@ class DeltaTable:
         """Full-table overwrite: remove every live file, add the new ones —
         one atomic commit, old snapshots still readable (time travel)."""
         part_cols = self.partition_columns()
-        old, _ = self.snapshot()
+        old, meta = self.snapshot()
         df = df.select(*self.schema().fieldNames())
         self._check_constraints(df)
-        adds = self._stage_files(df, part_cols)
+        adds = self._stage_files(df, part_cols, phys=self._phys_map(meta))
         now_ms = int(time.time() * 1000)
         actions = [self._commit_info("WRITE (mode=Overwrite)")]
         actions.extend(
@@ -746,6 +908,7 @@ class DeltaTable:
         this writer already records (mirrors plans/txtable._merge_once,
         minus the bloom tier: Delta's stats schema has no bloom field)."""
         _, meta = self.snapshot()
+        phys = self._phys_map(meta)
         schema = self.schema()
         part_cols = self.partition_columns()
         updates = updates.select(
@@ -768,7 +931,7 @@ class DeltaTable:
         if ulo is None:
             # every key is NULL: equality can never match, so this is a pure
             # insert — min(key)=None must NOT be read as "empty batch"
-            new_adds = self._stage_files(updates, part_cols)
+            new_adds = self._stage_files(updates, part_cols, phys=phys)
             actions.extend({"add": a} for a in new_adds)
             self._publish(v, actions)
             return {"updated": 0, "inserted": n_rows, "files_rewritten": 0,
@@ -797,24 +960,25 @@ class DeltaTable:
                 return True
             st = json.loads(raw) if isinstance(raw, str) else raw
             mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
-            if key not in mins or key not in maxs:
+            pk = phys.get(key, key)  # stats are keyed by PHYSICAL name
+            if pk not in mins or pk not in maxs:
                 return True
-            if maxs[key] < ulo or mins[key] > uhi:
+            if maxs[pk] < ulo or mins[pk] > uhi:
                 return False
             if sorted_keys is not None:
-                i = bisect.bisect_left(sorted_keys, mins[key])
-                return i < len(sorted_keys) and sorted_keys[i] <= maxs[key]
+                i = bisect.bisect_left(sorted_keys, mins[pk])
+                return i < len(sorted_keys) and sorted_keys[i] <= maxs[pk]
             return True
 
         touched = [a for a in adds if overlaps_key(a)]
         if touched:
-            touched_df = self._read_entries(touched, schema, part_cols)
+            touched_df = self._read_entries(touched, schema, part_cols, phys=phys)
             matched = touched_df.join(updates.select(key), key, "left_semi").count()
             kept = touched_df.join(updates.select(key), key, "left_anti")
-            new_adds = self._stage_files(kept.unionByName(updates), part_cols)
+            new_adds = self._stage_files(kept.unionByName(updates), part_cols, phys=phys)
         else:
             matched = 0
-            new_adds = self._stage_files(updates, part_cols)
+            new_adds = self._stage_files(updates, part_cols, phys=phys)
         actions.extend(self._remove_action(a, now_ms) for a in touched)
         actions.extend({"add": a} for a in new_adds)
         self._publish(v, actions)
@@ -833,6 +997,8 @@ class DeltaTable:
         deletion-vector anti-join, unlike input_file_name); everything else
         is carried by reference. Files with DVs are read merge-on-read, so
         the rewrite never resurrects DV-dead rows and drops the DV."""
+        _, meta = self.snapshot()
+        phys = self._phys_map(meta)
         schema = self.schema()
         part_cols = self.partition_columns()
         adds = self.files()
@@ -842,7 +1008,7 @@ class DeltaTable:
         actions: list[dict] = [self._commit_info("DELETE")]
         # per-partition-group scan so partition columns participate in the
         # predicate; __dv_fp is evaluated at the parquet source
-        full = self._read_entries(adds, schema, part_cols, with_identity=True)
+        full = self._read_entries(adds, schema, part_cols, with_identity=True, phys=phys)
         hit_files = [
             r["__dv_fp"]
             # bounded: one distinct row per file containing matches
@@ -856,10 +1022,10 @@ class DeltaTable:
         if not hit:
             self._publish(v, actions)
             return {"deleted": 0, "files_rewritten": 0}
-        hit_df = self._read_entries(hit, schema, part_cols)
+        hit_df = self._read_entries(hit, schema, part_cols, phys=phys)
         deleted = hit_df.where(predicate).count()
         kept = hit_df.where(f"NOT ({predicate}) OR ({predicate}) IS NULL")
-        new_adds = self._stage_files(kept, part_cols)
+        new_adds = self._stage_files(kept, part_cols, phys=phys)
         actions.extend(self._remove_action(a, now_ms) for a in hit)
         actions.extend({"add": a} for a in new_adds)
         self._publish(v, actions)
@@ -888,12 +1054,15 @@ class DeltaTable:
         Copy-on-write paths (merge/delete/compact) read through
         ``_read_entries`` and therefore honor DVs; ``compact()`` rewrites
         purge them (the OPTIMIZE/PURGE behavior)."""
+        _, meta = self.snapshot()
         schema = self.schema()
         part_cols = self.partition_columns()
         adds = self.files()
         by_abs = {os.path.abspath(self._abs_path(a["path"])): a for a in adds}
         v = self.latest_version() + 1
-        full = self._read_entries(adds, schema, part_cols, with_identity=True)
+        full = self._read_entries(
+            adds, schema, part_cols, with_identity=True, phys=self._phys_map(meta)
+        )
         matched = (
             full.where(predicate)
             .groupBy("__dv_fp")
@@ -951,21 +1120,27 @@ class DeltaTable:
         ``dataChange: false`` — the spec's marker that the commit rearranges
         bytes without changing rows, so CDC readers skip it entirely (the
         delta_cdc source honors the flag)."""
+        _, meta = self.snapshot()
+        phys = self._phys_map(meta)
         schema = self.schema()
         part_cols = self.partition_columns()
         adds = self.files()
         groups: dict[tuple, list[dict]] = {}
         for a in adds:
             pv = a.get("partitionValues") or {}
-            groups.setdefault(tuple(pv.get(c) for c in part_cols), []).append(a)
+            groups.setdefault(
+                tuple(pv.get(phys.get(c, c)) for c in part_cols), []
+            ).append(a)
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [self._commit_info("OPTIMIZE")]
         rewritten = 0
         for _key, group in groups.items():
             if len(group) <= target_files:
                 continue
-            df = self._read_entries(group, schema, part_cols).coalesce(target_files)
-            new_adds = self._stage_files(df, part_cols)
+            df = self._read_entries(group, schema, part_cols, phys=phys).coalesce(
+                target_files
+            )
+            new_adds = self._stage_files(df, part_cols, phys=phys)
             for a in group:
                 r = self._remove_action(a, now_ms)
                 r["remove"]["dataChange"] = False

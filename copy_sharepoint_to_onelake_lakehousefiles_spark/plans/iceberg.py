@@ -1342,6 +1342,13 @@ def delta_to_iceberg_uniform(delta, ice_root: str | None = None) -> IcebergTable
     from .deltalog import DeltaTable as _DT
 
     assert isinstance(delta, _DT)
+    phys = _DT._phys_map(delta.snapshot()[1])
+    if any(log != p for log, p in phys.items()):
+        raise NotImplementedError(
+            "UniForm conversion of column-mapped Delta tables with diverged "
+            "physical names is not supported (stats/partitionValues are keyed "
+            "by physical names the Iceberg schema does not know)"
+        )
     root = ice_root or delta.root
     t = IcebergTable(delta.spark, root)
     if t._metadata_versions():

@@ -55,6 +55,8 @@ class FilePartition(InputPartition):
     # deletion-vector descriptor (dv_path, offset, sizeInBytes) or None —
     # the executor masks the listed row ordinals before anything else
     dv: tuple | None = None
+    # logical → physical column names (column mapping); None = identity
+    phys: dict | None = None
 
 
 def _cast_pv(raw: str | None, type_name: str) -> Any:
@@ -85,13 +87,14 @@ class DeltaLiteReader(DataSourceReader):
     def _meta(self):
         adds, meta = self._t.snapshot(self.version)
         part_cols = list(meta.get("partitionColumns") or [])
-        return adds, meta["schemaString"], part_cols
+        return adds, meta["schemaString"], part_cols, self._t._phys_map(meta)
 
     def partitions(self):
-        adds, schema_json, part_cols = self._meta()
+        adds, schema_json, part_cols, phys = self._meta()
         if self.pushed_partition:
             want = {
-                f.attribute[0]: str(f.value) for f in self.pushed_partition
+                phys.get(f.attribute[0], f.attribute[0]): str(f.value)
+                for f in self.pushed_partition
             }
             adds = [
                 a
@@ -102,7 +105,7 @@ class DeltaLiteReader(DataSourceReader):
             ]
         if self.pushed_bounds:
             bounds = {
-                c: (
+                phys.get(c, c): (
                     max((lo for lo, _ in cmp if lo is not None), default=None),
                     min((hi for _, hi in cmp if hi is not None), default=None),
                 )
@@ -121,6 +124,7 @@ class DeltaLiteReader(DataSourceReader):
                     (d["pathOrInlineDv"], int(d["offset"]), int(d["sizeInBytes"]))
                     if d
                     else None,
+                    phys,
                 )
             )
         return out
@@ -160,14 +164,16 @@ class DeltaLiteReader(DataSourceReader):
                 )
         n = tbl.num_rows
         names = set(tbl.column_names)
+        phys = partition.phys or {}
         arrays, out_names = [], []
         for f in st.fields:
             at = to_arrow_type(f.dataType)
+            pname = phys.get(f.name, f.name)
             if f.name in partition.part_cols:
-                v = _cast_pv(partition.partition_values.get(f.name), f.dataType.simpleString())
+                v = _cast_pv(partition.partition_values.get(pname), f.dataType.simpleString())
                 arrays.append(pa.array([v] * n, type=at))
-            elif f.name in names:
-                col = tbl.column(f.name).combine_chunks()
+            elif pname in names:
+                col = tbl.column(pname).combine_chunks()
                 arrays.append(col if col.type == at else col.cast(at))
             else:  # pre-evolution file: evolved column is all-null
                 arrays.append(pa.nulls(n, type=at))
@@ -182,7 +188,7 @@ class DeltaLitePushdownReader(DeltaLiteReader):
     _CMP = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
 
     def pushFilters(self, filters):
-        _, _, part_cols = self._meta()
+        _, _, part_cols, _phys = self._meta()
         for f in filters:
             col = f.attribute[0] if f.attribute else None
             if col in part_cols and isinstance(f, EqualTo) and len(f.attribute) == 1:

@@ -51,6 +51,7 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
         self._t = DeltaTable(None, self.root)
         self._schema_fields: list[tuple[str, str]] | None = None
         self._part_cols: list[str] | None = None
+        self._phys: dict | None = None
 
     def _fields(self) -> tuple[list[tuple[str, str]], list[str]]:
         if self._schema_fields is None:
@@ -58,6 +59,10 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
             st = json.loads(meta["schemaString"])
             self._schema_fields = [(f["name"], f["type"]) for f in st["fields"]]
             self._part_cols = list(meta.get("partitionColumns") or [])
+            # logical → physical (identity unless column mapping): files and
+            # partitionValues are keyed by physical names, stable across
+            # renames, so the current map covers every replayed version
+            self._phys = self._t._phys_map(meta)
         return self._schema_fields, self._part_cols
 
     def _rows_of(self, action: dict):
@@ -90,11 +95,12 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
         n = tbl.num_rows
         cols = []
         for name, type_name in fields:
+            pname = self._phys.get(name, name)
             if name in part_cols:
-                v = _cast_partition_value(pvals.get(name), type_name)
+                v = _cast_partition_value(pvals.get(pname), type_name)
                 cols.append([v] * n)
-            elif name in names:
-                cols.append(tbl.column(name).to_pylist())
+            elif pname in names:
+                cols.append(tbl.column(pname).to_pylist())
             else:  # pre-evolution file: evolved column reads as null
                 cols.append([None] * n)
         return zip(*cols) if cols else iter(())

@@ -1,0 +1,178 @@
+"""Delta column mapping (delta.columnMapping.mode = name): upgrade path,
+metadata-only rename/drop, physical-name indirection across every surface
+(reads, stats pruning, merge, deletes, DVs, CDC, delta_lite, checkpoints),
+and the drop/re-add non-resurrection guarantee."""
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import DeltaTable
+
+
+@pytest.fixture()
+def root():
+    d = os.path.join(tempfile.gettempdir(), f"cm_test_{uuid.uuid4().hex[:8]}")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, root, partition_by=None):
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}", i * 10) for i in range(9)], "k long, tag string, v long"
+    )
+    return DeltaTable.create(spark, root, df.repartition(2, "k"), partition_by=partition_by)
+
+
+def test_enable_is_idempotent_and_preserves_reads(spark, root):
+    t = _mk(spark, root)
+    before = _rows(t.read())
+    r1 = t.enable_column_mapping()
+    assert r1["already_enabled"] is False
+    assert t.enable_column_mapping()["already_enabled"] is True
+    assert _rows(t.read()) == before
+    # upgrade assigns ids + physicalName == current name (old files valid)
+    st = t.schema()
+    assert [f.metadata["delta.columnMapping.physicalName"] for f in st.fields] == [
+        "k", "tag", "v",
+    ]
+    assert [f.metadata["delta.columnMapping.id"] for f in st.fields] == [1, 2, 3]
+
+
+def test_rename_is_metadata_only_and_spans_old_and_new_files(spark, root):
+    t = _mk(spark, root)
+    t.enable_column_mapping()
+    files_before = {a["path"] for a in t.files()}
+    t.rename_column("v", "val")
+    assert {a["path"] for a in t.files()} == files_before  # no rewrite
+    got = t.read()
+    assert [f.name for f in got.schema.fields] == ["k", "tag", "val"]
+    assert _rows(got.select("k", "val")) == [(i, i * 10) for i in range(9)]
+    # time travel: pre-rename versions read under the OLD logical name
+    assert [f.name for f in t.read(0).schema.fields] == ["k", "tag", "v"]
+    # appends after the rename write PHYSICAL names and read back seamlessly
+    t.append(spark.createDataFrame([(99, "new", 990)], "k long, tag string, val long"))
+    assert _rows(t.read().where("k = 99").select("val")) == [(990,)]
+    with pytest.raises(ValueError, match="requires enable_column_mapping"):
+        _mk(spark, root + "_nomap").rename_column("v", "x")
+
+
+def test_drop_and_readd_never_resurrects(spark, root):
+    t = _mk(spark, root)
+    t.enable_column_mapping()
+    t.drop_column("tag")
+    assert [f.name for f in t.read().schema.fields] == ["k", "v"]
+    # re-added logical name gets a FRESH physicalName: old values stay gone
+    t.append(
+        spark.createDataFrame([(50, 500, "fresh")], "k long, v long, tag string"),
+        allow_evolution=True,
+    )
+    got = {r["k"]: r["tag"] for r in t.read().collect()}
+    assert got[50] == "fresh"
+    assert all(v is None for k, v in got.items() if k != 50)
+    st = t.schema()
+    tagf = next(f for f in st.fields if f.name == "tag")
+    assert tagf.metadata["delta.columnMapping.physicalName"].startswith("col-")
+    assert tagf.metadata["delta.columnMapping.id"] == 4
+    # dropped values still time-travel
+    assert t.read(0).where("tag = 't1'").count() == 3
+
+
+def test_partition_column_rename_under_mapping(spark, root):
+    t = _mk(spark, root, partition_by=["tag"])
+    t.enable_column_mapping()
+    t.rename_column("tag", "category")
+    got = t.read()
+    assert _rows(got.groupBy("category").count()) == [("t0", 3), ("t1", 3), ("t2", 3)]
+    # partition pruning still works through the logical name
+    assert {a["partitionValues"]["tag"] for a in t.files(partition_filter={"category": "t1"})} == {"t1"}
+    # appends land in the same physical partition layout
+    t.append(spark.createDataFrame([(100, "t1", 1)], "k long, category string, v long"))
+    assert t.read(partition_filter={"category": "t1"}).count() == 4
+
+
+def test_merge_delete_and_dvs_compose_with_renames(spark, root):
+    t = _mk(spark, root)
+    t.enable_column_mapping()
+    t.rename_column("v", "val")
+    t.merge(
+        spark.createDataFrame([(0, "upd", 9000), (77, "ins", 770)], "k long, tag string, val long"),
+        key="k",
+    )
+    got = t.read()
+    assert _rows(got.where("k IN (0, 77)").select("k", "val")) == [(0, 9000), (77, 770)]
+    t.delete_vectors("val >= 770")  # kills k=0 (9000) and k=77 (770)
+    assert t.read().where("val >= 770").count() == 0
+    t.delete("tag = 't1'")  # CoW on top: kills k=1, 4, 7
+    assert t.read().where("tag = 't1'").count() == 0
+    # stats pruning consulted physical keys throughout; final state exact
+    assert _rows(t.read().select("k")) == [(2,), (3,), (5,), (6,), (8,)]
+
+
+def test_cdc_and_lite_source_resolve_physical_names(spark, root, tmp_path):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_datasource import (
+        DeltaLiteDataSource,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_stream_source import (
+        DeltaCdcDataSource,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string")
+    t = DeltaTable.create(spark, root, df.coalesce(1))
+    t.enable_column_mapping()
+    t.rename_column("tag", "label")
+    t.append(spark.createDataFrame([(3, "c")], "k long, label string"))
+    for ds in (DeltaLiteDataSource, DeltaCdcDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            pass
+    via = spark.read.format("delta_lite").load(root)
+    assert [f.name for f in via.schema.fields] == ["k", "label"]
+    assert _rows(via) == [(1, "a"), (2, "b"), (3, "c")]
+    sink = os.path.join(str(tmp_path), "sink")
+    q = (
+        spark.readStream.format("delta_cdc")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    got = sorted((r["commit_version"], r["change_type"], r["k"], r["label"]) for r in feed.collect())
+    assert got == [(0, "add", 1, "a"), (0, "add", 2, "b"), (3, "add", 3, "c")]
+
+
+def test_checkpoint_and_constraint_guards(spark, root):
+    t = _mk(spark, root)
+    t.enable_column_mapping()
+    t.rename_column("v", "val")
+    t._write_checkpoint(t.latest_version())
+    t2 = DeltaTable(spark, root)
+    # schemaString (with mapping metadata) survives the checkpoint parquet
+    assert [f.name for f in t2.read().schema.fields] == ["k", "tag", "val"]
+    assert _rows(t2.read()) == _rows(t.read())
+    t.add_constraint("pos_val", "val >= 0")
+    with pytest.raises(NotImplementedError, match="CHECK constraint"):
+        t.rename_column("val", "v2")
+    with pytest.raises(NotImplementedError, match="CHECK constraint"):
+        t.drop_column("val")
+    # UniForm refuses diverged physical names instead of mis-reading
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        delta_to_iceberg_uniform,
+    )
+
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        delta_to_iceberg_uniform(t)
