@@ -1861,6 +1861,81 @@ def q143_iceberg_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize(out)
 
 
+_EVO_CACHE: dict = {}
+
+
+def _evolution_tables(spark: SparkSession, sf_dir: str):
+    """Schema-evolution demo pair, memoized per (session, sf_dir): the SAME
+    rename → drop → re-add-with-evolution sequence through Delta (column
+    mapping: physical-name indirection) and Iceberg (field-id resolution).
+    The re-added ``n_regionkey`` must read NULL for every original row in
+    both stacks — the non-resurrection guarantee in the hashed contract."""
+    cache_key = (id(spark), sf_dir)
+    pair = _EVO_CACHE.get(cache_key)
+    if pair is not None and os.path.isdir(pair[0].log_dir):
+        return pair
+    import tempfile
+
+    from .deltalog import DeltaTable
+
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long"), "n_name", F.col("n_regionkey").cast("long")
+    )
+    base = os.path.join(tempfile.gettempdir(), f"evo_{uuid.uuid4().hex[:8]}")
+    dl = DeltaTable.create(spark, os.path.join(base, "dl"), nation.coalesce(1))
+    dl.enable_column_mapping()
+    dl.rename_column("n_name", "nation_name")
+    dl.drop_column("n_regionkey")
+    dl.append(
+        spark.createDataFrame(
+            [(777, "NEWLAND", 5)], "n_nationkey long, nation_name string, n_regionkey long"
+        ),
+        allow_evolution=True,
+    )
+    ic = IcebergTable.create(spark, os.path.join(base, "ic"), nation.coalesce(1))
+    ic.rename_column("n_name", "nation_name")
+    ic.drop_column("n_regionkey")
+    ic.append(
+        spark.createDataFrame(
+            [(888, "ICELAND", 2)], "n_nationkey long, nation_name string, n_regionkey long"
+        ),
+        allow_evolution=True,
+    )
+    _EVO_CACHE[cache_key] = (dl, ic)
+    return dl, ic
+
+
+_Q145_ORACLE = """
+SELECT 'delta' AS fmt, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       n_name AS nation_name, CAST(NULL AS BIGINT) AS n_regionkey
+FROM nation
+UNION ALL
+SELECT 'delta', 777, 'NEWLAND', 5
+UNION ALL
+SELECT 'iceberg', CAST(n_nationkey AS BIGINT), n_name, CAST(NULL AS BIGINT)
+FROM nation
+UNION ALL
+SELECT 'iceberg', 888, 'ICELAND', 2
+"""
+
+
+@query("q145_schema_evolution_rename_drop", oracle=_Q145_ORACLE)
+def q145_schema_evolution_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema evolution in the hashed contract, through BOTH
+    open formats: rename a column (data follows — Delta by physicalName,
+    Iceberg by field id), DROP another, then re-add the dropped name with
+    evolution. Every original row must surface NULL for the re-added
+    column (fresh physical name / fresh field id — resurrecting the
+    dropped values from old files is a wrong answer), while the renamed
+    column carries all historical data. No file is rewritten in either
+    stack."""
+    dl, ic = _evolution_tables(spark, sf_dir)
+    out = dl.read().select(F.lit("delta").alias("fmt"), "*").unionByName(
+        ic.read().select(F.lit("iceberg").alias("fmt"), "*")
+    )
+    return materialize(out)
+
+
 _Q139_ORACLE = """
 SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
        CAST(n_regionkey AS BIGINT) AS n_regionkey
