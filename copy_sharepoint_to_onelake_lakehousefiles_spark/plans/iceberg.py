@@ -866,6 +866,7 @@ class IcebergTable:
         operation: str,
         base_md: dict | None,
         snapshot_id: int,
+        summary_extra: dict | None = None,
     ) -> dict:
         seq = (base_md.get("last-sequence-number", 0) + 1) if base_md else 1
         list_path = os.path.join(
@@ -883,7 +884,7 @@ class IcebergTable:
             "sequence-number": seq,
             "timestamp-ms": int(time.time() * 1000),
             "manifest-list": list_path,
-            "summary": {"operation": operation},
+            "summary": {"operation": operation, **(summary_extra or {})},
             "schema-id": (base_md or {}).get("current-schema-id", 0),
         }
         return snap
@@ -972,12 +973,20 @@ class IcebergTable:
         t._publish_metadata(md)
         return t
 
-    def append(self, df: DataFrame, allow_evolution: bool = False) -> dict:
+    def append(
+        self,
+        df: DataFrame,
+        allow_evolution: bool = False,
+        summary_extra: dict | None = None,
+    ) -> dict:
         """Fast append: one NEW manifest; prior manifests re-referenced.
         With ``allow_evolution``, NEW columns register a new schema entry
         (fresh field ids from last-column-id — Iceberg's id-based evolution,
         so renames can never alias) and the snapshot records its schema-id;
-        older snapshots keep reading under their own schema."""
+        older snapshots keep reading under their own schema.
+        ``summary_extra`` lands in the snapshot summary (the spec's
+        free-form key/value map — how streaming writers ledger their
+        committed batch ids, see ``stream_append``)."""
         md = self.metadata()
         part_fields = self.partition_fields()
         st = self.schema()
@@ -1027,7 +1036,9 @@ class IcebergTable:
         seq = md["last-sequence-number"] + 1
         sid = self._new_snapshot_id()
         mrow = self._write_manifest(entries, sid, seq, part_fields)
-        snap = self._commit_snapshot([mrow] + prior, "append", md, sid)
+        snap = self._commit_snapshot(
+            [mrow] + prior, "append", md, sid, summary_extra=summary_extra
+        )
         md["snapshots"].append(snap)
         md["current-snapshot-id"] = snap["snapshot-id"]
         md["last-sequence-number"] = snap["sequence-number"]
@@ -1263,6 +1274,22 @@ class IcebergTable:
         self._publish_metadata(md)
         return {"snapshot_id": snap["snapshot-id"], "delete_rows": n_rows}
 
+    def seen_batch(self, stream_id: str) -> int | None:
+        """Highest micro-batch id committed for ``stream_id`` across the
+        retained snapshots' summaries — the Iceberg analogue of Delta's
+        SetTransaction ledger (Flink's Iceberg sink persists
+        max-committed-checkpoint-id in the snapshot summary the same way).
+        The idempotency window is the retained snapshot history: expiring
+        a stream's snapshots forgets its ledger, exactly like Delta's
+        expired txn actions."""
+        best = None
+        for s in self.snapshots():
+            summ = s.get("summary") or {}
+            if summ.get("stream-id") == stream_id and "batch-id" in summ:
+                b = int(summ["batch-id"])
+                best = b if best is None else max(best, b)
+        return best
+
     def expire_snapshots(self, retain_last: int = 2) -> dict:
         """Drop all but the last ``retain_last`` snapshots from the metadata
         and delete metadata/data files referenced by NO retained snapshot.
@@ -1314,6 +1341,36 @@ class IcebergTable:
         md["last-updated-ms"] = int(time.time() * 1000)
         self._publish_metadata(md)
         return {"snapshots_expired": len(drop), "files_deleted": deleted}
+
+
+def stream_append(
+    table: IcebergTable, stream_df: DataFrame, stream_id: str, checkpoint: str
+):
+    """Exactly-once streaming append into an Iceberg table — the twin of
+    ``deltalog.stream_append``: each micro-batch commits a fast-append
+    snapshot whose summary carries (stream-id, batch-id); a batch replayed
+    after a crash-restart (same checkpoint → same batchId) is detected via
+    ``seen_batch`` and skipped instead of double-appended. This is the
+    snapshot-summary ledger design Flink's Iceberg sink uses for its
+    checkpoint ids. Runs with Trigger.availableNow; returns after the
+    drain."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        seen = table.seen_batch(stream_id)
+        if seen is not None and seen >= batch_id:
+            return  # replayed batch: this snapshot already committed
+        table.append(
+            batch_df,
+            summary_extra={"stream-id": stream_id, "batch-id": str(batch_id)},
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def delta_to_iceberg_uniform(delta, ice_root: str | None = None) -> IcebergTable:

@@ -661,3 +661,41 @@ def test_rename_composes_with_position_deletes(spark, root):
     # positions keep masking under the renamed schema; with_positions too
     wp = t.read(with_positions=True)
     assert wp.count() == 4
+
+
+def test_stream_append_exactly_once(spark, root, tmp_path):
+    """availableNow drain into an Iceberg table via foreachBatch + snapshot-
+    summary ledger; a manual replay of an already-committed batch id must be
+    a no-op, and a NEW batch id must still land — the Flink-sink idempotency
+    design on the spec's summary map."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        stream_append,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    pq.write_table(pa.table({"k": [1, 2, 3]}), os.path.join(src, "a.parquet"))
+    t = IcebergTable.create(spark, root, spark.createDataFrame([], "k long"))
+    stream = spark.readStream.schema("k long").parquet(src)
+    stream_append(t, stream, "s1", os.path.join(str(tmp_path), "ckpt"))
+    assert t.read().count() == 3
+    committed = t.seen_batch("s1")
+    assert committed is not None
+    one = spark.createDataFrame([(9,)], "k long")
+    n_before = len(t.snapshots())
+
+    def _write(batch_df, batch_id):
+        s = t.seen_batch("s1")
+        if s is not None and s >= batch_id:
+            return
+        t.append(batch_df, summary_extra={"stream-id": "s1", "batch-id": str(batch_id)})
+
+    _write(one, committed)  # replay: skipped
+    assert len(t.snapshots()) == n_before
+    _write(one, committed + 1)  # new batch: lands
+    assert t.read().count() == 4
+    # the ledger is per stream id
+    assert t.seen_batch("other") is None
