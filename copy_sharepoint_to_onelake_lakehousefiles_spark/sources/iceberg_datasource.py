@@ -52,6 +52,11 @@ class IceFilePartition(InputPartition):
     # file's): [delete_file_path, ...] — applied FIRST, because pos values
     # are row ordinals of the ORIGINAL file
     pos_deletes: list
+    # target-name → write-time-name map when this file's schema diverges
+    # from the target (rename/drop evolution, resolved BY FIELD ID at
+    # planning); None = names match; a None VALUE = field id absent from
+    # the file (reads null)
+    colmap: dict | None = None
 
 
 class IcebergLiteReader(DataSourceReader):
@@ -82,8 +87,27 @@ class IcebergLiteReader(DataSourceReader):
             partition_filter=self.partition_filter or None,
             bounds=bounds,
         )
-        schema_json = self._t.schema().json()
+        schema_json = self._t.schema(index=self.index).json()
         part_cols = [pf["name"] for pf in self._t.partition_fields()]
+        # id-based evolution: recover each file's write-time schema from its
+        # sequence number and plan a target-name → write-name map when they
+        # diverge (rename/drop) — mirrors IcebergTable._read_data_entries
+        md_ = self._t.metadata()
+        tgt_sid = self._t._schema_id_for(index=self.index)
+        schemas_by_id = {s["schema-id"]: s for s in md_["schemas"]}
+        tgt_fields = schemas_by_id[tgt_sid]["fields"]
+        seq_to_sid = {
+            s["sequence-number"]: s.get("schema-id", tgt_sid)
+            for s in md_["snapshots"]
+        }
+
+        def colmap_for(e: dict) -> dict | None:
+            wsid = seq_to_sid.get(e.get("__seq"), tgt_sid)
+            if wsid == tgt_sid or wsid not in schemas_by_id:
+                return None
+            w_by_id = {f["id"]: f["name"] for f in schemas_by_id[wsid]["fields"]}
+            m = {f["name"]: w_by_id.get(f["id"]) for f in tgt_fields}
+            return None if all(k == v for k, v in m.items()) else m
         # merge-on-read: ship each data file's APPLICABLE equality-delete
         # files (strictly newer sequence number) into its partition so the
         # executor applies the anti-join locally
@@ -117,6 +141,7 @@ class IcebergLiteReader(DataSourceReader):
                     part_cols,
                     applicable,
                     pos_applicable,
+                    colmap_for(e),
                 )
             )
         return out
@@ -171,15 +196,20 @@ class IcebergLiteReader(DataSourceReader):
             tbl = tbl.filter(mask)
         n = tbl.num_rows
         names = set(tbl.column_names)
+        cm = partition.colmap
         arrays, out_names = [], []
         for f in st.fields:
             at = to_arrow_type(f.dataType)
+            # id-based evolution: read this file's column under its WRITE-
+            # TIME name; a None mapping = field id absent (renamed-away or
+            # post-drop re-add) → null, never the stale same-named column
+            wname = cm.get(f.name, f.name) if cm is not None else f.name
             if f.name in partition.part_cols:
                 # identity partition value is constant per file BY DEFINITION
                 # — overlay from the manifest (migrated-table fill)
                 arrays.append(pa.array([partition.partition_values.get(f.name)] * n, type=at))
-            elif f.name in names:
-                col = tbl.column(f.name).combine_chunks()
+            elif wname is not None and wname in names:
+                col = tbl.column(wname).combine_chunks()
                 arrays.append(col if col.type == at else col.cast(at))
             else:
                 arrays.append(pa.nulls(n, type=at))
@@ -227,7 +257,10 @@ class IcebergLiteDataSource(DataSource):
         root = self.options.get("path")
         if not root:
             raise ValueError("iceberg_lite requires .load(<table root>)")
-        st = IcebergTable(None, root).schema()
+        idx = self.options.get("snapshot_index")
+        st = IcebergTable(None, root).schema(
+            index=int(idx) if idx is not None else None
+        )
         return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
 
     def reader(self, schema) -> IcebergLiteReader:

@@ -61,7 +61,28 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
             )
             self._fields = [(f["name"], f["type"]) for f in ice["fields"]]
             self._part_cols = [pf["name"] for pf in self._t.partition_fields()]
+            self._tgt_ids = [f["id"] for f in ice["fields"]]
+            self._schemas_by_id = {s["schema-id"]: s for s in md["schemas"]}
+            self._seq_to_sid = {
+                s["sequence-number"]: s.get("schema-id", md["current-schema-id"])
+                for s in md["snapshots"]
+            }
+            self._tgt_sid = md["current-schema-id"]
         return self._fields, self._part_cols
+
+    def _write_names(self, entry: dict) -> dict:
+        """Current-name → this file's write-time column name (id-based;
+        None = field id absent from the file → null)."""
+        fields, _ = self._schema_fields()
+        wsid = self._seq_to_sid.get(entry.get("__seq"), self._tgt_sid)
+        if wsid == self._tgt_sid or wsid not in self._schemas_by_id:
+            return {n: n for n, _t in fields}
+        w_by_id = {
+            f["id"]: f["name"] for f in self._schemas_by_id[wsid]["fields"]
+        }
+        return {
+            n: w_by_id.get(i) for (n, _t), i in zip(fields, self._tgt_ids)
+        }
 
     def _n_snapshots(self) -> int:
         return len(self._t.snapshots())
@@ -70,6 +91,7 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
         import pyarrow.parquet as pq
 
         fields, part_cols = self._schema_fields()
+        wnames = self._write_names(entry)
         tbl = pq.read_table(entry["file_path"].replace("file:", ""))
         if positions is not None:
             tbl = tbl.take(sorted(positions))
@@ -77,10 +99,11 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
         n = tbl.num_rows
         cols = []
         for name, type_name in fields:
+            wname = wnames.get(name, name)
             if name in part_cols:
                 cols.append([_cast_pv(entry["partition"].get(name), type_name)] * n)
-            elif name in names:
-                cols.append(tbl.column(name).to_pylist())
+            elif wname is not None and wname in names:
+                cols.append(tbl.column(wname).to_pylist())
             else:
                 cols.append([None] * n)
         return zip(*cols) if cols else iter(())

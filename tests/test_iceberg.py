@@ -699,3 +699,48 @@ def test_stream_append_exactly_once(spark, root, tmp_path):
     assert t.read().count() == 4
     # the ledger is per stream id
     assert t.seen_batch("other") is None
+
+
+def test_lite_source_and_cdc_resolve_renames_by_field_id(spark, root, tmp_path):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+        IcebergLiteDataSource,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_stream_source import (
+        IcebergCdcDataSource,
+    )
+
+    t = IcebergTable.create(
+        spark, root, spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string")
+    )
+    t.rename_column("tag", "label")
+    t.append(spark.createDataFrame([(3, "c")], "k long, label string"))
+    for ds in (IcebergLiteDataSource, IcebergCdcDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            pass
+    via = spark.read.format("iceberg_lite").load(root)
+    assert [f.name for f in via.schema.fields] == ["k", "label"]
+    # pre-rename file's values must surface under the NEW name via field id
+    assert _rows(via) == [(1, "a"), (2, "b"), (3, "c")]
+    # time travel through the source reads the OLD schema
+    v0 = spark.read.format("iceberg_lite").option("snapshot_index", "0").load(root)
+    assert [f.name for f in v0.schema.fields] == ["k", "tag"]
+    assert _rows(v0) == [(1, "a"), (2, "b")]
+    sink = os.path.join(str(tmp_path), "sink")
+    q = (
+        spark.readStream.format("iceberg_cdc")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    got = sorted(
+        (r["snapshot_idx"], r["change_type"], r["k"], r["label"]) for r in feed.collect()
+    )
+    assert got == [(0, "add", 1, "a"), (0, "add", 2, "b"), (1, "add", 3, "c")]
