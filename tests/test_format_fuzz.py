@@ -78,3 +78,99 @@ def test_random_op_sequences_agree_across_formats(spark, init, ops):
         assert _rows(ic.read(index=0)) == first
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+value_col_idx = st.integers(min_value=0, max_value=5)
+evo_op = st.one_of(
+    st.tuples(st.just("append"), st.lists(row, min_size=1, max_size=3)),
+    st.tuples(st.just("delete"), st.integers(2, 4), st.integers(0, 3)),
+    st.tuples(st.just("rename"), value_col_idx),
+    st.tuples(st.just("drop"), value_col_idx),
+    st.tuples(st.just("addcol"), st.integers(min_value=0, max_value=99)),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(init=initial, ops=st.lists(evo_op, min_size=1, max_size=4))
+def test_random_evolution_sequences_agree_delta_vs_iceberg(spark, init, ops):
+    """Random append/delete/rename/drop/add-column sequences through Delta
+    (column mapping) and Iceberg (field ids) against a pure-Python model:
+    renames must carry historical data, drops must hide it permanently,
+    added columns must read null for pre-existing rows, and deletes keep
+    composing with all of it. (TxTable sits out: no rename/drop surface.)"""
+    base = os.path.join(tempfile.gettempdir(), f"efuzz_{uuid.uuid4().hex[:8]}")
+    try:
+        init_rows = [(k, v, v * 2) for k, v in init]
+        ddl = "k long, a long, b long"
+        c_df = spark.createDataFrame(init_rows, ddl)
+        dl = DeltaTable.create(spark, os.path.join(base, "dl"), c_df)
+        dl.enable_column_mapping()
+        ic = IcebergTable.create(spark, os.path.join(base, "ic"), c_df)
+        cols = ["k", "a", "b"]  # current logical schema, k immutable
+        model = [dict(zip(cols, r)) for r in init_rows]
+        for i, op in enumerate(ops):
+            val_cols = [c for c in cols if c != "k"]
+            if op[0] == "append":
+                rows = [
+                    tuple([k] + [v + j for j in range(len(cols) - 1)])
+                    for k, v in op[1]
+                ]
+                ddl_now = ", ".join(f"{c} long" for c in cols)
+                a_df = spark.createDataFrame(rows, ddl_now)
+                dl.append(a_df)
+                ic.append(a_df)
+                model.extend(dict(zip(cols, r)) for r in rows)
+            elif op[0] == "delete":
+                _, m, r = op
+                r = r % m
+                pred = f"k % {m} = {r}"
+                if i % 2 == 0:
+                    dl.delete_vectors(pred)
+                    ic.position_delete(pred)
+                else:
+                    dl.delete(pred)
+                    dead_keys = sorted({t["k"] for t in model if t["k"] % m == r})
+                    if dead_keys:
+                        ic.equality_delete(
+                            spark.createDataFrame([(k,) for k in dead_keys], "k long")
+                        )
+                model = [t for t in model if t["k"] % m != r]
+            elif op[0] == "rename":
+                old = val_cols[op[1] % len(val_cols)]
+                new = f"c{i}_{old}"
+                dl.rename_column(old, new)
+                ic.rename_column(old, new)
+                cols = [new if c == old else c for c in cols]
+                model = [{(new if k == old else k): v for k, v in t.items()} for t in model]
+            elif op[0] == "drop":
+                if len(val_cols) < 2:
+                    continue  # keep at least one value column
+                victim = val_cols[op[1] % len(val_cols)]
+                dl.drop_column(victim)
+                ic.drop_column(victim)
+                cols = [c for c in cols if c != victim]
+                model = [{k: v for k, v in t.items() if k != victim} for t in model]
+            else:  # addcol: evolve with a fresh column; old rows read null
+                new = f"n{i}"
+                fill = op[1]
+                ddl_now = ", ".join(f"{c} long" for c in cols + [new])
+                rows = [tuple([90 + i] + [fill] * len(cols))]
+                a_df = spark.createDataFrame(rows, ddl_now)
+                dl.append(a_df, allow_evolution=True)
+                ic.append(a_df, allow_evolution=True)
+                for t in model:
+                    t[new] = None
+                cols = cols + [new]
+                model.append(dict(zip(cols, rows[0])))
+        expected = sorted(
+            (tuple(t[c] for c in cols) for t in model),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+        for name, tbl in (("delta", dl), ("iceberg", ic)):
+            got = sorted(
+                (tuple(r[c] for c in cols) for r in tbl.read().select(*cols).collect()),
+                key=lambda t: tuple((v is None, v) for v in t),
+            )
+            assert got == expected, f"{name} diverges from model (cols={cols})"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
