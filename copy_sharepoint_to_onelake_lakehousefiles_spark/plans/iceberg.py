@@ -1274,6 +1274,94 @@ class IcebergTable:
         self._publish_metadata(md)
         return {"snapshot_id": snap["snapshot-id"], "delete_rows": n_rows}
 
+    def rewrite_position_deletes(self) -> dict:
+        """Maintenance action (the spec's RewritePositionDeleteFiles):
+        merge the current snapshot's position-delete files into ONE sorted
+        delete file, dropping pairs that reference data files no longer
+        live. Data manifests are re-referenced untouched — only the deletes
+        manifests are replaced. Correctness rests on two facts: position
+        pairs name CONCRETE files (so widening the merged file's sequence
+        number cannot capture later-appended data), and this writer never
+        reuses data-file paths. Old delete files are reclaimed by
+        ``expire_snapshots`` once their snapshots age out."""
+        snaps = self.snapshots()
+        if not snaps:
+            return {"rewritten": 0}
+        md = self.metadata()
+        cur = self._resolve_snapshot(None, None)
+        _, prior = read_ocf(cur["manifest-list"].replace("file:", ""))
+        keep_rows: list[dict] = []
+        pos_files: list[str] = []
+        for m in prior:
+            if m.get("content") != 1:
+                keep_rows.append(m)
+                continue
+            _, rows = read_ocf(m["manifest_path"].replace("file:", ""))
+            live_entries = [e for e in rows if e["status"] != 2]
+            if all(
+                (e["data_file"].get("content") or 0) == 1 for e in live_entries
+            ) and live_entries:
+                pos_files.extend(
+                    e["data_file"]["file_path"].replace("file:", "")
+                    for e in live_entries
+                )
+            else:
+                keep_rows.append(m)  # equality (or mixed) manifest: keep
+        if len(pos_files) <= 1:
+            return {"rewritten": 0}
+        entries, _ = self.files()
+        live_paths = [e["file_path"].replace("file:", "") for e in entries]
+        pairs = self.spark.read.schema("file_path string, pos long").parquet(
+            *pos_files
+        )
+        live_df = self.spark.createDataFrame(
+            [(p,) for p in live_paths], "file_path string"
+        )
+        merged = (
+            pairs.join(F.broadcast(live_df), "file_path", "left_semi")
+            .distinct()
+            .orderBy("file_path", "pos")
+        )
+        os.makedirs(self.data_dir, exist_ok=True)
+        path = os.path.join(self.data_dir, f"posdel-compact-{uuid.uuid4().hex}.parquet")
+        stage = os.path.join(self.root, f".stage_{uuid.uuid4().hex}")
+        merged.coalesce(1).write.mode("overwrite").parquet(stage)
+        import pyarrow.parquet as pq
+
+        moved = False
+        for dirpath, _dn, filenames in os.walk(stage):
+            for n in filenames:
+                if n.endswith(".parquet") and not moved:
+                    os.rename(os.path.join(dirpath, n), path)
+                    moved = True
+        shutil.rmtree(stage, ignore_errors=True)
+        seq = md["last-sequence-number"] + 1
+        sid = self._new_snapshot_id()
+        mrows = list(keep_rows)
+        n_pairs = pq.ParquetFile(path).metadata.num_rows if moved else 0
+        if moved and n_pairs:
+            entry = {
+                "content": 1,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n_pairs,
+                "file_size_in_bytes": os.path.getsize(path),
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": None,
+            }
+            mrows.append(self._write_manifest([entry], sid, seq, [], content=1))
+        elif moved:
+            os.unlink(path)  # every pair referenced a dead file
+        snap = self._commit_snapshot(mrows, "replace", md, sid)
+        md["snapshots"].append(snap)
+        md["current-snapshot-id"] = snap["snapshot-id"]
+        md["last-sequence-number"] = snap["sequence-number"]
+        md["last-updated-ms"] = snap["timestamp-ms"]
+        self._publish_metadata(md)
+        return {"rewritten": len(pos_files), "pairs": n_pairs}
+
     def seen_batch(self, stream_id: str) -> int | None:
         """Highest micro-batch id committed for ``stream_id`` across the
         retained snapshots' summaries — the Iceberg analogue of Delta's

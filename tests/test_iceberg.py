@@ -744,3 +744,37 @@ def test_lite_source_and_cdc_resolve_renames_by_field_id(spark, root, tmp_path):
         (r["snapshot_idx"], r["change_type"], r["k"], r["label"]) for r in feed.collect()
     )
     assert got == [(0, "add", 1, "a"), (0, "add", 2, "b"), (1, "add", 3, "c")]
+
+
+def test_rewrite_position_deletes_compacts_and_preserves_reads(spark, root):
+    t = IcebergTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(12)], "k long, v long"
+        ).repartition(3, "k"),
+    )
+    t.position_delete("k % 4 = 0")
+    t.position_delete("k = 1")
+    t.position_delete("v = 110")
+    before = _rows(t.read())
+    pos_before = [d for d in t.delete_entries() if d["content"] == 1]
+    assert len(pos_before) == 3
+    res = t.rewrite_position_deletes()
+    assert res["rewritten"] == 3
+    assert res["pairs"] == 5  # k in {0, 4, 8}, k=1, k=11 — all distinct
+    assert _rows(t.read()) == before
+    pos_after = [d for d in t.delete_entries() if d["content"] == 1]
+    assert len(pos_after) == 1
+    # idempotent: one file left → nothing to do
+    assert t.rewrite_position_deletes() == {"rewritten": 0}
+    # old snapshots still read correctly (time travel untouched)
+    assert t.read(index=0).count() == 12
+    # equality deletes are left alone by the rewrite
+    t.equality_delete(spark.createDataFrame([(2,)], "k long"))
+    t.position_delete("k = 3")
+    res2 = t.rewrite_position_deletes()
+    assert res2["rewritten"] == 2  # the compacted file + the new one
+    dels = t.delete_entries()
+    assert sorted(d["content"] for d in dels) == [1, 2]
+    assert _rows(t.read().select("k")) == [(5,), (6,), (7,), (9,), (10,)]
