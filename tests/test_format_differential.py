@@ -114,3 +114,40 @@ def test_three_delete_paths_agree(spark):
         assert len(r_tx) == 26
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_export_chain_txtable_to_delta_to_iceberg(spark):
+    """The full export chain: a TxTable's history replays into a Delta log
+    (hardlinked data), and UniForm then overlays Iceberg metadata on the
+    SAME files — one data copy, three formats, every version agreeing."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        txtable_to_delta,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        delta_to_iceberg_uniform,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), f"chain_{uuid.uuid4().hex[:6]}")
+    try:
+        ddl = "k long, tag string, v double"
+        tx = TxTable.create(
+            spark,
+            os.path.join(base, "tx"),
+            spark.createDataFrame([(1, "a", 1.5), (2, "b", -2.0)], ddl),
+            key="k",
+        )
+        tx.append(spark.createDataFrame([(3, "c", 9.0)], ddl))
+        tx.merge(spark.createDataFrame([(2, "B", 7.5), (4, "d", 0.5)], ddl))
+        dl = txtable_to_delta(tx, os.path.join(base, "dl"))
+        ic = delta_to_iceberg_uniform(dl)
+        for v in (0, 1, 2):
+            r_tx = _rows(tx.read(v))
+            assert r_tx == _rows(dl.read(v)), f"delta v{v}"
+            assert r_tx == _rows(ic.read(index=v)), f"iceberg v{v}"
+        # one physical copy: delta files are hardlinks, iceberg references
+        # the delta files in place
+        entries, _ = ic.files()
+        dl_paths = {os.path.realpath(dl._abs_path(a["path"])) for a in dl.files()}
+        assert {os.path.realpath(e["file_path"]) for e in entries} == dl_paths
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
