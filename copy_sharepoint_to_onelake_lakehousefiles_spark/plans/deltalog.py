@@ -459,7 +459,7 @@ class DeltaTable:
 
         adds, meta = self.snapshot(version)
         rows = [
-            {"add": None, "metaData": None, "protocol": dict(PROTOCOL)},
+            {"add": None, "metaData": None, "protocol": self.protocol(version)},
             {
                 "add": None,
                 "metaData": {
@@ -530,7 +530,12 @@ class DeltaTable:
                 pa.field(
                     "protocol",
                     pa.struct(
-                        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                        [
+                            ("minReaderVersion", pa.int32()),
+                            ("minWriterVersion", pa.int32()),
+                            ("readerFeatures", pa.list_(pa.string())),
+                            ("writerFeatures", pa.list_(pa.string())),
+                        ]
                     ),
                 ),
             ]
@@ -584,6 +589,55 @@ class DeltaTable:
                     f"CHECK constraint {name} ({expr}) violated by {n_bad} rows"
                 )
 
+    def protocol(self, version: int | None = None) -> dict:
+        """The table's protocol at ``version``: the last protocol action at
+        or before it (checkpoint row + JSON tail), defaulting to the base
+        PROTOCOL. Feature-gated capabilities (deletionVectors,
+        columnMapping) upgrade this lazily on first use — the spec's
+        table-features representation (minReaderVersion 3 /
+        minWriterVersion 7 with explicit feature lists)."""
+        v = self.latest_version() if version is None else version
+        proto = dict(PROTOCOL)
+        ck = self._checkpoint_version_at_or_before(v)
+        start = 0
+        if ck is not None:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                os.path.join(self.log_dir, _fmt_checkpoint(ck)), columns=["protocol"]
+            )
+            for r in tbl.to_pylist():
+                p = r.get("protocol")
+                if p and p.get("minReaderVersion") is not None:
+                    proto = {k: v2 for k, v2 in p.items() if v2 is not None}
+            start = ck + 1
+        for u in range(start, v + 1):
+            if u not in self.versions():
+                continue
+            for action in self._commit_actions(u):
+                if "protocol" in action:
+                    proto = action["protocol"]
+        return proto
+
+    def _feature_upgrade_action(self, feature: str) -> dict | None:
+        """One protocol action upgrading the table to carry ``feature`` in
+        its reader+writer feature lists, or None if already present."""
+        cur = self.protocol()
+        rf = set(cur.get("readerFeatures") or [])
+        wf = set(cur.get("writerFeatures") or [])
+        if feature in rf and feature in wf:
+            return None
+        rf.add(feature)
+        wf.add(feature)
+        return {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(rf),
+                "writerFeatures": sorted(wf),
+            }
+        }
+
     def enable_column_mapping(self) -> dict:
         """Upgrade to ``delta.columnMapping.mode = name``: every existing
         column gets a stable id and a physicalName EQUAL TO ITS CURRENT
@@ -607,9 +661,12 @@ class DeltaTable:
         new_meta["schemaString"] = T.StructType(fields).json()
         new_meta["configuration"] = cfg
         v = self.latest_version() + 1
-        self._publish(
-            v, [self._commit_info("UPGRADE COLUMN MAPPING"), {"metaData": new_meta}]
-        )
+        actions = [self._commit_info("UPGRADE COLUMN MAPPING")]
+        up = self._feature_upgrade_action("columnMapping")
+        if up:
+            actions.append(up)
+        actions.append({"metaData": new_meta})
+        self._publish(v, actions)
         return {"version": v, "already_enabled": False}
 
     def _guard_renameable(self, name: str, op: str, meta: dict) -> None:
@@ -1094,6 +1151,9 @@ class DeltaTable:
         spans = write_dv_file(dv_path, blobs)
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [self._commit_info("DELETE")]
+        up = self._feature_upgrade_action("deletionVectors")
+        if up:
+            actions.append(up)
         for (a, card), (off, size) in zip(metas, spans):
             actions.append(self._remove_action(a, now_ms))
         for (a, card), (off, size) in zip(metas, spans):

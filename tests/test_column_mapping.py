@@ -176,3 +176,27 @@ def test_checkpoint_and_constraint_guards(spark, root):
 
     with pytest.raises(NotImplementedError, match="column-mapped"):
         delta_to_iceberg_uniform(t)
+
+
+def test_protocol_feature_upgrades(spark, root):
+    t = _mk(spark, root)
+    assert t.protocol() == {"minReaderVersion": 1, "minWriterVersion": 2}
+    t.delete_vectors("k = 0")
+    p1 = t.protocol()
+    assert p1["minReaderVersion"] == 3 and p1["minWriterVersion"] == 7
+    assert p1["readerFeatures"] == ["deletionVectors"]
+    t.enable_column_mapping()
+    p2 = t.protocol()
+    assert p2["readerFeatures"] == ["columnMapping", "deletionVectors"]
+    # second DV delete does not re-emit the upgrade
+    v = t.latest_version()
+    t.delete_vectors("k = 1")
+    assert not any(
+        "protocol" in a for a in t._commit_actions(t.latest_version())
+    )
+    # the protocol (with feature lists) survives a checkpoint round-trip
+    t._write_checkpoint(t.latest_version())
+    t2 = DeltaTable(spark, root)
+    assert t2.protocol()["readerFeatures"] == ["columnMapping", "deletionVectors"]
+    # time travel reads the protocol as of that version
+    assert t.protocol(0) == {"minReaderVersion": 1, "minWriterVersion": 2}
