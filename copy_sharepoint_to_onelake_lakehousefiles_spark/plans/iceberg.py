@@ -1141,14 +1141,10 @@ class IcebergTable:
         return {"snapshot_id": snap["snapshot-id"], "files_added": len(entries)}
 
 
-    def equality_delete(self, keys_df: DataFrame) -> dict:
-        """MERGE-ON-READ row deletes via v2 EQUALITY DELETE files: the key
-        rows are written as a parquet delete file committed under a deletes
-        manifest (manifest-list content=1, data_file.content=2,
-        equality_ids = the key columns' field ids). No data file is
-        rewritten — readers anti-join data files with a strictly smaller
-        sequence number against the delete keys (the Flink-CDC write shape;
-        compare TxTable/Delta's copy-on-write ``delete``)."""
+    def _eq_delete_entry(self, keys_df: DataFrame) -> dict:
+        """Write ``keys_df`` as a v2 equality-delete parquet and return its
+        manifest entry (content=2, equality_ids = the key columns' field
+        ids)."""
         md = self.metadata()
         ice_fields = next(
             s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
@@ -1174,7 +1170,7 @@ class IcebergTable:
         if not moved:
             raise ValueError("empty delete-key batch")
         n_rows = pq.ParquetFile(path).metadata.num_rows
-        entry = {
+        return {
             "content": 2,  # equality deletes
             "file_path": path,
             "file_format": "PARQUET",
@@ -1185,6 +1181,18 @@ class IcebergTable:
             "upper_bounds": None,
             "equality_ids": eq_ids,
         }
+
+    def equality_delete(self, keys_df: DataFrame) -> dict:
+        """MERGE-ON-READ row deletes via v2 EQUALITY DELETE files: the key
+        rows are written as a parquet delete file committed under a deletes
+        manifest (manifest-list content=1, data_file.content=2,
+        equality_ids = the key columns' field ids). No data file is
+        rewritten — readers anti-join data files with a strictly smaller
+        sequence number against the delete keys (the Flink-CDC write shape;
+        compare TxTable/Delta's copy-on-write ``delete``)."""
+        md = self.metadata()
+        entry = self._eq_delete_entry(keys_df)
+        n_rows = entry["record_count"]
         cur = self._resolve_snapshot(None, None)
         _, prior = read_ocf(cur["manifest-list"].replace("file:", ""))
         seq = md["last-sequence-number"] + 1
@@ -1273,6 +1281,51 @@ class IcebergTable:
         md["last-updated-ms"] = snap["timestamp-ms"]
         self._publish_metadata(md)
         return {"snapshot_id": snap["snapshot-id"], "delete_rows": n_rows}
+
+    def upsert(
+        self, updates: DataFrame, key: str, summary_extra: dict | None = None
+    ) -> dict:
+        """ATOMIC merge-on-read UPSERT by ``key`` in ONE snapshot: an
+        equality-delete file on the update keys plus the new data files
+        commit together at the same sequence number. The spec's scoping
+        does the merge: equality deletes apply only to data files with a
+        STRICTLY SMALLER sequence number, so the batch's own files survive
+        while every older row with a matching key dies. This is exactly how
+        Flink's upsert-mode Iceberg sink commits a checkpoint — no data
+        file is read or rewritten (compare TxTable/Delta's copy-on-write
+        ``merge``)."""
+        md = self.metadata()
+        part_fields = self.partition_fields()
+        st = self.schema()
+        updates = updates.select(
+            *[F.col(f.name).cast(f.dataType) for f in st.fields]
+        )
+        keys_df = updates.select(key).where(F.col(key).isNotNull()).distinct()
+        n_keys = keys_df.count()
+        entries = self._stage_data_files(updates, part_fields, st)
+        cur = self._resolve_snapshot(None, None)
+        _, prior = read_ocf(cur["manifest-list"].replace("file:", ""))
+        seq = md["last-sequence-number"] + 1
+        sid = self._new_snapshot_id()
+        mrows = []
+        if entries:
+            mrows.append(self._write_manifest(entries, sid, seq, part_fields))
+        if n_keys:
+            eq_entry = self._eq_delete_entry(keys_df)
+            mrows.append(self._write_manifest([eq_entry], sid, seq, [], content=1))
+        snap = self._commit_snapshot(
+            mrows + prior, "overwrite", md, sid, summary_extra=summary_extra
+        )
+        md["snapshots"].append(snap)
+        md["current-snapshot-id"] = snap["snapshot-id"]
+        md["last-sequence-number"] = snap["sequence-number"]
+        md["last-updated-ms"] = snap["timestamp-ms"]
+        self._publish_metadata(md)
+        return {
+            "snapshot_id": snap["snapshot-id"],
+            "files_added": len(entries),
+            "delete_keys": n_keys,
+        }
 
     def rewrite_position_deletes(self) -> dict:
         """Maintenance action (the spec's RewritePositionDeleteFiles):
@@ -1449,6 +1502,40 @@ def stream_append(
             return  # replayed batch: this snapshot already committed
         table.append(
             batch_df,
+            summary_extra={"stream-id": stream_id, "batch-id": str(batch_id)},
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_upsert(
+    table: IcebergTable,
+    stream_df: DataFrame,
+    key: str,
+    stream_id: str,
+    checkpoint: str,
+):
+    """Exactly-once streaming UPSERT into an Iceberg table: each micro-batch
+    commits ONE atomic snapshot (equality delete on the batch keys + the
+    batch's data files at the same sequence number — ``upsert``), stamped
+    with (stream-id, batch-id) in the snapshot summary. A crash-replayed
+    batch is detected via ``seen_batch`` and skipped, and because the
+    delete+insert pair is a single snapshot there is no torn half-applied
+    state to recover from — the Flink upsert-mode commit shape."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        seen = table.seen_batch(stream_id)
+        if seen is not None and seen >= batch_id:
+            return  # replayed batch: this snapshot already committed
+        table.upsert(
+            batch_df,
+            key,
             summary_extra={"stream-id": stream_id, "batch-id": str(batch_id)},
         )
 

@@ -151,3 +151,27 @@ def test_export_chain_txtable_to_delta_to_iceberg(spark):
         assert {os.path.realpath(e["file_path"]) for e in entries} == dl_paths
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_three_upsert_paths_agree(spark):
+    """The same logical upsert through three mechanisms — TxTable CoW merge,
+    Delta CoW merge, Iceberg single-snapshot MoR upsert (equality delete +
+    data at one sequence number) — must leave identical tables."""
+    ddl = "k long, tag string, v long"
+    rows = [(i, f"t{i % 3}", i * 10) for i in range(20)]
+    ups = [(3, "U3", 333), (7, "U7", 777), (50, "NEW", 500)]
+    base = os.path.join(tempfile.gettempdir(), f"diffup_{uuid.uuid4().hex[:6]}")
+    try:
+        df = spark.createDataFrame(rows, ddl)
+        u_df = spark.createDataFrame(ups, ddl)
+        tx = TxTable.create(spark, os.path.join(base, "tx"), df, key="k")
+        dl = DeltaTable.create(spark, os.path.join(base, "dl"), df)
+        ic = IcebergTable.create(spark, os.path.join(base, "ic"), df)
+        tx.merge(u_df)
+        dl.merge(u_df, key="k")
+        ic.upsert(u_df, key="k")
+        r_tx, r_dl, r_ic = _rows(tx.read()), _rows(dl.read()), _rows(ic.read())
+        assert r_tx == r_dl == r_ic
+        assert len(r_tx) == 21
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
