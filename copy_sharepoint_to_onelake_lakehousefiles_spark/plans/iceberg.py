@@ -2003,6 +2003,52 @@ def _mor_nation_table(spark: SparkSession, sf_dir: str) -> IcebergTable:
     return t
 
 
+_UPSERT_CACHE: dict = {}
+
+
+def _upsert_nation_table(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    cache_key = (id(spark), sf_dir)
+    t = _UPSERT_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.meta_dir):
+        return t
+    import tempfile
+
+    from .deltalog import _MERGE_DDL, _MERGE_ROWS
+
+    root = os.path.join(tempfile.gettempdir(), f"ice_up_{uuid.uuid4().hex[:8]}")
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int"), "n_name", F.col("n_regionkey").cast("int")
+    )
+    t = IcebergTable.create(spark, root, nation.coalesce(1))
+    t.upsert(spark.createDataFrame(_MERGE_ROWS, _MERGE_DDL), key="n_nationkey")
+    _UPSERT_CACHE[cache_key] = t
+    return t
+
+
+@query(
+    "q146_iceberg_mor_upsert",
+    oracle="""
+WITH updates(n_nationkey, n_name, n_regionkey) AS (
+  VALUES (0, 'RENAMED', 9), (7, 'PATCHED', 2), (999, 'NEWLAND', 1)
+)
+SELECT coalesce(u.n_nationkey, t.n_nationkey) AS n_nationkey,
+       coalesce(u.n_name, t.n_name)           AS n_name,
+       coalesce(u.n_regionkey, t.n_regionkey) AS n_regionkey
+FROM nation t FULL OUTER JOIN updates u ON t.n_nationkey = u.n_nationkey
+""",
+)
+def q146_iceberg_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic MERGE-ON-READ upsert in the hashed contract (the Iceberg twin
+    of q118/q135's copy-on-write merges): the same upsert batch commits as
+    ONE snapshot holding an equality-delete file on the keys plus the new
+    data files at one sequence number — older matching rows die by scoping,
+    the batch's own rows survive, nothing is rewritten. The oracle is the
+    declarative FULL OUTER JOIN merge, so the three merge mechanisms across
+    the repo's table stacks are pinned to identical answers."""
+    t = _upsert_nation_table(spark, sf_dir)
+    return materialize(t.read())
+
+
 _POS_CACHE: dict = {}
 
 
