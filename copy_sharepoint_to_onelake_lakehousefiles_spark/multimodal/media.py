@@ -323,6 +323,139 @@ def _decode_bmp(content: bytes) -> np.ndarray:
     return img[::-1] if flipped else img
 
 
+def _png_chunks(content: bytes):
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG payload")
+    pos = 8
+    while pos + 8 <= len(content):
+        ln = int.from_bytes(content[pos : pos + 4], "big")
+        typ = content[pos + 4 : pos + 8]
+        yield typ, content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IEND":
+            break
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """REAL PNG pixel decode with the stdlib only (the container has no
+    Pillow, but PNG's codec IS zlib + per-scanline filters — both
+    implementable from the public W3C spec): inflate the IDAT stream, undo
+    filters 0-4 (None/Sub/Up/Average/Paeth), map color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) to (H, W, 3) uint8 RGB.
+    Scope: bit depth 8, non-interlaced (the overwhelmingly common shape);
+    16-bit and Adam7 raise NotImplementedError → deterministic stub."""
+    import zlib
+
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    for typ, data in _png_chunks(content):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+    if ihdr is None:
+        raise NotImplementedError("PNG missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype}")
+    if not idat:
+        raise NotImplementedError("PNG missing IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (1 + stride):
+        raise NotImplementedError("PNG IDAT stream truncated")
+    bpp = channels  # bytes per pixel at depth 8
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        rec = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if f == 0:
+            pass
+        elif f == 2:  # Up (vectorized)
+            rec = (rec + prev) & 255
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 255
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 255
+        elif f == 4:  # Paeth predictor
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pr) & 255
+        else:
+            raise NotImplementedError(f"PNG filter {f}")
+        out[y] = rec
+        prev = rec
+    arr = out.reshape(h, w, channels)
+    if ctype == 2:
+        return arr
+    if ctype == 6:
+        return np.ascontiguousarray(arr[:, :, :3])
+    if ctype == 0:
+        return np.repeat(arr, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    # palette
+    if plte is None:
+        raise NotImplementedError("palette PNG without PLTE")
+    pal = np.frombuffer(plte, np.uint8)
+    pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+    return pal[arr[:, :, 0]]
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → PNG bytes (color type 2, filter 0 per scanline,
+    one zlib IDAT) — the round-trip partner of ``_decode_png`` and a real
+    PNG any external viewer opens."""
+    import zlib
+
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no interlace
+    )
+    scanlines = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def encode_ppm(img: np.ndarray) -> bytes:
     """(H, W, 3) uint8 → binary P6 PPM bytes (the container-independent
     re-encode target for resize outputs)."""
@@ -332,9 +465,11 @@ def encode_ppm(img: np.ndarray) -> bytes:
 
 def decode_image(content: bytes) -> np.ndarray:
     """Real pixel decode → (H, W, 3) uint8 RGB. Pillow when installed
-    (probed at import); otherwise the stdlib-decodable formats (P6 PPM,
-    uncompressed 24-bit BMP). Compressed formats without Pillow raise
-    NotImplementedError — callers fall back to the deterministic stub."""
+    (probed at import); otherwise the stdlib-decodable formats: P6 PPM,
+    uncompressed 24-bit BMP, and PNG (zlib IS the PNG codec — see
+    ``_decode_png``). Remaining compressed formats (JPEG/GIF) without
+    Pillow raise NotImplementedError — callers fall back to the
+    deterministic stub."""
     if HAVE_PIL:  # pragma: no cover - PIL absent in this container
         img = _PILImage.open(io.BytesIO(content)).convert("RGB")
         return np.asarray(img)
@@ -342,8 +477,10 @@ def decode_image(content: bytes) -> np.ndarray:
         return _decode_ppm(content)
     if content.startswith(b"BM"):
         return _decode_bmp(content)
+    if content.startswith(b"\x89PNG"):
+        return _decode_png(content)
     raise NotImplementedError(
-        "compressed image codecs require Pillow (not in this container)"
+        "JPEG/GIF pixel decode requires Pillow (not in this container)"
     )
 
 

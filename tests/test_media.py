@@ -255,3 +255,147 @@ def test_q60_profiles_by_detected_mime(spark, sf_dir):
         assert r["n_media"] == 2 and r["n_distinct"] == 2
     assert rows["image/png"]["n_with_dims"] == 2  # header-probed dimensions
     assert rows["audio/wav"]["n_with_duration"] == 2  # byte-rate durations
+
+
+# ---------------------------------------------------------------- PNG codec
+
+
+def _fwd_filter(ftype, raw, prev, bpp):
+    """FORWARD scanline filters transcribed independently from the W3C PNG
+    spec (§Filtering) — the test-side twin of the decoder's inverse, so a
+    shared-bug round trip can't hide a filter error."""
+    out = bytearray(len(raw))
+    for x in range(len(raw)):
+        a = raw[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[x] = (raw[x] - pred) & 255
+    return bytes(out)
+
+
+def _build_png(img, ctype, filters, plte=None):
+    import zlib
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import _png_chunk
+
+    h, w, ch = img.shape
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+    stride = w * ch
+    flat = img.reshape(h, stride)
+    prev = bytes(stride)
+    scan = b""
+    for y in range(h):
+        f = filters[y % len(filters)]
+        scan += bytes([f]) + _fwd_filter(f, bytes(flat[y]), prev, ch)
+        prev = bytes(flat[y])
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(scan)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_and_every_filter_type():
+    import numpy as np
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _decode_png,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (13, 9, 3), dtype=np.uint8)
+    # encoder (filter 0) → decoder round trip
+    assert np.array_equal(_decode_png(encode_png(img)), img)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+    # every filter type, forward-filtered INDEPENDENTLY from the spec text
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        payload = _build_png(img, 2, filters)
+        assert np.array_equal(_decode_png(payload), img), f"filters {filters}"
+
+
+def test_png_color_types():
+    import numpy as np
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _decode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    # grayscale (ctype 0) → replicated channels
+    gray = rng.randint(0, 256, (5, 7, 1), dtype=np.uint8)
+    got = _decode_png(_build_png(gray, 0, [0, 2]))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+    # gray+alpha (ctype 4) → alpha dropped
+    ga = rng.randint(0, 256, (4, 3, 2), dtype=np.uint8)
+    got = _decode_png(_build_png(ga, 4, [1]))
+    assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
+    # RGBA (ctype 6) → alpha dropped
+    rgba = rng.randint(0, 256, (6, 5, 4), dtype=np.uint8)
+    got = _decode_png(_build_png(rgba, 6, [4]))
+    assert np.array_equal(got, rgba[:, :, :3])
+    # palette (ctype 3): indexes resolve through PLTE
+    pal = bytes(range(48))  # 16 RGB entries
+    idx = rng.randint(0, 16, (3, 4, 1), dtype=np.uint8)
+    got = _decode_png(_build_png(idx, 3, [0], plte=pal))
+    expect = np.frombuffer(pal, np.uint8).reshape(16, 3)[idx[:, :, 0]]
+    assert np.array_equal(got, expect)
+
+
+def test_png_known_byte_vector():
+    """Fully hand-computed 2x2 RGB vector: row 0 filter 1 (Sub), row 1
+    filter 2 (Up) — every reconstructed byte worked out on paper."""
+    import zlib
+
+    import numpy as np
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _decode_png,
+        _png_chunk,
+    )
+
+    # target image rows: (10,20,30),(13,24,35) / (110,120,130),(113,124,135)
+    # row0 Sub deltas:    10,20,30, 3,4,5
+    # row1 Up deltas:     100,100,100, 100,100,100
+    scan = bytes([1, 10, 20, 30, 3, 4, 5]) + bytes([2] + [100] * 6)
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = _decode_png(payload)
+    expect = np.array(
+        [[[10, 20, 30], [13, 24, 35]], [[110, 120, 130], [113, 124, 135]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, expect)
+
+
+def test_png_unsupported_shapes_fall_to_stub():
+    import pytest as _pytest
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _decode_png,
+        _png_chunk,
+    )
+
+    ihdr16 = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
+    bad = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr16) + _png_chunk(b"IEND", b"")
+    with _pytest.raises(NotImplementedError, match="bit depth"):
+        _decode_png(bad)
+    with _pytest.raises(NotImplementedError, match="not a PNG"):
+        _decode_png(b"JUNK")
