@@ -423,6 +423,115 @@ def _decode_png(content: bytes) -> np.ndarray:
     return pal[arr[:, :, 0]]
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """GIF's variable-width LZW (public GIF89a spec, Appendix F): codes are
+    packed LSB-first, the dictionary resets on CLEAR, widths grow at
+    2^width, and the code-equals-next-code case (the cScSc pattern) emits
+    prev + prev[0]."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise NotImplementedError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # cScSc
+        else:
+            raise NotImplementedError(f"GIF LZW bad code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_pixels]
+
+
+def _decode_gif(content: bytes) -> np.ndarray:
+    """REAL GIF pixel decode with the stdlib only (GIF's codec is LZW —
+    fully specified in the public GIF89a spec): first image frame, global
+    or local color table, Adam-style 4-pass deinterlace when flagged.
+    Animation composition is out of scope (first frame only)."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    flags = content[10]
+    pos = 13
+    global_table = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_table = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(content[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(content[pos + 7 : pos + 9], "little")
+            iflags = content[pos + 9]
+            pos += 10
+            table = global_table
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                raise NotImplementedError("GIF image without a color table")
+            min_code = content[pos]
+            pos += 1
+            lzw = bytearray()
+            while content[pos] != 0:
+                ln = content[pos]
+                lzw += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.array(
+                _gif_lzw_decode(bytes(lzw), min_code, w * h), dtype=np.int64
+            ).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                deinter = np.empty_like(idx)
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                for src, dst in enumerate(order):
+                    deinter[dst] = idx[src]
+                idx = deinter
+            return table[np.clip(idx, 0, len(table) - 1)]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise NotImplementedError(f"GIF unknown block 0x{b:02x}")
+    raise NotImplementedError("GIF has no image frame")
+
+
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
     import zlib
 
@@ -466,9 +575,9 @@ def encode_ppm(img: np.ndarray) -> bytes:
 def decode_image(content: bytes) -> np.ndarray:
     """Real pixel decode → (H, W, 3) uint8 RGB. Pillow when installed
     (probed at import); otherwise the stdlib-decodable formats: P6 PPM,
-    uncompressed 24-bit BMP, and PNG (zlib IS the PNG codec — see
-    ``_decode_png``). Remaining compressed formats (JPEG/GIF) without
-    Pillow raise NotImplementedError — callers fall back to the
+    uncompressed 24-bit BMP, PNG (zlib IS the PNG codec — ``_decode_png``)
+    and GIF (LZW from the public spec — ``_decode_gif``). JPEG without
+    Pillow raises NotImplementedError — callers fall back to the
     deterministic stub."""
     if HAVE_PIL:  # pragma: no cover - PIL absent in this container
         img = _PILImage.open(io.BytesIO(content)).convert("RGB")
@@ -479,8 +588,10 @@ def decode_image(content: bytes) -> np.ndarray:
         return _decode_bmp(content)
     if content.startswith(b"\x89PNG"):
         return _decode_png(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(content)
     raise NotImplementedError(
-        "JPEG/GIF pixel decode requires Pillow (not in this container)"
+        "JPEG pixel decode requires Pillow (not in this container)"
     )
 
 

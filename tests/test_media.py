@@ -399,3 +399,159 @@ def test_png_unsupported_shapes_fall_to_stub():
         _decode_png(bad)
     with _pytest.raises(NotImplementedError, match="not a PNG"):
         _decode_png(b"JUNK")
+
+
+# ---------------------------------------------------------------- GIF codec
+
+
+class _BitPacker:
+    """LSB-first variable-width code packer (the GIF spec's packing order),
+    written independently of the decoder's unpacker."""
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def put(self, code, width):
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def done(self):
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _gif_literal_encode(indices, min_code):
+    """The classic 'uncompressed GIF' trick: emit every pixel as a literal
+    code, inserting CLEAR before the table would grow past the width — a
+    trivially-correct encoder (no dictionary), so the decoder's bit
+    unpacking, clear handling, and width management are tested against an
+    independent implementation."""
+    clear = 1 << min_code
+    end = clear + 1
+    p = _BitPacker()
+    width = min_code + 1
+    p.put(clear, width)
+    budget = (1 << width) - end - 1  # codes we may emit before width grows
+    for v in indices:
+        if budget == 0:
+            p.put(clear, width)
+            budget = (1 << width) - end - 1
+        p.put(v, width)
+        budget -= 1
+    p.put(end, width)
+    return p.done()
+
+
+def _build_gif(img_idx, palette, min_code=None, interlace=False, local=False):
+    import numpy as np
+
+    h, w = img_idx.shape
+    n = len(palette)
+    size_field = max(1, (n - 1).bit_length() - 1)
+    table = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (
+        (2 << size_field) - n
+    )
+    mc = min_code if min_code is not None else max(2, (n - 1).bit_length())
+    out = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    if local:
+        out += bytes([0x00, 0, 0])  # no global table
+    else:
+        out += bytes([0x80 | size_field, 0, 0]) + table
+    # a comment extension to exercise the skip path
+    out += b"\x21\xfe\x05hello\x00"
+    iflags = (0x40 if interlace else 0) | (0x80 | size_field if local else 0)
+    out += (
+        b"\x2c"
+        + (0).to_bytes(2, "little") * 2
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([iflags])
+    )
+    if local:
+        out += table
+    rows = img_idx
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        rows = np.stack([img_idx[r] for r in order])
+    lzw = _gif_literal_encode([int(v) for v in rows.flatten()], mc)
+    out += bytes([mc])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00\x3b"
+
+
+def test_gif_decode_literal_streams_and_variants():
+    import numpy as np
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _decode_gif,
+        decode_image,
+    )
+
+    rng = np.random.RandomState(3)
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    idx = rng.randint(0, 4, (11, 6))
+    expect = np.array(palette, dtype=np.uint8)[idx]
+    assert np.array_equal(_decode_gif(_build_gif(idx, palette)), expect)
+    assert np.array_equal(decode_image(_build_gif(idx, palette)), expect)
+    # local color table + interlaced rows
+    got = _decode_gif(_build_gif(idx, palette, interlace=True, local=True))
+    assert np.array_equal(got, expect)
+    # a bigger palette forces wider codes and mid-stream clears
+    pal16 = [(i * 16, 255 - i * 16, i) for i in range(16)]
+    idx16 = rng.randint(0, 16, (9, 23))
+    got = _decode_gif(_build_gif(idx16, pal16))
+    assert np.array_equal(got, np.array(pal16, dtype=np.uint8)[idx16])
+
+
+def test_gif_lzw_hand_built_cscsc_vector():
+    """Hand-packed LZW stream exercising REAL dictionary growth and the
+    code==next_code (cScSc) special case: min code 2, pixels '0 0 0' encode
+    as [CLEAR, 0, 6] where 6 is the entry being defined."""
+    import numpy as np
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _decode_gif,
+        _gif_lzw_decode,
+    )
+
+    p = _BitPacker()
+    for code in (4, 0, 6, 5):  # clear, 0, cScSc, end
+        p.put(code, 3)
+    data = p.done()
+    assert _gif_lzw_decode(data, 2, 3) == [0, 0, 0]
+    # and through a full GIF container
+    palette = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    out = (
+        b"GIF89a" + (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + bytes([0x81, 0, 0])
+        + b"".join(bytes(c) for c in palette)
+        + b"\x2c" + b"\x00" * 4 + (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + b"\x00" + bytes([2]) + bytes([len(data)]) + data + b"\x00\x3b"
+    )
+    got = _decode_gif(out)
+    assert np.array_equal(got, np.array([[(1, 2, 3)] * 3], dtype=np.uint8))
+
+
+def test_gif_rejects_non_gif():
+    import pytest as _pytest
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _decode_gif,
+    )
+
+    with _pytest.raises(NotImplementedError, match="not a GIF"):
+        _decode_gif(b"NOPE")
