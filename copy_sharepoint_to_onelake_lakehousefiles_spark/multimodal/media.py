@@ -590,9 +590,11 @@ def decode_image(content: bytes) -> np.ndarray:
         return _decode_png(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(content)
-    raise NotImplementedError(
-        "JPEG pixel decode requires Pillow (not in this container)"
-    )
+    if content.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg  # baseline T.81 decoder, from scratch
+
+        return decode_jpeg(content)
+    raise NotImplementedError("unrecognized image container")
 
 
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:

@@ -1,0 +1,153 @@
+"""Baseline JPEG codec (multimodal/jpeg.py): DCT-basis orthonormality vs
+the textbook formula, canonical Huffman assignment vs a hand-built vector,
+byte-stuffing, quantization-bounded round trips, grayscale + color, and
+unsupported-shape refusals."""
+
+import numpy as np
+import pytest
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.jpeg import (
+    BitReader,
+    _DCT_M,
+    _BitWriter,
+    build_huffman,
+    decode_huffman_symbol,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_dct_matrix_is_orthonormal_and_matches_formula():
+    # M @ M.T == I (the DCT-II basis is orthonormal) — this pins BOTH the
+    # forward and inverse transforms to the spec formula at once
+    assert np.allclose(_DCT_M @ _DCT_M.T, np.eye(8), atol=1e-12)
+    # spot-check entries straight from the formula
+    assert np.isclose(_DCT_M[0, 0], np.sqrt(1 / 8))
+    assert np.isclose(_DCT_M[1, 0], 0.5 * np.cos(np.pi / 16))
+    assert np.isclose(_DCT_M[7, 7], 0.5 * np.cos(15 * 7 * np.pi / 16))
+
+
+def test_canonical_huffman_hand_vector():
+    # bits: one 2-bit code, two 3-bit codes → canonical: 00, 010, 011
+    codes = build_huffman([0, 1, 2] + [0] * 13, [7, 8, 9])
+    assert codes == {(2, 0b00): 7, (3, 0b010): 8, (3, 0b011): 9}
+    # decoding a hand-assembled bit stream: 00 010 011 00 → 7, 8, 9, 7
+    r = BitReader(bytes([0b00010011, 0b00111111]), 0)
+    assert [decode_huffman_symbol(r, codes) for _ in range(4)] == [7, 8, 9, 7]
+
+
+def test_bitreader_unstuffs_ff00():
+    r = BitReader(bytes([0xFF, 0x00, 0x80]), 0)
+    assert r.bits(8) == 0xFF  # stuffed zero skipped
+    assert r.bit() == 1
+
+
+def test_bitwriter_stuffs_ff():
+    w = _BitWriter()
+    w.put(0xFF, 8)
+    out = w.done()
+    assert out == bytes([0xFF, 0x00])
+
+
+def test_roundtrip_flat_and_smooth_images():
+    # flat image: DCT is a lone DC coefficient; with quant step 16 the
+    # reconstruction error is bounded by step/2 per coefficient
+    flat = np.full((16, 24, 3), 200, np.uint8)
+    got = decode_jpeg(encode_jpeg(flat))
+    assert got.shape == (16, 24, 3)
+    assert int(np.max(np.abs(got.astype(int) - 200))) <= 8
+    # smooth gradient: error stays within a few quantization steps
+    yy, xx = np.mgrid[0:24, 0:32]
+    smooth = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(smooth))
+    err = np.abs(got.astype(int) - smooth.astype(int))
+    assert float(err.mean()) < 6.0
+    assert int(err.max()) <= 48
+
+
+def test_roundtrip_fine_quant_is_near_lossless():
+    rng = np.random.RandomState(5)
+    img = rng.randint(60, 196, (17, 13, 3), dtype=np.uint8)  # non-multiple of 8
+    payload = encode_jpeg(img, qtbl=np.ones((8, 8), np.int32))
+    got = decode_jpeg(payload)
+    assert got.shape == img.shape
+    # quant step 1: the only losses are DCT rounding + color-space rounding
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert int(err.max()) <= 4
+    assert float(err.mean()) < 1.5
+
+
+def test_grayscale_single_component():
+    # hand-build a grayscale JPEG by re-using the encoder machinery is not
+    # possible (it writes 3 components), so round-trip a gray IMAGE and
+    # check the channels stay equal-ish instead
+    g = np.repeat(
+        np.linspace(40, 215, 11).astype(np.uint8).reshape(1, 11, 1), 9, axis=0
+    )
+    img = np.repeat(g, 3, axis=2)
+    got = decode_jpeg(encode_jpeg(img, qtbl=np.ones((8, 8), np.int32)))
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 4
+
+
+def test_refusals():
+    with pytest.raises(NotImplementedError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x00")
+    # progressive SOF2 refuses
+    prog = b"\xff\xd8" + b"\xff\xc2" + (5).to_bytes(2, "big") + b"\x08\x00\x08"
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(prog)
+
+
+def test_decode_image_dispatches_jpeg():
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        decode_image,
+    )
+
+    img = np.full((8, 8, 3), 99, np.uint8)
+    got = decode_image(encode_jpeg(img, qtbl=np.ones((8, 8), np.int32)))
+    assert got.shape == (8, 8, 3)
+    assert int(np.abs(got.astype(int) - 99).max()) <= 4
+
+
+def test_roundtrip_420_subsampling():
+    yy, xx = np.mgrid[0:20, 0:30]
+    smooth = np.stack(
+        [(yy * 4) % 256, (xx * 3) % 256, ((xx * 2 + yy) % 256)], axis=2
+    ).astype(np.uint8)
+    payload = encode_jpeg(smooth, qtbl=np.ones((8, 8), np.int32), subsampling="420")
+    got = decode_jpeg(payload)
+    assert got.shape == smooth.shape
+    # chroma was 2x2 pooled then nearest-upsampled: luma stays tight, color
+    # shifts stay bounded by neighboring-pixel chroma deltas
+    err = np.abs(got.astype(int) - smooth.astype(int))
+    assert float(err.mean()) < 4.0
+    assert int(err.max()) <= 24
+
+
+def test_roundtrip_with_restart_markers():
+    rng = np.random.RandomState(9)
+    img = rng.randint(50, 200, (24, 40, 3), dtype=np.uint8)
+    payload = encode_jpeg(img, qtbl=np.ones((8, 8), np.int32), restart_interval=3)
+    assert b"\xff\xdd" in payload  # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + i]) in payload for i in range(8))
+    got = decode_jpeg(payload)
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert int(err.max()) <= 4
+    # and the same stream WITHOUT restarts decodes to the same pixels
+    got2 = decode_jpeg(encode_jpeg(img, qtbl=np.ones((8, 8), np.int32)))
+    assert np.array_equal(got, got2)
+
+
+def test_roundtrip_420_with_restarts():
+    img = np.full((32, 32, 3), 0, np.uint8)
+    img[:16, :, 0] = 180
+    img[:, 16:, 2] = 140
+    payload = encode_jpeg(
+        img, qtbl=np.ones((8, 8), np.int32), subsampling="420", restart_interval=1
+    )
+    got = decode_jpeg(payload)
+    err = np.abs(got.astype(int) - img.astype(int))
+    # block-aligned color edges: 4:2:0 pooling is exact inside 2x2 cells here
+    assert int(err.max()) <= 6
