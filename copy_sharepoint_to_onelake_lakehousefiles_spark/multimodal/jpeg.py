@@ -399,7 +399,7 @@ def encode_jpeg(
     (2x2-average chroma downsample), Annex-K Huffman tables, one quant
     table for all components (default: all-16s — mild, keeps round-trip
     error bounded by the step), optional DRI restart markers."""
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise NotImplementedError(f"subsampling {subsampling}")
     if qtbl is None:
         qtbl = np.full((8, 8), 16, np.int32)
@@ -446,6 +446,36 @@ def encode_jpeg(
                         dc_lum if ci == 0 else dc_chr,
                         ac_lum if ci == 0 else ac_chr,
                     )
+                mcu_count += 1
+    elif subsampling == "422":
+        samp = [0x21, 0x11, 0x11]
+        ph, pw = (h + 7) & ~7, (w + 15) & ~15
+        yp = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+        cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+        crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+        # horizontal 2x mean-pool chroma
+        cbd = cbp.reshape(ph, pw // 2, 2).mean(axis=2)
+        crd = crp.reshape(ph, pw // 2, 2).mean(axis=2)
+        for my in range(0, ph, 8):
+            for mx in range(0, pw, 16):
+                _maybe_restart()
+                for bx in (0, 8):
+                    _encode_block(
+                        bw,
+                        yp[my : my + 8, mx + bx : mx + bx + 8],
+                        qtbl,
+                        dc_pred,
+                        0,
+                        dc_lum,
+                        ac_lum,
+                    )
+                cx = mx // 2
+                _encode_block(
+                    bw, cbd[my : my + 8, cx : cx + 8], qtbl, dc_pred, 1, dc_chr, ac_chr
+                )
+                _encode_block(
+                    bw, crd[my : my + 8, cx : cx + 8], qtbl, dc_pred, 2, dc_chr, ac_chr
+                )
                 mcu_count += 1
     else:  # 4:2:0
         samp = [0x22, 0x11, 0x11]

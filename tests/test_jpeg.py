@@ -151,3 +151,16 @@ def test_roundtrip_420_with_restarts():
     err = np.abs(got.astype(int) - img.astype(int))
     # block-aligned color edges: 4:2:0 pooling is exact inside 2x2 cells here
     assert int(err.max()) <= 6
+
+
+def test_roundtrip_422_subsampling():
+    yy, xx = np.mgrid[0:12, 0:20]
+    smooth = np.stack(
+        [(yy * 5) % 256, (xx * 4) % 256, ((xx + yy * 2) % 256)], axis=2
+    ).astype(np.uint8)
+    payload = encode_jpeg(smooth, qtbl=np.ones((8, 8), np.int32), subsampling="422")
+    got = decode_jpeg(payload)
+    assert got.shape == smooth.shape
+    err = np.abs(got.astype(int) - smooth.astype(int))
+    assert float(err.mean()) < 4.0
+    assert int(err.max()) <= 24
