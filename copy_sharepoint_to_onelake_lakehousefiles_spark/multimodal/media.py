@@ -716,15 +716,15 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 @query("q60_media_features")
 def q60_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline round-trip (rows-only: binary I/O). Builds a tiny
-    TYPED blob tree under /tmp — real P6 PPM images, PNG containers, PCM
-    WAV tones — ingests via binaryFile, probes container metadata
-    (probe_media: mime + dimensions + duration, no codec libs), extracts
-    features (real decode for PPM/WAV, stub only where compressed pixels
-    would need Pillow), and profiles per detected mime."""
+    TYPED blob tree under /tmp — real P6 PPM images, REAL PNG/GIF/JPEG
+    payloads (decoded by the from-scratch stdlib codecs), PCM WAV tones —
+    ingests via binaryFile, probes container metadata (probe_media: mime +
+    dimensions + duration), extracts features (real pixel/sample decode for
+    every container here; the stub remains only for formats the codecs
+    refuse, e.g. progressive JPEG), and profiles per detected mime."""
     import io
     import os
     import shutil
-    import struct
     import tempfile
     import wave
 
@@ -739,13 +739,16 @@ def q60_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(2):  # real P6 images (decodable pixels)
         img = np.full((4 + i, 6, 3), 40 * (i + 1), np.uint8)
         _blob(f"img{i}.ppm", encode_ppm(img))
-    for i in range(2):  # PNG containers (header metadata only)
+    for i in range(2):  # REAL PNGs (zlib codec → decodable pixels)
         w, h = 32 * (i + 1), 16 * (i + 1)
-        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
-        _blob(
-            f"nested/pic{i}.png",
-            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4,
-        )
+        img = np.fromfunction(
+            lambda y, x, c: (x * 3 + y * 5 + c * 60 + i * 10) % 256, (h, w, 3)
+        ).astype(np.uint8)
+        _blob(f"nested/pic{i}.png", encode_png(img))
+    from .jpeg import encode_jpeg
+
+    # a REAL JPEG (baseline T.81 codec)
+    _blob("photo.jpg", encode_jpeg(np.full((16, 24, 3), 77, np.uint8)))
     for i in range(2):  # PCM WAV tones (decodable samples + duration)
         buf = io.BytesIO()
         with wave.open(buf, "wb") as wf:

@@ -250,10 +250,17 @@ def test_q60_profiles_by_detected_mime(spark, sf_dir):
     )
 
     rows = {r["mime"]: r for r in q60_media_features(spark, sf_dir).collect()}
-    assert set(rows) == {"image/x-portable-pixmap", "image/png", "audio/wav"}
-    for r in rows.values():
-        assert r["n_media"] == 2 and r["n_distinct"] == 2
+    assert set(rows) == {
+        "image/x-portable-pixmap",
+        "image/png",
+        "image/jpeg",
+        "audio/wav",
+    }
+    for mime in ("image/x-portable-pixmap", "image/png", "audio/wav"):
+        assert rows[mime]["n_media"] == 2 and rows[mime]["n_distinct"] == 2
+    assert rows["image/jpeg"]["n_media"] == 1
     assert rows["image/png"]["n_with_dims"] == 2  # header-probed dimensions
+    assert rows["image/jpeg"]["n_with_dims"] == 1
     assert rows["audio/wav"]["n_with_duration"] == 2  # byte-rate durations
 
 
