@@ -297,13 +297,15 @@ class IcebergTable:
             sid = self._resolve_snapshot(snapshot_id, index).get("schema-id", sid)
         return sid
 
-    def partition_fields(self) -> list[dict]:
-        """[{name, field_id, source_id, ice_type}] of the default spec
-        (identity transforms only)."""
+    def partition_fields(self, spec_id: int | None = None) -> list[dict]:
+        """[{name, field_id, source_id, ice_type}] of the given spec
+        (default: the table's default spec; identity transforms only).
+        Manifests record the spec they were written under, so planning and
+        reads resolve EACH manifest's partition tuples through its own
+        spec — the mechanism behind partition evolution."""
         md = self.metadata()
-        spec = next(
-            s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
-        )
+        want = md["default-spec-id"] if spec_id is None else spec_id
+        spec = next(s for s in md["partition-specs"] if s["spec-id"] == want)
         sid = md["current-schema-id"]
         ice = next(s for s in md["schemas"] if s["schema-id"] == sid)
         by_id = {f["id"]: f for f in ice["fields"]}
@@ -321,6 +323,43 @@ class IcebergTable:
                 }
             )
         return out
+
+    def evolve_partition_spec(self, partition_by: list[str]) -> int:
+        """PARTITION EVOLUTION (metadata-only, the spec's headline layout
+        feature): register a new identity partition spec with FRESH
+        partition field-ids and make it the default. Existing data files
+        stay exactly where they are under their old spec — only files
+        written AFTER this call use the new layout, and planning prunes
+        each manifest through the spec it was written under. A filter on a
+        column the old spec didn't partition by simply can't file-prune the
+        old files (they're row-filtered instead), which is the documented
+        Iceberg trade."""
+        md = self.metadata()
+        sid = md["current-schema-id"]
+        ice = next(s for s in md["schemas"] if s["schema-id"] == sid)
+        by_name = {f["name"]: f for f in ice["fields"]}
+        for c in partition_by:
+            if c not in by_name:
+                raise ValueError(f"no column {c!r}")
+        next_spec_id = max(s["spec-id"] for s in md["partition-specs"]) + 1
+        next_pid = md.get("last-partition-id", 999)
+        fields = []
+        for c in partition_by:
+            next_pid += 1
+            fields.append(
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": by_name[c]["id"],
+                    "field-id": next_pid,
+                }
+            )
+        md["partition-specs"].append({"spec-id": next_spec_id, "fields": fields})
+        md["default-spec-id"] = next_spec_id
+        md["last-partition-id"] = next_pid
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(md)
+        return next_spec_id
 
     def _resolve_snapshot(self, snapshot_id: int | None, index: int | None) -> dict:
         snaps = self.snapshots()
@@ -348,8 +387,9 @@ class IcebergTable:
         consulted vs skipped — the O(relevant-metadata) evidence."""
         snap = self._resolve_snapshot(snapshot_id, index)
         _, manifests = read_ocf(snap["manifest-list"].replace("file:", ""))
-        pf_meta = self.partition_fields()
         md = self.metadata()
+        known_specs = {s["spec-id"] for s in md["partition-specs"]}
+        pf_by_spec = {s: self.partition_fields(s) for s in known_specs}
         ice_fields = next(
             s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
         )["fields"]
@@ -364,6 +404,12 @@ class IcebergTable:
         want = dict(partition_filter or {})
         entries: list[dict] = []
         for m in manifests:
+            spec_id = m.get("partition_spec_id") or 0
+            # each manifest prunes through the spec it was WRITTEN under; a
+            # filter column the spec doesn't partition by cannot prune here
+            # (those files are row-filtered by the reader instead)
+            pf_meta = pf_by_spec.get(spec_id, [])
+            spec_names = {pf["name"] for pf in pf_meta}
             if want and m.get("partitions"):
                 skip = False
                 for pf, summ in zip(pf_meta, m["partitions"]):
@@ -389,7 +435,11 @@ class IcebergTable:
                 df_ = e["data_file"]
                 if want:
                     pv = df_["partition"]
-                    if any(pv.get(k) != v for k, v in want.items()):
+                    if any(
+                        pv.get(k) != v
+                        for k, v in want.items()
+                        if k in spec_names
+                    ):
                         continue
                 if bounds:
                     lbs = df_.get("lower_bounds") or {}
@@ -410,6 +460,7 @@ class IcebergTable:
                 audit["files_kept"] += 1
                 df_ = dict(df_)
                 df_["__seq"] = e.get("sequence_number") or m["sequence_number"]
+                df_["__spec"] = spec_id
                 entries.append(df_)
         return entries, audit
 
@@ -465,7 +516,6 @@ class IcebergTable:
         ``position_delete``."""
         schema = self.schema(snapshot_id, index)
         tgt_sid = self._schema_id_for(snapshot_id, index)
-        part_fields = self.partition_fields()
         entries, _ = self.files(snapshot_id, index, partition_filter, bounds)
         if not entries:
             out = self.spark.createDataFrame([], schema)
@@ -473,17 +523,28 @@ class IcebergTable:
                 out = out.withColumn("__ice_fp", F.lit(None).cast("string"))
                 out = out.withColumn("__ice_pos", F.lit(None).cast("long"))
             return out
+
+        def _residual(df: DataFrame) -> DataFrame:
+            # partition evolution: files under a spec that does not
+            # partition by a filter column survive planning; the row-level
+            # re-application keeps partition_filter EXACT across mixed
+            # specs (idempotent for files that were tuple-pruned)
+            for k, v in (partition_filter or {}).items():
+                df = df.where(F.col(k).eqNullSafe(F.lit(v)))
+            return df
+
         deletes = self.delete_entries(snapshot_id, index)
         pos_deletes = [d for d in deletes if d.get("content") == 1]
         eq_deletes = [d for d in deletes if d.get("content") == 2]
         need_pos = with_positions or bool(pos_deletes)
         if not deletes:
-            return self._read_data_entries(
-                entries,
-                schema,
-                part_fields,
-                with_positions=with_positions,
-                target_schema_id=tgt_sid,
+            return _residual(
+                self._read_data_entries(
+                    entries,
+                    schema,
+                    with_positions=with_positions,
+                    target_schema_id=tgt_sid,
+                )
             )
         # merge-on-read: group data files by seq (bounded by snapshot
         # count), anti-join each group against the applicable delete files,
@@ -501,7 +562,6 @@ class IcebergTable:
             df_s = self._read_data_entries(
                 sub,
                 schema,
-                part_fields,
                 with_positions=need_pos,
                 target_schema_id=tgt_sid,
             )
@@ -538,13 +598,12 @@ class IcebergTable:
             out = out.unionByName(p)
         if need_pos and not with_positions:
             out = out.drop("__ice_fp", "__ice_pos")
-        return out
+        return _residual(out)
 
     def _read_data_entries(
         self,
         entries: list[dict],
         schema: T.StructType,
-        part_fields: list[dict],
         with_positions: bool = False,
         target_schema_id: int | None = None,
     ) -> DataFrame:
@@ -556,7 +615,9 @@ class IcebergTable:
         FIELD ID — so renames follow the data, drops hide it, and a re-
         added name with a fresh id can never resurrect old values. Files
         whose write schema differs only additively stay on the one-multi-
-        path-scan fast path (parquet null-fills missing names)."""
+        path-scan fast path (parquet null-fills missing names). Partition
+        tuples resolve per-entry through the SPEC each file was written
+        under (``__spec``), so partition evolution mixes freely."""
         if not entries:
             return self.spark.createDataFrame([], schema)
         md = self.metadata()
@@ -573,6 +634,10 @@ class IcebergTable:
         seq_to_sid = {
             s["sequence-number"]: s.get("schema-id", md["current-schema-id"])
             for s in md["snapshots"]
+        }
+        pf_by_spec = {
+            s["spec-id"]: self.partition_fields(s["spec-id"])
+            for s in md["partition-specs"]
         }
 
         def effective_sid(e: dict) -> int:
@@ -604,30 +669,35 @@ class IcebergTable:
             ),
             F.col("_metadata.row_index").alias("__ice_pos"),
         ]
-        part_names = [pf["name"] for pf in part_fields]
         by_name = {f.name: f for f in schema.fields}
-        data_schema = T.StructType(
-            [f for f in schema.fields if f.name not in part_names]
-        )
-        # group by (write schema, partition tuple) — bounded by schema count
-        # × partition count; the common single-schema table keeps exactly
-        # its previous grouping (one group per partition tuple)
+        # group by (write schema, partition spec, partition tuple) — bounded
+        # by schema count × spec count × partition count; the common
+        # single-schema single-spec table keeps exactly its previous
+        # grouping (one group per partition tuple)
         groups: dict[tuple, list[str]] = {}
         for e in entries:
+            spec_id = e.get("__spec", 0)
+            part_names = [pf["name"] for pf in pf_by_spec.get(spec_id, [])]
             key = (
                 effective_sid(e),
+                spec_id,
                 tuple(e["partition"].get(n) for n in part_names),
             )
             groups.setdefault(key, []).append(e["file_path"].replace("file:", ""))
         out_cols = list(schema.fieldNames())
         parts = []
-        for (wsid, pkey), paths in sorted(
+        for (wsid, spec_id, pkey), paths in sorted(
             groups.items(),
             key=lambda kv: (
                 kv[0][0],
-                tuple("" if k is None else str(k) for k in kv[0][1]),
+                kv[0][1],
+                tuple("" if k is None else str(k) for k in kv[0][2]),
             ),
         ):
+            part_names = [pf["name"] for pf in pf_by_spec.get(spec_id, [])]
+            data_schema = T.StructType(
+                [f for f in schema.fields if f.name not in part_names]
+            )
             if wsid == tgt_sid:
                 df = self.spark.read.schema(data_schema).parquet(*paths)
                 if with_positions:
@@ -795,6 +865,7 @@ class IcebergTable:
         part_fields: list[dict],
         status: int = 1,
         content: int = 0,
+        spec_id: int = 0,
     ) -> dict:
         """One manifest Avro for ``data_files``; returns its manifest-list row
         (with per-partition-field summaries for list-level pruning)."""
@@ -818,7 +889,7 @@ class IcebergTable:
             metadata={
                 "format-version": "2",
                 "content": "data",
-                "partition-spec-id": "0",
+                "partition-spec-id": str(spec_id),
             },
         )
         summaries = []
@@ -841,7 +912,7 @@ class IcebergTable:
         return {
             "manifest_path": path,
             "manifest_length": os.path.getsize(path),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "content": content,
             "sequence_number": sequence_number,
             "min_sequence_number": sequence_number,
@@ -1035,7 +1106,9 @@ class IcebergTable:
         _, prior = read_ocf(cur["manifest-list"].replace("file:", ""))
         seq = md["last-sequence-number"] + 1
         sid = self._new_snapshot_id()
-        mrow = self._write_manifest(entries, sid, seq, part_fields)
+        mrow = self._write_manifest(
+            entries, sid, seq, part_fields, spec_id=md["default-spec-id"]
+        )
         snap = self._commit_snapshot(
             [mrow] + prior, "append", md, sid, summary_extra=summary_extra
         )
@@ -1131,7 +1204,11 @@ class IcebergTable:
         entries = self._stage_data_files(df.select(*st.fieldNames()), part_fields, st)
         seq = md["last-sequence-number"] + 1
         sid = self._new_snapshot_id()
-        rows = [self._write_manifest(entries, sid, seq, part_fields)] if entries else []
+        rows = (
+            [self._write_manifest(entries, sid, seq, part_fields, spec_id=md["default-spec-id"])]
+            if entries
+            else []
+        )
         snap = self._commit_snapshot(rows, "overwrite", md, sid)
         md["snapshots"].append(snap)
         md["current-snapshot-id"] = snap["snapshot-id"]
@@ -1309,7 +1386,11 @@ class IcebergTable:
         sid = self._new_snapshot_id()
         mrows = []
         if entries:
-            mrows.append(self._write_manifest(entries, sid, seq, part_fields))
+            mrows.append(
+                self._write_manifest(
+                    entries, sid, seq, part_fields, spec_id=md["default-spec-id"]
+                )
+            )
         if n_keys:
             eq_entry = self._eq_delete_entry(keys_df)
             mrows.append(self._write_manifest([eq_entry], sid, seq, [], content=1))
@@ -2047,6 +2128,88 @@ def q146_iceberg_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repo's table stacks are pinned to identical answers."""
     t = _upsert_nation_table(spark, sf_dir)
     return materialize(t.read())
+
+
+_PEVO_CACHE: dict = {}
+
+
+def _pevo_orders_table(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """Partition-evolution demo, memoized per (session, sf_dir): orders
+    created UNPARTITIONED, the spec evolved to identity-partition by
+    o_orderpriority (metadata-only), then a new batch appended under the
+    new layout — so the table mixes unpartitioned and partitioned files."""
+    cache_key = (id(spark), sf_dir)
+    t = _PEVO_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.meta_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"ice_pevo_{uuid.uuid4().hex[:8]}")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double"),
+    )
+    t = IcebergTable.create(spark, root, orders.coalesce(2))
+    t.evolve_partition_spec(["o_orderpriority"])
+    t.append(
+        spark.createDataFrame(
+            [
+                (9000001, "1-URGENT", 1000.5),
+                (9000002, "2-HIGH", 2000.25),
+                (9000003, "1-URGENT", 333.0),
+            ],
+            "o_orderkey long, o_orderpriority string, o_totalprice double",
+        )
+    )
+    _PEVO_CACHE[cache_key] = t
+    return t
+
+
+_Q147_ORACLE = """
+WITH appended(o_orderkey, o_orderpriority, o_totalprice) AS (
+  VALUES (9000001, '1-URGENT', 1000.5),
+         (9000002, '2-HIGH', 2000.25),
+         (9000003, '1-URGENT', 333.0)
+),
+live AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT CAST(o_orderkey AS BIGINT), o_orderpriority, CAST(o_totalprice AS DOUBLE)
+  FROM appended
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM live
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+@query("q147_iceberg_partition_evolution", oracle=_Q147_ORACLE)
+def q147_iceberg_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION in the hashed contract: the table holds files
+    under two specs (unpartitioned originals + priority-partitioned
+    appends), and a partition_filter read must stay EXACT across both —
+    old files can't be tuple-pruned so they are row-filtered, new files
+    prune through their spec's manifest summaries. The oracle is a plain
+    WHERE over the union, so any scoping or overlay error across the
+    mixed-layout populations is a wrong answer."""
+    t = _pevo_orders_table(spark, sf_dir)
+    out = (
+        t.read(partition_filter={"o_orderpriority": "1-URGENT"})
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )
+    return materialize(out)
 
 
 _POS_CACHE: dict = {}

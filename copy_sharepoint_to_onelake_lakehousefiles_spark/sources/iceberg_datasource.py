@@ -88,7 +88,11 @@ class IcebergLiteReader(DataSourceReader):
             bounds=bounds,
         )
         schema_json = self._t.schema(index=self.index).json()
-        part_cols = [pf["name"] for pf in self._t.partition_fields()]
+        md0 = self._t.metadata()
+        part_cols_by_spec = {
+            sp["spec-id"]: [pf["name"] for pf in self._t.partition_fields(sp["spec-id"])]
+            for sp in md0["partition-specs"]
+        }
         # id-based evolution: recover each file's write-time schema from its
         # sequence number and plan a target-name → write-name map when they
         # diverge (rename/drop) — mirrors IcebergTable._read_data_entries
@@ -138,7 +142,10 @@ class IcebergLiteReader(DataSourceReader):
                     e["file_path"].replace("file:", ""),
                     dict(e["partition"]),
                     schema_json,
-                    part_cols,
+                    # the file's OWN spec's partition columns: under
+                    # partition evolution, columns outside it come straight
+                    # from the data file
+                    part_cols_by_spec.get(e.get("__spec", 0), []),
                     applicable,
                     pos_applicable,
                     colmap_for(e),
@@ -221,11 +228,26 @@ class IcebergLitePushdownReader(IcebergLiteReader):
     _CMP = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
 
     def pushFilters(self, filters):
-        part_cols = {pf["name"] for pf in self._t.partition_fields()}
+        md = self._t.metadata()
+        # a partition EqualTo is file-EXACT (consumable) only when every
+        # spec in the table partitions by the column; under partition
+        # evolution old-spec files can't be tuple-pruned, so the filter is
+        # still used for pruning but handed back for row re-application
+        per_spec = [
+            {pf["name"] for pf in self._t.partition_fields(sp["spec-id"])}
+            for sp in md["partition-specs"]
+        ]
+        part_cols = set.intersection(*per_spec) if per_spec else set()
+        any_part_cols = set.union(*per_spec) if per_spec else set()
         for f in filters:
             col = f.attribute[0] if f.attribute else None
             if col in part_cols and isinstance(f, EqualTo) and len(f.attribute) == 1:
                 self.partition_filter[col] = f.value  # file-exact: consumed
+            elif (
+                col in any_part_cols and isinstance(f, EqualTo) and len(f.attribute) == 1
+            ):
+                self.partition_filter[col] = f.value  # prune what we can...
+                yield f  # ...but old-spec files need the row filter
             elif isinstance(f, self._CMP) and col and len(f.attribute) == 1:
                 lo: Any = None
                 hi: Any = None

@@ -90,18 +90,21 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
     def _rows_of_data_file(self, entry: dict, positions: list[int] | None = None):
         import pyarrow.parquet as pq
 
-        fields, part_cols = self._schema_fields()
+        fields, _part_cols = self._schema_fields()
         wnames = self._write_names(entry)
         tbl = pq.read_table(entry["file_path"].replace("file:", ""))
         if positions is not None:
             tbl = tbl.take(sorted(positions))
         names = set(tbl.column_names)
         n = tbl.num_rows
+        pvals = entry.get("partition") or {}
         cols = []
         for name, type_name in fields:
             wname = wnames.get(name, name)
-            if name in part_cols:
-                cols.append([_cast_pv(entry["partition"].get(name), type_name)] * n)
+            if name in pvals:
+                # overlay from THIS entry's partition tuple (keyed by the
+                # spec the file was written under — partition evolution)
+                cols.append([_cast_pv(pvals.get(name), type_name)] * n)
             elif wname is not None and wname in names:
                 cols.append(tbl.column(wname).to_pylist())
             else:

@@ -849,3 +849,114 @@ def test_stream_upsert_exactly_once(spark, root, tmp_path):
         t.upsert(batch, "k", summary_extra={"stream-id": "u1", "batch-id": str(committed)})
     assert len(t.snapshots()) == n_snaps
     assert _rows(t.read()) == [(1, 10), (2, 20), (5, 5)]
+
+
+def test_partition_evolution_mixed_specs(spark, root):
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}", i * 10) for i in range(12)], "k long, part string, v long"
+    )
+    t = IcebergTable.create(spark, root, df.coalesce(1))  # spec 0: unpartitioned
+    new_spec = t.evolve_partition_spec(["part"])
+    assert new_spec == 1
+    assert len(t.snapshots()) == 1  # metadata-only: no snapshot
+    t.append(
+        spark.createDataFrame(
+            [(100, "p1", 1000), (101, "p2", 1010)], "k long, part string, v long"
+        )
+    )
+    # whole-table read spans both specs
+    got = t.read()
+    assert got.count() == 14
+    # partition_filter is EXACT across mixed specs: old unpartitioned files
+    # are row-filtered, new files tuple-pruned
+    p1 = t.read(partition_filter={"part": "p1"})
+    assert _rows(p1.select("k")) == [(1,), (4,), (7,), (10,), (100,)]
+    # planning-level: the filter prunes only what a spec CAN prune
+    entries, audit = t.files(partition_filter={"part": "p1"})
+    by_spec = {}
+    for e in entries:
+        by_spec.setdefault(e["__spec"], []).append(e)
+    assert len(by_spec[0]) == 1  # old unpartitioned file survives planning
+    assert len(by_spec[1]) == 1  # exactly the p1 file of the new spec
+    # a second evolution: repartition by a different column
+    t.evolve_partition_spec(["k"])
+    t.append(spark.createDataFrame([(200, "p1", 2000)], "k long, part string, v long"))
+    got = t.read(partition_filter={"part": "p1"})
+    assert _rows(got.select("k")) == [(1,), (4,), (7,), (10,), (100,), (200,)]
+    md = t.metadata()
+    assert [s["spec-id"] for s in md["partition-specs"]] == [0, 1, 2]
+    # fresh partition field ids across evolutions
+    pids = [pf["field-id"] for s in md["partition-specs"] for pf in s["fields"]]
+    assert pids == [1000, 1001]
+
+
+def test_partition_evolution_through_lite_source(spark, root):
+    from pyspark.sql.datasource import EqualTo
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+        IcebergLiteDataSource,
+        IcebergLitePushdownReader,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", i) for i in range(8)], "k long, part string, v long"
+    )
+    t = IcebergTable.create(spark, root, df.coalesce(1))
+    t.evolve_partition_spec(["part"])
+    t.append(spark.createDataFrame([(50, "p0", 50)], "k long, part string, v long"))
+    try:
+        spark.dataSource.register(IcebergLiteDataSource)
+    except Exception:
+        pass
+    via = spark.read.format("iceberg_lite").load(root)
+    assert sorted(tuple(r) for r in via.collect()) == _rows(t.read())
+    # pushdown: under MIXED specs the partition EqualTo is handed back for
+    # row re-application (old-spec files can't be tuple-pruned)
+    r = IcebergLitePushdownReader({"path": root})
+    residual = list(r.pushFilters([EqualTo(("part",), "p0")]))
+    assert len(residual) == 1
+    # ... yet planning still prunes the new-spec side
+    n_parts = len(r.partitions())
+    assert n_parts == 2  # the old unpartitioned file + the new p0 file
+
+
+def test_partition_evolution_with_deletes_and_cdc(spark, root, tmp_path):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_stream_source import (
+        IcebergCdcDataSource,
+    )
+
+    t = IcebergTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k long, tag string, v long"),
+    )
+    t.evolve_partition_spec(["tag"])
+    t.append(spark.createDataFrame([(3, "a", 30), (4, "b", 40)], "k long, tag string, v long"))
+    t.position_delete("v = 20")
+    t.equality_delete(spark.createDataFrame([(3,)], "k long"))
+    got = t.read()
+    assert _rows(got.select("k")) == [(1,), (4,)]
+    try:
+        spark.dataSource.register(IcebergCdcDataSource)
+    except Exception:
+        pass
+    sink = os.path.join(str(tmp_path), "sink")
+    q = (
+        spark.readStream.format("iceberg_cdc")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    adds = sorted(
+        (r["snapshot_idx"], r["k"], r["tag"])
+        for r in feed.collect()
+        if r["change_type"] == "add"
+    )
+    # the evolved-spec files' tag values surface correctly in the feed
+    assert adds == [(0, 1, "a"), (0, 2, "b"), (1, 3, "a"), (1, 4, "b")]
