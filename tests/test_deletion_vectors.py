@@ -211,3 +211,37 @@ def test_uniform_translates_dvs_to_position_deletes(spark, root):
     dels = ice.delete_entries(index=1)
     assert [d["content"] for d in dels] == [1]
     assert dels[0]["data_file"]["record_count"] == 4  # k in {0, 3, 6, 9}
+
+
+def test_dv_commit_loses_race_cleanly(spark, root, monkeypatch):
+    """Optimistic concurrency: a DV delete whose os.link publish loses to a
+    commit that lands MID-FLIGHT (after the version was chosen, before
+    publish) must raise FileExistsError (the LogStore rule), leave the log
+    consistent at the winner's version, and keep the table readable — no
+    torn DV state."""
+    import json as _json
+
+    import copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog as dmod
+
+    t = _mk(spark, root)
+    v_next = t.latest_version() + 1
+    winner = os.path.join(t.log_dir, dmod._fmt_commit(v_next))
+    orig = dmod.write_dv_file
+
+    def raced(path, blobs):
+        # the concurrent writer lands between position compute and publish
+        res = orig(path, blobs)
+        with open(winner, "w") as f:
+            f.write(_json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n")
+        return res
+
+    monkeypatch.setattr(dmod, "write_dv_file", raced)
+    with pytest.raises(FileExistsError):
+        t.delete_vectors("k < 3")
+    monkeypatch.setattr(dmod, "write_dv_file", orig)
+    # the loser changed nothing: full row count, no DV descriptors
+    assert t.read().count() == 12
+    assert all(not a.get("deletionVector") for a in t.files())
+    # and a retry at the next version succeeds
+    assert t.delete_vectors("k < 3")["deleted"] == 3
+    assert t.read().count() == 9

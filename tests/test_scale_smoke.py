@@ -149,3 +149,32 @@ def test_bpe_merges_invariant_under_duplication(spark, inflated_dir):
         ba, bb, bpc = big[step]
         assert (ba, bb) == (a, b), f"step {step} merged a different pair at 10x"
         assert bpc == 10 * pc, f"step {step} count did not scale by 10"
+
+
+def test_dv_mor_read_stays_distributed_at_scale(spark, tmp_path):
+    """Merge-on-read at scale: a Delta table of 60k rows takes a DV delete
+    of ~10%, and the masked read must stay fully distributed — the DV
+    decode is a mapInPandas over ONE descriptor row per touched file, the
+    application is a single left_anti join (no driver-side position
+    materialization), and the result matches the predicate exactly."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        DeltaTable,
+    )
+
+    df = spark.range(60_000).select(
+        F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+    )
+    root = os.path.join(str(tmp_path), "dv_scale")
+    t = DeltaTable.create(spark, root, df.repartition(8, "k"))
+    res = t.delete_vectors("v < 100")  # ~6k rows across every file
+    assert res["files_updated"] == 8
+    assert res["deleted"] == df.where("v < 100").count()
+    got = t.read()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan  # the DV mask is a join, not a collect
+    assert got.count() == 60_000 - res["deleted"]
+    assert got.where("v < 100").count() == 0
+    # second delete unions in without re-listing (exact accounting at scale)
+    res2 = t.delete_vectors("v < 150")
+    assert res2["deleted"] == df.where("v >= 100 AND v < 150").count()
+    assert t.read().count() == 60_000 - res["deleted"] - res2["deleted"]
