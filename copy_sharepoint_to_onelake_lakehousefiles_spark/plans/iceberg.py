@@ -30,16 +30,24 @@ Differences from Delta that this module implements faithfully:
   (os.link) + ``version-hint.text`` for discovery — the HadoopTables
   layout, readable by pyiceberg/Spark-Iceberg's HadoopCatalog.
 
-Scope: identity partition transforms, primitive column types
-(long/int/string/double/float/boolean/binary), data content files plus BOTH
-v2 merge-on-read delete flavors: EQUALITY DELETE files (``equality_delete``
+Scope: identity partition transforms (with PARTITION EVOLUTION —
+``evolve_partition_spec`` registers fresh specs and planning/reads resolve
+each manifest through the spec it was written under), primitive column
+types (long/int/string/double/float/boolean/binary), schema evolution
+(additive on append, plus id-based ``rename_column``/``drop_column`` with
+per-file write-time schema recovery), data content files plus BOTH v2
+merge-on-read delete flavors: EQUALITY DELETE files (``equality_delete``
 writes key rows under a deletes manifest; readers anti-join data files with
 a strictly smaller sequence number) and POSITION DELETE files
 (``position_delete`` evaluates a predicate over the live snapshot and
 records (file_path, pos) pairs — row ordinals come from Spark's
 ``_metadata.row_index``, so computing them is a distributed scan, not a
 driver loop; readers apply them to data files with sequence number <= the
-delete's). Copy-on-write row mutation lives in TxTable/Delta. Snapshots
+delete's). ``upsert`` commits an equality delete plus the batch's data
+files as ONE snapshot (the Flink upsert-mode shape);
+``rewrite_position_deletes`` compacts delete files;
+``stream_append``/``stream_upsert`` are exactly-once via a snapshot-summary
+batch ledger. Copy-on-write row mutation lives in TxTable/Delta. Snapshots
 support time travel by snapshot id or chronological index.
 """
 
