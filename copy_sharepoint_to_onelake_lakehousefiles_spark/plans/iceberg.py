@@ -2138,6 +2138,99 @@ def q146_iceberg_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize(t.read())
 
 
+_Q148_ORACLE = """
+WITH latest AS (
+  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS val_cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type AS last_event,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(val_cents) AS BIGINT) AS cents
+FROM latest
+WHERE rn = 1
+GROUP BY event_type
+"""
+
+
+@query("q148_iceberg_stream_upsert", oracle=_Q148_ORACLE)
+def q148_iceberg_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply into an Iceberg table with OUT-OF-ORDER
+    protection, hashed end to end: each micro-batch reduces to its latest
+    event per user ((ts, event_id) total order), joins the CURRENT table
+    state, and upserts only rows that BEAT it — so the final table is the
+    global latest-per-user regardless of how the source was batched, and
+    each applied batch is ONE atomic MoR snapshot (equality delete + data
+    at one sequence number) stamped in the summary ledger. The oracle is
+    the declarative row_number()-latest twin over the whole corpus; any
+    batching, ordering, or merge-scoping error is a wrong answer."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..streaming.windows import _events_stream
+
+    root = os.path.join(tempfile.gettempdir(), f"ice_supsert_{uuid.uuid4().hex[:8]}")
+    ddl = "user_id long, ts_us long, event_id long, last_event string, val_cents long"
+    t = IcebergTable.create(spark, root, spark.createDataFrame([], ddl))
+    sid = "q148"
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        seen = t.seen_batch(sid)
+        if seen is not None and seen >= batch_id:
+            return  # replayed batch
+        b = batch_df.select(
+            "user_id",
+            F.timestamp_diff(
+                "MICROSECOND", epoch, F.col("ts").cast("timestamp_ntz")
+            ).alias("ts_us"),
+            "event_id",
+            F.col("event_type").alias("last_event"),
+            F.round(F.col("value") * 100).cast("bigint").alias("val_cents"),
+        )
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+        latest = b.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+        cur = t.read().select(
+            "user_id", F.col("ts_us").alias("c_ts"), F.col("event_id").alias("c_id")
+        )
+        merged = (
+            latest.join(cur, "user_id", "left")
+            .where(
+                F.col("c_ts").isNull()
+                | (F.struct("ts_us", "event_id") > F.struct("c_ts", "c_id"))
+            )
+            .drop("c_ts", "c_id")
+        )
+        if merged.limit(1).count() == 0:
+            return  # nothing beats current state: idempotent to replay
+        t.upsert(
+            merged,
+            key="user_id",
+            summary_extra={"stream-id": sid, "batch-id": str(batch_id)},
+        )
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = materialize(
+        t.read()
+        .groupBy("last_event")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("val_cents").cast("bigint").alias("cents"),
+        )
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 _PEVO_CACHE: dict = {}
 
 
