@@ -1174,6 +1174,52 @@ class DeltaTable:
             "dv_path": dv_path,
         }
 
+    def table_changes(self, v_from: int, v_to: int) -> DataFrame:
+        """Batch CHANGE DATA FEED: one row per data-file row entering
+        (``_change_type`` 'insert') or leaving ('delete') each commit in
+        (v_from, v_to], tagged ``_commit_version`` — the batch twin of the
+        ``delta_cdc`` streaming source, built from each commit's OWN
+        add/remove actions (a delta, not a snapshot diff → O(changed
+        files)). Deletion-vector commits net correctly with no special
+        casing: the remove carries the PRIOR DV (rows live before), the
+        re-add carries the new DV (rows live after), so the pair nets to
+        exactly the newly-dead rows. ``dataChange=false`` rearrangements
+        (OPTIMIZE) are skipped per spec. The feed's net effect per key
+        equals the table-state delta — the invariant q149 hashes."""
+        schema = self.schema(v_to)
+        part_cols = self.partition_columns(v_to)
+        _, meta = self.snapshot(v_to)
+        phys = self._phys_map(meta)
+        parts: list[DataFrame] = []
+        for v in range(v_from + 1, v_to + 1):
+            if v not in self.versions():
+                continue  # expired below a checkpoint: no replayable delta
+            adds: list[dict] = []
+            removes: list[dict] = []
+            for action in self._commit_actions(v):
+                if "add" in action and action["add"].get("dataChange", True):
+                    adds.append(action["add"])
+                elif "remove" in action and action["remove"].get("dataChange", True):
+                    removes.append(action["remove"])
+            for acts, ct in ((adds, "insert"), (removes, "delete")):
+                if not acts:
+                    continue
+                df = self._read_entries(acts, schema, part_cols, phys=phys)
+                parts.append(
+                    df.withColumn("_change_type", F.lit(ct)).withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
+                )
+        if not parts:
+            base = self.spark.createDataFrame([], schema)
+            return base.withColumn("_change_type", F.lit("").cast("string")).withColumn(
+                "_commit_version", F.lit(None).cast("long")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def compact(self, target_files: int = 1) -> dict:
         """OPTIMIZE-style small-file compaction: rewrite each partition's
         files into ``target_files``, committing remove+add with
@@ -1770,6 +1816,33 @@ def q144_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("bal_cents"),
         )
+    )
+    return materialize(out)
+
+
+@query("q149_delta_batch_cdf", oracle=_Q144_ORACLE)
+def q149_delta_batch_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CHANGE DATA FEED over the deletion-vector demo's full history
+    (create → DV delete → append → DV delete → CoW delete), hashed via the
+    CDF INVARIANT: per segment, (insert rows − delete rows) and the signed
+    cents sum must net to exactly the final table state — the q144 oracle.
+    DV commits contribute their remove(prior-DV)/re-add(new-DV) pairs and
+    CoW rewrites their file swaps; any netting error in either mechanism
+    breaks the hash. Per-version gross counts are deliberately NOT hashed
+    (which files a DV touches depends on hash partitioning — not
+    SQL-expressible); the invariant is the portable contract."""
+    t = _dv_customer_table(spark, sf_dir)
+    feed = t.table_changes(-1, t.latest_version())
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    out = (
+        feed.groupBy("c_mktsegment")
+        .agg(
+            F.sum(sign).cast("bigint").alias("n_cust"),
+            F.sum(sign * F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("bal_cents"),
+        )
+        .where(F.col("n_cust") > 0)
     )
     return materialize(out)
 

@@ -245,3 +245,37 @@ def test_dv_commit_loses_race_cleanly(spark, root, monkeypatch):
     # and a retry at the next version succeeds
     assert t.delete_vectors("k < 3")["deleted"] == 3
     assert t.read().count() == 9
+
+
+def test_batch_cdf_nets_dv_and_cow_commits(spark, root):
+    """table_changes: per-commit insert/delete rows; a DV commit's
+    remove(prior DV)/re-add(new DV) pair nets to the newly-dead rows;
+    compaction (dataChange=false) contributes nothing; the whole feed nets
+    to the final table state."""
+    t = _mk(spark, root)  # v0: 12 rows in 3 files
+    t.delete_vectors("k < 2")  # v1
+    t.append(spark.createDataFrame([(50, "new", 500)], "k long, tag string, v long"))  # v2
+    t.compact(target_files=1)  # v3: rearrangement only
+    feed = t.table_changes(-1, t.latest_version())
+    by_ver = {
+        (r["_commit_version"], r["_change_type"]): r["cnt"]
+        for r in feed.groupBy("_commit_version", "_change_type").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    assert by_ver[(0, "insert")] == 12
+    # v1 (DV): only files CONTAINING matches are touched; their removes
+    # carry the live-before rows and their re-adds the live-after rows, so
+    # the pair nets to exactly the 2 deleted rows (k=0, 1) regardless of
+    # how the hash partitioner spread them
+    assert by_ver[(1, "delete")] - by_ver.get((1, "insert"), 0) == 2
+    assert by_ver[(2, "insert")] == 1
+    # compaction is invisible to the feed
+    assert not any(v == 3 for (v, _ct) in by_ver)
+    # net invariant: feed sums to the final state
+    from pyspark.sql import functions as FF
+
+    sign = FF.when(FF.col("_change_type") == "insert", 1).otherwise(-1)
+    net = feed.agg(FF.sum(sign)).collect()[0][0]
+    assert net == t.read().count() == 11
+    # empty range → typed empty frame
+    assert t.table_changes(3, 3).count() == 0
