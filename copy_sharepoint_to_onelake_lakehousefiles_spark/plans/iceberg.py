@@ -1416,6 +1416,40 @@ class IcebergTable:
             "delete_keys": n_keys,
         }
 
+    def incremental_scan(
+        self, from_index: int, to_index: int | None = None
+    ) -> DataFrame:
+        """Batch INCREMENTAL READ (Iceberg's incremental append scan): the
+        rows APPENDED by snapshots in (from_index, to_index], resolved as
+        the file-set diff of the two snapshots — O(changed files) because
+        fast appends reuse prior manifests. Like the real API, ranges
+        containing non-append snapshots (overwrite/delete) refuse: an
+        incremental consumer of those needs the CDC feed
+        (``iceberg_cdc``), not an append scan."""
+        snaps = sorted(self.snapshots(), key=lambda s: s["sequence-number"])
+        hi = len(snaps) - 1 if to_index is None else to_index
+        for s in snaps[from_index + 1 : hi + 1]:
+            op = (s.get("summary") or {}).get("operation")
+            if op != "append":
+                raise NotImplementedError(
+                    f"incremental scan over a non-append snapshot ({op}); "
+                    "use the iceberg_cdc source for overwrite/delete ranges"
+                )
+        base_paths = (
+            {e["file_path"] for e in self.files(index=from_index)[0]}
+            if from_index >= 0
+            else set()
+        )
+        entries = [
+            e
+            for e in self.files(index=hi)[0]
+            if e["file_path"] not in base_paths
+        ]
+        schema = self.schema(index=hi)
+        return self._read_data_entries(
+            entries, schema, target_schema_id=self._schema_id_for(index=hi)
+        )
+
     def rewrite_position_deletes(self) -> dict:
         """Maintenance action (the spec's RewritePositionDeleteFiles):
         merge the current snapshot's position-delete files into ONE sorted
@@ -2498,6 +2532,41 @@ def q139_iceberg_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement row), so sequence-number scoping errors are wrong answers."""
     t = _mor_nation_table(spark, sf_dir)
     return materialize(t.read())
+
+
+_Q150_ORACLE = """
+WITH dim AS (
+  SELECT n_nationkey, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+customers AS (
+  SELECT d.r_name, CAST(count(*) AS BIGINT) AS metric_value
+  FROM customer c JOIN dim d ON c.c_nationkey = d.n_nationkey
+  GROUP BY d.n_nationkey, d.r_name
+)
+SELECT r_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(metric_value) AS BIGINT) AS total
+FROM customers
+GROUP BY r_name
+"""
+
+
+@query("q150_iceberg_incremental_scan", oracle=_Q150_ORACLE)
+def q150_iceberg_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch INCREMENTAL append scan between two snapshots of the demo
+    table: snapshot 0→1 was a FAST APPEND (one new manifest, prior
+    manifests re-referenced), so the diff ships exactly the customers
+    batch — O(changed files), never a rescan of the base. The oracle is
+    the customers-metric relational twin; picking up any supplier row
+    (base leakage) or missing part of the append breaks the hash."""
+    t = _demo_iceberg_table(spark, sf_dir)
+    inc = t.incremental_scan(0, 1)
+    out = inc.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("metric_value").cast("bigint").alias("total"),
+    )
+    return materialize(out)
 
 
 _Q140_ORACLE = """

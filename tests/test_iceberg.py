@@ -960,3 +960,21 @@ def test_partition_evolution_with_deletes_and_cdc(spark, root, tmp_path):
     )
     # the evolved-spec files' tag values surface correctly in the feed
     assert adds == [(0, 1, "a"), (0, 2, "b"), (1, 3, "a"), (1, 4, "b")]
+
+
+def test_incremental_scan_appends_only_and_refusal(spark, root):
+    t = IcebergTable.create(
+        spark, root, spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string")
+    )
+    t.append(spark.createDataFrame([(3, "c")], "k long, tag string"))
+    t.append(spark.createDataFrame([(4, "d")], "k long, tag string"))
+    assert _rows(t.incremental_scan(0, 1)) == [(3, "c")]
+    assert _rows(t.incremental_scan(0, 2)) == [(3, "c"), (4, "d")]
+    assert _rows(t.incremental_scan(1)) == [(4, "d")]  # to latest
+    assert _rows(t.incremental_scan(-1, 0)) == [(1, "a"), (2, "b")]
+    # a non-append snapshot in range refuses (spec behavior): CDC territory
+    t.overwrite(spark.createDataFrame([(9, "z")], "k long, tag string"))
+    with pytest.raises(NotImplementedError, match="non-append"):
+        t.incremental_scan(0)
+    # ranges before the overwrite still work
+    assert _rows(t.incremental_scan(1, 2)) == [(4, "d")]
