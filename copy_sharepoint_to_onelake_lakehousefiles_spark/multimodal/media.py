@@ -146,6 +146,43 @@ def probe_metadata(content: bytes) -> tuple[str, int | None, int | None, int | N
             return ("image/x-portable-pixmap", w, h, None)
         except Exception:
             return ("image/x-portable-pixmap", None, None, None)
+    if n >= 16 and content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        # VP8 lossy: 14-byte frame header after the chunk tag; VP8L
+        # lossless: 14-bit dims packed after the 0x2F signature byte;
+        # VP8X extended: 24-bit minus-one dims
+        tag = content[12:16]
+        if tag == b"VP8X" and n >= 30:
+            w = int.from_bytes(content[24:27], "little") + 1
+            h = int.from_bytes(content[27:30], "little") + 1
+            return ("image/webp", w, h, None)
+        if tag == b"VP8L" and n >= 25 and content[20] == 0x2F:
+            bits = int.from_bytes(content[21:25], "little")
+            return ("image/webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, None)
+        if tag == b"VP8 " and n >= 30:
+            w = int.from_bytes(content[26:28], "little") & 0x3FFF
+            h = int.from_bytes(content[28:30], "little") & 0x3FFF
+            return ("image/webp", w, h, None)
+        return ("image/webp", None, None, None)
+    if n >= 8 and content[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: walk IFD0's entries for ImageWidth (256) / ImageLength (257)
+        bo = "little" if content[:2] == b"II" else "big"
+        try:
+            ifd = int.from_bytes(content[4:8], bo)
+            cnt = int.from_bytes(content[ifd : ifd + 2], bo)
+            w = h = None
+            for i in range(cnt):
+                e = ifd + 2 + 12 * i
+                tag_id = int.from_bytes(content[e : e + 2], bo)
+                typ = int.from_bytes(content[e + 2 : e + 4], bo)
+                width_bytes = 2 if typ == 3 else 4  # SHORT vs LONG
+                val = int.from_bytes(content[e + 8 : e + 8 + width_bytes], bo)
+                if tag_id == 256:
+                    w = val
+                elif tag_id == 257:
+                    h = val
+            return ("image/tiff", w, h, None)
+        except Exception:
+            return ("image/tiff", None, None, None)
     if n >= 44 and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         try:
             byte_rate = int.from_bytes(content[28:32], "little")

@@ -562,3 +562,45 @@ def test_gif_rejects_non_gif():
 
     with _pytest.raises(NotImplementedError, match="not a GIF"):
         _decode_gif(b"NOPE")
+
+
+def test_probe_webp_and_tiff_headers():
+    import struct as _s
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        probe_metadata,
+    )
+
+    # VP8X extended: 24-bit minus-one dims
+    vp8x = (
+        b"RIFF" + (22).to_bytes(4, "little") + b"WEBP" + b"VP8X"
+        + (10).to_bytes(4, "little") + bytes(4)
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    )
+    assert probe_metadata(vp8x) == ("image/webp", 640, 480, None)
+    # VP8L lossless: 14-bit packed dims after the 0x2F signature
+    bits = (99) | (49 << 14)  # width-1=99, height-1=49
+    vp8l = (
+        b"RIFF" + (13).to_bytes(4, "little") + b"WEBP" + b"VP8L"
+        + (5).to_bytes(4, "little") + bytes([0x2F]) + bits.to_bytes(4, "little")
+    )
+    assert probe_metadata(vp8l) == ("image/webp", 100, 50, None)
+    # VP8 lossy: dims at fixed offsets in the frame header
+    vp8 = (
+        b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8 "
+        + (12).to_bytes(4, "little") + bytes(6)
+        + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + bytes(2)
+    )
+    assert probe_metadata(vp8) == ("image/webp", 320, 200, None)
+    # TIFF little-endian with SHORT dims
+    ifd = _s.pack("<H", 2)
+    ifd += _s.pack("<HHI", 256, 3, 1) + _s.pack("<I", 800)
+    ifd += _s.pack("<HHI", 257, 4, 1) + _s.pack("<I", 600)
+    tif = b"II*\x00" + _s.pack("<I", 8) + ifd + _s.pack("<I", 0)
+    assert probe_metadata(tif) == ("image/tiff", 800, 600, None)
+    # TIFF big-endian
+    ifd = _s.pack(">H", 2)
+    ifd += _s.pack(">HHI", 256, 3, 1) + _s.pack(">I", 12)
+    ifd += _s.pack(">HHI", 257, 3, 1) + _s.pack(">I", 34)
+    tif_be = b"MM\x00*" + _s.pack(">I", 8) + ifd + _s.pack(">I", 0)
+    assert probe_metadata(tif_be) == ("image/tiff", 12, 34, None)
