@@ -598,9 +598,9 @@ def test_probe_webp_and_tiff_headers():
     ifd += _s.pack("<HHI", 257, 4, 1) + _s.pack("<I", 600)
     tif = b"II*\x00" + _s.pack("<I", 8) + ifd + _s.pack("<I", 0)
     assert probe_metadata(tif) == ("image/tiff", 800, 600, None)
-    # TIFF big-endian
+    # TIFF big-endian: SHORT values are LEFT-justified in the 4-byte field
     ifd = _s.pack(">H", 2)
-    ifd += _s.pack(">HHI", 256, 3, 1) + _s.pack(">I", 12)
-    ifd += _s.pack(">HHI", 257, 3, 1) + _s.pack(">I", 34)
+    ifd += _s.pack(">HHI", 256, 3, 1) + _s.pack(">HH", 12, 0)
+    ifd += _s.pack(">HHI", 257, 3, 1) + _s.pack(">HH", 34, 0)
     tif_be = b"MM\x00*" + _s.pack(">I", 8) + ifd + _s.pack(">I", 0)
     assert probe_metadata(tif_be) == ("image/tiff", 12, 34, None)
