@@ -37,6 +37,16 @@ def main() -> None:
         "q109_unigram_logprob",
         "q110_robust_price_stats",
         "q122_sequence_packing",
+        # lakehouse tier: the returned plans are the materialized re-reads,
+        # but building them exercises the MoR anti-joins / CDF unions whose
+        # shapes the docstrings claim — dump the FINAL query over each
+        "q143_iceberg_position_delete",
+        "q144_delta_deletion_vectors",
+        "q145_schema_evolution_rename_drop",
+        "q146_iceberg_mor_upsert",
+        "q147_iceberg_partition_evolution",
+        "q149_delta_batch_cdf",
+        "q150_iceberg_incremental_scan",
     ]
     out = ["# PLANS — formatted physical plans of the headline queries (sf0.01)\n"]
     for name in HEADLINE + extra:
