@@ -1174,6 +1174,29 @@ class DeltaTable:
             "dv_path": dv_path,
         }
 
+    def restore(self, version: int) -> dict:
+        """RESTORE to an older version as a NEW commit (the Delta RESTORE
+        command): re-add the target version's files the current snapshot
+        lost (with their stats, partitionValues, and deletion vectors) and
+        remove the ones it gained. History is never rewritten — restored-
+        over versions stay time-travelable — and immutable files make this
+        pure metadata. Restoring across a VACUUM horizon fails on read
+        (files reclaimed), same as real Delta's RESTORE caveat."""
+        base = self.latest_version()
+        cur, _ = self.snapshot(base)
+        old_adds, _ = self.snapshot(version)
+        cur_by = {a["path"]: a for a in cur}
+        old_by = {a["path"]: a for a in old_adds}
+        adds = [a for p, a in old_by.items() if p not in cur_by or cur_by[p] != a]
+        removes = [a for p, a in cur_by.items() if p not in old_by]
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [self._commit_info("RESTORE")]
+        actions.extend(self._remove_action(a, now_ms) for a in removes)
+        actions.extend({"add": dict(a, dataChange=True)} for a in adds)
+        v = base + 1
+        self._publish(v, actions)
+        return {"version": v, "files_added": len(adds), "files_removed": len(removes)}
+
     def table_changes(self, v_from: int, v_to: int) -> DataFrame:
         """Batch CHANGE DATA FEED: one row per data-file row entering
         (``_change_type`` 'insert') or leaving ('delete') each commit in

@@ -1554,6 +1554,23 @@ class IcebergTable:
                 best = b if best is None else max(best, b)
         return best
 
+    def rollback(
+        self, snapshot_id: int | None = None, index: int | None = None
+    ) -> dict:
+        """ROLLBACK: point ``current-snapshot-id`` back at an older
+        snapshot (the spec's set-current-snapshot operation) — metadata-
+        only, nothing moves; rolled-over snapshots remain in the metadata
+        until ``expire_snapshots`` reclaims them, so rolling FORWARD again
+        is equally possible."""
+        snap = self._resolve_snapshot(snapshot_id, index)
+        md = self.metadata()
+        if md.get("current-snapshot-id") == snap["snapshot-id"]:
+            return {"snapshot_id": snap["snapshot-id"], "changed": False}
+        md["current-snapshot-id"] = snap["snapshot-id"]
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(md)
+        return {"snapshot_id": snap["snapshot-id"], "changed": True}
+
     def expire_snapshots(self, retain_last: int = 2) -> dict:
         """Drop all but the last ``retain_last`` snapshots from the metadata
         and delete metadata/data files referenced by NO retained snapshot.

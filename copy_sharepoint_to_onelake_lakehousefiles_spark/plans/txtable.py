@@ -513,6 +513,26 @@ class TxTable:
             "files_carried": len(carried),
         }
 
+    def restore(self, version: int) -> dict:
+        """RESTORE the table to an older version as a NEW commit: the delta
+        manifest re-adds the target version's files missing from the
+        current snapshot and removes the ones it gained — history is never
+        rewritten (the restored-over versions stay time-travelable), which
+        is the Delta RESTORE semantic. Immutable files make this pure
+        metadata: no data is copied."""
+        base = self.latest_version()
+        if version == base:
+            return {"version": base, "files_added": 0, "files_removed": 0}
+        target = {fe["path"]: fe for fe in self._files(version)}
+        current = {fe["path"]: fe for fe in self._files(base)}
+        add = [fe for p, fe in target.items() if p not in current]
+        remove = [p for p in current if p not in target]
+        sj = self._schema_json(version)
+        self._commit(
+            "restore", add, remove, version=base + 1, schema_json=sj
+        )
+        return {"version": base + 1, "files_added": len(add), "files_removed": len(remove)}
+
     def changes(self, v_from: int, v_to: int) -> DataFrame:
         """Change data feed between two versions, recovered from the commit
         log alone: rows in files added minus rows in files removed are the

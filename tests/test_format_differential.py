@@ -175,3 +175,47 @@ def test_three_upsert_paths_agree(spark):
         assert len(r_tx) == 21
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_restore_and_rollback_agree_across_formats(spark):
+    """RESTORE/rollback parity: after create → append → delete, winding all
+    three stacks back to the post-append state must agree with that state;
+    the restored-over history stays time-travelable; new writes continue
+    on top of the restore."""
+    ddl = "k long, tag string, v long"
+    rows = [(i, f"t{i % 2}", i * 10) for i in range(10)]
+    base = os.path.join(tempfile.gettempdir(), f"diffres_{uuid.uuid4().hex[:6]}")
+    try:
+        df = spark.createDataFrame(rows, ddl)
+        extra = spark.createDataFrame([(50, "x", 500)], ddl)
+        tx = TxTable.create(spark, os.path.join(base, "tx"), df, key="k")
+        dl = DeltaTable.create(spark, os.path.join(base, "dl"), df)
+        ic = IcebergTable.create(spark, os.path.join(base, "ic"), df)
+        for t_ in (tx, dl, ic):
+            t_.append(extra)
+        tx.delete("k >= 5")
+        dl.delete_vectors("k >= 5")
+        ic.position_delete("k >= 5")
+        want = _rows(spark.createDataFrame(rows, ddl).unionByName(extra))
+        # wind back to the post-append state
+        tx.restore(1)
+        dl.restore(1)
+        ic.rollback(index=1)
+        assert _rows(tx.read()) == want
+        assert _rows(dl.read()) == want
+        assert _rows(ic.read()) == want
+        # restored-over history remains readable (TxTable/Delta commit the
+        # restore as a NEW version; Iceberg keeps the snapshot): version 2
+        # is the post-delete state (k 0-4)
+        assert tx.read(2).count() == dl.read(2).count() == 5
+        # writes continue on top of the restore in every stack
+        more = spark.createDataFrame([(60, "y", 600)], ddl)
+        for t_ in (tx, dl, ic):
+            t_.append(more)
+        want2 = sorted(
+            want + [(60, "y", 600)],
+            key=lambda t: tuple((v is None, str(v)) for v in t),
+        )
+        assert _rows(tx.read()) == _rows(dl.read()) == _rows(ic.read()) == want2
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
