@@ -569,6 +569,71 @@ def _decode_gif(content: bytes) -> np.ndarray:
     raise NotImplementedError("GIF has no image frame")
 
 
+def encode_gif(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → GIF89a bytes via LITERAL-CODE LZW (the classic
+    'uncompressed GIF' technique: every pixel emits its literal code, with
+    CLEAR codes inserted before the table would outgrow the width — a
+    spec-legal stream any GIF decoder accepts, with trivially-verifiable
+    correctness). The palette is the image's unique colors; more than 256
+    raises (quantization is out of scope)."""
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise NotImplementedError(f"{len(colors)} colors: GIF needs a 256-color palette")
+    size_field = max(1, (len(colors) - 1).bit_length() - 1)
+    table_n = 2 << size_field
+    table = colors.tobytes() + b"\x00\x00\x00" * (table_n - len(colors))
+    min_code = max(2, (len(colors) - 1).bit_length())
+    clear = 1 << min_code
+    end = clear + 1
+    # LSB-first variable-width packer
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width_bits = min_code + 1
+    put(clear, width_bits)
+    budget = (1 << width_bits) - end - 1
+    for v in idx:
+        if budget == 0:
+            put(clear, width_bits)
+            budget = (1 << width_bits) - end - 1
+        put(int(v), width_bits)
+        budget -= 1
+    put(end, width_bits)
+    if nbits:
+        out.append(acc & 0xFF)
+    lzw = bytes(out)
+    blob = (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x80 | size_field, 0, 0])
+        + table
+        + b"\x2c"
+        + b"\x00" * 4
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + b"\x00"
+        + bytes([min_code])
+    )
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blob += bytes([len(chunk)]) + chunk
+    return blob + b"\x00\x3b"
+
+
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
     import zlib
 
@@ -784,8 +849,11 @@ def q60_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _blob(f"nested/pic{i}.png", encode_png(img))
     from .jpeg import encode_jpeg
 
-    # a REAL JPEG (baseline T.81 codec)
+    # a REAL JPEG (baseline T.81 codec) and a REAL GIF (literal-code LZW)
     _blob("photo.jpg", encode_jpeg(np.full((16, 24, 3), 77, np.uint8)))
+    banner = np.zeros((10, 20, 3), np.uint8)
+    banner[:, 10:] = (0, 128, 255)
+    _blob("nested/banner.gif", encode_gif(banner))
     for i in range(2):  # PCM WAV tones (decodable samples + duration)
         buf = io.BytesIO()
         with wave.open(buf, "wb") as wf:

@@ -254,13 +254,16 @@ def test_q60_profiles_by_detected_mime(spark, sf_dir):
         "image/x-portable-pixmap",
         "image/png",
         "image/jpeg",
+        "image/gif",
         "audio/wav",
     }
     for mime in ("image/x-portable-pixmap", "image/png", "audio/wav"):
         assert rows[mime]["n_media"] == 2 and rows[mime]["n_distinct"] == 2
     assert rows["image/jpeg"]["n_media"] == 1
+    assert rows["image/gif"]["n_media"] == 1
     assert rows["image/png"]["n_with_dims"] == 2  # header-probed dimensions
     assert rows["image/jpeg"]["n_with_dims"] == 1
+    assert rows["image/gif"]["n_with_dims"] == 1
     assert rows["audio/wav"]["n_with_duration"] == 2  # byte-rate durations
 
 
@@ -604,3 +607,24 @@ def test_probe_webp_and_tiff_headers():
     ifd += _s.pack(">HHI", 257, 3, 1) + _s.pack(">HH", 34, 0)
     tif_be = b"MM\x00*" + _s.pack(">I", 8) + ifd + _s.pack(">I", 0)
     assert probe_metadata(tif_be) == ("image/tiff", 12, 34, None)
+
+
+def test_encode_gif_roundtrips_through_the_decoder():
+    import numpy as np
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(13)
+    # 17 distinct colors → 5-bit palette, wide-code literal stream
+    palette = rng.randint(0, 256, (17, 3), dtype=np.uint8)
+    idx = rng.randint(0, 17, (14, 9))
+    img = palette[idx]
+    got = decode_image(encode_gif(img))
+    assert np.array_equal(got, img)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="palette"):
+        encode_gif(rng.randint(0, 256, (40, 40, 3), dtype=np.uint8))
