@@ -1174,6 +1174,33 @@ class DeltaTable:
             "dv_path": dv_path,
         }
 
+    def clone(self, dest: str) -> "DeltaTable":
+        """SHALLOW CLONE: a new Delta table at ``dest`` whose add actions
+        reference the SOURCE's data files by ABSOLUTE path — a metadata-only
+        copy (stats, partitionValues, and deletion vectors carry over), the
+        Delta SHALLOW CLONE command. The clone evolves independently;
+        ``vacuum`` on the clone never touches the source's files (it only
+        walks the clone's root), while vacuuming the SOURCE can strand the
+        clone — the documented shallow-clone caveat."""
+        adds, meta = self.snapshot()
+        t = DeltaTable(self.spark, dest)
+        if t.versions():
+            raise FileExistsError(f"Delta table already exists at {dest}")
+        os.makedirs(dest, exist_ok=True)
+        new_meta = dict(meta)
+        new_meta["id"] = uuid.uuid4().hex
+        actions: list[dict] = [
+            t._commit_info("CLONE"),
+            {"protocol": self.protocol()},
+            {"metaData": new_meta},
+        ]
+        for a in adds:
+            a2 = dict(a)
+            a2["path"] = quote(os.path.abspath(self._abs_path(a["path"])))
+            actions.append({"add": a2})
+        t._publish(0, actions)
+        return t
+
     def restore(self, version: int) -> dict:
         """RESTORE to an older version as a NEW commit (the Delta RESTORE
         command): re-add the target version's files the current snapshot

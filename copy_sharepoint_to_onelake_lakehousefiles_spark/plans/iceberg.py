@@ -506,6 +506,7 @@ class IcebergTable:
         partition_filter: dict | None = None,
         bounds: dict | None = None,
         with_positions: bool = False,
+        ref: str | None = None,
     ) -> DataFrame:
         """Snapshot read. Unpartitioned: ONE multi-path parquet scan.
         Identity-partitioned: partition values are CONSTANT per file by
@@ -521,7 +522,9 @@ class IcebergTable:
         strictly to OLDER data files. ``with_positions`` additionally
         exposes ``__ice_fp``/``__ice_pos`` columns (the normalized file
         path and within-file row ordinal) — the input to
-        ``position_delete``."""
+        ``position_delete``. ``ref`` reads a named tag/branch."""
+        if ref is not None:
+            snapshot_id = self.ref_snapshot(ref)
         schema = self.schema(snapshot_id, index)
         tgt_sid = self._schema_id_for(snapshot_id, index)
         entries, _ = self.files(snapshot_id, index, partition_filter, bounds)
@@ -1554,6 +1557,45 @@ class IcebergTable:
                 best = b if best is None else max(best, b)
         return best
 
+    def set_ref(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        index: int | None = None,
+        kind: str = "tag",
+    ) -> dict:
+        """Named REF (the spec's ``refs`` map): pin ``name`` to a snapshot
+        as a 'tag' (immutable bookmark) or 'branch'. Ref'd snapshots are
+        RETAINED by ``expire_snapshots`` regardless of the retain window —
+        the spec's retention interaction."""
+        if kind not in ("tag", "branch"):
+            raise ValueError(f"ref kind {kind!r} (tag|branch)")
+        snap = self._resolve_snapshot(snapshot_id, index)
+        md = self.metadata()
+        refs = dict(md.get("refs") or {})
+        refs[name] = {"snapshot-id": snap["snapshot-id"], "type": kind}
+        md["refs"] = refs
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(md)
+        return {"ref": name, "snapshot_id": snap["snapshot-id"]}
+
+    def drop_ref(self, name: str) -> dict:
+        md = self.metadata()
+        refs = dict(md.get("refs") or {})
+        if name not in refs:
+            raise ValueError(f"no ref {name!r}")
+        refs.pop(name)
+        md["refs"] = refs
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(md)
+        return {"ref": name}
+
+    def ref_snapshot(self, name: str) -> int:
+        refs = self.metadata().get("refs") or {}
+        if name not in refs:
+            raise ValueError(f"no ref {name!r}")
+        return refs[name]["snapshot-id"]
+
     def rollback(
         self, snapshot_id: int | None = None, index: int | None = None
     ) -> dict:
@@ -1584,6 +1626,15 @@ class IcebergTable:
         cur = md["current-snapshot-id"]
         if cur is not None and cur not in {s["snapshot-id"] for s in keep}:
             keep.append(next(s for s in ordered if s["snapshot-id"] == cur))
+        # named refs PIN their snapshots (spec retention interaction)
+        for r in (md.get("refs") or {}).values():
+            sid_ = r["snapshot-id"]
+            if sid_ not in {s["snapshot-id"] for s in keep}:
+                pinned = next(
+                    (s for s in ordered if s["snapshot-id"] == sid_), None
+                )
+                if pinned is not None:
+                    keep.append(pinned)
         drop = [s for s in ordered if s not in keep]
         if not drop:
             return {"snapshots_expired": 0, "files_deleted": 0}

@@ -538,3 +538,26 @@ def test_delete_on_partitioned_table(spark, root):
 
     for a in t.files():
         assert "part" not in pq.read_schema(t._abs_path(a["path"])).names
+
+
+def test_shallow_clone_shares_files_and_diverges(spark, root, tmp_path):
+    df = spark.createDataFrame([(i, i * 10) for i in range(8)], "k long, v long")
+    t = DeltaTable.create(spark, root, df.repartition(2, "k"))
+    t.delete_vectors("k = 0")  # the clone must inherit the DV mask
+    dest = os.path.join(str(tmp_path), "clone")
+    c = t.clone(dest)
+    assert sorted(tuple(r) for r in c.read().collect()) == sorted(
+        tuple(r) for r in t.read().collect()
+    )
+    # metadata-only: the clone's adds reference the SOURCE's files
+    src_files = {os.path.abspath(t._abs_path(a["path"])) for a in t.files()}
+    assert {os.path.abspath(c._abs_path(a["path"])) for a in c.files()} == src_files
+    # divergence: writes to the clone never touch the source
+    c.append(spark.createDataFrame([(99, 990)], "k long, v long"))
+    c.delete("k = 1")
+    assert t.read().count() == 7
+    assert c.read().count() == 7  # 7 - 1 + 1
+    # vacuum on the CLONE only walks its own root: source files survive
+    c.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert all(os.path.exists(p) for p in src_files)
+    assert t.read().count() == 7

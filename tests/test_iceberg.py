@@ -978,3 +978,25 @@ def test_incremental_scan_appends_only_and_refusal(spark, root):
         t.incremental_scan(0)
     # ranges before the overwrite still work
     assert _rows(t.incremental_scan(1, 2)) == [(4, "d")]
+
+
+def test_refs_tags_pin_snapshots_and_read(spark, root):
+    t = IcebergTable.create(spark, root, spark.range(3).select(F.col("id").alias("k")))
+    t.append(spark.range(3, 5).select(F.col("id").alias("k")))
+    t.set_ref("v1-release", index=0, kind="tag")
+    t.append(spark.range(5, 9).select(F.col("id").alias("k")))
+    assert t.read(ref="v1-release").count() == 3
+    assert t.read().count() == 9
+    with pytest.raises(ValueError, match="no ref"):
+        t.read(ref="nope")
+    # refs PIN their snapshots through expiry
+    res = t.expire_snapshots(retain_last=1)
+    assert res["snapshots_expired"] == 1  # only the middle snapshot goes
+    assert t.read(ref="v1-release").count() == 3
+    assert t.read().count() == 9
+    # dropping the ref releases the pin on the next expiry
+    t.drop_ref("v1-release")
+    t.append(spark.range(9, 10).select(F.col("id").alias("k")))
+    t.expire_snapshots(retain_last=1)
+    assert len(t.snapshots()) == 1  # pinned snapshot finally expired
+    assert t.read().count() == 10
