@@ -24,6 +24,7 @@ def _load_all_operator_modules() -> None:
     # Import for registration side effects (the @query decorator).
     from .operators import (  # noqa: F401
         asof,
+        contamination,
         dedup,
         graph,
         incremental,

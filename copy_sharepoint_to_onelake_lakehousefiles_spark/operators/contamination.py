@@ -1,0 +1,176 @@
+"""Training-data hygiene: benchmark decontamination and exact-substring
+duplication (north-star LLM-pipeline tier; no reference analogue — the
+notebook copies blobs, NB:283-305 — these generalize its manifest/anti-join
+idempotency idea to corpus membership).
+
+Published techniques, public APIs only:
+
+- **Decontamination** (GPT-3 appendix C / PaLM style): a train document is
+  contaminated when it shares any word n-gram with the held-out eval set.
+  Candidate generation is an equi-join on the n-gram string — never
+  all-pairs — and the eval side is tiny by construction (eval sets are
+  thousands of docs vs billions), so it broadcasts: at 100 TB the train
+  side streams map-side against a broadcast eval-gram set, zero shuffle.
+
+- **Exact-substring duplication** (Lee et al. 2022, "Deduplicating Training
+  Data Makes Language Models Better"): a char-K-gram occurring at more than
+  one (doc, pos) in the corpus marks its span duplicated; per-doc coverage
+  is the fraction of gram positions so marked. The suffix-array of the
+  paper is replaced by the Spark-native equivalent: explode K-grams, count
+  occurrences per gram digest (keyed shuffle, map-side partial agg), join
+  back. Shuffle carries 32-char md5 digests, not the grams themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+DECON_NGRAM = 8        # word n-gram width for eval-overlap contamination
+EVAL_MOD = 17          # doc_id % EVAL_MOD == 0 → held-out "benchmark" doc
+SUBSTR_K = 40          # char K-gram width for exact-substring duplication
+
+
+def _word_ngrams(d: DataFrame, n: int) -> DataFrame:
+    """documents → (doc_id, grams: array<string> of DISTINCT word n-grams).
+    Pure array-local string slicing (one projection, no shuffle); the
+    explicit step 1 keeps sequence() total for docs shorter than n."""
+    d = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    # greatest(…, 0): Catalyst may evaluate this projection before the size
+    # filter (project/filter reordering), and 3-arg sequence(1, -k, 1) is an
+    # error (unlike the auto-descending 2-arg form) — the bound must be total
+    return d.where(F.size("toks") >= n).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0), 1), "
+                f"i -> concat_ws(' ', slice(toks, i, {n})))"
+            )
+        ).alias("grams"),
+    )
+
+
+_DUCK_GRAMS = (
+    f"list_distinct(list_transform("
+    f"generate_series(1, len(string_split(text,' ')) - {DECON_NGRAM - 1}), "
+    f"i -> array_to_string(string_split(text,' ')[i:i+{DECON_NGRAM - 1}], ' ')))"
+)
+
+
+@query(
+    "q151_decontamination",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, {_DUCK_GRAMS} AS grams
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {DECON_NGRAM}
+),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (
+  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+  FROM g WHERE doc_id % {EVAL_MOD} != 0
+),
+hits AS (
+  SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+  FROM tr JOIN ev USING (gram)
+  GROUP BY tr.doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_grams AS BIGINT)          AS n_grams,
+       coalesce(h.n_hit_grams, 0)         AS n_hit_grams,
+       CASE WHEN coalesce(h.n_hit_grams, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM (SELECT DISTINCT doc_id, n_grams FROM tr) b
+LEFT JOIN hits h ON b.doc_id = h.doc_id
+""",
+)
+def q151_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train docs sharing any word 8-gram
+    with the deterministic eval split (doc_id % 17 == 0). The eval-gram set
+    is broadcast — eval benchmarks are bounded, so the train side never
+    shuffles; a left-semi probe per train gram + one keyed count."""
+    g = _word_ngrams(load(spark, sf_dir, "documents"), DECON_NGRAM)
+    ev = (
+        g.where(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = g.where(F.col("doc_id") % EVAL_MOD != 0)
+    tr = train.select("doc_id", F.explode("grams").alias("gram"))
+    hits = (
+        tr.join(F.broadcast(ev), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    # per-doc base straight from the un-exploded side — no distinct() over
+    # the exploded gram table (that shuffle would scale with grams, not docs)
+    base = train.select(
+        "doc_id", F.size("grams").cast("bigint").alias("n_grams")
+    )
+    n_hit = F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("bigint")
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_hit.alias("n_hit_grams"),
+        F.when(n_hit > 0, 1).otherwise(0).alias("contaminated"),
+    )
+
+
+@query(
+    "q153_exact_substring_dup",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id,
+         md5(substr(text, i, {SUBSTR_K})) AS gd
+  FROM documents, unnest(generate_series(1, length(text) - {SUBSTR_K - 1})) t(i)
+  WHERE length(text) >= {SUBSTR_K}
+),
+cnt AS (
+  SELECT gd, count(*) AS n_occ FROM pos GROUP BY gd
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)                                    AS n_pos,
+       CAST(count(*) FILTER (WHERE n_occ > 1) AS BIGINT)           AS n_dup_pos,
+       (count(*) FILTER (WHERE n_occ > 1) * 20000 + count(*))
+         // (count(*) * 2) / 10000.0                               AS dup_frac,
+       CASE WHEN count(*) FILTER (WHERE n_occ > 1) * 5 >= count(*)
+            THEN 1 ELSE 0 END                                      AS heavy_dup
+FROM pos JOIN cnt USING (gd)
+GROUP BY doc_id
+""",
+)
+def q153_exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2022, Spark-native):
+    explode char-40-grams per position, count corpus-wide occurrences per
+    md5 digest (the shuffle carries 16-byte digests, not text), join back,
+    report per-doc duplicated-position coverage. ``heavy_dup`` flags ≥20%
+    coverage via exact integer arithmetic; ``dup_frac`` uses the same
+    floor-scaled division both engines compute bit-identically."""
+    d = load(spark, sf_dir, "documents")
+    pos = d.where(F.length("text") >= SUBSTR_K).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                # greatest(…, 0): total under project/filter reordering
+                f"transform(sequence(1, greatest(length(text) - {SUBSTR_K - 1}, 0), 1), "
+                f"i -> md5(substring(text, i, {SUBSTR_K})))"
+            )
+        ).alias("gd"),
+    )
+    cnt = pos.groupBy("gd").agg(F.count(F.lit(1)).alias("n_occ"))
+    n_pos = F.count(F.lit(1)).cast("bigint")
+    n_dup = F.count(F.when(F.col("n_occ") > 1, 1)).cast("bigint")
+    return (
+        pos.join(cnt, "gd")
+        .groupBy("doc_id")
+        .agg(
+            n_pos.alias("n_pos"),
+            n_dup.alias("n_dup_pos"),
+            (F.floor((n_dup * 20000 + n_pos) / (n_pos * 2)) / 10000.0).alias(
+                "dup_frac"
+            ),
+            F.when(n_dup * 5 >= n_pos, 1).otherwise(0).alias("heavy_dup"),
+        )
+    )

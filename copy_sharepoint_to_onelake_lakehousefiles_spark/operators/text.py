@@ -99,6 +99,93 @@ def q21_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q152_repetition_metrics",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+g AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT)                 AS n_toks,
+         CAST(len(list_distinct(toks)) AS BIGINT)  AS n_distinct,
+         CAST(len(toks) - 1 AS BIGINT)             AS n_2g,
+         CAST(len(toks) - 2 AS BIGINT)             AS n_3g,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+1], ' '))  AS g2,
+         list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))  AS g3
+  FROM t
+),
+m AS (
+  SELECT doc_id, n_toks, n_distinct, n_2g, n_3g,
+         CAST(list_max(list_transform(list_distinct(g2),
+              x -> len(list_filter(g2, y -> y = x)))) AS BIGINT) AS top2_cnt,
+         CAST(len(list_filter(g3,
+              x -> len(list_filter(g3, y -> y = x)) > 1)) AS BIGINT) AS dup3_cnt
+  FROM g
+)
+SELECT doc_id, n_toks, n_distinct, top2_cnt, dup3_cnt,
+       (top2_cnt * 20000 + n_2g) // (n_2g * 2) / 10000.0 AS top2_frac,
+       (dup3_cnt * 20000 + n_3g) // (n_3g * 2) / 10000.0 AS dup3_frac,
+       CASE WHEN top2_cnt * 100 > n_2g * 18 OR dup3_cnt * 100 > n_3g * 30
+            THEN 1 ELSE 0 END AS repetitive
+FROM m
+""",
+)
+def q152_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al. 2021,
+    table A1 — token-count variants): most-frequent-2-gram fraction,
+    duplicated-3-gram fraction, distinct-token count. All metrics are
+    array-local higher-order functions — zero shuffle, whole-stage codegen.
+    The nested filter scan is O(n²) per doc; fine for web-scale docs (~1k
+    tokens → ~1e6 cheap JVM comparisons), and the posexplode + groupBy(doc,
+    gram) rewrite is the documented alternative for book-length outliers.
+    Fractions use floor-scaled integer division (hash-stable across
+    engines); the flag thresholds are exact integer comparisons."""
+    d = load(spark, sf_dir, "documents")
+    d = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    d = d.where(F.size("toks") >= 3).select(
+        "doc_id",
+        "toks",
+        # greatest(…, 0): total under project/filter reordering — 3-arg
+        # sequence(1, -k, 1) errors for docs shorter than the gram width
+        F.expr(
+            "transform(sequence(1, greatest(size(toks) - 1, 0), 1), "
+            "i -> concat_ws(' ', slice(toks, i, 2)))"
+        ).alias("g2"),
+        F.expr(
+            "transform(sequence(1, greatest(size(toks) - 2, 0), 1), "
+            "i -> concat_ws(' ', slice(toks, i, 3)))"
+        ).alias("g3"),
+    )
+    d = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        (F.size("toks") - 1).cast("bigint").alias("n_2g"),
+        (F.size("toks") - 2).cast("bigint").alias("n_3g"),
+        F.expr(
+            "array_max(transform(array_distinct(g2), "
+            "x -> size(filter(g2, y -> y = x))))"
+        ).cast("bigint").alias("top2_cnt"),
+        F.expr(
+            "size(filter(g3, x -> size(filter(g3, y -> y = x)) > 1))"
+        ).cast("bigint").alias("dup3_cnt"),
+    )
+    top2, dup3 = F.col("top2_cnt"), F.col("dup3_cnt")
+    n2, n3 = F.col("n_2g"), F.col("n_3g")
+    return d.select(
+        "doc_id", "n_toks", "n_distinct", "top2_cnt", "dup3_cnt",
+        (F.floor((top2 * 20000 + n2) / (n2 * 2)) / 10000.0).alias("top2_frac"),
+        (F.floor((dup3 * 20000 + n3) / (n3 * 2)) / 10000.0).alias("dup3_frac"),
+        F.when((top2 * 100 > n2 * 18) | (dup3 * 100 > n3 * 30), 1)
+        .otherwise(0)
+        .alias("repetitive"),
+    )
+
+
+@query(
     "q22_exact_dedup",
     oracle="""
 SELECT lang,

@@ -324,7 +324,13 @@ class TxTable:
         any evolved column the subset predates is added as a typed null —
         without this, a merge whose touched files are all pre-evolution
         would produce a DataFrame missing the evolved column and break
-        unionByName against the aligned updates (ADVICE r3)."""
+        unionByName against the aligned updates (ADVICE r3).
+
+        An empty subset (e.g. delete/merge against a version whose previous
+        delete removed every row) returns a typed empty DataFrame —
+        spark.read.parquet() with zero paths is an AnalysisException."""
+        if not paths:
+            return self.spark.createDataFrame([], schema)
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         for f in schema.fields:
             if f.name not in df.columns:

@@ -416,6 +416,19 @@ def test_delete_all_rows_leaves_readable_empty_table(spark, sf_dir, tmp_path):
     assert t.read().count() == 1
 
 
+def test_delete_on_empty_table_is_a_readable_noop(spark, sf_dir, tmp_path):
+    """Fuzz-found (r4): DELETE against a version whose previous delete
+    removed every row must commit a no-op version, not blow up in
+    spark.read.parquet() with zero paths (_read_subset empty-subset guard)."""
+    t = _nation_table(spark, sf_dir, tmp_path)
+    t.delete("n_nationkey >= 0")
+    stats = t.delete("n_nationkey >= 0")  # table is already empty
+    assert stats["deleted"] == 0
+    empty = t.read()
+    assert empty.count() == 0
+    assert empty.columns == ["n_nationkey", "n_name", "n_regionkey"]
+
+
 def test_vacuum_rejects_zero_keep_versions(spark, sf_dir, tmp_path):
     """ADVICE r3 #3: keep_versions=0 would delete every manifest while
     retaining all data files — reject it."""
