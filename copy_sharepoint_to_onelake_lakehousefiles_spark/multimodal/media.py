@@ -373,48 +373,16 @@ def _png_chunks(content: bytes):
             break
 
 
-def _decode_png(content: bytes) -> np.ndarray:
-    """REAL PNG pixel decode with the stdlib only (the container has no
-    Pillow, but PNG's codec IS zlib + per-scanline filters — both
-    implementable from the public W3C spec): inflate the IDAT stream, undo
-    filters 0-4 (None/Sub/Up/Average/Paeth), map color types 0 (gray),
-    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) to (H, W, 3) uint8 RGB.
-    Scope: bit depth 8, non-interlaced (the overwhelmingly common shape);
-    16-bit and Adam7 raise NotImplementedError → deterministic stub."""
-    import zlib
-
-    ihdr = None
-    plte = None
-    idat: list[bytes] = []
-    for typ, data in _png_chunks(content):
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"PLTE":
-            plte = data
-        elif typ == b"IDAT":
-            idat.append(data)
-    if ihdr is None:
-        raise NotImplementedError("PNG missing IHDR")
-    w = int.from_bytes(ihdr[0:4], "big")
-    h = int.from_bytes(ihdr[4:8], "big")
-    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise NotImplementedError(f"PNG color type {ctype}")
-    if not idat:
-        raise NotImplementedError("PNG missing IDAT")
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) < h * (1 + stride):
+def _png_unfilter(raw: bytes, pos: int, h: int, stride: int, bpp: int):
+    """Undo scanline filters 0-4 (None/Sub/Up/Average/Paeth) over ``h``
+    scanlines of ``stride`` bytes starting at ``pos``. ``bpp`` is the
+    filter's left-neighbor distance in BYTES (max(1, ⌈bits-per-pixel/8⌉)
+    per the spec — sub-byte pixels filter against the previous byte).
+    Returns (h×stride uint8 array, position after the last scanline)."""
+    if len(raw) - pos < h * (1 + stride):
         raise NotImplementedError("PNG IDAT stream truncated")
-    bpp = channels  # bytes per pixel at depth 8
     out = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.int32)
-    pos = 0
     for y in range(h):
         f = raw[pos]
         rec = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
@@ -443,7 +411,94 @@ def _decode_png(content: bytes) -> np.ndarray:
             raise NotImplementedError(f"PNG filter {f}")
         out[y] = rec
         prev = rec
-    arr = out.reshape(h, w, channels)
+    return out, pos
+
+
+# Adam7 pass geometry (W3C PNG spec §Interlaced data order):
+# (x start, y start, x step, y step) for passes 1-7.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """REAL PNG pixel decode with the stdlib only (the container has no
+    Pillow, but PNG's codec IS zlib + per-scanline filters — both
+    implementable from the public W3C spec): inflate the IDAT stream, undo
+    filters 0-4 (None/Sub/Up/Average/Paeth), map color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) to (H, W, 3) uint8 RGB.
+    All legal bit depths (1/2/4/8/16 — 16-bit reduced via the high byte,
+    sub-byte gray rescaled by 255/(2^d−1)) and both interlace methods
+    (none, Adam7 seven-pass) are supported; each Adam7 pass is an
+    independently-filtered sub-image whose scanlines restart the filter
+    chain, exactly as the spec requires."""
+    import zlib
+
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    for typ, data in _png_chunks(content):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+    if ihdr is None:
+        raise NotImplementedError("PNG missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth}")
+    if depth == 16 and ctype == 3:
+        raise NotImplementedError("PNG 16-bit palette is not a legal combination")
+    if depth in (1, 2, 4) and ctype not in (0, 3):
+        raise NotImplementedError(f"PNG depth {depth} with color type {ctype}")
+    if interlace not in (0, 1):
+        raise NotImplementedError(f"PNG interlace method {interlace}")
+    if not idat:
+        raise NotImplementedError("PNG missing IDAT")
+    raw = zlib.decompress(b"".join(idat))
+
+    def subimage(w_: int, h_: int, pos: int):
+        """Unfilter one (sub-)image and widen to per-sample uint8
+        (h_, w_, channels); 16-bit keeps the high byte, sub-byte depths
+        unpack MSB-first (gray rescaling happens once, at the end)."""
+        bits = channels * depth
+        stride = (w_ * bits + 7) // 8
+        rec, npos = _png_unfilter(raw, pos, h_, stride, max(1, bits // 8))
+        if depth == 8:
+            arr = rec.reshape(h_, w_, channels)
+        elif depth == 16:
+            arr = rec[:, 0::2].reshape(h_, w_, channels)  # big-endian high byte
+        else:
+            bits_arr = np.unpackbits(rec, axis=1)
+            nsamp = stride * 8 // depth
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            samples = (bits_arr.reshape(h_, nsamp, depth) * weights).sum(axis=2)
+            arr = samples[:, : w_ * channels].reshape(h_, w_, channels)
+        return arr.astype(np.uint8), npos
+
+    if interlace == 0:
+        arr, _ = subimage(w, h, 0)
+    else:
+        arr = np.zeros((h, w, channels), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            w_ = (w - x0 + dx - 1) // dx
+            h_ = (h - y0 + dy - 1) // dy
+            if w_ <= 0 or h_ <= 0:
+                continue  # empty pass carries no scanlines at all
+            sub, pos = subimage(w_, h_, pos)
+            arr[y0::dy, x0::dx] = sub
+
+    if ctype == 0 and depth < 8:  # rescale gray levels to full 8-bit range
+        arr = (arr.astype(np.int32) * 255 // ((1 << depth) - 1)).astype(np.uint8)
     if ctype == 2:
         return arr
     if ctype == 6:

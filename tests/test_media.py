@@ -403,12 +403,182 @@ def test_png_unsupported_shapes_fall_to_stub():
         _png_chunk,
     )
 
-    ihdr16 = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
-    bad = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr16) + _png_chunk(b"IEND", b"")
+    def _hdr(depth, ctype, interlace=0):
+        ihdr = (
+            (2).to_bytes(4, "big")
+            + (2).to_bytes(4, "big")
+            + bytes([depth, ctype, 0, 0, interlace])
+        )
+        return b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+
     with _pytest.raises(NotImplementedError, match="bit depth"):
-        _decode_png(bad)
+        _decode_png(_hdr(3, 2))  # 3 is not a legal PNG depth
+    with _pytest.raises(NotImplementedError, match="not a legal"):
+        _decode_png(_hdr(16, 3))  # 16-bit palette is spec-illegal
+    with _pytest.raises(NotImplementedError, match="interlace method"):
+        _decode_png(_hdr(8, 2, interlace=2))
     with _pytest.raises(NotImplementedError, match="not a PNG"):
         _decode_png(b"JUNK")
+
+
+# ------------------------------------------- PNG: 16-bit + sub-byte + Adam7
+
+
+def _adam7_passes(w, h):
+    """W3C Adam7 pass geometry, transcribed independently from the spec's
+    8×8 pattern diagram (not from the decoder's table)."""
+    for x0, y0, dx, dy in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        w_ = (w - x0 + dx - 1) // dx
+        h_ = (h - y0 + dy - 1) // dy
+        if w_ > 0 and h_ > 0:
+            yield x0, y0, dx, dy
+
+
+def _pack_samples(rowvals, depth):
+    """Forward sample packing: 16-bit big-endian pairs, sub-byte MSB-first
+    with zero padding to the byte boundary — spec §Image layout."""
+    if depth == 8:
+        return bytes(int(v) & 255 for v in rowvals)
+    if depth == 16:
+        out = bytearray()
+        for v in rowvals:
+            out += bytes([(int(v) >> 8) & 255, int(v) & 255])
+        return bytes(out)
+    out = bytearray()
+    acc = nbits = 0
+    for v in rowvals:
+        acc = (acc << depth) | (int(v) & ((1 << depth) - 1))
+        nbits += depth
+        if nbits == 8:
+            out.append(acc)
+            acc = nbits = 0
+    if nbits:
+        out.append(acc << (8 - nbits))
+    return bytes(out)
+
+
+def _build_png_ex(samples, ctype, depth, filters, interlace=0, plte=None):
+    """Forward PNG builder for any depth/interlace combination — the
+    test-side twin of the generalized decoder. ``samples`` is (H, W, ch)
+    with values already in the target depth's range."""
+    import zlib
+
+    import numpy as np
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _png_chunk,
+    )
+
+    h, w, ch = samples.shape
+    bpp = max(1, ch * depth // 8)
+
+    def encode_sub(sub):
+        stride = (sub.shape[1] * ch * depth + 7) // 8
+        prev = bytes(stride)
+        scan = b""
+        for y in range(sub.shape[0]):
+            rawrow = _pack_samples(sub[y].reshape(-1), depth)
+            f = filters[y % len(filters)]
+            scan += bytes([f]) + _fwd_filter(f, rawrow, prev, bpp)
+            prev = rawrow
+        return scan
+
+    if interlace == 0:
+        scan = encode_sub(samples)
+    else:
+        scan = b"".join(
+            encode_sub(samples[y0::dy, x0::dx]) for x0, y0, dx, dy in _adam7_passes(w, h)
+        )
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([depth, ctype, 0, 0, interlace])
+    )
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(scan)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_16bit_reduces_via_high_byte():
+    import numpy as np
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _decode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (7, 5, 3), dtype=np.uint8)
+    # low byte deliberately non-zero — it must be DROPPED, not rounded
+    s16 = (img.astype(np.int64) << 8) | rng.randint(0, 256, img.shape)
+    for filters in ([0], [1, 2, 3, 4]):
+        got = _decode_png(_build_png_ex(s16, 2, 16, filters))
+        assert np.array_equal(got, img), f"filters {filters}"
+    # 16-bit grayscale replicates channels
+    g16 = (img[:, :, :1].astype(np.int64) << 8) | 0x5A
+    got = _decode_png(_build_png_ex(g16, 0, 16, [4]))
+    assert np.array_equal(got, np.repeat(img[:, :, :1], 3, axis=2))
+
+
+def test_png_sub_byte_depths():
+    import numpy as np
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _decode_png,
+    )
+
+    rng = np.random.RandomState(5)
+    # 1-bit gray → 0/255; width 11 forces row-padding bits
+    bits = rng.randint(0, 2, (6, 11, 1))
+    got = _decode_png(_build_png_ex(bits, 0, 1, [0]))
+    assert np.array_equal(got, np.repeat((bits * 255).astype(np.uint8), 3, axis=2))
+    # 2-bit gray → ×85
+    g2 = rng.randint(0, 4, (5, 7, 1))
+    got = _decode_png(_build_png_ex(g2, 0, 2, [0, 1]))
+    assert np.array_equal(got, np.repeat((g2 * 85).astype(np.uint8), 3, axis=2))
+    # 4-bit palette resolves through PLTE without rescaling the index
+    pal = bytes(range(48))  # 16 RGB entries
+    idx = rng.randint(0, 16, (4, 9, 1))
+    got = _decode_png(_build_png_ex(idx, 3, 4, [0], plte=pal))
+    expect = np.frombuffer(pal, np.uint8).reshape(16, 3)[idx[:, :, 0]]
+    assert np.array_equal(got, expect)
+
+
+def test_png_adam7_interlaced():
+    import numpy as np
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _decode_png,
+    )
+
+    rng = np.random.RandomState(9)
+    # odd dims exercise every pass's ceil arithmetic
+    for h, w in ((13, 11), (8, 8), (16, 9)):
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        got = _decode_png(_build_png_ex(img, 2, 8, [0, 1, 2, 3, 4], interlace=1))
+        assert np.array_equal(got, img), (h, w)
+    # tiny images leave some passes EMPTY (no scanlines at all)
+    for h, w in ((1, 1), (2, 3), (4, 4)):
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        got = _decode_png(_build_png_ex(img, 2, 8, [2], interlace=1))
+        assert np.array_equal(got, img), (h, w)
+
+
+def test_png_adam7_16bit_gray_combined():
+    import numpy as np
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _decode_png,
+    )
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (10, 6, 1), dtype=np.uint8)
+    s16 = (img.astype(np.int64) << 8) | 0x33
+    got = _decode_png(_build_png_ex(s16, 0, 16, [1, 4], interlace=1))
+    assert np.array_equal(got, np.repeat(img, 3, axis=2))
 
 
 # ---------------------------------------------------------------- GIF codec

@@ -61,6 +61,8 @@ _HEAVY = [
     "q28_simhash_buckets",
     "q122_sequence_packing",
     "q124_equidepth_binning",
+    "q151_decontamination",
+    "q153_exact_substring_dup",
 ]
 # q122/q124 legitimately broadcast a 1-row global aggregate / the bounded
 # partition-offset table (same allowlist as tests/test_plan_audit.py)
@@ -129,6 +131,17 @@ def test_minhash_finds_every_identical_copy_group(spark, inflated_dir):
     )
     eligible = d.where(F.size(F.split(F.col("text"), r"\s+")) >= SHINGLE_WORDS).count()
     assert exact == 45 * eligible
+
+
+def test_substring_dup_saturates_under_duplication(spark, inflated_dir):
+    """Under 10× identical-copy inflation every char-40-gram occurs ≥10
+    times corpus-wide, so every position in every doc is duplicated:
+    dup_frac must be exactly 1.0 and heavy_dup set for ALL docs — anything
+    less means the occurrence count or the join-back dropped rows."""
+    rows = all_queries()["q153_exact_substring_dup"](spark, inflated_dir).collect()
+    assert rows
+    assert all(r["dup_frac"] == 1.0 and r["heavy_dup"] == 1 for r in rows)
+    assert all(r["n_dup_pos"] == r["n_pos"] for r in rows)
 
 
 def test_bpe_merges_invariant_under_duplication(spark, inflated_dir):
