@@ -30,9 +30,12 @@ Differences from Delta that this module implements faithfully:
   (os.link) + ``version-hint.text`` for discovery — the HadoopTables
   layout, readable by pyiceberg/Spark-Iceberg's HadoopCatalog.
 
-Scope: identity partition transforms (with PARTITION EVOLUTION —
-``evolve_partition_spec`` registers fresh specs and planning/reads resolve
-each manifest through the spec it was written under), primitive column
+Scope: identity, bucket[N] (spec Appendix-B murmur3_x86_32, vectorized
+over Arrow batches) and truncate[W] partition transforms (with PARTITION
+EVOLUTION — ``evolve_partition_spec`` registers fresh specs and
+planning/reads resolve each manifest through the spec it was written
+under; date/hour transforms are out of scope because the fixture tables'
+primitive set has no date-typed partition sources), primitive column
 types (long/int/string/double/float/boolean/binary), schema evolution
 (additive on append, plus id-based ``rename_column``/``drop_column`` with
 per-file write-time schema recovery), data content files plus BOTH v2
@@ -55,6 +58,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import struct
 import time
@@ -137,6 +141,162 @@ def _single_value_parse(ice_type: str, b: bytes):
     if ice_type == "binary":
         return b
     raise NotImplementedError(ice_type)
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3 x86 32-bit (Appleby's public-domain reference algorithm),
+    returned as a SIGNED int32 — the hash Iceberg's bucket transform is
+    specified against (spec Appendix B). Verified against the spec's own
+    test vectors in tests/test_iceberg.py."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    nblocks = len(data) // 4
+    for i in range(nblocks):
+        k = int.from_bytes(data[4 * i : 4 * i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[4 * nblocks :]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _murmur3_int64_vec(vals):
+    """Vectorized murmur3_x86_32 over int64 values hashed as their 8-byte
+    little-endian encoding (the spec's int/long/date/timestamp rule): two
+    32-bit blocks, empty tail — pure numpy uint32 arithmetic, so the
+    bucket transform costs one array pass per Arrow batch at scale."""
+    import numpy as np
+
+    v = vals.astype(np.int64).view(np.uint64)
+    h = np.zeros(v.shape, np.uint32)
+    for blk in (v & np.uint64(0xFFFFFFFF), v >> np.uint64(32)):
+        k = blk.astype(np.uint32)
+        k = k * np.uint32(0xCC9E2D51)
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * np.uint32(0x1B873593)
+        h ^= k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h ^= np.uint32(8)  # len(data) == 8
+    h ^= h >> np.uint32(16)
+    h = h * np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h = h * np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h.view(np.int32)
+
+
+def bucket_value(source_ice_type: str, v, n: int):
+    """bucket[n](v) per spec Appendix B: (murmur3(encoded) & Int.MAX) % n.
+    int/long hash as 8-byte little-endian (so 34 buckets identically as
+    int and long), strings as UTF-8, binary as raw bytes."""
+    if v is None:
+        return None
+    if source_ice_type in ("int", "long"):
+        data = struct.pack("<q", int(v))
+    elif source_ice_type == "string":
+        data = str(v).encode("utf-8")
+    elif source_ice_type == "binary":
+        data = bytes(v)
+    else:
+        raise NotImplementedError(f"bucket over {source_ice_type}")
+    return (murmur3_x86_32(data) & 0x7FFFFFFF) % n
+
+
+def truncate_value(source_ice_type: str, v, w: int):
+    """truncate[w](v) per spec: integers floor to the nearest multiple of
+    w (Euclidean — negative values round DOWN), strings keep the first w
+    code points."""
+    if v is None:
+        return None
+    if source_ice_type in ("int", "long"):
+        return int(v) - (((int(v) % w) + w) % w)
+    if source_ice_type == "string":
+        return str(v)[:w]
+    raise NotImplementedError(f"truncate over {source_ice_type}")
+
+
+_TERM_RE = re.compile(r"^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$")
+
+
+def _parse_partition_term(term: str) -> tuple[str, int | None, str]:
+    """'col' → identity; 'bucket(N, col)' / 'truncate(W, col)' → the two
+    non-identity transforms. Returns (transform, param, source column)."""
+    m = _TERM_RE.match(term)
+    if m:
+        tr, param, col = m.group(1), int(m.group(2)), m.group(3)
+        if param <= 0:
+            raise ValueError(f"{tr} width/count must be positive: {term!r}")
+        return tr, param, col
+    return "identity", None, term.strip()
+
+
+def _build_part_fields(
+    terms: list[str], by_name: dict, first_field_id: int
+) -> tuple[list[dict], list[dict]]:
+    """Parse partition terms into (runtime part_fields dicts — the shape
+    partition_fields() returns — and the spec-JSON field list). Non-
+    identity fields are named '<col>_bucket' / '<col>_trunc' per Iceberg
+    convention; their tuple type is int for bucket, the source type for
+    truncate."""
+    part_fields, spec_fields = [], []
+    for i, term in enumerate(terms):
+        transform, param, col = _parse_partition_term(term)
+        if col not in by_name:
+            raise ValueError(f"no column {col!r}")
+        src = by_name[col]
+        if transform == "identity":
+            pname, tr_json, ptype = col, "identity", src["type"]
+        elif transform == "bucket":
+            if src["type"] not in ("int", "long", "string", "binary"):
+                raise NotImplementedError(f"bucket over {src['type']}")
+            pname, tr_json, ptype = f"{col}_bucket", f"bucket[{param}]", "int"
+        else:
+            if src["type"] not in ("int", "long", "string"):
+                raise NotImplementedError(f"truncate over {src['type']}")
+            pname, tr_json, ptype = f"{col}_trunc", f"truncate[{param}]", src["type"]
+        fid = first_field_id + i
+        part_fields.append(
+            {
+                "name": pname,
+                "field_id": fid,
+                "source_id": src["id"],
+                "ice_type": ptype,
+                "transform": transform,
+                "param": param,
+                "source_name": col,
+                "source_type": src["type"],
+            }
+        )
+        spec_fields.append(
+            {
+                "name": pname,
+                "transform": tr_json,
+                "source-id": src["id"],
+                "field-id": fid,
+            }
+        )
+    return part_fields, spec_fields
 
 
 def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
@@ -306,11 +466,13 @@ class IcebergTable:
         return sid
 
     def partition_fields(self, spec_id: int | None = None) -> list[dict]:
-        """[{name, field_id, source_id, ice_type}] of the given spec
-        (default: the table's default spec; identity transforms only).
-        Manifests record the spec they were written under, so planning and
-        reads resolve EACH manifest's partition tuples through its own
-        spec — the mechanism behind partition evolution."""
+        """[{name, field_id, source_id, ice_type, transform, param,
+        source_name, source_type}] of the given spec (default: the table's
+        default spec). ``ice_type`` is the PARTITION-TUPLE type: the source
+        type for identity/truncate, int for bucket[N] (spec §Partition
+        Transforms). Manifests record the spec they were written under, so
+        planning and reads resolve EACH manifest's partition tuples through
+        its own spec — the mechanism behind partition evolution."""
         md = self.metadata()
         want = md["default-spec-id"] if spec_id is None else spec_id
         spec = next(s for s in md["partition-specs"] if s["spec-id"] == want)
@@ -319,23 +481,86 @@ class IcebergTable:
         by_id = {f["id"]: f for f in ice["fields"]}
         out = []
         for pf in spec["fields"]:
-            if pf["transform"] != "identity":
-                raise NotImplementedError(f"transform {pf['transform']}")
+            tr = pf["transform"]
             src = by_id[pf["source-id"]]
+            m = re.match(r"^(bucket|truncate)\[(\d+)\]$", tr)
+            if tr == "identity":
+                transform, param, ptype = "identity", None, src["type"]
+            elif m:
+                transform, param = m.group(1), int(m.group(2))
+                ptype = "int" if transform == "bucket" else src["type"]
+            else:
+                raise NotImplementedError(f"transform {tr}")
             out.append(
                 {
                     "name": pf["name"],
                     "field_id": pf["field-id"],
                     "source_id": pf["source-id"],
-                    "ice_type": src["type"],
+                    "ice_type": ptype,
+                    "transform": transform,
+                    "param": param,
+                    "source_name": src["name"],
+                    "source_type": src["type"],
                 }
             )
         return out
 
+    @staticmethod
+    def _transform_col(pf: dict):
+        """Column expression computing a partition field's value from its
+        source column — used both to stage writes (partitionBy on the
+        transformed value) and to re-apply partition filters as residual
+        row predicates. truncate stays a built-in expression (pmod floors
+        negatives down, per spec); bucket is an Arrow-batched pandas_udf
+        over the vectorized murmur3 kernel — one numpy pass per batch for
+        int/long sources."""
+        src = F.col(pf["source_name"])
+        if pf["transform"] == "identity":
+            return src
+        if pf["transform"] == "truncate":
+            w = pf["param"]
+            if pf["source_type"] in ("int", "long"):
+                return src - F.pmod(src, F.lit(w))
+            if pf["source_type"] == "string":
+                return F.substring(src, 1, w)
+            raise NotImplementedError(f"truncate over {pf['source_type']}")
+        # bucket[n]
+        n = pf["param"]
+        stype = pf["source_type"]
+        if stype in ("int", "long"):
+
+            @F.pandas_udf("int")
+            def _bucket(s):
+                import numpy as np
+                import pandas as pd
+
+                out = np.full(len(s), np.nan)
+                mask = s.notna().to_numpy()
+                if mask.any():
+                    vals = s[mask].astype("int64").to_numpy()
+                    h = _murmur3_int64_vec(vals).astype(np.int64)
+                    out[mask] = (h & 0x7FFFFFFF) % n
+                return pd.Series(out).astype("Int32")
+
+        elif stype == "string":
+
+            @F.pandas_udf("int")
+            def _bucket(s):
+                return s.map(
+                    lambda v: None
+                    if v is None
+                    else (murmur3_x86_32(str(v).encode("utf-8")) & 0x7FFFFFFF) % n
+                ).astype("Int32")
+
+        else:
+            raise NotImplementedError(f"bucket over {stype}")
+        return _bucket(src)
+
     def evolve_partition_spec(self, partition_by: list[str]) -> int:
         """PARTITION EVOLUTION (metadata-only, the spec's headline layout
-        feature): register a new identity partition spec with FRESH
-        partition field-ids and make it the default. Existing data files
+        feature): register a new partition spec — identity columns or
+        ``bucket(N, col)`` / ``truncate(W, col)`` transform terms — with
+        FRESH partition field-ids and make it the default. Existing data files
         stay exactly where they are under their old spec — only files
         written AFTER this call use the new layout, and planning prunes
         each manifest through the spec it was written under. A filter on a
@@ -346,22 +571,10 @@ class IcebergTable:
         sid = md["current-schema-id"]
         ice = next(s for s in md["schemas"] if s["schema-id"] == sid)
         by_name = {f["name"]: f for f in ice["fields"]}
-        for c in partition_by:
-            if c not in by_name:
-                raise ValueError(f"no column {c!r}")
         next_spec_id = max(s["spec-id"] for s in md["partition-specs"]) + 1
         next_pid = md.get("last-partition-id", 999)
-        fields = []
-        for c in partition_by:
-            next_pid += 1
-            fields.append(
-                {
-                    "name": c,
-                    "transform": "identity",
-                    "source-id": by_name[c]["id"],
-                    "field-id": next_pid,
-                }
-            )
+        _, fields = _build_part_fields(partition_by, by_name, next_pid + 1)
+        next_pid += len(fields)
         md["partition-specs"].append({"spec-id": next_spec_id, "fields": fields})
         md["default-spec-id"] = next_spec_id
         md["last-partition-id"] = next_pid
@@ -539,9 +752,23 @@ class IcebergTable:
             # partition evolution: files under a spec that does not
             # partition by a filter column survive planning; the row-level
             # re-application keeps partition_filter EXACT across mixed
-            # specs (idempotent for files that were tuple-pruned)
+            # specs (idempotent for files that were tuple-pruned). A filter
+            # keyed by a TRANSFORMED partition field (bucket/truncate
+            # names) recomputes the transform over the source column —
+            # identity keys stay plain column equality.
+            md_ = self.metadata()
+            pf_by_name: dict[str, dict] = {}
+            for s in md_["partition-specs"]:
+                for pf in self.partition_fields(s["spec-id"]):
+                    pf_by_name.setdefault(pf["name"], pf)
             for k, v in (partition_filter or {}).items():
-                df = df.where(F.col(k).eqNullSafe(F.lit(v)))
+                pf = pf_by_name.get(k)
+                col = (
+                    F.col(k)
+                    if pf is None or pf["transform"] == "identity"
+                    else self._transform_col(pf)
+                )
+                df = df.where(col.eqNullSafe(F.lit(v)))
             return df
 
         deletes = self.delete_entries(snapshot_id, index)
@@ -681,14 +908,24 @@ class IcebergTable:
             F.col("_metadata.row_index").alias("__ice_pos"),
         ]
         by_name = {f.name: f for f in schema.fields}
-        # group by (write schema, partition spec, partition tuple) — bounded
-        # by schema count × spec count × partition count; the common
-        # single-schema single-spec table keeps exactly its previous
-        # grouping (one group per partition tuple)
+        # group by (write schema, partition spec, IDENTITY partition tuple)
+        # — bounded by schema count × spec count × partition count; the
+        # common single-schema single-spec table keeps exactly its previous
+        # grouping (one group per partition tuple). Only identity fields
+        # group/overlay: bucket/truncate tuple values are derived, the
+        # source columns live in the data files themselves, and folding
+        # them into the key would only fragment the multi-path scan.
+        def _ident(spec_id: int) -> list[dict]:
+            return [
+                pf
+                for pf in pf_by_spec.get(spec_id, [])
+                if pf["transform"] == "identity"
+            ]
+
         groups: dict[tuple, list[str]] = {}
         for e in entries:
             spec_id = e.get("__spec", 0)
-            part_names = [pf["name"] for pf in pf_by_spec.get(spec_id, [])]
+            part_names = [pf["name"] for pf in _ident(spec_id)]
             key = (
                 effective_sid(e),
                 spec_id,
@@ -705,7 +942,7 @@ class IcebergTable:
                 tuple("" if k is None else str(k) for k in kv[0][2]),
             ),
         ):
-            part_names = [pf["name"] for pf in pf_by_spec.get(spec_id, [])]
+            part_names = [pf["name"] for pf in _ident(spec_id)]
             data_schema = T.StructType(
                 [f for f in schema.fields if f.name not in part_names]
             )
@@ -774,16 +1011,18 @@ class IcebergTable:
     def _stage_data_files(
         self, df: DataFrame, part_fields: list[dict], schema: T.StructType
     ) -> list[dict]:
-        """Write df into data/ (files keep ALL columns; identity partition
-        split via a DUPLICATED staging column so partitionBy gives parallel
-        per-partition files without stripping the source column), return
-        manifest entries with per-file partition tuples and column bounds."""
+        """Write df into data/ (files keep ALL columns; the partition
+        split rides a DUPLICATED staging column holding the TRANSFORMED
+        value — identity copy, truncate floor, or bucket murmur3 — so
+        partitionBy gives parallel per-partition files without stripping
+        the source column), return manifest entries with per-file
+        partition tuples and column bounds."""
         os.makedirs(self.data_dir, exist_ok=True)
         stage = os.path.join(self.root, f".stage_{uuid.uuid4().hex}")
         part_names = [pf["name"] for pf in part_fields]
         w = df
         for pf in part_fields:
-            w = w.withColumn(f"__p_{pf['name']}", F.col(pf["name"]))
+            w = w.withColumn(f"__p_{pf['name']}", self._transform_col(pf))
         writer = w.write.mode("overwrite")
         if part_fields:
             writer = writer.partitionBy(*[f"__p_{n}" for n in part_names])
@@ -1002,29 +1241,10 @@ class IcebergTable:
         st = df.schema
         ice_schema = t._ice_schema_json(st)
         by_name = {f["name"]: f for f in ice_schema["fields"]}
-        part_fields = []
-        for i, name in enumerate(partition_by or []):
-            src = by_name[name]
-            part_fields.append(
-                {
-                    "name": name,
-                    "field_id": 1000 + i,
-                    "source_id": src["id"],
-                    "ice_type": src["type"],
-                }
-            )
-        spec = {
-            "spec-id": 0,
-            "fields": [
-                {
-                    "name": pf["name"],
-                    "transform": "identity",
-                    "source-id": pf["source_id"],
-                    "field-id": pf["field_id"],
-                }
-                for pf in part_fields
-            ],
-        }
+        part_fields, spec_fields = _build_part_fields(
+            partition_by or [], by_name, first_field_id=1000
+        )
+        spec = {"spec-id": 0, "fields": spec_fields}
         md = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
@@ -2808,3 +3028,82 @@ def q142_federated_lakehouse_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return materialize(out)
+
+
+# ----------------------------------------------- bucket-transform partitioning
+
+_BUCKET_CACHE: dict = {}
+
+
+def _bucket_demo_table(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """supplier partitioned by bucket(4, s_suppkey) — the spec's murmur3
+    hash transform (Appendix B), exercised end-to-end: staging computes the
+    bucket per row (vectorized murmur3 over Arrow batches), manifests carry
+    int bucket tuples, planning prunes on them. Memoized per (session,
+    sf_dir)."""
+    cache_key = (id(spark), sf_dir)
+    t = _BUCKET_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.meta_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"ice_bucket_{uuid.uuid4().hex[:8]}")
+    supplier = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long"), "s_name", "s_nationkey", "s_acctbal"
+    )
+    t = IcebergTable.create(
+        spark, root, supplier.coalesce(1), partition_by=["bucket(4, s_suppkey)"]
+    )
+    _BUCKET_CACHE[cache_key] = t
+    return t
+
+
+@query(
+    "q154_iceberg_bucket_transform",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT)                    AS total_rows,
+       CAST(count(DISTINCT s_suppkey) AS BIGINT)   AS distinct_keys,
+       CAST(sum(s_suppkey) AS BIGINT)              AS sum_keys,
+       1                                            AS buckets_disjoint_complete,
+       1                                            AS prune_partitioned
+FROM supplier
+""",
+)
+def q154_iceberg_bucket_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg bucket[4] partitioning round-trip, hashed via the derived-
+    bound-flag pattern: reading the four bucket partitions separately and
+    unioning them must reproduce the table EXACTLY (count / distinct keys /
+    key sum — all oracle-recomputable without murmur3), while the two flags
+    assert what DuckDB cannot recompute: the per-bucket file sets are
+    disjoint and jointly cover every data file (buckets_disjoint_complete),
+    and each bucket read plans a strict subset of the files
+    (prune_partitioned). A broken hash, tuple, or pruning path flips a flag
+    or leaks/drops rows and fails the value hash."""
+    t = _bucket_demo_table(spark, sf_dir)
+    all_entries, _ = t.files()
+    all_paths = {e["file_path"] for e in all_entries}
+    per_bucket_paths = []
+    parts = []
+    for b in range(4):
+        kept, _a = t.files(partition_filter={"s_suppkey_bucket": b})
+        per_bucket_paths.append({e["file_path"] for e in kept})
+        parts.append(t.read(partition_filter={"s_suppkey_bucket": b}))
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    seen: set = set()
+    disjoint = True
+    for s in per_bucket_paths:
+        if seen & s:
+            disjoint = False
+        seen |= s
+    complete = seen == all_paths
+    strict = all(len(s) < len(all_paths) for s in per_bucket_paths if s)
+    agg = union.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct("s_suppkey").alias("distinct_keys"),
+        F.sum("s_suppkey").cast("bigint").alias("sum_keys"),
+        F.lit(1 if disjoint and complete else 0).alias("buckets_disjoint_complete"),
+        F.lit(1 if strict else 0).alias("prune_partitioned"),
+    )
+    return materialize(agg)

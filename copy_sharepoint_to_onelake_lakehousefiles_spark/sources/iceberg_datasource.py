@@ -90,7 +90,13 @@ class IcebergLiteReader(DataSourceReader):
         schema_json = self._t.schema(index=self.index).json()
         md0 = self._t.metadata()
         part_cols_by_spec = {
-            sp["spec-id"]: [pf["name"] for pf in self._t.partition_fields(sp["spec-id"])]
+            # identity fields only: bucket/truncate tuple values are
+            # derived, never overlaid — the source columns are in the file
+            sp["spec-id"]: [
+                pf["name"]
+                for pf in self._t.partition_fields(sp["spec-id"])
+                if pf["transform"] == "identity"
+            ]
             for sp in md0["partition-specs"]
         }
         # id-based evolution: recover each file's write-time schema from its

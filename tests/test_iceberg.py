@@ -1000,3 +1000,145 @@ def test_refs_tags_pin_snapshots_and_read(spark, root):
     t.expire_snapshots(retain_last=1)
     assert len(t.snapshots()) == 1  # pinned snapshot finally expired
     assert t.read().count() == 10
+
+
+# ------------------------------------------- bucket / truncate transforms
+
+
+def test_murmur3_matches_spec_appendix_b_vectors():
+    """The spec's own Appendix-B hash vectors, plus agreement between the
+    scalar bytes path and the vectorized int64 kernel."""
+    import numpy as np
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        _murmur3_int64_vec,
+        bucket_value,
+        murmur3_x86_32,
+    )
+
+    assert murmur3_x86_32(struct.pack("<q", 34)) == 2017239379  # int AND long
+    assert murmur3_x86_32("iceberg".encode()) == 1210000089
+    assert murmur3_x86_32(struct.pack("<q", 17486)) == -653330422  # date
+    assert murmur3_x86_32(uuid.UUID("f79c3e09-677c-4bbd-a479-3f349cb785e7").bytes) == 1488055340
+    assert murmur3_x86_32(b"") == 0
+    vals = np.array([34, 0, -1, 17486, 2**40, -(2**40)], dtype=np.int64)
+    vec = _murmur3_int64_vec(vals)
+    for v, hv in zip(vals, vec):
+        assert int(hv) == murmur3_x86_32(struct.pack("<q", int(v)))
+    # bucket is (hash & Int.MAX) % n — int and long agree by construction
+    assert bucket_value("int", 34, 16) == bucket_value("long", 34, 16) == (2017239379 % 16)
+    assert bucket_value("string", "iceberg", 16) == 1210000089 % 16
+
+
+def test_truncate_transform_values():
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        truncate_value,
+    )
+
+    assert truncate_value("long", 1, 10) == 0
+    assert truncate_value("long", -1, 10) == -10  # floors DOWN per spec
+    assert truncate_value("int", 29, 10) == 20
+    assert truncate_value("string", "iceberg", 3) == "ice"
+    assert truncate_value("string", "ab", 5) == "ab"
+    assert truncate_value("long", None, 10) is None
+
+
+def test_bucket_partitioned_table_roundtrip_and_prune(spark, root):
+    import pyarrow.parquet as pq
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        bucket_value,
+    )
+
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    t = IcebergTable.create(spark, root, df.coalesce(1), partition_by=["bucket(4, k)"])
+    # spec JSON records the transform
+    spec = t.metadata()["partition-specs"][0]
+    assert spec["fields"][0]["transform"] == "bucket[4]"
+    assert spec["fields"][0]["name"] == "k_bucket"
+    # full read returns everything; data files keep ALL columns
+    assert t.read().count() == 100
+    entries, audit = t.files()
+    assert audit["files_kept"] == 4  # one file per non-empty bucket
+    for e in entries:
+        b = e["partition"]["k_bucket"]
+        ks = pq.read_table(e["file_path"], columns=["k"]).column("k").to_pylist()
+        assert ks and all(bucket_value("long", k, 4) == b for k in ks)
+    # bucket pruning: each filter keeps exactly its files, union is exact
+    total = 0
+    for b in range(4):
+        got = t.read(partition_filter={"k_bucket": b})
+        rows = [r["k"] for r in got.collect()]
+        assert all(bucket_value("long", k, 4) == b for k in rows)
+        kept, a2 = t.files(partition_filter={"k_bucket": b})
+        assert len(kept) == 1 and a2["files_total"] <= 4
+        total += len(rows)
+    assert total == 100
+
+
+def test_truncate_partitioned_table_with_negatives(spark, root):
+    df = spark.createDataFrame([(k,) for k in range(-25, 25)], "k long")
+    t = IcebergTable.create(spark, root, df.coalesce(1), partition_by=["truncate(10, k)"])
+    assert t.metadata()["partition-specs"][0]["fields"][0]["transform"] == "truncate[10]"
+    # k ∈ [-25, -21] floor to -30 (the data starts at -25)
+    got = t.read(partition_filter={"k_trunc": -30})
+    assert sorted(r["k"] for r in got.collect()) == list(range(-25, -20))
+    got = t.read(partition_filter={"k_trunc": 20})
+    assert sorted(r["k"] for r in got.collect()) == list(range(20, 25))
+    assert t.read().count() == 50
+
+
+def test_truncate_string_partitioning(spark, root):
+    df = spark.createDataFrame(
+        [("apple", 1), ("apricot", 2), ("banana", 3), ("avocado", 4)], "name string, v long"
+    )
+    t = IcebergTable.create(spark, root, df.coalesce(1), partition_by=["truncate(2, name)"])
+    got = t.read(partition_filter={"name_trunc": "ap"})
+    assert sorted(r["name"] for r in got.collect()) == ["apple", "apricot"]
+    got = t.read(partition_filter={"name_trunc": "av"})
+    assert [r["name"] for r in got.collect()] == ["avocado"]
+
+
+def test_partition_evolution_to_bucket_spec(spark, root):
+    """Evolve an identity-partitioned table to bucket[4]: old files prune
+    by the old spec, new files by bucket, and a bucket filter stays EXACT
+    across both layouts via the residual transform recomputation."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        bucket_value,
+    )
+
+    df = spark.createDataFrame([(i, f"p{i % 2}") for i in range(40)], "k long, part string")
+    t = IcebergTable.create(spark, root, df.coalesce(1), partition_by=["part"])
+    t.evolve_partition_spec(["bucket(4, k)"])
+    t.append(
+        spark.createDataFrame([(i, f"p{i % 2}") for i in range(40, 80)], "k long, part string").coalesce(1)
+    )
+    assert t.read().count() == 80
+    for b in range(4):
+        rows = [r["k"] for r in t.read(partition_filter={"k_bucket": b}).collect()]
+        expect = [k for k in range(80) if bucket_value("long", k, 4) == b]
+        assert sorted(rows) == expect, f"bucket {b}"
+    # the old identity filter still works over both specs too
+    rows = t.read(partition_filter={"part": "p1"})
+    assert rows.count() == 40
+
+
+def test_bucket_table_through_lite_source(spark, root):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        bucket_value,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+        IcebergLiteDataSource,
+    )
+
+    df = spark.range(60).select(F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+    IcebergTable.create(spark, root, df.coalesce(1), partition_by=["bucket(4, k)"])
+    try:
+        spark.dataSource.register(IcebergLiteDataSource)
+    except Exception:
+        pass
+    got = spark.read.format("iceberg_lite").load(root)
+    assert got.count() == 60
+    assert sorted(r["k"] for r in got.collect()) == list(range(60))
+    # no spurious bucket column leaks into the schema
+    assert set(got.columns) == {"k", "v"}
