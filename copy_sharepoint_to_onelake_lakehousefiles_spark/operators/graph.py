@@ -177,3 +177,105 @@ def q101_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _jaccard_pairs(dcs, threshold=0.3).select("doc_a", "doc_b")
     pr = pagerank_fixedpoint(edges, "doc_a", "doc_b", iters=PR_ITERS)
     return pr.select(F.col("node").alias("doc_id"), F.col("rank").alias("rank_x1e12"))
+
+
+# -------------------------------------------------------- triangle counting
+
+
+def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Per-node triangle counts over an undirected edge list (rows must be
+    canonical ``a < b`` pairs) via DEGREE ORIENTATION (Suri &
+    Vassilvitskii's MR-friendly formulation; also Cohen 2009): direct each
+    edge from its lower-(degree, id) endpoint to the higher one, build
+    wedges from shared sources, and close them against the canonical edge
+    set. Orientation bounds every node's out-degree by O(√E), so the wedge
+    join — the only superlinear step — generates O(E^1.5) candidates
+    worst-case instead of Σ deg² (which a hub node makes quadratic). All
+    three steps are keyed equi-joins: degrees shuffle on node, wedges on
+    the shared source, closure on the (lo, hi) edge key. Returns
+    (node, n_triangles) for nodes in ≥1 triangle."""
+    e = track_persist(
+        edges.select(F.col(a).alias("ea"), F.col(b).alias("eb"))
+    )  # read three times: degrees, orientation, wedge closure
+    deg = (
+        e.select(F.col("ea").alias("v"))
+        .unionByName(e.select(F.col("eb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("ea"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("eb"), F.col("deg").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("ea") < F.col("eb"))
+    )
+    oriented = (
+        e.join(da, "ea")
+        .join(db, "eb")
+        .select(
+            F.when(lower_first, F.col("ea")).otherwise(F.col("eb")).alias("src"),
+            F.when(lower_first, F.col("eb")).otherwise(F.col("ea")).alias("dst"),
+        )
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(
+        F.col("o1.src").alias("apex"),
+        F.col("o1.dst").alias("x"),
+        F.col("o2.dst").alias("y"),
+    )
+    tri = wedges.join(
+        e,
+        (F.least("x", "y") == F.col("ea")) & (F.greatest("x", "y") == F.col("eb")),
+    ).select("apex", "x", "y")
+    return (
+        tri.select(F.explode(F.array("apex", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@query(
+    "q155_copurchase_triangles",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS ea, b.l_partkey AS eb
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+t AS (
+  SELECT e1.ea AS a, e1.eb AS b, e2.eb AS c
+  FROM e e1
+  JOIN e e2 ON e2.ea = e1.eb
+  JOIN e e3 ON e3.ea = e1.ea AND e3.eb = e2.eb
+)
+SELECT x AS l_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS x FROM t)
+GROUP BY x
+""",
+)
+def q155_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts sharing an
+    order — the market-basket projection): per-part triangle membership, a
+    standard cohesion/clustering signal. The bipartite projection is a
+    self-equi-join on l_orderkey (bounded fan-out: items per order), then
+    ``triangle_counts`` runs the degree-oriented wedge closure. The DuckDB
+    twin counts each triangle once from its canonical a<b<c ordering —
+    orientation changes which apex ENUMERATES a triangle, never how many
+    there are, so both engines agree exactly."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    la, lb = li.alias("la"), li.alias("lb")
+    edges = (
+        la.join(
+            lb,
+            (F.col("la.l_orderkey") == F.col("lb.l_orderkey"))
+            & (F.col("la.l_partkey") < F.col("lb.l_partkey")),
+        )
+        .select(F.col("la.l_partkey").alias("a"), F.col("lb.l_partkey").alias("b"))
+        .distinct()
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("l_partkey"), "n_triangles"
+    )

@@ -67,3 +67,37 @@ def test_fixedpoint_agrees_with_float_pagerank(spark):
     for v in fl:
         assert fx[v] == pytest.approx(fl[v], abs=1e-6)
     assert fx[4] < fx[3]  # pendant below hub
+
+
+def test_triangle_counts_hand_built(spark):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4 on {1,2,3,4}: 4 triangles, every node in 3; pendant 5 and the
+    # disconnected path 6-7-8 contribute none
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (6, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_star_plus_rim(spark):
+    """Hub-and-rim wheel: hub h connects to all rim nodes, rim is a cycle —
+    triangles = rim length; the hub (max degree) must not blow up the wedge
+    join (orientation points rim→hub, so the hub has out-degree 0)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    n = 12
+    hub = 100
+    edges = [(min(i, hub), max(i, hub)) for i in range(n)] + [
+        (min(i, (i + 1) % n), max(i, (i + 1) % n)) for i in range(n)
+    ]
+    df = spark.createDataFrame(sorted(set(edges)), "a long, b long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got[hub] == n  # hub is in every rim triangle
+    # each rim node i closes exactly the two hub triangles (i-1, i, hub)
+    # and (i, i+1, hub); the rim cycle itself is triangle-free for n > 3
+    assert all(got[i] == 2 for i in range(n))
