@@ -1,13 +1,16 @@
-"""Baseline JPEG codec from the PUBLIC ITU-T T.81 spec — no codec libs.
+"""JPEG codec from the PUBLIC ITU-T T.81 spec — no codec libs.
 
-Decoder scope: baseline sequential DCT, 8-bit, grayscale or YCbCr with
-4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers, byte stuffing. Progressive
-and arithmetic coding raise NotImplementedError (callers fall back to the
+Decoder scope: baseline sequential DCT (SOF0/1) and PROGRESSIVE DCT
+(SOF2, Annex G: spectral selection + successive approximation, DC and AC
+first/refinement scans, EOB runs), 8-bit, grayscale or YCbCr with 4:4:4 /
+4:2:2 / 4:2:0 sampling, restart markers (baseline), byte stuffing.
+Arithmetic coding raises NotImplementedError (callers fall back to the
 deterministic stub in ``media.py``).
 
-Encoder scope (the decoder's test partner and a real writer): 4:4:4 YCbCr
-with the spec's Annex-K example Huffman tables and a caller-supplied
-quantization table.
+Encoder scope (the decoder's test partner and a real writer): baseline
+4:4:4/4:2:2/4:2:0 with the spec's Annex-K example Huffman tables, plus a
+progressive encoder (``encode_jpeg_progressive``) with an arbitrary scan
+script, defaulting to libjpeg's spectral+SA ladder.
 
 Correctness anchors (tests/test_jpeg.py): the DCT basis matrix is checked
 orthonormal against the textbook formula; Huffman decoding is checked
@@ -170,7 +173,10 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Baseline JPEG → (H, W, 3) uint8 RGB (grayscale replicates)."""
+    """JPEG → (H, W, 3) uint8 RGB (grayscale replicates). Baseline
+    sequential (SOF0/1) decodes scan-fused; progressive (SOF2) accumulates
+    quantized coefficients across spectral-selection / successive-
+    approximation scans (T.81 Annex G) and runs one IDCT at EOI."""
     if content[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG payload")
     pos = 2
@@ -179,6 +185,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    coefs: list[np.ndarray] | None = None  # progressive coefficient state
     while pos < len(content):
         if content[pos] != 0xFF:
             pos += 1
@@ -210,7 +217,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = build_huffman(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -218,23 +225,44 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG supported")
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline and progressive DCT supported")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS → entropy-coded data follows
             if frame is None:
                 raise NotImplementedError("SOS before SOF")
             ns = seg[0]
-            sel = {}
+            if not frame["progressive"]:
+                sel = {}
+                for i in range(ns):
+                    cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                    sel[cs] = (tdta >> 4, tdta & 0x0F)
+                return _decode_scan(
+                    content, pos + ln, frame, sel, qt, huff_dc, huff_ac, restart_interval
+                )
+            if restart_interval:
+                raise NotImplementedError("restart markers in progressive scans")
+            if coefs is None:
+                coefs = _alloc_prog_coefs(frame)
+            scomps = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-                sel[cs] = (tdta >> 4, tdta & 0x0F)
-            return _decode_scan(
-                content, pos + ln, frame, sel, qt, huff_dc, huff_ac, restart_interval
+                ci = next(
+                    j for j, c in enumerate(frame["comps"]) if c["id"] == cs
+                )
+                scomps.append((ci, tdta >> 4, tdta & 0x0F))
+            ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                content, pos + ln, frame, scomps, ss_, se_,
+                ahal >> 4, ahal & 0x0F, huff_dc, huff_ac, coefs,
             )
+            continue
         pos += ln
+    if coefs is not None:
+        return _finalize_progressive(frame, coefs, qt)
     raise NotImplementedError("JPEG has no scan")
 
 
@@ -270,6 +298,12 @@ def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
+    return _planes_to_rgb(comps, planes, w, h, hmax, vmax)
+
+
+def _planes_to_rgb(comps, planes, w, h, hmax, vmax):
+    """Shared tail of both decode paths: chroma upsampling, level shift,
+    YCbCr→RGB (or grayscale replication)."""
     out_planes = []
     for c, p in zip(comps, planes):
         if c["h"] != hmax or c["v"] != vmax:
@@ -309,6 +343,198 @@ def _decode_block(r, dc_codes, ac_codes, qtbl, dc_pred, ci):
     block = np.zeros(64, np.float64)
     block[ZIGZAG] = coef * qtbl.reshape(64)[ZIGZAG]
     return _DCT_M.T @ block.reshape(8, 8) @ _DCT_M
+
+
+# ---------------------------------------------------- progressive decoding
+
+
+def _frame_geom(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, w, h, mcux, mcuy
+
+
+def _alloc_prog_coefs(frame) -> list[np.ndarray]:
+    """Per-component quantized-coefficient store, (block_y, block_x, 64)
+    int32 in ZIGZAG order, padded to MCU multiples (interleaved DC scans
+    address the padded grid; single-component scans stay inside the
+    component's own ceil-grid)."""
+    hmax, vmax, _w, _h, mcux, mcuy = _frame_geom(frame)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _comp_block_grid(frame, c) -> tuple[int, int]:
+    """Non-interleaved block grid: ceil over the component's OWN scaled
+    dimensions (T.81 A.2.2 — no MCU padding for Ns=1 scans)."""
+    hmax, vmax, w, h, _mx, _my = _frame_geom(frame)
+    cw = (w * c["h"] + hmax - 1) // hmax
+    ch = (h * c["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _decode_prog_scan(
+    data, pos, frame, scomps, ss_, se_, ah, al, huff_dc, huff_ac, coefs
+) -> int:
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved or
+    not), AC first/refine (single component, with EOB runs). Mutates
+    ``coefs`` in place; returns the offset of the next marker."""
+    comps = frame["comps"]
+    r = BitReader(data, pos)
+    if ss_ == 0:  # DC scan — Se must be 0
+        if se_ != 0:
+            raise NotImplementedError("DC scan with Se != 0")
+        dc_pred = {ci: 0 for ci, _td, _ta in scomps}
+        if len(scomps) > 1:
+            _h, _v, _w, _hh, mcux, mcuy = _frame_geom(frame)
+            order = [
+                (ci, td, by_, bx_)
+                for ci, td, _ta in scomps
+                for by_ in range(comps[ci]["v"])
+                for bx_ in range(comps[ci]["h"])
+            ]
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, td, by_, bx_ in order:
+                        c = comps[ci]
+                        blk = coefs[ci][my * c["v"] + by_, mx * c["h"] + bx_]
+                        _dc_step(r, huff_dc, td, blk, dc_pred, ci, ah, al)
+        else:
+            ci, td, _ta = scomps[0]
+            by_n, bx_n = _comp_block_grid(frame, comps[ci])
+            for byi in range(by_n):
+                for bxi in range(bx_n):
+                    _dc_step(r, huff_dc, td, coefs[ci][byi, bxi], dc_pred, ci, ah, al)
+    else:  # AC scan — single component only (spec G.2 restriction)
+        if len(scomps) != 1:
+            raise NotImplementedError("interleaved AC scan in progressive JPEG")
+        ci, _td, ta = scomps[0]
+        codes = huff_ac[ta]
+        by_n, bx_n = _comp_block_grid(frame, comps[ci])
+        eobrun = 0
+        for byi in range(by_n):
+            for bxi in range(bx_n):
+                blk = coefs[ci][byi, bxi]
+                if ah == 0:
+                    eobrun = _ac_first_block(r, codes, blk, ss_, se_, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(r, codes, blk, ss_, se_, al, eobrun)
+    # skip to the next true marker (stuffed 0xFF00 bytes are entropy data)
+    p = r.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            break
+        p += 1
+    return p
+
+
+def _dc_step(r, huff_dc, td, blk, dc_pred, ci, ah, al):
+    if ah == 0:  # first DC scan: diff-coded magnitude, shifted up by Al
+        t = decode_huffman_symbol(r, huff_dc[td])
+        diff = _extend(r.bits(t), t) if t else 0
+        dc_pred[ci] += diff
+        blk[0] = dc_pred[ci] << al
+    else:  # refinement: one raw bit appends to the two's-complement value
+        if r.bit():
+            blk[0] |= 1 << al
+    return blk
+
+
+def _ac_first_block(r, codes, blk, ss_, se_, al, eobrun):
+    """AC first scan for one block (G.2.2): runs + EXTEND values shifted
+    by Al, EOBn codes carrying a band-skip run across blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss_
+    while k <= se_:
+        rs = decode_huffman_symbol(r, codes)
+        rr, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if rr == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << rr) - 1
+            if rr:
+                eobrun += r.bits(rr)
+            break
+        k += rr
+        if k > se_:
+            raise NotImplementedError("AC run past band end")
+        blk[k] = _extend(r.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(r, codes, blk, ss_, se_, al, eobrun):
+    """AC refinement scan for one block (G.2.3, the successive-
+    approximation correction pass): newly-nonzero coefficients arrive as
+    ±1<<Al after a run of zero-HISTORY positions; every nonzero-history
+    position traversed emits one correction bit (append 1<<Al if set and
+    not already present). Blocks inside an EOB run still emit correction
+    bits for their whole band."""
+    p1 = 1 << al
+    k = ss_
+    if eobrun == 0:
+        while k <= se_:
+            rs = decode_huffman_symbol(r, codes)
+            rr, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if rr != 15:
+                    eobrun = (1 << rr)
+                    if rr:
+                        eobrun += r.bits(rr)
+                    break
+                val = 0  # ZRL: 16 zero-history positions
+            else:
+                if s != 1:
+                    raise NotImplementedError("refine scan with |coef| > 1")
+                val = p1 if r.bit() else -p1
+            while k <= se_:
+                c = int(blk[k])
+                if c != 0:
+                    if r.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else -p1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se_:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se_:
+            c = int(blk[k])
+            if c != 0 and r.bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finalize_progressive(frame, coefs, qt) -> np.ndarray:
+    """Dequantize + de-zigzag + batched IDCT per component, then the shared
+    upsample/color tail."""
+    comps = frame["comps"]
+    hmax, vmax, w, h, _mx, _my = _frame_geom(frame)
+    qz = {tq: tbl.reshape(64)[ZIGZAG] for tq, tbl in qt.items()}
+    planes = []
+    for c, cz in zip(comps, coefs):
+        by_n, bx_n, _ = cz.shape
+        natural = np.zeros((by_n, bx_n, 64), np.float64)
+        natural[:, :, ZIGZAG] = cz * qz[c["tq"]]
+        blocks = natural.reshape(by_n, bx_n, 8, 8)
+        idct = np.einsum("ru,ybrc,cv->ybuv", _DCT_M, blocks, _DCT_M)
+        planes.append(idct.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8))
+    return _planes_to_rgb(comps, planes, w, h, hmax, vmax)
 
 
 # ----------------------------------------------------------------- encoder
@@ -542,3 +768,235 @@ def encode_jpeg(
         + scan
         + b"\xff\xd9"
     )
+
+
+# ------------------------------------------------------ progressive encoder
+
+# A deliberately "fat" AC Huffman table covering EVERY (run, size) symbol —
+# including the EOBn run-length codes progressive scans need that Annex K's
+# sequential tables lack: 255 symbols at 8 bits + symbol 0xFF at 9 bits
+# (the all-ones 8-bit code stays a prefix, as T.81 C.2 requires).
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = list(range(256))
+
+# libjpeg's default progressive scan script shape: DC first w/ SA, Y AC in
+# two spectral bands, chroma full-band, then successive-approximation
+# refinements down to full precision.
+_DEFAULT_PROG_SCANS = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+]
+
+
+def _point_ac(v: int, al: int) -> int:
+    """G.1.2.2 AC point transform: divide by 2^Al TOWARD ZERO (the DC
+    transform is an arithmetic shift; AC is not — sign-magnitude)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _enc_ac_first(bwr, inv, blocks, ss_, se_, al):
+    """AC first scan: zero runs + EXTEND magnitudes of the point-
+    transformed band, EOBn run accumulation across blocks."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            size, code = inv[rr << 4]
+            bwr.put(code, size)
+            if rr:
+                bwr.put(eobrun - (1 << rr), rr)
+            eobrun = 0
+
+    for blk in blocks:
+        tv = [_point_ac(int(blk[k]), al) for k in range(ss_, se_ + 1)]
+        nz = [i for i, v in enumerate(tv) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = tv[i]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                size, code = inv[0xF0]
+                bwr.put(code, size)
+                run -= 16
+            s = _mag_cat(v)
+            size, code = inv[(run << 4) | s]
+            bwr.put(code, size)
+            bwr.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if nz[-1] < se_ - ss_:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(bwr, inv, blocks, ss_, se_, al):
+    """AC refinement scan — the bit-exact mirror of _ac_refine_block's
+    traversal: newly-nonzero coefficients as (zero-HISTORY run, ±1) with
+    correction bits for nonzero-history positions interleaved in
+    positional order; EOB runs buffer the covered blocks' correction
+    bits and flush them right after the EOBn code."""
+    eobrun = 0
+    eob_bits: list[int] = []
+
+    def flush():
+        nonlocal eobrun, eob_bits
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            size, code = inv[rr << 4]
+            bwr.put(code, size)
+            if rr:
+                bwr.put(eobrun - (1 << rr), rr)
+            for b in eob_bits:
+                bwr.put(b, 1)
+            eobrun = 0
+            eob_bits = []
+
+    for blk in blocks:
+        n = se_ - ss_ + 1
+        tv_new = [_point_ac(int(blk[k]), al) for k in range(ss_, se_ + 1)]
+        tv_old = [_point_ac(int(blk[k]), al + 1) for k in range(ss_, se_ + 1)]
+        newly = [i for i in range(n) if tv_old[i] == 0 and tv_new[i] != 0]
+        k = 0
+        if newly:
+            flush()
+            for j in newly:
+                run = sum(1 for p in range(k, j) if tv_old[p] == 0)
+                while run >= 16:
+                    size, code = inv[0xF0]
+                    bwr.put(code, size)
+                    cnt = 0
+                    while cnt < 16:  # decoder consumes 16 zero-history slots
+                        if tv_old[k] != 0:
+                            bwr.put(tv_new[k] & 1, 1)
+                        else:
+                            cnt += 1
+                        k += 1
+                    run -= 16
+                size, code = inv[(run << 4) | 1]
+                bwr.put(code, size)
+                bwr.put(1 if tv_new[j] > 0 else 0, 1)
+                while k < j:
+                    if tv_old[k] != 0:
+                        bwr.put(tv_new[k] & 1, 1)
+                    k += 1
+                k = j + 1
+        if k <= n - 1:
+            # band not exhausted → the decoder will read an EOB for this
+            # block; a placement landing exactly on Se ends the block with
+            # NO code, so emitting one would desync the stream
+            eob_bits.extend(
+                tv_new[p] & 1 for p in range(k, n) if tv_old[p] != 0
+            )
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    qtbl: np.ndarray | None = None,
+    scans: list[tuple] | None = None,
+) -> bytes:
+    """(H, W, 3) uint8 → progressive (SOF2) JFIF bytes at 4:4:4. ``scans``
+    is a list of (component indices, Ss, Se, Ah, Al); the default script
+    mirrors libjpeg's spectral-selection + successive-approximation
+    ladder. Both the decoder's test partner and a real writer any viewer
+    opens."""
+    if qtbl is None:
+        qtbl = np.full((8, 8), 16, np.int32)
+    qtbl = np.asarray(qtbl, np.int32)
+    scans = _DEFAULT_PROG_SCANS if scans is None else scans
+    h, w = img.shape[:2]
+    f = img.astype(np.float64)
+    r_, g_, b_ = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_ - 128
+    cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+    cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    by_n, bx_n = ph // 8, pw // 8
+    zz = []
+    for p in (y, cb, cr):
+        pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        blocks = pp.reshape(by_n, 8, bx_n, 8).transpose(0, 2, 1, 3)
+        fq = np.einsum("ur,ybrc,vc->ybuv", _DCT_M, blocks, _DCT_M)
+        q = np.round(fq / qtbl).astype(np.int32).reshape(by_n, bx_n, 64)
+        zz.append(q[:, :, ZIGZAG])
+    dc_inv = _inv_huff(build_huffman(_K_DC_LUM_BITS, _K_DC_LUM_VALS))
+    ac_inv = _inv_huff(build_huffman(_PROG_AC_BITS, _PROG_AC_VALS))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    zq = np.zeros(64, np.uint8)
+    zq[:] = qtbl.reshape(64)[ZIGZAG]
+    out += seg(0xDB, bytes([0x00]) + bytes(zq))
+    out += seg(
+        0xC2,
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00] + _K_DC_LUM_BITS + _K_DC_LUM_VALS))
+    out += seg(0xC4, bytes([0x10] + _PROG_AC_BITS + _PROG_AC_VALS))
+    for comps_in, ss_, se_, ah, al in scans:
+        body = bytes([len(comps_in)])
+        for ci in comps_in:
+            body += bytes([ci + 1, 0x00])  # Td=0, Ta=0
+        body += bytes([ss_, se_, (ah << 4) | al])
+        out += seg(0xDA, body)
+        bwr = _BitWriter()
+        if ss_ == 0:  # DC scan over MCUs (4:4:4 → one block per comp)
+            if ah == 0:
+                pred = {ci: 0 for ci in comps_in}
+                for byi in range(by_n):
+                    for bxi in range(bx_n):
+                        for ci in comps_in:
+                            v = int(zz[ci][byi, bxi, 0]) >> al
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            s = _mag_cat(diff)
+                            size, code = dc_inv[s]
+                            bwr.put(code, size)
+                            if s:
+                                bwr.put(
+                                    diff if diff >= 0 else diff + (1 << s) - 1, s
+                                )
+            else:
+                for byi in range(by_n):
+                    for bxi in range(bx_n):
+                        for ci in comps_in:
+                            bwr.put((int(zz[ci][byi, bxi, 0]) >> al) & 1, 1)
+        else:
+            ci = comps_in[0]
+            blocks = [
+                zz[ci][byi, bxi] for byi in range(by_n) for bxi in range(bx_n)
+            ]
+            if ah == 0:
+                _enc_ac_first(bwr, ac_inv, blocks, ss_, se_, al)
+            else:
+                _enc_ac_refine(bwr, ac_inv, blocks, ss_, se_, al)
+        out += bwr.done()
+    out += b"\xff\xd9"
+    return bytes(out)

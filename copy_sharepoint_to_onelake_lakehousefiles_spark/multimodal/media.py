@@ -877,8 +877,9 @@ def q60_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads (decoded by the from-scratch stdlib codecs), PCM WAV tones —
     ingests via binaryFile, probes container metadata (probe_media: mime +
     dimensions + duration), extracts features (real pixel/sample decode for
-    every container here; the stub remains only for formats the codecs
-    refuse, e.g. progressive JPEG), and profiles per detected mime."""
+    every container here, including a PROGRESSIVE JPEG; the stub remains
+    only for formats the codecs refuse, e.g. arithmetic-coded JPEG), and
+    profiles per detected mime."""
     import io
     import os
     import shutil
@@ -902,10 +903,15 @@ def q60_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda y, x, c: (x * 3 + y * 5 + c * 60 + i * 10) % 256, (h, w, 3)
         ).astype(np.uint8)
         _blob(f"nested/pic{i}.png", encode_png(img))
-    from .jpeg import encode_jpeg
+    from .jpeg import encode_jpeg, encode_jpeg_progressive
 
-    # a REAL JPEG (baseline T.81 codec) and a REAL GIF (literal-code LZW)
+    # REAL JPEGs — baseline AND progressive (T.81 Annex G, spectral
+    # selection + successive approximation) — and a REAL GIF (LZW)
     _blob("photo.jpg", encode_jpeg(np.full((16, 24, 3), 77, np.uint8)))
+    grad = np.fromfunction(
+        lambda y, x, c: (x * 7 + y * 3 + c * 40) % 256, (24, 17, 3)
+    ).astype(np.uint8)
+    _blob("nested/photo_prog.jpg", encode_jpeg_progressive(grad))
     banner = np.zeros((10, 20, 3), np.uint8)
     banner[:, 10:] = (0, 128, 255)
     _blob("nested/banner.gif", encode_gif(banner))

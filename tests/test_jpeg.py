@@ -94,10 +94,10 @@ def test_grayscale_single_component():
 def test_refusals():
     with pytest.raises(NotImplementedError, match="not a JPEG"):
         decode_jpeg(b"\x00\x00")
-    # progressive SOF2 refuses
-    prog = b"\xff\xd8" + b"\xff\xc2" + (5).to_bytes(2, "big") + b"\x08\x00\x08"
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg(prog)
+    # arithmetic-coded SOF9 refuses (progressive SOF2 decodes since r4)
+    arith = b"\xff\xd8" + b"\xff\xc9" + (5).to_bytes(2, "big") + b"\x08\x00\x08"
+    with pytest.raises(NotImplementedError, match="baseline and progressive"):
+        decode_jpeg(arith)
 
 
 def test_decode_image_dispatches_jpeg():
@@ -164,3 +164,139 @@ def test_roundtrip_422_subsampling():
     err = np.abs(got.astype(int) - smooth.astype(int))
     assert float(err.mean()) < 4.0
     assert int(err.max()) <= 24
+
+
+# ------------------------------------------------------------- progressive
+
+
+def test_progressive_equals_baseline_exactly():
+    """The full spectral-selection + successive-approximation ladder must
+    reconstruct the SAME quantized coefficients as one baseline scan —
+    so decoded pixels are bit-identical, including odd dimensions where
+    trailing blocks pad."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    for hw in ((8, 8), (24, 17), (40, 33)):
+        img = rng.randint(0, 256, (*hw, 3), dtype=np.uint8)
+        prog = decode_jpeg(encode_jpeg_progressive(img))
+        base = decode_jpeg(encode_jpeg(img))
+        assert np.array_equal(prog, base), hw
+
+
+def test_progressive_scan_script_variants():
+    """Every scan-type combination independently: DC-only SA, full-band
+    AC without SA, AC SA refinement, split spectral bands — all must land
+    on the baseline-identical result."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 24, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    scripts = [
+        # no successive approximation at all (spectral selection only)
+        [([0, 1, 2], 0, 0, 0, 0)]
+        + [([ci], 1, 63, 0, 0) for ci in (0, 1, 2)],
+        # fine spectral slicing of the Y band
+        [([0, 1, 2], 0, 0, 0, 0), ([0], 1, 2, 0, 0), ([0], 3, 9, 0, 0),
+         ([0], 10, 63, 0, 0), ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)],
+        # two-level AC successive approximation
+        [([0, 1, 2], 0, 0, 0, 0)]
+        + [([ci], 1, 63, 0, 2) for ci in (0, 1, 2)]
+        + [([ci], 1, 63, 2, 1) for ci in (0, 1, 2)]
+        + [([ci], 1, 63, 1, 0) for ci in (0, 1, 2)],
+        # DC successive approximation ladder
+        [([0, 1, 2], 0, 0, 0, 2), ([0, 1, 2], 0, 0, 2, 1), ([0, 1, 2], 0, 0, 1, 0)]
+        + [([ci], 1, 63, 0, 0) for ci in (0, 1, 2)],
+    ]
+    for i, sc in enumerate(scripts):
+        got = decode_jpeg(encode_jpeg_progressive(img, scans=sc))
+        assert np.array_equal(got, base), f"script {i}"
+
+
+def test_progressive_eob_runs_and_sparse_bands():
+    """Mostly-flat image with isolated bright pixels: long EOB runs across
+    blocks and late-band isolated coefficients (ZRL paths) in both first
+    and refinement AC scans."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((48, 48, 3), 120, np.uint8)
+    rng = np.random.RandomState(3)
+    for _ in range(6):  # sparse spikes → sparse high-frequency coefficients
+        yy, xx = rng.randint(0, 48), rng.randint(0, 48)
+        img[yy, xx] = 255
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert np.array_equal(prog, base)
+    # flat image: every AC scan is one long EOB run
+    flat = np.full((64, 40, 3), 77, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat)),
+        decode_jpeg(encode_jpeg(flat)),
+    )
+
+
+def test_progressive_decoder_grayscale_single_component():
+    """Hand-built single-component progressive stream: non-interleaved DC
+    scan over the component's own (unpadded) block grid."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.jpeg import (
+        _inv_huff,
+        _BitWriter,
+        _K_DC_LUM_BITS,
+        _K_DC_LUM_VALS,
+        _PROG_AC_BITS,
+        _PROG_AC_VALS,
+        build_huffman,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    # constant quant table: zigzag permutation is the identity on it
+    out += seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    out += seg(0xC2, bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+               + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00] + _K_DC_LUM_BITS + _K_DC_LUM_VALS))
+    out += seg(0xC4, bytes([0x10] + _PROG_AC_BITS + _PROG_AC_VALS))
+    dc_inv = _inv_huff(build_huffman(_K_DC_LUM_BITS, _K_DC_LUM_VALS))
+    ac_inv = _inv_huff(build_huffman(_PROG_AC_BITS, _PROG_AC_VALS))
+    # DC scan: two blocks, DC diffs +2 then -1 (values 2 and 1)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    bw = _BitWriter()
+    for diff in (2, -1):
+        s = diff.bit_length()
+        size, code = dc_inv[s]
+        bw.put(code, size)
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out += bw.done()
+    # AC scan: block 0 gets coef +3 at zigzag 1; block 1 is EOB-only
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    bw = _BitWriter()
+    size, code = ac_inv[(0 << 4) | 2]
+    bw.put(code, size)
+    bw.put(3, 2)
+    size, code = ac_inv[0x00]  # EOB for the rest of block 0
+    bw.put(code, size)
+    size, code = ac_inv[0x00]  # EOB for block 1
+    bw.put(code, size)
+    out += bw.done()
+    out += b"\xff\xd9"
+    got = decode_jpeg(bytes(out))
+    assert got.shape == (8, 16, 3)
+    # DC-only means: block 0 dc=2 → 128 + 2*16/8 = 132; block 1 dc=2-1=1 →
+    # 130 (the AC coefficient in block 0 has zero mean)
+    m0, m1 = got[:, :8, 0].mean(), got[:, 8:, 0].mean()
+    assert abs(m0 - 132) < 1.0
+    assert abs(m1 - 130) < 1.0
+    # the +3 AC coefficient at zigzag 1 is a horizontal cosine in block 0
+    # only; block 1 stays flat
+    assert got[:, :8, 0].std(axis=0).max() < 1e-9  # constant per column
+    assert got[0, :8, 0].ptp() > 10  # varies across columns
+    assert got[:, 8:, 0].ptp() == 0

@@ -259,10 +259,10 @@ def test_q60_profiles_by_detected_mime(spark, sf_dir):
     }
     for mime in ("image/x-portable-pixmap", "image/png", "audio/wav"):
         assert rows[mime]["n_media"] == 2 and rows[mime]["n_distinct"] == 2
-    assert rows["image/jpeg"]["n_media"] == 1
+    assert rows["image/jpeg"]["n_media"] == 2  # baseline + progressive (r4)
     assert rows["image/gif"]["n_media"] == 1
     assert rows["image/png"]["n_with_dims"] == 2  # header-probed dimensions
-    assert rows["image/jpeg"]["n_with_dims"] == 1
+    assert rows["image/jpeg"]["n_with_dims"] == 2
     assert rows["image/gif"]["n_with_dims"] == 1
     assert rows["audio/wav"]["n_with_duration"] == 2  # byte-rate durations
 
