@@ -1448,6 +1448,53 @@ class IcebergTable:
         self._publish_metadata(md)
         return {"snapshot_id": snap["snapshot-id"], "files_added": len(entries)}
 
+    def rewrite_data_files(self) -> dict:
+        """Bin-pack data-file compaction (the spec's ``rewrite_data_files``
+        maintenance action, completing the compaction story across all
+        three table stacks — TxTable ``compact``, Delta ``optimize``):
+        reads the current snapshot's LIVE rows (merge-on-read position and
+        equality deletes applied during the rewrite, exactly as the real
+        action does), re-stages them under the default partition spec, and
+        commits a ``replace`` snapshot whose manifest list references only
+        the rewritten files — so accumulated delete files drop out of
+        planning entirely. Logical content is unchanged; history stays
+        time-travelable; ``incremental_scan`` correctly refuses ranges
+        crossing the replace snapshot (its file-diff is not append-only)."""
+        before, _ = self.files()
+        n_deletes = len(self.delete_entries())
+        live = self.read()
+        md = self.metadata()
+        part_fields = self.partition_fields()
+        st = self.schema()
+        # bin-pack: co-locate each partition's rows in one task so the
+        # staged write emits one file per partition value (at production
+        # scale the real action packs to a target byte size instead —
+        # same repartition, a size-bounded writer)
+        if part_fields:
+            live = live.repartition(*[F.col(pf["source_name"]) for pf in part_fields])
+        else:
+            live = live.coalesce(1)
+        entries = self._stage_data_files(live.select(*st.fieldNames()), part_fields, st)
+        seq = md["last-sequence-number"] + 1
+        sid = self._new_snapshot_id()
+        rows = (
+            [self._write_manifest(entries, sid, seq, part_fields, spec_id=md["default-spec-id"])]
+            if entries
+            else []
+        )
+        snap = self._commit_snapshot(rows, "replace", md, sid)
+        md["snapshots"].append(snap)
+        md["current-snapshot-id"] = snap["snapshot-id"]
+        md["last-sequence-number"] = snap["sequence-number"]
+        md["last-updated-ms"] = snap["timestamp-ms"]
+        self._publish_metadata(md)
+        return {
+            "snapshot_id": snap["snapshot-id"],
+            "files_before": len(before),
+            "files_after": len(entries),
+            "delete_files_dropped": n_deletes,
+        }
+
 
     def _eq_delete_entry(self, keys_df: DataFrame) -> dict:
         """Write ``keys_df`` as a v2 equality-delete parquet and return its

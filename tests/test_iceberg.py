@@ -1142,3 +1142,38 @@ def test_bucket_table_through_lite_source(spark, root):
     assert sorted(r["k"] for r in got.collect()) == list(range(60))
     # no spurious bucket column leaks into the schema
     assert set(got.columns) == {"k", "v"}
+
+
+def test_rewrite_data_files_binpacks_and_drops_deletes(spark, root):
+    """rewrite_data_files: many small files + live MoR deletes → one
+    replace snapshot with the deletes applied and dropped; content
+    identical, history intact."""
+    df = spark.createDataFrame([(i, f"p{i % 2}") for i in range(20)], "k long, part string")
+    t = IcebergTable.create(spark, root, df.coalesce(1), partition_by=["part"])
+    for lo in (20, 24, 28):
+        t.append(
+            spark.createDataFrame(
+                [(i, f"p{i % 2}") for i in range(lo, lo + 4)], "k long, part string"
+            ).coalesce(1)
+        )
+    t.position_delete("k % 5 = 0")
+    before_rows = _rows(t.read())
+    entries_before, _ = t.files()
+    assert len(entries_before) == 8  # 4 commits × 2 partitions
+    assert len(t.delete_entries()) == 1
+    res = t.rewrite_data_files()
+    assert res["files_before"] == 8 and res["files_after"] == 2
+    assert res["delete_files_dropped"] == 1
+    assert _rows(t.read()) == before_rows  # logical content unchanged
+    assert t.delete_entries() == []  # deletes applied + dropped
+    entries_after, _ = t.files()
+    assert len(entries_after) == 2
+    # partition pruning still works on the compacted layout
+    assert t.read(partition_filter={"part": "p1"}).count() == sum(
+        1 for k, _p in before_rows if k % 2 == 1
+    )
+    # pre-rewrite snapshots stay readable (time travel unaffected)
+    assert _rows(t.read(index=0)) == sorted((i, f"p{i % 2}") for i in range(20))
+    # incremental_scan refuses ranges crossing the non-append snapshots
+    with pytest.raises(NotImplementedError, match="non-append"):
+        t.incremental_scan(from_index=0)
