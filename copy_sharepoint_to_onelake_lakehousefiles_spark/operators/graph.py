@@ -208,14 +208,14 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("ea") < F.col("eb"))
     )
-    oriented = (
+    oriented = track_persist(
         e.join(da, "ea")
         .join(db, "eb")
         .select(
             F.when(lower_first, F.col("ea")).otherwise(F.col("eb")).alias("src"),
             F.when(lower_first, F.col("eb")).otherwise(F.col("ea")).alias("dst"),
         )
-    )
+    )  # read twice by the wedge self-join — without this the degree join runs twice
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedges = o1.join(

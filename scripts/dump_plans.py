@@ -47,6 +47,12 @@ def main() -> None:
         "q147_iceberg_partition_evolution",
         "q149_delta_batch_cdf",
         "q150_iceberg_incremental_scan",
+        # r4 continuation: hygiene tier + transforms + graph
+        "q151_decontamination",
+        "q152_repetition_metrics",
+        "q153_exact_substring_dup",
+        "q154_iceberg_bucket_transform",
+        "q155_copurchase_triangles",
     ]
     out = ["# PLANS — formatted physical plans of the headline queries (sf0.01)\n"]
     for name in HEADLINE + extra:

@@ -300,3 +300,49 @@ def test_progressive_decoder_grayscale_single_component():
     assert got[:, :8, 0].std(axis=0).max() < 1e-9  # constant per column
     assert got[0, :8, 0].ptp() > 10  # varies across columns
     assert got[:, 8:, 0].ptp() == 0
+
+
+def test_progressive_random_scan_scripts_hypothesis():
+    """Property fuzz: random legal scan scripts (random Y-band splits,
+    random SA ladder depths per component) must always reconstruct the
+    baseline-identical image."""
+    from hypothesis import given, settings, strategies as st
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    def build_script(y_split, y_sa, c_sa, dc_sa):
+        scans = [([0, 1, 2], 0, 0, 0, dc_sa)]
+        bands = [(1, y_split), (y_split + 1, 63)] if y_split else [(1, 63)]
+        for lo, hi in bands:
+            scans.append(([0], lo, hi, 0, y_sa))
+        for ci in (1, 2):
+            scans.append(([ci], 1, 63, 0, c_sa))
+        for al in range(y_sa - 1, -1, -1):
+            scans.append(([0], 1, 63, al + 1, al))
+        for al in range(c_sa - 1, -1, -1):
+            for ci in (1, 2):
+                scans.append(([ci], 1, 63, al + 1, al))
+        for al in range(dc_sa - 1, -1, -1):
+            scans.append(([0, 1, 2], 0, 0, al + 1, al))
+        return scans
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        seed=st.integers(0, 2**16),
+        y_split=st.integers(0, 62),
+        y_sa=st.integers(0, 3),
+        c_sa=st.integers(0, 2),
+        dc_sa=st.integers(0, 2),
+        hw=st.sampled_from([(8, 8), (16, 24), (23, 9)]),
+    )
+    def run(seed, y_split, y_sa, c_sa, dc_sa, hw):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, (*hw, 3), dtype=np.uint8)
+        sc = build_script(y_split, y_sa, c_sa, dc_sa)
+        prog = decode_jpeg(encode_jpeg_progressive(img, scans=sc))
+        base = decode_jpeg(encode_jpeg(img))
+        assert np.array_equal(prog, base)
+
+    run()
