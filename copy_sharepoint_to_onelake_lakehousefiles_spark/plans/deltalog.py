@@ -1367,6 +1367,48 @@ class DeltaTable:
         return {"commits_deleted": deleted}
 
 
+def convert_parquet_to_delta(spark, root: str) -> DeltaTable:
+    """In-place CONVERT TO DELTA: write a ``_delta_log`` INSIDE an existing
+    plain-parquet directory, referencing the files exactly where they are —
+    zero data movement. Hive ``key=value`` layouts become the table's
+    partition columns (hive data files do not contain those columns, which
+    is precisely the Delta convention — ``partitionValues`` carry them);
+    per-file stats come from the parquet footers so log-level skipping
+    works from commit 0. The converted table is a full citizen: append /
+    merge / delete / DV / time-travel all compose on top."""
+    from .iceberg import _discover_hive_files  # shared hive-layout walker
+
+    t = DeltaTable(spark, root)
+    if t.versions():
+        raise FileExistsError(f"Delta table already exists at {root}")
+    files, part_keys = _discover_hive_files(root)
+    if not files:
+        raise ValueError(f"no parquet files under {root}")
+    df = spark.read.parquet(root)  # hive-aware: schema incl. partition cols
+    data_cols = [c for c in df.columns if c not in part_keys]
+    adds = []
+    for path, pvals in files:
+        rel = os.path.relpath(path, root)
+        adds.append(
+            {
+                "path": quote(rel),
+                "partitionValues": {c: pvals.get(c) for c in part_keys},
+                "size": os.path.getsize(path),
+                "modificationTime": int(os.path.getmtime(path) * 1000),
+                "dataChange": True,
+                "stats": json.dumps(_stats_for_file(path, data_cols)),
+            }
+        )
+    actions = [
+        t._commit_info("CONVERT"),
+        {"protocol": dict(PROTOCOL)},
+        t._meta_action(df, part_keys, uuid.uuid4().hex),
+        *({"add": a} for a in adds),
+    ]
+    t._publish(0, actions)
+    return t
+
+
 def txtable_to_delta(t, dest: str) -> DeltaTable:
     """Replay a TxTable's commit history into a Delta log version-for-version
     so time travel survives the format hop. Data files are HARDLINKED (both

@@ -251,6 +251,102 @@ def _parse_partition_term(term: str) -> tuple[str, int | None, str]:
     return "identity", None, term.strip()
 
 
+def _typed_partition_values(pvals: dict, part_fields: list[dict]) -> dict:
+    """Hive-dir partition strings → typed Iceberg partition tuple values."""
+    partition = {}
+    for pf2 in part_fields:
+        raw = pvals.get(pf2["name"])
+        if raw is None:
+            partition[pf2["name"]] = None
+        elif pf2["ice_type"] in ("long", "int"):
+            partition[pf2["name"]] = int(raw)
+        elif pf2["ice_type"] in ("double", "float"):
+            partition[pf2["name"]] = float(raw)
+        elif pf2["ice_type"] == "boolean":
+            partition[pf2["name"]] = raw == "true"
+        else:
+            partition[pf2["name"]] = raw
+    return partition
+
+
+def _file_entry(
+    path: str, partition: dict, name_to_id: dict, ice_types: dict
+) -> dict:
+    """Manifest data_file entry for one parquet file: record count and
+    Appendix-D column bounds straight from the FOOTER (data pages never
+    read) — shared by the staging writer and the in-place ``add_files``
+    migration path."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    lbs, ubs = {}, {}
+    col_idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+    for cname, fid in name_to_id.items():
+        idx = col_idx.get(cname)
+        if idx is None:
+            continue
+        cmin = cmax = None
+        ok = True
+        for rg in range(meta.num_row_groups):
+            st_ = meta.row_group(rg).column(idx).statistics
+            if st_ is None or not st_.has_min_max:
+                ok = False
+                break
+            mn, mx = st_.min, st_.max
+            if isinstance(mn, bytes) and ice_types[cname] == "string":
+                mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
+            cmin = mn if cmin is None else min(cmin, mn)
+            cmax = mx if cmax is None else max(cmax, mx)
+        if ok and cmin is not None:
+            try:
+                lbs[str(fid)] = _single_value_bytes(ice_types[cname], cmin)
+                ubs[str(fid)] = _single_value_bytes(ice_types[cname], cmax)
+            except NotImplementedError:
+                pass
+    return {
+        "content": 0,
+        "file_path": path,
+        "file_format": "PARQUET",
+        "partition": partition,
+        "record_count": meta.num_rows,
+        "file_size_in_bytes": os.path.getsize(path),
+        "lower_bounds": lbs or None,
+        "upper_bounds": ubs or None,
+    }
+
+
+def _discover_hive_files(root: str) -> tuple[list[tuple[str, dict]], list[str]]:
+    """Walk a plain-parquet directory (optionally hive-partitioned):
+    returns ([(absolute file path, {partition key: raw string or None})],
+    partition keys in directory order). Metadata dirs are skipped."""
+    files: list[tuple[str, dict]] = []
+    part_keys: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [
+            d for d in dirnames
+            if d not in ("metadata", "data", "_delta_log") and not d.startswith(".")
+        ]
+        for n in sorted(filenames):
+            if not n.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(dirpath, root)
+            pvals: dict = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, eq, raw = seg.partition("=")
+                    if not eq:
+                        continue
+                    from urllib.parse import unquote
+
+                    pvals[k] = (
+                        None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+                    )
+                    if k not in part_keys:
+                        part_keys.append(k)
+            files.append((os.path.join(dirpath, n), pvals))
+    return files, part_keys
+
+
 def _build_part_fields(
     terms: list[str], by_name: dict, first_field_id: int
 ) -> tuple[list[dict], list[dict]]:
@@ -1051,58 +1147,9 @@ class IcebergTable:
                         )
                 dest = os.path.join(self.data_dir, f"{uuid.uuid4().hex}.parquet")
                 os.rename(src, dest)
-                pf_ = pq.ParquetFile(dest)
-                meta = pf_.metadata
-                lbs, ubs = {}, {}
-                col_idx = {
-                    meta.schema.column(i).name: i for i in range(meta.num_columns)
-                }
-                for cname, fid in name_to_id.items():
-                    idx = col_idx.get(cname)
-                    if idx is None:
-                        continue
-                    cmin = cmax = None
-                    ok = True
-                    for rg in range(meta.num_row_groups):
-                        st_ = meta.row_group(rg).column(idx).statistics
-                        if st_ is None or not st_.has_min_max:
-                            ok = False
-                            break
-                        mn, mx = st_.min, st_.max
-                        if isinstance(mn, bytes) and ice_types[cname] == "string":
-                            mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
-                        cmin = mn if cmin is None else min(cmin, mn)
-                        cmax = mx if cmax is None else max(cmax, mx)
-                    if ok and cmin is not None:
-                        try:
-                            lbs[str(fid)] = _single_value_bytes(ice_types[cname], cmin)
-                            ubs[str(fid)] = _single_value_bytes(ice_types[cname], cmax)
-                        except NotImplementedError:
-                            pass
-                partition = {}
-                for pf2 in part_fields:
-                    raw = pvals.get(pf2["name"])
-                    if raw is None:
-                        partition[pf2["name"]] = None
-                    elif pf2["ice_type"] in ("long", "int"):
-                        partition[pf2["name"]] = int(raw)
-                    elif pf2["ice_type"] in ("double", "float"):
-                        partition[pf2["name"]] = float(raw)
-                    elif pf2["ice_type"] == "boolean":
-                        partition[pf2["name"]] = raw == "true"
-                    else:
-                        partition[pf2["name"]] = raw
+                partition = _typed_partition_values(pvals, part_fields)
                 entries.append(
-                    {
-                        "content": 0,
-                        "file_path": dest,
-                        "file_format": "PARQUET",
-                        "partition": partition,
-                        "record_count": meta.num_rows,
-                        "file_size_in_bytes": os.path.getsize(dest),
-                        "lower_bounds": lbs or None,
-                        "upper_bounds": ubs or None,
-                    }
+                    _file_entry(dest, partition, name_to_id, ice_types)
                 )
         shutil.rmtree(stage, ignore_errors=True)
         return entries
@@ -1268,6 +1315,71 @@ class IcebergTable:
         entries = t._stage_data_files(df, part_fields, st)
         sid = t._new_snapshot_id()
         mrows = [t._write_manifest(entries, sid, 1, part_fields)] if entries else []
+        snap = t._commit_snapshot(mrows, "append", md, sid)
+        md["snapshots"] = [snap]
+        md["current-snapshot-id"] = snap["snapshot-id"]
+        md["last-sequence-number"] = snap["sequence-number"]
+        t._publish_metadata(md)
+        return t
+
+    @classmethod
+    def migrate_parquet(cls, spark: SparkSession, root: str) -> "IcebergTable":
+        """In-place MIGRATE (the spec's ``migrate``/``add_files`` path): lay
+        Iceberg metadata over an EXISTING plain-parquet directory — hive
+        ``key=value`` layouts become identity partition specs — without
+        copying or moving a single data file. Entries point at the files
+        where they are; bounds come from their footers; partition values
+        parse from the directory names. Hive data files do not contain the
+        partition columns, which is exactly the migrated-table behavior the
+        reader already implements (identity tuple overlay from manifests).
+        After migration the table is a full citizen: append / delete /
+        time-travel / compaction all work, with new files landing under
+        ``data/``."""
+        t = cls(spark, root)
+        if t._metadata_versions():
+            raise FileExistsError(f"Iceberg table already exists at {root}")
+        files, part_keys = _discover_hive_files(root)
+        if not files:
+            raise ValueError(f"no parquet files under {root}")
+        df = spark.read.parquet(root)  # hive-aware: schema incl. partition cols
+        os.makedirs(t.meta_dir, exist_ok=True)
+        st = df.schema
+        ice_schema = t._ice_schema_json(st)
+        by_name = {f["name"]: f for f in ice_schema["fields"]}
+        part_fields, spec_fields = _build_part_fields(
+            part_keys, by_name, first_field_id=1000
+        )
+        spec = {"spec-id": 0, "fields": spec_fields}
+        name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+        ice_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+        entries = [
+            _file_entry(
+                path, _typed_partition_values(pvals, part_fields), name_to_id, ice_types
+            )
+            for path, pvals in files
+        ]
+        md = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": root,
+            "last-sequence-number": 0,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": len(ice_schema["fields"]),
+            "schemas": [ice_schema],
+            "current-schema-id": 0,
+            "partition-specs": [spec],
+            "default-spec-id": 0,
+            "last-partition-id": (999 + len(part_fields)) if part_fields else 999,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "properties": {"migrated-from": "parquet"},
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+            "current-snapshot-id": None,
+        }
+        sid = t._new_snapshot_id()
+        mrows = [t._write_manifest(entries, sid, 1, part_fields)]
         snap = t._commit_snapshot(mrows, "append", md, sid)
         md["snapshots"] = [snap]
         md["current-snapshot-id"] = snap["snapshot-id"]
@@ -3154,3 +3266,106 @@ def q154_iceberg_bucket_transform(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(1 if strict else 0).alias("prune_partitioned"),
     )
     return materialize(agg)
+
+
+# ------------------------------------------------- in-place migration tier
+
+_MIGRATE_CACHE: dict = {}
+
+
+def _migration_demo(spark: SparkSession, sf_dir: str) -> tuple:
+    """Two identical hive-layout parquet dirs built from supplier×nation×
+    region (partitioned by r_name), one converted IN PLACE to Delta, the
+    other migrated IN PLACE to Iceberg. Returns (delta_table,
+    iceberg_table, in_place_flags) where the flags certify no data file
+    was copied, moved, or rewritten by either conversion. Memoized per
+    (session, sf_dir)."""
+    import glob
+    import tempfile
+
+    from .deltalog import convert_parquet_to_delta
+
+    cache_key = (id(spark), sf_dir)
+    hit = _MIGRATE_CACHE.get(cache_key)
+    if hit is not None and os.path.isdir(hit[0].root):
+        return hit
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    src = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("s_suppkey").cast("long"), "s_name", "r_name")
+    )
+    roots = []
+    for fmt in ("delta", "iceberg"):
+        root = os.path.join(tempfile.gettempdir(), f"migrate_{fmt}_{uuid.uuid4().hex[:8]}")
+        src.coalesce(1).write.partitionBy("r_name").parquet(root)
+        roots.append(root)
+
+    def data_files(root: str) -> list[str]:
+        return sorted(
+            p
+            for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+            if f"{os.sep}metadata{os.sep}" not in p and "_delta_log" not in p
+        )
+
+    before = [data_files(r) for r in roots]
+    dl = convert_parquet_to_delta(spark, roots[0])
+    ice = IcebergTable.migrate_parquet(spark, roots[1])
+    in_place = all(data_files(r) == b for r, b in zip(roots, before))
+    out = (dl, ice, 1 if in_place else 0)
+    _MIGRATE_CACHE[cache_key] = out
+    return out
+
+
+@query(
+    "q156_in_place_migration",
+    oracle="""
+WITH agg AS (
+  SELECT r.r_name,
+         CAST(count(*) AS BIGINT)       AS n_rows,
+         CAST(sum(s.s_suppkey) AS BIGINT) AS sum_key
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name
+)
+SELECT 'delta' AS fmt, r_name, n_rows, sum_key, 1 AS in_place, 1 AS pruned
+FROM agg
+UNION ALL
+SELECT 'iceberg', r_name, n_rows, sum_key, 1, 1 FROM agg
+""",
+)
+def q156_in_place_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The migration tier in the hashed contract: CONVERT TO DELTA and
+    Iceberg migrate/add_files lay table metadata over the SAME hive-layout
+    parquet files IN PLACE. Both tables must reproduce the relational
+    aggregate exactly (partition columns reconstructed from hive dirs /
+    identity tuples — the data files don't contain them); ``in_place``
+    asserts the conversions moved zero bytes of data, and ``pruned``
+    asserts a single-partition read plans strictly fewer files than the
+    table holds, from commit/snapshot 0 metadata alone."""
+    dl, ice, in_place = _migration_demo(spark, sf_dir)
+    one_region = dl.read().select("r_name").first()["r_name"]
+    d_pruned = len(dl.files(partition_filter={"r_name": one_region})) < len(dl.files())
+    kept, audit = ice.files(partition_filter={"r_name": one_region})
+    i_pruned = len(kept) < audit["files_total"]
+    parts = []
+    for fmt, tbl_df in (("delta", dl.read()), ("iceberg", ice.read())):
+        parts.append(
+            tbl_df.groupBy("r_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("s_suppkey").cast("bigint").alias("sum_key"),
+            )
+            .select(
+                F.lit(fmt).alias("fmt"),
+                "r_name",
+                "n_rows",
+                "sum_key",
+                F.lit(in_place).alias("in_place"),
+                F.lit(1 if (d_pruned and i_pruned) else 0).alias("pruned"),
+            )
+        )
+    return materialize(parts[0].unionByName(parts[1]))

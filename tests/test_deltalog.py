@@ -561,3 +561,54 @@ def test_shallow_clone_shares_files_and_diverges(spark, root, tmp_path):
     c.vacuum(retain_versions=1, min_age_seconds=0.0)
     assert all(os.path.exists(p) for p in src_files)
     assert t.read().count() == 7
+
+
+def test_convert_parquet_to_delta_in_place(spark, tmp_path):
+    """CONVERT TO DELTA: a _delta_log lands INSIDE an existing hive-layout
+    parquet dir; no data file is copied, moved, or rewritten; partition
+    pruning and all write ops work on top."""
+    import glob
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        convert_parquet_to_delta,
+    )
+
+    root = str(tmp_path / "plain")
+    src = spark.createDataFrame(
+        [(i, f"p{i % 3}", i * 10) for i in range(30)], "k long, part string, v long"
+    )
+    src.coalesce(1).write.partitionBy("part").parquet(root)
+    before = sorted(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+    t = convert_parquet_to_delta(spark, root)
+    after = sorted(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+    assert before == after  # zero data movement
+    assert sorted(tuple(r) for r in t.read().select("k", "part", "v").collect()) == sorted(
+        tuple(r) for r in src.collect()
+    )
+    assert t.partition_columns() == ["part"]
+    # log-level pruning works from commit 0
+    assert len(t.files(partition_filter={"part": "p1"})) == 1
+    assert t.read(partition_filter={"part": "p1"}).count() == 10
+    # converted table is writable: delete + append + time travel
+    t.delete("k % 2 = 0")
+    t.append(spark.createDataFrame([(100, "p0", 0)], "k long, part string, v long"))
+    assert t.read().count() == 15 + 1
+    assert t.read(version=0).count() == 30  # pre-conversion content intact
+    # double-convert refuses
+    with pytest.raises(FileExistsError):
+        convert_parquet_to_delta(spark, root)
+
+
+def test_convert_unpartitioned_dir(spark, tmp_path):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        convert_parquet_to_delta,
+    )
+
+    root = str(tmp_path / "flat")
+    spark.range(100).select(F.col("id").alias("k")).coalesce(2).write.parquet(root)
+    t = convert_parquet_to_delta(spark, root)
+    assert t.read().count() == 100
+    assert t.partition_columns() == []
+    # footer stats landed in the log → bounds skipping works
+    assert len(t.files()) == 2
+    assert len(t.files(bounds={"k": (1000, 2000)})) == 0

@@ -1177,3 +1177,41 @@ def test_rewrite_data_files_binpacks_and_drops_deletes(spark, root):
     # incremental_scan refuses ranges crossing the non-append snapshots
     with pytest.raises(NotImplementedError, match="non-append"):
         t.incremental_scan(from_index=0)
+
+
+def test_migrate_parquet_in_place(spark, root):
+    """migrate_parquet: Iceberg metadata over an existing hive-layout
+    parquet dir — files stay put, identity partition overlay reconstructs
+    the stripped partition columns, pruning and writes work on top."""
+    import glob
+
+    src = spark.createDataFrame(
+        [(i, f"p{i % 3}", i * 10) for i in range(30)], "k long, part string, v long"
+    )
+    src.coalesce(1).write.partitionBy("part").parquet(root)
+    before = sorted(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+    t = IcebergTable.migrate_parquet(spark, root)
+    after = sorted(
+        p
+        for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        if os.sep + "metadata" + os.sep not in p
+    )
+    assert before == after  # zero data movement
+    got = t.read().select("k", "part", "v")
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in src.collect()
+    )
+    # partition pruning via the manifests from snapshot 0
+    kept, audit = t.files(partition_filter={"part": "p2"})
+    assert len(kept) == 1 and audit["files_total"] <= 3
+    assert t.read(partition_filter={"part": "p2"}).count() == 10
+    # bounds skipping from the migrated footers
+    kept, _ = t.files(bounds={"k": (1000, None)})
+    assert kept == []
+    # full citizen: append + position delete + time travel
+    t.append(spark.createDataFrame([(101, "p0", 0)], "k long, part string, v long"))
+    t.position_delete("k % 2 = 0")
+    assert t.read().count() == 15 + 1  # odd originals + the odd appended row
+    assert t.read(index=0).count() == 30
+    with pytest.raises(FileExistsError):
+        IcebergTable.migrate_parquet(spark, root)
