@@ -135,7 +135,11 @@ def probe_metadata(content: bytes) -> tuple[str, int | None, int | None, int | N
     if n >= 10 and content[:6] in (b"GIF87a", b"GIF89a"):
         w = int.from_bytes(content[6:8], "little")
         h = int.from_bytes(content[8:10], "little")
-        return ("image/gif", w, h, None)
+        # animated GIFs carry a duration: walk block lengths (never the LZW
+        # payload itself) counting frames and summing GCE delays
+        n_frames, total_cs = _gif_block_walk(content)
+        dur = total_cs * 10 if n_frames > 1 else None
+        return ("image/gif", w, h, dur)
     if n >= 26 and content[:2] == b"BM":
         w = int.from_bytes(content[18:22], "little")
         h = int.from_bytes(content[22:26], "little", signed=True)
@@ -214,6 +218,43 @@ def probe_metadata(content: bytes) -> tuple[str, int | None, int | None, int | N
             return ("audio/mpeg", None, None, dur)
         return ("audio/mpeg", None, None, None)
     return ("application/octet-stream", None, None, None)
+
+
+def _gif_block_walk(content: bytes) -> tuple[int, int]:
+    """(frame count, total delay in centiseconds) by walking GIF block
+    structure — sub-blocks skip by their length byte, so this is
+    header-cost even for large animations."""
+    n_frames = total_cs = 0
+    try:
+        pos = 13
+        flags = content[10]
+        if flags & 0x80:
+            pos += (2 << (flags & 0x07)) * 3
+        while pos < len(content):
+            b = content[pos]
+            if b == 0x21:
+                label = content[pos + 1]
+                pos += 2
+                if label == 0xF9 and content[pos] >= 4:
+                    total_cs += int.from_bytes(content[pos + 2 : pos + 4], "little")
+                while content[pos] != 0:
+                    pos += 1 + content[pos]
+                pos += 1
+            elif b == 0x2C:
+                n_frames += 1
+                iflags = content[pos + 9]
+                pos += 10
+                if iflags & 0x80:
+                    pos += (2 << (iflags & 0x07)) * 3
+                pos += 1  # LZW min code size
+                while content[pos] != 0:
+                    pos += 1 + content[pos]
+                pos += 1
+            else:
+                break
+    except IndexError:
+        pass  # truncated container: report what was walked
+    return n_frames, total_cs
 
 
 def probe_media(media: DataFrame) -> DataFrame:
@@ -561,28 +602,53 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]
     return out[:n_pixels]
 
 
-def _decode_gif(content: bytes) -> np.ndarray:
-    """REAL GIF pixel decode with the stdlib only (GIF's codec is LZW —
-    fully specified in the public GIF89a spec): first image frame, global
-    or local color table, Adam-style 4-pass deinterlace when flagged.
-    Animation composition is out of scope (first frame only)."""
+def decode_gif_frames(content: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """REAL animated-GIF decode with the stdlib only (GIF89a spec): every
+    image frame composed onto the logical-screen canvas with the Graphic
+    Control Extension's disposal methods (1 keep, 2 restore-to-background,
+    3 restore-to-previous) and transparency index; local color tables,
+    sub-rectangle placement, and 4-pass deinterlace per frame. Returns
+    (frames as (H, W, 3) uint8 canvases, per-frame delays in centiseconds)
+    — GIF is the one video-ish container fully decodable from its public
+    spec with zero codec libraries, which makes the video-column tier's
+    frame plumbing REAL instead of stubbed."""
     if content[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF payload")
+    cw = int.from_bytes(content[6:8], "little")
+    ch = int.from_bytes(content[8:10], "little")
     flags = content[10]
+    bg_index = content[11]
     pos = 13
     global_table = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         global_table = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    if global_table is not None and bg_index < len(global_table):
+        bg_rgb = global_table[bg_index]
+    else:
+        bg_rgb = np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (ch, cw, 3)).copy()
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    # pending Graphic Control Extension state (applies to the NEXT image)
+    disposal, transparent, delay_cs = 0, None, 0
     while pos < len(content):
         b = content[pos]
         if b == 0x21:  # extension: label + sub-blocks
+            label = content[pos + 1]
             pos += 2
+            if label == 0xF9 and content[pos] >= 4:  # Graphic Control Ext
+                packed = content[pos + 1]
+                disposal = (packed >> 2) & 0x07
+                delay_cs = int.from_bytes(content[pos + 2 : pos + 4], "little")
+                transparent = content[pos + 4] if packed & 0x01 else None
             while content[pos] != 0:
                 pos += 1 + content[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
+            left = int.from_bytes(content[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(content[pos + 3 : pos + 5], "little")
             w = int.from_bytes(content[pos + 5 : pos + 7], "little")
             h = int.from_bytes(content[pos + 7 : pos + 9], "little")
             iflags = content[pos + 9]
@@ -616,12 +682,135 @@ def _decode_gif(content: bytes) -> np.ndarray:
                 for src, dst in enumerate(order):
                     deinter[dst] = idx[src]
                 idx = deinter
-            return table[np.clip(idx, 0, len(table) - 1)]
+            rgb = table[np.clip(idx, 0, len(table) - 1)]
+            prev_canvas = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + h, left : left + w]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:, :] = rgb
+            frames.append(canvas.copy())
+            delays.append(delay_cs)
+            if disposal == 2:  # restore region to background color
+                canvas[top : top + h, left : left + w] = bg_rgb
+            elif disposal == 3:  # restore to the pre-frame canvas
+                canvas = prev_canvas
+            disposal, transparent, delay_cs = 0, None, 0
         elif b == 0x3B:  # trailer
             break
         else:
             raise NotImplementedError(f"GIF unknown block 0x{b:02x}")
-    raise NotImplementedError("GIF has no image frame")
+    if not frames:
+        raise NotImplementedError("GIF has no image frame")
+    return frames, delays
+
+
+def sample_gif_frames(content: bytes, n: int) -> list[np.ndarray]:
+    """Evenly-spaced frame sampling — the training-pipeline video op
+    (clip-level features come from k sampled frames, not every frame).
+    n ≥ frame count returns every frame once."""
+    frames, _ = decode_gif_frames(content)
+    if n >= len(frames):
+        return frames
+    idxs = [round(i * (len(frames) - 1) / (n - 1)) for i in range(n)] if n > 1 else [0]
+    return [frames[i] for i in idxs]
+
+
+def _decode_gif(content: bytes) -> np.ndarray:
+    """Single-image GIF decode: the first composed frame (full canvas)."""
+    frames, _ = decode_gif_frames(content)
+    return frames[0]
+
+
+def _gif_literal_lzw(values, min_code: int) -> bytes:
+    """Literal-code LZW stream (CLEAR before the table would grow past the
+    code width) — shared by the still and animated encoders."""
+    clear = 1 << min_code
+    end = clear + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width_bits = min_code + 1
+    put(clear, width_bits)
+    budget = (1 << width_bits) - end - 1
+    for v in values:
+        if budget == 0:
+            put(clear, width_bits)
+            budget = (1 << width_bits) - end - 1
+        put(int(v), width_bits)
+        budget -= 1
+    put(end, width_bits)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_sub_blocks(lzw: bytes) -> bytes:
+    out = b""
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00"
+
+
+def encode_gif_animation(frames: list[np.ndarray], delays_cs: list[int] | None = None) -> bytes:
+    """Animated GIF89a writer (the animated partner of ``encode_gif``):
+    one shared global palette over all frames' unique colors (≤256), a
+    Graphic Control Extension per frame carrying its centisecond delay
+    (disposal 1 = keep), full-canvas image descriptors, literal-code LZW.
+    A real animation any viewer plays — and the forward twin the
+    frame-decoder tests verify against."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise NotImplementedError("frames must share one canvas size")
+    delays = list(delays_cs or [10] * len(frames))
+    if len(delays) != len(frames):
+        raise ValueError("delays/frames length mismatch")
+    flat = np.concatenate([np.ascontiguousarray(f, np.uint8).reshape(-1, 3) for f in frames])
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise NotImplementedError(f"{len(colors)} colors: GIF needs a 256-color palette")
+    size_field = max(1, (len(colors) - 1).bit_length() - 1)
+    table_n = 2 << size_field
+    table = colors.tobytes() + b"\x00\x00\x00" * (table_n - len(colors))
+    min_code = max(2, (len(colors) - 1).bit_length())
+    blob = (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x80 | size_field, 0, 0])
+        + table
+    )
+    per_frame = w * h
+    for i, delay in enumerate(delays):
+        idx = inv[i * per_frame : (i + 1) * per_frame]
+        blob += (
+            b"\x21\xf9\x04"
+            + bytes([0x04])  # disposal 1 (keep), no transparency
+            + int(delay).to_bytes(2, "little")
+            + b"\x00\x00"  # transparent index, block terminator
+            + b"\x2c"
+            + b"\x00" * 4
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + b"\x00"
+            + bytes([min_code])
+            + _gif_sub_blocks(_gif_literal_lzw(idx, min_code))
+        )
+    return blob + b"\x3b"
 
 
 def encode_gif(img: np.ndarray) -> bytes:
@@ -641,35 +830,7 @@ def encode_gif(img: np.ndarray) -> bytes:
     table_n = 2 << size_field
     table = colors.tobytes() + b"\x00\x00\x00" * (table_n - len(colors))
     min_code = max(2, (len(colors) - 1).bit_length())
-    clear = 1 << min_code
-    end = clear + 1
-    # LSB-first variable-width packer
-    acc = 0
-    nbits = 0
-    out = bytearray()
-
-    def put(code: int, width: int) -> None:
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    width_bits = min_code + 1
-    put(clear, width_bits)
-    budget = (1 << width_bits) - end - 1
-    for v in idx:
-        if budget == 0:
-            put(clear, width_bits)
-            budget = (1 << width_bits) - end - 1
-        put(int(v), width_bits)
-        budget -= 1
-    put(end, width_bits)
-    if nbits:
-        out.append(acc & 0xFF)
-    lzw = bytes(out)
+    lzw = _gif_literal_lzw(idx, min_code)
     blob = (
         b"GIF89a"
         + w.to_bytes(2, "little")
@@ -1011,3 +1172,118 @@ def extract_features_arrow(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media.select("media_id", "kind", "content").mapInArrow(run, FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------------- video frames
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("decoded", T.IntegerType()),  # 1 real frames, 0 stub
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, n: int = 4, dim: int = 8) -> DataFrame:
+    """Clip-level frame sampling over the binary video column — the
+    training-pipeline op that turns one blob row into k evenly-spaced
+    frame rows with per-frame features. Animated GIF decodes FOR REAL
+    (``decode_gif_frames``: the one video-ish container whose codec the
+    public spec fully yields with the stdlib); any other container gets
+    deterministic per-(content, frame_idx) stub features, so the plumbing
+    a real ffmpeg plug-in would need — row fan-out, Arrow batching,
+    schema, per-frame ordering — is exercised end-to-end either way.
+    At 100 TB: repartition upstream by content hash so one long clip
+    cannot pin a task; k bounds the fan-out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                try:
+                    frames, delays = decode_gif_frames(content)
+                    total = len(frames)
+                    dur = sum(delays) * 10
+                    if n >= total:
+                        sel = list(range(total))
+                    elif n == 1:
+                        sel = [0]
+                    else:
+                        sel = [round(i * (total - 1) / (n - 1)) for i in range(n)]
+                    for i in sorted(set(sel)):
+                        rows.append(
+                            (r.media_id, i, total, dur, 1,
+                             _image_features(frames[i], dim))
+                        )
+                except Exception:  # noqa: BLE001 — no codec for container
+                    for i in range(n):
+                        rows.append(
+                            (r.media_id, i, n, None, 0,
+                             _stub_decode(content + bytes([i]), dim))
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "n_frames", "duration_ms",
+                    "decoded", "features",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
+@query("q157_video_frame_sampling")
+def q157_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column pipeline round-trip (rows-only: binary I/O). Builds
+    animated GIFs (REAL multi-frame decode: composed canvases, GCE delays)
+    plus one foreign container (stub path), ingests via binaryFile, probes
+    animated duration from block lengths alone, fans each clip out into
+    evenly-sampled frame rows, and aggregates per clip — the shape of a
+    video-curation job (sample frames → embed → filter)."""
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_video_fixture")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    for k, (n_frames, delay) in enumerate([(6, 10), (3, 25)]):
+        frames = []
+        for i in range(n_frames):
+            f = np.full((12, 16, 3), (20 * i, 40 + 10 * k, 200 - 25 * i), np.uint8)
+            f[4 : 8, 4 + i : 8 + i] = (255, 255, 0)  # moving block
+            frames.append(f)
+        with open(os.path.join(root, f"clip{k}.gif"), "wb") as fh:
+            fh.write(encode_gif_animation(frames, [delay] * n_frames))
+    with open(os.path.join(root, "foreign.mp4"), "wb") as fh:
+        fh.write(b"\x00\x00\x00\x18ftypmp42" + b"\x42" * 64)  # no codec here
+
+    media = probe_media(read_media_dir(spark, root, kind="video"))
+    frames_df = sample_video_frames(media, n=4)
+    out = (
+        frames_df.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.first("n_frames").alias("n_frames"),
+            F.first("duration_ms").alias("duration_ms"),
+            F.min("decoded").alias("decoded"),
+            F.round(F.avg(F.element_at("features", 3)), 4).alias("avg_feat3"),
+        )
+        .join(
+            media.select(
+                "media_id", F.col("meta.mime").alias("mime"),
+                F.col("meta.duration_ms").alias("probed_ms"),
+            ),
+            "media_id",
+        )
+        .select(
+            "media_id", "mime", "n_sampled", "n_frames",
+            "duration_ms", "probed_ms", "decoded", "avg_feat3",
+        )
+    )
+    return materialize(out)

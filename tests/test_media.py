@@ -798,3 +798,148 @@ def test_encode_gif_roundtrips_through_the_decoder():
 
     with _pytest.raises(NotImplementedError, match="palette"):
         encode_gif(rng.randint(0, 256, (40, 40, 3), dtype=np.uint8))
+
+
+# ------------------------------------------------------------ animated GIF
+
+
+def test_gif_animation_roundtrip_and_sampling():
+    import numpy as np
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        decode_gif_frames,
+        encode_gif_animation,
+        sample_gif_frames,
+    )
+
+    frames = []
+    for i in range(5):
+        f = np.full((6, 9, 3), (40 * i, 20, 250 - 40 * i), np.uint8)
+        f[1:4, i : i + 3] = (255, 255, 0)
+        frames.append(f)
+    payload = encode_gif_animation(frames, [7, 14, 21, 28, 35])
+    dec, delays = decode_gif_frames(payload)
+    assert delays == [7, 14, 21, 28, 35]
+    assert len(dec) == 5
+    assert all(np.array_equal(a, b) for a, b in zip(frames, dec))
+    s = sample_gif_frames(payload, 2)
+    assert np.array_equal(s[0], frames[0]) and np.array_equal(s[1], frames[4])
+    assert len(sample_gif_frames(payload, 99)) == 5
+
+
+def test_gif_disposal_methods_and_transparency_hand_built():
+    """Hand-assembled GIF89a: disposal 1 (keep), disposal 3 (restore to
+    previous), and a transparency index — composition checked frame by
+    frame against the spec's semantics."""
+    import numpy as np
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _gif_literal_lzw,
+        _gif_sub_blocks,
+        decode_gif_frames,
+        probe_metadata,
+    )
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0])  # R G B K
+    blob = (
+        b"GIF89a"
+        + (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + bytes([0x80 | 0x01, 3, 0])  # 4-color global table, bg index 3
+        + pal
+    )
+
+    def gce(disposal, delay, tindex=None):
+        packed = (disposal << 2) | (1 if tindex is not None else 0)
+        return (
+            b"\x21\xf9\x04"
+            + bytes([packed])
+            + delay.to_bytes(2, "little")
+            + bytes([tindex if tindex is not None else 0])
+            + b"\x00"
+        )
+
+    def img(left, top, w, h, values):
+        return (
+            b"\x2c"
+            + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + b"\x00" + bytes([2])
+            + _gif_sub_blocks(_gif_literal_lzw(values, 2))
+        )
+
+    blob += gce(1, 10) + img(0, 0, 4, 4, [0] * 16)          # all red, keep
+    blob += gce(3, 20) + img(1, 1, 2, 2, [1] * 4)           # green patch, restore-prev
+    blob += gce(0, 30, tindex=3) + img(2, 2, 2, 1, [2, 3])  # blue + transparent
+    blob += b"\x3b"
+
+    frames, delays = decode_gif_frames(bytes(blob))
+    assert delays == [10, 20, 30]
+    R, G, B = (255, 0, 0), (0, 255, 0), (0, 0, 255)
+    f1, f2, f3 = frames
+    assert (f1 == R).all()
+    expect2 = np.full((4, 4, 3), R, np.uint8)
+    expect2[1:3, 1:3] = G
+    assert np.array_equal(f2, expect2)
+    # disposal 3 restored the all-red canvas before frame 3; the
+    # transparent pixel at (2,3) keeps red, (2,2) turns blue
+    expect3 = np.full((4, 4, 3), R, np.uint8)
+    expect3[2, 2] = B
+    assert np.array_equal(f3, expect3)
+    # header-cost probe: 3 frames → duration = (10+20+30) cs = 600 ms
+    assert probe_metadata(bytes(blob)) == ("image/gif", 4, 4, 600)
+
+
+def test_gif_disposal_background_restore():
+    import numpy as np
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _gif_literal_lzw,
+        _gif_sub_blocks,
+        decode_gif_frames,
+    )
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    blob = (
+        b"GIF89a"
+        + (3).to_bytes(2, "little") + (3).to_bytes(2, "little")
+        + bytes([0x80 | 0x01, 3, 0])  # bg index 3 = (10,20,30)
+        + pal
+    )
+    blob += (
+        b"\x21\xf9\x04" + bytes([2 << 2]) + (5).to_bytes(2, "little") + b"\x00\x00"
+    )  # disposal 2: restore region to background
+    blob += (
+        b"\x2c" + b"\x00\x00\x00\x00"
+        + (3).to_bytes(2, "little") + (3).to_bytes(2, "little")
+        + b"\x00" + bytes([2]) + _gif_sub_blocks(_gif_literal_lzw([0] * 9, 2))
+    )
+    blob += (
+        b"\x21\xf9\x04\x00" + (5).to_bytes(2, "little") + b"\x00\x00"
+        + b"\x2c" + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + b"\x00" + bytes([2]) + _gif_sub_blocks(_gif_literal_lzw([1], 2))
+    )
+    blob += b"\x3b"
+    frames, _ = decode_gif_frames(bytes(blob))
+    assert (frames[0] == (255, 0, 0)).all()
+    # after disposal 2 the whole painted region resets to bg color
+    expect = np.full((3, 3, 3), (10, 20, 30), np.uint8)
+    expect[1, 1] = (0, 255, 0)
+    assert np.array_equal(frames[1], expect)
+
+
+def test_q157_video_pipeline(spark, sf_dir):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        q157_video_frame_sampling,
+    )
+
+    rows = q157_video_frame_sampling(spark, sf_dir).collect()
+    assert len(rows) == 3
+    gifs = [r for r in rows if r["mime"] == "image/gif"]
+    others = [r for r in rows if r["mime"] != "image/gif"]
+    assert len(gifs) == 2 and len(others) == 1
+    assert others[0]["decoded"] == 0 and others[0]["duration_ms"] is None
+    for r in gifs:
+        assert r["decoded"] == 1
+        assert r["duration_ms"] == r["probed_ms"]  # decode and probe agree
+        assert r["n_sampled"] == min(4, r["n_frames"])
