@@ -1387,6 +1387,53 @@ class IcebergTable:
         t._publish_metadata(md)
         return t
 
+    def add_files(self, src_dir: str) -> dict:
+        """Register EXTERNAL parquet files into an EXISTING table (the
+        ``add_files`` procedure, the incremental sibling of
+        ``migrate_parquet``): one append snapshot whose entries point at
+        the files in place — no copy, no rewrite. The source's hive layout
+        must match the table's identity partition sources exactly;
+        transformed specs can't be reconstructed from directory names, so
+        they refuse."""
+        md = self.metadata()
+        part_fields = self.partition_fields()
+        if any(pf["transform"] != "identity" for pf in part_fields):
+            raise NotImplementedError(
+                "add_files requires an identity partition spec"
+            )
+        files, keys = _discover_hive_files(src_dir)
+        if not files:
+            raise ValueError(f"no parquet files under {src_dir}")
+        want = [pf["name"] for pf in part_fields]
+        if sorted(keys) != sorted(want):
+            raise ValueError(
+                f"hive layout {keys} does not match partition spec {want}"
+            )
+        sid_schema = md["current-schema-id"]
+        ice = next(s for s in md["schemas"] if s["schema-id"] == sid_schema)
+        name_to_id = {f["name"]: f["id"] for f in ice["fields"]}
+        ice_types = {f["name"]: f["type"] for f in ice["fields"]}
+        entries = [
+            _file_entry(
+                path, _typed_partition_values(pvals, part_fields), name_to_id, ice_types
+            )
+            for path, pvals in files
+        ]
+        cur = self._resolve_snapshot(None, None)
+        _, prior = read_ocf(cur["manifest-list"].replace("file:", ""))
+        seq = md["last-sequence-number"] + 1
+        sid = self._new_snapshot_id()
+        mrow = self._write_manifest(
+            entries, sid, seq, part_fields, spec_id=md["default-spec-id"]
+        )
+        snap = self._commit_snapshot([mrow] + prior, "append", md, sid)
+        md["snapshots"].append(snap)
+        md["current-snapshot-id"] = snap["snapshot-id"]
+        md["last-sequence-number"] = snap["sequence-number"]
+        md["last-updated-ms"] = snap["timestamp-ms"]
+        self._publish_metadata(md)
+        return {"snapshot_id": snap["snapshot-id"], "files_added": len(entries)}
+
     def append(
         self,
         df: DataFrame,

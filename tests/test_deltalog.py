@@ -612,3 +612,20 @@ def test_convert_unpartitioned_dir(spark, tmp_path):
     # footer stats landed in the log → bounds skipping works
     assert len(t.files()) == 2
     assert len(t.files(bounds={"k": (1000, 2000)})) == 0
+
+
+def test_convert_numeric_partition_values(spark, tmp_path):
+    """Numeric hive dirs: partitionValues are strings in the log, cast back
+    through the schema's inferred int type on read."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        convert_parquet_to_delta,
+    )
+
+    root = str(tmp_path / "num")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "k long, p int"
+    ).coalesce(1).write.partitionBy("p").parquet(root)
+    t = convert_parquet_to_delta(spark, root)
+    assert [f.name for f in t.schema().fields] == ["k", "p"]
+    assert t.read().where("p = 1").count() == 4
+    assert sorted(r["p"] for r in t.read().select("p").distinct().collect()) == [0, 1, 2]

@@ -1215,3 +1215,36 @@ def test_migrate_parquet_in_place(spark, root):
     assert t.read(index=0).count() == 30
     with pytest.raises(FileExistsError):
         IcebergTable.migrate_parquet(spark, root)
+
+
+def test_add_files_registers_external_parquet(spark, root, tmp_path):
+    """add_files: external hive-layout files join an existing table's
+    snapshot in place — no copy; data files must stay where they were."""
+    df = spark.createDataFrame([(i, f"p{i % 2}") for i in range(10)], "k long, part string")
+    t = IcebergTable.create(spark, root, df.coalesce(1), partition_by=["part"])
+    ext = str(tmp_path / "landing")
+    extra = spark.createDataFrame(
+        [(i, f"p{i % 2}") for i in range(10, 20)], "k long, part string"
+    )
+    extra.coalesce(1).write.partitionBy("part").parquet(ext)
+    res = t.add_files(ext)
+    assert res["files_added"] == 2
+    assert t.read().count() == 20
+    assert t.read(index=0).count() == 10  # time travel untouched
+    entries, _ = t.files()
+    ext_entries = [e for e in entries if e["file_path"].startswith(ext)]
+    assert len(ext_entries) == 2  # registered IN PLACE under the landing dir
+    # pruning covers old + added files through one spec
+    assert t.read(partition_filter={"part": "p1"}).count() == 10
+    # layout mismatch refuses
+    bad = str(tmp_path / "bad")
+    spark.range(3).write.parquet(bad)
+    with pytest.raises(ValueError, match="does not match"):
+        t.add_files(bad)
+    # transformed specs refuse (directory names can't carry bucket values)
+    t2root = str(tmp_path / "buck")
+    t2 = IcebergTable.create(
+        spark, t2root, df.coalesce(1), partition_by=["bucket(4, k)"]
+    )
+    with pytest.raises(NotImplementedError, match="identity"):
+        t2.add_files(ext)
