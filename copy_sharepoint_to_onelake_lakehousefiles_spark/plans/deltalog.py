@@ -1270,12 +1270,22 @@ class DeltaTable:
             out = out.unionByName(p)
         return out
 
-    def compact(self, target_files: int = 1) -> dict:
-        """OPTIMIZE-style small-file compaction: rewrite each partition's
-        files into ``target_files``, committing remove+add with
-        ``dataChange: false`` — the spec's marker that the commit rearranges
-        bytes without changing rows, so CDC readers skip it entirely (the
-        delta_cdc source honors the flag)."""
+    def compact(self, target_files: int = 1, zorder_by: list[str] | None = None) -> dict:
+        """OPTIMIZE: small-file compaction, optionally with ZORDER BY.
+
+        Plain mode rewrites each partition's files into ``target_files``.
+        With ``zorder_by=[x, y]`` (two numeric columns) every partition is
+        rewritten through the Morton bit-interleave clustering primitive
+        (functions/layout.cluster_by_morton — min-max-normalized
+        interleave, range shuffle, sort within partitions) into
+        ``target_files`` files whose x/y footer stats cover compact
+        rectangles, so selective filters on EITHER column skip most files
+        via the log stats alone. Both modes commit remove+add with
+        ``dataChange: false`` — the spec's marker that the commit
+        rearranges bytes without changing rows, so CDC readers skip it
+        entirely (the delta_cdc source honors the flag)."""
+        if zorder_by is not None and len(zorder_by) != 2:
+            raise NotImplementedError("zorder_by takes exactly two columns")
         _, meta = self.snapshot()
         phys = self._phys_map(meta)
         schema = self.schema()
@@ -1291,11 +1301,15 @@ class DeltaTable:
         actions: list[dict] = [self._commit_info("OPTIMIZE")]
         rewritten = 0
         for _key, group in groups.items():
-            if len(group) <= target_files:
-                continue
-            df = self._read_entries(group, schema, part_cols, phys=phys).coalesce(
-                target_files
-            )
+            if zorder_by is None and len(group) <= target_files:
+                continue  # clustering rewrites even single files; bin-pack skips
+            df = self._read_entries(group, schema, part_cols, phys=phys)
+            if zorder_by is not None:
+                from ..functions.layout import cluster_by_morton
+
+                df = cluster_by_morton(df, *zorder_by, n_files=target_files)
+            else:
+                df = df.coalesce(target_files)
             new_adds = self._stage_files(df, part_cols, phys=phys)
             for a in group:
                 r = self._remove_action(a, now_ms)

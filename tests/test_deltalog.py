@@ -629,3 +629,43 @@ def test_convert_numeric_partition_values(spark, tmp_path):
     assert [f.name for f in t.schema().fields] == ["k", "p"]
     assert t.read().where("p = 1").count() == 4
     assert sorted(r["p"] for r in t.read().select("p").distinct().collect()) == [0, 1, 2]
+
+
+def test_optimize_zorder_by_improves_log_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y): after clustering, a selective filter on
+    EITHER column must skip most files from the LOG stats alone, and a
+    filter on the non-write-order column must skip far better than the
+    pre-optimize row-number layout. dataChange=false throughout."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        DeltaTable,
+    )
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % n).alias("y"),  # decorrelated from x
+        (F.col("id") % 7).alias("v"),
+    )
+    root = str(tmp_path / "zo")
+    t = DeltaTable.create(spark, root, df.repartition(8))
+    files_before_y = len(t.files(bounds={"y": (0, n // 8)}))
+    res = t.compact(target_files=8, zorder_by=["x", "y"])
+    assert res["files_rewritten"] == 8
+    assert len(t.files()) == 8
+    # log-only skipping: a 1/8 slice of either dimension keeps few files
+    kept_x = len(t.files(bounds={"x": (0, n // 8)}))
+    kept_y = len(t.files(bounds={"y": (0, n // 8)}))
+    assert kept_x <= 4 and kept_y <= 4, (kept_x, kept_y)
+    assert kept_y < files_before_y  # better than the unclustered layout
+    # content unchanged; the optimize commit is dataChange=false end to end
+    assert t.read().count() == n
+    assert t.read(bounds={"y": (0, 8)}).where("y <= 8").count() == df.where("y <= 8").count()
+    acts = t._commit_actions(t.latest_version())
+    changed = [
+        a for a in acts
+        if ("add" in a and a["add"].get("dataChange"))
+        or ("remove" in a and a["remove"].get("dataChange"))
+    ]
+    assert changed == []
+    with pytest.raises(NotImplementedError, match="two columns"):
+        t.compact(zorder_by=["x"])
