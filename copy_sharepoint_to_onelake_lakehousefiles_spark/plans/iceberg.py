@@ -1116,6 +1116,12 @@ class IcebergTable:
         os.makedirs(self.data_dir, exist_ok=True)
         stage = os.path.join(self.root, f".stage_{uuid.uuid4().hex}")
         part_names = [pf["name"] for pf in part_fields]
+        try:  # honor the default sort order: each task sorts before writing
+            sort_cols = [c for c in self.sort_order_columns() if c in df.columns]
+        except Exception:  # noqa: BLE001 — table being created, no metadata yet
+            sort_cols = []
+        if sort_cols:
+            df = df.sortWithinPartitions(*sort_cols)
         w = df
         for pf in part_fields:
             w = w.withColumn(f"__p_{pf['name']}", self._transform_col(pf))
@@ -1387,6 +1393,52 @@ class IcebergTable:
         t._publish_metadata(md)
         return t
 
+    def set_sort_order(self, columns: list[str]) -> int:
+        """Register a SORT ORDER (spec §Sorting) — identity transforms,
+        ascending, nulls-first — and make it the table default. Metadata-
+        only; subsequent writes honor it (each task sorts its rows before
+        writing, so per-file column bounds tighten and manifest-level
+        skipping on the leading sort column improves), and
+        ``rewrite_data_files`` re-clusters the whole table by it."""
+        md = self.metadata()
+        sid = md["current-schema-id"]
+        ice = next(s for s in md["schemas"] if s["schema-id"] == sid)
+        by_name = {f["name"]: f for f in ice["fields"]}
+        for c in columns:
+            if c not in by_name:
+                raise ValueError(f"no column {c!r}")
+        next_oid = max(o["order-id"] for o in md["sort-orders"]) + 1
+        md["sort-orders"].append(
+            {
+                "order-id": next_oid,
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-id": by_name[c]["id"],
+                        "direction": "asc",
+                        "null-order": "nulls-first",
+                    }
+                    for c in columns
+                ],
+            }
+        )
+        md["default-sort-order-id"] = next_oid
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(md)
+        return next_oid
+
+    def sort_order_columns(self) -> list[str]:
+        """Column names of the default sort order ([] when unsorted)."""
+        md = self.metadata()
+        order = next(
+            o for o in md["sort-orders"]
+            if o["order-id"] == md.get("default-sort-order-id", 0)
+        )
+        sid = md["current-schema-id"]
+        ice = next(s for s in md["schemas"] if s["schema-id"] == sid)
+        by_id = {f["id"]: f["name"] for f in ice["fields"]}
+        return [by_id[f["source-id"]] for f in order["fields"]]
+
     def add_files(self, src_dir: str) -> dict:
         """Register EXTERNAL parquet files into an EXISTING table (the
         ``add_files`` procedure, the incremental sibling of
@@ -1607,7 +1659,7 @@ class IcebergTable:
         self._publish_metadata(md)
         return {"snapshot_id": snap["snapshot-id"], "files_added": len(entries)}
 
-    def rewrite_data_files(self) -> dict:
+    def rewrite_data_files(self, target_files: int = 1) -> dict:
         """Bin-pack data-file compaction (the spec's ``rewrite_data_files``
         maintenance action, completing the compaction story across all
         three table stacks — TxTable ``compact``, Delta ``optimize``):
@@ -1628,11 +1680,18 @@ class IcebergTable:
         # bin-pack: co-locate each partition's rows in one task so the
         # staged write emits one file per partition value (at production
         # scale the real action packs to a target byte size instead —
-        # same repartition, a size-bounded writer)
+        # same repartition, a size-bounded writer). With a default SORT
+        # ORDER on an unpartitioned table, range-partition on the sort
+        # columns instead: ``target_files`` files with NON-OVERLAPPING
+        # value ranges, so bounds pruning hits exactly one file per point
+        # lookup (the sort-order rewrite of the spec's maintenance docs).
+        sort_cols = self.sort_order_columns()
         if part_fields:
             live = live.repartition(*[F.col(pf["source_name"]) for pf in part_fields])
+        elif sort_cols and target_files > 1:
+            live = live.repartitionByRange(target_files, *sort_cols)
         else:
-            live = live.coalesce(1)
+            live = live.coalesce(target_files)
         entries = self._stage_data_files(live.select(*st.fieldNames()), part_fields, st)
         seq = md["last-sequence-number"] + 1
         sid = self._new_snapshot_id()

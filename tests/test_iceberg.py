@@ -1248,3 +1248,39 @@ def test_add_files_registers_external_parquet(spark, root, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="identity"):
         t2.add_files(ext)
+
+
+def test_sort_order_metadata_and_sorted_rewrite(spark, root):
+    """set_sort_order registers spec-shaped metadata; the sorted
+    rewrite_data_files range-partitions on the sort column so every file
+    covers a disjoint range — a point bounds-lookup then plans exactly
+    one file."""
+    df = spark.range(4000).select(
+        ((F.col("id") * 48271) % 4000).alias("k"),  # shuffled values
+        (F.col("id") % 13).alias("v"),
+    )
+    t = IcebergTable.create(spark, root, df.repartition(8))
+    # unsorted layout: a point lookup overlaps many files
+    kept0, _ = t.files(bounds={"k": (100, 100)})
+    assert len(kept0) == 8
+    oid = t.set_sort_order(["k"])
+    md = t.metadata()
+    assert md["default-sort-order-id"] == oid
+    so = next(o for o in md["sort-orders"] if o["order-id"] == oid)
+    assert so["fields"][0]["transform"] == "identity"
+    assert so["fields"][0]["direction"] == "asc"
+    assert t.sort_order_columns() == ["k"]
+    res = t.rewrite_data_files(target_files=8)
+    assert res["files_after"] == 8
+    kept1, _ = t.files(bounds={"k": (100, 100)})
+    assert len(kept1) == 1  # disjoint ranges after the sorted rewrite
+    assert t.read().count() == 4000
+    # appends honor the order: one task → one file with tight bounds
+    t.append(
+        spark.createDataFrame([(9001 + i, 0) for i in range(50)], "k long, v long")
+        .coalesce(1)
+    )
+    kept2, _ = t.files(bounds={"k": (9001, 9001)})
+    assert len(kept2) == 1
+    with pytest.raises(ValueError, match="no column"):
+        t.set_sort_order(["nope"])
