@@ -1972,3 +1972,44 @@ def q135_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-outer-join merge."""
     t = _merged_delta_nation(spark, sf_dir)
     return materialize(t.read())
+
+
+@query(
+    "q158_delta_zorder_scan",
+    oracle="""
+SELECT event_id, user_id
+FROM events
+WHERE user_id BETWEEN 1 AND 3 AND event_id BETWEEN 0 AND 2000
+""",
+)
+def q158_delta_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY through a real Delta log, verified end-to-end
+    (the Delta twin of q121): events is rewritten Morton-clustered on
+    (event_id, user_id), a 2-D box predicate prunes files from the LOG's
+    per-file stats alone, and the surviving rows must equal the plain
+    relational filter (the oracle). The query asserts skipping actually
+    happened and that the optimize commit was dataChange=false, so a
+    stats or flag regression fails loudly."""
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    root = os.path.join(tempfile.gettempdir(), f"dlz_{uuid.uuid4().hex[:8]}")
+    t = DeltaTable.create(spark, root, ev.repartition(8))
+    t.compact(target_files=8, zorder_by=["event_id", "user_id"])
+    box = {"user_id": (1, 3), "event_id": (0, 2000)}
+    kept = t.files(bounds=box)
+    assert len(kept) < len(t.files()), "z-order produced no log-level skipping"
+    acts = t._commit_actions(t.latest_version())
+    assert not any(
+        a.get("add", {}).get("dataChange") or a.get("remove", {}).get("dataChange")
+        for a in acts
+    ), "optimize must commit dataChange=false"
+    df = (
+        t.read(bounds=box)
+        .where("user_id BETWEEN 1 AND 3 AND event_id BETWEEN 0 AND 2000")
+        .select("event_id", "user_id")
+    )
+    out = materialize(df)  # executor-side; selected rows never hit the driver
+    shutil.rmtree(root, ignore_errors=True)
+    return out
