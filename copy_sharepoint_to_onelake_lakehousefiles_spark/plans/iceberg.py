@@ -3475,3 +3475,42 @@ def q156_in_place_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return materialize(parts[0].unionByName(parts[1]))
+
+
+@query(
+    "q159_iceberg_sorted_scan",
+    oracle="""
+SELECT event_id, user_id
+FROM events
+WHERE event_id BETWEEN 3000 AND 3500
+""",
+)
+def q159_iceberg_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT ORDER + range-clustered rewrite, verified end-to-end: events is
+    rewritten under a sort order on event_id (rewrite_data_files range-
+    partitions into 8 files with DISJOINT event_id ranges), a range
+    predicate prunes via manifest bounds, and the surviving rows must
+    equal the plain relational filter. The in-query asserts pin that the
+    sorted layout planned at most 2 of 8 files (a disjoint-range
+    regression would keep more) and that the sort order is recorded in
+    the table metadata."""
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    root = os.path.join(tempfile.gettempdir(), f"icesort_{uuid.uuid4().hex[:8]}")
+    t = IcebergTable.create(spark, root, ev.repartition(8))
+    t.set_sort_order(["event_id"])
+    t.rewrite_data_files(target_files=8)
+    assert t.sort_order_columns() == ["event_id"]
+    kept, audit = t.files(bounds={"event_id": (3000, 3500)})
+    assert audit["files_total"] == 8
+    assert len(kept) <= 2, f"sorted layout kept {len(kept)} of 8 files"
+    df = (
+        t.read(bounds={"event_id": (3000, 3500)})
+        .where("event_id BETWEEN 3000 AND 3500")
+        .select("event_id", "user_id")
+    )
+    out = materialize(df)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
