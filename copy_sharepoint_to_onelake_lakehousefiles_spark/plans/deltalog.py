@@ -63,6 +63,18 @@ from .roaring import deserialize_rba, read_dv_blob, serialize_rba, write_dv_file
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
+def _decoded_file_path():
+    """Filesystem path of the current row's source file, decoded from the
+    URI Spark reports in ``_metadata.file_path``. The driver side of the DV
+    anti-join builds keys with ``os.path.abspath`` of the RAW path, so table
+    roots containing percent-encoded characters (spaces etc.) must be decoded
+    here or the join masks nothing and DV-deleted rows silently resurrect.
+    ``url_decode`` is form-decoding ('+' → space), but file URIs leave a
+    literal '+' unencoded — pre-escape it to '%2B' so it survives."""
+    p = F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    return F.url_decode(F.regexp_replace(p, r"\+", "%2B"))
+
+
 def _fmt_commit(v: int) -> str:
     return f"{v:020d}.json"
 
@@ -383,9 +395,7 @@ class DeltaTable:
         dv_adds = [a for a in adds if a.get("deletionVector")]
         need_id = with_identity or bool(dv_adds)
         ident = [
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "").alias(
-                "__dv_fp"
-            ),
+            _decoded_file_path().alias("__dv_fp"),
             F.col("_metadata.row_index").alias("__dv_pos"),
         ]
         out_cols = [f.name for f in full_schema.fields]
@@ -619,14 +629,38 @@ class DeltaTable:
                     proto = action["protocol"]
         return proto
 
+    # Legacy protocol versions imply feature sets (Delta PROTOCOL.md, table
+    # features): an upgrade to reader 3 / writer 7 must carry them forward in
+    # the explicit lists, or feature-aware writers would stop enforcing e.g.
+    # the table's CHECK constraints.
+    _LEGACY_WRITER_FEATURES = {
+        2: ["appendOnly", "invariants"],
+        3: ["checkConstraints"],
+        4: ["generatedColumns", "changeDataFeed"],
+        5: ["columnMapping"],
+        6: ["identityColumns"],
+    }
+    _LEGACY_READER_FEATURES = {2: ["columnMapping"]}
+
     def _feature_upgrade_action(self, feature: str) -> dict | None:
         """One protocol action upgrading the table to carry ``feature`` in
-        its reader+writer feature lists, or None if already present."""
+        its reader+writer feature lists, or None if already present. When
+        the current protocol is legacy (no feature lists), the lists are
+        seeded with every feature the legacy minReader/minWriter versions
+        implied, per the table-features upgrade rule."""
         cur = self.protocol()
         rf = set(cur.get("readerFeatures") or [])
         wf = set(cur.get("writerFeatures") or [])
         if feature in rf and feature in wf:
             return None
+        if cur.get("writerFeatures") is None:
+            for v2, feats in self._LEGACY_WRITER_FEATURES.items():
+                if cur.get("minWriterVersion", 0) >= v2:
+                    wf.update(feats)
+        if cur.get("readerFeatures") is None:
+            for v2, feats in self._LEGACY_READER_FEATURES.items():
+                if cur.get("minReaderVersion", 0) >= v2:
+                    rf.update(feats)
         rf.add(feature)
         wf.add(feature)
         return {

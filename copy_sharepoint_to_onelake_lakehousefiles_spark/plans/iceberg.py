@@ -71,6 +71,7 @@ from pyspark.sql import types as T
 from ..registry import materialize, query
 from ..sources.avro_ocf import read_ocf, write_ocf
 from ..tables import load
+from .deltalog import _decoded_file_path
 
 _SPARK_TO_ICE = {
     "long": "long",
@@ -998,9 +999,7 @@ class IcebergTable:
         # source's hidden _metadata struct — per-file constants/counters, so
         # this costs nothing extra at scan time and never touches the driver
         pos_cols = [
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "").alias(
-                "__ice_fp"
-            ),
+            _decoded_file_path().alias("__ice_fp"),
             F.col("_metadata.row_index").alias("__ice_pos"),
         ]
         by_name = {f.name: f for f in schema.fields}
@@ -1567,10 +1566,14 @@ class IcebergTable:
         files would silently un-apply them (the stored delete parquet keys
         by the write-time name) — both refuse loudly."""
         md = self.metadata()
-        spec = next(
-            s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
-        )
-        if field["id"] in {pf["source-id"] for pf in spec["fields"]}:
+        # ALL specs, not just the default: manifests written under an older
+        # spec resolve their partition tuples through partition_fields(spec),
+        # which looks the source id up in the current schema — dropping a
+        # column an old spec still sources would make the table unreadable.
+        sourced = {
+            pf["source-id"] for s in md["partition-specs"] for pf in s["fields"]
+        }
+        if field["id"] in sourced:
             raise NotImplementedError(
                 f"cannot {op} partition source column {field['name']!r}"
             )

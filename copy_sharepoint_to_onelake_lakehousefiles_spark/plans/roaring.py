@@ -169,7 +169,10 @@ def write_dv_file(path: str, dv_blobs: list[bytes]) -> list[tuple[int, int]]:
             spans.append((pos, len(blob)))
             f.write(struct.pack(">i", len(blob)))
             f.write(blob)
-            f.write(struct.pack(">i", zlib.crc32(blob) & 0x7FFFFFFF))
+            # Full 32-bit CRC: delta-spark writes crc.getValue.toInt, i.e. the
+            # raw 4 CRC-32 bytes — masking to 31 bits would reject ~half of all
+            # real-engine blobs (and be rejected by them).
+            f.write(struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
             pos += 4 + len(blob) + 4
     return spans
 
@@ -183,7 +186,7 @@ def read_dv_blob(path: str, offset: int, size_in_bytes: int) -> bytes:
         if n != size_in_bytes:
             raise ValueError(f"DV size mismatch at {path}:{offset}: {n} != {size_in_bytes}")
         blob = f.read(n)
-        (crc,) = struct.unpack(">i", f.read(4))
-    if crc != (zlib.crc32(blob) & 0x7FFFFFFF):
+        (crc,) = struct.unpack(">I", f.read(4))
+    if crc != (zlib.crc32(blob) & 0xFFFFFFFF):
         raise ValueError(f"DV checksum mismatch at {path}:{offset}")
     return blob

@@ -279,3 +279,37 @@ def test_batch_cdf_nets_dv_and_cow_commits(spark, root):
     assert net == t.read().count() == 11
     # empty range → typed empty frame
     assert t.table_changes(3, 3).count() == 0
+
+
+def test_dv_masks_rows_under_percent_encoded_root(spark):
+    """Spark reports _metadata.file_path as a URI, so a table root with a
+    space arrives percent-encoded at the scan; the anti-join key must be
+    URL-decoded or DV-deleted rows silently resurrect (ADVICE r4)."""
+    d = os.path.join(
+        tempfile.gettempdir(), f"dv sp{uuid.uuid4().hex[:6]}", "t+x"
+    )
+    try:
+        t = _mk(spark, d)
+        t.delete_vectors("k % 2 = 0")
+        got = sorted(r.k for r in t.read().select("k").collect())
+        assert got == [1, 3, 5, 7, 9, 11]
+    finally:
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
+
+def test_feature_upgrade_seeds_legacy_features(spark, root):
+    """Upgrading a legacy-protocol table (writer v2) to table features must
+    carry the implied legacy features (appendOnly, invariants) into the
+    explicit writerFeatures list, per the Delta table-features spec —
+    otherwise feature-aware writers stop enforcing them."""
+    t = _mk(spark, root)
+    assert t.protocol()["minWriterVersion"] == 2
+    t.delete_vectors("k = 0")  # first DV delete triggers the upgrade
+    p = t.protocol()
+    assert p["minReaderVersion"] == 3 and p["minWriterVersion"] == 7
+    assert {"appendOnly", "invariants", "deletionVectors"} <= set(
+        p["writerFeatures"]
+    )
+    assert "deletionVectors" in p["readerFeatures"]
+    # writer-only legacy features must NOT leak into readerFeatures
+    assert "appendOnly" not in p["readerFeatures"]

@@ -1284,3 +1284,22 @@ def test_sort_order_metadata_and_sorted_rewrite(spark, root):
     assert len(kept2) == 1
     with pytest.raises(ValueError, match="no column"):
         t.set_sort_order(["nope"])
+
+
+def test_drop_guard_covers_non_default_specs(spark, root):
+    """A column sourced by an OLDER, non-default partition spec must refuse
+    drop: manifests written under that spec resolve partition tuples through
+    the current schema, so dropping the source would make files()/read()
+    raise and the table unreadable (ADVICE r4)."""
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", i * 10) for i in range(6)], "k long, part string, v long"
+    )
+    t = IcebergTable.create(spark, root, df.coalesce(1), partition_by=["part"])
+    t.evolve_partition_spec([])  # default spec no longer sources `part`
+    t.append(
+        spark.createDataFrame([(100, "p9", 1000)], "k long, part string, v long")
+    )
+    with pytest.raises(NotImplementedError, match="partition source"):
+        t.drop_column("part")
+    # the table stays fully readable across both specs
+    assert t.read().count() == 7

@@ -128,3 +128,26 @@ def test_dv_file_layout_and_integrity(tmp_path):
     open(p, "wb").write(bytes(mut))
     with pytest.raises(ValueError, match="checksum"):
         read_dv_blob(p, o1, s1)
+
+
+def test_dv_crc_trailer_is_full_32_bits(tmp_path):
+    """The CRC trailer must be the raw 4-byte CRC-32 (delta-spark writes
+    crc.getValue.toInt) — masking to 31 bits would reject ~half of all
+    real-engine blobs. Find a blob whose CRC has the top bit set and assert
+    its trailer round-trips bit-exactly."""
+    import zlib
+
+    blob = None
+    for i in range(512):
+        cand = serialize_rba([i, i + 7, (i + 1) * 1000])
+        if zlib.crc32(cand) & 0x80000000:
+            blob = cand
+            break
+    assert blob is not None, "no high-bit CRC among candidates (unexpected)"
+    p = os.path.join(str(tmp_path), "hi.dv.bin")
+    ((off, size),) = write_dv_file(p, [blob])
+    raw = open(p, "rb").read()
+    stored = struct.unpack_from(">I", raw, off + 4 + size)[0]
+    assert stored == zlib.crc32(blob) & 0xFFFFFFFF
+    assert stored & 0x80000000  # genuinely exercises the top bit
+    assert read_dv_blob(p, off, size) == blob
