@@ -243,6 +243,65 @@ class DeltaTable:
             out.append(info)
         return out
 
+    HISTORY_DF_DDL = (
+        "version long, operation string, num_added_files long, "
+        "num_removed_files long, num_added_rows long"
+    )
+
+    def history_df(self) -> DataFrame:
+        """``DESCRIBE HISTORY`` as a queryable DataFrame: one row per commit
+        with the operation name and add/remove/row deltas, computed from the
+        same JSON actions snapshot planning replays. The lakehouse form of
+        the reference's per-file audit line (NB:299, RM:150-151: "validate
+        that files appear as expected") — an operator's first post-write ask.
+
+        Scale: O(commits since log cleanup) driver work, identical to the
+        planner's own replay; the result is a metadata frame of #versions
+        rows, never proportional to data."""
+        rows = []
+        for v in self.versions():
+            op, n_add, n_rm, added_rows = None, 0, 0, 0
+            for a in self._commit_actions(v):
+                if a.get("commitInfo"):
+                    op = a["commitInfo"].get("operation")
+                elif a.get("add"):
+                    n_add += 1
+                    st = a["add"].get("stats")
+                    if isinstance(st, str):
+                        st = json.loads(st)
+                    added_rows += int((st or {}).get("numRecords") or 0)
+                elif a.get("remove"):
+                    n_rm += 1
+            rows.append((v, op, n_add, n_rm, added_rows))
+        return self.spark.createDataFrame(rows, self.HISTORY_DF_DDL)
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The live files of a snapshot as a queryable DataFrame (the
+        ``files`` metadata table): path, partition values, physical row
+        count, and deletion-vector cardinality. Joins/filters compose like
+        any other DataFrame — e.g. ``files_df().groupBy("partition_values")``
+        is the audit the reference does per copied file (NB:299)."""
+        rows = []
+        for a in self.files(version):
+            st = a.get("stats")
+            if isinstance(st, str):
+                st = json.loads(st)
+            dv = a.get("deletionVector") or {}
+            rows.append(
+                (
+                    a["path"],
+                    {k: v for k, v in (a.get("partitionValues") or {}).items()},
+                    int(a.get("size") or 0),
+                    int((st or {}).get("numRecords") or 0),
+                    int(dv.get("cardinality") or 0),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, partition_values map<string,string>, size_bytes long, "
+            "num_records long, dv_cardinality long",
+        )
+
     def seen_txn(self, app_id: str) -> int | None:
         """Highest txn.version committed for ``app_id`` (idempotent-writer
         check, Delta's SetTransaction action)."""

@@ -531,6 +531,79 @@ class IcebergTable:
     def snapshots(self) -> list[dict]:
         return list(self.metadata().get("snapshots") or [])
 
+    SNAPSHOTS_DF_DDL = (
+        "sequence_number long, snapshot_id long, schema_id long, "
+        "timestamp_ms long, operation string, added_data_files long, "
+        "added_records long, deleted_data_files long, deleted_records long, "
+        "total_data_files long, total_records long"
+    )
+
+    def snapshots_df(self) -> DataFrame:
+        """The ``snapshots`` metadata table as a queryable DataFrame — one
+        row per snapshot with the spec-standard summary metrics parsed back
+        to longs (summaries are string→string maps on disk). Snapshots
+        written before summary metrics existed surface NULL counts."""
+
+        def as_long(summ: dict, key: str):
+            v = summ.get(key)
+            return int(v) if v is not None else None
+
+        rows = []
+        for s in self.snapshots():
+            summ = s.get("summary") or {}
+            rows.append(
+                (
+                    s["sequence-number"],
+                    s["snapshot-id"],
+                    s.get("schema-id"),
+                    s.get("timestamp-ms"),
+                    summ.get("operation"),
+                    as_long(summ, "added-data-files"),
+                    as_long(summ, "added-records"),
+                    as_long(summ, "deleted-data-files"),
+                    as_long(summ, "deleted-records"),
+                    as_long(summ, "total-data-files"),
+                    as_long(summ, "total-records"),
+                )
+            )
+        return self.spark.createDataFrame(rows, self.SNAPSHOTS_DF_DDL)
+
+    def files_df(
+        self, snapshot_id: int | None = None, index: int | None = None
+    ) -> DataFrame:
+        """The ``files`` metadata table: live data files of a snapshot with
+        partition values (stringified, spec'd transform output), record
+        count, and size. Metadata-frame sized — one row per file, resolved
+        through the same two-level manifest pruning as reads."""
+        entries, _ = self.files(snapshot_id=snapshot_id, index=index)
+        snap = self._resolve_snapshot(snapshot_id, index)
+        pf_by_spec: dict[int, list[dict]] = {}
+        rows = []
+        for e in entries:
+            spec_id = e.get("__spec") or 0
+            if spec_id not in pf_by_spec:
+                pf_by_spec[spec_id] = self.partition_fields(spec_id)
+            part = e.get("partition") or {}
+            rows.append(
+                (
+                    os.path.relpath(
+                        e["file_path"].replace("file:", ""), self.root
+                    ),
+                    {
+                        pf["name"]: (None if part.get(pf["name"]) is None else str(part[pf["name"]]))
+                        for pf in pf_by_spec[spec_id]
+                    },
+                    int(e.get("record_count") or 0),
+                    int(e.get("file_size_in_bytes") or 0),
+                    snap["snapshot-id"],
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, partition_values map<string,string>, record_count long, "
+            "file_size_in_bytes long, snapshot_id long",
+        )
+
     def current_snapshot_id(self) -> int | None:
         return self.metadata().get("current-snapshot-id")
 
@@ -1252,12 +1325,56 @@ class IcebergTable:
             codec="deflate",
             metadata={"format-version": "2"},
         )
+        # Spec-standard summary metrics (Iceberg writes these as a
+        # string→string map): per-snapshot change counts from the manifests
+        # ADDED by this snapshot, running totals from every live manifest.
+        # All derivable from the manifest-list rows already in hand — no
+        # file re-read.
+        data_rows = [m for m in manifest_rows if (m.get("content") or 0) == 0]
+        new_rows = [
+            m for m in data_rows if m.get("added_snapshot_id") == snapshot_id
+        ]
+        added_files = sum(m["added_files_count"] for m in new_rows)
+        added_records = sum(m["added_rows_count"] for m in new_rows)
+        total_files = sum(
+            m["added_files_count"] + m["existing_files_count"] for m in data_rows
+        )
+        total_records = sum(
+            m["added_rows_count"] + m["existing_rows_count"] for m in data_rows
+        )
+        # deleted-* via the total-delta identity (prev + added − total): it
+        # holds both when a rewrite marks status-2 entries and when an
+        # overwrite simply drops prior manifests from the new list.
+        prev = {}
+        if base_md and base_md.get("current-snapshot-id") is not None:
+            for s in base_md.get("snapshots") or []:
+                if s["snapshot-id"] == base_md["current-snapshot-id"]:
+                    prev = s.get("summary") or {}
+        metrics = {
+            "added-data-files": str(added_files),
+            "deleted-data-files": str(
+                max(0, int(prev.get("total-data-files") or 0) + added_files - total_files)
+            ),
+            "added-records": str(added_records),
+            "deleted-records": str(
+                max(0, int(prev.get("total-records") or 0) + added_records - total_records)
+            ),
+            "total-data-files": str(total_files),
+            "total-records": str(total_records),
+            "total-delete-files": str(
+                sum(
+                    m["added_files_count"] + m["existing_files_count"]
+                    for m in manifest_rows
+                    if (m.get("content") or 0) == 1
+                )
+            ),
+        }
         snap = {
             "snapshot-id": snapshot_id,
             "sequence-number": seq,
             "timestamp-ms": int(time.time() * 1000),
             "manifest-list": list_path,
-            "summary": {"operation": operation, **(summary_extra or {})},
+            "summary": {"operation": operation, **metrics, **(summary_extra or {})},
             "schema-id": (base_md or {}).get("current-schema-id", 0),
         }
         return snap

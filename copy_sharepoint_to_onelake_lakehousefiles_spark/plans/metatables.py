@@ -1,0 +1,301 @@
+"""Queryable table-metadata surface: DESCRIBE HISTORY / snapshots / files.
+
+The reference validates its work by counting copied files and logging one
+audit line per file (NB:299; RM:150-151 "validate that files appear as
+expected"). The lakehouse generalization — and every real operator's first
+post-write ask — is a QUERYABLE metadata surface: ``history()`` /
+``snapshots()`` / ``files()`` tables over the commit log, like Delta's
+``DESCRIBE HISTORY`` and Iceberg's metadata tables. The engine already
+persists every input (JSON commit logs, snapshot summaries, Avro manifests);
+this module exposes them as DataFrames on all three stacks
+(``TxTable.history_df/files_df``, ``DeltaTable.history_df/files_df``,
+``IcebergTable.snapshots_df/files_df``) and registers gate queries whose
+DuckDB oracles read the ENGINE'S OWN on-disk metadata artifacts — the Delta
+``_delta_log`` JSON and the Iceberg/TxTable metadata JSON — via
+``read_json``. Two independent readers of the same committed artifact must
+agree, so the gate verifies the log format itself, not just the query.
+
+The demo tables are built from ``nation`` × ``region`` ONLY (25 and 5 rows
+at EVERY scale factor), so the metadata content is sf-independent and the
+static oracle SQL can name a fixed filesystem root.
+
+Scale posture: metadata frames are O(#commits) / O(#files) rows — the same
+driver-side log replay snapshot planning already performs, never data-sized.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+from .deltalog import DeltaTable
+from .iceberg import IcebergTable
+from .txtable import TxTable
+
+ROOT = "/tmp/spark_graft_metatables"
+_BUILT: set[tuple[int, str]] = set()
+
+
+def _nation_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+        .coalesce(1)  # one file per partition dir under partitionBy
+    )
+
+
+def _build_delta(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """Four-commit demo Delta table at a FIXED root: CREATE (partitioned by
+    r_name) / APPEND / DELETE via deletion vectors / OVERWRITE dropping one
+    region. Rebuilt once per process so the on-disk ``_delta_log`` always
+    reflects this code; content derives from nation×region only and is
+    identical at every scale factor."""
+    root = os.path.join(ROOT, "delta")
+    key = (id(spark), "delta")
+    if key in _BUILT and os.path.isdir(os.path.join(root, "_delta_log")):
+        return DeltaTable(spark, root)
+    shutil.rmtree(root, ignore_errors=True)
+    dim = _nation_dim(spark, sf_dir)
+    t = DeltaTable.create(spark, root, dim, partition_by=["r_name"])
+    t.append(
+        dim.where(F.col("n_nationkey") >= 10).withColumn(
+            "n_name", F.concat(F.col("n_name"), F.lit("_V1"))
+        )
+    )
+    t.delete_vectors("n_nationkey % 7 = 3")
+    t.overwrite(dim.where(F.col("r_name") != F.lit("EUROPE")))
+    _BUILT.add(key)
+    return t
+
+
+def _build_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """Three-snapshot Iceberg demo at a FIXED root (create / append /
+    overwrite), plus a verbatim copy of the CURRENT metadata JSON at a fixed
+    file for the oracle (the engine's own artifact, byte-identical)."""
+    root = os.path.join(ROOT, "iceberg")
+    key = (id(spark), "iceberg")
+    meta_copy = os.path.join(ROOT, "iceberg_current_metadata.json")
+    if key in _BUILT and os.path.isfile(meta_copy):
+        return IcebergTable(spark, root)
+    shutil.rmtree(root, ignore_errors=True)
+    dim = _nation_dim(spark, sf_dir)
+    t = IcebergTable.create(spark, root, dim, partition_by=["r_name"])
+    t.append(
+        dim.where(F.col("n_nationkey") < 10).withColumn(
+            "n_name", F.concat(F.col("n_name"), F.lit("_V1"))
+        )
+    )
+    t.overwrite(dim.where(F.col("r_name") != F.lit("ASIA")))
+    vs = t._metadata_versions()
+    os.makedirs(ROOT, exist_ok=True)
+    shutil.copyfile(
+        os.path.join(t.meta_dir, f"v{vs[-1]}.metadata.json"), meta_copy
+    )
+    _BUILT.add(key)
+    return t
+
+
+def _build_txtable(spark: SparkSession, sf_dir: str) -> TxTable:
+    """Three-commit TxTable demo at a FIXED root: create / append / delete.
+    The oracle replays the same ``_log`` JSON manifests."""
+    root = os.path.join(ROOT, "tx")
+    key = (id(spark), "tx")
+    if key in _BUILT and os.path.isdir(os.path.join(root, "_log")):
+        return TxTable(spark, root)
+    shutil.rmtree(root, ignore_errors=True)
+    dim = _nation_dim(spark, sf_dir)
+    t = TxTable.create(spark, root, dim, key="n_nationkey")
+    t.append(
+        dim.where(F.col("n_nationkey") >= 15).withColumn(
+            "n_name", F.concat(F.col("n_name"), F.lit("_V1"))
+        )
+    )
+    t.delete("n_nationkey % 5 = 2")
+    _BUILT.add(key)
+    return t
+
+
+_Q160_ORACLE = f"""
+WITH acts AS (
+  SELECT CAST(regexp_extract(filename, '(\\d+)\\.json$', 1) AS BIGINT) AS version,
+         "commitInfo", "add", "remove"
+  FROM read_json_auto('{ROOT}/delta/_delta_log/*.json',
+                      filename=true, format='newline_delimited')
+  WHERE regexp_matches(filename, '\\d+\\.json$')
+)
+SELECT version,
+       max(json_extract_string(to_json("commitInfo"), '$.operation')) AS operation,
+       CAST(count("add".path) AS BIGINT) AS num_added_files,
+       CAST(count("remove".path) AS BIGINT) AS num_removed_files,
+       CAST(coalesce(sum(CAST(json_extract_string("add".stats, '$.numRecords')
+                              AS BIGINT)), 0) AS BIGINT) AS num_added_rows
+FROM acts
+GROUP BY version
+"""
+
+
+@query("q160_delta_describe_history", oracle=_Q160_ORACLE)
+def q160_delta_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY as a queryable DataFrame over a four-commit Delta
+    table (CREATE partitioned / APPEND / deletion-vector DELETE /
+    OVERWRITE). The oracle re-derives every row from the SAME on-disk
+    ``_delta_log`` JSON via DuckDB ``read_json`` — two independent readers
+    of the committed artifact must agree on operations and add/remove/row
+    deltas, so the gate checks the log format itself (the lakehouse form of
+    the reference's audit line, NB:299)."""
+    return _build_delta(spark, sf_dir).history_df()
+
+
+_Q161_ORACLE = f"""
+SELECT s."sequence-number" AS sequence_number,
+       CAST(s."schema-id" AS BIGINT) AS schema_id,
+       s.summary.operation AS operation,
+       CAST(s.summary."added-data-files" AS BIGINT) AS added_data_files,
+       CAST(s.summary."added-records" AS BIGINT) AS added_records,
+       CAST(s.summary."deleted-data-files" AS BIGINT) AS deleted_data_files,
+       CAST(s.summary."deleted-records" AS BIGINT) AS deleted_records,
+       CAST(s.summary."total-data-files" AS BIGINT) AS total_data_files,
+       CAST(s.summary."total-records" AS BIGINT) AS total_records
+FROM (
+  SELECT unnest(snapshots) AS s
+  FROM read_json_auto('{ROOT}/iceberg_current_metadata.json')
+)
+"""
+
+
+@query("q161_iceberg_snapshots_table", oracle=_Q161_ORACLE)
+def q161_iceberg_snapshots_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg ``snapshots`` metadata table with spec-standard summary
+    metrics (added/deleted/total files and records — written as the
+    string→string summary map real Iceberg emits). The oracle unnests the
+    snapshots array straight out of the engine's CURRENT table-metadata
+    JSON, so summary bookkeeping (including the total-delta identity for
+    overwrites that drop manifests) is format-checked, not just
+    self-consistent. Nondeterministic fields (snapshot-id, timestamp) are
+    projected out."""
+    t = _build_iceberg(spark, sf_dir)
+    return t.snapshots_df().select(
+        "sequence_number",
+        "schema_id",
+        "operation",
+        "added_data_files",
+        "added_records",
+        "deleted_data_files",
+        "deleted_records",
+        "total_data_files",
+        "total_records",
+    )
+
+
+_Q162_ORACLE = f"""
+WITH m AS (
+  SELECT CAST(regexp_extract(filename, '(\\d+)\\.json$', 1) AS BIGINT) AS version,
+         op, "add", "remove"
+  FROM read_json_auto('{ROOT}/tx/_log/*.json', filename=true)
+  WHERE regexp_matches(filename, '/\\d+\\.json$')
+),
+adds AS (
+  SELECT m.version, a.path AS path, CAST(a.rows AS BIGINT) AS rows
+  FROM m, unnest(coalesce(m."add", [])) AS u(a)
+),
+rms AS (
+  SELECT m.version, r AS path
+  FROM m, unnest(coalesce(m."remove", [])) AS u(r)
+),
+per_commit AS (
+  SELECT m.version, max(m.op) AS op,
+         CAST(coalesce((SELECT count(*) FROM adds a WHERE a.version = m.version), 0) AS BIGINT)
+           AS num_added_files,
+         CAST(coalesce((SELECT sum(a.rows) FROM adds a WHERE a.version = m.version), 0) AS BIGINT)
+           AS num_added_rows,
+         CAST(coalesce((SELECT count(*) FROM rms r WHERE r.version = m.version), 0) AS BIGINT)
+           AS num_removed_files
+  FROM m GROUP BY m.version
+),
+live AS (
+  -- cumulative replay: a file added at av is live at version V iff
+  -- av <= V and no remove of the same path at version <= V (paths are
+  -- unique per write, never re-added)
+  SELECT v.version AS at_version,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(coalesce(sum(a.rows), 0) AS BIGINT) AS n_rows
+  FROM (SELECT DISTINCT version FROM m) v
+  JOIN adds a ON a.version <= v.version
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rms r
+    WHERE r.path = a.path AND r.version <= v.version
+  )
+  GROUP BY v.version
+)
+SELECT p.version, p.op, p.num_added_files, p.num_added_rows,
+       p.num_removed_files,
+       coalesce(l.n_files, 0) AS n_files,
+       coalesce(l.n_rows, 0) AS n_rows
+FROM per_commit p LEFT JOIN live l ON l.at_version = p.version
+"""
+
+
+@query("q162_txtable_history_table", oracle=_Q162_ORACLE)
+def q162_txtable_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TxTable ``history_df``: per-commit add/remove deltas plus cumulative
+    live file/row totals. The oracle replays the same ``_log`` JSON delta
+    manifests relationally (adds ≤ V anti-joined against removes ≤ V), so
+    the engine's log-replay bookkeeping is checked against an independent
+    SQL reconstruction of the identical artifact."""
+    return _build_txtable(spark, sf_dir).history_df()
+
+
+_Q163_ORACLE = f"""
+WITH acts AS (
+  SELECT CAST(regexp_extract(filename, '(\\d+)\\.json$', 1) AS BIGINT) AS version,
+         "add", "remove"
+  FROM read_json_auto('{ROOT}/delta/_delta_log/*.json',
+                      filename=true, format='newline_delimited')
+  WHERE regexp_matches(filename, '\\d+\\.json$')
+),
+adds AS (
+  SELECT version, "add".path AS path,
+         CAST(json_extract_string("add".stats, '$.numRecords') AS BIGINT)
+           AS num_records,
+         CAST(coalesce("add".deletionVector.cardinality, 0) AS BIGINT)
+           AS dv_cardinality,
+         "add".partitionValues.r_name AS r_name
+  FROM acts WHERE "add".path IS NOT NULL
+),
+rms AS (
+  SELECT version, "remove".path AS path FROM acts
+  WHERE "remove".path IS NOT NULL
+),
+latest_add AS (SELECT path, max(version) AS av FROM adds GROUP BY path),
+latest_rm AS (SELECT path, max(version) AS rv FROM rms GROUP BY path)
+SELECT a.path, a.num_records, a.dv_cardinality, a.r_name
+FROM adds a
+JOIN latest_add la ON a.path = la.path AND a.version = la.av
+LEFT JOIN latest_rm lr ON a.path = lr.path
+WHERE lr.rv IS NULL OR la.av >= lr.rv
+"""
+
+
+@query("q163_delta_files_table", oracle=_Q163_ORACLE)
+def q163_delta_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta ``files`` metadata table: live files of the latest
+    snapshot with physical row counts and deletion-vector cardinality. The
+    oracle reconstructs liveness from the raw log (latest add per path vs
+    latest remove; a same-version remove+add — the DV commit shape — leaves
+    the file live per Delta's commit reconciliation), so snapshot
+    resolution itself is format-checked against the artifact."""
+    t = _build_delta(spark, sf_dir)
+    return t.files_df().select(
+        "path",
+        "num_records",
+        "dv_cardinality",
+        F.element_at(F.col("partition_values"), "r_name").alias("r_name"),
+    )

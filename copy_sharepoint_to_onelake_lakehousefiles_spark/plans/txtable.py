@@ -167,6 +167,53 @@ class TxTable:
             )
         return out
 
+    HISTORY_DF_DDL = (
+        "version long, op string, num_added_files long, num_added_rows long, "
+        "num_removed_files long, n_files long, n_rows long"
+    )
+
+    def history_df(self):
+        """``history()`` as a queryable DataFrame — per-commit add/remove
+        deltas plus the cumulative live file/row totals after each commit
+        (one replay of the delta log, #versions rows)."""
+        rows = []
+        by_path: dict[str, dict] = {}
+        for v in self.versions():
+            m = self._manifest(v)
+            adds = m.get("add") or (m.get("files") if "files" in m else []) or []
+            removes = m.get("remove") or []
+            by_path = self._apply_delta(by_path, m)
+            rows.append(
+                (
+                    v,
+                    m.get("op"),
+                    len(adds),
+                    sum(int(fe.get("rows") or 0) for fe in adds),
+                    len(removes),
+                    len(by_path),
+                    sum(int(fe.get("rows") or 0) for fe in by_path.values()),
+                )
+            )
+        return self.spark.createDataFrame(rows, self.HISTORY_DF_DDL)
+
+    def files_df(self, version: int | None = None):
+        """The live files of a snapshot as a DataFrame: path, row count, and
+        the min/max key-bounds the planner prunes on — the queryable form of
+        the per-file audit the reference logs after each copy (NB:299)."""
+        v = self.latest_version() if version is None else version
+        rows = [
+            (
+                fe["path"],
+                int(fe.get("rows") or 0),
+                None if fe.get("min_key") is None else str(fe["min_key"]),
+                None if fe.get("max_key") is None else str(fe["max_key"]),
+            )
+            for fe in self._files(v)
+        ]
+        return self.spark.createDataFrame(
+            rows, "path string, rows long, min_key string, max_key string"
+        )
+
     def _commit(
         self,
         op: str,

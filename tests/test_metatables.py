@@ -1,0 +1,142 @@
+"""Queryable metadata tables (plans/metatables.py + the *_df methods):
+DESCRIBE HISTORY / snapshots / files surfaces on TxTable, Delta, and
+Iceberg, cross-checked against the read path they describe."""
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import DeltaTable
+from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import IcebergTable
+from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.txtable import TxTable
+
+
+@pytest.fixture()
+def root():
+    d = os.path.join(tempfile.gettempdir(), f"meta_test_{uuid.uuid4().hex[:8]}")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _df(spark, n=12):
+    return spark.createDataFrame(
+        [(i, f"p{i % 3}", i * 10) for i in range(n)], "k long, part string, v long"
+    )
+
+
+def test_delta_history_df_tracks_operations_and_deltas(spark, root):
+    t = DeltaTable.create(spark, root, _df(spark).repartition(3, "k"))
+    t.append(_df(spark).where("k >= 6"))
+    t.delete_vectors("k = 1")
+    h = {r["version"]: r for r in t.history_df().collect()}
+    assert h[0]["operation"].startswith("CREATE")
+    assert h[0]["num_added_rows"] == 12 and h[0]["num_removed_files"] == 0
+    assert h[1]["operation"] == "WRITE" and h[1]["num_added_rows"] == 6
+    # the DV commit removes and re-adds the same file (physical rows again)
+    assert h[2]["operation"] == "DELETE"
+    assert h[2]["num_added_files"] == h[2]["num_removed_files"] == 1
+    assert set(t.history_df().columns) == {
+        "version", "operation", "num_added_files", "num_removed_files",
+        "num_added_rows",
+    }
+
+
+def test_delta_files_df_matches_snapshot_and_dv_cardinality(spark, root):
+    t = DeltaTable.create(
+        spark, root, _df(spark).coalesce(1), partition_by=["part"]
+    )
+    t.delete_vectors("k % 4 = 0")  # kills 0,4,8 → one per partition
+    f = t.files_df()
+    rows = f.collect()
+    assert len(rows) == len(t.files())
+    # physical rows minus DV'd ordinals == logical count
+    physical = sum(r["num_records"] for r in rows)
+    dv = sum(r["dv_cardinality"] for r in rows)
+    assert physical - dv == t.read().count() == 9
+    parts = {r["partition_values"]["part"] for r in rows}
+    assert parts == {"p0", "p1", "p2"}
+    # the metadata frame composes like any DataFrame
+    agg = (
+        f.groupBy(F.element_at("partition_values", "part").alias("part"))
+        .agg(F.sum("num_records").alias("rows"))
+        .collect()
+    )
+    assert {r["part"]: r["rows"] for r in agg} == {"p0": 4, "p1": 4, "p2": 4}
+
+
+def test_iceberg_snapshots_df_summary_metrics(spark, root):
+    t = IcebergTable.create(
+        spark, root, _df(spark).coalesce(1), partition_by=["part"]
+    )
+    t.append(_df(spark, 6).coalesce(1))
+    t.overwrite(_df(spark).where("part <> 'p0'").coalesce(1))
+    s = {r["sequence_number"]: r for r in t.snapshots_df().collect()}
+    assert [s[i]["operation"] for i in (1, 2, 3)] == [
+        "append", "append", "overwrite",
+    ]
+    assert s[1]["added_records"] == 12 and s[1]["total_records"] == 12
+    assert s[2]["added_records"] == 6 and s[2]["total_records"] == 18
+    # overwrite: total-delta identity reports what dropped out
+    assert s[3]["total_records"] == 8
+    assert s[3]["deleted_records"] == 18 + s[3]["added_records"] - 8
+    assert s[3]["deleted_data_files"] > 0
+    # totals agree with the read path at each snapshot
+    for i in (1, 2, 3):
+        assert t.read(index=i - 1).count() == s[i]["total_records"]
+
+
+def test_iceberg_files_df_partition_values_and_counts(spark, root):
+    t = IcebergTable.create(
+        spark, root, _df(spark).coalesce(1), partition_by=["part"]
+    )
+    f = t.files_df().collect()
+    assert sum(r["record_count"] for r in f) == 12
+    assert {r["partition_values"]["part"] for r in f} == {"p0", "p1", "p2"}
+    assert all(r["file_size_in_bytes"] > 0 for r in f)
+    assert all(not os.path.isabs(r["path"]) for r in f)
+
+
+def test_txtable_history_df_cumulative_replay(spark, root):
+    t = TxTable.create(spark, root, _df(spark), key="k")
+    t.append(_df(spark, 4))
+    t.delete("k >= 10")
+    h = {r["version"]: r for r in t.history_df().collect()}
+    assert h[0]["op"] == "create" and h[0]["num_added_rows"] == 12
+    assert h[1]["op"] == "append" and h[1]["num_added_rows"] == 4
+    assert h[2]["op"] == "delete" and h[2]["num_removed_files"] > 0
+    # cumulative totals equal the read path at every version
+    for v in (0, 1, 2):
+        assert t.read(v).count() == h[v]["n_rows"]
+    assert h[2]["n_files"] == len(t._files(2))
+
+
+def test_txtable_files_df_surfaces_prune_bounds(spark, root):
+    t = TxTable.create(spark, root, _df(spark).repartition(3, "k"), key="k")
+    f = t.files_df().collect()
+    assert sum(r["rows"] for r in f) == 12
+    assert all(r["min_key"] is not None and r["max_key"] is not None for r in f)
+    assert all(int(r["min_key"]) <= int(r["max_key"]) for r in f)
+
+
+def test_metatables_queries_are_sf_independent(spark):
+    """The gate queries build from nation×region only, so the result is
+    byte-identical across scale factors — the property that lets a static
+    oracle path serve every sf the gate runs at."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans import metatables
+
+    def rows(q, sf):
+        return sorted(tuple(r) for r in q(spark, sf).collect())
+
+    for q in (
+        metatables.q160_delta_describe_history,
+        metatables.q161_iceberg_snapshots_table,
+        metatables.q162_txtable_history_table,
+    ):
+        a = rows(q, "/root/testdata/sf0.001")
+        metatables._BUILT.clear()  # force rebuild at the other sf
+        b = rows(q, "/root/testdata/sf0.01")
+        assert a == b, q.__name__
