@@ -123,7 +123,7 @@ def q151_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH pos AS (
   SELECT doc_id,
-         md5(substr(text, i, {SUBSTR_K})) AS gd
+         hash(substr(text, i, {SUBSTR_K})) AS gd
   FROM documents, unnest(generate_series(1, length(text) - {SUBSTR_K - 1})) t(i)
   WHERE length(text) >= {SUBSTR_K}
 ),
@@ -144,10 +144,16 @@ GROUP BY doc_id
 def q153_exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication coverage (Lee et al. 2022, Spark-native):
     explode char-40-grams per position, count corpus-wide occurrences per
-    md5 digest (the shuffle carries 16-byte digests, not text), join back,
-    report per-doc duplicated-position coverage. ``heavy_dup`` flags ≥20%
-    coverage via exact integer arithmetic; ``dup_frac`` uses the same
-    floor-scaled division both engines compute bit-identically."""
+    64-bit digest, join back, report per-doc duplicated-position coverage.
+    ``heavy_dup`` flags ≥20% coverage via exact integer arithmetic;
+    ``dup_frac`` uses the same floor-scaled division both engines compute
+    bit-identically.
+
+    Shuffle weight (VERDICT r4 #1): the exploded rows carry an 8-byte
+    ``xxhash64`` bigint, not a 32-char md5 string — 4× less shuffle at any
+    scale; the digest never leaves the aggregation, so each engine may use
+    its own 64-bit hash (DuckDB ``hash()``) and the coverage-fraction
+    outputs still compare exactly."""
     d = load(spark, sf_dir, "documents")
     pos = d.where(F.length("text") >= SUBSTR_K).select(
         "doc_id",
@@ -155,7 +161,7 @@ def q153_exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 # greatest(…, 0): total under project/filter reordering
                 f"transform(sequence(1, greatest(length(text) - {SUBSTR_K - 1}, 0), 1), "
-                f"i -> md5(substring(text, i, {SUBSTR_K})))"
+                f"i -> xxhash64(substring(text, i, {SUBSTR_K})))"
             )
         ).alias("gd"),
     )

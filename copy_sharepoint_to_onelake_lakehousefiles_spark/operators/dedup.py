@@ -563,16 +563,45 @@ def q91_editdist_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q66_ml_minhash_lsh")
+@query(
+    "q66_ml_minhash_lsh",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle, len({_DUCK_SHINGLES}) AS n_sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS shared, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ((shared * 20000 + (na + nb - shared)) // ((na + nb - shared) * 2))
+       / 10000.0 AS jaccard,
+       1 AS ml_recall_ge_90, 1 AS ml_extra_le_10pct
+FROM pair
+WHERE shared * 2 >= (na + nb - shared)
+""",
+)
 def q66_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via pyspark.ml's MinHashLSH (HashingTF sparse shingle
-    vectors → approxSimilarityJoin) — the standard-library alternative to the
-    hand-built q26 pipeline. Rows-only (ml hash seeds are engine-internal);
-    tests assert the high-similarity pairs agree with the exact q27 truth.
+    """pyspark.ml MinHashLSH (HashingTF sparse shingle vectors →
+    approxSimilarityJoin) agreement-checked against the exact inverted-index
+    Jaccard truth. Promoted from rows-only to the hash tier via the
+    derived-flag pattern (_recall_flags, VERDICT r4 #2): the OUTPUT rows are
+    the exact Jaccard-≥0.5 pairs (fully SQL-recomputable, same kernel as
+    q27), and two integer flags assert the ml pipeline's agreement —
+    recall ≥ 90% of the exact pairs and ≤ 10% spurious extras. ml hashes are
+    seed-dependent engine internals, but the AGREEMENT is deterministic at
+    a fixture (measured 100%/0 at both gate SFs), so margin only breaks on
+    a real regression. The oracle recomputes the exact pairs and emits
+    literal 1 flags.
 
     Scale: approxSimilarityJoin is the same band-join idea under the hood;
     HashingTF keeps the feature space fixed-width (2^18) so vector size is
-    independent of corpus vocabulary."""
+    independent of corpus vocabulary; the agreement join touches pair rows
+    only."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load(spark, sf_dir, "documents")
@@ -581,16 +610,27 @@ def q66_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tf.transform(sh)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=6, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, threshold=0.5, distCol="jaccard_dist")
-    return (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+    ml = (
+        model.approxSimilarityJoin(feats, feats, threshold=0.5, distCol="jaccard_dist")
+        .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard"),
         )
-        .orderBy("doc_a", "doc_b")
     )
+    exact = _jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b", "jaccard")
+    marked = exact.join(
+        F.broadcast(ml.withColumn("__hit", F.lit(1))), ["doc_a", "doc_b"], "left"
+    ).withColumn("__hit", F.coalesce("__hit", F.lit(0)))
+    extras = ml.join(exact, ["doc_a", "doc_b"], "left_anti").count()
+    flags = marked.agg(
+        F.sum("__hit").alias("__h"), F.count(F.lit(1)).alias("__n")
+    ).select(
+        (F.col("__h") * 100 >= F.col("__n") * 90).cast("int").alias("ml_recall_ge_90"),
+        (F.lit(extras) * 100 <= F.col("__n") * 10).cast("int").alias("ml_extra_le_10pct"),
+    )
+    # 1-row aggregate broadcast (allowlisted crossJoin shape, cf _recall_flags)
+    return marked.drop("__hit").crossJoin(F.broadcast(flags))
 
 
 @query(

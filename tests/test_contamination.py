@@ -138,3 +138,13 @@ def test_decontamination_broadcasts_eval_side(spark, sf_dir):
     df = q151_decontamination(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q153_shuffle_digest_is_8_byte_bigint(spark, sf_dir):
+    """The exploded per-position digest must be an 8-byte xxhash64 bigint,
+    not a 32-char md5 string: the gram shuffle dominates this kernel at
+    scale and the string digest was a 4x amplification (VERDICT r4 #1)."""
+    df = q153_exact_substring_dup(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan
+    assert "md5" not in plan

@@ -92,12 +92,13 @@ def test_cluster_members_are_actually_similar(spark, sf_dir):
 
 
 def test_ml_lsh_agrees_with_exact_truth(spark, sf_dir):
-    """pyspark.ml MinHashLSH pairs at jaccard>=0.5 must be a subset of the
-    exact inverted-index pairs (>=0.3), and catch most of the >=0.7 ones."""
-    ml_pairs = {
-        (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in D.q66_ml_minhash_lsh(spark, sf_dir).collect()
-    }
+    """q66 (hash tier since r5) returns the exact jaccard>=0.5 pairs plus
+    integer agreement flags asserting the ml LSH pipeline found them: the
+    pairs must be a subset of the exact >=0.3 pairs with identical scores,
+    and both flags must be 1 at the fixtures."""
+    rows = D.q66_ml_minhash_lsh(spark, sf_dir).collect()
+    assert all(r["ml_recall_ge_90"] == 1 and r["ml_extra_le_10pct"] == 1 for r in rows)
+    ml_pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
     exact = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in D.q27_ngram_jaccard_pairs(spark, sf_dir).collect()
