@@ -61,6 +61,19 @@ def main() -> None:
     # load canary. First iteration always absorbs JVM startup; only the
     # RE-warmed cost is load signal.
     qs["q01_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    # Python-worker/Arrow warm-up: the FIRST vectorized-UDF call in a session
+    # forks the Python worker pool and initializes the Arrow IPC path (~2 s
+    # measured on this container) — session startup of the same kind as the
+    # JVM/codegen warm-up above, not a property of whichever query happens to
+    # hit Python first (q31 was absorbing it). One tiny pandas_udf job pays
+    # it here, outside the timed loop and outside the load canary.
+    from pyspark.sql import functions as _F
+
+    spark.range(1024).select(
+        _F.pandas_udf(lambda s: s + 1, "long")("id")
+    ).write.mode("overwrite").format("noop").save()
+
     warmup = None
     for attempt in range(WARMUP_RETRIES):
         t0 = time.time()
