@@ -166,6 +166,98 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (the standard billion-scale layout, FAISS
+    IVFPQ): a coarse k-means quantizer routes vectors to cells, PQ encodes
+    the RESIDUAL (x − centroid) inside each cell, queries probe their
+    N_PROBE nearest cells and ADC-scan only those cells' code tables, and a
+    small shortlist is re-ranked exactly.
+
+    Spark-first shape: both halves already exist — the coarse quantizer is
+    similarity._ivf_centroids (driver sees only N_CELLS centroid rows), PQ
+    training/encoding reuses train_codebooks/encode over residual vectors.
+    The ADC join keys on (cell, sub_id, cid), so a 100 TB corpus scans
+    8 bytes/vector and ONLY within probed cells — candidate volume is
+    corpus × N_PROBE / N_CELLS, the IVF restriction falling out of the
+    equi-join."""
+    from .similarity import (
+        N_PROBE,
+        _cells_ranked_expr,
+        _ivf_centroids,
+        _nearest_cell_expr,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(emb)
+    centroids = [c for _, c in cents]
+    cent_df = spark.createDataFrame(
+        [(cid, c) for cid, c in enumerate(centroids)], "cell int, cent array<double>"
+    )
+
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).select("vec_id", "emb", _nearest_cell_expr(centroids, "emb").alias("cell"))
+    residuals = corpus.join(F.broadcast(cent_df), "cell").select(
+        "vec_id",
+        "cell",
+        F.expr("zip_with(emb, cent, (x, y) -> x - y)").alias("embedding"),
+    )
+    cb = train_codebooks(residuals)
+    cells = residuals.select("vec_id", "cell")
+    codes = track_persist(encode(residuals, cb).join(cells, "vec_id"))
+
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    probed = q.select(
+        "q_id", "q_emb", F.explode(_cells_ranked_expr(centroids, N_PROBE, "q_emb")).alias("cell")
+    )
+    qres = probed.join(F.broadcast(cent_df), "cell").select(
+        "q_id", "cell", F.expr("zip_with(q_emb, cent, (x, y) -> x - y)").alias("residual")
+    )
+    subs = F.expr(
+        f"transform(sequence(0, {M_SUB - 1}), m -> struct(m AS sub_id, "
+        f"slice(residual, m * {D_SUB} + 1, {D_SUB}) AS subvec))"
+    )
+    # per-(query, probed cell) distance table: M*K rows each, broadcast
+    dtab = (
+        qres.select("q_id", "cell", F.explode(subs).alias("s"))
+        .select("q_id", "cell", "s.sub_id", "s.subvec")
+        .join(F.broadcast(cb), "sub_id")
+        .select("q_id", "cell", "sub_id", "cid", F.expr(_D2).alias("d2"))
+    )
+    adc = (
+        codes.withColumnRenamed("vec_id", "n_id")
+        .join(F.broadcast(dtab), ["cell", "sub_id", "cid"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("d2").alias("adc2"))
+    )
+    ws = W.partitionBy("q_id").orderBy(F.col("adc2").asc(), F.col("n_id"))
+    short = adc.withColumn("srk", F.row_number().over(ws)).where(F.col("srk") <= SHORTLIST)
+
+    qv = q.select("q_id", "q_emb")
+    nv = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").cast("array<double>").alias("n_emb")
+    )
+    exact_d2 = F.expr(
+        "aggregate(zip_with(q_emb, n_emb, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    rer = (
+        short.join(F.broadcast(qv), "q_id")
+        .join(nv, "n_id")
+        .select("q_id", "n_id", F.round(exact_d2, 6).alias("l2sq"))
+    )
+    wf = W.partitionBy("q_id").orderBy(F.col("l2sq").asc(), F.col("n_id"))
+    return (
+        rer.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "n_id", "l2sq", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
 @query(
     "q114_pq_ann_topk",
     oracle=f"""
@@ -208,4 +300,50 @@ def q114_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = pq_topk(spark, sf_dir)
     return _recall_flags(
         exact, ann, ("pq_recall_ok", 20), ("pq_global_recall_ok", 60)
+    ).orderBy("q_id", "rk")
+
+
+@query(
+    "q164_ivfpq_ann_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_emb FROM embeddings
+),
+scored AS (
+  SELECT q_id, n_id,
+         round(list_sum(list_transform(list_zip(q_emb, n_emb),
+                                       x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS l2sq
+  FROM q JOIN c ON q_id <> n_id
+),
+topk AS (
+  SELECT q_id, n_id, l2sq, rk FROM (
+    SELECT q_id, n_id, l2sq,
+           row_number() OVER (PARTITION BY q_id ORDER BY l2sq ASC, n_id) AS rk
+    FROM scored
+  )
+  WHERE rk <= {TOP_K}
+)
+SELECT q_id, n_id, l2sq, rk, 1 AS ivfpq_recall_ok, 1 AS ivfpq_global_recall_ok FROM topk
+""",
+)
+def q164_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (VERDICT r4 #6) under the derived-bound-flag
+    oracle: hashed output = exact L2² top-k (DuckDB recomputes it with the
+    same fold) + `ivfpq_recall_ok` (per-query recall@5 ≥ 40%) +
+    `ivfpq_global_recall_ok` (global ≥ 60%), both computed from the real
+    IVF-PQ pipeline in the same query.
+
+    Margins: measured deterministic per-query minimum is 3/5 (60%) and
+    global is 80-88% at sf0.001/sf0.01 — residual encoding beats flat PQ
+    (q114: 74-78%) while ADC-scanning only N_PROBE/N_CELLS of the corpus.
+    tests/test_pq.py keeps the raw recall check."""
+    from .similarity import _recall_flags
+
+    exact = exact_l2_topk(load(spark, sf_dir, "embeddings"))
+    ann = ivfpq_topk(spark, sf_dir)
+    return _recall_flags(
+        exact, ann, ("ivfpq_recall_ok", 40), ("ivfpq_global_recall_ok", 60)
     ).orderBy("q_id", "rk")

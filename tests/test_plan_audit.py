@@ -34,6 +34,7 @@ NLJ_ALLOWED = {
     "q31_ann_lsh_topk",
     "q51_ann_ivf_topk",
     "q114_pq_ann_topk",
+    "q164_ivfpq_ann_topk",
     "q66_ml_minhash_lsh",  # r5 hash-tier promotion: 1-row agreement-flag broadcast
     # ranking.global_row_number / global_running_sum offset table:
     # triangular self-join over ≤ #shuffle-partitions rows (and q67's
