@@ -257,14 +257,16 @@ def test_q60_profiles_by_detected_mime(spark, sf_dir):
         "image/gif",
         "audio/wav",
     }
-    for mime in ("image/x-portable-pixmap", "image/png", "audio/wav"):
+    for mime in ("image/x-portable-pixmap", "image/png"):
         assert rows[mime]["n_media"] == 2 and rows[mime]["n_distinct"] == 2
+    # 2 PCM tones + µ-law + IMA ADPCM voice clips (r5 compressed decode)
+    assert rows["audio/wav"]["n_media"] == 4 and rows["audio/wav"]["n_distinct"] == 4
     assert rows["image/jpeg"]["n_media"] == 2  # baseline + progressive (r4)
     assert rows["image/gif"]["n_media"] == 1
     assert rows["image/png"]["n_with_dims"] == 2  # header-probed dimensions
     assert rows["image/jpeg"]["n_with_dims"] == 2
     assert rows["image/gif"]["n_with_dims"] == 1
-    assert rows["audio/wav"]["n_with_duration"] == 2  # byte-rate durations
+    assert rows["audio/wav"]["n_with_duration"] == 4  # byte-rate durations
 
 
 # ---------------------------------------------------------------- PNG codec
@@ -943,3 +945,89 @@ def test_q157_video_pipeline(spark, sf_dir):
         assert r["decoded"] == 1
         assert r["duration_ms"] == r["probed_ms"]  # decode and probe agree
         assert r["n_sampled"] == min(4, r["n_frames"])
+
+
+# --- G.711 + IMA ADPCM audio codecs (r5) -------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+    WAVE_ALAW,
+    WAVE_IMA_ADPCM,
+    WAVE_MULAW,
+    alaw_decode,
+    alaw_encode,
+    encode_wav,
+    ima_adpcm_decode,
+    ima_adpcm_encode,
+    mulaw_decode,
+    mulaw_encode,
+)
+
+
+def test_g711_canonical_code_roundtrip():
+    """encode(decode(byte)) == byte for every code word — A-law exactly;
+    µ-law for 255/256 (0x7F and 0xFF are the format's two zero codes)."""
+    codes = np.arange(256, dtype=np.uint8)
+    assert (alaw_encode(alaw_decode(codes)) == codes).all()
+    mu = mulaw_encode(mulaw_decode(codes))
+    assert (mu == codes).sum() == 255
+    assert mulaw_decode(np.array([0x7F], np.uint8))[0] == 0  # the dual zero
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(-32635, 32635), min_size=1, max_size=512))
+def test_g711_quantization_error_bounds(vals):
+    """Top-segment step is 1024 for both laws → max |error| <= 512."""
+    pcm = np.asarray(vals, dtype=np.int16)
+    assert np.abs(mulaw_decode(mulaw_encode(pcm)).astype(int) - pcm).max() <= 512
+    assert np.abs(alaw_decode(alaw_encode(pcm)).astype(int) - pcm).max() <= 512
+
+
+def test_ima_adpcm_roundtrip_snr_and_fact_truncation():
+    t = np.arange(3000) / 8000.0
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    enc = ima_adpcm_encode(sine, 256)
+    dec = ima_adpcm_decode(enc, 256, 1)
+    m = min(len(dec), len(sine))
+    snr = 10 * np.log10(
+        np.mean(sine[:m].astype(float) ** 2)
+        / np.mean((sine[:m] - dec[:m]) ** 2)
+    )
+    assert snr > 20  # IMA ADPCM on a half-scale sine decodes cleanly
+    # fact chunk truncates the zero-padded final block to the true length
+    wav = encode_wav(enc, WAVE_IMA_ADPCM, 1, 8000, 4, 256, n_frames=len(sine))
+    samples, rate = decode_audio(wav)
+    assert rate == 8000 and len(samples) == len(sine)
+
+
+def test_g711_wav_container_decode():
+    t = np.arange(2000) / 8000.0
+    sine = (0.5 * np.sin(2 * np.pi * 330 * t) * 32767).astype(np.int16)
+    for law, tag in ((mulaw_encode, WAVE_MULAW), (alaw_encode, WAVE_ALAW)):
+        wav = encode_wav(law(sine).tobytes(), tag, 1, 8000, 8, 1)
+        samples, rate = decode_audio(wav)
+        assert rate == 8000 and len(samples) == len(sine)
+        rms = float(np.sqrt(np.mean(samples**2)))
+        assert abs(rms - 0.5 / np.sqrt(2)) < 0.01
+
+
+def test_extract_features_surfaces_decode_status(spark, tmp_path):
+    """A corrupted payload must surface the REASON in decode_status, not a
+    silent stub; decodable payloads report 'ok' (VERDICT r4 #8)."""
+    root = tmp_path / "aud"
+    root.mkdir()
+    t = np.arange(1000) / 8000.0
+    sine = (0.4 * np.sin(2 * np.pi * 500 * t) * 32767).astype(np.int16)
+    good = encode_wav(mulaw_encode(sine).tobytes(), WAVE_MULAW, 1, 8000, 8, 1)
+    (root / "good.wav").write_bytes(good)
+    # RIFF/WAVE header with a truncated fmt chunk → ValueError, not stub-silence
+    (root / "corrupt.wav").write_bytes(b"RIFF\x10\x00\x00\x00WAVEfmt \x02\x00\x00\x00\x01\x00")
+    (root / "mystery.bin").write_bytes(b"\x00" * 64)
+    media = M.read_media_dir(spark, str(root), kind="audio")
+    rows = {r["n_bytes"]: r for r in M.extract_features(media).collect()}
+    assert rows[len(good)]["decode_status"] == "ok"
+    statuses = {r["decode_status"] for n, r in rows.items() if n != len(good)}
+    assert all(s.startswith("stub:") for s in statuses)
+    assert any("ValueError" in s or "NotImplementedError" in s for s in statuses)
