@@ -36,10 +36,31 @@ _ARRAY_MAX = 4096
 RBA_MAGIC = 1681511377
 
 
-def serialize_roaring32(values) -> bytes:
-    """Portable no-run serialization of a set of u32 values: containers
-    keyed by the high 16 bits; each container is a sorted u16 array when
-    its cardinality is <= 4096, else an 8 KiB bitset."""
+def _run_spans(lows: list[int]) -> list[tuple[int, int]]:
+    """Sorted distinct u16 list → [(start, length-1)] consecutive runs."""
+    runs = []
+    s = p = lows[0]
+    for v in lows[1:]:
+        if v == p + 1:
+            p = v
+        else:
+            runs.append((s, p - s))
+            s = p = v
+    runs.append((s, p - s))
+    return runs
+
+
+def serialize_roaring32(values, run_optimize: bool = True) -> bytes:
+    """Portable serialization of a set of u32 values: containers keyed by
+    the high 16 bits. Each container picks its cheapest encoding — sorted
+    u16 array (card <= 4096), 8 KiB bitset, or (``run_optimize``, the
+    spec's runOptimize step) a run container when `2 + 4·n_runs` beats
+    both. Any run container switches the stream to cookie 12347 with the
+    run bitset; otherwise the classic no-run cookie 12346 is emitted —
+    exactly the two flavors the reader accepts. Dense DELETE vectors (long
+    consecutive ranges) shrink from 8 KiB bitsets to a few bytes per
+    container, which is what a compaction-heavy Delta table's DVs look
+    like."""
     vals = sorted(set(values))
     if any(v < 0 or v > 0xFFFFFFFF for v in vals):
         raise ValueError("roaring32 values must be u32")
@@ -47,26 +68,47 @@ def serialize_roaring32(values) -> bytes:
     for v in vals:
         containers.setdefault(v >> 16, []).append(v & 0xFFFF)
     keys = sorted(containers)
-    out = bytearray()
-    out += struct.pack("<II", SERIAL_COOKIE_NO_RUNCONTAINER, len(keys))
-    for k in keys:
-        out += struct.pack("<HH", k, len(containers[k]) - 1)
-    # offsets: byte position of each container's payload from stream start
-    header_len = 8 + 4 * len(keys) + 4 * len(keys)
-    payloads = []
+    payloads: list[bytes] = []
+    is_run: list[bool] = []
     for k in keys:
         lows = containers[k]
-        if len(lows) <= _ARRAY_MAX:
+        plain_size = 2 * len(lows) if len(lows) <= _ARRAY_MAX else 8192
+        runs = _run_spans(lows) if run_optimize else None
+        if runs is not None and 2 + 4 * len(runs) < plain_size:
+            body = struct.pack("<H", len(runs))
+            for start, extent in runs:
+                body += struct.pack("<HH", start, extent)
+            payloads.append(body)
+            is_run.append(True)
+        elif len(lows) <= _ARRAY_MAX:
             payloads.append(struct.pack(f"<{len(lows)}H", *lows))
+            is_run.append(False)
         else:
             bits = bytearray(8192)
             for low in lows:
                 bits[low >> 3] |= 1 << (low & 7)
             payloads.append(bytes(bits))
-    pos = header_len
-    for p in payloads:
-        out += struct.pack("<I", pos)
-        pos += len(p)
+            is_run.append(False)
+    out = bytearray()
+    n = len(keys)
+    if any(is_run):
+        out += struct.pack("<I", SERIAL_COOKIE | ((n - 1) << 16))
+        runbits = bytearray((n + 7) // 8)
+        for i, r in enumerate(is_run):
+            if r:
+                runbits[i >> 3] |= 1 << (i & 7)
+        out += bytes(runbits)
+        with_offsets = n >= NO_OFFSET_THRESHOLD
+    else:
+        out += struct.pack("<II", SERIAL_COOKIE_NO_RUNCONTAINER, n)
+        with_offsets = True
+    for k, p in zip(keys, payloads):
+        out += struct.pack("<HH", k, len(containers[k]) - 1)
+    if with_offsets:
+        pos = len(out) + 4 * n
+        for p in payloads:
+            out += struct.pack("<I", pos)
+            pos += len(p)
     for p in payloads:
         out += p
     return bytes(out)

@@ -219,3 +219,155 @@ def test_restore_and_rollback_agree_across_formats(spark):
         assert _rows(tx.read()) == _rows(dl.read()) == _rows(ic.read()) == want2
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- foreign-written fixtures (r5): features OUR writer emits, laid down
+# --- as another engine would, byte-level ---------------------------------
+
+
+def test_reads_foreign_delta_dv_run_containers_and_unknown_actions(spark):
+    """Hand-crafted _delta_log the way delta-spark would write it: table-
+    features protocol (reader 3 / writer 7 with feature lists), unknown
+    action types interleaved (domainMetadata, cdc — spec says ignore), and
+    a deletion vector whose blob uses RUN containers (cookie 12347, the
+    runOptimize flavor real engines emit for dense deletes) inside a DV
+    file with the full 32-bit CRC trailer. The reader must mask exactly
+    the dense deleted range."""
+    import json
+    import struct
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.roaring import (
+        SERIAL_COOKIE,
+        serialize_rba,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"fdv_{uuid.uuid4().hex[:8]}")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    try:
+        pq.write_table(
+            pa.table({"k": list(range(20)), "v": [f"r{i}" for i in range(20)]}),
+            os.path.join(root, "part-000.parquet"),
+        )
+        # DV: rows 3..14 dead — a dense range that runOptimize encodes as
+        # ONE run container; assert the blob really is the 12347 flavor
+        # RBA layout: magic(4) + count(8) + key(4) + roaring32 stream
+        blob = serialize_rba(list(range(3, 15)))
+        (cookie32,) = struct.unpack_from("<I", blob, 16)
+        assert cookie32 & 0xFFFF == SERIAL_COOKIE
+        dv_path = os.path.join(root, "deletion_vector_foreign.bin")
+        with open(dv_path, "wb") as f:
+            f.write(b"\x01")
+            f.write(struct.pack(">i", len(blob)))
+            f.write(blob)
+            f.write(struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
+        schema_string = json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                    {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                ],
+            }
+        )
+        add = {
+            "path": "part-000.parquet",
+            "partitionValues": {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+        actions0 = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": [
+                        "appendOnly", "invariants", "deletionVectors"
+                    ],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "foreign",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": [],
+                    "configuration": {"delta.enableDeletionVectors": "true"},
+                }
+            },
+            {"add": add},
+        ]
+        actions1 = [
+            # unknown action types a NEWER engine writes — spec: ignore
+            {"domainMetadata": {"domain": "delta.universalFormat", "configuration": "{}", "removed": False}},
+            {"cdc": {"path": "_change_data/x.parquet", "partitionValues": {}, "size": 1, "dataChange": False}},
+            {"remove": {"path": "part-000.parquet", "deletionTimestamp": 0, "dataChange": True}},
+            {
+                "add": {
+                    **add,
+                    "deletionVector": {
+                        "storageType": "p",
+                        "pathOrInlineDv": dv_path,
+                        "offset": 1,
+                        "sizeInBytes": len(blob),
+                        "cardinality": 12,
+                    },
+                }
+            },
+        ]
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+            _fmt_commit,
+        )
+
+        for v, acts in ((0, actions0), (1, actions1)):
+            with open(os.path.join(root, "_delta_log", _fmt_commit(v)), "w") as f:
+                for a in acts:
+                    f.write(json.dumps(a) + "\n")
+        t = DeltaTable(spark, root)
+        assert t.read(0).count() == 20
+        got = sorted(r.k for r in t.read().collect())
+        assert got == [0, 1, 2] + list(range(15, 20))
+        p = t.protocol()
+        assert "deletionVectors" in p["readerFeatures"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_iceberg_reader_tolerates_legacy_summary_and_extra_fields(spark):
+    """Foreign metadata JSON shape: unknown top-level keys (statistics,
+    partition-statistics — newer spec additions), extra snapshot keys, and
+    a LEGACY snapshot whose summary has no metric counts. Reads must be
+    unaffected and snapshots_df must surface NULL metrics for the legacy
+    snapshot rather than failing."""
+    import json
+
+    root = os.path.join(tempfile.gettempdir(), f"fice_{uuid.uuid4().hex[:8]}")
+    try:
+        df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "k long, tag string")
+        t = IcebergTable.create(spark, root, df.coalesce(1))
+        t.append(spark.createDataFrame([(4, "c")], "k long, tag string").coalesce(1))
+        md = t.metadata()
+        # strip metrics from snapshot 1 (legacy writer) + sprinkle unknowns
+        md["statistics"] = [{"snapshot-id": md["snapshots"][0]["snapshot-id"]}]
+        md["partition-statistics"] = []
+        md["unknown-future-field"] = {"x": 1}
+        md["snapshots"][0]["summary"] = {"operation": "append"}
+        md["snapshots"][0]["first-row-id"] = 0  # v3 spec field
+        vs = t._metadata_versions()
+        with open(os.path.join(t.meta_dir, f"v{vs[-1] + 1}.metadata.json"), "w") as f:
+            json.dump(md, f)
+        with open(os.path.join(t.meta_dir, "version-hint.text"), "w") as f:
+            f.write(str(vs[-1] + 1))
+        t2 = IcebergTable(spark, root)
+        assert t2.read().count() == 4
+        s = {r["sequence_number"]: r for r in t2.snapshots_df().collect()}
+        assert s[1]["added_records"] is None  # legacy summary → NULL metrics
+        assert s[1]["operation"] == "append"
+        assert s[2]["added_records"] == 1 and s[2]["total_records"] == 4
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

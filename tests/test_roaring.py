@@ -47,13 +47,40 @@ def test_roaring32_header_bytes():
 
 def test_roaring32_array_bitmap_boundary():
     # 4096 values stay an array container; 4097 flip to an 8 KiB bitmap
+    # (run_optimize off — every-other-value has no run savings anyway, and
+    # a full range would otherwise become a run container)
     arr = list(range(0, 8192, 2))[:4096]
     assert _rt32(arr) == arr
     big = list(range(4097))
-    buf = serialize_roaring32(big)
+    buf = serialize_roaring32(big, run_optimize=False)
     # one container, bitmap payload: 8 + 4 + 4 + 8192 bytes
     assert len(buf) == 8 + 4 + 4 + 8192
     assert _rt32(big) == big
+
+
+def test_roaring32_writes_run_containers_for_dense_ranges():
+    """runOptimize (r5): a dense consecutive range serializes as a RUN
+    container under cookie 12347 — bytes shrink from an 8 KiB bitset to a
+    handful, the shape of a compaction-heavy table's deletion vectors —
+    and the reader (which always handled foreign runs) round-trips it."""
+    big = list(range(4097))
+    buf = serialize_roaring32(big)
+    (cookie32,) = struct.unpack_from("<I", buf, 0)
+    assert cookie32 & 0xFFFF == SERIAL_COOKIE
+    assert len(buf) < 64  # 1 run vs 8 KiB bitset
+    vals, used = deserialize_roaring32(buf)
+    assert used == len(buf) and vals == big
+    # mixed stream: one run container + one sparse array container
+    mixed = list(range(1000)) + [(5 << 16) | 3, (5 << 16) | 900]
+    buf2 = serialize_roaring32(mixed)
+    (c2,) = struct.unpack_from("<I", buf2, 0)
+    assert c2 & 0xFFFF == SERIAL_COOKIE
+    v2, u2 = deserialize_roaring32(buf2)
+    assert u2 == len(buf2) and v2 == sorted(mixed)
+    # offsets section appears from NO_OFFSET_THRESHOLD containers up
+    wide = [k << 16 for k in range(6)]  # 6 containers, all 1-value arrays
+    v3, u3 = deserialize_roaring32(serialize_roaring32(wide))
+    assert v3 == wide
 
 
 def test_roaring32_reads_run_containers():
