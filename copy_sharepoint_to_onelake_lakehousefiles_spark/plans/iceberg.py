@@ -793,6 +793,37 @@ class IcebergTable:
             "files_kept": 0,
         }
         want = dict(partition_filter or {})
+
+        def _trunc(v, pf):
+            """Apply a truncate[W] transform to a filter endpoint: the
+            partition value of any row with source value v (spec §Partition
+            Transforms — floor division for ints, W-prefix for strings)."""
+            w = pf["param"]
+            if pf["source_type"] in ("int", "long"):
+                return v - (v % w)  # Python % floors: matches the spec's pmod
+            return v[:w]
+
+        def _trunc_ranges(pf_meta):
+            """[(pf, trunc(lo), trunc(hi))] for every truncate partition
+            field whose SOURCE column has a range bound: rows in [lo, hi]
+            can only live in partitions with tuple value in
+            [trunc(lo), trunc(hi)] — truncation is monotone, so range
+            filters prune through the transform (r5; equality-only
+            before)."""
+            out = []
+            for pf in pf_meta:
+                if pf["transform"] != "truncate" or pf["source_name"] not in (bounds or {}):
+                    continue
+                lo, hi = bounds[pf["source_name"]]
+                out.append(
+                    (
+                        pf,
+                        None if lo is None else _trunc(lo, pf),
+                        None if hi is None else _trunc(hi, pf),
+                    )
+                )
+            return out
+
         entries: list[dict] = []
         for m in manifests:
             spec_id = m.get("partition_spec_id") or 0
@@ -801,8 +832,12 @@ class IcebergTable:
             # (those files are row-filtered by the reader instead)
             pf_meta = pf_by_spec.get(spec_id, [])
             spec_names = {pf["name"] for pf in pf_meta}
-            if want and m.get("partitions"):
+            trunc_ranges = _trunc_ranges(pf_meta) if bounds else []
+            if (want or trunc_ranges) and m.get("partitions"):
                 skip = False
+                summ_by_name = {
+                    pf["name"]: summ for pf, summ in zip(pf_meta, m["partitions"])
+                }
                 for pf, summ in zip(pf_meta, m["partitions"]):
                     if pf["name"] not in want:
                         continue
@@ -810,6 +845,15 @@ class IcebergTable:
                     lo = _single_value_parse(pf["ice_type"], summ.get("lower_bound"))
                     hi = _single_value_parse(pf["ice_type"], summ.get("upper_bound"))
                     if lo is not None and hi is not None and not (lo <= v <= hi):
+                        skip = True
+                        break
+                for pf, tlo, thi in trunc_ranges:
+                    summ = summ_by_name.get(pf["name"]) or {}
+                    slo = _single_value_parse(pf["ice_type"], summ.get("lower_bound"))
+                    shi = _single_value_parse(pf["ice_type"], summ.get("upper_bound"))
+                    if slo is None or shi is None:
+                        continue
+                    if (thi is not None and slo > thi) or (tlo is not None and shi < tlo):
                         skip = True
                         break
                 if skip:
@@ -831,6 +875,18 @@ class IcebergTable:
                         for k, v in want.items()
                         if k in spec_names
                     ):
+                        continue
+                if trunc_ranges:
+                    pv = df_["partition"]
+                    dead = False
+                    for pf, tlo, thi in trunc_ranges:
+                        t = pv.get(pf["name"])
+                        if t is None:
+                            continue
+                        if (thi is not None and t > thi) or (tlo is not None and t < tlo):
+                            dead = True
+                            break
+                    if dead:
                         continue
                 if bounds:
                     lbs = df_.get("lower_bounds") or {}
@@ -3634,3 +3690,72 @@ def q159_iceberg_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = materialize(df)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+_TRUNC_CACHE: dict = {}
+
+
+def _trunc_demo_table(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """customer partitioned by truncate(100, c_custkey): one file per
+    present truncated value (coalesce(1) + partitionBy), so file counts in
+    the pruning audit are relationally derivable — count(DISTINCT
+    c_custkey - c_custkey % 100). Memoized per (session, sf_dir)."""
+    cache_key = (id(spark), sf_dir)
+    t = _TRUNC_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.meta_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"ice_trunc_{uuid.uuid4().hex[:8]}")
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long"), "c_name", F.col("c_acctbal")
+    )
+    t = IcebergTable.create(
+        spark, root, customer.coalesce(1), partition_by=["truncate(100, c_custkey)"]
+    )
+    _TRUNC_CACHE[cache_key] = t
+    return t
+
+
+@query(
+    "q165_iceberg_truncate_range_scan",
+    oracle="""
+WITH t AS (
+  SELECT c_custkey, c_custkey - c_custkey % 100 AS tk FROM customer
+)
+SELECT CAST(count(*) FILTER (WHERE c_custkey BETWEEN 23 AND 87) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(c_custkey) FILTER (WHERE c_custkey BETWEEN 23 AND 87), 0) AS BIGINT)
+         AS sum_keys,
+       CAST(count(DISTINCT tk) FILTER (WHERE tk = 0) AS BIGINT) AS files_kept,
+       CAST(count(DISTINCT tk) AS BIGINT) AS files_total,
+       1 AS pruned_subset
+FROM t
+""",
+)
+def q165_iceberg_truncate_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-filter pruning THROUGH a truncate[100] partition transform
+    (r5; pruning was equality-only before): planning a c_custkey BETWEEN
+    23 AND 87 scan may open only partitions whose truncated tuple lies in
+    [trunc(23), trunc(87)] = [0, 0]. The hashed output carries the exact
+    filtered aggregate (oracle recomputes it), the audit's file counts
+    (relationally derivable because the layout is one file per present
+    truncated value), and a flag asserting the plan opened a STRICT subset
+    of the table's files — a broken transform-range path either leaks
+    files (flag flips) or drops rows (aggregate mismatches)."""
+    t = _trunc_demo_table(spark, sf_dir)
+    entries, audit = t.files(bounds={"c_custkey": (23, 87)})
+    agg = (
+        t.read(bounds={"c_custkey": (23, 87)})
+        .where("c_custkey between 23 and 87")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum("c_custkey"), F.lit(0)).cast("bigint").alias("sum_keys"),
+        )
+    )
+    return agg.select(
+        "n_rows",
+        "sum_keys",
+        F.lit(audit["files_kept"]).cast("bigint").alias("files_kept"),
+        F.lit(audit["files_total"]).cast("bigint").alias("files_total"),
+        F.lit(int(audit["files_kept"] < audit["files_total"])).alias("pruned_subset"),
+    )

@@ -1303,3 +1303,42 @@ def test_drop_guard_covers_non_default_specs(spark, root):
         t.drop_column("part")
     # the table stays fully readable across both specs
     assert t.read().count() == 7
+
+
+def test_truncate_range_pruning_skips_partitions_and_manifests(spark, root):
+    """RANGE filters prune THROUGH truncate transforms (r5; equality-only
+    before): truncation is monotone, so rows in [lo, hi] can only live in
+    partitions with tuple value in [trunc(lo), trunc(hi)] — both the
+    manifest summaries and the per-file partition tuples skip without
+    opening data, and the kept set is conservative-exact."""
+    df = spark.createDataFrame([(k, k * 2) for k in range(100)], "k long, v long")
+    t = IcebergTable.create(spark, root, df.coalesce(1), partition_by=["truncate(10, k)"])
+    # second manifest in a disjoint key range: range filters must skip the
+    # whole manifest via its partition summary
+    t.append(
+        spark.createDataFrame([(k, k * 2) for k in range(500, 600)], "k long, v long").coalesce(1)
+    )
+    entries, audit = t.files(bounds={"k": (23, 41)})
+    kept_tuples = sorted(e["partition"]["k_trunc"] for e in entries)
+    assert kept_tuples == [20, 30, 40]  # trunc(23)=20 .. trunc(41)=40
+    assert audit["manifests_read"] == 1  # the 500-599 manifest never opened
+    assert audit["files_kept"] == 3
+    # rows are exact after the caller's residual filter
+    got = t.read(bounds={"k": (23, 41)}).where("k between 23 and 41")
+    assert sorted(r["k"] for r in got.collect()) == list(range(23, 42))
+    # open-ended and negative-direction bounds
+    entries2, audit2 = t.files(bounds={"k": (505, None)})
+    assert sorted(e["partition"]["k_trunc"] for e in entries2) == list(range(500, 600, 10))
+    assert audit2["manifests_read"] == 1
+
+
+def test_truncate_string_range_pruning(spark, root):
+    df = spark.createDataFrame(
+        [("apple", 1), ("apricot", 2), ("banana", 3), ("cherry", 4), ("avocado", 5)],
+        "name string, v long",
+    )
+    t = IcebergTable.create(spark, root, df.coalesce(1), partition_by=["truncate(2, name)"])
+    entries, audit = t.files(bounds={"name": ("ap", "az")})
+    assert sorted(e["partition"]["name_trunc"] for e in entries) == ["ap", "av"]
+    got = t.read(bounds={"name": ("ap", "az")}).where("name >= 'ap' and name <= 'az'")
+    assert sorted(r["name"] for r in got.collect()) == ["apple", "apricot", "avocado"]
