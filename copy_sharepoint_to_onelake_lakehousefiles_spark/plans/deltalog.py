@@ -159,38 +159,76 @@ class DeltaTable:
         with open(os.path.join(self.log_dir, _fmt_commit(version))) as f:
             return [json.loads(line) for line in f if line.strip()]
 
-    def _checkpoint_version_at_or_before(self, version: int) -> int | None:
+    def _checkpoint_files(self) -> dict[int, str]:
+        """version → checkpoint file name, recognizing BOTH naming schemes:
+        classic ``%020d.checkpoint.parquet`` and v2's UUID-named
+        ``%020d.checkpoint.<uniqueStr>.parquet`` (V2 Checkpoint table
+        feature)."""
         if not os.path.isdir(self.log_dir):
-            return None
-        cands = [
-            int(n[:20])
-            for n in os.listdir(self.log_dir)
-            if n.endswith(".checkpoint.parquet") and n[:20].isdigit()
-        ]
-        cands = [v for v in cands if v <= version]
+            return {}
+        out: dict[int, str] = {}
+        for n in os.listdir(self.log_dir):
+            if (
+                n.endswith(".parquet")
+                and len(n) > 20
+                and n[:20].isdigit()
+                and n[20:].startswith(".checkpoint.")
+            ):
+                # prefer v2 (longer name) when both exist for a version
+                v = int(n[:20])
+                if v not in out or len(n) > len(out[v]):
+                    out[v] = n
+        return out
+
+    def _checkpoint_version_at_or_before(self, version: int) -> int | None:
+        cands = [v for v in self._checkpoint_files() if v <= version]
         return max(cands) if cands else None
 
     def _read_checkpoint(self, version: int) -> tuple[dict, dict | None]:
-        """Checkpoint parquet → ({path: add_action}, metaData|None)."""
+        """Checkpoint parquet → ({path: add_action}, metaData|None). A v2
+        checkpoint's adds live in SIDECAR parquet files referenced by
+        ``sidecar`` actions in the main file (spec: V2 Checkpoints) — the
+        layout that lets a 100 TB table's checkpoint be written and read
+        in parallel parts; removes in either layout are tombstones and
+        drop the path."""
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(os.path.join(self.log_dir, _fmt_checkpoint(version)))
+        name = self._checkpoint_files().get(version)
+        if name is None:
+            raise FileNotFoundError(f"no checkpoint for version {version}")
+        tbl = pq.read_table(os.path.join(self.log_dir, name))
         rows = tbl.to_pylist()
         adds: dict = {}
         meta = None
+
+        def absorb(rows: list[dict]) -> None:
+            nonlocal meta
+            for r in rows:
+                if r.get("add") and r["add"].get("path"):
+                    a = {k: v for k, v in r["add"].items() if v is not None}
+                    # parquet MAP columns come back as [(k, v), ...]; the
+                    # JSON log carries dicts — normalize to dicts
+                    if isinstance(a.get("partitionValues"), list):
+                        a["partitionValues"] = dict(a["partitionValues"])
+                    adds[a["path"]] = a
+                if r.get("remove") and r["remove"].get("path"):
+                    adds.pop(r["remove"]["path"], None)
+                if r.get("metaData") and r["metaData"].get("id"):
+                    m = dict(r["metaData"])
+                    if isinstance(m.get("partitionColumns"), str):
+                        m["partitionColumns"] = json.loads(m["partitionColumns"])
+                    if isinstance(m.get("format"), str):
+                        m["format"] = json.loads(m["format"])
+                    if isinstance(m.get("configuration"), str):
+                        m["configuration"] = json.loads(m["configuration"])
+                    meta = m
+
+        absorb(rows)
         for r in rows:
-            if r.get("add"):
-                a = {k: v for k, v in r["add"].items() if v is not None}
-                adds[a["path"]] = a
-            if r.get("metaData") and r["metaData"].get("id"):
-                m = dict(r["metaData"])
-                if isinstance(m.get("partitionColumns"), str):
-                    m["partitionColumns"] = json.loads(m["partitionColumns"])
-                if isinstance(m.get("format"), str):
-                    m["format"] = json.loads(m["format"])
-                if isinstance(m.get("configuration"), str):
-                    m["configuration"] = json.loads(m["configuration"])
-                meta = m
+            sc = r.get("sidecar")
+            if sc and sc.get("path"):
+                sc_path = os.path.join(self.log_dir, "_sidecars", sc["path"])
+                absorb(pq.read_table(sc_path).to_pylist())
         return adds, meta
 
     def snapshot(self, version: int | None = None) -> tuple[list[dict], dict]:
@@ -519,6 +557,154 @@ class DeltaTable:
         if version > 0 and version % self.CHECKPOINT_INTERVAL == 0:
             self._write_checkpoint(version)
 
+    @staticmethod
+    def _ckpt_add_field():
+        import pyarrow as pa
+
+        return pa.field(
+            "add",
+            pa.struct(
+                [
+                    ("path", pa.string()),
+                    ("partitionValues", pa.map_(pa.string(), pa.string())),
+                    ("size", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                    ("dataChange", pa.bool_()),
+                    ("stats", pa.string()),
+                    (
+                        "deletionVector",
+                        pa.struct(
+                            [
+                                ("storageType", pa.string()),
+                                ("pathOrInlineDv", pa.string()),
+                                ("offset", pa.int64()),
+                                ("sizeInBytes", pa.int64()),
+                                ("cardinality", pa.int64()),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        )
+
+    @staticmethod
+    def _ckpt_add_row(a: dict) -> dict:
+        return {
+            "path": a["path"],
+            "partitionValues": list((a.get("partitionValues") or {}).items()),
+            "size": a.get("size", 0),
+            "modificationTime": a.get("modificationTime", 0),
+            "dataChange": False,
+            "stats": a.get("stats"),
+            "deletionVector": a.get("deletionVector"),
+        }
+
+    def write_checkpoint_v2(self, sidecar_parts: int = 2) -> dict:
+        """V2 checkpoint (spec: V2 Checkpoints table feature): the
+        snapshot's add actions split across ``sidecar_parts`` parquet
+        SIDECAR files under ``_delta_log/_sidecars/``, referenced from a
+        UUID-named main checkpoint (``%020d.checkpoint.<unique>.parquet``)
+        whose own rows are checkpointMetadata / protocol / metaData /
+        sidecar actions. This is the layout that lets a 100 TB table's
+        checkpoint be written AND planned in parallel parts instead of one
+        monolithic file. Upgrades the protocol with the ``v2Checkpoint``
+        feature (its own commit) when absent; updates ``_last_checkpoint``.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        up = self._feature_upgrade_action("v2Checkpoint")
+        if up:
+            self._publish(
+                self.latest_version() + 1,
+                [self._commit_info("UPGRADE PROTOCOL"), up],
+            )
+        version = self.latest_version()
+        adds, meta = self.snapshot(version)
+        sidecar_dir = os.path.join(self.log_dir, "_sidecars")
+        os.makedirs(sidecar_dir, exist_ok=True)
+        side_schema = pa.schema([self._ckpt_add_field()])
+        parts = max(1, sidecar_parts)
+        groups: list[list[dict]] = [[] for _ in range(parts)]
+        for i, a in enumerate(sorted(adds, key=lambda a: a["path"])):
+            groups[i % parts].append(a)
+        sidecars = []
+        for g in groups:
+            name = f"{uuid.uuid4().hex}.parquet"
+            tbl = pa.Table.from_pylist(
+                [{"add": self._ckpt_add_row(a)} for a in g], schema=side_schema
+            )
+            path = os.path.join(sidecar_dir, name)
+            pq.write_table(tbl, path)
+            sidecars.append({"path": name, "sizeInBytes": os.path.getsize(path)})
+        main_schema = pa.schema(
+            [
+                pa.field(
+                    "checkpointMetadata",
+                    pa.struct([("version", pa.int64()), ("tags", pa.map_(pa.string(), pa.string()))]),
+                ),
+                pa.field(
+                    "sidecar",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("sizeInBytes", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "metaData",
+                    pa.struct(
+                        [
+                            ("id", pa.string()),
+                            ("format", pa.string()),
+                            ("schemaString", pa.string()),
+                            ("partitionColumns", pa.string()),
+                            ("configuration", pa.string()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "protocol",
+                    pa.struct(
+                        [
+                            ("minReaderVersion", pa.int32()),
+                            ("minWriterVersion", pa.int32()),
+                            ("readerFeatures", pa.list_(pa.string())),
+                            ("writerFeatures", pa.list_(pa.string())),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        rows = [
+            {"checkpointMetadata": {"version": version, "tags": []}},
+            {"protocol": self.protocol(version)},
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": json.dumps(meta.get("format") or {}),
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": json.dumps(meta.get("partitionColumns") or []),
+                    "configuration": json.dumps(meta.get("configuration") or {}),
+                }
+            },
+        ] + [
+            {"sidecar": {**sc, "modificationTime": 0}} for sc in sidecars
+        ]
+        tbl = pa.Table.from_pylist(rows, schema=main_schema)
+        name = f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(self.log_dir, f".tmpckpt_{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(self.log_dir, name))
+        last = {"version": version, "size": len(rows)}
+        tmp2 = os.path.join(self.log_dir, f".tmplast_{uuid.uuid4().hex}.json")
+        with open(tmp2, "w") as f:
+            json.dump(last, f)
+        os.replace(tmp2, os.path.join(self.log_dir, "_last_checkpoint"))
+        return {"version": version, "file": name, "sidecars": len(sidecars)}
+
     def _write_checkpoint(self, version: int) -> None:
         """Classic checkpoint: the resolved snapshot as ONE parquet file of
         action rows, plus ``_last_checkpoint``. Derived data — idempotent to
@@ -673,7 +859,8 @@ class DeltaTable:
             import pyarrow.parquet as pq
 
             tbl = pq.read_table(
-                os.path.join(self.log_dir, _fmt_checkpoint(ck)), columns=["protocol"]
+                os.path.join(self.log_dir, self._checkpoint_files()[ck]),
+                columns=["protocol"],
             )
             for r in tbl.to_pylist():
                 p = r.get("protocol")
@@ -2106,3 +2293,85 @@ def q158_delta_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = materialize(df)  # executor-side; selected rows never hit the driver
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+_V2CKPT_CACHE: dict = {}
+
+
+def _v2_checkpoint_demo(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """nation×region Delta table: CREATE partitioned by r_name, DV-delete
+    one residue class, then a V2 CHECKPOINT with 2 sidecars and the JSON
+    commits it covers EXPIRED (cleanup_log) — so every subsequent read
+    must resolve through the v2 main file + sidecar adds alone. Memoized
+    per (session, sf_dir)."""
+    import tempfile
+
+    cache_key = (id(spark), sf_dir)
+    t = _V2CKPT_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.log_dir):
+        return t
+    root = os.path.join(tempfile.gettempdir(), f"delta_v2ck_{uuid.uuid4().hex[:8]}")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    dim = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+        .coalesce(1)
+    )
+    t = DeltaTable.create(spark, root, dim, partition_by=["r_name"])
+    t.delete_vectors("n_nationkey % 5 = 2")
+    t.write_checkpoint_v2(sidecar_parts=2)
+    t.cleanup_log(keep_versions=1)
+    _V2CKPT_CACHE[cache_key] = t
+    return t
+
+
+@query(
+    "q166_delta_v2_checkpoint",
+    oracle="""
+SELECT r_name,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       1 AS resolved_from_v2_sidecars
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE n_nationkey % 5 <> 2
+GROUP BY r_name
+""",
+)
+def q166_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 checkpoint resolution end-to-end: the demo table's pre-checkpoint
+    JSON commits are EXPIRED, so a fresh handle can only reconstruct the
+    snapshot (partition values AND deletion-vector descriptors included)
+    from the UUID-named v2 checkpoint and its sidecar parquet files. The
+    oracle recomputes the expected post-DV content relationally; the flag
+    asserts the structural facts DuckDB cannot see — sidecars on disk, no
+    inline adds in the main file, v2Checkpoint in the protocol."""
+    import pyarrow.parquet as pq
+
+    t = _v2_checkpoint_demo(spark, sf_dir)
+    fresh = DeltaTable(spark, t.root)
+    main = max(
+        (n for n in os.listdir(fresh.log_dir) if ".checkpoint." in n and n.endswith(".parquet")),
+        key=len,
+    )
+    main_rows = pq.read_table(os.path.join(fresh.log_dir, main)).to_pylist()
+    structural = int(
+        len(os.listdir(os.path.join(fresh.log_dir, "_sidecars"))) == 2
+        and not any(r.get("add") for r in main_rows)
+        and sum(1 for r in main_rows if r.get("sidecar")) == 2
+        and "v2Checkpoint" in fresh.protocol()["readerFeatures"]
+    )
+    return (
+        fresh.read()
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+        .select(
+            "r_name",
+            "n_nations",
+            "key_sum",
+            F.lit(structural).alias("resolved_from_v2_sidecars"),
+        )
+    )
