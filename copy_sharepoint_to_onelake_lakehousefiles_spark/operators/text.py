@@ -877,3 +877,79 @@ def q137_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.sum("cnt").cast("bigint").alias("tok_count"))
     )
+
+
+@query(
+    "q167_dsir_importance",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+langs AS (SELECT doc_id, lang FROM documents),
+lt AS (SELECT t.doc_id, t.term, l.lang FROM tok t JOIN langs l USING (doc_id)),
+tgt AS (SELECT term, count(*) AS ct FROM lt WHERE lang = 'en' GROUP BY term),
+src AS (SELECT term, count(*) AS cs FROM lt WHERE lang <> 'en' GROUP BY term),
+tot AS (
+  SELECT (SELECT count(*) FROM lt WHERE lang = 'en') AS nt,
+         (SELECT count(*) FROM lt WHERE lang <> 'en') AS ns,
+         (SELECT count(DISTINCT term) FROM tok) AS v
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln((coalesce(g.ct, 0) + 1.0) / (tot.nt + tot.v))
+                 - ln((coalesce(s.cs, 0) + 1.0) / (tot.ns + tot.v))), 4)
+         AS dsir_logratio,
+       CAST(CASE WHEN avg(ln((coalesce(g.ct, 0) + 1.0) / (tot.nt + tot.v))
+                         - ln((coalesce(s.cs, 0) + 1.0) / (tot.ns + tot.v))) > 0
+                 THEN 1 ELSE 0 END AS INT) AS target_like
+FROM tok t
+LEFT JOIN tgt g USING (term)
+LEFT JOIN src s USING (term), tot
+GROUP BY t.doc_id
+""",
+)
+def q167_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, Data Selection with
+    Importance Resampling): score every document by the mean per-token log
+    importance ratio ln(p_target/p_source) between two add-1-smoothed
+    hashed-unigram models — target = the 'en' slice, source = everything
+    else. Documents with positive mean ratio look target-like and survive
+    selection (``target_like``); the continuous score drives weighted
+    resampling in the full recipe.
+
+    Scale: both n-gram models are vocabulary-bounded (term, count) tables →
+    BROADCAST; scoring is one exploded pass over the corpus with two
+    broadcast left joins and one aggregation back to doc grain. No corpus
+    self-join, no shuffle beyond the final doc-grain aggregation —
+    identical shape at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    tgt = (
+        tok.where(F.col("lang") == "en")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    src = (
+        tok.where(F.col("lang") != "en")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cs"))
+    )
+    tot = tok.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("nt"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).cast("bigint").alias("ns"),
+        F.countDistinct("term").cast("bigint").alias("v"),
+    )
+    ratio = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + F.col("v"))
+    ) - F.log((F.coalesce(F.col("cs"), F.lit(0)) + 1.0) / (F.col("ns") + F.col("v")))
+    return (
+        tok.join(F.broadcast(tgt), "term", "left")
+        .join(F.broadcast(src), "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(ratio), 4).alias("dsir_logratio"),
+            (F.avg(ratio) > 0).cast("int").alias("target_like"),
+        )
+    )

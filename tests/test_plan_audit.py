@@ -50,6 +50,7 @@ NLJ_ALLOWED = {
     "q96_interpolated_hourly",
     "q105_price_histogram",
     "q109_unigram_logprob",
+    "q167_dsir_importance",  # 1-row totals broadcast (nt/ns/v)
 }
 
 

@@ -189,3 +189,32 @@ def test_bpe_20_merges_matches_unrolled_oracle(spark):
     )
     exp = sorted(con.execute(_bpe_oracle_sql(20)).fetchall())
     assert sorted(merges) == exp
+
+
+def test_dsir_importance_separates_target_slice(spark, sf_dir):
+    """DSIR log-ratios must discriminate: the 'en' (target) slice scores
+    higher on average than the source pool, and the majority of target
+    docs carry target_like=1 while the majority of source docs don't
+    (vocabularies overlap heavily in the fixture, so the margin is small
+    but the ORDERING is structural)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.text import (
+        q167_dsir_importance,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import load
+
+    w = q167_dsir_importance(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    rows = w.join(d, "doc_id").collect()
+    assert all(r["n_tokens"] > 0 for r in rows)
+    en = [r for r in rows if r["lang"] == "en"]
+    other = [r for r in rows if r["lang"] != "en"]
+    assert en and other
+    mean = lambda xs: sum(xs) / len(xs)
+    assert mean([r["dsir_logratio"] for r in en]) > mean(
+        [r["dsir_logratio"] for r in other]
+    )
+    assert mean([r["target_like"] for r in en]) > 0.5
+    assert mean([r["target_like"] for r in other]) < 0.5
+    # flag is exactly the sign of the score
+    for r in rows:
+        assert r["target_like"] == (1 if r["dsir_logratio"] > 0 else 0) or abs(r["dsir_logratio"]) < 1e-3
