@@ -340,6 +340,34 @@ class DeltaTable:
             "num_records long, dv_cardinality long",
         )
 
+    def detail_df(self) -> DataFrame:
+        """``DESCRIBE DETAIL`` as a one-row DataFrame: format, location,
+        file/byte totals, partition columns, protocol versions and feature
+        lists — the at-a-glance audit a real operator runs after any
+        write."""
+        adds, meta = self.snapshot()
+        proto = self.protocol()
+        row = (
+            "delta",
+            meta["id"],
+            self.root,
+            len(adds),
+            int(sum(int(a.get("size") or 0) for a in adds)),
+            list(meta.get("partitionColumns") or []),
+            int(self.latest_version()),
+            int(proto.get("minReaderVersion", 1)),
+            int(proto.get("minWriterVersion", 2)),
+            sorted(proto.get("readerFeatures") or []),
+            sorted(proto.get("writerFeatures") or []),
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "format string, id string, location string, num_files long, "
+            "size_in_bytes long, partition_columns array<string>, "
+            "version long, min_reader_version int, min_writer_version int, "
+            "reader_features array<string>, writer_features array<string>",
+        )
+
     def seen_txn(self, app_id: str) -> int | None:
         """Highest txn.version committed for ``app_id`` (idempotent-writer
         check, Delta's SetTransaction action)."""

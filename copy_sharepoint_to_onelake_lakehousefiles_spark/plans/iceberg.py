@@ -568,6 +568,40 @@ class IcebergTable:
             )
         return self.spark.createDataFrame(rows, self.SNAPSHOTS_DF_DDL)
 
+    def manifests_df(
+        self, snapshot_id: int | None = None, index: int | None = None
+    ) -> DataFrame:
+        """The ``manifests`` metadata table: one row per manifest in the
+        snapshot's manifest list with content kind, spec, sequence numbers
+        and the added/existing/deleted counts the planner prunes with."""
+        snap = self._resolve_snapshot(snapshot_id, index)
+        _, manifests = read_ocf(snap["manifest-list"].replace("file:", ""))
+        rows = [
+            (
+                os.path.relpath(m["manifest_path"].replace("file:", ""), self.root),
+                int(m.get("manifest_length") or 0),
+                int(m.get("partition_spec_id") or 0),
+                int(m.get("content") or 0),
+                int(m.get("sequence_number") or 0),
+                int(m.get("added_snapshot_id") or 0),
+                int(m.get("added_files_count") or 0),
+                int(m.get("existing_files_count") or 0),
+                int(m.get("deleted_files_count") or 0),
+                int(m.get("added_rows_count") or 0),
+                int(m.get("existing_rows_count") or 0),
+                int(m.get("deleted_rows_count") or 0),
+            )
+            for m in manifests
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, content int, "
+            "sequence_number long, added_snapshot_id long, "
+            "added_files_count int, existing_files_count int, "
+            "deleted_files_count int, added_rows_count long, "
+            "existing_rows_count long, deleted_rows_count long",
+        )
+
     def files_df(
         self, snapshot_id: int | None = None, index: int | None = None
     ) -> DataFrame:

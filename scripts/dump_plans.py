@@ -53,6 +53,14 @@ def main() -> None:
         "q153_exact_substring_dup",
         "q154_iceberg_bucket_transform",
         "q155_copurchase_triangles",
+        # r5: metadata tables, truncate-range pruning, v2 checkpoints,
+        # IVF-PQ, DSIR
+        "q160_delta_describe_history",
+        "q163_delta_files_table",
+        "q164_ivfpq_ann_topk",
+        "q165_iceberg_truncate_range_scan",
+        "q166_delta_v2_checkpoint",
+        "q167_dsir_importance",
     ]
     out = ["# PLANS — formatted physical plans of the headline queries (sf0.01)\n"]
     for name in HEADLINE + extra:

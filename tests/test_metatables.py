@@ -140,3 +140,35 @@ def test_metatables_queries_are_sf_independent(spark):
         metatables._BUILT.clear()  # force rebuild at the other sf
         b = rows(q, "/root/testdata/sf0.01")
         assert a == b, q.__name__
+
+
+def test_delta_detail_df_one_row_summary(spark, root):
+    t = DeltaTable.create(
+        spark, root, _df(spark).coalesce(1), partition_by=["part"]
+    )
+    t.delete_vectors("k = 0")  # triggers the table-features upgrade
+    d = t.detail_df().collect()[0]
+    assert d["format"] == "delta" and d["location"] == root
+    assert d["num_files"] == len(t.files())
+    assert d["size_in_bytes"] == sum(a["size"] for a in t.files())
+    assert d["partition_columns"] == ["part"]
+    assert d["version"] == t.latest_version()
+    assert d["min_reader_version"] == 3 and d["min_writer_version"] == 7
+    assert "deletionVectors" in d["reader_features"]
+
+
+def test_iceberg_manifests_df_matches_planner_counts(spark, root):
+    t = IcebergTable.create(
+        spark, root, _df(spark).coalesce(1), partition_by=["part"]
+    )
+    t.append(_df(spark, 6).coalesce(1))
+    t.position_delete(F.col("k") < 2)
+    m = t.manifests_df().collect()
+    # two data manifests + one deletes manifest
+    assert sum(1 for r in m if r["content"] == 0) == 2
+    assert sum(1 for r in m if r["content"] == 1) == 1
+    assert sum(r["added_rows_count"] for r in m if r["content"] == 0) == 18
+    assert all(r["length"] > 0 and not os.path.isabs(r["path"]) for r in m)
+    # sequence numbers align with the snapshots table
+    seqs = {r["sequence_number"] for r in m}
+    assert seqs <= {r["sequence_number"] for r in t.snapshots_df().collect()}
