@@ -191,3 +191,51 @@ def test_dv_mor_read_stays_distributed_at_scale(spark, tmp_path):
     res2 = t.delete_vectors("v < 150")
     assert res2["deleted"] == df.where("v >= 100 AND v < 150").count()
     assert t.read().count() == 60_000 - res["deleted"] - res2["deleted"]
+
+
+def test_dsir_scores_invariant_under_duplication(spark, inflated_dir):
+    """DSIR importance ratios must be IDENTICAL under 10× corpus
+    duplication: both unigram models and the vocabulary scale uniformly,
+    so every per-token log ratio is *approximately* preserved (add-1
+    smoothing shifts by a sub-1e-3 amount at this vocab size) and no
+    target_like flag may flip except within that smoothing band."""
+    base = {
+        r["doc_id"]: r
+        for r in all_queries()["q167_dsir_importance"](spark, _SCALE_SRC).collect()
+    }
+    big = {
+        r["doc_id"] // 10: r
+        for r in all_queries()["q167_dsir_importance"](spark, inflated_dir).collect()
+        if r["doc_id"] % 10 == 0  # copy 0 of each doc
+    }
+    assert set(base) == set(big)
+    for doc_id, r in base.items():
+        assert big[doc_id]["n_tokens"] == r["n_tokens"]
+        assert abs(big[doc_id]["dsir_logratio"] - r["dsir_logratio"]) < 5e-3
+    flips = sum(
+        1
+        for doc_id, r in base.items()
+        if big[doc_id]["target_like"] != r["target_like"]
+        and abs(r["dsir_logratio"]) > 5e-3
+    )
+    assert flips == 0
+
+
+def test_truncate_range_pruning_fraction_at_scale(spark, tmp_path):
+    """A truncate[1000]-partitioned 60k-row table: a 5%-of-keyspace range
+    filter must plan ≤ the matching fraction of files (+boundary slack) —
+    the pruning RATIO, not just correctness, is what carries to 100 TB."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        IcebergTable,
+    )
+
+    df = spark.range(60_000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    root = os.path.join(str(tmp_path), "trunc_scale")
+    t = IcebergTable.create(
+        spark, root, df.coalesce(1), partition_by=["truncate(1000, k)"]
+    )
+    entries, audit = t.files(bounds={"k": (10_000, 12_999)})
+    assert audit["files_total"] == 60
+    assert audit["files_kept"] == 3  # exactly trunc(10000)..trunc(12999)
+    got = t.read(bounds={"k": (10_000, 12_999)}).where("k between 10000 and 12999")
+    assert got.count() == 3_000
