@@ -532,10 +532,10 @@ class IcebergTable:
         return list(self.metadata().get("snapshots") or [])
 
     SNAPSHOTS_DF_DDL = (
-        "sequence_number long, snapshot_id long, schema_id long, "
-        "timestamp_ms long, operation string, added_data_files long, "
-        "added_records long, deleted_data_files long, deleted_records long, "
-        "total_data_files long, total_records long"
+        "sequence_number long, snapshot_id long, parent_snapshot_id long, "
+        "schema_id long, timestamp_ms long, operation string, "
+        "added_data_files long, added_records long, deleted_data_files long, "
+        "deleted_records long, total_data_files long, total_records long"
     )
 
     def snapshots_df(self) -> DataFrame:
@@ -555,6 +555,7 @@ class IcebergTable:
                 (
                     s["sequence-number"],
                     s["snapshot-id"],
+                    s.get("parent-snapshot-id"),
                     s.get("schema-id"),
                     s.get("timestamp-ms"),
                     summ.get("operation"),
@@ -1467,6 +1468,10 @@ class IcebergTable:
             "summary": {"operation": operation, **metrics, **(summary_extra or {})},
             "schema-id": (base_md or {}).get("current-schema-id", 0),
         }
+        # spec field: ancestry chain for the history metadata table and
+        # is_current_ancestor computations (null for the first snapshot)
+        if base_md and base_md.get("current-snapshot-id") is not None:
+            snap["parent-snapshot-id"] = base_md["current-snapshot-id"]
         return snap
 
     def _publish_metadata(self, md: dict) -> None:

@@ -172,3 +172,16 @@ def test_iceberg_manifests_df_matches_planner_counts(spark, root):
     # sequence numbers align with the snapshots table
     seqs = {r["sequence_number"] for r in m}
     assert seqs <= {r["sequence_number"] for r in t.snapshots_df().collect()}
+
+
+def test_iceberg_parent_snapshot_ancestry(spark, root):
+    """parent-snapshot-id (spec field, written since r5) forms the
+    ancestry chain: each snapshot's parent is the previous current, the
+    first is NULL — the input to history/is_current_ancestor queries."""
+    t = IcebergTable.create(spark, root, _df(spark).coalesce(1))
+    t.append(_df(spark, 4).coalesce(1))
+    t.overwrite(_df(spark, 2).coalesce(1))
+    s = sorted(t.snapshots_df().collect(), key=lambda r: r["sequence_number"])
+    assert s[0]["parent_snapshot_id"] is None
+    assert s[1]["parent_snapshot_id"] == s[0]["snapshot_id"]
+    assert s[2]["parent_snapshot_id"] == s[1]["snapshot_id"]
