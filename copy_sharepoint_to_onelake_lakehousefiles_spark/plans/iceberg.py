@@ -569,6 +569,34 @@ class IcebergTable:
             )
         return self.spark.createDataFrame(rows, self.SNAPSHOTS_DF_DDL)
 
+    def history_df(self) -> DataFrame:
+        """The ``history`` metadata table: every snapshot in commit order
+        with its parent and ``is_current_ancestor`` — whether it lies on
+        the ancestry chain of the CURRENT snapshot (snapshots abandoned by
+        a rollback/RESTORE show false, exactly how Iceberg surfaces
+        divergent history)."""
+        snaps = self.snapshots()
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        ancestors = set()
+        cur = self.current_snapshot_id()
+        while cur is not None and cur in by_id:
+            ancestors.add(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        rows = [
+            (
+                s.get("timestamp-ms"),
+                s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s["snapshot-id"] in ancestors,
+            )
+            for s in snaps
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id long, parent_id long, "
+            "is_current_ancestor boolean",
+        )
+
     def manifests_df(
         self, snapshot_id: int | None = None, index: int | None = None
     ) -> DataFrame:

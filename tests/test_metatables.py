@@ -185,3 +185,22 @@ def test_iceberg_parent_snapshot_ancestry(spark, root):
     assert s[0]["parent_snapshot_id"] is None
     assert s[1]["parent_snapshot_id"] == s[0]["snapshot_id"]
     assert s[2]["parent_snapshot_id"] == s[1]["snapshot_id"]
+
+
+def test_iceberg_history_df_rollback_divergence(spark, root):
+    """history_df: after a rollback and a new commit on top of the older
+    snapshot, the abandoned snapshot shows is_current_ancestor=false while
+    the rolled-to snapshot and the new tip show true — divergent history
+    surfaces exactly as Iceberg's history table does."""
+    t = IcebergTable.create(spark, root, _df(spark).coalesce(1))
+    t.append(_df(spark, 3).coalesce(1))       # snapshot B (will be abandoned)
+    s = sorted(t.snapshots_df().collect(), key=lambda r: r["sequence_number"])
+    a_id, b_id = s[0]["snapshot_id"], s[1]["snapshot_id"]
+    t.rollback(snapshot_id=a_id)
+    t.append(_df(spark, 2).coalesce(1))       # snapshot C, parent = A
+    h = {r["snapshot_id"]: r for r in t.history_df().collect()}
+    assert h[a_id]["is_current_ancestor"] is True
+    assert h[b_id]["is_current_ancestor"] is False
+    c = next(r for r in h.values() if r["parent_id"] == a_id and r["snapshot_id"] != b_id)
+    assert c["is_current_ancestor"] is True
+    assert h[a_id]["parent_id"] is None
