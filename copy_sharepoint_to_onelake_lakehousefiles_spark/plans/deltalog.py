@@ -286,16 +286,9 @@ class DeltaTable:
         "num_removed_files long, num_added_rows long"
     )
 
-    def history_df(self) -> DataFrame:
-        """``DESCRIBE HISTORY`` as a queryable DataFrame: one row per commit
-        with the operation name and add/remove/row deltas, computed from the
-        same JSON actions snapshot planning replays. The lakehouse form of
-        the reference's per-file audit line (NB:299, RM:150-151: "validate
-        that files appear as expected") — an operator's first post-write ask.
-
-        Scale: O(commits since log cleanup) driver work, identical to the
-        planner's own replay; the result is a metadata frame of #versions
-        rows, never proportional to data."""
+    def _history_rows(self) -> list[tuple]:
+        """Pure-Python history rows (no SparkSession needed — also serves
+        the delta_lite metadata-table reader executor-side)."""
         rows = []
         for v in self.versions():
             op, n_add, n_rm, added_rows = None, 0, 0, 0
@@ -311,14 +304,26 @@ class DeltaTable:
                 elif a.get("remove"):
                     n_rm += 1
             rows.append((v, op, n_add, n_rm, added_rows))
-        return self.spark.createDataFrame(rows, self.HISTORY_DF_DDL)
+        return rows
 
-    def files_df(self, version: int | None = None) -> DataFrame:
-        """The live files of a snapshot as a queryable DataFrame (the
-        ``files`` metadata table): path, partition values, physical row
-        count, and deletion-vector cardinality. Joins/filters compose like
-        any other DataFrame — e.g. ``files_df().groupBy("partition_values")``
-        is the audit the reference does per copied file (NB:299)."""
+    def history_df(self) -> DataFrame:
+        """``DESCRIBE HISTORY`` as a queryable DataFrame: one row per commit
+        with the operation name and add/remove/row deltas, computed from the
+        same JSON actions snapshot planning replays. The lakehouse form of
+        the reference's per-file audit line (NB:299, RM:150-151: "validate
+        that files appear as expected") — an operator's first post-write ask.
+
+        Scale: O(commits since log cleanup) driver work, identical to the
+        planner's own replay; the result is a metadata frame of #versions
+        rows, never proportional to data."""
+        return self.spark.createDataFrame(self._history_rows(), self.HISTORY_DF_DDL)
+
+    FILES_DF_DDL = (
+        "path string, partition_values map<string,string>, size_bytes long, "
+        "num_records long, dv_cardinality long"
+    )
+
+    def _files_rows(self, version: int | None = None) -> list[tuple]:
         rows = []
         for a in self.files(version):
             st = a.get("stats")
@@ -334,10 +339,16 @@ class DeltaTable:
                     int(dv.get("cardinality") or 0),
                 )
             )
+        return rows
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The live files of a snapshot as a queryable DataFrame (the
+        ``files`` metadata table): path, partition values, physical row
+        count, and deletion-vector cardinality. Joins/filters compose like
+        any other DataFrame — e.g. ``files_df().groupBy("partition_values")``
+        is the audit the reference does per copied file (NB:299)."""
         return self.spark.createDataFrame(
-            rows,
-            "path string, partition_values map<string,string>, size_bytes long, "
-            "num_records long, dv_cardinality long",
+            self._files_rows(version), self.FILES_DF_DDL
         )
 
     def detail_df(self) -> DataFrame:

@@ -538,11 +538,9 @@ class IcebergTable:
         "deleted_records long, total_data_files long, total_records long"
     )
 
-    def snapshots_df(self) -> DataFrame:
-        """The ``snapshots`` metadata table as a queryable DataFrame — one
-        row per snapshot with the spec-standard summary metrics parsed back
-        to longs (summaries are string→string maps on disk). Snapshots
-        written before summary metrics existed surface NULL counts."""
+    def _snapshots_rows(self) -> list[tuple]:
+        """Pure-Python snapshot rows (no SparkSession — also serves the
+        iceberg_lite metadata-table reader executor-side)."""
 
         def as_long(summ: dict, key: str):
             v = summ.get(key)
@@ -567,7 +565,14 @@ class IcebergTable:
                     as_long(summ, "total-records"),
                 )
             )
-        return self.spark.createDataFrame(rows, self.SNAPSHOTS_DF_DDL)
+        return rows
+
+    def snapshots_df(self) -> DataFrame:
+        """The ``snapshots`` metadata table as a queryable DataFrame — one
+        row per snapshot with the spec-standard summary metrics parsed back
+        to longs (summaries are string→string maps on disk). Snapshots
+        written before summary metrics existed surface NULL counts."""
+        return self.spark.createDataFrame(self._snapshots_rows(), self.SNAPSHOTS_DF_DDL)
 
     def history_df(self) -> DataFrame:
         """The ``history`` metadata table: every snapshot in commit order

@@ -299,3 +299,77 @@ def q163_delta_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dv_cardinality",
         F.element_at(F.col("partition_values"), "r_name").alias("r_name"),
     )
+
+
+_Q169_ORACLE = f"""
+WITH acts AS (
+  SELECT CAST(regexp_extract(filename, '(\\d+)\\.json$', 1) AS BIGINT) AS version,
+         "commitInfo", "add", "remove"
+  FROM read_json_auto('{ROOT}/delta/_delta_log/*.json',
+                      filename=true, format='newline_delimited')
+  WHERE regexp_matches(filename, '\\d+\\.json$')
+),
+hist AS (
+  SELECT version,
+         max(json_extract_string(to_json("commitInfo"), '$.operation')) AS operation,
+         CAST(count("add".path) AS BIGINT) AS num_added_files,
+         CAST(count("remove".path) AS BIGINT) AS num_removed_files,
+         CAST(coalesce(sum(CAST(json_extract_string("add".stats, '$.numRecords')
+                                AS BIGINT)), 0) AS BIGINT) AS num_added_rows
+  FROM acts GROUP BY version
+),
+adds AS (
+  SELECT version, "add".path AS path,
+         CAST(json_extract_string("add".stats, '$.numRecords') AS BIGINT) AS num_records
+  FROM acts WHERE "add".path IS NOT NULL
+),
+rms AS (
+  SELECT version, "remove".path AS path FROM acts WHERE "remove".path IS NOT NULL
+),
+latest_add AS (SELECT path, max(version) AS av FROM adds GROUP BY path),
+latest_rm AS (SELECT path, max(version) AS rv FROM rms GROUP BY path),
+live AS (
+  SELECT CAST(count(*) AS BIGINT) AS live_files,
+         CAST(sum(a.num_records) AS BIGINT) AS live_rows_physical
+  FROM adds a
+  JOIN latest_add la ON a.path = la.path AND a.version = la.av
+  LEFT JOIN latest_rm lr ON a.path = lr.path
+  WHERE lr.rv IS NULL OR la.av >= lr.rv
+)
+SELECT h.version, h.operation, h.num_added_files, h.num_removed_files,
+       h.num_added_rows, l.live_files, l.live_rows_physical
+FROM hist h, live l
+"""
+
+
+@query("q169_sql_metadata_surface", oracle=_Q169_ORACLE)
+def q169_sql_metadata_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata tables through Spark's OWN source contract: delta_lite
+    with ``option("table", "history"|"files")`` registers DESCRIBE HISTORY
+    and the files table as temp views, and ONE plain ``spark.sql`` composes
+    them (per-commit deltas × live-file totals). The oracle reconstructs
+    both surfaces from the same ``_delta_log`` JSON — so the SQL-facing
+    metadata path is format-checked end to end, not just the Python API."""
+    from ..sources.delta_datasource import DeltaLiteDataSource
+
+    _build_delta(spark, sf_dir)
+    spark.dataSource.register(DeltaLiteDataSource)
+    root = os.path.join(ROOT, "delta")
+    spark.read.format("delta_lite").option("table", "history").load(
+        root
+    ).createOrReplaceTempView("q169_history")
+    spark.read.format("delta_lite").option("table", "files").load(
+        root
+    ).createOrReplaceTempView("q169_files")
+    return spark.sql(
+        """
+        SELECT h.version, h.operation, h.num_added_files, h.num_removed_files,
+               h.num_added_rows, l.live_files, l.live_rows_physical
+        FROM q169_history h
+        CROSS JOIN (
+          SELECT CAST(count(*) AS BIGINT) AS live_files,
+                 CAST(sum(num_records) AS BIGINT) AS live_rows_physical
+          FROM q169_files
+        ) l
+        """
+    )

@@ -211,8 +211,43 @@ class DeltaLitePushdownReader(DeltaLiteReader):
                 yield f
 
 
+@dataclass
+class MetaPartition(InputPartition):
+    root: str
+    table: str
+    version: int | None = None
+
+
+class DeltaLiteMetaReader(DataSourceReader):
+    """Metadata-table flavor: ``option("table", "history"|"files")`` plans
+    ONE partition whose executor replays the log itself (pure-Python row
+    builders shared with history_df/files_df) — metadata is
+    O(commits)/O(files), so a single task is the right plan, and SQL users
+    get ``DESCRIBE HISTORY`` through a plain temp view."""
+
+    def __init__(self, options):
+        self.root = options.get("path")
+        self.table = options.get("table")
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
+
+    def partitions(self):
+        return [MetaPartition(self.root, self.table, self.version)]
+
+    def read(self, partition: MetaPartition):
+        from ..plans.deltalog import DeltaTable
+
+        t = DeltaTable(None, partition.root)
+        if partition.table == "history":
+            yield from t._history_rows()
+        else:
+            yield from t._files_rows(partition.version)
+
+
 class DeltaLiteDataSource(DataSource):
-    """``spark.read.format("delta_lite").option("version", 2).load(root)``."""
+    """``spark.read.format("delta_lite").option("version", 2).load(root)``;
+    ``option("table", "history"|"files")`` selects a METADATA table instead
+    of data (the SQL surface of DESCRIBE HISTORY / the files table)."""
 
     @classmethod
     def name(cls) -> str:
@@ -226,6 +261,13 @@ class DeltaLiteDataSource(DataSource):
         root = self.options.get("path")
         if not root:
             raise ValueError("delta_lite requires .load(<table root>)")
+        meta_table = self.options.get("table")
+        if meta_table == "history":
+            return DeltaTable.HISTORY_DF_DDL
+        if meta_table == "files":
+            return DeltaTable.FILES_DF_DDL
+        if meta_table is not None:
+            raise ValueError(f"unknown metadata table {meta_table!r}")
         t = DeltaTable(None, root)
         v = self.options.get("version")
         st = StructType.fromJson(
@@ -233,7 +275,9 @@ class DeltaLiteDataSource(DataSource):
         )
         return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
 
-    def reader(self, schema) -> DeltaLiteReader:
+    def reader(self, schema) -> DataSourceReader:
+        if self.options.get("table") is not None:
+            return DeltaLiteMetaReader(self.options)
         if str(self.options.get("pushdown", "")).lower() == "true":
             return DeltaLitePushdownReader(self.options)
         return DeltaLiteReader(self.options)

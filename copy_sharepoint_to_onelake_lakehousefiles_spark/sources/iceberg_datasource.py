@@ -271,9 +271,34 @@ class IcebergLitePushdownReader(IcebergLiteReader):
                 yield f
 
 
+@dataclass
+class IceMetaPartition(InputPartition):
+    root: str
+    table: str
+
+
+class IcebergLiteMetaReader(DataSourceReader):
+    """Metadata-table flavor (``option("table", "snapshots")``): one
+    partition whose executor walks the table metadata itself — the SQL
+    surface of the snapshots metadata table."""
+
+    def __init__(self, options):
+        self.root = options.get("path")
+        self.table = options.get("table")
+
+    def partitions(self):
+        return [IceMetaPartition(self.root, self.table)]
+
+    def read(self, partition: IceMetaPartition):
+        from ..plans.iceberg import IcebergTable
+
+        yield from IcebergTable(None, partition.root)._snapshots_rows()
+
+
 class IcebergLiteDataSource(DataSource):
     """``spark.read.format("iceberg_lite").option("snapshot_index", 1)
-    .load(root)`` after registration."""
+    .load(root)`` after registration; ``option("table", "snapshots")``
+    selects the snapshots METADATA table instead of data."""
 
     @classmethod
     def name(cls) -> str:
@@ -285,13 +310,20 @@ class IcebergLiteDataSource(DataSource):
         root = self.options.get("path")
         if not root:
             raise ValueError("iceberg_lite requires .load(<table root>)")
+        meta_table = self.options.get("table")
+        if meta_table == "snapshots":
+            return IcebergTable.SNAPSHOTS_DF_DDL
+        if meta_table is not None:
+            raise ValueError(f"unknown metadata table {meta_table!r}")
         idx = self.options.get("snapshot_index")
         st = IcebergTable(None, root).schema(
             index=int(idx) if idx is not None else None
         )
         return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
 
-    def reader(self, schema) -> IcebergLiteReader:
+    def reader(self, schema) -> DataSourceReader:
+        if self.options.get("table") is not None:
+            return IcebergLiteMetaReader(self.options)
         if str(self.options.get("pushdown", "")).lower() == "true":
             return IcebergLitePushdownReader(self.options)
         return IcebergLiteReader(self.options)

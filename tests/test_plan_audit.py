@@ -52,6 +52,7 @@ NLJ_ALLOWED = {
     "q109_unigram_logprob",
     "q167_dsir_importance",  # 1-row totals broadcast (nt/ns/v)
     "q168_training_pipeline_capstone",  # 1-row funnel broadcast + offset table
+    "q169_sql_metadata_surface",  # 1-row live-file aggregate over a metadata view
 }
 
 
