@@ -27,7 +27,10 @@ row = st.tuples(
 )
 append_op = st.tuples(st.just("append"), st.lists(row, min_size=1, max_size=4))
 delete_op = st.tuples(st.just("delete"), st.integers(2, 4), st.integers(0, 3))
-ops_seq = st.lists(st.one_of(append_op, delete_op), min_size=1, max_size=4)
+# v2 checkpoint at a random point: all subsequent Delta resolution must
+# come through the sidecar layout (r5)
+ckpt_op = st.tuples(st.just("ckpt_v2"), st.integers(1, 3))
+ops_seq = st.lists(st.one_of(append_op, delete_op, ckpt_op), min_size=1, max_size=4)
 initial = st.lists(row, min_size=1, max_size=5)
 
 
@@ -53,6 +56,12 @@ def test_random_op_sequences_agree_across_formats(spark, init, ops):
                 dl.append(a_df)
                 ic.append(a_df)
                 model.extend(rows)
+            elif op[0] == "ckpt_v2":
+                dl.write_checkpoint_v2(sidecar_parts=op[1])
+                # resolution through the fresh checkpoint must match a new
+                # handle's view immediately
+                assert _rows(DeltaTable(spark, dl.root).read()) == sorted(model)
+                continue
             else:
                 _, m, r = op
                 r = r % m
