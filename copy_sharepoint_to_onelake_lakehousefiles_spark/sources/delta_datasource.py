@@ -57,6 +57,33 @@ class FilePartition(InputPartition):
     dv: tuple | None = None
     # logical → physical column names (column mapping); None = identity
     phys: dict | None = None
+    # pushed [lo, hi] bounds by PHYSICAL column name — the executor prunes
+    # ROW GROUPS by footer statistics before reading pages (the granularity
+    # below file-level stats skipping; at 100 TB a file is ~1 GB of ~128 MB
+    # row groups, so this is an 8× page-read reduction on selective scans)
+    bounds: dict | None = None
+
+
+def select_row_groups(pf_meta, bounds: dict) -> list[int]:
+    """Row-group indexes whose footer statistics OVERLAP every bound —
+    conservative (missing stats keep the group); pure function so tests can
+    drive it against crafted metadata."""
+    keep = []
+    for g in range(pf_meta.num_row_groups):
+        rg = pf_meta.row_group(g)
+        cols = {rg.column(i).path_in_schema: rg.column(i) for i in range(rg.num_columns)}
+        alive = True
+        for c, (lo, hi) in bounds.items():
+            cc = cols.get(c)
+            st = cc.statistics if cc is not None else None
+            if st is None or not st.has_min_max:
+                continue
+            if (hi is not None and st.min > hi) or (lo is not None and st.max < lo):
+                alive = False
+                break
+        if alive:
+            keep.append(g)
+    return keep
 
 
 def _cast_pv(raw: str | None, type_name: str) -> Any:
@@ -112,6 +139,16 @@ class DeltaLiteReader(DataSourceReader):
                 for c, cmp in self.pushed_bounds.items()
             }
             adds = [a for a in adds if self._overlaps(a, bounds)]
+        rg_bounds = None
+        if self.pushed_bounds:
+            rg_bounds = {
+                phys.get(c, c): (
+                    max((lo for lo, _ in cmp if lo is not None), default=None),
+                    min((hi for _, hi in cmp if hi is not None), default=None),
+                )
+                for c, cmp in self.pushed_bounds.items()
+                if phys.get(c, c) not in part_cols
+            }
         out = []
         for a in adds:
             d = a.get("deletionVector")
@@ -125,6 +162,7 @@ class DeltaLiteReader(DataSourceReader):
                     if d
                     else None,
                     phys,
+                    rg_bounds or None,
                 )
             )
         return out
@@ -150,18 +188,36 @@ class DeltaLiteReader(DataSourceReader):
         from pyspark.sql.types import StructType
 
         st = StructType.fromJson(json.loads(partition.schema_json))
-        tbl = pq.read_table(partition.path)
+        pf = pq.ParquetFile(partition.path)
+        groups = list(range(pf.metadata.num_row_groups))
+        if partition.bounds:
+            groups = select_row_groups(pf.metadata, partition.bounds)
+        if not groups:
+            return
+        tbl = pf.read_row_groups(groups)
         if partition.dv is not None and tbl.num_rows:
             # merge-on-read: decode this file's deletion vector and mask the
-            # dead ordinals executor-side (DVs are metadata-sized vs data)
+            # dead ordinals executor-side (DVs are metadata-sized vs data).
+            # DV ordinals are FILE-level: with row groups skipped, each kept
+            # group's rows map back via its cumulative start offset.
             from ..plans.roaring import deserialize_rba, read_dv_blob
 
             dp, off, size = partition.dv
             dead = set(deserialize_rba(read_dv_blob(dp, off, size)))
             if dead:
-                tbl = tbl.filter(
-                    pa.array([i not in dead for i in range(tbl.num_rows)])
-                )
+                starts = []
+                pos = 0
+                for g in range(pf.metadata.num_row_groups):
+                    starts.append(pos)
+                    pos += pf.metadata.row_group(g).num_rows
+                mask = []
+                for g in groups:
+                    base = starts[g]
+                    mask.extend(
+                        (base + i) not in dead
+                        for i in range(pf.metadata.row_group(g).num_rows)
+                    )
+                tbl = tbl.filter(pa.array(mask))
         n = tbl.num_rows
         names = set(tbl.column_names)
         phys = partition.phys or {}

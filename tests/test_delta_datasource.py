@@ -121,3 +121,85 @@ def test_sql_front_door(spark, root):
         for r in spark.sql(f"SELECT tag, count(*) AS n FROM {view} GROUP BY tag").collect()
     }
     assert got == {("x", 2), ("y", 1)}
+
+
+def test_row_group_pruning_and_dv_ordinal_alignment(spark, tmp_path):
+    """r5: the executor prunes ROW GROUPS by footer statistics when bounds
+    are pushed, and DV masking still lands on the right rows because file
+    ordinals are re-based per kept group's cumulative start offset."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.roaring import (
+        serialize_rba,
+        write_dv_file,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_datasource import (
+        select_row_groups,
+    )
+
+    root = str(tmp_path / "rg")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    # one file, 10 row groups of 100 ascending keys each
+    ks = list(range(1000))
+    pq.write_table(
+        pa.table({"k": ks, "v": [k * 2 for k in ks]}),
+        os.path.join(root, "data.parquet"),
+        row_group_size=100,
+    )
+    pf = pq.ParquetFile(os.path.join(root, "data.parquet"))
+    assert pf.metadata.num_row_groups == 10
+    # pure pruning function: k in [250, 349] overlaps exactly groups 2 and 3
+    assert select_row_groups(pf.metadata, {"k": (250, 349)}) == [2, 3]
+    assert select_row_groups(pf.metadata, {"k": (None, 99)}) == [0]
+    assert select_row_groups(pf.metadata, {"k": (950, None)}) == [9]
+    assert select_row_groups(pf.metadata, {"nope": (1, 2)}) == list(range(10))
+
+    # DV killing ordinals 260..279 (inside group 2)
+    blob = serialize_rba(list(range(260, 280)))
+    dv_path = os.path.join(root, "dv.bin")
+    ((off, size),) = write_dv_file(dv_path, [blob])
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "rg", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_string, "partitionColumns": [],
+                      "configuration": {}}},
+        {"add": {"path": "data.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {"storageType": "p", "pathOrInlineDv": dv_path,
+                                    "offset": off, "sizeInBytes": size,
+                                    "cardinality": 20}}},
+    ]
+    with open(os.path.join(root, "_delta_log", "0" * 20 + ".json"), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (
+            spark.read.format("delta_lite")
+            .option("pushdown", "true")
+            .load(root)
+            .where("k >= 250 AND k <= 349")
+            .collect()
+        )
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+    ks_got = sorted(r["k"] for r in got)
+    # 250..349 minus the DV'd 260..279 — pruning must not shift the mask
+    assert ks_got == [k for k in range(250, 350) if not (260 <= k < 280)]
+    assert all(r["v"] == r["k"] * 2 for r in got)
