@@ -57,6 +57,10 @@ class IceFilePartition(InputPartition):
     # planning); None = names match; a None VALUE = field id absent from
     # the file (reads null)
     colmap: dict | None = None
+    # pushed [lo, hi] bounds by TARGET column name: the executor prunes ROW
+    # GROUPS by footer statistics (translated to write-time names) before
+    # reading pages — the granularity below manifest/file-level pruning
+    bounds: dict | None = None
 
 
 class IcebergLiteReader(DataSourceReader):
@@ -155,6 +159,7 @@ class IcebergLiteReader(DataSourceReader):
                     applicable,
                     pos_applicable,
                     colmap_for(e),
+                    bounds or None,
                 )
             )
         return out
@@ -166,10 +171,31 @@ class IcebergLiteReader(DataSourceReader):
         from pyspark.sql.types import StructType
 
         st = StructType.fromJson(json.loads(partition.schema_json))
-        tbl = pq.read_table(partition.path)
+        pf = pq.ParquetFile(partition.path)
+        groups = list(range(pf.metadata.num_row_groups))
+        if partition.bounds:
+            # bounds are keyed by TARGET names; row-group stats carry the
+            # file's WRITE-TIME names — translate through colmap, dropping
+            # identity-partition columns (constant per file, pruned at
+            # planning) and renamed-away fields (no stats to consult)
+            from .delta_datasource import select_row_groups
+
+            cm0 = partition.colmap or {}
+            wb = {}
+            for c, b in partition.bounds.items():
+                if c in partition.part_cols:
+                    continue
+                w = cm0.get(c, c)
+                if w is not None:
+                    wb[w] = b
+            if wb:
+                groups = select_row_groups(pf.metadata, wb)
+        if not groups:
+            return
+        tbl = pf.read_row_groups(groups)
         # merge-on-read step 1: position deletes FIRST — their pos values
-        # are ordinals of the original file, so they must mask before any
-        # equality filter renumbers rows
+        # are ordinals of the ORIGINAL file, so with row groups skipped
+        # each kept group's rows re-base by its cumulative start offset
         if partition.pos_deletes and tbl.num_rows:
             def _norm(p: str) -> str:
                 for pre in ("file://", "file:"):
@@ -187,10 +213,19 @@ class IcebergLiteReader(DataSourceReader):
                     p for fp, p in zip(fps, poss) if _norm(fp) == me
                 )
             if dead_pos:
-                mask = pa.array(
-                    [i not in dead_pos for i in range(tbl.num_rows)]
-                )
-                tbl = tbl.filter(mask)
+                starts = []
+                pos0 = 0
+                for g in range(pf.metadata.num_row_groups):
+                    starts.append(pos0)
+                    pos0 += pf.metadata.row_group(g).num_rows
+                mask_vals = []
+                for g in groups:
+                    base = starts[g]
+                    mask_vals.extend(
+                        (base + i) not in dead_pos
+                        for i in range(pf.metadata.row_group(g).num_rows)
+                    )
+                tbl = tbl.filter(pa.array(mask_vals))
         # merge-on-read step 2: apply this file's equality deletes executor-
         # side (pandas anti-join per delete key-set; delete files are
         # metadata-sized relative to data)

@@ -1342,3 +1342,43 @@ def test_truncate_string_range_pruning(spark, root):
     assert sorted(e["partition"]["name_trunc"] for e in entries) == ["ap", "av"]
     got = t.read(bounds={"name": ("ap", "az")}).where("name >= 'ap' and name <= 'az'")
     assert sorted(r["name"] for r in got.collect()) == ["apple", "apricot", "avocado"]
+
+
+def test_lite_row_group_pruning_with_position_deletes(spark, root):
+    """r5: iceberg_lite's executor prunes row groups by footer stats when
+    bounds are pushed, and position-delete ordinals re-base per kept
+    group's start offset — the masked result must match an unpruned read
+    exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # build a 1-file table then REWRITE the data file with small row groups
+    # so group pruning has something to skip
+    df = spark.createDataFrame([(k, k * 2) for k in range(1000)], "k long, v long")
+    t = IcebergTable.create(spark, root, df.coalesce(1))
+    entries, _ = t.files()
+    path = entries[0]["file_path"].replace("file:", "")
+    tbl = pq.read_table(path)
+    tbl = tbl.sort_by("k")
+    pq.write_table(tbl, path, row_group_size=100)
+    t.position_delete(F.col("k").between(250, 279))
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+        IcebergLiteDataSource,
+    )
+
+    spark.dataSource.register(IcebergLiteDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (
+            spark.read.format("iceberg_lite")
+            .option("pushdown", "true")
+            .load(root)
+            .where("k >= 200 AND k <= 399")
+            .collect()
+        )
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+    ks = sorted(r["k"] for r in got)
+    assert ks == [k for k in range(200, 400) if not (250 <= k <= 279)]
+    assert all(r["v"] == r["k"] * 2 for r in got)
