@@ -951,6 +951,8 @@ def decode_image(content: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg  # baseline T.81 decoder, from scratch
 
         return decode_jpeg(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(content)
     raise NotImplementedError("unrecognized image container")
 
 
@@ -1175,6 +1177,116 @@ def encode_wav(
         data += b"\x00"
     body = b"WAVE" + chunks + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _tiff_ifd_entries(content: bytes, bo: str) -> dict[int, tuple[int, int, int]]:
+    """IFD0's entries as {tag: (type, count, value_or_offset)}."""
+    ifd = int.from_bytes(content[4:8], bo)
+    n = int.from_bytes(content[ifd : ifd + 2], bo)
+    out = {}
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        tag = int.from_bytes(content[e : e + 2], bo)
+        typ = int.from_bytes(content[e + 2 : e + 4], bo)
+        cnt = int.from_bytes(content[e + 4 : e + 8], bo)
+        out[tag] = (typ, cnt, e + 8)
+    return out
+
+
+def _tiff_values(content: bytes, bo: str, entry: tuple[int, int, int]) -> list[int]:
+    """Resolve an entry's integer values (SHORT=3 / LONG=4), inline when
+    they fit the 4-byte value slot, else via offset — per TIFF 6.0 §2."""
+    typ, cnt, vpos = entry
+    width = 2 if typ == 3 else 4
+    total = width * cnt
+    if total <= 4:
+        base = vpos
+    else:
+        base = int.from_bytes(content[vpos : vpos + 4], bo)
+    return [
+        int.from_bytes(content[base + i * width : base + (i + 1) * width], bo)
+        for i in range(cnt)
+    ]
+
+
+def decode_tiff(content: bytes) -> np.ndarray:
+    """Baseline UNCOMPRESSED TIFF (6.0) → (H, W, 3) uint8 RGB: walk IFD0,
+    assemble the strips, expand gray/RGB; both byte orders. Compressed
+    TIFFs (LZW/JPEG-in-TIFF) raise NotImplementedError → stub fallback."""
+    if content[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF header")
+    bo = "little" if content[:2] == b"II" else "big"
+    e = _tiff_ifd_entries(content, bo)
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag not in e:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return _tiff_values(content, bo, e[tag])[0]
+
+    comp = one(259, 1)
+    if comp != 1:
+        raise NotImplementedError(f"TIFF compression {comp} (only 1=none)")
+    w, h = one(256), one(257)
+    spp = one(277, 1)
+    bits = _tiff_values(content, bo, e[258]) if 258 in e else [8] * spp
+    if any(b != 8 for b in bits[:spp]):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits} (only 8)")
+    photo = one(262, 1)
+    offsets = _tiff_values(content, bo, e[273])
+    counts = _tiff_values(content, bo, e[279])
+    raw = b"".join(content[o : o + c] for o, c in zip(offsets, counts))
+    need = w * h * spp
+    if len(raw) < need:
+        raise ValueError(f"TIFF strips truncated: {len(raw)} < {need}")
+    arr = np.frombuffer(raw[:need], np.uint8).reshape(h, w, spp)
+    if spp >= 3:
+        img = arr[:, :, :3]
+    else:
+        img = np.repeat(arr[:, :, :1], 3, axis=2)
+    if photo == 0:  # WhiteIsZero: invert
+        img = 255 - img
+    return np.ascontiguousarray(img)
+
+
+def encode_tiff(img: np.ndarray, byte_order: str = "little") -> bytes:
+    """Minimal single-strip uncompressed RGB TIFF writer (the decoder's
+    forward partner; round trips are bit-exact)."""
+    h, w = img.shape[:2]
+    pixels = np.ascontiguousarray(img[:, :, :3], dtype=np.uint8).tobytes()
+    bo = byte_order
+    hdr = (b"II*\x00" if bo == "little" else b"MM\x00*") + (8).to_bytes(4, bo)
+    tags = [
+        (256, 4, 1, w),           # ImageWidth
+        (257, 4, 1, h),           # ImageLength
+        (258, 3, 3, None),        # BitsPerSample [8,8,8] via offset
+        (259, 3, 1, 1),           # Compression = none
+        (262, 3, 1, 2),           # Photometric = RGB
+        (273, 4, 1, None),        # StripOffsets (patched below)
+        (277, 3, 1, 3),           # SamplesPerPixel
+        (278, 4, 1, h),           # RowsPerStrip = whole image
+        (279, 4, 1, len(pixels)), # StripByteCounts
+    ]
+    ifd_pos = 8
+    ifd_len = 2 + 12 * len(tags) + 4
+    bps_off = ifd_pos + ifd_len
+    strip_off = bps_off + 6
+    body = bytearray()
+    body += len(tags).to_bytes(2, bo)
+    for tag, typ, cnt, val in tags:
+        body += tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + cnt.to_bytes(4, bo)
+        if tag == 258:
+            body += bps_off.to_bytes(4, bo)
+        elif tag == 273:
+            body += strip_off.to_bytes(4, bo)
+        elif typ == 3:
+            body += val.to_bytes(2, bo) + b"\x00\x00"
+        else:
+            body += val.to_bytes(4, bo)
+    body += (0).to_bytes(4, bo)  # next IFD = none
+    body += (8).to_bytes(2, bo) * 3  # BitsPerSample values
+    return hdr + bytes(body) + pixels
 
 
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:

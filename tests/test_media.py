@@ -1031,3 +1031,72 @@ def test_extract_features_surfaces_decode_status(spark, tmp_path):
     statuses = {r["decode_status"] for n, r in rows.items() if n != len(good)}
     assert all(s.startswith("stub:") for s in statuses)
     assert any("ValueError" in s or "NotImplementedError" in s for s in statuses)
+
+
+# --- uncompressed baseline TIFF (r5) -----------------------------------------
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+    decode_tiff,
+    encode_tiff,
+)
+
+
+def test_tiff_roundtrip_both_byte_orders():
+    img = np.fromfunction(
+        lambda y, x, c: (x * 5 + y * 7 + c * 30) % 256, (13, 17, 3)
+    ).astype(np.uint8)
+    for bo in ("little", "big"):
+        b = encode_tiff(img, bo)
+        assert (decode_tiff(b) == img).all()
+        assert (decode_image(b) == img).all()  # dispatched via magic
+
+
+def test_tiff_gray_and_whiteiszero_paths():
+    """Hand-built gray TIFF: single sample expands to 3 channels;
+    PhotometricInterpretation 0 (WhiteIsZero) inverts."""
+    import struct as _st
+
+    def gray_tiff(photo: int) -> bytes:
+        w, h = 4, 2
+        pixels = bytes(range(w * h))
+        bo = "little"
+        hdr = b"II*\x00" + (8).to_bytes(4, bo)
+        tags = [
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, photo), (273, 4, 1, None), (277, 3, 1, 1),
+            (278, 4, 1, h), (279, 4, 1, len(pixels)),
+        ]
+        ifd_len = 2 + 12 * len(tags) + 4
+        strip_off = 8 + ifd_len
+        body = bytearray(len(tags).to_bytes(2, bo))
+        for tag, typ, cnt, val in tags:
+            body += tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + cnt.to_bytes(4, bo)
+            if tag == 273:
+                body += strip_off.to_bytes(4, bo)
+            elif typ == 3:
+                body += val.to_bytes(2, bo) + b"\x00\x00"
+            else:
+                body += val.to_bytes(4, bo)
+        body += (0).to_bytes(4, bo)
+        return hdr + bytes(body) + pixels
+
+    img1 = decode_tiff(gray_tiff(photo=1))
+    assert img1.shape == (2, 4, 3)
+    assert (img1[:, :, 0] == img1[:, :, 1]).all()
+    assert img1[0, 0, 0] == 0 and img1[1, 3, 0] == 7
+    img0 = decode_tiff(gray_tiff(photo=0))
+    assert img0[0, 0, 0] == 255 and img0[1, 3, 0] == 248  # inverted
+
+
+def test_tiff_refusals_are_loud():
+    import pytest as _pytest
+
+    img = np.zeros((2, 2, 3), np.uint8)
+    b = bytearray(encode_tiff(img))
+    # flip Compression (tag 259) value to 5 (LZW): must refuse, not stub
+    # silently at this layer (extract_features turns it into a stub row
+    # WITH a decode_status reason)
+    idx = b.find((259).to_bytes(2, "little"), 8)
+    b[idx + 8 : idx + 10] = (5).to_bytes(2, "little")
+    with _pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(bytes(b))
