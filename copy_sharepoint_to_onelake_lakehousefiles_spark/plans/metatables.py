@@ -373,3 +373,36 @@ def q169_sql_metadata_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+@query(
+    "q170_sql_iceberg_snapshots",
+    oracle=f"""
+SELECT s."sequence-number" AS sequence_number,
+       s.summary.operation AS operation,
+       CAST(s.summary."total-data-files" AS BIGINT) AS total_data_files,
+       CAST(s.summary."total-records" AS BIGINT) AS total_records
+FROM (
+  SELECT unnest(snapshots) AS s
+  FROM read_json_auto('{ROOT}/iceberg_current_metadata.json')
+)
+""",
+)
+def q170_sql_iceberg_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg snapshots metadata table through Spark's own source
+    contract (iceberg_lite ``option("table", "snapshots")``) queried with
+    plain spark.sql; the oracle unnests the same snapshots array out of
+    the engine's metadata JSON — the q169 proof for the Iceberg stack."""
+    from ..sources.iceberg_datasource import IcebergLiteDataSource
+
+    _build_iceberg(spark, sf_dir)
+    spark.dataSource.register(IcebergLiteDataSource)
+    spark.read.format("iceberg_lite").option("table", "snapshots").load(
+        os.path.join(ROOT, "iceberg")
+    ).createOrReplaceTempView("q170_snapshots")
+    return spark.sql(
+        """
+        SELECT sequence_number, operation, total_data_files, total_records
+        FROM q170_snapshots
+        """
+    )
