@@ -1686,10 +1686,14 @@ class DeltaTable:
         deleted only if it is BELOW the latest checkpoint (so every retained
         snapshot still resolves) and outside the last ``keep_versions``
         (time-travel window). Delta's metadata-retention policy, applied to
-        the log only — data files are vacuum()'s job."""
+        the log only — data files are vacuum()'s job. Superseded checkpoints
+        (older versions, or the classic file of a version that also has a
+        v2 one) and sidecar parquet files referenced by NO surviving
+        checkpoint are reclaimed too — otherwise every ``write_checkpoint_v2``
+        would leak its parts forever."""
         ck = self._checkpoint_version_at_or_before(self.latest_version())
         if ck is None:
-            return {"commits_deleted": 0}
+            return {"commits_deleted": 0, "checkpoints_deleted": 0, "sidecars_deleted": 0}
         vs = self.versions()
         keep_floor = vs[-keep_versions] if len(vs) > keep_versions else vs[0]
         deleted = 0
@@ -1697,7 +1701,44 @@ class DeltaTable:
             if v < ck and v < keep_floor:
                 os.unlink(os.path.join(self.log_dir, _fmt_commit(v)))
                 deleted += 1
-        return {"commits_deleted": deleted}
+        # superseded checkpoint files: anything below the latest checkpoint
+        # version, plus same-version duplicates the resolver would not pick
+        latest_name = self._checkpoint_files()[ck]
+        ckpts_deleted = 0
+        for n in os.listdir(self.log_dir):
+            if not (
+                n.endswith(".parquet")
+                and len(n) > 20
+                and n[:20].isdigit()
+                and n[20:].startswith(".checkpoint.")
+            ):
+                continue
+            if int(n[:20]) < ck or (int(n[:20]) == ck and n != latest_name):
+                os.unlink(os.path.join(self.log_dir, n))
+                ckpts_deleted += 1
+        # orphan sidecars: collect the live references of every surviving
+        # checkpoint, reclaim the rest
+        side_dir = os.path.join(self.log_dir, "_sidecars")
+        sidecars_deleted = 0
+        if os.path.isdir(side_dir):
+            import pyarrow.parquet as pq
+
+            live: set[str] = set()
+            for name in self._checkpoint_files().values():
+                tbl = pq.read_table(os.path.join(self.log_dir, name))
+                if "sidecar" in tbl.column_names:
+                    for r in tbl.column("sidecar").to_pylist():
+                        if r and r.get("path"):
+                            live.add(r["path"])
+            for n in os.listdir(side_dir):
+                if n.endswith(".parquet") and n not in live:
+                    os.unlink(os.path.join(side_dir, n))
+                    sidecars_deleted += 1
+        return {
+            "commits_deleted": deleted,
+            "checkpoints_deleted": ckpts_deleted,
+            "sidecars_deleted": sidecars_deleted,
+        }
 
 
 def convert_parquet_to_delta(spark, root: str) -> DeltaTable:

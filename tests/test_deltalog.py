@@ -744,3 +744,26 @@ def test_classic_checkpoint_of_partitioned_table_reconstructs_partitions(spark, 
     assert t2.read().count() == 18
     assert t2.read(partition_filter={"part": "p1"}).count() == 4 + 5
     assert set(r.part for r in t2.read().select("part").distinct().collect()) == {"p0", "p1"}
+
+
+def test_cleanup_reclaims_superseded_checkpoints_and_orphan_sidecars(spark, root):
+    """r5: successive v2 checkpoints must not leak their parts — cleanup
+    deletes checkpoints below the latest (and same-version duplicates the
+    resolver would not pick) plus sidecars referenced by no survivor, and
+    resolution still works afterwards."""
+    t = DeltaTable.create(spark, root, spark.range(6).select(F.col("id").alias("k")))
+    t.append(spark.range(6, 9).select(F.col("id").alias("k")))
+    t.write_checkpoint_v2(sidecar_parts=2)   # ckpt at v2 (after upgrade commit)
+    t.append(spark.range(9, 12).select(F.col("id").alias("k")))
+    t.write_checkpoint_v2(sidecar_parts=3)   # ckpt at v3 supersedes v2's
+    side_dir = os.path.join(root, "_delta_log", "_sidecars")
+    assert len(os.listdir(side_dir)) == 5
+    res = t.cleanup_log(keep_versions=1)
+    assert res["checkpoints_deleted"] >= 1
+    assert res["sidecars_deleted"] == 2  # the first checkpoint's parts
+    assert len(os.listdir(side_dir)) == 3
+    t2 = DeltaTable(spark, root)
+    assert t2.read().count() == 12
+    # idempotent: nothing further to reclaim
+    res2 = t2.cleanup_log(keep_versions=1)
+    assert res2["checkpoints_deleted"] == 0 and res2["sidecars_deleted"] == 0
