@@ -1209,6 +1209,113 @@ def _tiff_values(content: bytes, bo: str, entry: tuple[int, int, int]) -> list[i
     ]
 
 
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (spec §13): MSB-first code packing, 9→12-bit codes,
+    ClearCode 256 / EOI 257, and the EARLY-CHANGE rule — the code width
+    bumps when the next free entry reaches 2^width − 1 (one code earlier
+    than GIF's LSB-first flavor)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitpos = 0
+    nbits = 9
+    total_bits = len(data) * 8
+    table: dict[int, bytes] = {}
+    next_code = 258
+    prev: bytes | None = None
+    while True:
+        if bitpos + nbits > total_bits:
+            break
+        b0 = bitpos >> 3
+        chunk = int.from_bytes(data[b0 : b0 + 4].ljust(4, b"\x00"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = {i: bytes([i]) for i in range(256)}
+            next_code = 258
+            nbits = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"corrupt TIFF LZW stream (code {code})")
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # early change, decoder side: the decode table LAGS the encode
+            # table by one entry (the encoder adds for code k before
+            # emitting k+1; the decoder adds while reading k+1), so the
+            # width bump fires one entry earlier than the encoder's
+            # `next_code == 2^w - 1` to read the first wide code correctly
+            if next_code == (1 << nbits) - 2 and nbits < 12:
+                nbits += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Forward TIFF LZW encoder (the decoder's round-trip partner)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    accbits = 0
+    nbits = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << nbits) | code
+        accbits += nbits
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+        if next_code >= 4094:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_predict2(arr: np.ndarray, inverse: bool) -> np.ndarray:
+    """Horizontal-differencing predictor (tag 317 = 2) over (h, w, spp):
+    each pixel's channel stores the delta to its LEFT neighbor's same
+    channel (mod 256); ``inverse`` reconstructs via cumulative sum along
+    the width axis — channels stay independent because axis 1 is width."""
+    if inverse:
+        return np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+    out = arr.astype(np.int64).copy()
+    out[:, 1:, :] -= arr[:, :-1, :].astype(np.int64)
+    return (out % 256).astype(np.uint8)
+
+
 def decode_tiff(content: bytes) -> np.ndarray:
     """Baseline UNCOMPRESSED TIFF (6.0) → (H, W, 3) uint8 RGB: walk IFD0,
     assemble the strips, expand gray/RGB; both byte orders. Compressed
@@ -1226,21 +1333,29 @@ def decode_tiff(content: bytes) -> np.ndarray:
         return _tiff_values(content, bo, e[tag])[0]
 
     comp = one(259, 1)
-    if comp != 1:
-        raise NotImplementedError(f"TIFF compression {comp} (only 1=none)")
+    if comp not in (1, 5):
+        raise NotImplementedError(f"TIFF compression {comp} (1=none, 5=LZW)")
     w, h = one(256), one(257)
     spp = one(277, 1)
     bits = _tiff_values(content, bo, e[258]) if 258 in e else [8] * spp
     if any(b != 8 for b in bits[:spp]):
         raise NotImplementedError(f"TIFF bits-per-sample {bits} (only 8)")
     photo = one(262, 1)
+    predictor = one(317, 1)
     offsets = _tiff_values(content, bo, e[273])
     counts = _tiff_values(content, bo, e[279])
-    raw = b"".join(content[o : o + c] for o, c in zip(offsets, counts))
+    strips = [content[o : o + c] for o, c in zip(offsets, counts)]
+    if comp == 5:
+        strips = [_tiff_lzw_decode(s) for s in strips]
+    raw = b"".join(strips)
     need = w * h * spp
     if len(raw) < need:
         raise ValueError(f"TIFF strips truncated: {len(raw)} < {need}")
     arr = np.frombuffer(raw[:need], np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        arr = _tiff_predict2(arr, True)
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     if spp >= 3:
         img = arr[:, :, :3]
     else:
@@ -1250,24 +1365,40 @@ def decode_tiff(content: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
-def encode_tiff(img: np.ndarray, byte_order: str = "little") -> bytes:
-    """Minimal single-strip uncompressed RGB TIFF writer (the decoder's
-    forward partner; round trips are bit-exact)."""
+def encode_tiff(
+    img: np.ndarray,
+    byte_order: str = "little",
+    compression: int = 1,
+    predictor: int = 1,
+) -> bytes:
+    """Minimal single-strip RGB TIFF writer (the decoder's forward
+    partner; round trips are bit-exact). ``compression=5`` emits TIFF-LZW;
+    ``predictor=2`` applies horizontal differencing first (the libtiff
+    default pairing for LZW)."""
     h, w = img.shape[:2]
-    pixels = np.ascontiguousarray(img[:, :, :3], dtype=np.uint8).tobytes()
+    rgb = np.ascontiguousarray(img[:, :, :3], dtype=np.uint8)
+    if predictor == 2:
+        rgb = _tiff_predict2(rgb, False)
+    pixels = rgb.tobytes()
+    if compression == 5:
+        pixels = _tiff_lzw_encode(pixels)
+    elif compression != 1:
+        raise NotImplementedError(f"TIFF write compression {compression}")
     bo = byte_order
     hdr = (b"II*\x00" if bo == "little" else b"MM\x00*") + (8).to_bytes(4, bo)
     tags = [
         (256, 4, 1, w),           # ImageWidth
         (257, 4, 1, h),           # ImageLength
         (258, 3, 3, None),        # BitsPerSample [8,8,8] via offset
-        (259, 3, 1, 1),           # Compression = none
+        (259, 3, 1, compression), # Compression
         (262, 3, 1, 2),           # Photometric = RGB
         (273, 4, 1, None),        # StripOffsets (patched below)
         (277, 3, 1, 3),           # SamplesPerPixel
         (278, 4, 1, h),           # RowsPerStrip = whole image
         (279, 4, 1, len(pixels)), # StripByteCounts
     ]
+    if predictor == 2:
+        tags.append((317, 3, 1, 2))  # Predictor = horizontal differencing
     ifd_pos = 8
     ifd_len = 2 + 12 * len(tags) + 4
     bps_off = ifd_pos + ifd_len

@@ -1093,10 +1093,39 @@ def test_tiff_refusals_are_loud():
 
     img = np.zeros((2, 2, 3), np.uint8)
     b = bytearray(encode_tiff(img))
-    # flip Compression (tag 259) value to 5 (LZW): must refuse, not stub
+    # flip Compression (tag 259) to an unsupported codec: must refuse, not stub
     # silently at this layer (extract_features turns it into a stub row
     # WITH a decode_status reason)
     idx = b.find((259).to_bytes(2, "little"), 8)
-    b[idx + 8 : idx + 10] = (5).to_bytes(2, "little")
+    b[idx + 8 : idx + 10] = (7).to_bytes(2, "little")  # 7 = JPEG-in-TIFF
     with _pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(bytes(b))
+
+
+def test_tiff_lzw_and_predictor_roundtrip():
+    """r5: TIFF-LZW (MSB-first, early-change) with and without the
+    horizontal-differencing predictor round-trips bit-exactly, and the
+    predictor+LZW pairing actually compresses smooth gradients."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    # raw codec round trip incl. the KwKwK case and table growth
+    for payload in (b"", b"A", b"ABABABABABAB", bytes(range(256)) * 5,
+                    b"\x00" * 5000):
+        assert _tiff_lzw_decode(_tiff_lzw_encode(payload)) == payload
+
+    grad = np.fromfunction(
+        lambda y, x, c: (x + 2 * y + 10 * c) % 256, (24, 40, 3)
+    ).astype(np.uint8)
+    for pred in (1, 2):
+        b = encode_tiff(grad, compression=5, predictor=pred)
+        assert (decode_tiff(b) == grad).all(), f"predictor {pred}"
+    # predictor turns the gradient into near-constant deltas → smaller
+    assert len(encode_tiff(grad, compression=5, predictor=2)) < len(
+        encode_tiff(grad, compression=5, predictor=1)
+    )
+    assert len(encode_tiff(grad, compression=5, predictor=2)) < len(
+        encode_tiff(grad, compression=1)
+    )
