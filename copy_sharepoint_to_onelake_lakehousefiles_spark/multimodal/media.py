@@ -1591,6 +1591,11 @@ def q60_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     banner = np.zeros((10, 20, 3), np.uint8)
     banner[:, 10:] = (0, 128, 255)
     _blob("nested/banner.gif", encode_gif(banner))
+    # REAL TIFF (LZW + horizontal predictor — the libtiff default pairing)
+    scan = np.fromfunction(
+        lambda y, x, c: (x * 2 + y + c * 50) % 256, (12, 18, 3)
+    ).astype(np.uint8)
+    _blob("scan.tif", encode_tiff(scan, compression=5, predictor=2))
     for i in range(2):  # PCM WAV tones (decodable samples + duration)
         buf = io.BytesIO()
         with wave.open(buf, "wb") as wf:

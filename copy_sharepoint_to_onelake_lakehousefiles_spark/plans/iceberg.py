@@ -643,6 +643,20 @@ class IcebergTable:
         partition values (stringified, spec'd transform output), record
         count, and size. Metadata-frame sized — one row per file, resolved
         through the same two-level manifest pruning as reads."""
+        return self.spark.createDataFrame(
+            self._files_rows(snapshot_id, index), self.FILES_DF_DDL
+        )
+
+    FILES_DF_DDL = (
+        "path string, partition_values map<string,string>, record_count long, "
+        "file_size_in_bytes long, snapshot_id long"
+    )
+
+    def _files_rows(
+        self, snapshot_id: int | None = None, index: int | None = None
+    ) -> list[tuple]:
+        """Pure-Python files rows (no SparkSession — also serves the
+        iceberg_lite metadata-table reader executor-side)."""
         entries, _ = self.files(snapshot_id=snapshot_id, index=index)
         snap = self._resolve_snapshot(snapshot_id, index)
         pf_by_spec: dict[int, list[dict]] = {}
@@ -666,11 +680,7 @@ class IcebergTable:
                     snap["snapshot-id"],
                 )
             )
-        return self.spark.createDataFrame(
-            rows,
-            "path string, partition_values map<string,string>, record_count long, "
-            "file_size_in_bytes long, snapshot_id long",
-        )
+        return rows
 
     def current_snapshot_id(self) -> int | None:
         return self.metadata().get("current-snapshot-id")

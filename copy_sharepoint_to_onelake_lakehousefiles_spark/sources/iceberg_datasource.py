@@ -313,9 +313,9 @@ class IceMetaPartition(InputPartition):
 
 
 class IcebergLiteMetaReader(DataSourceReader):
-    """Metadata-table flavor (``option("table", "snapshots")``): one
-    partition whose executor walks the table metadata itself — the SQL
-    surface of the snapshots metadata table."""
+    """Metadata-table flavor (``option("table", "snapshots"|"files")``):
+    one partition whose executor walks the table metadata itself — the SQL
+    surface of the metadata tables."""
 
     def __init__(self, options):
         self.root = options.get("path")
@@ -327,7 +327,11 @@ class IcebergLiteMetaReader(DataSourceReader):
     def read(self, partition: IceMetaPartition):
         from ..plans.iceberg import IcebergTable
 
-        yield from IcebergTable(None, partition.root)._snapshots_rows()
+        t = IcebergTable(None, partition.root)
+        if partition.table == "files":
+            yield from t._files_rows()
+        else:
+            yield from t._snapshots_rows()
 
 
 class IcebergLiteDataSource(DataSource):
@@ -348,6 +352,8 @@ class IcebergLiteDataSource(DataSource):
         meta_table = self.options.get("table")
         if meta_table == "snapshots":
             return IcebergTable.SNAPSHOTS_DF_DDL
+        if meta_table == "files":
+            return IcebergTable.FILES_DF_DDL
         if meta_table is not None:
             raise ValueError(f"unknown metadata table {meta_table!r}")
         idx = self.options.get("snapshot_index")

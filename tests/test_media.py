@@ -255,6 +255,7 @@ def test_q60_profiles_by_detected_mime(spark, sf_dir):
         "image/png",
         "image/jpeg",
         "image/gif",
+        "image/tiff",
         "audio/wav",
     }
     for mime in ("image/x-portable-pixmap", "image/png"):
@@ -263,6 +264,8 @@ def test_q60_profiles_by_detected_mime(spark, sf_dir):
     assert rows["audio/wav"]["n_media"] == 4 and rows["audio/wav"]["n_distinct"] == 4
     assert rows["image/jpeg"]["n_media"] == 2  # baseline + progressive (r4)
     assert rows["image/gif"]["n_media"] == 1
+    assert rows["image/tiff"]["n_media"] == 1  # LZW+predictor (r5)
+    assert rows["image/tiff"]["n_with_dims"] == 1
     assert rows["image/png"]["n_with_dims"] == 2  # header-probed dimensions
     assert rows["image/jpeg"]["n_with_dims"] == 2
     assert rows["image/gif"]["n_with_dims"] == 1

@@ -204,3 +204,31 @@ def test_iceberg_history_df_rollback_divergence(spark, root):
     c = next(r for r in h.values() if r["parent_id"] == a_id and r["snapshot_id"] != b_id)
     assert c["is_current_ancestor"] is True
     assert h[a_id]["parent_id"] is None
+
+
+def test_iceberg_lite_files_metadata_view(spark, root):
+    """iceberg_lite option(table, files): the files metadata table through
+    spark.sql, agreeing with the Python API row for row."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+        IcebergLiteDataSource,
+    )
+
+    t = IcebergTable.create(
+        spark, root, _df(spark).coalesce(1), partition_by=["part"]
+    )
+    spark.dataSource.register(IcebergLiteDataSource)
+    via_sql = (
+        spark.read.format("iceberg_lite").option("table", "files").load(root)
+    )
+    via_sql.createOrReplaceTempView("ice_files")
+    got = {
+        r["part"]: r["rows"]
+        for r in spark.sql(
+            "SELECT partition_values['part'] AS part, sum(record_count) AS rows "
+            "FROM ice_files GROUP BY 1"
+        ).collect()
+    }
+    assert got == {"p0": 4, "p1": 4, "p2": 4}
+    api = sorted(tuple(r) for r in t.files_df().collect())
+    sql_rows = sorted(tuple(r) for r in via_sql.collect())
+    assert api == sql_rows
