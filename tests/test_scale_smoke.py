@@ -239,3 +239,23 @@ def test_truncate_range_pruning_fraction_at_scale(spark, tmp_path):
     assert audit["files_kept"] == 3  # exactly trunc(10000)..trunc(12999)
     got = t.read(bounds={"k": (10_000, 12_999)}).where("k between 10000 and 12999")
     assert got.count() == 3_000
+
+
+def test_capstone_funnel_absorbs_10x_duplication(spark, inflated_dir):
+    """q168 under 10× identical-copy inflation: exact dedup keeps ONE copy
+    per content digest, so n_after_dedup equals the un-inflated corpus's
+    unique count and every downstream stage (decon/quality/packing) sees
+    *almost* the same corpus — only the doc_id-dependent eval split
+    (doc_id % 17, ids remapped by inflation) may shift membership. The
+    plan must also stay NLJ/cartesian-free at 10×."""
+    base_rows = all_queries()["q168_training_pipeline_capstone"](spark, _SCALE_SRC)
+    big = all_queries()["q168_training_pipeline_capstone"](spark, inflated_dir)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    b = base_rows.collect()[0]
+    g = big.collect()[0]
+    assert g["n_input"] == 10 * b["n_input"]
+    assert g["n_after_dedup"] == b["n_after_dedup"]  # copies dedup away
+    # the eval split over remapped ids keeps roughly 1/17 out — the decon
+    # survivor count stays within a loose band of the base run
+    assert abs(g["n_after_decon"] - b["n_after_decon"]) <= b["n_after_dedup"] * 0.2
