@@ -406,3 +406,51 @@ def q170_sql_iceberg_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q170_snapshots
         """
     )
+
+
+_Q171_ORACLE = """
+WITH dim AS (
+  SELECT n_nationkey, n_name, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+live AS (
+  SELECT n_nationkey, n_name, r_name FROM dim WHERE n_nationkey % 5 <> 2
+  UNION ALL
+  SELECT n_nationkey, n_name || '_V1', r_name FROM dim
+  WHERE n_nationkey >= 15 AND n_nationkey % 5 <> 2
+)
+SELECT r_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT n_name) AS BIGINT) AS n_names,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM live
+GROUP BY r_name
+"""
+
+
+@query("q171_txtable_sql_source", oracle=_Q171_ORACLE)
+def q171_txtable_sql_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TxTable through Spark's OWN source contract: the ``txtable_lite``
+    pluggable source (r5 — completing the lite matrix: every table stack
+    the engine writes is reachable from plain ``spark.sql``) registered as
+    a temp view over the three-commit demo (create / evolved append /
+    delete). The oracle recomputes the expected live content relationally,
+    so snapshot resolution + additive-evolution null-fill through the
+    source path are hash-checked like q131/q138 are for Delta/Iceberg."""
+    from ..sources.txtable_datasource import TxTableLiteDataSource
+
+    _build_txtable(spark, sf_dir)
+    spark.dataSource.register(TxTableLiteDataSource)
+    spark.read.format("txtable_lite").load(
+        os.path.join(ROOT, "tx")
+    ).createOrReplaceTempView("q171_tx")
+    return spark.sql(
+        """
+        SELECT r_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT n_name) AS BIGINT) AS n_names,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        FROM q171_tx
+        GROUP BY r_name
+        """
+    )

@@ -172,10 +172,9 @@ class TxTable:
         "num_removed_files long, n_files long, n_rows long"
     )
 
-    def history_df(self):
-        """``history()`` as a queryable DataFrame — per-commit add/remove
-        deltas plus the cumulative live file/row totals after each commit
-        (one replay of the delta log, #versions rows)."""
+    def _history_rows(self) -> list[tuple]:
+        """Pure-Python history rows (no SparkSession — also serves the
+        txtable_lite metadata-table reader executor-side)."""
         rows = []
         by_path: dict[str, dict] = {}
         for v in self.versions():
@@ -194,14 +193,19 @@ class TxTable:
                     sum(int(fe.get("rows") or 0) for fe in by_path.values()),
                 )
             )
-        return self.spark.createDataFrame(rows, self.HISTORY_DF_DDL)
+        return rows
 
-    def files_df(self, version: int | None = None):
-        """The live files of a snapshot as a DataFrame: path, row count, and
-        the min/max key-bounds the planner prunes on — the queryable form of
-        the per-file audit the reference logs after each copy (NB:299)."""
+    def history_df(self):
+        """``history()`` as a queryable DataFrame — per-commit add/remove
+        deltas plus the cumulative live file/row totals after each commit
+        (one replay of the delta log, #versions rows)."""
+        return self.spark.createDataFrame(self._history_rows(), self.HISTORY_DF_DDL)
+
+    FILES_DF_DDL = "path string, rows long, min_key string, max_key string"
+
+    def _files_rows(self, version: int | None = None) -> list[tuple]:
         v = self.latest_version() if version is None else version
-        rows = [
+        return [
             (
                 fe["path"],
                 int(fe.get("rows") or 0),
@@ -210,9 +214,12 @@ class TxTable:
             )
             for fe in self._files(v)
         ]
-        return self.spark.createDataFrame(
-            rows, "path string, rows long, min_key string, max_key string"
-        )
+
+    def files_df(self, version: int | None = None):
+        """The live files of a snapshot as a DataFrame: path, row count, and
+        the min/max key-bounds the planner prunes on — the queryable form of
+        the per-file audit the reference logs after each copy (NB:299)."""
+        return self.spark.createDataFrame(self._files_rows(version), self.FILES_DF_DDL)
 
     def _commit(
         self,

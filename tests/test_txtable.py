@@ -598,3 +598,53 @@ def test_cdc_stream_feed_and_exactly_once_restart(spark, sf_dir, tmp_path):
         alive.update(added)
     want = {r["n_nationkey"]: r["n_name"] for r in t.read().collect()}
     assert alive == want
+
+
+def test_txtable_lite_source_data_metadata_and_pruning(spark, tmp_path):
+    """r5: the txtable_lite pluggable source — data reads match the native
+    reader (incl. additive evolution null-fill and time travel), pushdown
+    prunes files via manifest key bounds, and option(table, history|files)
+    exposes the metadata tables to plain spark.sql."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.txtable_datasource import (
+        TxTableLiteDataSource,
+    )
+
+    root = str(tmp_path / "txl")
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], "k long, v long")
+    t = TxTable.create(spark, root, df.repartition(4, "k"), key="k")
+    t.append(
+        spark.createDataFrame([(100, 1, "x")], "k long, v long, tag string"),
+        allow_evolution=True,
+    )
+    spark.dataSource.register(TxTableLiteDataSource)
+    lite = spark.read.format("txtable_lite").load(root)
+    assert sorted(tuple(r) for r in lite.collect()) == sorted(
+        tuple(r) for r in t.read().collect()
+    )
+    # time travel through the source
+    v0 = spark.read.format("txtable_lite").option("version", 0).load(root)
+    assert v0.count() == 20 and "tag" not in v0.columns
+    # pushdown prunes files by the manifest key range
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (
+            spark.read.format("txtable_lite")
+            .option("pushdown", "true")
+            .load(root)
+            .where("k >= 100")
+            .collect()
+        )
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+    assert [r["k"] for r in got] == [100]
+    # metadata views
+    h = spark.read.format("txtable_lite").option("table", "history").load(root)
+    h.createOrReplaceTempView("tx_hist")
+    rows = {r["version"]: r for r in spark.sql("SELECT * FROM tx_hist").collect()}
+    assert rows[0]["op"] == "create" and rows[1]["op"] == "append"
+    assert rows[1]["n_rows"] == 21
+    f = spark.read.format("txtable_lite").option("table", "files").load(root)
+    assert f.count() == len(t._files(t.latest_version()))
+    assert sorted(tuple(r) for r in f.collect()) == sorted(
+        tuple(r) for r in t.files_df().collect()
+    )
