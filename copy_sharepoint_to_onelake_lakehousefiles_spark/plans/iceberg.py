@@ -608,9 +608,24 @@ class IcebergTable:
         """The ``manifests`` metadata table: one row per manifest in the
         snapshot's manifest list with content kind, spec, sequence numbers
         and the added/existing/deleted counts the planner prunes with."""
+        return self.spark.createDataFrame(
+            self._manifests_rows(snapshot_id, index), self.MANIFESTS_DF_DDL
+        )
+
+    MANIFESTS_DF_DDL = (
+        "path string, length long, partition_spec_id int, content int, "
+        "sequence_number long, added_snapshot_id long, "
+        "added_files_count int, existing_files_count int, "
+        "deleted_files_count int, added_rows_count long, "
+        "existing_rows_count long, deleted_rows_count long"
+    )
+
+    def _manifests_rows(
+        self, snapshot_id: int | None = None, index: int | None = None
+    ) -> list[tuple]:
         snap = self._resolve_snapshot(snapshot_id, index)
         _, manifests = read_ocf(snap["manifest-list"].replace("file:", ""))
-        rows = [
+        return [
             (
                 os.path.relpath(m["manifest_path"].replace("file:", ""), self.root),
                 int(m.get("manifest_length") or 0),
@@ -627,14 +642,6 @@ class IcebergTable:
             )
             for m in manifests
         ]
-        return self.spark.createDataFrame(
-            rows,
-            "path string, length long, partition_spec_id int, content int, "
-            "sequence_number long, added_snapshot_id long, "
-            "added_files_count int, existing_files_count int, "
-            "deleted_files_count int, added_rows_count long, "
-            "existing_rows_count long, deleted_rows_count long",
-        )
 
     def files_df(
         self, snapshot_id: int | None = None, index: int | None = None

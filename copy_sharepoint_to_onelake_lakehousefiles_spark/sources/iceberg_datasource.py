@@ -313,7 +313,7 @@ class IceMetaPartition(InputPartition):
 
 
 class IcebergLiteMetaReader(DataSourceReader):
-    """Metadata-table flavor (``option("table", "snapshots"|"files")``):
+    """Metadata-table flavor (option table = snapshots|files|manifests):
     one partition whose executor walks the table metadata itself — the SQL
     surface of the metadata tables."""
 
@@ -330,6 +330,8 @@ class IcebergLiteMetaReader(DataSourceReader):
         t = IcebergTable(None, partition.root)
         if partition.table == "files":
             yield from t._files_rows()
+        elif partition.table == "manifests":
+            yield from t._manifests_rows()
         else:
             yield from t._snapshots_rows()
 
@@ -354,6 +356,8 @@ class IcebergLiteDataSource(DataSource):
             return IcebergTable.SNAPSHOTS_DF_DDL
         if meta_table == "files":
             return IcebergTable.FILES_DF_DDL
+        if meta_table == "manifests":
+            return IcebergTable.MANIFESTS_DF_DDL
         if meta_table is not None:
             raise ValueError(f"unknown metadata table {meta_table!r}")
         idx = self.options.get("snapshot_index")
