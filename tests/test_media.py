@@ -1132,3 +1132,48 @@ def test_tiff_lzw_and_predictor_roundtrip():
     assert len(encode_tiff(grad, compression=5, predictor=2)) < len(
         encode_tiff(grad, compression=1)
     )
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+def test_tiff_lzw_roundtrip_property(payload):
+    """Hypothesis: TIFF-LZW round-trips ANY byte string (width bumps, the
+    KwKwK case, and table-clear cycles all reachable from random input)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    assert _tiff_lzw_decode(_tiff_lzw_encode(payload)) == payload
+
+
+def test_sample_frames_decodes_compressed_voice_windows(spark, tmp_path):
+    """sample_frames' audio windows must come from REAL decoded samples for
+    G.711 and ADPCM payloads too (decode_audio dispatch) — a steady sine's
+    windows all have RMS ≈ amp/√2, which the hash-stub path cannot
+    produce."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        WAVE_IMA_ADPCM,
+        WAVE_MULAW,
+        encode_wav,
+        ima_adpcm_encode,
+        mulaw_encode,
+        read_media_dir,
+    )
+
+    t = np.arange(8000) / 8000.0
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    (tmp_path / "u.wav").write_bytes(
+        encode_wav(mulaw_encode(sine).tobytes(), WAVE_MULAW, 1, 8000, 8, 1)
+    )
+    (tmp_path / "a.wav").write_bytes(
+        encode_wav(
+            ima_adpcm_encode(sine, 256), WAVE_IMA_ADPCM, 1, 8000, 4, 256,
+            n_frames=len(sine),
+        )
+    )
+    media = read_media_dir(spark, str(tmp_path), kind="audio")
+    rows = sample_frames(media, every_ms=250).collect()
+    assert len(rows) == 8  # 2 clips × 4 windows of 250 ms
+    for r in rows:
+        assert abs(r["frame_features"][0] - 0.5 / np.sqrt(2)) < 0.02
