@@ -48,7 +48,7 @@ from pyspark.sql.datasource import (
 
 @dataclass
 class FilePartition(InputPartition):
-    path: str  # absolute path of the data file
+    path: str | None  # absolute path of the data file; None = empty sentinel
     partition_values: dict  # raw string-encoded, from the add action
     schema_json: str  # full logical schema (Spark StructType JSON)
     part_cols: list
@@ -165,6 +165,11 @@ class DeltaLiteReader(DataSourceReader):
                     rg_bounds or None,
                 )
             )
+        if not out:
+            # the Python Data Source API requires >= 1 partition; an empty
+            # snapshot (everything deleted/overwritten away) plans one
+            # empty sentinel
+            out.append(FilePartition(None, {}, schema_json, part_cols))
         return out
 
     @staticmethod
@@ -187,6 +192,8 @@ class DeltaLiteReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_type
         from pyspark.sql.types import StructType
 
+        if partition.path is None:  # empty-snapshot sentinel
+            return
         st = StructType.fromJson(json.loads(partition.schema_json))
         pf = pq.ParquetFile(partition.path)
         groups = list(range(pf.metadata.num_row_groups))

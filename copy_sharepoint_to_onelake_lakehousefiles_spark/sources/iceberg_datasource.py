@@ -41,7 +41,7 @@ from pyspark.sql.datasource import (
 
 @dataclass
 class IceFilePartition(InputPartition):
-    path: str
+    path: str | None  # None = empty-snapshot sentinel
     partition_values: dict  # typed values from the manifest's partition record
     schema_json: str  # Spark StructType JSON
     part_cols: list
@@ -162,6 +162,10 @@ class IcebergLiteReader(DataSourceReader):
                     bounds or None,
                 )
             )
+        if not out:
+            # the Python Data Source API requires >= 1 partition; an empty
+            # snapshot plans one empty sentinel
+            out.append(IceFilePartition(None, {}, schema_json, [], [], []))
         return out
 
     def read(self, partition: IceFilePartition):
@@ -170,6 +174,8 @@ class IcebergLiteReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_type
         from pyspark.sql.types import StructType
 
+        if partition.path is None:  # empty-snapshot sentinel
+            return
         st = StructType.fromJson(json.loads(partition.schema_json))
         pf = pq.ParquetFile(partition.path)
         groups = list(range(pf.metadata.num_row_groups))

@@ -41,7 +41,7 @@ from pyspark.sql.datasource import (
 
 @dataclass
 class TxFilePartition(InputPartition):
-    path: str  # absolute path of the data file
+    path: str | None  # absolute path of the data file; None = empty sentinel
     schema_json: str  # snapshot schema (Spark StructType JSON)
 
 
@@ -82,6 +82,10 @@ class TxTableLiteReader(DataSourceReader):
             }
             key = self._t.key or None
             files = [fe for fe in files if self._overlaps(fe, bounds, key)]
+        if not files:
+            # the Python Data Source API requires >= 1 partition; an empty
+            # snapshot (everything deleted) plans one empty sentinel
+            return [TxFilePartition(None, schema_json)]
         return [
             TxFilePartition(os.path.join(self._t.root, fe["path"]), schema_json)
             for fe in files
@@ -112,6 +116,8 @@ class TxTableLiteReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_type
         from pyspark.sql.types import StructType
 
+        if partition.path is None:  # empty-snapshot sentinel
+            return
         st = StructType.fromJson(json.loads(partition.schema_json))
         tbl = pq.read_table(partition.path)
         n = tbl.num_rows

@@ -81,6 +81,29 @@ def test_random_op_sequences_agree_across_formats(spark, init, ops):
         assert _rows(tx.read()) == expected, "TxTable diverges from model"
         assert _rows(dl.read()) == expected, "Delta diverges from model"
         assert _rows(ic.read()) == expected, "Iceberg diverges from model"
+        # the PLUGGABLE sources must agree with the native readers on the
+        # same final state — MoR deletes (DVs, position/equality files) and
+        # checkpoint resolution all flow through the executor-side paths
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_datasource import (
+            DeltaLiteDataSource,
+        )
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+            IcebergLiteDataSource,
+        )
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.txtable_datasource import (
+            TxTableLiteDataSource,
+        )
+
+        spark.dataSource.register(DeltaLiteDataSource)
+        spark.dataSource.register(IcebergLiteDataSource)
+        spark.dataSource.register(TxTableLiteDataSource)
+        for fmt, troot in (
+            ("txtable_lite", tx.root),
+            ("delta_lite", dl.root),
+            ("iceberg_lite", ic.root),
+        ):
+            got = _rows(spark.read.format(fmt).load(troot).select("k", "v"))
+            assert got == expected, f"{fmt} diverges from the native reader"
         # the create snapshot is immutable under every stack
         first = sorted(init)
         assert _rows(tx.read(0)) == _rows(dl.read(0)) == first
