@@ -203,3 +203,37 @@ def test_row_group_pruning_and_dv_ordinal_alignment(spark, tmp_path):
     # 250..349 minus the DV'd 260..279 — pruning must not shift the mask
     assert ks_got == [k for k in range(250, 350) if not (260 <= k < 280)]
     assert all(r["v"] == r["k"] * 2 for r in got)
+
+
+def test_lite_sources_handle_empty_snapshots(spark, tmp_path):
+    """Deterministic pin of the fuzz-found r5 bug: the Python Data Source
+    API calls read() even when a snapshot has ZERO live files, so each
+    lite source must plan an empty sentinel partition and yield nothing —
+    schema preserved, zero rows, no crash."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        IcebergTable,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.txtable import TxTable
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+        IcebergLiteDataSource,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.txtable_datasource import (
+        TxTableLiteDataSource,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    dl = DeltaTable.create(spark, str(tmp_path / "d"), df)
+    dl.delete("k = 1")
+    tx = TxTable.create(spark, str(tmp_path / "t"), df, key="k")
+    tx.delete("k = 1")
+    ic = IcebergTable.create(spark, str(tmp_path / "i"), df)
+    ic.equality_delete(spark.createDataFrame([(1,)], "k long"))
+    spark.dataSource.register(DeltaLiteDataSource)
+    spark.dataSource.register(TxTableLiteDataSource)
+    spark.dataSource.register(IcebergLiteDataSource)
+    for fmt, root in (
+        ("delta_lite", dl.root), ("txtable_lite", tx.root), ("iceberg_lite", ic.root)
+    ):
+        got = spark.read.format(fmt).load(root)
+        assert got.columns == ["k", "v"], fmt
+        assert got.count() == 0, fmt
