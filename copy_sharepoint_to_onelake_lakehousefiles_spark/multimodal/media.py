@@ -1238,6 +1238,10 @@ def _tiff_lzw_decode(data: bytes) -> bytes:
             prev = None
             continue
         if prev is None:
+            # table is empty until the first CLEAR; a stream may also open
+            # with a not-yet-defined code — both are corruption, not KeyError
+            if code not in table:
+                raise ValueError(f"corrupt TIFF LZW stream (code {code})")
             entry = table[code]
         else:
             if code in table:
@@ -1317,9 +1321,10 @@ def _tiff_predict2(arr: np.ndarray, inverse: bool) -> np.ndarray:
 
 
 def decode_tiff(content: bytes) -> np.ndarray:
-    """Baseline UNCOMPRESSED TIFF (6.0) → (H, W, 3) uint8 RGB: walk IFD0,
-    assemble the strips, expand gray/RGB; both byte orders. Compressed
-    TIFFs (LZW/JPEG-in-TIFF) raise NotImplementedError → stub fallback."""
+    """TIFF 6.0 → (H, W, 3) uint8 RGB: walk IFD0, assemble the strips,
+    expand gray/RGB; both byte orders. Uncompressed (1) and LZW (5, with
+    horizontal predictor 2) are fully decoded; any other compression
+    (e.g. 7 = JPEG-in-TIFF) raises NotImplementedError → stub fallback."""
     if content[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF header")
     bo = "little" if content[:2] == b"II" else "big"

@@ -619,18 +619,22 @@ def q66_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exact = _jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b", "jaccard")
-    marked = exact.join(
-        F.broadcast(ml.withColumn("__hit", F.lit(1))), ["doc_a", "doc_b"], "left"
-    ).withColumn("__hit", F.coalesce("__hit", F.lit(0)))
-    extras = ml.join(exact, ["doc_a", "doc_b"], "left_anti").count()
-    flags = marked.agg(
-        F.sum("__hit").alias("__h"), F.count(F.lit(1)).alias("__n")
+    # ONE full-outer join computes hits, exact count, and spurious extras in
+    # a single pass, so approxSimilarityJoin materializes exactly once (the
+    # eager .count() variant ran the LSH join twice — ADVICE r5 #3)
+    both = exact.select("doc_a", "doc_b").withColumn("__e", F.lit(1)).join(
+        ml.withColumn("__m", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    flags = both.agg(
+        F.sum(F.when(F.col("__e").isNotNull() & F.col("__m").isNotNull(), 1).otherwise(0)).alias("__h"),
+        F.sum(F.when(F.col("__e").isNotNull(), 1).otherwise(0)).alias("__n"),
+        F.sum(F.when(F.col("__e").isNull(), 1).otherwise(0)).alias("__x"),
     ).select(
         (F.col("__h") * 100 >= F.col("__n") * 90).cast("int").alias("ml_recall_ge_90"),
-        (F.lit(extras) * 100 <= F.col("__n") * 10).cast("int").alias("ml_extra_le_10pct"),
+        (F.col("__x") * 100 <= F.col("__n") * 10).cast("int").alias("ml_extra_le_10pct"),
     )
     # 1-row aggregate broadcast (allowlisted crossJoin shape, cf _recall_flags)
-    return marked.drop("__hit").crossJoin(F.broadcast(flags))
+    return exact.crossJoin(F.broadcast(flags))
 
 
 @query(

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from urllib.parse import quote, unquote
@@ -159,29 +160,59 @@ class DeltaTable:
         with open(os.path.join(self.log_dir, _fmt_commit(version))) as f:
             return [json.loads(line) for line in f if line.strip()]
 
-    def _checkpoint_files(self) -> dict[int, str]:
-        """version → checkpoint file name, recognizing BOTH naming schemes:
-        classic ``%020d.checkpoint.parquet`` and v2's UUID-named
-        ``%020d.checkpoint.<uniqueStr>.parquet`` (V2 Checkpoint table
-        feature)."""
+    # classic multi-part naming: %020d.checkpoint.%010d.%010d.parquet
+    # (part i of n) — a foreign writer may split a large checkpoint this way
+    _MULTIPART_RE = re.compile(r"^\d{20}\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+
+    def _checkpoint_sets(self) -> dict[int, list[str]]:
+        """version → ALL parquet files of that version's usable checkpoint,
+        recognizing THREE naming schemes: classic single
+        ``%020d.checkpoint.parquet``, classic MULTI-PART
+        ``%020d.checkpoint.<part>.<n>.parquet`` (all n parts returned in
+        part order; an incomplete part set is skipped — the spec says a
+        reader must only use complete checkpoints), and v2's UUID-named
+        ``%020d.checkpoint.<uniqueStr>.parquet``."""
         if not os.path.isdir(self.log_dir):
             return {}
-        out: dict[int, str] = {}
+        single: dict[int, str] = {}
+        parts: dict[int, dict[int, tuple[int, str]]] = {}
         for n in os.listdir(self.log_dir):
-            if (
+            if not (
                 n.endswith(".parquet")
                 and len(n) > 20
                 and n[:20].isdigit()
                 and n[20:].startswith(".checkpoint.")
             ):
-                # prefer v2 (longer name) when both exist for a version
-                v = int(n[:20])
-                if v not in out or len(n) > len(out[v]):
-                    out[v] = n
+                continue
+            v = int(n[:20])
+            m = self._MULTIPART_RE.match(n)
+            if m:
+                parts.setdefault(v, {})[int(m.group(1))] = (int(m.group(2)), n)
+            else:
+                # prefer v2 (longer name) when both single schemes exist
+                if v not in single or len(n) > len(single[v]):
+                    single[v] = n
+        out: dict[int, list[str]] = {v: [n] for v, n in single.items()}
+        for v, pmap in parts.items():
+            totals = {t for t, _ in pmap.values()}
+            if len(totals) != 1:
+                continue  # mixed totals → malformed, unusable
+            total = totals.pop()
+            if set(pmap) != set(range(1, total + 1)):
+                continue  # incomplete part set → unusable per spec
+            names = [pmap[i][1] for i in range(1, total + 1)]
+            # a complete multi-part set wins over a same-version single
+            out[v] = names
         return out
 
+    def _checkpoint_files(self) -> dict[int, str]:
+        """version → FIRST file of the usable checkpoint (back-compat shim
+        for single-file callers; multi-part-aware callers use
+        `_checkpoint_sets`)."""
+        return {v: names[0] for v, names in self._checkpoint_sets().items()}
+
     def _checkpoint_version_at_or_before(self, version: int) -> int | None:
-        cands = [v for v in self._checkpoint_files() if v <= version]
+        cands = [v for v in self._checkpoint_sets() if v <= version]
         return max(cands) if cands else None
 
     def _read_checkpoint(self, version: int) -> tuple[dict, dict | None]:
@@ -190,14 +221,17 @@ class DeltaTable:
         ``sidecar`` actions in the main file (spec: V2 Checkpoints) — the
         layout that lets a 100 TB table's checkpoint be written and read
         in parallel parts; removes in either layout are tombstones and
-        drop the path."""
+        drop the path. A classic MULTI-PART checkpoint's rows are the
+        concatenation of all its parts (each action lives in exactly one
+        part, so part order never changes the net state)."""
         import pyarrow.parquet as pq
 
-        name = self._checkpoint_files().get(version)
-        if name is None:
+        names = self._checkpoint_sets().get(version)
+        if not names:
             raise FileNotFoundError(f"no checkpoint for version {version}")
-        tbl = pq.read_table(os.path.join(self.log_dir, name))
-        rows = tbl.to_pylist()
+        rows: list[dict] = []
+        for name in names:
+            rows.extend(pq.read_table(os.path.join(self.log_dir, name)).to_pylist())
         adds: dict = {}
         meta = None
 
@@ -897,14 +931,14 @@ class DeltaTable:
         if ck is not None:
             import pyarrow.parquet as pq
 
-            tbl = pq.read_table(
-                os.path.join(self.log_dir, self._checkpoint_files()[ck]),
-                columns=["protocol"],
-            )
-            for r in tbl.to_pylist():
-                p = r.get("protocol")
-                if p and p.get("minReaderVersion") is not None:
-                    proto = {k: v2 for k, v2 in p.items() if v2 is not None}
+            for name in self._checkpoint_sets()[ck]:
+                tbl = pq.read_table(
+                    os.path.join(self.log_dir, name), columns=["protocol"]
+                )
+                for r in tbl.to_pylist():
+                    p = r.get("protocol")
+                    if p and p.get("minReaderVersion") is not None:
+                        proto = {k: v2 for k, v2 in p.items() if v2 is not None}
             start = ck + 1
         for u in range(start, v + 1):
             if u not in self.versions():
@@ -1703,7 +1737,7 @@ class DeltaTable:
                 deleted += 1
         # superseded checkpoint files: anything below the latest checkpoint
         # version, plus same-version duplicates the resolver would not pick
-        latest_name = self._checkpoint_files()[ck]
+        latest_names = set(self._checkpoint_sets()[ck])
         ckpts_deleted = 0
         for n in os.listdir(self.log_dir):
             if not (
@@ -1713,7 +1747,7 @@ class DeltaTable:
                 and n[20:].startswith(".checkpoint.")
             ):
                 continue
-            if int(n[:20]) < ck or (int(n[:20]) == ck and n != latest_name):
+            if int(n[:20]) < ck or (int(n[:20]) == ck and n not in latest_names):
                 os.unlink(os.path.join(self.log_dir, n))
                 ckpts_deleted += 1
         # orphan sidecars: collect the live references of every surviving
@@ -1724,12 +1758,13 @@ class DeltaTable:
             import pyarrow.parquet as pq
 
             live: set[str] = set()
-            for name in self._checkpoint_files().values():
-                tbl = pq.read_table(os.path.join(self.log_dir, name))
-                if "sidecar" in tbl.column_names:
-                    for r in tbl.column("sidecar").to_pylist():
-                        if r and r.get("path"):
-                            live.add(r["path"])
+            for names in self._checkpoint_sets().values():
+                for name in names:
+                    tbl = pq.read_table(os.path.join(self.log_dir, name))
+                    if "sidecar" in tbl.column_names:
+                        for r in tbl.column("sidecar").to_pylist():
+                            if r and r.get("path"):
+                                live.add(r["path"])
             for n in os.listdir(side_dir):
                 if n.endswith(".parquet") and n not in live:
                     os.unlink(os.path.join(side_dir, n))

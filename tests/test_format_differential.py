@@ -371,3 +371,80 @@ def test_iceberg_reader_tolerates_legacy_summary_and_extra_fields(spark):
         assert s[2]["added_records"] == 1 and s[2]["total_records"] == 4
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_foreign_multipart_classic_checkpoint(spark):
+    """ADVICE r5: a foreign-written MULTI-PART classic checkpoint
+    (``N.checkpoint.<part>.<n>.parquet``) must be read from ALL its parts —
+    resolving from a single part silently drops the other parts' adds.
+    Built the way delta-spark splits a big checkpoint: write the engine's
+    own classic checkpoint, re-slice its rows into 2 part files, delete the
+    single file AND every commit below the checkpoint (log expiry), then
+    prove the snapshot still holds every file-add."""
+    import pyarrow.parquet as pq
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        _fmt_commit,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"mpck_{uuid.uuid4().hex[:8]}")
+    try:
+        base = spark.range(40).select(F.col("id").alias("k")).repartition(6)
+        t = DeltaTable.create(spark, root, base)
+        t.append(spark.range(40, 50).select(F.col("id").alias("k")).repartition(3))
+        ck = t.latest_version()
+        t._write_checkpoint(ck)
+        single = os.path.join(t.log_dir, f"{ck:020d}.checkpoint.parquet")
+        tbl = pq.read_table(single)
+        assert tbl.num_rows >= 4  # adds span both slices below
+        half = (tbl.num_rows + 1) // 2
+        for i, part in enumerate((tbl.slice(0, half), tbl.slice(half)), 1):
+            pq.write_table(
+                part,
+                os.path.join(
+                    t.log_dir, f"{ck:020d}.checkpoint.{i:010d}.{2:010d}.parquet"
+                ),
+            )
+        os.unlink(single)
+        for v in range(ck):  # expire everything below the checkpoint
+            p = os.path.join(t.log_dir, _fmt_commit(v))
+            if os.path.exists(p):
+                os.unlink(p)
+        fresh = DeltaTable(spark, root)
+        assert sorted(r.k for r in fresh.read().collect()) == list(range(50))
+        # the protocol row lives in ONE part — protocol_at must scan all
+        assert fresh.protocol()["minReaderVersion"] >= 1
+        # time travel to the checkpoint version itself still resolves
+        assert fresh.read(ck).count() == 50
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_incomplete_multipart_checkpoint_is_skipped(spark):
+    """Spec: a reader must only use COMPLETE checkpoints. With part 2-of-2
+    missing, the resolver must ignore the part set and replay the JSON
+    commits instead of returning a partial snapshot."""
+    root = os.path.join(tempfile.gettempdir(), f"mpck_{uuid.uuid4().hex[:8]}")
+    try:
+        import pyarrow.parquet as pq
+
+        t = DeltaTable.create(
+            spark, root, spark.range(20).select(F.col("id").alias("k")).repartition(4)
+        )
+        t.append(spark.range(20, 30).select(F.col("id").alias("k")))
+        ck = t.latest_version()
+        t._write_checkpoint(ck)
+        single = os.path.join(t.log_dir, f"{ck:020d}.checkpoint.parquet")
+        tbl = pq.read_table(single)
+        pq.write_table(
+            tbl.slice(0, tbl.num_rows // 2),
+            os.path.join(
+                t.log_dir, f"{ck:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+            ),
+        )
+        os.unlink(single)  # only the INCOMPLETE part set remains at ck
+        fresh = DeltaTable(spark, root)
+        assert ck not in fresh._checkpoint_sets()
+        assert sorted(r.k for r in fresh.read().collect()) == list(range(30))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

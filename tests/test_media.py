@@ -1147,6 +1147,47 @@ def test_tiff_lzw_roundtrip_property(payload):
     assert _tiff_lzw_decode(_tiff_lzw_encode(payload)) == payload
 
 
+def test_tiff_lzw_corrupt_stream_raises_value_error_not_keyerror():
+    """ADVICE r5 (medium): a stream whose FIRST code is neither CLEAR nor a
+    table entry used to raise KeyError (not in DECODE_ERRORS), failing the
+    whole Spark task instead of degrading to a stub row. Both the
+    prev-is-None and the mid-stream unknown-code paths must raise
+    ValueError."""
+    import pytest as _pytest
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        DECODE_ERRORS,
+        _tiff_lzw_decode,
+    )
+
+    # first 9 bits = 300 (> 257, table still empty before any CLEAR)
+    with _pytest.raises(ValueError, match="corrupt TIFF LZW"):
+        _tiff_lzw_decode(bytes([0x96, 0x00]))
+    assert ValueError in DECODE_ERRORS
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=300), st.data())
+def test_tiff_lzw_tampered_stream_never_escapes_decode_errors(payload, data):
+    """Hypothesis: flipping any byte of a valid LZW stream either still
+    decodes or raises a DECODE_ERRORS member — never KeyError/IndexError
+    (the corrupt-blob-degrades-to-stub contract of extract_features)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        DECODE_ERRORS,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    enc = bytearray(_tiff_lzw_encode(payload))
+    pos = data.draw(st.integers(0, len(enc) - 1))
+    val = data.draw(st.integers(0, 255))
+    enc[pos] = val
+    try:
+        _tiff_lzw_decode(bytes(enc))
+    except DECODE_ERRORS:
+        pass
+
+
 def test_sample_frames_decodes_compressed_voice_windows(spark, tmp_path):
     """sample_frames' audio windows must come from REAL decoded samples for
     G.711 and ADPCM payloads too (decode_audio dispatch) — a steady sine's
