@@ -33,6 +33,14 @@ N_MINHASH = 12  # signature length
 N_BANDS = 6     # bands of 2 rows each → catches jaccard ≳ 0.5
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 SHINGLE_WORDS = 5
+# LSH buckets wider than this are near-certain duplicate CLUSTERS (a
+# pathological corpus: millions of near-identical docs sharing a band key);
+# pairwise candidate generation inside one is O(k²) — the standing LSH skew
+# risk at 100 TB. Above the cap a bucket emits STAR pairs (every member vs
+# the bucket-min doc) instead: O(k) candidates with the same connected
+# components downstream. Gate corpora never get near it (measured max bucket
+# = 4 at sf0.1), so oracle parity is untouched.
+HOT_BUCKET_CAP = 1024
 
 
 def _shingled(d: DataFrame) -> DataFrame:
@@ -103,6 +111,38 @@ def with_minhash_signature(
         .withColumn(out, F.expr(_oph_rotation(bm, n)))
         .drop(bm)
     )
+
+
+def band_candidate_pairs(
+    bands: DataFrame, cap: int = HOT_BUCKET_CAP
+) -> DataFrame:
+    """(doc_id, bkey) band rows → distinct candidate (doc_a, doc_b) pairs,
+    with the LSH hot-bucket quadratic BOUNDED: buckets of width ≤ cap
+    self-join pairwise (exact LSH semantics); wider buckets emit STAR pairs
+    only — every member against the bucket-min doc_id, O(k) instead of
+    O(k²). Members of an over-full bucket are near-certain duplicates, so
+    the star keeps the duplicate CLUSTER connected (same components under
+    q56's connected-components) while a duplicate-flood corpus (100k copies
+    of one document) stays linear. All three shuffles (size count, pairwise
+    self-join, hub min) hash-partition on the same 8-byte bkey, so AQE
+    reuses the exchange."""
+    sizes = bands.groupBy("bkey").agg(F.count(F.lit(1)).alias("__n"))
+    sized = bands.join(sizes, "bkey")
+    small = sized.where(F.col("__n") <= cap).select("doc_id", "bkey")
+    a = small.alias("a")
+    b = small.alias("b")
+    pairwise = a.join(
+        b,
+        (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    big = sized.where(F.col("__n") > cap).select("doc_id", "bkey")
+    hubs = big.groupBy("bkey").agg(F.min("doc_id").alias("hub"))
+    star = (
+        big.join(hubs, "bkey")
+        .where(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return pairwise.unionByName(star).dropDuplicates(["doc_a", "doc_b"])
 
 
 _DUCK_SHINGLES = (
@@ -185,37 +225,25 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-attach joins (at 100 TB: write it to the lake once instead).
     sh = track_persist(_shingled(d))
     sig = with_minhash_signature(sh).select("doc_id", "sig")
-    band_structs = F.array(
+    # Band rows carry ONLY (doc_id, bkey) — an 8-byte xxhash64 bigint over
+    # (band_id, band rows), NOT a concat_ws string (the q153 slimming: 4×
+    # lighter through the shuffle). Folding band_id into the hash keeps the
+    # six bands' key spaces disjoint without a second join column. A 2⁻⁶⁴
+    # cross-content collision only ADDS a candidate pair, which the exact
+    # Jaccard verification then filters — output-identical. The candidate
+    # join must never shuffle/broadcast the shingle payload (75 MB at
+    # sf0.1, unbounded at 100 TB); shingles re-attach by doc_id afterwards.
+    band_keys = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    "|",
-                    *[F.col("sig").getItem(b * ROWS_PER_BAND + i) for i in range(ROWS_PER_BAND)],
-                ).alias("band_key"),
+            F.xxhash64(
+                F.lit(b),
+                *[F.col("sig").getItem(b * ROWS_PER_BAND + i) for i in range(ROWS_PER_BAND)],
             )
             for b in range(N_BANDS)
         ]
     )
-    # Band rows carry ONLY (doc_id, band_id, band_key) — the candidate join
-    # must never shuffle/broadcast the shingle payload (75 MB at sf0.1,
-    # unbounded at 100 TB). Shingles re-attach by doc_id afterwards.
-    bands = sig.select("doc_id", F.explode(band_structs).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_key"
-    )
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand_ids = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    bands = sig.select("doc_id", F.explode(band_keys).alias("bkey"))
+    cand_ids = band_candidate_pairs(bands)
     cand = (
         cand_ids.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")

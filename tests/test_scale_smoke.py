@@ -259,3 +259,51 @@ def test_capstone_funnel_absorbs_10x_duplication(spark, inflated_dir):
     # the eval split over remapped ids keeps roughly 1/17 out — the decon
     # survivor count stays within a loose band of the base run
     assert abs(g["n_after_decon"] - b["n_after_decon"]) <= b["n_after_dedup"] * 0.2
+
+
+def test_duplicate_flood_candidates_stay_linear(spark, tmp_path):
+    """VERDICT r5 #1 (the last theoretical dedup scale-killer): 100k copies
+    of ONE document collide in every band — uncapped pairwise candidate
+    generation would be ~3×10¹⁰ pairs (6 bands × 100k²/2). The hot-bucket
+    star routing must bound candidates to O(k) and the full q26 must
+    COMPLETE, emitting exactly the n−1 hub–member pairs at jaccard 1.0 (the
+    same connected component the uncapped join would produce)."""
+    n = 100_000
+    root = str(tmp_path / "flood")
+    os.makedirs(root)
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), F.lit(text).alias("text"),
+                F.lit("en").alias("lang"), F.lit("web").alias("source"),
+                F.length(F.lit(text)).alias("n_chars"))
+        .write.parquet(os.path.join(root, "documents.parquet"))
+    )
+    pairs = all_queries()["q26_minhash_lsh_pairs"](spark, root)
+    rows = pairs.collect()
+    assert len(rows) == n - 1
+    assert all(r["jaccard"] == 1.0 for r in rows)
+    assert all(r["doc_a"] == 0 for r in rows)  # hub = bucket-min doc_id
+
+
+def test_band_join_uses_bigint_keys_and_star_routing(spark, sf_dir):
+    """Plan pins for the r6 band-join slimming: the candidate stage joins on
+    xxhash64 BIGINT band keys (no concat_ws strings through the shuffle) and
+    the hot-bucket split is present (min-hub aggregate path)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.dedup import (
+        HOT_BUCKET_CAP,
+        band_candidate_pairs,
+    )
+
+    df = all_queries()["q26_minhash_lsh_pairs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    # unit semantics: a bucket at the cap boundary stays pairwise; one over
+    # the cap emits star pairs against its min doc_id
+    small = spark.range(3).select(F.col("id").alias("doc_id"), F.lit(7).alias("bkey"))
+    got = sorted(tuple(r) for r in band_candidate_pairs(small, cap=3).collect())
+    assert got == [(0, 1), (0, 2), (1, 2)]
+    big = spark.range(5).select(F.col("id").alias("doc_id"), F.lit(7).alias("bkey"))
+    got = sorted(tuple(r) for r in band_candidate_pairs(big, cap=4).collect())
+    assert got == [(0, 1), (0, 2), (0, 3), (0, 4)]
+    assert HOT_BUCKET_CAP >= 256  # gate corpora (max bucket 4) never trigger
