@@ -59,7 +59,15 @@ from pyspark.sql import types as T
 
 from ..registry import materialize, query
 from ..tables import load
-from .roaring import deserialize_rba, read_dv_blob, serialize_rba, write_dv_file
+from .roaring import (
+    deserialize_rba,
+    dv_path_from_u,
+    encode_dv_inline,
+    read_dv_blob,
+    read_dv_descriptor,
+    serialize_rba,
+    write_dv_file,
+)
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
@@ -133,6 +141,12 @@ class DeltaTable:
     """Handle to a Delta-protocol table rooted at ``root``."""
 
     CHECKPOINT_INTERVAL = 10
+    # DV blobs at or below this many serialized bytes ride INLINE in the
+    # descriptor (storageType "i", Base85) instead of a DV file — one log
+    # line instead of a file round-trip per tiny delete (~15 positions fit
+    # under 64 bytes). Set to 0 to force file storage, or large to force
+    # inline (the format fuzz alternates both flavors this way).
+    INLINE_DV_MAX_BYTES = 64
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -500,31 +514,47 @@ class DeltaTable:
         per DV'd file ships to executors, which decode the Roaring bitmaps
         there (mapInPandas) — dead-row volume scales with data, so it never
         funnels through the driver."""
+        root = self.root
         rows = []
         for a in dv_adds:
             d = a["deletionVector"]
             rows.append(
                 (
                     os.path.abspath(self._abs_path(a["path"])),
+                    d.get("storageType", "p"),
                     d["pathOrInlineDv"],
-                    int(d["offset"]),
+                    # inline DVs carry no offset (spec: must be absent)
+                    int(d["offset"]) if d.get("offset") is not None else None,
                     int(d["sizeInBytes"]),
                 )
             )
         desc = self.spark.createDataFrame(
-            rows, "__dv_fp string, dv_path string, dv_off long, dv_size long"
+            rows,
+            "__dv_fp string, dv_st string, dv_path string, dv_off long, dv_size long",
         )
 
         def decode(batches):
             import pandas as pd
 
+            from .roaring import read_dv_descriptor
+
             for pdf in batches:
                 fps: list[str] = []
                 poss: list[int] = []
-                for fp, dp, off, size in zip(
-                    pdf["__dv_fp"], pdf["dv_path"], pdf["dv_off"], pdf["dv_size"]
+                for fp, st, dp, off, size in zip(
+                    pdf["__dv_fp"], pdf["dv_st"], pdf["dv_path"],
+                    pdf["dv_off"], pdf["dv_size"],
                 ):
-                    vals = deserialize_rba(read_dv_blob(dp, int(off), int(size)))
+                    blob = read_dv_descriptor(
+                        {
+                            "storageType": st,
+                            "pathOrInlineDv": dp,
+                            "offset": None if pd.isna(off) else int(off),
+                            "sizeInBytes": int(size),
+                        },
+                        root,
+                    )
+                    vals = deserialize_rba(blob)
                     fps.extend([fp] * len(vals))
                     poss.extend(vals)
                 yield pd.DataFrame(
@@ -1444,12 +1474,14 @@ class DeltaTable:
     def delete_vectors(self, predicate: str) -> dict:
         """DELETE WHERE predicate, MERGE-ON-READ via DELETION VECTORS: no
         data file is rewritten — matching rows' ordinals are recorded as
-        Roaring bitmaps in a deletion-vector file (``plans/roaring.py``,
-        the public Delta DV format: RoaringBitmapArray portable bytes,
-        version-1 DV file layout, descriptor {storageType "p" absolute
-        path, offset, sizeInBytes, cardinality}), and each touched file is
-        re-added with its descriptor in ONE atomic commit (remove+add of
-        the same path, the spec's DV-update shape).
+        Roaring bitmaps (``plans/roaring.py``, the public Delta DV format:
+        RoaringBitmapArray portable bytes) stored either INLINE in the
+        descriptor (storageType "i", Base85, blobs ≤ INLINE_DV_MAX_BYTES)
+        or in a version-1 DV file (storageType "p" absolute path, offset,
+        sizeInBytes), and each touched file is re-added with its descriptor
+        in ONE atomic commit (remove+add of the same path, the spec's
+        DV-update shape). Reads accept all three flavors incl. foreign
+        "u" relative paths (Base85 UUID file names).
 
         The position computation mirrors Iceberg's ``position_delete``:
         ``_read_entries(..., with_identity=True)`` attaches
@@ -1494,37 +1526,54 @@ class DeltaTable:
             old: list[int] = []
             d = a.get("deletionVector")
             if d:
-                old = deserialize_rba(
-                    read_dv_blob(d["pathOrInlineDv"], int(d["offset"]), int(d["sizeInBytes"]))
-                )
+                old = deserialize_rba(read_dv_descriptor(d, self.root))
             vals = sorted(set(old) | set(per_file[fp]))
             blobs.append(serialize_rba(vals))
             metas.append((a, len(vals)))
-        dv_path = os.path.join(dv_dir, f"deletion_vector_{uuid.uuid4().hex}.bin")
-        spans = write_dv_file(dv_path, blobs)
+        # Small DVs go INLINE (storageType "i": the Base85-encoded bitmap
+        # rides in the descriptor itself — one log line instead of a file
+        # round-trip per tiny delete); larger ones share one DV FILE
+        # (storageType "p"). Delta's own writer makes the same split.
+        descriptors: list[dict] = [None] * len(blobs)  # type: ignore[list-item]
+        file_blob_idx = [
+            i for i, b in enumerate(blobs) if len(b) > self.INLINE_DV_MAX_BYTES
+        ]
+        dv_path = None
+        if file_blob_idx:
+            dv_path = os.path.join(dv_dir, f"deletion_vector_{uuid.uuid4().hex}.bin")
+            spans = write_dv_file(dv_path, [blobs[i] for i in file_blob_idx])
+            for i, (off, size) in zip(file_blob_idx, spans):
+                descriptors[i] = {
+                    "storageType": "p",
+                    "pathOrInlineDv": dv_path,
+                    "offset": off,
+                    "sizeInBytes": size,
+                }
+        for i, b in enumerate(blobs):
+            if descriptors[i] is None:
+                descriptors[i] = {
+                    "storageType": "i",
+                    "pathOrInlineDv": encode_dv_inline(b),
+                    "sizeInBytes": len(b),
+                }
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [self._commit_info("DELETE")]
         up = self._feature_upgrade_action("deletionVectors")
         if up:
             actions.append(up)
-        for (a, card), (off, size) in zip(metas, spans):
+        for a, card in metas:
             actions.append(self._remove_action(a, now_ms))
-        for (a, card), (off, size) in zip(metas, spans):
+        for (a, card), dvd in zip(metas, descriptors):
             na = dict(a)
             na["dataChange"] = True
-            na["deletionVector"] = {
-                "storageType": "p",
-                "pathOrInlineDv": dv_path,
-                "offset": off,
-                "sizeInBytes": size,
-                "cardinality": card,
-            }
+            na["deletionVector"] = {**dvd, "cardinality": card}
             actions.append({"add": na})
         self._publish(v, actions)
         return {
             "deleted": new_deleted,
             "files_updated": len(per_file),
             "dv_path": dv_path,
+            "inline_dvs": len(blobs) - len(file_blob_idx),
         }
 
     def clone(self, dest: str) -> "DeltaTable":
@@ -1550,6 +1599,18 @@ class DeltaTable:
         for a in adds:
             a2 = dict(a)
             a2["path"] = quote(os.path.abspath(self._abs_path(a["path"])))
+            d = a2.get("deletionVector")
+            if d and d.get("storageType") == "u":
+                # "u" paths resolve relative to the SOURCE root, which the
+                # clone doesn't share — pin them absolute ("p"); inline
+                # ("i") and already-absolute ("p") descriptors carry as-is
+                a2["deletionVector"] = {
+                    **d,
+                    "storageType": "p",
+                    "pathOrInlineDv": os.path.abspath(
+                        dv_path_from_u(d["pathOrInlineDv"], self.root)
+                    ),
+                }
             actions.append({"add": a2})
         t._publish(0, actions)
         return t
@@ -1695,9 +1756,14 @@ class DeltaTable:
             for a in self.files(v):
                 live.add(os.path.abspath(self._abs_path(a["path"])))
                 d = a.get("deletionVector")
-                if d and d.get("storageType") == "p":
-                    # a live file's deletion vector is part of the snapshot
+                # a live file's deletion vector is part of the snapshot;
+                # inline ("i") DVs have no file to protect
+                if d and d.get("storageType", "p") == "p":
                     live.add(os.path.abspath(d["pathOrInlineDv"]))
+                elif d and d.get("storageType") == "u":
+                    live.add(
+                        os.path.abspath(dv_path_from_u(d["pathOrInlineDv"], self.root))
+                    )
         removed = []
         now = time.time()
         for dirpath, dirnames, filenames in os.walk(self.root):

@@ -2637,15 +2637,13 @@ def delta_to_iceberg_uniform(delta, ice_root: str | None = None) -> IcebergTable
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            from .roaring import deserialize_rba, read_dv_blob
+            from .roaring import deserialize_rba, read_dv_descriptor
 
             pairs: list[tuple[str, int]] = []
             for a in dv_adds:
                 d = a["deletionVector"]
                 path = delta._abs_path(a["path"])
-                blob = read_dv_blob(
-                    d["pathOrInlineDv"], int(d["offset"]), int(d["sizeInBytes"])
-                )
+                blob = read_dv_descriptor(d, delta.root)
                 pairs.extend((path, p) for p in deserialize_rba(blob))
             pairs.sort()
             os.makedirs(t.data_dir, exist_ok=True)

@@ -232,3 +232,77 @@ def read_dv_blob(path: str, offset: int, size_in_bytes: int) -> bytes:
     if crc != (zlib.crc32(blob) & 0xFFFFFFFF):
         raise ValueError(f"DV checksum mismatch at {path}:{offset}")
     return blob
+
+
+# ---------------------------------------------------------------- descriptors
+# Deletion-vector DESCRIPTOR resolution (PROTOCOL.md, Deletion Vector
+# Descriptor Schema): three storage flavors —
+#   "p": pathOrInlineDv is an absolute DV-file path; offset/sizeInBytes span
+#        one framed blob inside it.
+#   "u": pathOrInlineDv is <randomPrefix?><20-char Base85 UUID> (RFC 1924
+#        alphabet — Python's base64.b85* codec); the DV file lives at
+#        <tableRoot>/<prefix>/deletion_vector_<canonical uuid>.bin.
+#   "i": pathOrInlineDv IS the DV — the Base85-encoded (same RFC 1924
+#        alphabet) serialized RoaringBitmapArray, no file, no offset;
+#        sizeInBytes counts the DECODED bytes.
+
+
+def encode_dv_inline(blob: bytes) -> str:
+    """Serialized RoaringBitmapArray → the descriptor's inline Base85 text."""
+    import base64
+
+    return base64.b85encode(blob).decode("ascii")
+
+
+def decode_dv_inline(text: str, size_in_bytes: int | None = None) -> bytes:
+    """Inline Base85 text → serialized RoaringBitmapArray bytes, verifying
+    the descriptor's sizeInBytes against the decoded length when given."""
+    import base64
+
+    blob = base64.b85decode(text)
+    if size_in_bytes is not None and len(blob) != int(size_in_bytes):
+        raise ValueError(
+            f"inline DV size mismatch: decoded {len(blob)} bytes, "
+            f"descriptor says {size_in_bytes}"
+        )
+    return blob
+
+
+def dv_path_from_u(path_or_inline: str, table_root: str) -> str:
+    """'u'-flavor pathOrInlineDv → absolute DV file path. The encoded UUID
+    is always the LAST 20 characters (16 bytes in Base85); anything before
+    it is the optional random prefix directory."""
+    import base64
+    import os
+    import uuid as _uuid
+
+    if len(path_or_inline) < 20:
+        raise ValueError(f"'u' DV path too short: {path_or_inline!r}")
+    enc, prefix = path_or_inline[-20:], path_or_inline[:-20]
+    raw = base64.b85decode(enc)
+    if len(raw) != 16:
+        raise ValueError(f"'u' DV UUID decodes to {len(raw)} bytes, want 16")
+    name = f"deletion_vector_{_uuid.UUID(bytes=raw)}.bin"
+    return os.path.join(table_root, prefix, name) if prefix else os.path.join(
+        table_root, name
+    )
+
+
+def read_dv_descriptor(d: dict, table_root: str = "") -> bytes:
+    """DeletionVectorDescriptor dict → the serialized RoaringBitmapArray
+    bytes, dispatching on storageType ('p' absolute file / 'u' relative
+    file / 'i' inline). Pure function safe to call executor-side."""
+    st = d.get("storageType", "p")
+    if st == "i":
+        return decode_dv_inline(d["pathOrInlineDv"], d.get("sizeInBytes"))
+    if st == "p":
+        return read_dv_blob(
+            d["pathOrInlineDv"], int(d["offset"]), int(d["sizeInBytes"])
+        )
+    if st == "u":
+        return read_dv_blob(
+            dv_path_from_u(d["pathOrInlineDv"], table_root),
+            int(d["offset"]),
+            int(d["sizeInBytes"]),
+        )
+    raise NotImplementedError(f"DV storageType {st!r} (know p/u/i)")

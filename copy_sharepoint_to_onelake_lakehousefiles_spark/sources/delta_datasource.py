@@ -52,8 +52,9 @@ class FilePartition(InputPartition):
     partition_values: dict  # raw string-encoded, from the add action
     schema_json: str  # full logical schema (Spark StructType JSON)
     part_cols: list
-    # deletion-vector descriptor (dv_path, offset, sizeInBytes) or None —
-    # the executor masks the listed row ordinals before anything else
+    # deletion-vector descriptor (storageType, pathOrInlineDv, offset,
+    # sizeInBytes) or None — "u" paths are resolved to absolute "p" at
+    # planning time; the executor masks the listed row ordinals first
     dv: tuple | None = None
     # logical → physical column names (column mapping); None = identity
     phys: dict | None = None
@@ -152,15 +153,23 @@ class DeltaLiteReader(DataSourceReader):
         out = []
         for a in adds:
             d = a.get("deletionVector")
+            dv = None
+            if d:
+                from ..plans.roaring import dv_path_from_u
+
+                st_ty = d.get("storageType", "p")
+                poi = d["pathOrInlineDv"]
+                if st_ty == "u":  # resolve relative flavor on the driver
+                    st_ty, poi = "p", dv_path_from_u(poi, self._t.root)
+                off = int(d["offset"]) if d.get("offset") is not None else None
+                dv = (st_ty, poi, off, int(d["sizeInBytes"]))
             out.append(
                 FilePartition(
                     self._t._abs_path(a["path"]),
                     a.get("partitionValues") or {},
                     schema_json,
                     part_cols,
-                    (d["pathOrInlineDv"], int(d["offset"]), int(d["sizeInBytes"]))
-                    if d
-                    else None,
+                    dv,
                     phys,
                     rg_bounds or None,
                 )
@@ -207,10 +216,21 @@ class DeltaLiteReader(DataSourceReader):
             # dead ordinals executor-side (DVs are metadata-sized vs data).
             # DV ordinals are FILE-level: with row groups skipped, each kept
             # group's rows map back via its cumulative start offset.
-            from ..plans.roaring import deserialize_rba, read_dv_blob
+            from ..plans.roaring import deserialize_rba, read_dv_descriptor
 
-            dp, off, size = partition.dv
-            dead = set(deserialize_rba(read_dv_blob(dp, off, size)))
+            st_ty, poi, off, size = partition.dv
+            dead = set(
+                deserialize_rba(
+                    read_dv_descriptor(
+                        {
+                            "storageType": st_ty,
+                            "pathOrInlineDv": poi,
+                            "offset": off,
+                            "sizeInBytes": size,
+                        }
+                    )
+                )
+            )
             if dead:
                 starts = []
                 pos = 0

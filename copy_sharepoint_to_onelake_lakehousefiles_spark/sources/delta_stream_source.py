@@ -78,13 +78,9 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
             # carry the PRIOR DV) are the rows live BEFORE it — the add/
             # remove pair of a DV commit then nets to exactly the newly
             # deleted rows, with no special-casing here
-            from ..plans.roaring import deserialize_rba, read_dv_blob
+            from ..plans.roaring import deserialize_rba, read_dv_descriptor
 
-            dead = set(
-                deserialize_rba(
-                    read_dv_blob(d["pathOrInlineDv"], int(d["offset"]), int(d["sizeInBytes"]))
-                )
-            )
+            dead = set(deserialize_rba(read_dv_descriptor(d, self._t.root)))
             if dead:
                 import pyarrow as pa
 

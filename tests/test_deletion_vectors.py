@@ -16,6 +16,7 @@ from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import Delta
 from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.roaring import (
     deserialize_rba,
     read_dv_blob,
+    read_dv_descriptor,
 )
 
 
@@ -48,15 +49,17 @@ def test_dv_delete_no_rewrite_time_travel_and_descriptor(spark, root):
     assert {a["path"] for a in t.files()} == {a["path"] for a in t.files(0)}
     # time travel unaffected
     assert t.read(0).count() == 12
-    # descriptor shape + bitmap contents decode to real ordinals
+    # descriptor shape + bitmap contents decode to real ordinals; tiny
+    # bitmaps (≤ INLINE_DV_MAX_BYTES) ride INLINE ("i"), larger ones in a
+    # DV file ("p") — either way the payload decodes to the dead set
     dvs = [a["deletionVector"] for a in t.files() if a.get("deletionVector")]
-    assert dvs and all(d["storageType"] == "p" for d in dvs)
+    assert dvs and all(d["storageType"] in ("p", "i") for d in dvs)
     assert sum(d["cardinality"] for d in dvs) == 3
     for d in dvs:
-        poss = deserialize_rba(
-            read_dv_blob(d["pathOrInlineDv"], d["offset"], d["sizeInBytes"])
-        )
+        poss = deserialize_rba(read_dv_descriptor(d, root))
         assert len(poss) == d["cardinality"] > 0
+        if d["storageType"] == "i":
+            assert "offset" not in d  # spec: inline DVs carry no offset
 
 
 def test_dv_idempotent_union_and_append_survival(spark, root):
@@ -116,6 +119,7 @@ def test_dv_checkpoint_carries_descriptor(spark, root):
 
 def test_dv_vacuum_liveness(spark, root):
     t = _mk(spark, root)
+    t.INLINE_DV_MAX_BYTES = 0  # force FILE storage: this test is about file liveness
     t.delete_vectors("k = 0")
     dv1 = [a["deletionVector"]["pathOrInlineDv"] for a in t.files() if a.get("deletionVector")][0]
     t.delete_vectors("k = 1")  # supersedes: touched file's DV now in a new file
@@ -224,6 +228,7 @@ def test_dv_commit_loses_race_cleanly(spark, root, monkeypatch):
     import copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog as dmod
 
     t = _mk(spark, root)
+    t.INLINE_DV_MAX_BYTES = 0  # the race hook rides write_dv_file: force files
     v_next = t.latest_version() + 1
     winner = os.path.join(t.log_dir, dmod._fmt_commit(v_next))
     orig = dmod.write_dv_file

@@ -448,3 +448,134 @@ def test_incomplete_multipart_checkpoint_is_skipped(spark):
         assert sorted(r.k for r in fresh.read().collect()) == list(range(30))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_reads_foreign_inline_and_u_deletion_vectors(spark):
+    """VERDICT r5 #2: both remaining DV storage flavors, hand-authored the
+    way delta-spark encodes them (PROTOCOL.md Deletion Vector Descriptor):
+    an INLINE descriptor (storageType "i" — pathOrInlineDv IS the Base85
+    RFC-1924 encoding of the serialized RoaringBitmapArray, no offset) and
+    a RELATIVE-path descriptor (storageType "u" — <prefix><20-char Base85
+    UUID>, resolving to <root>/<prefix>/deletion_vector_<uuid>.bin). The
+    reader must mask exactly each file's dead ordinals."""
+    import base64
+    import json
+    import struct
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.roaring import (
+        serialize_rba,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"fdvui_{uuid.uuid4().hex[:8]}")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    try:
+        for part in ("a", "b"):
+            pq.write_table(
+                pa.table({"k": list(range(10)), "f": [part] * 10}),
+                os.path.join(root, f"part-{part}.parquet"),
+            )
+        # file part-a: INLINE DV killing ordinals {1, 4}
+        blob_a = serialize_rba([1, 4])
+        inline = base64.b85encode(blob_a).decode("ascii")
+        # file part-b: "u" DV killing ordinals {0, 9}; file under prefix "xy/"
+        blob_b = serialize_rba([0, 9])
+        dv_uuid = uuid.uuid4()
+        os.makedirs(os.path.join(root, "xy"))
+        with open(
+            os.path.join(root, "xy", f"deletion_vector_{dv_uuid}.bin"), "wb"
+        ) as f:
+            f.write(b"\x01")
+            f.write(struct.pack(">i", len(blob_b)))
+            f.write(blob_b)
+            f.write(struct.pack(">I", zlib.crc32(blob_b) & 0xFFFFFFFF))
+        enc_uuid = base64.b85encode(dv_uuid.bytes).decode("ascii")
+        schema_string = json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                    {"name": "f", "type": "string", "nullable": True, "metadata": {}},
+                ],
+            }
+        )
+        actions = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "foreign-ui",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+            {
+                "add": {
+                    "path": "part-a.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": {
+                        "storageType": "i",
+                        "pathOrInlineDv": inline,
+                        "sizeInBytes": len(blob_a),
+                        "cardinality": 2,
+                    },
+                }
+            },
+            {
+                "add": {
+                    "path": "part-b.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": {
+                        "storageType": "u",
+                        "pathOrInlineDv": "xy/" + enc_uuid,
+                        "offset": 1,
+                        "sizeInBytes": len(blob_b),
+                        "cardinality": 2,
+                    },
+                }
+            },
+        ]
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+            _fmt_commit,
+        )
+
+        with open(os.path.join(root, "_delta_log", _fmt_commit(0)), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        t = DeltaTable(spark, root)
+        got = sorted((r.f, r.k) for r in t.read().collect())
+        want = sorted(
+            [("a", k) for k in range(10) if k not in (1, 4)]
+            + [("b", k) for k in range(10) if k not in (0, 9)]
+        )
+        assert got == want
+        # the lite SQL source must agree flavor-for-flavor
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_datasource import (
+            DeltaLiteDataSource,
+        )
+
+        try:
+            spark.dataSource.register(DeltaLiteDataSource)
+        except Exception:
+            pass
+        lite = spark.read.format("delta_lite").load(root)
+        assert sorted((r.f, r.k) for r in lite.collect()) == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

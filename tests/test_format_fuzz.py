@@ -68,7 +68,19 @@ def test_random_op_sequences_agree_across_formats(spark, init, ops):
                 pred = f"k % {m} = {r}"
                 tx.delete(pred)
                 if i % 2 == 0:  # alternate Delta CoW delete vs deletion vectors
-                    dl.delete_vectors(pred)
+                    # ... and alternate the DV STORAGE flavor: inline ("i",
+                    # Base85 in the descriptor) on one delete, DV file ("p")
+                    # on the next — readers must apply both identically
+                    dl.INLINE_DV_MAX_BYTES = 1 << 20 if (i // 2) % 2 == 0 else 0
+                    res = dl.delete_vectors(pred)
+                    if res.get("files_updated"):
+                        flavors = {
+                            a["deletionVector"]["storageType"]
+                            for a in dl.files()
+                            if a.get("deletionVector")
+                        }
+                        want = "i" if dl.INLINE_DV_MAX_BYTES else "p"
+                        assert want in flavors
                 else:
                     dl.delete(pred)
                 if i % 2 == 0:  # alternate Iceberg's two MoR delete flavors

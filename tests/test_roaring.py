@@ -178,3 +178,60 @@ def test_dv_crc_trailer_is_full_32_bits(tmp_path):
     assert stored == zlib.crc32(blob) & 0xFFFFFFFF
     assert stored & 0x80000000  # genuinely exercises the top bit
     assert read_dv_blob(p, off, size) == blob
+
+
+def test_dv_descriptor_flavors_pure(tmp_path):
+    """Descriptor-level resolution (r6): the three storage flavors resolve
+    to the same bitmap bytes — "i" decodes Base85 (RFC 1924, Python b85)
+    and verifies sizeInBytes; "u" reconstructs
+    <root>/<prefix>/deletion_vector_<uuid>.bin from the trailing 20-char
+    Base85 UUID; "p" reads the framed span. Unknown flavors refuse loudly."""
+    import base64
+    import uuid as _uuid
+
+    import pytest as _pytest
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.roaring import (
+        decode_dv_inline,
+        dv_path_from_u,
+        encode_dv_inline,
+        read_dv_descriptor,
+        serialize_rba,
+        write_dv_file,
+    )
+
+    blob = serialize_rba([2, 3, 5, 70000])
+    # inline
+    text = encode_dv_inline(blob)
+    assert decode_dv_inline(text, len(blob)) == blob
+    d_i = {"storageType": "i", "pathOrInlineDv": text, "sizeInBytes": len(blob)}
+    assert read_dv_descriptor(d_i) == blob
+    with _pytest.raises(ValueError, match="size mismatch"):
+        read_dv_descriptor({**d_i, "sizeInBytes": len(blob) + 1})
+    # u (with and without prefix)
+    u = _uuid.uuid4()
+    enc = base64.b85encode(u.bytes).decode("ascii")
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "pfx"), exist_ok=True)
+    for prefix in ("", "pfx/"):
+        p = dv_path_from_u(prefix + enc, root)
+        assert p.endswith(f"deletion_vector_{u}.bin")
+        ((off, size),) = write_dv_file(p, [blob])
+        d_u = {
+            "storageType": "u",
+            "pathOrInlineDv": prefix + enc,
+            "offset": off,
+            "sizeInBytes": size,
+        }
+        assert read_dv_descriptor(d_u, root) == blob
+    # p
+    pp = os.path.join(root, "abs.bin")
+    ((off, size),) = write_dv_file(pp, [blob])
+    d_p = {"storageType": "p", "pathOrInlineDv": pp, "offset": off, "sizeInBytes": size}
+    assert read_dv_descriptor(d_p) == blob
+    # unknown flavor refuses
+    with _pytest.raises(NotImplementedError, match="storageType"):
+        read_dv_descriptor({"storageType": "x", "pathOrInlineDv": "?", "sizeInBytes": 0})
+    # malformed u paths refuse
+    with _pytest.raises(ValueError):
+        dv_path_from_u("short", root)
