@@ -38,8 +38,24 @@ from .deltalog import DeltaTable
 from .iceberg import IcebergTable
 from .txtable import TxTable
 
-ROOT = "/tmp/spark_graft_metatables"
+# Per-PROCESS scratch root (VERDICT r5 #2): the demo tables and their
+# oracle SQL both derive from this module-level constant, and the oracle
+# f-strings are rendered at import time — so a PID suffix gives every
+# process its own root AND its own oracle paths in one stroke. Two
+# concurrent gate/pytest runs can no longer race on rmtree-vs-read of a
+# shared /tmp path. Spark's forked Python workers re-import with their own
+# PID but never build (driver-only paths), so the suffix is harmless there.
+ROOT = f"/tmp/spark_graft_metatables_{os.getpid()}"
 _BUILT: set[tuple[int, str]] = set()
+
+
+def _cleanup_root() -> None:
+    shutil.rmtree(ROOT, ignore_errors=True)
+
+
+import atexit  # noqa: E402  (cleanup registration belongs with ROOT)
+
+atexit.register(_cleanup_root)
 
 
 def _nation_dim(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -232,3 +232,44 @@ def test_iceberg_lite_files_metadata_view(spark, root):
     api = sorted(tuple(r) for r in t.files_df().collect())
     sql_rows = sorted(tuple(r) for r in via_sql.collect())
     assert api == sql_rows
+
+
+def test_concurrent_gate_runs_do_not_race_on_scratch_root():
+    """VERDICT r5 #2: two engine PROCESSES running the metadata-table gate
+    concurrently used to race on a shared /tmp scratch root
+    (rmtree-vs-read). The root is now PID-suffixed (and the oracle SQL is
+    rendered from the same constant at import), so both must pass."""
+    import subprocess
+    import sys
+
+    cmd = [
+        sys.executable,
+        "scripts/check_oracle.py",
+        "/root/testdata/sf0.001",
+        "q160",
+    ]
+    env = dict(os.environ, VANILLA="1", SPARK_GRAFT_CPUS="4")
+    procs = [
+        subprocess.Popen(
+            cmd, cwd="/root/repo", env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for _ in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+        assert "PASS  q160" in out, out[-2000:]
+
+
+def test_scratch_root_is_process_scoped():
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans import metatables
+
+    assert str(os.getpid()) in metatables.ROOT
+    # every oracle path a metadata query registers points inside THIS
+    # process's root
+    from __spark_entry__ import oracle_sql
+
+    for name in ("q160_delta_describe_history", "q161_iceberg_snapshots_table",
+                 "q162_txtable_history_table", "q163_delta_files_table"):
+        assert metatables.ROOT in oracle_sql()[name]
