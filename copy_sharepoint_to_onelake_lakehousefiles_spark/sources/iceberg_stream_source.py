@@ -2,7 +2,8 @@
 ``delta_stream_source``: ``spark.readStream.format("iceberg_cdc")
 .load(<table root>)`` emits one row per data-file row entering or leaving
 each snapshot, tagged (snapshot_idx, change_type ∈ {'add', 'remove',
-'delete_key', 'delete_row'}).
+'delete_key', 'delete_row'}, schema_id — the snapshot's schema; current
+columns whose field id is absent from it arrive null).
 
 Offsets are CHRONOLOGICAL SNAPSHOT INDEXES (snapshots ordered by sequence
 number): a committed micro-batch covers an exact snapshot range, so
@@ -87,7 +88,27 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
     def _n_snapshots(self) -> int:
         return len(self._t.snapshots())
 
-    def _rows_of_data_file(self, entry: dict, positions: list[int] | None = None):
+    def _live_ids_at(self, idx: int) -> tuple[int, set[int] | None]:
+        """(schema-id, field ids present) in the schema of snapshot ``idx``.
+        Current-schema columns whose field id is absent from that snapshot's
+        schema are null-filled in its batch, and every row carries the
+        schema-id — per-version schema emission (VERDICT r5 #4), the twin
+        of delta_cdc's ``schema_version``."""
+        self._schema_fields()
+        # same chronological order _resolve_snapshot(index=...) uses
+        snaps = sorted(self._t.snapshots(), key=lambda s: s["sequence-number"])
+        sid = snaps[idx].get("schema-id", self._tgt_sid)
+        sch = self._schemas_by_id.get(sid)
+        if sch is None:
+            return sid, None  # unknown id: emit under the current schema
+        return sid, {f["id"] for f in sch["fields"]}
+
+    def _rows_of_data_file(
+        self,
+        entry: dict,
+        positions: list[int] | None = None,
+        live_ids: set[int] | None = None,
+    ):
         import pyarrow.parquet as pq
 
         fields, _part_cols = self._schema_fields()
@@ -99,8 +120,14 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
         n = tbl.num_rows
         pvals = entry.get("partition") or {}
         cols = []
-        for name, type_name in fields:
+        for (name, type_name), fid in zip(fields, self._tgt_ids):
             wname = wnames.get(name, name)
+            if live_ids is not None and fid not in live_ids:
+                # field id absent from THIS snapshot's schema: null-fill
+                # (a column added later, or dropped-then-re-added, must not
+                # surface under an old snapshot's batch)
+                cols.append([None] * n)
+                continue
             if name in pvals:
                 # overlay from THIS entry's partition tuple (keyed by the
                 # spec the file was written under — partition evolution)
@@ -111,7 +138,7 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
                 cols.append([None] * n)
         return zip(*cols) if cols else iter(())
 
-    def _rows_of_position_delete(self, d: dict, cur: dict):
+    def _rows_of_position_delete(self, d: dict, cur: dict, live_ids=None):
         """Reconstruct the ACTUAL deleted rows of a position-delete file:
         read its (file_path, pos) pairs, then take those ordinals from each
         referenced live data file — richer CDC than equality's key-only
@@ -131,9 +158,11 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
             entry = cur.get(fp)
             if entry is None:
                 continue  # file left the snapshot in the same commit
-            yield from self._rows_of_data_file(entry, positions=by_file[fp])
+            yield from self._rows_of_data_file(
+                entry, positions=by_file[fp], live_ids=live_ids
+            )
 
-    def _rows_of_delete_file(self, d: dict):
+    def _rows_of_delete_file(self, d: dict, live_ids: set[int] | None = None):
         import pyarrow.parquet as pq
 
         fields, _ = self._schema_fields()
@@ -141,8 +170,11 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
         names = set(tbl.column_names)
         n = tbl.num_rows
         cols = []
-        for name, _type in fields:
-            cols.append(tbl.column(name).to_pylist() if name in names else [None] * n)
+        for (name, _type), fid in zip(fields, self._tgt_ids):
+            if (live_ids is not None and fid not in live_ids) or name not in names:
+                cols.append([None] * n)
+            else:
+                cols.append(tbl.column(name).to_pylist())
         return zip(*cols) if cols else iter(())
 
     def _emit(self, i_from: int, i_to: int):
@@ -160,12 +192,13 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
                 if idx > 0
                 else set()
             )
+            sid, live_ids = self._live_ids_at(idx)
             for p in sorted(set(cur) - set(prev)):
-                for row in self._rows_of_data_file(cur[p]):
-                    yield (*row, idx, "add")
+                for row in self._rows_of_data_file(cur[p], live_ids=live_ids):
+                    yield (*row, idx, "add", sid)
             for p in sorted(set(prev) - set(cur)):
-                for row in self._rows_of_data_file(prev[p]):
-                    yield (*row, idx, "remove")
+                for row in self._rows_of_data_file(prev[p], live_ids=live_ids):
+                    yield (*row, idx, "remove", sid)
             for d in sorted(
                 self._t.delete_entries(index=idx),
                 key=lambda d: d["data_file"]["file_path"],
@@ -173,11 +206,11 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
                 if d["data_file"]["file_path"] in prev_dels:
                     continue
                 if d.get("content") == 1:  # position delete: full rows
-                    for row in self._rows_of_position_delete(d, cur):
-                        yield (*row, idx, "delete_row")
+                    for row in self._rows_of_position_delete(d, cur, live_ids):
+                        yield (*row, idx, "delete_row", sid)
                 else:  # equality delete: key columns only
-                    for row in self._rows_of_delete_file(d):
-                        yield (*row, idx, "delete_key")
+                    for row in self._rows_of_delete_file(d, live_ids):
+                        yield (*row, idx, "delete_key", sid)
 
     def initialOffset(self) -> dict:
         return {"index": -1}
@@ -209,7 +242,7 @@ class IcebergCdcDataSource(DataSource):
             raise ValueError("iceberg_cdc requires .load(<table root>)")
         st = IcebergTable(None, root).schema()
         cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
-        return f"{cols}, snapshot_idx bigint, change_type string"
+        return f"{cols}, snapshot_idx bigint, change_type string, schema_id int"
 
     def simpleStreamReader(self, schema) -> IcebergCdcReader:
         return IcebergCdcReader(self.options)

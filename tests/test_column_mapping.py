@@ -200,3 +200,57 @@ def test_protocol_feature_upgrades(spark, root):
     assert t2.protocol()["readerFeatures"] == ["columnMapping", "deletionVectors"]
     # time travel reads the protocol as of that version
     assert t.protocol(0) == {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def test_cdc_emits_per_version_schema(spark, root, tmp_path):
+    """VERDICT r5 #4: the CDC feed tags every row with the schema in effect
+    at its commit (``schema_version``) and null-fills current-schema columns
+    that did not exist at that version — replaying from version 0 no longer
+    presents old rows under the new schema silently. Sequence = q145's
+    (rename + drop + evolving append)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_stream_source import (
+        DeltaCdcDataSource,
+    )
+
+    t = DeltaTable.create(
+        spark, root,
+        spark.createDataFrame([(1, "a", 10)], "k long, tag string, v long").coalesce(1),
+    )                                       # v0: (k, tag, v)
+    t.enable_column_mapping()               # v1
+    t.rename_column("v", "val")             # v2
+    t.drop_column("tag")                    # v3
+    t.append(                               # v4: evolving append adds extra
+        spark.createDataFrame([(2, 20, 5)], "k long, val long, extra long").coalesce(1),
+        allow_evolution=True,
+    )
+    try:
+        spark.dataSource.register(DeltaCdcDataSource)
+    except Exception:
+        pass
+    sink = os.path.join(str(tmp_path), "sink")
+    q = (
+        spark.readStream.format("delta_cdc")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    assert "schema_version" in feed.columns
+    by_v = {r["commit_version"]: r for r in feed.collect()}
+    # v0 batch: governed by the CREATE schema; val carries the pre-rename
+    # data (stable physical identity) but extra did NOT exist yet → null
+    assert by_v[0]["schema_version"] == 0
+    assert by_v[0]["val"] == 10 and by_v[0]["k"] == 1
+    assert by_v[0]["extra"] is None
+    # v4 batch: the evolving append's own metaData governs it
+    assert by_v[4]["schema_version"] == 4
+    assert by_v[4]["extra"] == 5 and by_v[4]["val"] == 20
+    # per-version non-null column sets differ exactly by the evolved column
+    cols0 = {c for c in ("k", "val", "extra") if by_v[0][c] is not None}
+    cols4 = {c for c in ("k", "val", "extra") if by_v[4][c] is not None}
+    assert cols0 == {"k", "val"} and cols4 == {"k", "val", "extra"}

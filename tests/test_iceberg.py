@@ -1382,3 +1382,50 @@ def test_lite_row_group_pruning_with_position_deletes(spark, root):
     ks = sorted(r["k"] for r in got)
     assert ks == [k for k in range(200, 400) if not (250 <= k <= 279)]
     assert all(r["v"] == r["k"] * 2 for r in got)
+
+
+def test_iceberg_cdc_emits_per_snapshot_schema(spark, root, tmp_path):
+    """VERDICT r5 #4 (Iceberg side): every CDC row carries its snapshot's
+    schema-id, and current columns whose FIELD ID is absent from that
+    snapshot's schema arrive null — a replay never backfills a
+    later-evolved column into an old snapshot's batch."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_stream_source import (
+        IcebergCdcDataSource,
+    )
+
+    t = IcebergTable.create(
+        spark, root,
+        spark.createDataFrame([(1, 10)], "k long, v long").coalesce(1),
+    )                                       # snapshot 0, schema-id 0
+    t.rename_column("v", "val")             # schema-id bump, no snapshot
+    t.append(                               # snapshot 1, evolved schema
+        spark.createDataFrame([(2, 20, 5)], "k long, val long, extra long").coalesce(1),
+        allow_evolution=True,
+    )
+    try:
+        spark.dataSource.register(IcebergCdcDataSource)
+    except Exception:
+        pass
+    sink = os.path.join(str(tmp_path), "sink")
+    q = (
+        spark.readStream.format("iceberg_cdc")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    assert "schema_id" in feed.columns
+    rows = {(r["snapshot_idx"], r["k"]): r for r in feed.collect()}
+    r0 = rows[(0, 1)]
+    r1 = rows[(1, 2)]
+    # snapshot 0 predates both the rename and the added column: its rows
+    # carry the create-time schema-id, val still resolves by field id, and
+    # extra is null by SCHEMA (not merely by file content)
+    assert r0["schema_id"] < r1["schema_id"]
+    assert r0["val"] == 10 and r0["extra"] is None
+    assert r1["extra"] == 5 and r1["val"] == 20
