@@ -1188,6 +1188,23 @@ class IcebergTable:
             s["spec-id"]: self.partition_fields(s["spec-id"])
             for s in md["partition-specs"]
         }
+        # schema.name-mapping.default (spec §Name Mapping Serialization):
+        # files written without Iceberg field ids — e.g. a column-mapped
+        # Delta table surfaced through UniForm — carry their own (physical)
+        # column names; the mapping names→field-id lets the id-based
+        # resolution below read them. None when absent or identity.
+        name_map: dict[int, str] | None = None
+        nm_raw = (md.get("properties") or {}).get("schema.name-mapping.default")
+        if nm_raw:
+            mapping = {
+                e["field-id"]: e["names"][0]
+                for e in json.loads(nm_raw)
+                if e.get("names") and e.get("field-id") is not None
+            }
+            if any(
+                mapping.get(tid, tname) != tname for tid, tname, _tt in tgt_fields
+            ):
+                name_map = mapping
 
         def effective_sid(e: dict) -> int:
             wsid = seq_to_sid.get(e.get("__seq"), tgt_sid)
@@ -1255,15 +1272,23 @@ class IcebergTable:
             data_schema = T.StructType(
                 [f for f in schema.fields if f.name not in part_names]
             )
-            if wsid == tgt_sid:
+            if wsid == tgt_sid and name_map is None:
                 df = self.spark.read.schema(data_schema).parquet(*paths)
                 if with_positions:
                     df = df.select(*data_schema.fieldNames(), *pos_cols)
             else:
-                wfields = [
-                    (f["id"], f["name"], f["type"])
-                    for f in schemas_by_id[wsid]["fields"]
-                ]
+                if wsid == tgt_sid:
+                    # name-mapped files: synthesize the write-time view from
+                    # the mapping (same id-based resolution as evolution)
+                    wfields = [
+                        (tid, name_map.get(tid, tname), ttype)
+                        for tid, tname, ttype in tgt_fields
+                    ]
+                else:
+                    wfields = [
+                        (f["id"], f["name"], f["type"])
+                        for f in schemas_by_id[wsid]["fields"]
+                    ]
                 w_by_id = {i: n for i, n, _ in wfields}
                 wstruct = T.StructType(
                     [
@@ -2515,13 +2540,15 @@ def delta_to_iceberg_uniform(delta, ice_root: str | None = None) -> IcebergTable
     from .deltalog import DeltaTable as _DT
 
     assert isinstance(delta, _DT)
+    # Column-mapped Delta: stats / partitionValues / data-file columns are
+    # keyed by PHYSICAL names. The Iceberg schema keeps the LOGICAL names;
+    # metadata keys translate physical→logical here, and the data files'
+    # physical column names are published as the spec-standard
+    # ``schema.name-mapping.default`` property so the Iceberg reader
+    # resolves them by field id (VERDICT r5 #7 — was a refusal).
     phys = _DT._phys_map(delta.snapshot()[1])
-    if any(log != p for log, p in phys.items()):
-        raise NotImplementedError(
-            "UniForm conversion of column-mapped Delta tables with diverged "
-            "physical names is not supported (stats/partitionValues are keyed "
-            "by physical names the Iceberg schema does not know)"
-        )
+    log_by_phys = {p: log for log, p in phys.items()}
+    mapped = any(log != p for log, p in phys.items())
     root = ice_root or delta.root
     t = IcebergTable(delta.spark, root)
     if t._metadata_versions():
@@ -2568,15 +2595,17 @@ def delta_to_iceberg_uniform(delta, ice_root: str | None = None) -> IcebergTable
             n_rows = pq.ParquetFile(path).metadata.num_rows
         lbs, ubs = {}, {}
         for c, v in (stats.get("minValues") or {}).items():
+            c = log_by_phys.get(c, c)  # stats are keyed by physical names
             if c in ice_types:
                 lbs[str(name_to_id[c])] = _single_value_bytes(ice_types[c], v)
         for c, v in (stats.get("maxValues") or {}).items():
+            c = log_by_phys.get(c, c)
             if c in ice_types:
                 ubs[str(name_to_id[c])] = _single_value_bytes(ice_types[c], v)
         pv = a.get("partitionValues") or {}
         partition = {}
         for pf in part_fields:
-            rawv = pv.get(pf["name"])
+            rawv = pv.get(phys.get(pf["name"], pf["name"]))
             if rawv is None:
                 partition[pf["name"]] = None
             elif pf["ice_type"] in ("long", "int"):
@@ -2618,6 +2647,17 @@ def delta_to_iceberg_uniform(delta, ice_root: str | None = None) -> IcebergTable
         "metadata-log": [],
         "current-snapshot-id": None,
     }
+    if mapped:
+        # data files carry Delta's PHYSICAL column names (no Iceberg field
+        # ids); the name mapping is how a spec-compliant reader — ours
+        # included — resolves them to field ids (spec §Name Mapping
+        # Serialization: [{"field-id": N, "names": [...]}, ...])
+        md["properties"]["schema.name-mapping.default"] = json.dumps(
+            [
+                {"field-id": name_to_id[f["name"]], "names": [phys.get(f["name"], f["name"])]}
+                for f in ice_schema["fields"]
+            ]
+        )
     for dv in delta.versions():
         adds, _m = delta.snapshot(dv)
         entries = [to_entry(a) for a in adds]

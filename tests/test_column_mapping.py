@@ -169,13 +169,18 @@ def test_checkpoint_and_constraint_guards(spark, root):
         t.rename_column("val", "v2")
     with pytest.raises(NotImplementedError, match="CHECK constraint"):
         t.drop_column("val")
-    # UniForm refuses diverged physical names instead of mis-reading
+    # UniForm over the diverged physical names (r6): the Iceberg view
+    # reads the SAME data files via schema.name-mapping.default and agrees
+    # with the Delta reader under the LOGICAL names
     from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
         delta_to_iceberg_uniform,
     )
 
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        delta_to_iceberg_uniform(t)
+    ice = delta_to_iceberg_uniform(t)
+    assert "schema.name-mapping.default" in ice.metadata()["properties"]
+    assert _rows(ice.read().select("k", "tag", "val")) == _rows(
+        t.read().select("k", "tag", "val")
+    )
 
 
 def test_protocol_feature_upgrades(spark, root):
@@ -254,3 +259,42 @@ def test_cdc_emits_per_version_schema(spark, root, tmp_path):
     cols0 = {c for c in ("k", "val", "extra") if by_v[0][c] is not None}
     cols4 = {c for c in ("k", "val", "extra") if by_v[4][c] is not None}
     assert cols0 == {"k", "val"} and cols4 == {"k", "val", "extra"}
+
+
+def test_uniform_over_renamed_columns_full_parity(spark, root, tmp_path):
+    """VERDICT r5 #7, q134-style: a Delta table with column mapping, a
+    rename, a DV delete, and a partition column converts to UniForm Iceberg
+    metadata whose reader returns the SAME rows (logical names) with
+    time travel across versions, and whose per-file column BOUNDS carry the
+    translated field ids (stats were keyed by physical names)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        delta_to_iceberg_uniform,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", i * 10) for i in range(8)], "k long, part string, v long"
+    )
+    t = DeltaTable.create(spark, root, df.repartition(2, "part"), partition_by=["part"])
+    t.enable_column_mapping()
+    t.rename_column("v", "val")
+    t.append(
+        spark.createDataFrame([(8, "p0", 80)], "k long, part string, val long").coalesce(1)
+    )
+    t.delete_vectors("k = 3")
+    ice = delta_to_iceberg_uniform(t)
+    # full current-state parity under the LOGICAL names
+    want = _rows(t.read().select("k", "part", "val"))
+    assert _rows(ice.read().select("k", "part", "val")) == want
+    assert (3,) not in {(r[0],) for r in _rows(ice.read().select("k"))}
+    # time travel: iceberg snapshot per delta version
+    n_vs = len(t.versions())
+    assert len(ice.snapshots()) == n_vs
+    assert _rows(ice.read(index=0).select("k", "part", "val")) == _rows(
+        t.read(0).select("k", "part",
+                         t.read(0).columns[2]).toDF("k", "part", "val")
+    )
+    # bounds survived the physical->logical translation: a selective filter
+    # on val prunes files (audit counts fewer files than total)
+    entries, audit = ice.files(bounds={"val": (75, None)})
+    assert audit["files_kept"] < audit["files_total"]
+    assert len(entries) < len(ice.files()[0])
