@@ -526,7 +526,27 @@ class IcebergTable:
             raise FileNotFoundError(f"no Iceberg metadata at {self.meta_dir}")
         v = vs[-1] if metadata_version is None else metadata_version
         with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
-            return json.load(f)
+            md = json.load(f)
+        fv = md.get("format-version", 1)
+        # v3 is readable for the pieces whose algebra this engine already
+        # has (deletion vectors in Puffin files = the same Roaring bitmaps
+        # as Delta's, plans/puffin.py); the rest refuses LOUDLY instead of
+        # mis-reading. Writes stay v2.
+        if fv not in (1, 2, 3):
+            raise NotImplementedError(f"Iceberg format-version {fv} (know 1-3)")
+        if fv == 3 and md.get("row-lineage"):
+            raise NotImplementedError(
+                "Iceberg v3 row lineage (row-lineage: true) is not supported"
+            )
+        if fv == 3 and any(
+            f.get("initial-default") is not None or f.get("write-default") is not None
+            for s in md.get("schemas") or []
+            for f in s.get("fields") or []
+        ):
+            raise NotImplementedError(
+                "Iceberg v3 column default values are not supported"
+            )
+        return md
 
     def snapshots(self) -> list[dict]:
         return list(self.metadata().get("snapshots") or [])
@@ -1002,7 +1022,11 @@ class IcebergTable:
         """Delete files live in a snapshot: [{data_file, seq, content,
         equality_ids}]. ``content`` distinguishes the two v2 flavors —
         1 = position deletes (applied to data files with seq <= delete seq),
-        2 = equality deletes (STRICTLY SMALLER seq; spec §scan-planning)."""
+        2 = equality deletes (STRICTLY SMALLER seq; spec §scan-planning).
+        v3 DELETION VECTORS surface as content=1 entries whose data_file is
+        a PUFFIN file with (referenced_data_file, content_offset,
+        content_size_in_bytes) — the read path decodes them via
+        plans/puffin.py."""
         snap = self._resolve_snapshot(snapshot_id, index)
         _, manifests = read_ocf(snap["manifest-list"].replace("file:", ""))
         out = []
@@ -1013,12 +1037,22 @@ class IcebergTable:
             for e in rows:
                 if e["status"] == 2:
                     continue
+                d = e["data_file"]
+                if (d.get("file_format") or "").upper() == "PUFFIN" and (
+                    d.get("content_offset") is None
+                    or d.get("content_size_in_bytes") is None
+                    or not d.get("referenced_data_file")
+                ):
+                    raise ValueError(
+                        "Puffin deletion-vector entry missing "
+                        "referenced_data_file/content_offset/content_size_in_bytes"
+                    )
                 out.append(
                     {
-                        "data_file": e["data_file"],
+                        "data_file": d,
                         "seq": e.get("sequence_number") or m["sequence_number"],
-                        "content": e["data_file"].get("content") or 0,
-                        "equality_ids": e["data_file"].get("equality_ids") or [],
+                        "content": d.get("content") or 0,
+                        "equality_ids": d.get("equality_ids") or [],
                     }
                 )
         return out
@@ -1115,19 +1149,53 @@ class IcebergTable:
                 target_schema_id=tgt_sid,
             )
             pos_applicable = [d for d in pos_deletes if d["seq"] >= s]
-            if pos_applicable:
+            puffin_dvs = [
+                d
+                for d in pos_applicable
+                if (d["data_file"].get("file_format") or "").upper() == "PUFFIN"
+            ]
+            pos_parquet = [d for d in pos_applicable if d not in puffin_dvs]
+            dead_parts = []
+            if pos_parquet:
                 dpaths = sorted(
                     {
                         d["data_file"]["file_path"].replace("file:", "")
-                        for d in pos_applicable
+                        for d in pos_parquet
                     }
                 )
-                dead = (
+                dead_parts.append(
                     self.spark.read.schema("file_path string, pos long")
                     .parquet(*dpaths)
                     .withColumnRenamed("file_path", "__ice_fp")
                     .withColumnRenamed("pos", "__ice_pos")
                 )
+            if puffin_dvs:
+                # v3 deletion vectors: decode the Roaring bitmap span from
+                # the Puffin file DRIVER-side (the payload is the deleted
+                # ordinals — metadata-sized, the same budget the DV commit
+                # spent) into (file, pos) pairs; same anti-join as v2
+                # position deletes.
+                from .puffin import read_dv_positions
+
+                pairs = []
+                for d in puffin_dvs:
+                    df_meta = d["data_file"]
+                    ref = df_meta["referenced_data_file"].replace("file:", "")
+                    poss = read_dv_positions(
+                        df_meta["file_path"].replace("file:", ""),
+                        int(df_meta["content_offset"]),
+                        int(df_meta["content_size_in_bytes"]),
+                    )
+                    pairs.extend((ref, p) for p in poss)
+                dead_parts.append(
+                    self.spark.createDataFrame(
+                        pairs, "__ice_fp string, __ice_pos long"
+                    )
+                )
+            if dead_parts:
+                dead = dead_parts[0]
+                for dp in dead_parts[1:]:
+                    dead = dead.unionByName(dp)
                 df_s = df_s.join(dead, ["__ice_fp", "__ice_pos"], "left_anti")
             applicable = [d for d in eq_deletes if d["seq"] > s]
             # group delete files by their equality column set

@@ -48,8 +48,9 @@ class IceFilePartition(InputPartition):
     # equality-delete files applicable to THIS data file (strictly newer
     # sequence number): [(delete_file_path, [key_col, ...]), ...]
     deletes: list
-    # position-delete files applicable to THIS data file (seq >= the data
-    # file's): [delete_file_path, ...] — applied FIRST, because pos values
+    # position-delete specs applicable to THIS data file (seq >= the data
+    # file's): [("parquet", path) | ("puffin", path, offset, size,
+    # referenced_data_file), ...] — applied FIRST, because pos values
     # are row ordinals of the ORIGINAL file
     pos_deletes: list
     # target-name → write-time-name map when this file's schema diverges
@@ -142,11 +143,28 @@ class IcebergLiteReader(DataSourceReader):
                 for d in eq_dels
                 if d["seq"] > e["__seq"]
             ]
-            pos_applicable = [
-                d["data_file"]["file_path"].replace("file:", "")
-                for d in pos_dels
-                if d["seq"] >= e["__seq"]
-            ]
+            pos_applicable = []
+            for d in pos_dels:
+                if d["seq"] < e["__seq"]:
+                    continue
+                dfm = d["data_file"]
+                if (dfm.get("file_format") or "").upper() == "PUFFIN":
+                    # v3 deletion vector: ship the blob span; the executor
+                    # decodes the Roaring bitmap (plans/puffin.py) iff the
+                    # DV references THIS data file
+                    pos_applicable.append(
+                        (
+                            "puffin",
+                            dfm["file_path"].replace("file:", ""),
+                            int(dfm["content_offset"]),
+                            int(dfm["content_size_in_bytes"]),
+                            dfm["referenced_data_file"].replace("file:", ""),
+                        )
+                    )
+                else:
+                    pos_applicable.append(
+                        ("parquet", dfm["file_path"].replace("file:", ""))
+                    )
             out.append(
                 IceFilePartition(
                     e["file_path"].replace("file:", ""),
@@ -211,7 +229,16 @@ class IcebergLiteReader(DataSourceReader):
 
             me = _norm(partition.path)
             dead_pos: set = set()
-            for dpath in partition.pos_deletes:
+            for spec in partition.pos_deletes:
+                if spec[0] == "puffin":
+                    _kind, dpath, off, size, ref = spec
+                    if _norm(ref) != me:
+                        continue
+                    from ..plans.puffin import read_dv_positions
+
+                    dead_pos.update(read_dv_positions(dpath, off, size))
+                    continue
+                _kind, dpath = spec
                 dt = pq.read_table(dpath, columns=["file_path", "pos"])
                 fps = dt.column("file_path").to_pylist()
                 poss = dt.column("pos").to_pylist()

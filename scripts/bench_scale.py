@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Scale-evidence bench (VERDICT r5 #6): measure the dedup/ANN tier's
+wall-time at sf0.1 AND at a 10x-inflated copy, so the scaling exponent is
+MEASURED rather than inferred from plan shapes.
+
+Inflation = every document/embedding duplicated 10x under fresh ids — the
+adversarial direction for dedup (every copy group collides in every LSH
+band) and a fair one for ANN (10x corpus, same dimensionality).
+
+Writes ONE JSON line:
+  {"metric": "scale_ratio_10x", "queries": {q: {"base_sec": .., "x10_sec": ..,
+   "ratio": ..}}, "rows": {...}, "sf": 0.1}
+
+Near-linear operators should land ratio <= ~12 (10x data + constant
+overheads); anything super-linear flags a candidate-generation blowup.
+
+Usage: python scripts/bench_scale.py [out.json]
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark import all_queries  # noqa: E402
+from copy_sharepoint_to_onelake_lakehousefiles_spark.session import get_spark  # noqa: E402
+
+QUERIES = [
+    "q22_exact_dedup",
+    "q26_minhash_lsh_pairs",
+    "q153_exact_substring_dup",
+    "q164_ivfpq_ann_topk",
+]
+
+
+def build_inflated(spark, src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    d = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    (
+        d.withColumn("copy", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .withColumn("doc_id", (F.col("doc_id") * 10 + F.col("copy")).cast("long"))
+        .select(d.columns)
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst, "documents.parquet"))
+    )
+    e = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    (
+        e.withColumn("copy", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .withColumn("vec_id", (F.col("vec_id") * 10 + F.col("copy")).cast("long"))
+        .select(e.columns)
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst, "embeddings.parquet"))
+    )
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALE_r06.json"
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    # pay the session's first Python-worker/Arrow fork outside the timings
+    from pyspark.sql.functions import pandas_udf
+
+    warm = pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(warm("id")).count()
+
+    inflated = os.path.join(
+        tempfile.gettempdir(), f"bench_scale_{os.getpid()}"
+    )
+    build_inflated(spark, base, inflated)
+    qs = all_queries()
+    result = {"metric": "scale_ratio_10x", "sf": 0.1, "queries": {}, "rows": {}}
+    try:
+        for name in QUERIES:
+            qs[name](spark, base).count()  # warm code paths once per query
+            rec = {}
+            t0 = time.time()
+            n_base = qs[name](spark, base).count()
+            rec["base_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            n_10 = qs[name](spark, inflated).count()
+            rec["x10_sec"] = round(time.time() - t0, 3)
+            rec["ratio"] = round(rec["x10_sec"] / max(rec["base_sec"], 1e-9), 2)
+            result["queries"][name] = rec
+            result["rows"][name] = {"base": n_base, "x10": n_10}
+        worst = max(r["ratio"] for r in result["queries"].values())
+        result["worst_ratio"] = worst
+        result["near_linear"] = worst <= 12.0
+    finally:
+        shutil.rmtree(inflated, ignore_errors=True)
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

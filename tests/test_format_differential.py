@@ -579,3 +579,212 @@ def test_reads_foreign_inline_and_u_deletion_vectors(spark):
         assert sorted((r.f, r.k) for r in lite.collect()) == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _v3_dv_fixture(spark, root, dead_ordinals=(1, 3)):
+    """Build a v2 table with the engine, then hand-author the v3 layer the
+    way an Iceberg v3 writer would: a Puffin file holding a
+    deletion-vector-v1 blob over one data file, a delete manifest whose
+    entry carries (referenced_data_file, content_offset,
+    content_size_in_bytes), a new snapshot, and a format-version-3 metadata
+    JSON. Returns (table, victim file path, expected surviving keys)."""
+    import copy
+    import json
+    import time as _time
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        _MANIFEST_LIST_SCHEMA,
+        _manifest_entry_schema,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.avro_ocf import (
+        read_ocf,
+        write_ocf,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.puffin import (
+        DV_BLOB_TYPE,
+        dv_blob_data,
+        write_puffin,
+    )
+
+    t = IcebergTable.create(
+        spark, root,
+        spark.createDataFrame([(i, i * 10) for i in range(6)], "k long, v long").coalesce(1),
+    )
+    t.append(
+        spark.createDataFrame([(10, 100), (11, 110)], "k long, v long").coalesce(1)
+    )
+    # victim: the 6-row create file; its on-disk row order IS parquet order
+    import pyarrow.parquet as pq
+
+    entries, _ = t.files()
+    victim = next(
+        e["file_path"] for e in entries if e["record_count"] == 6
+    ).replace("file:", "")
+    ordered = pq.read_table(victim).column("k").to_pylist()
+    dead_keys = {ordered[i] for i in dead_ordinals}
+    # 1. the Puffin file with one DV blob
+    md = t.metadata()
+    sid = t._new_snapshot_id()
+    seq = md["last-sequence-number"] + 1
+    puffin_path = os.path.join(t.data_dir, f"dv-{uuid.uuid4().hex}.puffin")
+    blob = dv_blob_data(sorted(dead_ordinals))
+    (bmeta,) = write_puffin(
+        puffin_path,
+        [{
+            "type": DV_BLOB_TYPE,
+            "data": blob,
+            "snapshot-id": sid,
+            "sequence-number": seq,
+            "properties": {
+                "referenced-data-file": victim,
+                "cardinality": str(len(dead_ordinals)),
+            },
+        }],
+    )
+    # 2. delete manifest with the v3 DV fields (spec ids 143-145)
+    entry_schema = _manifest_entry_schema([])
+    df_fields = entry_schema["fields"][-1]["type"]["fields"]
+    df_fields.extend(
+        [
+            {"name": "referenced_data_file", "type": ["null", "string"],
+             "default": None, "field-id": 143},
+            {"name": "content_offset", "type": ["null", "long"],
+             "default": None, "field-id": 144},
+            {"name": "content_size_in_bytes", "type": ["null", "long"],
+             "default": None, "field-id": 145},
+        ]
+    )
+    man_path = os.path.join(t.meta_dir, f"m-{uuid.uuid4().hex}.avro")
+    write_ocf(
+        man_path, entry_schema,
+        [{
+            "status": 1, "snapshot_id": sid, "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 1,
+                "file_path": puffin_path,
+                "file_format": "PUFFIN",
+                "partition": {},
+                "record_count": len(dead_ordinals),
+                "file_size_in_bytes": os.path.getsize(puffin_path),
+                "lower_bounds": None, "upper_bounds": None,
+                "equality_ids": None,
+                "referenced_data_file": victim,
+                "content_offset": bmeta["offset"],
+                "content_size_in_bytes": bmeta["length"],
+            },
+        }],
+        codec="deflate",
+        metadata={"format-version": "3", "content": "deletes",
+                  "partition-spec-id": "0"},
+    )
+    # 3. new manifest list = prior rows + the DV manifest row
+    cur = t._resolve_snapshot(None, None)
+    _, prior = read_ocf(cur["manifest-list"].replace("file:", ""))
+    mrow = {
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": sid,
+        "added_files_count": 1, "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": len(dead_ordinals),
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "partitions": None,
+    }
+    list_path = os.path.join(t.meta_dir, f"snap-{sid}-1-{uuid.uuid4().hex}.avro")
+    write_ocf(list_path, _MANIFEST_LIST_SCHEMA, prior + [mrow],
+              codec="deflate", metadata={"format-version": "3"})
+    # 4. v3 metadata JSON
+    md3 = copy.deepcopy(md)
+    md3["format-version"] = 3
+    md3["last-sequence-number"] = seq
+    md3["snapshots"].append(
+        {
+            "snapshot-id": sid,
+            "parent-snapshot-id": md["current-snapshot-id"],
+            "sequence-number": seq,
+            "timestamp-ms": int(_time.time() * 1000),
+            "manifest-list": list_path,
+            "summary": {"operation": "delete"},
+            "schema-id": md["current-schema-id"],
+        }
+    )
+    md3["current-snapshot-id"] = sid
+    nv = t._metadata_versions()[-1] + 1
+    with open(os.path.join(t.meta_dir, f"v{nv}.metadata.json"), "w") as f:
+        json.dump(md3, f)
+    survivors = {0, 1, 2, 3, 4, 5, 10, 11} - dead_keys
+    return IcebergTable(spark, root), victim, survivors
+
+
+def test_iceberg_v3_puffin_deletion_vector_reads(spark):
+    """VERDICT r5 #3: a hand-authored Iceberg v3 table whose deletes live
+    as a deletion-vector-v1 blob in a Puffin file must read with exactly
+    the referenced file's dead ordinals masked — the same Roaring algebra
+    as Delta's DVs (the blob's D1D33964 magic IS Delta's RBA magic,
+    little-endian), decoded through plans/puffin.py."""
+    root = os.path.join(tempfile.gettempdir(), f"icev3_{uuid.uuid4().hex[:8]}")
+    try:
+        t, victim, survivors = _v3_dv_fixture(spark, root)
+        assert t.metadata()["format-version"] == 3
+        got = {r.k for r in t.read().collect()}
+        assert got == survivors
+        # time travel below the DV snapshot still sees all rows
+        assert {r.k for r in t.read(index=1).collect()} == {0, 1, 2, 3, 4, 5, 10, 11}
+        # the delete entry surfaces the v3 fields
+        dv = [d for d in t.delete_entries()
+              if (d["data_file"].get("file_format") or "").upper() == "PUFFIN"]
+        assert len(dv) == 1
+        assert dv[0]["data_file"]["referenced_data_file"] == victim
+        # the pluggable iceberg_lite source decodes the SAME Puffin DV
+        # executor-side and agrees with the native reader
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+            IcebergLiteDataSource,
+        )
+
+        try:
+            spark.dataSource.register(IcebergLiteDataSource)
+        except Exception:
+            pass
+        lite = spark.read.format("iceberg_lite").load(root)
+        assert {r.k for r in lite.collect()} == survivors
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_iceberg_v3_refusals_are_loud(spark):
+    """format-version guard: v3 + row lineage and any unknown version must
+    raise a clear NotImplementedError, never mis-read."""
+    import json
+
+    import pytest as _pytest
+
+    for mutate, match in (
+        (lambda md: md.update({"format-version": 3, "row-lineage": True}), "row lineage"),
+        (lambda md: md.update({"format-version": 4}), "format-version 4"),
+        (
+            lambda md: (
+                md.update({"format-version": 3}),
+                md["schemas"][0]["fields"][0].update({"initial-default": 7}),
+            ),
+            "default values",
+        ),
+    ):
+        root = os.path.join(tempfile.gettempdir(), f"icev3r_{uuid.uuid4().hex[:8]}")
+        try:
+            t = IcebergTable.create(
+                spark, root, spark.createDataFrame([(1, 2)], "k long, v long")
+            )
+            md = t.metadata()
+            mutate(md)
+            vs = t._metadata_versions()
+            with open(os.path.join(t.meta_dir, f"v{vs[-1] + 1}.metadata.json"), "w") as f:
+                json.dump(md, f)
+            with _pytest.raises(NotImplementedError, match=match):
+                IcebergTable(spark, root).read().collect()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
