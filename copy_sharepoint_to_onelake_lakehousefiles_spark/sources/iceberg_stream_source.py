@@ -138,22 +138,41 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
                 cols.append([None] * n)
         return zip(*cols) if cols else iter(())
 
-    def _rows_of_position_delete(self, d: dict, cur: dict, live_ids=None):
+    def _rows_of_position_delete(
+        self, d: dict, cur: dict, live_ids=None, prev_dv_pos: dict | None = None
+    ):
         """Reconstruct the ACTUAL deleted rows of a position-delete file:
         read its (file_path, pos) pairs, then take those ordinals from each
         referenced live data file — richer CDC than equality's key-only
-        retraction, possible because positions name concrete rows."""
+        retraction, possible because positions name concrete rows. A v3
+        deletion vector (PUFFIN) is the same thing with the pairs encoded
+        as a Roaring bitmap over ONE referenced file."""
         import pyarrow.parquet as pq
 
-        dt = pq.read_table(
-            d["data_file"]["file_path"].replace("file:", ""),
-            columns=["file_path", "pos"],
-        )
         by_file: dict[str, list[int]] = {}
-        for fp, p in zip(
-            dt.column("file_path").to_pylist(), dt.column("pos").to_pylist()
-        ):
-            by_file.setdefault(fp.replace("file:", ""), []).append(p)
+        dfm = d["data_file"]
+        if (dfm.get("file_format") or "").upper() == "PUFFIN":
+            from ..plans.puffin import read_dv_positions
+
+            ref = dfm["referenced_data_file"].replace("file:", "")
+            poss = read_dv_positions(
+                dfm["file_path"].replace("file:", ""),
+                int(dfm["content_offset"]),
+                int(dfm["content_size_in_bytes"]),
+            )
+            # a superseding DV is the UNION of old+new dead rows; the feed
+            # must emit only the rows that died in THIS snapshot
+            old = (prev_dv_pos or {}).get(ref, set())
+            by_file[ref] = [p for p in poss if p not in old]
+        else:
+            dt = pq.read_table(
+                dfm["file_path"].replace("file:", ""),
+                columns=["file_path", "pos"],
+            )
+            for fp, p in zip(
+                dt.column("file_path").to_pylist(), dt.column("pos").to_pylist()
+            ):
+                by_file.setdefault(fp.replace("file:", ""), []).append(p)
         for fp in sorted(by_file):
             entry = cur.get(fp)
             if entry is None:
@@ -187,11 +206,26 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
                 if idx > 0
                 else {}
             )
-            prev_dels = (
-                {d["data_file"]["file_path"] for d in self._t.delete_entries(index=idx - 1)}
-                if idx > 0
-                else set()
+            prev_entries = (
+                self._t.delete_entries(index=idx - 1) if idx > 0 else []
             )
+            prev_dels = {d["data_file"]["file_path"] for d in prev_entries}
+            # previous snapshot's DV dead sets per referenced file, so a
+            # superseding (union) DV emits only its newly-dead rows
+            prev_dv_pos: dict[str, set] = {}
+            for d in prev_entries:
+                dfm = d["data_file"]
+                if (dfm.get("file_format") or "").upper() == "PUFFIN":
+                    from ..plans.puffin import read_dv_positions
+
+                    ref = dfm["referenced_data_file"].replace("file:", "")
+                    prev_dv_pos.setdefault(ref, set()).update(
+                        read_dv_positions(
+                            dfm["file_path"].replace("file:", ""),
+                            int(dfm["content_offset"]),
+                            int(dfm["content_size_in_bytes"]),
+                        )
+                    )
             sid, live_ids = self._live_ids_at(idx)
             for p in sorted(set(cur) - set(prev)):
                 for row in self._rows_of_data_file(cur[p], live_ids=live_ids):
@@ -205,8 +239,10 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
             ):
                 if d["data_file"]["file_path"] in prev_dels:
                     continue
-                if d.get("content") == 1:  # position delete: full rows
-                    for row in self._rows_of_position_delete(d, cur, live_ids):
+                if d.get("content") == 1:  # position delete / DV: full rows
+                    for row in self._rows_of_position_delete(
+                        d, cur, live_ids, prev_dv_pos
+                    ):
                         yield (*row, idx, "delete_row", sid)
                 else:  # equality delete: key columns only
                     for row in self._rows_of_delete_file(d, live_ids):

@@ -1429,3 +1429,84 @@ def test_iceberg_cdc_emits_per_snapshot_schema(spark, root, tmp_path):
     assert r0["schema_id"] < r1["schema_id"]
     assert r0["val"] == 10 and r0["extra"] is None
     assert r1["extra"] == 5 and r1["val"] == 20
+
+
+def test_delete_vectors_v3_writer_semantics(spark, root, tmp_path):
+    """The v3 DV WRITER: (a) format-version upgrades to 3; (b) a second
+    delete superseding a file's DV leaves exactly ONE DV per data file
+    (union positions, consolidated deletes manifest); (c) kept entries
+    keep their original sequence numbers; (d) time travel below the DVs
+    sees all rows; (e) position_delete refuses on the upgraded table;
+    (f) iceberg_lite and the CDC feed agree with the native reader."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+        IcebergLiteDataSource,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_stream_source import (
+        IcebergCdcDataSource,
+    )
+
+    t = IcebergTable.create(
+        spark, root,
+        spark.createDataFrame([(i, i * 10) for i in range(10)], "k long, v long").coalesce(1),
+    )
+    t.append(spark.createDataFrame([(20, 200), (21, 210)], "k long, v long").coalesce(1))
+    r1 = t.delete_vectors_v3("k % 3 = 1")  # kills 1, 4, 7
+    assert r1["delete_rows"] == 3 and r1["files_updated"] == 1
+    t = IcebergTable(spark, root)
+    assert t.metadata()["format-version"] == 3
+    r2 = t.delete_vectors_v3("k IN (2, 4, 20)")  # 4 already dead → union
+    assert r2["delete_rows"] == 2 and r2["files_updated"] == 2
+    t = IcebergTable(spark, root)
+    assert sorted(r.k for r in t.read().collect()) == [0, 3, 5, 6, 8, 9, 21]
+    dvs = [d for d in t.delete_entries()
+           if (d["data_file"].get("file_format") or "").upper() == "PUFFIN"]
+    refs = [d["data_file"]["referenced_data_file"] for d in dvs]
+    assert len(refs) == len(set(refs)) == 2  # one DV per data file
+    # union DV for the create file covers {1, 4, 7, 2}
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.puffin import (
+        read_dv_positions,
+    )
+
+    by_card = {
+        d["data_file"]["record_count"]: d["data_file"] for d in dvs
+    }
+    big = by_card[4]
+    assert len(read_dv_positions(
+        big["file_path"].replace("file:", ""),
+        int(big["content_offset"]), int(big["content_size_in_bytes"]),
+    )) == 4
+    # time travel below the DVs
+    assert t.read(index=1).count() == 12
+    # v3 forbids parquet position-delete files
+    with pytest.raises(NotImplementedError, match="delete_vectors_v3"):
+        t.position_delete("k = 0")
+    # lite source parity
+    try:
+        spark.dataSource.register(IcebergLiteDataSource)
+    except Exception:
+        pass
+    lite = spark.read.format("iceberg_lite").load(root)
+    assert sorted(r.k for r in lite.collect()) == [0, 3, 5, 6, 8, 9, 21]
+    # CDC: the superseding DV emits ONLY the newly-dead rows
+    try:
+        spark.dataSource.register(IcebergCdcDataSource)
+    except Exception:
+        pass
+    sink = os.path.join(str(tmp_path), "sink")
+    q = (
+        spark.readStream.format("iceberg_cdc")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    dels = {
+        (r["snapshot_idx"], r["k"])
+        for r in feed.where("change_type = 'delete_row'").collect()
+    }
+    assert dels == {(2, 1), (2, 4), (2, 7), (3, 2), (3, 20)}
