@@ -808,10 +808,14 @@ class DeltaTable:
         os.replace(tmp2, os.path.join(self.log_dir, "_last_checkpoint"))
         return {"version": version, "file": name, "sidecars": len(sidecars)}
 
-    def _write_checkpoint(self, version: int) -> None:
-        """Classic checkpoint: the resolved snapshot as ONE parquet file of
-        action rows, plus ``_last_checkpoint``. Derived data — idempotent to
-        rewrite, published with a plain atomic replace."""
+    def _write_checkpoint(self, version: int, parts: int | None = None) -> None:
+        """Classic checkpoint: the resolved snapshot as parquet action rows,
+        plus ``_last_checkpoint``. ``parts`` > 1 writes the spec's
+        MULTI-PART layout (``%020d.checkpoint.%010d.%010d.parquet``, rows
+        split round-robin, ``_last_checkpoint`` records ``parts``) — the
+        shape a 100 TB table needs so the checkpoint can be written and
+        planned in parallel parts. Derived data — idempotent to rewrite,
+        published with a plain atomic replace."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -901,11 +905,29 @@ class DeltaTable:
         for r in rows:
             if r["add"] is not None:
                 r["add"]["partitionValues"] = list(r["add"]["partitionValues"].items())
-        tbl = pa.Table.from_pylist(rows, schema=schema)
-        tmp = os.path.join(self.log_dir, f".tmpckpt_{uuid.uuid4().hex}.parquet")
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, os.path.join(self.log_dir, _fmt_checkpoint(version)))
-        last = {"version": version, "size": len(rows)}
+        if parts and parts > 1:
+            n = min(parts, len(rows)) or 1
+            groups: list[list[dict]] = [rows[i::n] for i in range(n)]
+            for i, g in enumerate(groups, start=1):
+                tbl = pa.Table.from_pylist(g, schema=schema)
+                tmp = os.path.join(
+                    self.log_dir, f".tmpckpt_{uuid.uuid4().hex}.parquet"
+                )
+                pq.write_table(tbl, tmp)
+                os.replace(
+                    tmp,
+                    os.path.join(
+                        self.log_dir,
+                        f"{version:020d}.checkpoint.{i:010d}.{n:010d}.parquet",
+                    ),
+                )
+            last = {"version": version, "size": len(rows), "parts": n}
+        else:
+            tbl = pa.Table.from_pylist(rows, schema=schema)
+            tmp = os.path.join(self.log_dir, f".tmpckpt_{uuid.uuid4().hex}.parquet")
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, os.path.join(self.log_dir, _fmt_checkpoint(version)))
+            last = {"version": version, "size": len(rows)}
         tmp2 = os.path.join(self.log_dir, f".tmplast_{uuid.uuid4().hex}.json")
         with open(tmp2, "w") as f:
             json.dump(last, f)
@@ -2555,4 +2577,86 @@ def q166_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_sum",
             F.lit(structural).alias("resolved_from_v2_sidecars"),
         )
+    )
+
+
+# -------------------------------------------------------- inline-DV demo
+
+_INLINE_DV_CACHE: dict = {}
+
+
+def _inline_dv_demo_table(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """Delta DV STORAGE-FLAVOR demo, memoized per (session, sf_dir): nation
+    partitioned into 3 files by ``n_nationkey % 3``; delete #1 rides the
+    default INLINE path (storageType "i", tiny Base85 blobs in the
+    descriptor), delete #2 is FORCED to a DV file (storageType "p") and
+    touches two of the three groups — so the final snapshot carries BOTH
+    flavors at once and the reader must apply them identically. Content
+    derives from nation only (25 rows at every sf), so survivors are a
+    closed-form SQL expression."""
+    cache_key = (id(spark), sf_dir)
+    t = _INLINE_DV_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.log_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"delta_idv_{uuid.uuid4().hex[:8]}")
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        (F.col("n_nationkey") % 3).cast("int").alias("grp"),
+    )
+    t = DeltaTable.create(
+        spark, root, nation.repartition(1), partition_by=["grp"]
+    )
+    # delete #1: {3, 10, 17, 24} → groups 0 (3, 24), 1 (10), 2 (17) all
+    # get a tiny DV → INLINE by default (blobs ≲ 40 B < 64 B cap)
+    t.delete_vectors("n_nationkey % 7 = 3")
+    # delete #2: {5 (g2), 10 (g1, already dead)} → groups 1 and 2 get
+    # UNION DVs forced into a DV FILE; group 0 keeps its inline DV
+    t.INLINE_DV_MAX_BYTES = 0
+    t.delete_vectors("n_nationkey IN (5, 10)")
+    t.INLINE_DV_MAX_BYTES = DeltaTable.INLINE_DV_MAX_BYTES
+    _INLINE_DV_CACHE[cache_key] = t
+    return t
+
+
+_Q173_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       1 AS has_inline_dv, 1 AS has_file_dv
+FROM nation
+WHERE n_nationkey % 7 <> 3 AND n_nationkey <> 5
+"""
+
+
+@query("q173_delta_inline_dv_flavors", oracle=_Q173_ORACLE)
+def q173_delta_inline_dv_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both Delta deletion-vector STORAGE FLAVORS in one snapshot, in the
+    correctness gate: an inline ("i", Base85 payload in the descriptor,
+    spec: no offset key) DV on one file and a DV-file ("p") descriptor on
+    two others — the merge-on-read scan must mask exactly the union of all
+    three. The oracle recomputes survivors from nation; two integer flags
+    pin that each flavor is really present (a regression that silently
+    rewrites everything to one flavor flips a flag even if row content
+    would still pass).
+
+    Scale: inline DVs remove a file round-trip per tiny delete (one log
+    line instead), exactly the regime — millions of small MERGE touch-ups —
+    where DV-file-per-commit overhead dominates at 100 TB."""
+    t = _inline_dv_demo_table(spark, sf_dir)
+    flavors = {}
+    for a in t.files():
+        d = a.get("deletionVector")
+        if d:
+            flavors[d["storageType"]] = flavors.get(d["storageType"], 0) + 1
+        if d and d.get("storageType") == "i":
+            # spec: inline descriptors must not carry an offset
+            assert "offset" not in d or d["offset"] is None
+    has_i = int(flavors.get("i", 0) > 0)
+    has_p = int(flavors.get("p", 0) > 0)
+    return t.read().select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.lit(has_i).cast("int").alias("has_inline_dv"),
+        F.lit(has_p).cast("int").alias("has_file_dv"),
     )

@@ -767,3 +767,37 @@ def test_cleanup_reclaims_superseded_checkpoints_and_orphan_sidecars(spark, root
     # idempotent: nothing further to reclaim
     res2 = t2.cleanup_log(keep_versions=1)
     assert res2["checkpoints_deleted"] == 0 and res2["sidecars_deleted"] == 0
+
+
+def test_engine_writes_and_reads_multipart_checkpoint(spark, root):
+    """r6: the writer side of the multi-part classic checkpoint layout —
+    _write_checkpoint(parts=3) splits the snapshot rows across
+    N.checkpoint.<i>.<n>.parquet files and records parts in
+    _last_checkpoint; a fresh handle resolves the snapshot from ALL parts
+    after the commits below it are expired."""
+    import json as _json
+
+    t = DeltaTable.create(
+        spark, root,
+        spark.range(40).select(F.col("id").alias("k")).repartition(5),
+    )
+    t.append(spark.range(40, 50).select(F.col("id").alias("k")).repartition(2))
+    ck = t.latest_version()
+    t._write_checkpoint(ck, parts=3)
+    names = [
+        n for n in os.listdir(t.log_dir)
+        if ".checkpoint." in n and n.endswith(".parquet")
+    ]
+    assert sorted(names) == [
+        f"{ck:020d}.checkpoint.{i:010d}.{3:010d}.parquet" for i in (1, 2, 3)
+    ]
+    with open(os.path.join(t.log_dir, "_last_checkpoint")) as f:
+        last = _json.load(f)
+    assert last["parts"] == 3 and last["version"] == ck
+    for v in range(ck):  # expire everything below the checkpoint
+        p = os.path.join(t.log_dir, _fmt_commit(v))
+        if os.path.exists(p):
+            os.unlink(p)
+    fresh = DeltaTable(spark, root)
+    assert sorted(r.k for r in fresh.read().collect()) == list(range(50))
+    assert fresh.protocol()["minReaderVersion"] >= 1

@@ -27,9 +27,11 @@ row = st.tuples(
 )
 append_op = st.tuples(st.just("append"), st.lists(row, min_size=1, max_size=4))
 delete_op = st.tuples(st.just("delete"), st.integers(2, 4), st.integers(0, 3))
-# v2 checkpoint at a random point: all subsequent Delta resolution must
-# come through the sidecar layout (r5)
-ckpt_op = st.tuples(st.just("ckpt_v2"), st.integers(1, 3))
+# checkpoint at a random point: v2 (sidecar layout, r5) or classic
+# MULTI-PART (r6) — all subsequent Delta resolution must come through it
+ckpt_op = st.tuples(
+    st.sampled_from(["ckpt_v2", "ckpt_mp"]), st.integers(1, 3)
+)
 ops_seq = st.lists(st.one_of(append_op, delete_op, ckpt_op), min_size=1, max_size=4)
 initial = st.lists(row, min_size=1, max_size=5)
 
@@ -56,8 +58,11 @@ def test_random_op_sequences_agree_across_formats(spark, init, ops):
                 dl.append(a_df)
                 ic.append(a_df)
                 model.extend(rows)
-            elif op[0] == "ckpt_v2":
-                dl.write_checkpoint_v2(sidecar_parts=op[1])
+            elif op[0] in ("ckpt_v2", "ckpt_mp"):
+                if op[0] == "ckpt_v2":
+                    dl.write_checkpoint_v2(sidecar_parts=op[1])
+                else:
+                    dl._write_checkpoint(dl.latest_version(), parts=op[1] + 1)
                 # resolution through the fresh checkpoint must match a new
                 # handle's view immediately
                 assert _rows(DeltaTable(spark, dl.root).read()) == sorted(model)
