@@ -1322,9 +1322,12 @@ def _tiff_predict2(arr: np.ndarray, inverse: bool) -> np.ndarray:
 
 def decode_tiff(content: bytes) -> np.ndarray:
     """TIFF 6.0 → (H, W, 3) uint8 RGB: walk IFD0, assemble the strips,
-    expand gray/RGB; both byte orders. Uncompressed (1) and LZW (5, with
-    horizontal predictor 2) are fully decoded; any other compression
-    (e.g. 7 = JPEG-in-TIFF) raises NotImplementedError → stub fallback."""
+    expand gray/RGB; both byte orders. Uncompressed (1), LZW (5, with
+    horizontal predictor 2), and NEW-STYLE JPEG (7, TIFF Tech Note 2 —
+    each strip a JPEG stream, optionally abbreviated against a shared
+    JPEGTables tag 347, decoded by the from-scratch T.81 decoder in
+    multimodal/jpeg.py) are decoded; other compressions raise
+    NotImplementedError → stub fallback."""
     if content[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF header")
     bo = "little" if content[:2] == b"II" else "big"
@@ -1338,8 +1341,10 @@ def decode_tiff(content: bytes) -> np.ndarray:
         return _tiff_values(content, bo, e[tag])[0]
 
     comp = one(259, 1)
-    if comp not in (1, 5):
-        raise NotImplementedError(f"TIFF compression {comp} (1=none, 5=LZW)")
+    if comp not in (1, 5, 7):
+        raise NotImplementedError(
+            f"TIFF compression {comp} (1=none, 5=LZW, 7=JPEG)"
+        )
     w, h = one(256), one(257)
     spp = one(277, 1)
     bits = _tiff_values(content, bo, e[258]) if 258 in e else [8] * spp
@@ -1350,6 +1355,33 @@ def decode_tiff(content: bytes) -> np.ndarray:
     offsets = _tiff_values(content, bo, e[273])
     counts = _tiff_values(content, bo, e[279])
     strips = [content[o : o + c] for o, c in zip(offsets, counts)]
+    if comp == 7:
+        # new-style TIFF-JPEG: each strip is a JPEG interchange stream; a
+        # JPEGTables tag (347) holds shared DQT/DHT segments the strips'
+        # abbreviated streams rely on — splice them in after each SOI.
+        from .jpeg import decode_jpeg
+
+        tables = b""
+        if 347 in e:
+            _typ, cnt, vpos = e[347]  # type 7 (UNDEFINED): 1 byte per count
+            base = (
+                vpos if cnt <= 4 else int.from_bytes(content[vpos : vpos + 4], bo)
+            )
+            jt = content[base : base + cnt]
+            if jt[:2] != b"\xff\xd8" or jt[-2:] != b"\xff\xd9":
+                raise ValueError("TIFF JPEGTables missing SOI/EOI framing")
+            tables = jt[2:-2]
+        rows_per_strip = one(278, h)
+        parts = []
+        for s in strips:
+            if s[:2] != b"\xff\xd8":
+                raise ValueError("TIFF JPEG strip missing SOI")
+            stream = (b"\xff\xd8" + tables + s[2:]) if tables else s
+            parts.append(decode_jpeg(stream))
+        img = np.vstack(
+            [p[: min(rows_per_strip, h - i * rows_per_strip)] for i, p in enumerate(parts)]
+        )[:h, :w, :]
+        return np.ascontiguousarray(img)
     if comp == 5:
         strips = [_tiff_lzw_decode(s) for s in strips]
     raw = b"".join(strips)
@@ -1377,18 +1409,27 @@ def encode_tiff(
     predictor: int = 1,
 ) -> bytes:
     """Minimal single-strip RGB TIFF writer (the decoder's forward
-    partner; round trips are bit-exact). ``compression=5`` emits TIFF-LZW;
-    ``predictor=2`` applies horizontal differencing first (the libtiff
-    default pairing for LZW)."""
+    partner; uncompressed/LZW round trips are bit-exact).
+    ``compression=5`` emits TIFF-LZW; ``predictor=2`` applies horizontal
+    differencing first (the libtiff default pairing for LZW);
+    ``compression=7`` embeds one baseline-JPEG stream per TIFF Tech Note 2
+    (new-style TIFF-JPEG — lossy, error bounded by the quant step)."""
     h, w = img.shape[:2]
     rgb = np.ascontiguousarray(img[:, :, :3], dtype=np.uint8)
+    if compression == 7 and predictor == 2:
+        raise ValueError("TIFF predictor does not apply to JPEG strips")
     if predictor == 2:
         rgb = _tiff_predict2(rgb, False)
-    pixels = rgb.tobytes()
-    if compression == 5:
-        pixels = _tiff_lzw_encode(pixels)
-    elif compression != 1:
-        raise NotImplementedError(f"TIFF write compression {compression}")
+    if compression == 7:
+        from .jpeg import encode_jpeg
+
+        pixels = encode_jpeg(rgb)
+    else:
+        pixels = rgb.tobytes()
+        if compression == 5:
+            pixels = _tiff_lzw_encode(pixels)
+        elif compression != 1:
+            raise NotImplementedError(f"TIFF write compression {compression}")
     bo = byte_order
     hdr = (b"II*\x00" if bo == "little" else b"MM\x00*") + (8).to_bytes(4, bo)
     tags = [
@@ -1396,7 +1437,9 @@ def encode_tiff(
         (257, 4, 1, h),           # ImageLength
         (258, 3, 3, None),        # BitsPerSample [8,8,8] via offset
         (259, 3, 1, compression), # Compression
-        (262, 3, 1, 2),           # Photometric = RGB
+        # JPEG strips carry YCbCr inside the codestream (photometric 6);
+        # everything else is plain RGB (2)
+        (262, 3, 1, 6 if compression == 7 else 2),
         (273, 4, 1, None),        # StripOffsets (patched below)
         (277, 3, 1, 3),           # SamplesPerPixel
         (278, 4, 1, h),           # RowsPerStrip = whole image

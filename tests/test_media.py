@@ -1098,10 +1098,16 @@ def test_tiff_refusals_are_loud():
     b = bytearray(encode_tiff(img))
     # flip Compression (tag 259) to an unsupported codec: must refuse, not stub
     # silently at this layer (extract_features turns it into a stub row
-    # WITH a decode_status reason)
+    # WITH a decode_status reason). 8 = Adobe Deflate, still unimplemented
+    # (7 = JPEG-in-TIFF became a real decode in r6).
     idx = b.find((259).to_bytes(2, "little"), 8)
-    b[idx + 8 : idx + 10] = (7).to_bytes(2, "little")  # 7 = JPEG-in-TIFF
+    b[idx + 8 : idx + 10] = (8).to_bytes(2, "little")
     with _pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(bytes(b))
+    # compression 7 whose strips are NOT JPEG streams: loud ValueError
+    # (in DECODE_ERRORS → stub row with a reason, never a wrong image)
+    b[idx + 8 : idx + 10] = (7).to_bytes(2, "little")
+    with _pytest.raises(ValueError, match="SOI"):
         decode_tiff(bytes(b))
 
 
@@ -1218,3 +1224,123 @@ def test_sample_frames_decodes_compressed_voice_windows(spark, tmp_path):
     assert len(rows) == 8  # 2 clips × 4 windows of 250 ms
     for r in rows:
         assert abs(r["frame_features"][0] - 0.5 / np.sqrt(2)) < 0.02
+
+
+def test_tiff_jpeg_compression7_roundtrip():
+    """r6: NEW-STYLE TIFF-JPEG (compression 7, Tech Note 2) — the writer
+    embeds one baseline-JPEG strip, the reader decodes it through the
+    from-scratch T.81 decoder; error is bounded by the quant step (the
+    same bound the plain JPEG tests pin). Predictor+JPEG is rejected."""
+    import pytest as _pytest
+
+    grad = np.fromfunction(
+        lambda y, x, c: (x + 2 * y + 10 * c) % 256, (24, 40, 3)
+    ).astype(np.uint8)
+    b = encode_tiff(grad, compression=7)
+    out = decode_tiff(b)
+    assert out.shape == grad.shape
+    assert float(np.abs(out.astype(int) - grad.astype(int)).mean()) < 4.0
+    with _pytest.raises(ValueError, match="predictor"):
+        encode_tiff(grad, compression=7, predictor=2)
+    # big-endian container around the (endianness-free) JPEG codestream
+    out_be = decode_tiff(encode_tiff(grad, byte_order="big", compression=7))
+    assert (out_be == out).all()
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Factor a JPEG interchange stream into (JPEGTables payload,
+    abbreviated stream): DQT/DHT segments move to the tables stream
+    (SOI + segments + EOI), everything else stays."""
+    assert stream[:2] == b"\xff\xd8"
+    pos = 2
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    while pos < len(stream):
+        assert stream[pos] == 0xFF
+        marker = stream[pos + 1]
+        if marker == 0xD9:
+            rest += stream[pos:]
+            break
+        ln = int.from_bytes(stream[pos + 2 : pos + 4], "big")
+        seg = stream[pos : pos + 2 + ln]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + ln
+        if marker == 0xDA:  # entropy data follows until EOI
+            end = stream.rfind(b"\xff\xd9")
+            rest += stream[pos:end]
+            rest += b"\xff\xd9"
+            break
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
+def test_tiff_jpeg_multistrip_with_jpegtables():
+    """Foreign-written shape: TWO JPEG strips sharing DQT/DHT through the
+    JPEGTables tag (347) — the reader must splice the tables into each
+    abbreviated strip and stack the strips vertically."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.jpeg import (
+        encode_jpeg,
+    )
+
+    rows_per_strip = 16
+    img = np.fromfunction(
+        lambda y, x, c: (3 * x + y + 20 * c) % 256, (32, 24, 3)
+    ).astype(np.uint8)
+    strips_raw = [img[:rows_per_strip], img[rows_per_strip:]]
+    tables = None
+    strips = []
+    for s in strips_raw:
+        t, abbreviated = _split_jpeg_tables(encode_jpeg(s))
+        tables = tables or t  # same tables in both (same encoder settings)
+        strips.append(abbreviated)
+    bo = "little"
+    h, w = img.shape[:2]
+    tags = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 3, None),
+        (259, 3, 1, 7), (262, 3, 1, 6),
+        (273, 4, 2, None),  # StripOffsets x2 via offset area
+        (277, 3, 1, 3), (278, 4, 1, rows_per_strip),
+        (279, 4, 2, None),  # StripByteCounts x2 via offset area
+        (347, 7, len(tables), None),  # JPEGTables
+    ]
+    hdr = b"II*\x00" + (8).to_bytes(4, bo)
+    ifd_len = 2 + 12 * len(tags) + 4
+    extra = 8 + ifd_len
+    bps_off = extra
+    so_off = bps_off + 6
+    sc_off = so_off + 8
+    jt_off = sc_off + 8
+    data_off = jt_off + len(tables)
+    offs = [data_off, data_off + len(strips[0])]
+    body = bytearray()
+    body += len(tags).to_bytes(2, bo)
+    for tag, typ, cnt, _v in tags:
+        body += tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + cnt.to_bytes(4, bo)
+        if tag == 258:
+            body += bps_off.to_bytes(4, bo)
+        elif tag == 273:
+            body += so_off.to_bytes(4, bo)
+        elif tag == 279:
+            body += sc_off.to_bytes(4, bo)
+        elif tag == 347:
+            body += jt_off.to_bytes(4, bo)
+        elif typ == 3:
+            body += _v.to_bytes(2, bo) + b"\x00\x00"
+        else:
+            body += _v.to_bytes(4, bo)
+    body += (0).to_bytes(4, bo)
+    body += (8).to_bytes(2, bo) * 3
+    body += offs[0].to_bytes(4, bo) + offs[1].to_bytes(4, bo)
+    body += len(strips[0]).to_bytes(4, bo) + len(strips[1]).to_bytes(4, bo)
+    body += tables
+    blob = hdr + bytes(body) + strips[0] + strips[1]
+    out = decode_tiff(blob)
+    assert out.shape == img.shape
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 4.0
+    # strip boundary is seamless: bottom half decodes the second strip
+    assert (
+        np.abs(out[16:].astype(int) - img[16:].astype(int)).mean() < 4.0
+    )
