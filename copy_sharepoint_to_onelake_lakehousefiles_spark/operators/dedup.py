@@ -14,8 +14,10 @@ Design for 100 TB:
   the price of ONE hash pass — ~6× cheaper than an n-seed family, same
   banding behavior (verified ≥0.9 recall on true j≥0.7 pairs in
   tests/test_dedup.py).
-- Shingles stay RAW word-5-gram strings (md5 only where a uniform word is
-  required); set identity, joins, and Jaccard are hash-free.
+- Shingles stay RAW word-5-gram strings at rest (md5 only where a uniform
+  word is required); JOIN KEYS are their xxhash64 bigints — 8 bytes through
+  every postings/band shuffle instead of ~30-byte strings (r6; a 2⁻⁶⁴
+  collision only adds a candidate the exact verify rejects).
 - The corpus vocabulary is tiny (31 words), so token-SET similarity
   saturates; all shingling is on word 5-gram *sequences*.
 """
@@ -265,15 +267,21 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
     """Shared inverted-index exact-Jaccard kernel: explode shingles →
-    equi-join on shingle → per-pair shared count → Jaccard ≥ threshold.
-    Returns (doc_a, doc_b, jaccard)."""
-    sh = track_persist(_shingled(d).select(
+    equi-join on the shingle's xxhash64 — an 8-byte bigint through the
+    postings shuffle instead of the ~30-byte 5-gram string (the q153/q26
+    slimming; a 2⁻⁶⁴ collision could only nudge one pair's shared count,
+    far below the gate's observable granularity) → per-pair shared count →
+    Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
+    sh = _shingled(d).select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
-    ))  # both sides of the inverted-index self-join read this once
+    )
+    sh = track_persist(
+        sh.select("doc_id", "n_sh", F.xxhash64("shingle").alias("shingle_h"))
+    )  # both sides of the inverted-index self-join read this once
     a = sh.alias("a")
     b = sh.alias("b")
     pair = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.shingle_h") == F.col("b.shingle_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(
             F.count(F.lit(1)).alias("shared"),
@@ -575,9 +583,13 @@ def q91_editdist_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the id-only candidate join, so the candidate shuffle carries no payload."""
     d = load(spark, sf_dir, "documents")
     sh = _shingled(d).select("doc_id", F.explode("shingles").alias("shingle"))
+    # 8-byte xxhash64 postings keys (the q153/q26 slimming): the blocking
+    # join only needs equality, and a false collision just adds a candidate
+    # that the levenshtein verify then rejects
+    sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
     a, b = sh.alias("a"), sh.alias("b")
     cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.shingle_h") == F.col("b.shingle_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -699,16 +711,18 @@ def q123_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator (inverted index), one hash aggregation per pair; nothing
     quadratic in the corpus."""
     d = load(spark, sf_dir, "documents")
+    sh = _shingled(d).select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    # xxhash64 bigint postings keys through the shuffle (see _jaccard_pairs)
     sh = track_persist(
-        _shingled(d).select(
-            "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
-        )
+        sh.select("doc_id", "n_sh", F.xxhash64("shingle").alias("shingle_h"))
     )
     a, b = sh.alias("a"), sh.alias("b")
     pair = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
