@@ -447,6 +447,10 @@ def _manifest_entry_schema(partition_fields: list[dict], v3_dv: bool = False) ->
     if v3_dv:
         data_file["fields"].extend(
             [
+                # v3 row lineage: the row-id of the file's first row (spec
+                # id 142); rows' _row_id = first_row_id + position
+                {"name": "first_row_id", "type": ["null", "long"],
+                 "default": None, "field-id": 142},
                 {"name": "referenced_data_file", "type": ["null", "string"],
                  "default": None, "field-id": 143},
                 {"name": "content_offset", "type": ["null", "long"],
@@ -541,16 +545,13 @@ class IcebergTable:
         with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
             md = json.load(f)
         fv = md.get("format-version", 1)
-        # v3 is readable for the pieces whose algebra this engine already
-        # has (deletion vectors in Puffin files = the same Roaring bitmaps
-        # as Delta's, plans/puffin.py); the rest refuses LOUDLY instead of
-        # mis-reading. Writes stay v2.
+        # v3 is readable for the pieces whose algebra this engine has:
+        # deletion vectors in Puffin files (plans/puffin.py — the same
+        # Roaring bitmaps as Delta's) and row lineage (next-row-id /
+        # first_row_id / row_lineage_df). The rest refuses LOUDLY instead
+        # of mis-reading. v2 writes stay v2 until a v3 feature is used.
         if fv not in (1, 2, 3):
             raise NotImplementedError(f"Iceberg format-version {fv} (know 1-3)")
-        if fv == 3 and md.get("row-lineage"):
-            raise NotImplementedError(
-                "Iceberg v3 row lineage (row-lineage: true) is not supported"
-            )
         if fv == 3 and any(
             f.get("initial-default") is not None or f.get("write-default") is not None
             for s in md.get("schemas") or []
@@ -1488,10 +1489,13 @@ class IcebergTable:
         status: int = 1,
         content: int = 0,
         spec_id: int = 0,
+        v3: bool = False,
     ) -> dict:
         """One manifest Avro for ``data_files``; returns its manifest-list row
-        (with per-partition-field summaries for list-level pruning)."""
-        schema = _manifest_entry_schema(part_fields)
+        (with per-partition-field summaries for list-level pruning). ``v3``
+        includes the v3 fields (first_row_id / DV spans) in the entry
+        schema so row-lineage appends persist their assignments."""
+        schema = _manifest_entry_schema(part_fields, v3_dv=v3)
         path = os.path.join(self.meta_dir, f"m-{uuid.uuid4().hex}.avro")
         rows = [
             {
@@ -1911,16 +1915,28 @@ class IcebergTable:
             if f.name not in df.columns:
                 aligned = aligned.withColumn(f.name, F.lit(None).cast(f.dataType))
         entries = self._stage_data_files(aligned.select(*st.fieldNames()), part_fields, st)
+        # v3 row lineage: every new data file gets the row-id of its first
+        # row; the snapshot records its starting id and the table advances
+        # next-row-id by the records added (spec §Row Lineage)
+        lineage = md.get("next-row-id") is not None
+        if lineage:
+            nxt = md["next-row-id"]
+            for e in sorted(entries, key=lambda e: e["file_path"]):
+                e["first_row_id"] = nxt
+                nxt += e["record_count"]
         cur = self._resolve_snapshot(None, None)
         _, prior = read_ocf(cur["manifest-list"].replace("file:", ""))
         seq = md["last-sequence-number"] + 1
         sid = self._new_snapshot_id()
         mrow = self._write_manifest(
-            entries, sid, seq, part_fields, spec_id=md["default-spec-id"]
+            entries, sid, seq, part_fields, spec_id=md["default-spec-id"], v3=lineage
         )
         snap = self._commit_snapshot(
             [mrow] + prior, "append", md, sid, summary_extra=summary_extra
         )
+        if lineage:
+            snap["first-row-id"] = md["next-row-id"]
+            md["next-row-id"] = nxt
         md["snapshots"].append(snap)
         md["current-snapshot-id"] = snap["snapshot-id"]
         md["last-sequence-number"] = snap["sequence-number"]
@@ -2011,6 +2027,7 @@ class IcebergTable:
         """Full overwrite: the new snapshot's manifest list references ONLY
         the new manifest — prior files drop out of the snapshot (and remain
         readable via time travel)."""
+        self._guard_row_lineage("overwrite")
         md = self.metadata()
         part_fields = self.partition_fields()
         st = self.schema()
@@ -2045,6 +2062,7 @@ class IcebergTable:
         before, _ = self.files()
         n_deletes = len(self.delete_entries())
         live = self.read()
+        self._guard_row_lineage("rewrite_data_files")
         md = self.metadata()
         part_fields = self.partition_fields()
         st = self.schema()
@@ -2150,6 +2168,130 @@ class IcebergTable:
         md["last-updated-ms"] = snap["timestamp-ms"]
         self._publish_metadata(md)
         return {"snapshot_id": snap["snapshot-id"], "delete_rows": n_rows}
+
+    def enable_row_lineage(self) -> dict:
+        """Iceberg V3 ROW LINEAGE (spec §Row Lineage): assign every existing
+        data file a ``first_row_id`` (rows' stable id = first_row_id +
+        position), initialize the table's ``next-row-id``, and upgrade to
+        format-version 3. Existing manifests are rewritten — one
+        consolidated data manifest PER partition spec, every entry keeping
+        its ORIGINAL sequence number (delete applicability unchanged).
+        After this, ``append`` assigns ids to new files and
+        ``row_lineage_df`` exposes ``_row_id`` /
+        ``_last_updated_sequence_number``. Rewriting writers
+        (overwrite / upsert / rewrite_data_files) refuse on lineage tables
+        until they carry ids through (spec: a rewrite must preserve
+        row ids) — the loud-refusal contract instead of silent id churn."""
+        md = self.metadata()
+        if md.get("next-row-id") is not None:
+            return {"already_enabled": True, "next_row_id": md["next-row-id"]}
+        entries, _ = self.files()
+        sid = self._new_snapshot_id()
+        nxt = 0
+        by_spec: dict[int, list[tuple[dict, int]]] = {}
+        for e in sorted(entries, key=lambda e: e["file_path"]):
+            d = {k: v for k, v in e.items() if not k.startswith("__")}
+            d["first_row_id"] = nxt
+            nxt += d["record_count"]
+            by_spec.setdefault(e.get("__spec", 0), []).append((d, e["__seq"]))
+        seq = md["last-sequence-number"] + 1
+        data_rows = []
+        for spec_id, pairs in sorted(by_spec.items()):
+            schema = _manifest_entry_schema(
+                self.partition_fields(spec_id), v3_dv=True
+            )
+            man_path = os.path.join(self.meta_dir, f"m-{uuid.uuid4().hex}.avro")
+            write_ocf(
+                man_path,
+                schema,
+                [
+                    {
+                        "status": 0,
+                        "snapshot_id": sid,
+                        "sequence_number": eseq,
+                        "file_sequence_number": eseq,
+                        "data_file": d,
+                    }
+                    for d, eseq in pairs
+                ],
+                codec="deflate",
+                metadata={
+                    "format-version": "3",
+                    "content": "data",
+                    "partition-spec-id": str(spec_id),
+                },
+            )
+            data_rows.append(
+                {
+                    "manifest_path": man_path,
+                    "manifest_length": os.path.getsize(man_path),
+                    "partition_spec_id": spec_id,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": min((s for _d, s in pairs), default=seq),
+                    "added_snapshot_id": sid,
+                    "added_files_count": 0,
+                    "existing_files_count": len(pairs),
+                    "deleted_files_count": 0,
+                    "added_rows_count": 0,
+                    "existing_rows_count": sum(d["record_count"] for d, _s in pairs),
+                    "deleted_rows_count": 0,
+                    "partitions": None,
+                }
+            )
+        cur = self._resolve_snapshot(None, None)
+        _, prior = read_ocf(cur["manifest-list"].replace("file:", ""))
+        delete_rows = [m for m in prior if (m.get("content") or 0) == 1]
+        snap = self._commit_snapshot(
+            data_rows + delete_rows, "replace", md, sid
+        )
+        snap["first-row-id"] = 0
+        md["snapshots"].append(snap)
+        md["current-snapshot-id"] = snap["snapshot-id"]
+        md["last-sequence-number"] = snap["sequence-number"]
+        md["last-updated-ms"] = snap["timestamp-ms"]
+        md["format-version"] = 3
+        md["next-row-id"] = nxt
+        self._publish_metadata(md)
+        return {"already_enabled": False, "next_row_id": nxt, "files": len(entries)}
+
+    def row_lineage_df(self) -> DataFrame:
+        """Snapshot read with the v3 lineage metadata columns: ``_row_id``
+        (file.first_row_id + within-file position — stable across DV
+        deletes, since merge-on-read masks rows without moving survivors)
+        and ``_last_updated_sequence_number`` (the file's data sequence
+        number). The (file → first_row_id, seq) map is O(#files) and
+        broadcast — metadata-sized, never data-sized."""
+        md = self.metadata()
+        if md.get("next-row-id") is None:
+            raise ValueError("row lineage not enabled (no next-row-id)")
+        entries, _ = self.files()
+        rows = [
+            (
+                os.path.abspath(e["file_path"].replace("file:", "")),
+                e.get("first_row_id"),
+                e["__seq"],
+            )
+            for e in entries
+        ]
+        m = self.spark.createDataFrame(
+            rows, "__ice_fp string, __frid long, __lseq long"
+        )
+        base = self.read(with_positions=True)
+        out_cols = [c for c in base.columns if c not in ("__ice_fp", "__ice_pos")]
+        return base.join(F.broadcast(m), "__ice_fp", "left").select(
+            *out_cols,
+            (F.col("__frid") + F.col("__ice_pos")).alias("_row_id"),
+            F.col("__lseq").alias("_last_updated_sequence_number"),
+        )
+
+    def _guard_row_lineage(self, op: str) -> None:
+        if self.metadata().get("next-row-id") is not None:
+            raise NotImplementedError(
+                f"{op} on a row-lineage table would churn row ids "
+                "(a v3 rewrite must carry first_row_id through) — "
+                "not implemented; use append/delete_vectors_v3"
+            )
 
     def delete_vectors_v3(self, condition) -> dict:
         """MERGE-ON-READ row deletes via Iceberg V3 DELETION VECTORS:
@@ -2408,6 +2550,7 @@ class IcebergTable:
         Flink's upsert-mode Iceberg sink commits a checkpoint — no data
         file is read or rewritten (compare TxTable/Delta's copy-on-write
         ``merge``)."""
+        self._guard_row_lineage("upsert")
         md = self.metadata()
         part_fields = self.partition_fields()
         st = self.schema()
@@ -4213,4 +4356,75 @@ def q172_iceberg_v3_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFr
         "n_name",
         F.lit(fv).cast("int").alias("format_version"),
         F.lit(one_per_file).cast("int").alias("one_dv_per_file"),
+    )
+
+
+_RL_CACHE: dict = {}
+
+
+def _row_lineage_demo_table(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """Row-lineage demo, memoized per (session, sf_dir): nation written as
+    ONE ordered file → enable_row_lineage (ids 0..24 in key order) → append
+    five ordered region-derived rows (ids 25..29) → a DV delete that must
+    NOT move any survivor's id. Deterministic id assignment because each
+    commit writes exactly one file in sorted key order."""
+    cache_key = (id(spark), sf_dir)
+    t = _RL_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.meta_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"icerl_{uuid.uuid4().hex[:8]}")
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long"), "n_name"
+    ).orderBy("n_nationkey").coalesce(1)
+    t = IcebergTable.create(spark, root, nation)
+    t.enable_row_lineage()
+    region = load(spark, sf_dir, "region")
+    t.append(
+        region.select(
+            (F.lit(200) + F.col("r_regionkey").cast("long")).alias("n_nationkey"),
+            F.concat(F.lit("RL_"), F.col("r_name")).alias("n_name"),
+        ).orderBy("n_nationkey").coalesce(1)
+    )
+    t.delete_vectors_v3("n_nationkey % 9 = 4")  # kills 4, 13, 22, 202
+    _RL_CACHE[cache_key] = t
+    return t
+
+
+_Q174_ORACLE = """
+WITH base AS (
+  SELECT n_nationkey AS k, n_name AS name,
+         ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS rid
+  FROM nation
+  UNION ALL
+  SELECT 200 + r_regionkey, 'RL_' || r_name,
+         (SELECT count(*) FROM nation)
+         + ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1
+  FROM region
+)
+SELECT CAST(k AS BIGINT) AS n_nationkey, name AS n_name,
+       CAST(rid AS BIGINT) AS row_id
+FROM base WHERE k % 9 <> 4
+"""
+
+
+@query("q174_iceberg_v3_row_lineage", oracle=_Q174_ORACLE)
+def q174_iceberg_v3_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg V3 ROW LINEAGE in the correctness gate: every row's stable
+    ``_row_id`` (file first_row_id + position, spec §Row Lineage) across
+    an enable → append → DV-delete sequence. The oracle recomputes the ids
+    from write order (one sorted file per commit ⇒ id = rank within the
+    commit plus the table's prior next-row-id), so a reader or writer that
+    shifts, reuses, or drops an id hash-mismatches — including the classic
+    failure where a delete compacts survivors' positions.
+
+    Scale: lineage adds ONE broadcast of an O(#files) (file → first_row_id)
+    map to the scan; ids are computed from the existing _metadata.row_index,
+    no extra shuffle."""
+    t = _row_lineage_demo_table(spark, sf_dir)
+    return t.row_lineage_df().select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("_row_id").cast("long").alias("row_id"),
     )

@@ -757,14 +757,14 @@ def test_iceberg_v3_puffin_deletion_vector_reads(spark):
 
 
 def test_iceberg_v3_refusals_are_loud(spark):
-    """format-version guard: v3 + row lineage and any unknown version must
-    raise a clear NotImplementedError, never mis-read."""
+    """format-version guard: unknown versions and v3 column defaults must
+    raise a clear NotImplementedError, never mis-read. (v3 row lineage is
+    IMPLEMENTED — enable_row_lineage/row_lineage_df — not refused.)"""
     import json
 
     import pytest as _pytest
 
     for mutate, match in (
-        (lambda md: md.update({"format-version": 3, "row-lineage": True}), "row lineage"),
         (lambda md: md.update({"format-version": 4}), "format-version 4"),
         (
             lambda md: (

@@ -1510,3 +1510,54 @@ def test_delete_vectors_v3_writer_semantics(spark, root, tmp_path):
         for r in feed.where("change_type = 'delete_row'").collect()
     }
     assert dels == {(2, 1), (2, 4), (2, 7), (3, 2), (3, 20)}
+
+
+def test_v3_row_lineage_end_to_end(spark, root):
+    """Iceberg V3 ROW LINEAGE (r6 — was a refusal): enable_row_lineage
+    assigns every existing file a first_row_id (one consolidated data
+    manifest per spec, entries keep their original sequence numbers) and
+    initializes next-row-id; appends extend the id space; row_lineage_df
+    exposes _row_id = first_row_id + position, stable across DV deletes;
+    rewriting writers refuse instead of churning ids."""
+    t = IcebergTable.create(
+        spark, root,
+        spark.createDataFrame([(i, i * 10) for i in range(8)], "k long, v long").repartition(2, "k"),
+    )
+    with pytest.raises(ValueError, match="row lineage"):
+        t.row_lineage_df()
+    r = t.enable_row_lineage()
+    assert r == {"already_enabled": False, "next_row_id": 8, "files": 2}
+    t = IcebergTable(spark, root)
+    assert t.metadata()["format-version"] == 3
+    assert t.enable_row_lineage()["already_enabled"] is True
+    lin = {row.k: row._row_id for row in t.row_lineage_df().collect()}
+    assert sorted(lin.values()) == list(range(8))  # dense, unique
+    # content still reads identically through the rewritten manifests
+    assert sorted(r_.k for r_ in t.read().collect()) == list(range(8))
+    t.append(spark.createDataFrame([(100, 1), (101, 2)], "k long, v long").coalesce(1))
+    t = IcebergTable(spark, root)
+    assert t.metadata()["next-row-id"] == 10
+    lin2 = {row.k: row._row_id for row in t.row_lineage_df().collect()}
+    assert all(lin2[k] == v for k, v in lin.items())  # old ids stable
+    assert sorted(lin2[k] for k in (100, 101)) == [8, 9]
+    # snapshot records its starting id
+    snaps = sorted(t.snapshots(), key=lambda s: s["sequence-number"])
+    assert snaps[-1]["first-row-id"] == 8
+    # a DV delete masks rows without moving survivors' ids
+    t.delete_vectors_v3("k = 2")
+    t = IcebergTable(spark, root)
+    lin3 = {row.k: row._row_id for row in t.row_lineage_df().collect()}
+    assert 2 not in lin3
+    assert all(lin3[k] == lin2[k] for k in lin3)
+    # _last_updated_sequence_number = the file's data sequence number
+    seqs = {row.k: row._last_updated_sequence_number
+            for row in t.row_lineage_df().collect()}
+    assert seqs[0] < seqs[100]
+    for op in ("overwrite", "upsert"):
+        with pytest.raises(NotImplementedError, match="row ids"):
+            getattr(t, op)(
+                spark.createDataFrame([(1, 1)], "k long, v long"),
+                **({"key": "k"} if op == "upsert" else {}),
+            )
+    with pytest.raises(NotImplementedError, match="row ids"):
+        t.rewrite_data_files()
