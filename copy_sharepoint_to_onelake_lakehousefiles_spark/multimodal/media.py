@@ -1209,6 +1209,60 @@ def _tiff_values(content: bytes, bo: str, entry: tuple[int, int, int]) -> list[i
     ]
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9): control byte n ∈ [0,127] copies
+    n+1 literals; n ∈ [-127,-1] (two's complement 129..255) repeats the
+    next byte 1-n times; -128 (128) is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError("corrupt PackBits stream (literal overrun)")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("corrupt PackBits stream (run overrun)")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Forward PackBits encoder (the decoder's round-trip partner): greedy
+    runs ≥ 3 become repeats, everything else literal blocks ≤ 128."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # measure the run at i
+        j = i
+        while j < n - 1 and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal block until the next run of ≥ 3 (or 128 bytes)
+        start = i
+        while i < n and i - start < 128:
+            j = i
+            while j < n - 1 and data[j + 1] == data[i] and j - i < 127:
+                j += 1
+            if j - i + 1 >= 3:
+                break
+            i = j + 1
+        out.append(i - start - 1)
+        out += data[start:i]
+    return bytes(out)
+
+
 def _tiff_lzw_decode(data: bytes) -> bytes:
     """TIFF-flavor LZW (spec §13): MSB-first code packing, 9→12-bit codes,
     ClearCode 256 / EOI 257, and the EARLY-CHANGE rule — the code width
@@ -1322,12 +1376,12 @@ def _tiff_predict2(arr: np.ndarray, inverse: bool) -> np.ndarray:
 
 def decode_tiff(content: bytes) -> np.ndarray:
     """TIFF 6.0 → (H, W, 3) uint8 RGB: walk IFD0, assemble the strips,
-    expand gray/RGB; both byte orders. Uncompressed (1), LZW (5, with
-    horizontal predictor 2), and NEW-STYLE JPEG (7, TIFF Tech Note 2 —
-    each strip a JPEG stream, optionally abbreviated against a shared
-    JPEGTables tag 347, decoded by the from-scratch T.81 decoder in
-    multimodal/jpeg.py) are decoded; other compressions raise
-    NotImplementedError → stub fallback."""
+    expand gray/RGB; both byte orders. Decoded compressions: none (1),
+    LZW (5, with horizontal predictor 2), NEW-STYLE JPEG (7, TIFF Tech
+    Note 2 — each strip a JPEG stream, optionally abbreviated against a
+    shared JPEGTables tag 347, via the from-scratch T.81 decoder),
+    Deflate (8 and legacy 32946 — zlib streams), and PackBits (32773).
+    Others (e.g. CCITT fax) raise NotImplementedError → stub fallback."""
     if content[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF header")
     bo = "little" if content[:2] == b"II" else "big"
@@ -1341,9 +1395,10 @@ def decode_tiff(content: bytes) -> np.ndarray:
         return _tiff_values(content, bo, e[tag])[0]
 
     comp = one(259, 1)
-    if comp not in (1, 5, 7):
+    if comp not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp} (1=none, 5=LZW, 7=JPEG)"
+            f"TIFF compression {comp} "
+            "(1=none, 5=LZW, 7=JPEG, 8/32946=deflate, 32773=PackBits)"
         )
     w, h = one(256), one(257)
     spp = one(277, 1)
@@ -1384,6 +1439,10 @@ def decode_tiff(content: bytes) -> np.ndarray:
         return np.ascontiguousarray(img)
     if comp == 5:
         strips = [_tiff_lzw_decode(s) for s in strips]
+    elif comp in (8, 32946):  # Adobe Deflate / legacy Deflate: zlib streams
+        strips = [zlib.decompress(s) for s in strips]
+    elif comp == 32773:
+        strips = [_packbits_decode(s) for s in strips]
     raw = b"".join(strips)
     need = w * h * spp
     if len(raw) < need:
@@ -1428,6 +1487,10 @@ def encode_tiff(
         pixels = rgb.tobytes()
         if compression == 5:
             pixels = _tiff_lzw_encode(pixels)
+        elif compression in (8, 32946):
+            pixels = zlib.compress(pixels)
+        elif compression == 32773:
+            pixels = _packbits_encode(pixels)
         elif compression != 1:
             raise NotImplementedError(f"TIFF write compression {compression}")
     bo = byte_order

@@ -1098,10 +1098,10 @@ def test_tiff_refusals_are_loud():
     b = bytearray(encode_tiff(img))
     # flip Compression (tag 259) to an unsupported codec: must refuse, not stub
     # silently at this layer (extract_features turns it into a stub row
-    # WITH a decode_status reason). 8 = Adobe Deflate, still unimplemented
-    # (7 = JPEG-in-TIFF became a real decode in r6).
+    # WITH a decode_status reason). 3 = CCITT Group 3 fax, unimplemented
+    # (7=JPEG, 8/32946=deflate, 32773=PackBits all became real in r6).
     idx = b.find((259).to_bytes(2, "little"), 8)
-    b[idx + 8 : idx + 10] = (8).to_bytes(2, "little")
+    b[idx + 8 : idx + 10] = (3).to_bytes(2, "little")
     with _pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(bytes(b))
     # compression 7 whose strips are NOT JPEG streams: loud ValueError
@@ -1344,3 +1344,49 @@ def test_tiff_jpeg_multistrip_with_jpegtables():
     assert (
         np.abs(out[16:].astype(int) - img[16:].astype(int)).mean() < 4.0
     )
+
+
+def test_tiff_deflate_and_packbits_roundtrip():
+    """r6: Deflate (8 + legacy 32946) and PackBits (32773) TIFF strips
+    round-trip BIT-EXACTLY (lossless codecs), composing with the
+    horizontal predictor where libtiff pairs it."""
+    grad = np.fromfunction(
+        lambda y, x, c: (x + 2 * y + 10 * c) % 256, (24, 40, 3)
+    ).astype(np.uint8)
+    for comp in (8, 32946, 32773):
+        for pred in (1, 2):
+            b = encode_tiff(grad, compression=comp, predictor=pred)
+            assert (decode_tiff(b) == grad).all(), f"comp {comp} pred {pred}"
+    # deflate+predictor actually compresses the smooth gradient
+    assert len(encode_tiff(grad, compression=8, predictor=2)) < len(
+        encode_tiff(grad, compression=1)
+    )
+
+
+def test_packbits_pure_codec():
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    import pytest as _pytest
+
+    for payload in (b"", b"A", b"AAAA", b"ABCD", b"AAABBBCD" * 50,
+                    bytes(range(256)), b"\x00" * 1000):
+        assert _packbits_decode(_packbits_encode(payload)) == payload
+    assert _packbits_decode(b"\x80") == b""  # -128 control = no-op
+    with _pytest.raises(ValueError, match="PackBits"):
+        _packbits_decode(b"\x05AB")  # literal overrun
+    with _pytest.raises(ValueError, match="PackBits"):
+        _packbits_decode(b"\xfe")  # run with no byte
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=1500))
+def test_packbits_roundtrip_property(payload):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    assert _packbits_decode(_packbits_encode(payload)) == payload
