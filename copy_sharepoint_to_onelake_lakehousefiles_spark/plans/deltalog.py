@@ -933,6 +933,73 @@ class DeltaTable:
             json.dump(last, f)
         os.replace(tmp2, os.path.join(self.log_dir, "_last_checkpoint"))
 
+    def enable_change_data_feed(self) -> dict:
+        """ALTER TABLE SET delta.enableChangeDataFeed = true (+ the
+        changeDataFeed WRITER feature — it is writer-only per the spec):
+        from now on, commits whose row-level changes are NOT derivable
+        from add/remove actions alone (MERGE updates) also write
+        ``_change_data`` parquet files carrying ``_change_type`` ∈
+        {update_preimage, update_postimage, insert}, recorded as ``cdc``
+        actions. ``table_changes`` then uses a commit's cdc actions
+        EXCLUSIVELY when present (the spec's CDF read rule) and falls back
+        to add/remove netting otherwise (insert/delete-only commits,
+        pre-enable history, DV commits). Idempotent."""
+        _, meta = self.snapshot()
+        cfg = dict(meta.get("configuration") or {})
+        if cfg.get("delta.enableChangeDataFeed") == "true":
+            return {"already_enabled": True}
+        cfg["delta.enableChangeDataFeed"] = "true"
+        new_meta = dict(meta, configuration=cfg)
+        actions = [self._commit_info("SET TBLPROPERTIES")]
+        up = self._feature_upgrade_action("changeDataFeed", writer_only=True)
+        if up:
+            actions.append(up)
+        actions.append({"metaData": new_meta})
+        self._publish(self.latest_version() + 1, actions)
+        return {"already_enabled": False}
+
+    def _cdf_enabled(self, meta: dict) -> bool:
+        return (meta.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed"
+        ) == "true"
+
+    def _write_cdc_file(self, cdc_df: DataFrame, phys: dict[str, str]) -> dict:
+        """Stage one ``_change_data`` parquet for a commit's change rows
+        (data columns under PHYSICAL names + ``_change_type``) and return
+        its ``cdc`` action. dataChange=false per spec — cdc files describe
+        a change, they are not part of the table's data."""
+        cdc_df = cdc_df.select(
+            *[
+                F.col(c).alias(phys.get(c, c))
+                for c in cdc_df.columns
+                if c != "_change_type"
+            ],
+            "_change_type",
+        )
+        cdc_dir = os.path.join(self.root, "_change_data")
+        os.makedirs(cdc_dir, exist_ok=True)
+        stage = os.path.join(self.root, f".stage_{uuid.uuid4().hex}")
+        cdc_df.coalesce(1).write.mode("overwrite").parquet(stage)
+        rel = None
+        for dirpath, _dn, filenames in os.walk(stage):
+            for n in filenames:
+                if n.endswith(".parquet") and rel is None:
+                    rel = os.path.join("_change_data", f"cdc-{uuid.uuid4().hex}.parquet")
+                    os.rename(os.path.join(dirpath, n), os.path.join(self.root, rel))
+        import shutil as _shutil
+
+        _shutil.rmtree(stage, ignore_errors=True)
+        if rel is None:
+            raise RuntimeError("cdc stage produced no parquet file")
+        return {
+            "cdc": {
+                "path": quote(rel),
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(self.root, rel)),
+                "dataChange": False,
+            }
+        }
+
     def add_constraint(self, name: str, expr: str) -> dict:
         """ALTER TABLE ADD CONSTRAINT (CHECK): stored under the protocol's
         ``delta.constraints.<name>`` metadata configuration key; every
@@ -1013,16 +1080,19 @@ class DeltaTable:
     }
     _LEGACY_READER_FEATURES = {2: ["columnMapping"]}
 
-    def _feature_upgrade_action(self, feature: str) -> dict | None:
+    def _feature_upgrade_action(
+        self, feature: str, writer_only: bool = False
+    ) -> dict | None:
         """One protocol action upgrading the table to carry ``feature`` in
-        its reader+writer feature lists, or None if already present. When
+        its feature lists (both, or writerFeatures only for writer-only
+        features like changeDataFeed), or None if already present. When
         the current protocol is legacy (no feature lists), the lists are
         seeded with every feature the legacy minReader/minWriter versions
         implied, per the table-features upgrade rule."""
         cur = self.protocol()
         rf = set(cur.get("readerFeatures") or [])
         wf = set(cur.get("writerFeatures") or [])
-        if feature in rf and feature in wf:
+        if feature in wf and (writer_only or feature in rf):
             return None
         if cur.get("writerFeatures") is None:
             for v2, feats in self._LEGACY_WRITER_FEATURES.items():
@@ -1032,7 +1102,8 @@ class DeltaTable:
             for v2, feats in self._LEGACY_READER_FEATURES.items():
                 if cur.get("minReaderVersion", 0) >= v2:
                     rf.update(feats)
-        rf.add(feature)
+        if not writer_only:
+            rf.add(feature)
         wf.add(feature)
         return {
             "protocol": {
@@ -1438,7 +1509,34 @@ class DeltaTable:
             matched = touched_df.join(updates.select(key), key, "left_semi").count()
             kept = touched_df.join(updates.select(key), key, "left_anti")
             new_adds = self._stage_files(kept.unionByName(updates), part_cols, phys=phys)
+            if self._cdf_enabled(meta):
+                # CHANGE DATA FEED: a MERGE's updates are NOT derivable from
+                # add/remove netting (it sees whole-file deltas), so the
+                # commit carries its row-level changes as a cdc action —
+                # matched keys as update_preimage/update_postimage pairs,
+                # the rest of the batch as inserts (the cdc file must be
+                # COMPLETE: readers use it exclusively for this commit)
+                mk = updates.select(key).join(
+                    touched_df.select(key), key, "left_semi"
+                ).distinct()
+                pre = touched_df.join(mk, key, "left_semi").withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                post = updates.join(mk, key, "left_semi").withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+                ins = updates.join(mk, key, "left_anti").withColumn(
+                    "_change_type", F.lit("insert")
+                )
+                actions.append(
+                    self._write_cdc_file(
+                        pre.unionByName(post).unionByName(ins), phys
+                    )
+                )
         else:
+            # pure insert (no file overlaps any update key): add/remove
+            # netting derives the changes exactly, so no cdc action (spec
+            # allows deriving insert/delete-only commits from the log)
             matched = 0
             new_adds = self._stage_files(updates, part_cols, phys=phys)
         actions.extend(self._remove_action(a, now_ms) for a in touched)
@@ -1661,17 +1759,19 @@ class DeltaTable:
         return {"version": v, "files_added": len(adds), "files_removed": len(removes)}
 
     def table_changes(self, v_from: int, v_to: int) -> DataFrame:
-        """Batch CHANGE DATA FEED: one row per data-file row entering
-        (``_change_type`` 'insert') or leaving ('delete') each commit in
-        (v_from, v_to], tagged ``_commit_version`` — the batch twin of the
-        ``delta_cdc`` streaming source, built from each commit's OWN
-        add/remove actions (a delta, not a snapshot diff → O(changed
-        files)). Deletion-vector commits net correctly with no special
-        casing: the remove carries the PRIOR DV (rows live before), the
-        re-add carries the new DV (rows live after), so the pair nets to
-        exactly the newly-dead rows. ``dataChange=false`` rearrangements
-        (OPTIMIZE) are skipped per spec. The feed's net effect per key
-        equals the table-state delta — the invariant q149 hashes."""
+        """Batch CHANGE DATA FEED. Commits carrying ``cdc`` actions (a
+        CDF-enabled MERGE writes its row-level changes to ``_change_data``
+        parquet — update_preimage / update_postimage / insert) are read
+        from those files EXCLUSIVELY, per the spec's CDF rule. All other
+        commits derive one row per data-file row entering ('insert') or
+        leaving ('delete') from the commit's OWN add/remove actions (a
+        delta, not a snapshot diff → O(changed files)). Deletion-vector
+        commits net correctly with no special casing: the remove carries
+        the PRIOR DV (rows live before), the re-add the new DV (rows live
+        after), so the pair nets to exactly the newly-dead rows.
+        ``dataChange=false`` rearrangements (OPTIMIZE) are skipped per
+        spec. The feed's net effect per key equals the table-state delta —
+        the invariant q149 hashes."""
         schema = self.schema(v_to)
         part_cols = self.partition_columns(v_to)
         _, meta = self.snapshot(v_to)
@@ -1682,11 +1782,37 @@ class DeltaTable:
                 continue  # expired below a checkpoint: no replayable delta
             adds: list[dict] = []
             removes: list[dict] = []
+            cdcs: list[dict] = []
             for action in self._commit_actions(v):
-                if "add" in action and action["add"].get("dataChange", True):
+                if "cdc" in action:
+                    cdcs.append(action["cdc"])
+                elif "add" in action and action["add"].get("dataChange", True):
                     adds.append(action["add"])
                 elif "remove" in action and action["remove"].get("dataChange", True):
                     removes.append(action["remove"])
+            if cdcs:
+                # spec: when a commit carries cdc actions, CDF readers use
+                # them EXCLUSIVELY — the add/remove pairs of the same
+                # commit describe file churn, not row-level changes
+                cdc_schema = T.StructType(
+                    [
+                        T.StructField(phys.get(f.name, f.name), f.dataType, True)
+                        for f in schema.fields
+                    ]
+                    + [T.StructField("_change_type", T.StringType(), True)]
+                )
+                paths = [
+                    os.path.join(self.root, unquote(c["path"])) for c in cdcs
+                ]
+                df = self.spark.read.schema(cdc_schema).parquet(*paths).select(
+                    *[
+                        F.col(phys.get(f.name, f.name)).alias(f.name)
+                        for f in schema.fields
+                    ],
+                    "_change_type",
+                )
+                parts.append(df.withColumn("_commit_version", F.lit(v).cast("long")))
+                continue
             for acts, ct in ((adds, "insert"), (removes, "delete")):
                 if not acts:
                     continue
@@ -1785,6 +1911,18 @@ class DeltaTable:
                 elif d and d.get("storageType") == "u":
                     live.add(
                         os.path.abspath(dv_path_from_u(d["pathOrInlineDv"], self.root))
+                    )
+        # _change_data files are referenced by cdc ACTIONS in the log, not
+        # by snapshot adds: protect every cdc file a still-existing commit
+        # names (once cleanup_log expires the commit, its cdc file becomes
+        # unreferenced here and reclaimable — the spec's CDF retention tie)
+        for v in vs:
+            for action in self._commit_actions(v):
+                if "cdc" in action and action["cdc"].get("path"):
+                    live.add(
+                        os.path.abspath(
+                            os.path.join(self.root, unquote(action["cdc"]["path"]))
+                        )
                     )
         removed = []
         now = time.time()
@@ -2659,4 +2797,77 @@ def q173_delta_inline_dv_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.lit(has_i).cast("int").alias("has_inline_dv"),
         F.lit(has_p).cast("int").alias("has_file_dv"),
+    )
+
+
+# ------------------------------------------------------------- CDF demo
+
+_CDF_CACHE: dict = {}
+
+
+def _cdf_demo_table(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """Change-data-feed demo, memoized per (session, sf_dir): nation →
+    enable CDF → one MERGE updating every fifth nation's name and
+    inserting five region-derived rows. The merge commit's row-level
+    changes are only recoverable from its ``_change_data`` file —
+    add/remove netting would show whole-file delete+insert churn."""
+    cache_key = (id(spark), sf_dir)
+    t = _CDF_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.log_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"delta_cdf_{uuid.uuid4().hex[:8]}")
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long"), "n_name"
+    )
+    t = DeltaTable.create(spark, root, nation.coalesce(1))
+    t.enable_change_data_feed()
+    region = load(spark, sf_dir, "region")
+    updates = nation.where(F.col("n_nationkey") % 5 == 0).select(
+        "n_nationkey", F.concat(F.lit("CDF_"), F.col("n_name")).alias("n_name")
+    ).unionByName(
+        region.select(
+            (F.lit(200) + F.col("r_regionkey").cast("long")).alias("n_nationkey"),
+            F.concat(F.lit("NEW_"), F.col("r_name")).alias("n_name"),
+        )
+    )
+    t.merge(updates, key="n_nationkey")
+    _CDF_CACHE[cache_key] = t
+    return t
+
+
+_Q175_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       'update_preimage' AS change_type
+FROM nation WHERE n_nationkey % 5 = 0
+UNION ALL
+SELECT CAST(n_nationkey AS BIGINT), 'CDF_' || n_name, 'update_postimage'
+FROM nation WHERE n_nationkey % 5 = 0
+UNION ALL
+SELECT CAST(200 + r_regionkey AS BIGINT), 'NEW_' || r_name, 'insert'
+FROM region
+"""
+
+
+@query("q175_delta_change_data_feed", oracle=_Q175_ORACLE)
+def q175_delta_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED with real ``_change_data`` files in the
+    correctness gate: a CDF-enabled MERGE emits update_preimage /
+    update_postimage pairs for matched keys and insert rows for the rest —
+    the row-level truth that add/remove netting CANNOT recover (netting
+    would report every row of the rewritten file as delete+insert). The
+    oracle recomputes all three change sets from nation/region, so a
+    reader that falls back to netting, loses a pre/post pair, or reads a
+    stale cdc file hash-mismatches.
+
+    Scale: the cdc file is O(rows changed by the commit), read once, no
+    shuffle beyond the feed's own consumption; the merge itself keeps its
+    stats-pruned copy-on-write shape."""
+    t = _cdf_demo_table(spark, sf_dir)
+    mv = t.latest_version()
+    return t.table_changes(mv - 1, mv).select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("_change_type").alias("change_type"),
     )

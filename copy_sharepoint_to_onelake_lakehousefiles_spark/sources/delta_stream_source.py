@@ -2,9 +2,12 @@
 
 ``spark.readStream.format("delta_cdc").load(<table root>)`` emits one row per
 data-file row added or removed by each Delta commit, tagged with
-(commit_version, change_type ∈ {'add', 'remove'}, schema_version — the
-commit whose metaData governs the batch; current-schema columns absent from
-that version's schema arrive null) — the change feed of a
+(commit_version, change_type ∈ {'add', 'remove'} — or, for commits carrying
+``cdc`` actions (a CDF-enabled MERGE), the _change_data files' own
+{'update_preimage', 'update_postimage', 'insert'} read EXCLUSIVELY per the
+spec's CDF rule — and schema_version, the commit whose metaData governs the
+batch; current-schema columns absent from that version's schema arrive
+null) — the change feed of a
 ``_delta_log`` table (plans/deltalog.py), so a pipeline can SUBSCRIBE to a
 table your other engines write instead of rescanning it (the reference's only
 "incremental" story is scheduled re-runs, RM:154-159). Offsets are Delta
@@ -140,24 +143,59 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
                 cols.append([None] * n)
         return zip(*cols) if cols else iter(())
 
+    def _cdc_rows(self, cdcs: list[dict]):
+        """Rows of a commit's ``_change_data`` files (CDF-enabled MERGE):
+        stored under PHYSICAL names + ``_change_type`` — resolve through
+        the current logical schema, same as data files."""
+        import pyarrow.parquet as pq
+
+        fields, _part_cols = self._fields()
+        for c in sorted(cdcs, key=lambda x: x["path"]):
+            from urllib.parse import unquote as _unq
+
+            tbl = pq.read_table(
+                os.path.join(self.root, _unq(c["path"]))
+            )
+            names = set(tbl.column_names)
+            n = tbl.num_rows
+            cols = []
+            for name, _type in fields:
+                pname = self._phys.get(name, name)
+                cols.append(
+                    tbl.column(pname).to_pylist() if pname in names else [None] * n
+                )
+            cts = tbl.column("_change_type").to_pylist()
+            for row, ct in zip(zip(*cols), cts):
+                yield row, ct
+
     def _emit(self, v_from: int, v_to: int):
         """Rows for versions in (v_from, v_to]; v_from=-1 includes create.
-        Uses each commit's OWN add/remove actions (a delta, not a snapshot
+        A commit carrying ``cdc`` actions (CDF merge) is emitted from its
+        _change_data files EXCLUSIVELY (change_type = update_preimage /
+        update_postimage / insert, the spec's CDF rule); every other
+        commit uses its OWN add/remove actions (a delta, not a snapshot
         diff), so cost is O(changed files per commit)."""
         for v in range(v_from + 1, v_to + 1):
             if v not in self._t.versions():
                 continue  # expired below a checkpoint: no replayable delta
-            adds, removes = [], []
+            adds, removes, cdcs = [], [], []
             for action in self._t._commit_actions(v):
                 # dataChange=false marks a rearrangement (OPTIMIZE/compaction)
                 # — no row changed, so the change feed skips it (spec behavior)
-                if "add" in action:
+                if "cdc" in action:
+                    cdcs.append(action["cdc"])
+                elif "add" in action:
                     if action["add"].get("dataChange", True):
                         adds.append(action["add"])
                 elif "remove" in action:
                     if action["remove"].get("dataChange", True):
                         removes.append(action["remove"])
             eff_v, phys_live = self._schema_at(v)
+            if cdcs:
+                self._fields()  # ensure self._phys is resolved
+                for row, ct in self._cdc_rows(cdcs):
+                    yield (*row, v, ct, eff_v)
+                continue
             for a in sorted(adds, key=lambda x: x["path"]):
                 for row in self._rows_of(a, phys_live):
                     yield (*row, v, "add", eff_v)

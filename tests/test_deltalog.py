@@ -801,3 +801,63 @@ def test_engine_writes_and_reads_multipart_checkpoint(spark, root):
     fresh = DeltaTable(spark, root)
     assert sorted(r.k for r in fresh.read().collect()) == list(range(50))
     assert fresh.protocol()["minReaderVersion"] >= 1
+
+
+def test_change_data_feed_merge_writes_cdc_files(spark, root, tmp_path):
+    """r6 CDF: an enabled table's MERGE writes a _change_data parquet
+    (cdc action, dataChange=false) whose rows are the update pre/post
+    images + inserts; table_changes uses it EXCLUSIVELY for that commit
+    and still nets append/delete commits from add/remove; vacuum protects
+    referenced cdc files."""
+    t = DeltaTable.create(
+        spark, root,
+        spark.createDataFrame(
+            [(i, f"t{i % 3}", i * 10) for i in range(9)], "k long, tag string, v long"
+        ).coalesce(1),
+    )
+    assert t.enable_change_data_feed() == {"already_enabled": False}
+    assert t.enable_change_data_feed() == {"already_enabled": True}
+    assert "changeDataFeed" in t.protocol()["writerFeatures"]
+    # writer-only feature: must NOT pollute readerFeatures
+    assert "changeDataFeed" not in (t.protocol().get("readerFeatures") or [])
+    t.merge(
+        spark.createDataFrame([(0, "upd", 900), (77, "new", 770)], "k long, tag string, v long"),
+        key="k",
+    )
+    mv = t.latest_version()
+    acts = t._commit_actions(mv)
+    cdc = [a["cdc"] for a in acts if "cdc" in a]
+    assert len(cdc) == 1 and cdc[0]["dataChange"] is False
+    assert cdc[0]["path"].startswith("_change_data/")
+    ch = {(r["k"], r["_change_type"]): r for r in t.table_changes(mv - 1, mv).collect()}
+    assert set(ch) == {(0, "update_preimage"), (0, "update_postimage"), (77, "insert")}
+    assert ch[(0, "update_preimage")]["v"] == 0
+    assert ch[(0, "update_postimage")]["v"] == 900
+    # append + CoW delete commits still derive from add/remove netting
+    t.append(spark.createDataFrame([(100, "a", 1)], "k long, tag string, v long"))
+    t.delete("k = 1")
+    ch2 = [(r["k"], r["_change_type"]) for r in t.table_changes(mv, t.latest_version()).collect()]
+    assert (100, "insert") in ch2 and (1, "delete") in ch2
+    assert not any(ct.startswith("update") for _k, ct in ch2)
+    # vacuum keeps the referenced cdc file alive
+    cdc_abs = os.path.join(root, cdc[0]["path"])
+    t.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert os.path.exists(cdc_abs)
+    assert t.read().count() == 10  # 9 - 1 deleted + 77 + 100 = 10
+
+
+def test_change_data_feed_composes_with_column_mapping(spark, root):
+    """cdc files store PHYSICAL column names; table_changes must resolve
+    them back through the current logical schema after a rename."""
+    t = DeltaTable.create(
+        spark, root,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long").coalesce(1),
+    )
+    t.enable_column_mapping()
+    t.rename_column("v", "val")
+    t.enable_change_data_feed()
+    t.merge(spark.createDataFrame([(1, 99)], "k long, val long"), key="k")
+    mv = t.latest_version()
+    ch = {r["_change_type"]: r for r in t.table_changes(mv - 1, mv).collect()}
+    assert ch["update_preimage"]["val"] == 10
+    assert ch["update_postimage"]["val"] == 99
