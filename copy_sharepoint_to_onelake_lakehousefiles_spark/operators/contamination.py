@@ -180,3 +180,108 @@ def q153_exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n_dup * 5 >= n_pos, 1).otherwise(0).alias("heavy_dup"),
         )
     )
+
+
+def _fuzzy_oracle() -> str:
+    from .dedup import _DUCK_SHINGLES, SHINGLE_WORDS
+
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+),
+ev AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+pair AS (
+  SELECT t.doc_id AS train_id,
+         len(list_intersect(t.shingles, e.shingles)) AS shared,
+         len(t.shingles) AS nt, len(e.shingles) AS ne
+  FROM tr t JOIN ev e
+    ON len(list_intersect(t.shingles, e.shingles)) > 0
+),
+scored AS (
+  SELECT train_id,
+         (shared * 20000 + (nt + ne - shared)) // ((nt + ne - shared) * 2)
+           AS j_x10k
+  FROM pair
+  WHERE shared * 2 >= nt + ne - shared
+)
+SELECT train_id, CAST(max(j_x10k) AS BIGINT) AS max_jaccard_x10k,
+       CAST(count(*) AS BIGINT) AS n_eval_matches
+FROM scored GROUP BY train_id
+"""
+
+
+@query("q176_fuzzy_decontamination", oracle=_fuzzy_oracle())
+def q176_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY cross-corpus decontamination: training documents NEAR-DUP
+    (jaccard ≥ 0.5) to any held-out eval document — q151's exact-n-gram
+    check misses paraphrased/partially-edited leakage that MinHash banding
+    still catches. The asymmetric TWO-TABLE LSH join (eval bands × train
+    bands, never train × train) is the shape real pipelines run against
+    every benchmark before training.
+
+    Candidates come from xxhash64-bigint band-key collisions (q26's
+    signature pipeline on both sides); exact Jaccard verifies candidates
+    only; per-train-doc max + match count aggregate. The oracle recomputes
+    the TRUE pair set (all overlapping cross pairs), so the banding must
+    RECALL every jaccard-≥0.5 pair at the fixture — a lost band or a
+    broken cross join under-reports and hash-mismatches.
+
+    Scale: the eval side is benchmark-sized (thousands of docs vs the
+    corpus's billions) — its band table broadcasts, so the train corpus
+    is touched by ONE map-side join pass, no train-side self-shuffle at
+    all. Shingles re-attach by doc_id (id-only band rows, q26's rule)."""
+    from .dedup import (
+        N_BANDS,
+        ROWS_PER_BAND,
+        _shingled,
+        with_minhash_signature,
+    )
+    from ..registry import track_persist
+
+    d = load(spark, sf_dir, "documents")
+    sh = track_persist(_shingled(d))
+    sig = with_minhash_signature(sh).select("doc_id", "sig")
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col("sig").getItem(b * ROWS_PER_BAND + i) for i in range(ROWS_PER_BAND)],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_keys).alias("bkey"))
+    ev = bands.where(F.col("doc_id") % 10 == 0)
+    tr = bands.where(F.col("doc_id") % 10 != 0)
+    cand = (
+        tr.alias("t")
+        .join(F.broadcast(ev.alias("e")), F.col("t.bkey") == F.col("e.bkey"))
+        .select(
+            F.col("t.doc_id").alias("train_id"),
+            F.col("e.doc_id").alias("eval_id"),
+        )
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+    pair = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("train_id"), F.col("shingles").alias("sh_t")),
+            "train_id",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("eval_id"), F.col("shingles").alias("sh_e")),
+            "eval_id",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_t", "sh_e")).cast("bigint")
+    union = F.size("sh_t").cast("bigint") + F.size("sh_e").cast("bigint") - inter
+    scored = pair.where(inter * 2 >= union).select(
+        "train_id",
+        F.floor((inter * 20000 + union) / (union * 2)).cast("bigint").alias("j_x10k"),
+    )
+    return scored.groupBy("train_id").agg(
+        F.max("j_x10k").alias("max_jaccard_x10k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_matches"),
+    )
