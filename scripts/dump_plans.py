@@ -61,6 +61,12 @@ def main() -> None:
         "q165_iceberg_truncate_range_scan",
         "q166_delta_v2_checkpoint",
         "q167_dsir_importance",
+        # r6: v3 DVs + row lineage, DV storage flavors, CDF, fuzzy decontam
+        "q172_iceberg_v3_deletion_vectors",
+        "q173_delta_inline_dv_flavors",
+        "q174_iceberg_v3_row_lineage",
+        "q175_delta_change_data_feed",
+        "q176_fuzzy_decontamination",
     ]
     out = ["# PLANS — formatted physical plans of the headline queries (sf0.01)\n"]
     for name in HEADLINE + extra:
