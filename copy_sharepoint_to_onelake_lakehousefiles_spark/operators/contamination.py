@@ -253,7 +253,9 @@ def q176_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_keys).alias("bkey"))
+    # both corpus splits read the band table: persist the slim rows so the
+    # signature fold runs once
+    bands = track_persist(sig.select("doc_id", F.explode(band_keys).alias("bkey")))
     ev = bands.where(F.col("doc_id") % 10 == 0)
     tr = bands.where(F.col("doc_id") % 10 != 0)
     cand = (

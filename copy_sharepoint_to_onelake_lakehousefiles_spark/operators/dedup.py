@@ -119,32 +119,43 @@ def band_candidate_pairs(
     bands: DataFrame, cap: int = HOT_BUCKET_CAP
 ) -> DataFrame:
     """(doc_id, bkey) band rows → distinct candidate (doc_a, doc_b) pairs,
-    with the LSH hot-bucket quadratic BOUNDED: buckets of width ≤ cap
-    self-join pairwise (exact LSH semantics); wider buckets emit STAR pairs
-    only — every member against the bucket-min doc_id, O(k) instead of
-    O(k²). Members of an over-full bucket are near-certain duplicates, so
-    the star keeps the duplicate CLUSTER connected (same components under
-    q56's connected-components) while a duplicate-flood corpus (100k copies
-    of one document) stays linear. All three shuffles (size count, pairwise
-    self-join, hub min) hash-partition on the same 8-byte bkey, so AQE
-    reuses the exchange."""
-    sizes = bands.groupBy("bkey").agg(F.count(F.lit(1)).alias("__n"))
-    sized = bands.join(sizes, "bkey")
-    small = sized.where(F.col("__n") <= cap).select("doc_id", "bkey")
-    a = small.alias("a")
-    b = small.alias("b")
-    pairwise = a.join(
-        b,
-        (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    big = sized.where(F.col("__n") > cap).select("doc_id", "bkey")
-    hubs = big.groupBy("bkey").agg(F.min("doc_id").alias("hub"))
-    star = (
-        big.join(hubs, "bkey")
-        .where(F.col("doc_id") != F.col("hub"))
-        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    with the LSH hot-bucket quadratic BOUNDED: buckets gather into one
+    id-array per bkey (ONE keyed shuffle — no self-join), then pairs
+    generate ARRAY-LOCALLY: buckets of width ≤ cap emit all pairs (exact
+    LSH semantics); wider buckets emit STAR pairs only — every member
+    against the bucket-min doc_id, O(k) pairs instead of O(k²). Members of
+    an over-full bucket are near-certain duplicates, so the star keeps the
+    duplicate CLUSTER connected (same components under q56's
+    connected-components) while a duplicate-flood corpus (100k copies of
+    one document) stays linear. Residual bound: the aggregation buffer is
+    O(bucket width × 8 B) in one task (100k-doc flood bucket = 800 KB);
+    plans needing more than ~100M near-identical copies of one document in
+    one bucket should pre-dedup exactly (q22) first."""
+    buckets = bands.groupBy("bkey").agg(
+        F.collect_list("doc_id").alias("ids"),
+        # the star hub, computed ONCE per bucket — referencing array_min
+        # inside the lambda would re-scan the array per element (O(k²)
+        # scans on a flood bucket, the exact quadratic this guards)
+        F.min("doc_id").alias("hub"),
     )
-    return pairwise.unionByName(star).dropDuplicates(["doc_a", "doc_b"])
+    pairwise = (
+        # i is 0-based; slice() is 1-based → elements strictly after ids[i]
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), b -> "
+        "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))"
+    )
+    star = (
+        "transform(filter(ids, x -> x != hub), b -> "
+        "struct(hub AS doc_a, b AS doc_b))"
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.when(F.size("ids") <= F.lit(cap), F.expr(pairwise)).otherwise(
+                F.expr(star)
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").dropDuplicates(["doc_a", "doc_b"])
 
 
 _DUCK_SHINGLES = (
