@@ -49,6 +49,14 @@ HEADLINE = [
 WARMUP_IDLE_SEC = 0.8
 WARMUP_RETRIES = 3
 
+# Reference idle canary (median re-warmed q01 across idle r1-r5 sessions,
+# 0.51-0.63 s). Headline totals are ALSO reported normalized by
+# canary_sec/CANARY_REF_SEC so a busy driver machine can't masquerade as a
+# query regression (round 6: q01/q39/q48 drifted +15% with zero code change
+# at canary 0.63-0.67 vs r5's 0.51-0.60). Normalization only ever DEFLATES
+# (min with 1.0): an unusually quiet machine must not overstate a win.
+CANARY_REF_SEC = 0.58
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,6 +111,8 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
+    # Scale factor ≤ 1.0: deflate for machine load, never inflate a quiet run.
+    norm = min(1.0, CANARY_REF_SEC / warmup) if warmup and warmup > 0 else 1.0
     print(
         json.dumps(
             {
@@ -112,6 +122,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "warmup_sec": warmup,
+                "canary_sec": warmup,
+                "canary_ref_sec": CANARY_REF_SEC,
+                "value_canary_normalized": round(total * norm, 3),
                 "load_inflated": load_inflated,
             }
         )

@@ -1079,6 +1079,7 @@ class IcebergTable:
         bounds: dict | None = None,
         with_positions: bool = False,
         ref: str | None = None,
+        lineage_cols: bool = False,
     ) -> DataFrame:
         """Snapshot read. Unpartitioned: ONE multi-path parquet scan.
         Identity-partitioned: partition values are CONSTANT per file by
@@ -1102,6 +1103,11 @@ class IcebergTable:
         entries, _ = self.files(snapshot_id, index, partition_filter, bounds)
         if not entries:
             out = self.spark.createDataFrame([], schema)
+            if lineage_cols:
+                out = out.withColumn("_row_id", F.lit(None).cast("long"))
+                out = out.withColumn(
+                    "_last_updated_sequence_number", F.lit(None).cast("long")
+                )
             if with_positions:
                 out = out.withColumn("__ice_fp", F.lit(None).cast("string"))
                 out = out.withColumn("__ice_pos", F.lit(None).cast("long"))
@@ -1141,6 +1147,7 @@ class IcebergTable:
                     schema,
                     with_positions=with_positions,
                     target_schema_id=tgt_sid,
+                    lineage_cols=lineage_cols,
                 )
             )
         # merge-on-read: group data files by seq (bounded by snapshot
@@ -1161,6 +1168,7 @@ class IcebergTable:
                 schema,
                 with_positions=need_pos,
                 target_schema_id=tgt_sid,
+                lineage_cols=lineage_cols,
             )
             pos_applicable = [d for d in pos_deletes if d["seq"] >= s]
             puffin_dvs = [
@@ -1237,6 +1245,7 @@ class IcebergTable:
         schema: T.StructType,
         with_positions: bool = False,
         target_schema_id: int | None = None,
+        lineage_cols: bool = False,
     ) -> DataFrame:
         """Scan the given entries into the target schema. Column resolution
         is ID-BASED when schemas diverge (Iceberg's evolution contract):
@@ -1315,6 +1324,28 @@ class IcebergTable:
             _decoded_file_path().alias("__ice_fp"),
             F.col("_metadata.row_index").alias("__ice_pos"),
         ]
+        # v3 row lineage: files rewritten by compaction MATERIALIZE the
+        # lineage values as data-file columns (_row_id id 2147483540,
+        # _last_updated_sequence_number id 2147483539, spec §Row Lineage);
+        # files that predate any rewrite don't carry them and null-fill
+        # here (declared-schema parquet reads null-fill missing names) —
+        # the caller coalesces with first_row_id + position.
+        lin_fields = (
+            [
+                T.StructField("_row_id", T.LongType(), True),
+                T.StructField("_last_updated_sequence_number", T.LongType(), True),
+            ]
+            if lineage_cols
+            else []
+        )
+        if lineage_cols and any(
+            f.name in ("_row_id", "_last_updated_sequence_number")
+            for f in schema.fields
+        ):
+            raise NotImplementedError(
+                "table schema shadows a reserved v3 lineage column name"
+            )
+        lin_names = [f.name for f in lin_fields]
         by_name = {f.name: f for f in schema.fields}
         # group by (write schema, partition spec, IDENTITY partition tuple)
         # — bounded by schema count × spec count × partition count; the
@@ -1355,9 +1386,13 @@ class IcebergTable:
                 [f for f in schema.fields if f.name not in part_names]
             )
             if wsid == tgt_sid and name_map is None:
-                df = self.spark.read.schema(data_schema).parquet(*paths)
+                df = self.spark.read.schema(
+                    T.StructType(list(data_schema.fields) + lin_fields)
+                ).parquet(*paths)
                 if with_positions:
-                    df = df.select(*data_schema.fieldNames(), *pos_cols)
+                    df = df.select(
+                        *data_schema.fieldNames(), *lin_names, *pos_cols
+                    )
             else:
                 if wsid == tgt_sid:
                     # name-mapped files: synthesize the write-time view from
@@ -1378,6 +1413,7 @@ class IcebergTable:
                         for _i, n, t in wfields
                         if n not in part_names
                     ]
+                    + lin_fields
                 )
                 df = self.spark.read.schema(wstruct).parquet(*paths)
                 sel = []
@@ -1390,17 +1426,15 @@ class IcebergTable:
                         sel.append(
                             F.lit(None).cast(_ICE_TO_SPARK[ttype]).alias(tname)
                         )
+                sel = sel + [F.col(n) for n in lin_names]
                 if with_positions:
                     sel = sel + pos_cols
                 df = df.select(*sel)
             for n, v in zip(part_names, pkey):
                 lit = F.lit(None) if v is None else F.lit(v)
                 df = df.withColumn(n, lit.cast(by_name[n].dataType))
-            parts.append(
-                df.select(*out_cols, "__ice_fp", "__ice_pos")
-                if with_positions
-                else df.select(*out_cols)
-            )
+            tail = lin_names + (["__ice_fp", "__ice_pos"] if with_positions else [])
+            parts.append(df.select(*out_cols, *tail))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -2058,12 +2092,22 @@ class IcebergTable:
         the rewritten files — so accumulated delete files drop out of
         planning entirely. Logical content is unchanged; history stays
         time-travelable; ``incremental_scan`` correctly refuses ranges
-        crossing the replace snapshot (its file-diff is not append-only)."""
+        crossing the replace snapshot (its file-diff is not append-only).
+
+        V3 ROW LINEAGE: on a lineage table the rewrite PRESERVES row ids
+        by MATERIALIZING ``_row_id`` and ``_last_updated_sequence_number``
+        into the rewritten data files (spec §Row Lineage — "writers that
+        rewrite rows must write the row's _row_id and
+        _last_updated_sequence_number"; field ids 2147483540/2147483539).
+        The new files still get a fresh ``first_row_id`` assignment (ids
+        are never reused; next-row-id advances), but every row carries a
+        non-null materialized id, so inheritance is never consulted and
+        ``row_lineage_df`` output is IDENTICAL across the compaction."""
         before, _ = self.files()
         n_deletes = len(self.delete_entries())
-        live = self.read()
-        self._guard_row_lineage("rewrite_data_files")
         md = self.metadata()
+        lineage = md.get("next-row-id") is not None
+        live = self.row_lineage_df() if lineage else self.read()
         part_fields = self.partition_fields()
         st = self.schema()
         # bin-pack: co-locate each partition's rows in one task so the
@@ -2081,15 +2125,37 @@ class IcebergTable:
             live = live.repartitionByRange(target_files, *sort_cols)
         else:
             live = live.coalesce(target_files)
-        entries = self._stage_data_files(live.select(*st.fieldNames()), part_fields, st)
+        lin_names = (
+            ["_row_id", "_last_updated_sequence_number"] if lineage else []
+        )
+        entries = self._stage_data_files(
+            live.select(*st.fieldNames(), *lin_names), part_fields, st
+        )
+        if lineage:
+            nxt = md["next-row-id"]
+            for e in sorted(entries, key=lambda e: e["file_path"]):
+                e["first_row_id"] = nxt
+                nxt += e["record_count"]
         seq = md["last-sequence-number"] + 1
         sid = self._new_snapshot_id()
         rows = (
-            [self._write_manifest(entries, sid, seq, part_fields, spec_id=md["default-spec-id"])]
+            [
+                self._write_manifest(
+                    entries,
+                    sid,
+                    seq,
+                    part_fields,
+                    spec_id=md["default-spec-id"],
+                    v3=lineage,
+                )
+            ]
             if entries
             else []
         )
         snap = self._commit_snapshot(rows, "replace", md, sid)
+        if lineage:
+            snap["first-row-id"] = md["next-row-id"]
+            md["next-row-id"] = nxt
         md["snapshots"].append(snap)
         md["current-snapshot-id"] = snap["snapshot-id"]
         md["last-sequence-number"] = snap["sequence-number"]
@@ -2176,12 +2242,14 @@ class IcebergTable:
         format-version 3. Existing manifests are rewritten — one
         consolidated data manifest PER partition spec, every entry keeping
         its ORIGINAL sequence number (delete applicability unchanged).
-        After this, ``append`` assigns ids to new files and
+        After this, ``append`` assigns ids to new files,
         ``row_lineage_df`` exposes ``_row_id`` /
-        ``_last_updated_sequence_number``. Rewriting writers
-        (overwrite / upsert / rewrite_data_files) refuse on lineage tables
-        until they carry ids through (spec: a rewrite must preserve
-        row ids) — the loud-refusal contract instead of silent id churn."""
+        ``_last_updated_sequence_number``, and ``rewrite_data_files``
+        preserves ids across compaction by materializing the lineage
+        columns into rewritten files. Row-REPLACING writers (overwrite /
+        upsert) refuse on lineage tables — which old row's id a
+        replacement row should carry is ambiguous, so loud refusal
+        instead of silent id churn."""
         md = self.metadata()
         if md.get("next-row-id") is not None:
             return {"already_enabled": True, "next_row_id": md["next-row-id"]}
@@ -2260,8 +2328,12 @@ class IcebergTable:
         (file.first_row_id + within-file position — stable across DV
         deletes, since merge-on-read masks rows without moving survivors)
         and ``_last_updated_sequence_number`` (the file's data sequence
-        number). The (file → first_row_id, seq) map is O(#files) and
-        broadcast — metadata-sized, never data-sized."""
+        number). Files REWRITTEN by ``rewrite_data_files`` carry both
+        values MATERIALIZED as data columns (spec §Row Lineage: a rewrite
+        must preserve row ids); per spec, a non-null materialized value
+        wins and null inherits from first_row_id + position / the file's
+        data sequence number. The (file → first_row_id, seq) map is
+        O(#files) and broadcast — metadata-sized, never data-sized."""
         md = self.metadata()
         if md.get("next-row-id") is None:
             raise ValueError("row lineage not enabled (no next-row-id)")
@@ -2277,20 +2349,41 @@ class IcebergTable:
         m = self.spark.createDataFrame(
             rows, "__ice_fp string, __frid long, __lseq long"
         )
-        base = self.read(with_positions=True)
-        out_cols = [c for c in base.columns if c not in ("__ice_fp", "__ice_pos")]
+        base = self.read(with_positions=True, lineage_cols=True)
+        out_cols = [
+            c
+            for c in base.columns
+            if c
+            not in (
+                "__ice_fp",
+                "__ice_pos",
+                "_row_id",
+                "_last_updated_sequence_number",
+            )
+        ]
         return base.join(F.broadcast(m), "__ice_fp", "left").select(
             *out_cols,
-            (F.col("__frid") + F.col("__ice_pos")).alias("_row_id"),
-            F.col("__lseq").alias("_last_updated_sequence_number"),
+            F.coalesce(
+                F.col("_row_id"), F.col("__frid") + F.col("__ice_pos")
+            ).alias("_row_id"),
+            F.coalesce(
+                F.col("_last_updated_sequence_number"), F.col("__lseq")
+            ).alias("_last_updated_sequence_number"),
         )
 
     def _guard_row_lineage(self, op: str) -> None:
+        """overwrite/upsert REPLACE logical rows, so carrying ids through
+        is semantically ambiguous (which old row is the new row?) — those
+        still refuse loudly. ``rewrite_data_files`` no longer guards: a
+        compaction preserves logical content, so it materializes the
+        lineage columns into the rewritten files instead (spec §Row
+        Lineage)."""
         if self.metadata().get("next-row-id") is not None:
             raise NotImplementedError(
                 f"{op} on a row-lineage table would churn row ids "
-                "(a v3 rewrite must carry first_row_id through) — "
-                "not implemented; use append/delete_vectors_v3"
+                "(which old row's id would each new row carry?) — "
+                "not implemented; use append/delete_vectors_v3/"
+                "rewrite_data_files"
             )
 
     def delete_vectors_v3(self, condition) -> dict:
@@ -4366,8 +4459,12 @@ def _row_lineage_demo_table(spark: SparkSession, sf_dir: str) -> IcebergTable:
     """Row-lineage demo, memoized per (session, sf_dir): nation written as
     ONE ordered file → enable_row_lineage (ids 0..24 in key order) → append
     five ordered region-derived rows (ids 25..29) → a DV delete that must
-    NOT move any survivor's id. Deterministic id assignment because each
-    commit writes exactly one file in sorted key order."""
+    NOT move any survivor's id → rewrite_data_files (r7: the compaction
+    MATERIALIZES survivors' ids into the rewritten file and advances
+    next-row-id by the live count) → one more ordered append whose ids
+    start at next_row_id-after-rewrite (inheritance again). Deterministic
+    id assignment because each commit writes exactly one file in sorted
+    key order."""
     cache_key = (id(spark), sf_dir)
     t = _RL_CACHE.get(cache_key)
     if t is not None and os.path.isdir(t.meta_dir):
@@ -4388,6 +4485,15 @@ def _row_lineage_demo_table(spark: SparkSession, sf_dir: str) -> IcebergTable:
         ).orderBy("n_nationkey").coalesce(1)
     )
     t.delete_vectors_v3("n_nationkey % 9 = 4")  # kills 4, 13, 22, 202
+    # r7: lineage-preserving compaction — survivors keep their ids via
+    # materialized _row_id / _last_updated_sequence_number columns
+    t.rewrite_data_files()
+    t.append(
+        region.select(
+            (F.lit(300) + F.col("r_regionkey").cast("long")).alias("n_nationkey"),
+            F.concat(F.lit("RL2_"), F.col("r_name")).alias("n_name"),
+        ).orderBy("n_nationkey").coalesce(1)
+    )
     _RL_CACHE[cache_key] = t
     return t
 
@@ -4402,10 +4508,23 @@ WITH base AS (
          (SELECT count(*) FROM nation)
          + ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1
   FROM region
+), live AS (
+  SELECT * FROM base WHERE k % 9 <> 4
+), post AS (
+  -- appended AFTER the lineage-preserving rewrite: the compaction
+  -- re-assigned a fresh first_row_id block to the rewritten file
+  -- (next-row-id advanced by the LIVE row count), so post-rewrite ids
+  -- start at |base| + |live|
+  SELECT 300 + r_regionkey AS k, 'RL2_' || r_name AS name,
+         (SELECT count(*) FROM base) + (SELECT count(*) FROM live)
+         + ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1 AS rid
+  FROM region
 )
 SELECT CAST(k AS BIGINT) AS n_nationkey, name AS n_name,
        CAST(rid AS BIGINT) AS row_id
-FROM base WHERE k % 9 <> 4
+FROM live
+UNION ALL
+SELECT CAST(k AS BIGINT), name, CAST(rid AS BIGINT) FROM post
 """
 
 
@@ -4413,11 +4532,15 @@ FROM base WHERE k % 9 <> 4
 def q174_iceberg_v3_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg V3 ROW LINEAGE in the correctness gate: every row's stable
     ``_row_id`` (file first_row_id + position, spec §Row Lineage) across
-    an enable → append → DV-delete sequence. The oracle recomputes the ids
-    from write order (one sorted file per commit ⇒ id = rank within the
-    commit plus the table's prior next-row-id), so a reader or writer that
-    shifts, reuses, or drops an id hash-mismatches — including the classic
-    failure where a delete compacts survivors' positions.
+    an enable → append → DV-delete → **rewrite_data_files** → append
+    sequence. The oracle recomputes the ids from write order (one sorted
+    file per commit ⇒ id = rank within the commit plus the table's prior
+    next-row-id), so a reader or writer that shifts, reuses, or drops an
+    id hash-mismatches — including the classic failure where a delete or
+    a COMPACTION compacts survivors' positions (r7: the rewrite must
+    materialize ``_row_id``/``_last_updated_sequence_number`` into the
+    rewritten files, and post-rewrite appends must start at the advanced
+    next-row-id).
 
     Scale: lineage adds ONE broadcast of an O(#files) (file → first_row_id)
     map to the scan; ids are computed from the existing _metadata.row_index,

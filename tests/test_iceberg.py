@@ -1518,7 +1518,9 @@ def test_v3_row_lineage_end_to_end(spark, root):
     manifest per spec, entries keep their original sequence numbers) and
     initializes next-row-id; appends extend the id space; row_lineage_df
     exposes _row_id = first_row_id + position, stable across DV deletes;
-    rewriting writers refuse instead of churning ids."""
+    rewrite_data_files preserves ids by MATERIALIZING the lineage columns
+    into rewritten files (r7 — was a refusal); row-replacing writers
+    (overwrite/upsert) refuse instead of churning ids."""
     t = IcebergTable.create(
         spark, root,
         spark.createDataFrame([(i, i * 10) for i in range(8)], "k long, v long").repartition(2, "k"),
@@ -1559,5 +1561,26 @@ def test_v3_row_lineage_end_to_end(spark, root):
                 spark.createDataFrame([(1, 1)], "k long, v long"),
                 **({"key": "k"} if op == "upsert" else {}),
             )
-    with pytest.raises(NotImplementedError, match="row ids"):
-        t.rewrite_data_files()
+    # r7: rewrite_data_files PRESERVES lineage — _row_id and
+    # _last_updated_sequence_number are materialized into the rewritten
+    # files, so the lineage view is IDENTICAL across the compaction
+    # (deletes drop out of planning; survivors keep their ids/seqs).
+    nxt_before = t.metadata()["next-row-id"]
+    res = t.rewrite_data_files()
+    assert res["files_after"] == 1 and res["delete_files_dropped"] == 1
+    t = IcebergTable(spark, root)
+    lin4 = {row.k: (row._row_id, row._last_updated_sequence_number)
+            for row in t.row_lineage_df().collect()}
+    assert lin4 == {k: (lin3[k], seqs[k]) for k in lin3}
+    # fresh first_row_id assignment: ids never reused, next-row-id advanced
+    assert t.metadata()["next-row-id"] == nxt_before + len(lin3)
+    assert t.snapshots()[-1]["first-row-id"] == nxt_before
+    # plain read() ignores the materialized columns (declared schema)
+    assert set(t.read().columns) == {"k", "v"}
+    assert sorted(r_.k for r_ in t.read().collect()) == sorted(lin3)
+    # appends after the rewrite keep extending the id space densely
+    t.append(spark.createDataFrame([(200, 1)], "k long, v long").coalesce(1))
+    t = IcebergTable(spark, root)
+    lin5 = {row.k: row._row_id for row in t.row_lineage_df().collect()}
+    assert lin5[200] == nxt_before + len(lin3)
+    assert all(lin5[k] == lin3[k] for k in lin3)
