@@ -83,6 +83,11 @@ _SPARK_TO_ICE = {
     "float": "float",
     "boolean": "boolean",
     "binary": "binary",
+    # Iceberg "timestamp" is WITHOUT zone; Spark's session-zoned
+    # TimestampType maps to "timestamptz" (spec §Primitive Types)
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
 }
 _ICE_TO_SPARK = {
     "long": T.LongType(),
@@ -92,6 +97,9 @@ _ICE_TO_SPARK = {
     "float": T.FloatType(),
     "boolean": T.BooleanType(),
     "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
 }
 _ICE_TO_AVRO = {
     "long": "long",
@@ -101,6 +109,11 @@ _ICE_TO_AVRO = {
     "float": "float",
     "boolean": "boolean",
     "binary": "bytes",
+    # partition-tuple encodings (spec Appendix A: date = days int,
+    # timestamps = micros long)
+    "date": "int",
+    "timestamp": "long",
+    "timestamptz": "long",
 }
 
 
@@ -314,6 +327,37 @@ def _file_entry(
         "lower_bounds": lbs or None,
         "upper_bounds": ubs or None,
     }
+
+
+def _default_literal(ice_type: str, val):
+    """Spark Column for an Iceberg v3 column default (spec §Default values,
+    JSON single-value serialization): numbers/strings/booleans literal-cast
+    to the field's Spark type (date/timestamp defaults arrive as ISO
+    strings, which the cast parses); ``binary``/``fixed`` defaults are
+    hex-encoded strings → unhex. Nested-type defaults were refused at
+    ``metadata()`` time."""
+    if ice_type == "binary" or ice_type.startswith("fixed"):
+        return F.unhex(F.lit(val))
+    return F.lit(val).cast(_ICE_TO_SPARK[ice_type])
+
+
+def default_python_value(ice_type: str, val):
+    """The Python-typed value of an Iceberg v3 column default (same JSON
+    single-value serialization as ``_default_literal``, for consumers that
+    fill Arrow/Python batches instead of Spark Columns — the iceberg_lite
+    executor)."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if ice_type == "binary" or ice_type.startswith("fixed"):
+        return bytes.fromhex(val)
+    if ice_type == "date":
+        return _dt.date.fromisoformat(val)
+    if ice_type.startswith("timestamp"):
+        return _dt.datetime.fromisoformat(val)
+    if ice_type.startswith("decimal"):
+        return _dec.Decimal(val)
+    return val
 
 
 def _discover_hive_files(root: str) -> tuple[list[tuple[str, dict]], list[str]]:
@@ -547,19 +591,32 @@ class IcebergTable:
         fv = md.get("format-version", 1)
         # v3 is readable for the pieces whose algebra this engine has:
         # deletion vectors in Puffin files (plans/puffin.py — the same
-        # Roaring bitmaps as Delta's) and row lineage (next-row-id /
-        # first_row_id / row_lineage_df). The rest refuses LOUDLY instead
-        # of mis-reading. v2 writes stay v2 until a v3 feature is used.
+        # Roaring bitmaps as Delta's), row lineage (next-row-id /
+        # first_row_id / row_lineage_df), and column DEFAULT VALUES
+        # (initial-default fills fields ABSENT from a file's write schema
+        # — see _read_data_entries; write-default fills columns a writer
+        # omits — see append). The rest refuses LOUDLY instead of
+        # mis-reading. v2 writes stay v2 until a v3 feature is used.
         if fv not in (1, 2, 3):
             raise NotImplementedError(f"Iceberg format-version {fv} (know 1-3)")
-        if fv == 3 and any(
-            f.get("initial-default") is not None or f.get("write-default") is not None
-            for s in md.get("schemas") or []
-            for f in s.get("fields") or []
-        ):
-            raise NotImplementedError(
-                "Iceberg v3 column default values are not supported"
-            )
+        for s in md.get("schemas") or []:
+            for f in s.get("fields") or []:
+                dflts = [
+                    f.get(k)
+                    for k in ("initial-default", "write-default")
+                    if f.get(k) is not None
+                ]
+                if not dflts:
+                    continue
+                if fv < 3:
+                    raise NotImplementedError(
+                        "column default values require format-version 3 "
+                        f"(table is v{fv})"
+                    )
+                if any(isinstance(d, (list, dict)) for d in dflts):
+                    raise NotImplementedError(
+                        "nested-type column default values are not supported"
+                    )
         return md
 
     def snapshots(self) -> list[dict]:
@@ -1271,6 +1328,15 @@ class IcebergTable:
             (f["id"], f["name"], f["type"])
             for f in schemas_by_id[tgt_sid]["fields"]
         ]
+        # v3 column defaults: initial-default fills a field for files whose
+        # WRITE schema predates it (spec §Default values) — parquet's
+        # null-fill is wrong for those files, so they must take the
+        # id-mapped path below
+        tgt_defaults = {
+            f["id"]: f["initial-default"]
+            for f in schemas_by_id[tgt_sid]["fields"]
+            if f.get("initial-default") is not None
+        }
         seq_to_sid = {
             s["sequence-number"]: s.get("schema-id", md["current-schema-id"])
             for s in md["snapshots"]
@@ -1314,6 +1380,10 @@ class IcebergTable:
                     if w_by_id[tid] != tname:
                         return wsid
                 elif tname in w_names:
+                    return wsid
+                elif tid in tgt_defaults:
+                    # the file predates a DEFAULTED column: must fill the
+                    # initial-default, not parquet's null-fill
                     return wsid
             return tgt_sid
 
@@ -1422,6 +1492,12 @@ class IcebergTable:
                         continue
                     if tid in w_by_id and w_by_id[tid] not in part_names:
                         sel.append(F.col(w_by_id[tid]).alias(tname))
+                    elif tid in tgt_defaults:
+                        sel.append(
+                            _default_literal(ttype, tgt_defaults[tid])
+                            .cast(_ICE_TO_SPARK[ttype])
+                            .alias(tname)
+                        )
                     else:
                         sel.append(
                             F.lit(None).cast(_ICE_TO_SPARK[ttype]).alias(tname)
@@ -1944,10 +2020,24 @@ class IcebergTable:
                 list(st.fields)
                 + [T.StructField(f.name, f.dataType, True) for f in new_fields]
             )
+        # v3 write-default: a column the writer OMITS is filled with its
+        # write-default (spec §Default values); null otherwise
+        wd = {
+            f["name"]: (f.get("write-default"), f["type"])
+            for s in md["schemas"]
+            if s["schema-id"] == md["current-schema-id"]
+            for f in s["fields"]
+        }
         aligned = df
         for f in st.fields:
             if f.name not in df.columns:
-                aligned = aligned.withColumn(f.name, F.lit(None).cast(f.dataType))
+                d, it = wd.get(f.name, (None, None))
+                fill = (
+                    _default_literal(it, d).cast(f.dataType)
+                    if d is not None
+                    else F.lit(None).cast(f.dataType)
+                )
+                aligned = aligned.withColumn(f.name, fill)
         entries = self._stage_data_files(aligned.select(*st.fieldNames()), part_fields, st)
         # v3 row lineage: every new data file gets the row-id of its first
         # row; the snapshot records its starting id and the table advances
@@ -2008,6 +2098,62 @@ class IcebergTable:
         next_sid = max(s["schema-id"] for s in md["schemas"]) + 1
         md["schemas"].append(
             {"type": "struct", "schema-id": next_sid, "fields": new_fields}
+        )
+        md["current-schema-id"] = next_sid
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(md)
+        return next_sid
+
+    def add_column(
+        self,
+        name: str,
+        ice_type: str,
+        default=None,
+        write_default=None,
+    ) -> int:
+        """ID-based column ADD (metadata-only). With ``default``, the new
+        field carries Iceberg v3 DEFAULT VALUES (spec §Default values):
+        ``initial-default`` = ``default`` fills the column when reading
+        rows written BEFORE the add (fixed forever at add time), and
+        ``write-default`` (defaults to the same value) fills it when a
+        writer omits the column. Defaults require format-version 3 — the
+        table upgrades on first use, exactly like the other v3 features
+        (v3 is a superset; older snapshots stay time-travelable)."""
+        md = self.metadata()
+        cur = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        if name in [f["name"] for f in cur["fields"]]:
+            raise ValueError(f"column {name!r} already exists")
+        if ice_type not in _ICE_TO_SPARK:
+            raise ValueError(f"unknown Iceberg type {ice_type!r}")
+        fld = {
+            "id": md["last-column-id"] + 1,
+            "name": name,
+            "required": False,
+            "type": ice_type,
+        }
+        if default is not None or write_default is not None:
+            if isinstance(default, (list, dict)) or isinstance(
+                write_default, (list, dict)
+            ):
+                raise NotImplementedError(
+                    "nested-type column default values are not supported"
+                )
+            if default is not None:
+                fld["initial-default"] = default
+            fld["write-default"] = (
+                write_default if write_default is not None else default
+            )
+            md["format-version"] = 3
+        md["last-column-id"] = fld["id"]
+        next_sid = max(s["schema-id"] for s in md["schemas"]) + 1
+        md["schemas"].append(
+            {
+                "type": "struct",
+                "schema-id": next_sid,
+                "fields": list(cur["fields"]) + [fld],
+            }
         )
         md["current-schema-id"] = next_sid
         md["last-updated-ms"] = int(time.time() * 1000)
@@ -4550,4 +4696,83 @@ def q174_iceberg_v3_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").cast("long"),
         "n_name",
         F.col("_row_id").cast("long").alias("row_id"),
+    )
+
+
+_DFLT_CACHE: dict = {}
+
+
+def _column_defaults_demo_table(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """Column-defaults demo, memoized per (session, sf_dir): region written
+    first → add_column("category", default="LEGACY", write_default="FRESH")
+    upgrades to v3 → one append that OMITS the column (write-default) →
+    one append that PROVIDES it (explicit wins). Three distinct fill
+    semantics in one table."""
+    cache_key = (id(spark), sf_dir)
+    t = _DFLT_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.meta_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"icedf_{uuid.uuid4().hex[:8]}")
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    t = IcebergTable.create(
+        spark,
+        root,
+        region.select(
+            F.col("r_regionkey").cast("long").alias("k"),
+            F.col("r_name").alias("name"),
+        ).orderBy("k").coalesce(1),
+    )
+    t.add_column("category", "string", default="LEGACY", write_default="FRESH")
+    t.append(
+        nation.select(
+            (F.lit(100) + F.col("n_nationkey").cast("long")).alias("k"),
+            F.col("n_name").alias("name"),
+        ).orderBy("k").coalesce(1)
+    )
+    t.append(
+        nation.select(
+            (F.lit(200) + F.col("n_nationkey").cast("long")).alias("k"),
+            F.col("n_name").alias("name"),
+            F.col("n_name").alias("category"),
+        ).orderBy("k").coalesce(1)
+    )
+    _DFLT_CACHE[cache_key] = t
+    return t
+
+
+_Q177_ORACLE = """
+SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS name,
+       'LEGACY' AS category, 3 AS format_version
+FROM region
+UNION ALL
+SELECT CAST(100 + n_nationkey AS BIGINT), n_name, 'FRESH', 3 FROM nation
+UNION ALL
+SELECT CAST(200 + n_nationkey AS BIGINT), n_name, n_name, 3 FROM nation
+"""
+
+
+@query("q177_iceberg_v3_column_defaults", oracle=_Q177_ORACLE)
+def q177_iceberg_v3_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg V3 COLUMN DEFAULT VALUES in the correctness gate (r7 — was
+    a loud refusal, spec §Default values): rows written BEFORE the column
+    add read the column's ``initial-default`` ('LEGACY' — per-file write
+    schema recovered by sequence number, so parquet null-fill can never
+    masquerade as a default); a writer that OMITS the column gets its
+    ``write-default`` ('FRESH' — a DIFFERENT value, so the two paths
+    can't be confused); explicit values win. format_version pins the
+    defaulted add really upgraded the table to v3.
+
+    Scale: defaults are pure metadata — pre-add files take the id-mapped
+    scan path with a literal fill (no extra shuffle, no data rewrite);
+    post-add files scan unchanged."""
+    t = _column_defaults_demo_table(spark, sf_dir)
+    fv = int(t.metadata()["format-version"])
+    return t.read().select(
+        F.col("k").cast("long"),
+        "name",
+        "category",
+        F.lit(fv).cast("int").alias("format_version"),
     )

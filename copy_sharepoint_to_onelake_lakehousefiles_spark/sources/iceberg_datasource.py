@@ -62,6 +62,10 @@ class IceFilePartition(InputPartition):
     # GROUPS by footer statistics (translated to write-time names) before
     # reading pages — the granularity below manifest/file-level pruning
     bounds: dict | None = None
+    # v3 column defaults: target-name → PYTHON value of initial-default,
+    # applied when the field id is ABSENT from this file's write schema
+    # (colmap value None) — spec §Default values; null-fill otherwise
+    defaults: dict | None = None
 
 
 class IcebergLiteReader(DataSourceReader):
@@ -123,6 +127,17 @@ class IcebergLiteReader(DataSourceReader):
             w_by_id = {f["id"]: f["name"] for f in schemas_by_id[wsid]["fields"]}
             m = {f["name"]: w_by_id.get(f["id"]) for f in tgt_fields}
             return None if all(k == v for k, v in m.items()) else m
+
+        # v3 column defaults (spec §Default values): initial-default as a
+        # PYTHON value per target name, applied executor-side when the
+        # field id is absent from a file's write schema
+        from ..plans.iceberg import default_python_value
+
+        dflt_by_name = {
+            f["name"]: default_python_value(f["type"], f["initial-default"])
+            for f in tgt_fields
+            if f.get("initial-default") is not None
+        } or None
         # merge-on-read: ship each data file's APPLICABLE equality-delete
         # files (strictly newer sequence number) into its partition so the
         # executor applies the anti-join locally
@@ -178,6 +193,7 @@ class IcebergLiteReader(DataSourceReader):
                     pos_applicable,
                     colmap_for(e),
                     bounds or None,
+                    dflt_by_name,
                 )
             )
         if not out:
@@ -292,6 +308,16 @@ class IcebergLiteReader(DataSourceReader):
             elif wname is not None and wname in names:
                 col = tbl.column(wname).combine_chunks()
                 arrays.append(col if col.type == at else col.cast(at))
+            elif (
+                wname is None
+                and partition.defaults
+                and f.name in partition.defaults
+            ):
+                # field id absent from this file's write schema → the v3
+                # initial-default, not null (spec §Default values)
+                arrays.append(
+                    pa.array([partition.defaults[f.name]] * n, type=at)
+                )
             else:
                 arrays.append(pa.nulls(n, type=at))
             out_names.append(f.name)

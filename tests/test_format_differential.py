@@ -757,9 +757,10 @@ def test_iceberg_v3_puffin_deletion_vector_reads(spark):
 
 
 def test_iceberg_v3_refusals_are_loud(spark):
-    """format-version guard: unknown versions and v3 column defaults must
-    raise a clear NotImplementedError, never mis-read. (v3 row lineage is
-    IMPLEMENTED — enable_row_lineage/row_lineage_df — not refused.)"""
+    """format-version guard: unknown versions, defaults on pre-v3 tables,
+    and nested-type defaults must raise a clear NotImplementedError, never
+    mis-read. (v3 row lineage and SCALAR column defaults are IMPLEMENTED —
+    not refused.)"""
     import json
 
     import pytest as _pytest
@@ -767,11 +768,20 @@ def test_iceberg_v3_refusals_are_loud(spark):
     for mutate, match in (
         (lambda md: md.update({"format-version": 4}), "format-version 4"),
         (
+            # defaults are a v3 feature: a v2 table carrying one is corrupt
+            lambda md: md["schemas"][0]["fields"][0].update(
+                {"initial-default": 7}
+            ),
+            "format-version 3",
+        ),
+        (
             lambda md: (
                 md.update({"format-version": 3}),
-                md["schemas"][0]["fields"][0].update({"initial-default": 7}),
+                md["schemas"][0]["fields"][0].update(
+                    {"initial-default": [1, 2]}
+                ),
             ),
-            "default values",
+            "nested-type",
         ),
     ):
         root = os.path.join(tempfile.gettempdir(), f"icev3r_{uuid.uuid4().hex[:8]}")
@@ -788,3 +798,105 @@ def test_iceberg_v3_refusals_are_loud(spark):
                 IcebergTable(spark, root).read().collect()
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+def test_iceberg_v3_column_defaults_read_write_and_lite(spark):
+    """r7 (VERDICT #3 — was a refusal): Iceberg v3 COLUMN DEFAULT VALUES
+    (spec §Default values). initial-default fills the column for rows
+    written BEFORE the add (per-file write schema recovered by sequence
+    number, so parquet null-fill never masquerades as a default);
+    write-default fills columns a writer omits; explicit values always
+    win; typed defaults (long, date) round-trip; the pluggable
+    iceberg_lite source fills the SAME defaults executor-side (Arrow
+    batches, not Spark Columns)."""
+    import datetime
+    import json
+
+    root = os.path.join(tempfile.gettempdir(), f"icedf_{uuid.uuid4().hex[:8]}")
+    try:
+        t = IcebergTable.create(
+            spark, root,
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1),
+        )
+        assert t.metadata()["format-version"] == 2
+        # adding a defaulted column upgrades to v3 (defaults are v3-only)
+        t.add_column("flag", "string", default="N", write_default="W")
+        t.add_column("score", "long", default=7)
+        t.add_column("asof", "date", default="2024-03-01")
+        t = IcebergTable(spark, root)
+        assert t.metadata()["format-version"] == 3
+        d0 = datetime.date(2024, 3, 1)
+        # pre-add rows: initial-default everywhere
+        got = {r.k: (r.flag, r.score, r.asof) for r in t.read().collect()}
+        assert got == {1: ("N", 7, d0), 2: ("N", 7, d0)}
+        # writer omits all three -> write-default ("W" for flag: distinct
+        # from its initial-default; score/asof default to initial)
+        t.append(spark.createDataFrame([(3, "c")], "k long, v string").coalesce(1))
+        # writer provides values -> kept verbatim (including null-able k=4
+        # explicit flag)
+        t.append(
+            spark.createDataFrame(
+                [(4, "d", "Y", 9, datetime.date(2025, 1, 2))],
+                "k long, v string, flag string, score long, asof date",
+            ).coalesce(1)
+        )
+        t = IcebergTable(spark, root)
+        got = {r.k: (r.flag, r.score, r.asof) for r in t.read().collect()}
+        assert got == {
+            1: ("N", 7, d0),
+            2: ("N", 7, d0),
+            3: ("W", 7, d0),
+            4: ("Y", 9, datetime.date(2025, 1, 2)),
+        }
+        # time travel below the add reads the old schema
+        first = sorted(t.snapshots(), key=lambda s: s["sequence-number"])[0]
+        assert t.read(snapshot_id=first["snapshot-id"]).columns == ["k", "v"]
+        # iceberg_lite agrees (executor-side Arrow default fill)
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+            IcebergLiteDataSource,
+        )
+
+        try:
+            spark.dataSource.register(IcebergLiteDataSource)
+        except Exception:
+            pass
+        lite = spark.read.format("iceberg_lite").load(root)
+        lgot = {r.k: (r.flag, r.score, r.asof) for r in lite.collect()}
+        assert lgot == got
+        # foreign-writer fixture: hand-edit the metadata JSON the way an
+        # external v3 engine would publish it (fresh schema entry whose new
+        # field carries initial-default; current-schema-id bumped) — the
+        # reader must fill the default with NO engine-written breadcrumbs
+        md = t.metadata()
+        cur = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        nid = md["last-column-id"] + 1
+        md["schemas"].append(
+            {
+                "type": "struct",
+                "schema-id": max(s["schema-id"] for s in md["schemas"]) + 1,
+                "fields": list(cur["fields"])
+                + [
+                    {
+                        "id": nid,
+                        "name": "region",
+                        "required": False,
+                        "type": "string",
+                        "initial-default": "EMEA",
+                        "write-default": "EMEA",
+                    }
+                ],
+            }
+        )
+        md["current-schema-id"] = md["schemas"][-1]["schema-id"]
+        md["last-column-id"] = nid
+        vs = t._metadata_versions()
+        with open(os.path.join(t.meta_dir, f"v{vs[-1] + 1}.metadata.json"), "w") as f:
+            json.dump(md, f)
+        t2 = IcebergTable(spark, root)
+        assert {r.region for r in t2.read().collect()} == {"EMEA"}
+        lite2 = spark.read.format("iceberg_lite").load(root)
+        assert {r.region for r in lite2.collect()} == {"EMEA"}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

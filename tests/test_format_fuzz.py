@@ -223,3 +223,88 @@ def test_random_evolution_sequences_agree_delta_vs_iceberg(spark, init, ops):
             assert got == expected, f"{name} diverges from model (cols={cols})"
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+defaulted_add = st.tuples(
+    st.just("adddef"),
+    st.integers(min_value=-5, max_value=5),          # initial-default
+    st.one_of(st.none(), st.integers(0, 9)),         # write-default (None = same)
+)
+plain_add = st.tuples(st.just("addplain"))
+dflt_append = st.tuples(
+    st.just("append"),
+    st.lists(row, min_size=1, max_size=3),
+    st.booleans(),  # omit the newest column (exercise write-default)?
+)
+dflt_op = st.one_of(dflt_append, defaulted_add, plain_add, st.tuples(st.just("rewrite")))
+
+
+@settings(max_examples=5, deadline=None)
+@given(init=initial, ops=st.lists(dflt_op, min_size=1, max_size=4))
+def test_random_iceberg_default_sequences_agree_with_model(spark, init, ops):
+    """r7 fuzz for Iceberg v3 COLUMN DEFAULTS: random append /
+    add-column-with-default / add-column-plain / rewrite sequences against
+    a pure-Python model. initial-default must fill exactly the rows that
+    PRE-DATE the add (never rows appended after, even when the writer
+    omits the column - that's write-default's job), plain adds must null-fill,
+    and a bin-pack rewrite must change nothing. The iceberg_lite source
+    must agree with the native reader at the end (its executor fills
+    defaults in Arrow, a separate code path)."""
+    base = os.path.join(tempfile.gettempdir(), f"dfuzz_{uuid.uuid4().hex[:8]}")
+    try:
+        ic = IcebergTable.create(
+            spark, os.path.join(base, "ic"), spark.createDataFrame(init, DDL)
+        )
+        cols = ["k", "v"]
+        wd: dict = {}  # col -> write-default (None = null fill)
+        model = [dict(zip(cols, r)) for r in init]
+        for i, op in enumerate(ops):
+            if op[0] == "append":
+                _, rows, omit = op
+                use = cols[:-1] if (omit and len(cols) > 2) else cols
+                full = [tuple([k, v] + [v + j for j in range(len(use) - 2)]) for k, v in rows]
+                ddl_now = ", ".join(f"{c} long" for c in use)
+                ic.append(spark.createDataFrame(full, ddl_now))
+                for r in full:
+                    t = dict(zip(use, r))
+                    for c in cols:
+                        if c not in t:
+                            t[c] = wd.get(c)
+                    model.append(t)
+            elif op[0] == "adddef":
+                _, d, w = op
+                new = f"d{i}"
+                ic.add_column(new, "long", default=d, write_default=w)
+                for t in model:
+                    t[new] = d  # initial-default: pre-existing rows only
+                cols.append(new)
+                wd[new] = w if w is not None else d
+            elif op[0] == "addplain":
+                new = f"p{i}"
+                ic.add_column(new, "long")
+                for t in model:
+                    t[new] = None
+                cols.append(new)
+                wd[new] = None
+            else:  # rewrite: logical no-op (works on v2 and v3 tables)
+                ic.rewrite_data_files()
+        expected = sorted(
+            (tuple(t[c] for c in cols) for t in model),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+            IcebergLiteDataSource,
+        )
+
+        spark.dataSource.register(IcebergLiteDataSource)
+        for name, df in (
+            ("native", ic.read()),
+            ("iceberg_lite", spark.read.format("iceberg_lite").load(ic.root)),
+        ):
+            got = sorted(
+                (tuple(r[c] for c in cols) for r in df.select(*cols).collect()),
+                key=lambda t: tuple((v is None, v) for v in t),
+            )
+            assert got == expected, f"{name} diverges from model (cols={cols})"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
