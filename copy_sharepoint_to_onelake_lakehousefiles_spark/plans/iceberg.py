@@ -2357,13 +2357,21 @@ class IcebergTable:
         }
 
     def equality_delete(self, keys_df: DataFrame) -> dict:
-        """MERGE-ON-READ row deletes via v2 EQUALITY DELETE files: the key
+        """MERGE-ON-READ row deletes via EQUALITY DELETE files: the key
         rows are written as a parquet delete file committed under a deletes
         manifest (manifest-list content=1, data_file.content=2,
         equality_ids = the key columns' field ids). No data file is
         rewritten — readers anti-join data files with a strictly smaller
         sequence number against the delete keys (the Flink-CDC write shape;
-        compare TxTable/Delta's copy-on-write ``delete``)."""
+        compare TxTable/Delta's copy-on-write ``delete``).
+
+        V3 NOTE (checked against the published v3 spec, §Row-level Deletes
+        / §Delete Formats): v3 bans POSITION delete files (deletion
+        vectors replace them — ``position_delete`` refuses, see above) but
+        equality delete files REMAIN VALID in v3; streaming/CDC writers
+        still produce them. So this writer stays enabled on v3 tables and
+        composes with deletion vectors — each mechanism masks
+        independently at scan time."""
         md = self.metadata()
         entry = self._eq_delete_entry(keys_df)
         n_rows = entry["record_count"]

@@ -10,9 +10,11 @@ Layout, from the PUBLIC spec only (no Iceberg libraries in the container):
 - ``FooterPayload`` = UTF-8 JSON ``{"blobs": [...], "properties": {...}}``;
   each blob entry carries {type, fields, snapshot-id, sequence-number,
   offset, length, compression-codec?, properties?}.
-- ``FooterPayloadSize`` = 4-byte little-endian int (payload byte length).
+- ``FooterPayloadSize`` = 4-byte little-endian int (STORED payload byte
+  length — post-compression when compressed).
 - ``Flags`` = 4 bytes; bit 0 of the first byte marks an LZ4-compressed
-  footer payload — not produced here, and refused loudly on read.
+  footer payload (one LZ4 frame, content size present) — decoded via the
+  from-scratch plans/lz4.py (r7); other flag bits refuse loudly.
 
 The v3 ``deletion-vector-v1`` blob data (spec §Deletion vectors):
 
@@ -70,11 +72,19 @@ def parse_dv_blob_data(data: bytes) -> list[int]:
     return deserialize_rba(rba)  # validates the D1D33964 magic word
 
 
-def write_puffin(path: str, blobs: list[dict], properties: dict | None = None) -> list[dict]:
+def write_puffin(
+    path: str,
+    blobs: list[dict],
+    properties: dict | None = None,
+    compress_footer: bool = False,
+) -> list[dict]:
     """Write a Puffin file. Each blob dict: {"type", "data": bytes, and
     optional "fields", "snapshot-id", "sequence-number", "properties"}.
     Returns the footer's blob metadata entries (with offset/length), which
-    a caller records in its manifest (content-offset / content-size)."""
+    a caller records in its manifest (content-offset / content-size).
+    ``compress_footer`` LZ4-frames the footer payload and sets flag bit 0
+    (spec §FooterPayloadCompressed) — off by default, matching the
+    reference writers, but round-trippable for foreign files."""
     metas: list[dict] = []
     with open(path, "wb") as f:
         f.write(MAGIC)
@@ -97,28 +107,44 @@ def write_puffin(path: str, blobs: list[dict], properties: dict | None = None) -
         payload = json.dumps(
             {"blobs": metas, "properties": dict(properties or {})}
         ).encode("utf-8")
+        flags = b"\x00\x00\x00\x00"
+        if compress_footer:
+            from .lz4 import lz4_frame_compress
+
+            payload = lz4_frame_compress(payload)
+            flags = b"\x01\x00\x00\x00"  # bit 0: footer payload compressed
         f.write(MAGIC)
         f.write(payload)
+        # FooterPayloadSize is the STORED (post-compression) byte length
         f.write(struct.pack("<i", len(payload)))
-        f.write(b"\x00\x00\x00\x00")  # flags: uncompressed footer
+        f.write(flags)
         f.write(MAGIC)
     return metas
 
 
 def read_puffin_footer(path: str) -> dict:
     """Parse a Puffin file's footer payload JSON, verifying all three magic
-    words; refuses LZ4-compressed footers loudly (flag bit 0)."""
+    words. Flag bit 0 (FooterPayloadCompressed) routes the payload through
+    the from-scratch LZ4 frame decoder (plans/lz4.py — r7, was a loud
+    refusal); unknown flag bits still refuse loudly."""
     with open(path, "rb") as f:
         raw = f.read()
     if raw[:4] != MAGIC or raw[-4:] != MAGIC:
         raise ValueError("not a Puffin file (bad magic)")
     flags = raw[-8:-4]
-    if flags[0] & 0x01:
-        raise NotImplementedError("Puffin footer payload compression (LZ4)")
+    if flags[0] & ~0x01 or flags[1] or flags[2] or flags[3]:
+        raise NotImplementedError(
+            f"unknown Puffin footer flags {flags.hex()} (know only bit 0: "
+            "LZ4-compressed payload)"
+        )
     (size,) = struct.unpack_from("<i", raw, len(raw) - 12)
     payload = raw[len(raw) - 12 - size : len(raw) - 12]
     if raw[len(raw) - 12 - size - 4 : len(raw) - 12 - size] != MAGIC:
         raise ValueError("Puffin footer start magic missing")
+    if flags[0] & 0x01:
+        from .lz4 import lz4_frame_decompress
+
+        payload = lz4_frame_decompress(payload)
     return json.loads(payload.decode("utf-8"))
 
 

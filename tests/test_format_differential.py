@@ -900,3 +900,42 @@ def test_iceberg_v3_column_defaults_read_write_and_lite(spark):
         assert {r.region for r in lite2.collect()} == {"EMEA"}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_iceberg_v3_equality_deletes_remain_valid(spark):
+    """r7 (VERDICT #4 — spec drift check): the published v3 spec bans
+    POSITION delete files (deletion vectors replace them; position_delete
+    refuses on v3) but EQUALITY delete files remain valid in v3 — the
+    streaming/CDC write shape. Pin that on a v3 table equality deletes
+    still commit and compose with deletion vectors in BOTH orders, each
+    mechanism masking independently."""
+    root = os.path.join(tempfile.gettempdir(), f"icev3eq_{uuid.uuid4().hex[:8]}")
+    try:
+        t = IcebergTable.create(
+            spark, root,
+            spark.createDataFrame([(i, i % 3) for i in range(12)], "k long, tag long").coalesce(1),
+        )
+        # DV first: upgrades to v3 (kills k in {0,4,8} via tag pattern)
+        t.delete_vectors_v3("k % 4 = 0")
+        t = IcebergTable(spark, root)
+        assert t.metadata()["format-version"] == 3
+        # position-delete FILES refuse on v3 (DVs replace them)
+        with pytest.raises(NotImplementedError, match="position-delete"):
+            t.position_delete("k = 1")
+        # equality delete on the v3 table: still legal, masks k in {1, 5}
+        t.equality_delete(spark.createDataFrame([(1,), (5,)], "k long"))
+        t = IcebergTable(spark, root)
+        assert {r.k for r in t.read().collect()} == {2, 3, 6, 7, 9, 10, 11}
+        # another DV AFTER the eq delete: composes (kills k=6)
+        t.delete_vectors_v3("k = 6")
+        t = IcebergTable(spark, root)
+        assert {r.k for r in t.read().collect()} == {2, 3, 7, 9, 10, 11}
+        # eq deletes only apply to STRICTLY OLDER data files: a re-append
+        # of k=1 after the delete survives
+        t.append(spark.createDataFrame([(1, 99)], "k long, tag long"))
+        t = IcebergTable(spark, root)
+        assert {(r.k, r.tag) for r in t.read().collect()} == {
+            (1, 99), (2, 2), (3, 0), (7, 1), (9, 0), (10, 1), (11, 2),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -78,15 +78,23 @@ def test_puffin_refusals(tmp_path):
         f.write(b"NOPE" + b"\x00" * 20)
     with pytest.raises(ValueError, match="magic"):
         read_puffin_footer(p)
-    # LZ4-compressed footer flag → loud NotImplementedError
+    # r7: the LZ4 footer flag is IMPLEMENTED — a flag bit set without the
+    # payload actually being a frame must fail loudly as a bad frame...
     good = os.path.join(str(tmp_path), "good.puffin")
     write_puffin(good, [{"type": DV_BLOB_TYPE, "data": dv_blob_data([1])}])
     raw = bytearray(open(good, "rb").read())
-    raw[-8] |= 0x01  # set footer-compression flag bit
+    raw[-8] |= 0x01  # claim footer compression over a JSON payload
     lz = os.path.join(str(tmp_path), "lz.puffin")
     open(lz, "wb").write(bytes(raw))
-    with pytest.raises(NotImplementedError, match="LZ4"):
+    with pytest.raises(ValueError, match="LZ4 frame"):
         read_puffin_footer(lz)
+    # ...and UNKNOWN flag bits still refuse loudly
+    raw2 = bytearray(open(good, "rb").read())
+    raw2[-8] |= 0x02
+    unk = os.path.join(str(tmp_path), "unk.puffin")
+    open(unk, "wb").write(bytes(raw2))
+    with pytest.raises(NotImplementedError, match="flags"):
+        read_puffin_footer(unk)
     # truncated blob span
     with pytest.raises(ValueError, match="truncated"):
         read_puffin_blob(good, 4, 10_000)
