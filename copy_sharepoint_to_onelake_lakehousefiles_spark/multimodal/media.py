@@ -1657,24 +1657,29 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(run, schema)
 
 
-@query("q60_media_features")
-def q60_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline round-trip (rows-only: binary I/O). Builds a tiny
-    TYPED blob tree under /tmp — real P6 PPM images, REAL PNG/GIF/JPEG
-    payloads (decoded by the from-scratch stdlib codecs), PCM WAV tones —
-    ingests via binaryFile, probes container metadata (probe_media: mime +
-    dimensions + duration), extracts features (real pixel/sample decode for
-    every container here, including a PROGRESSIVE JPEG; the stub remains
-    only for formats the codecs refuse, e.g. arithmetic-coded JPEG), and
-    profiles per detected mime."""
+_MEDIA_ORACLE_DIR = "/root/repo/tests/fixtures"
+
+_Q60_ORACLE = f"""
+SELECT mime, CAST(n_media AS BIGINT) AS n_media,
+       CAST(total_bytes AS BIGINT) AS total_bytes,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(n_with_dims AS BIGINT) AS n_with_dims,
+       CAST(n_with_duration AS BIGINT) AS n_with_duration,
+       CAST(f0_fx AS BIGINT) AS f0_fx
+FROM read_json_auto('{_MEDIA_ORACLE_DIR}/q60_media_oracle.jsonl')
+"""
+
+
+def _build_media_fixture_tree(root: str) -> None:
+    """The deterministic blob tree q60 profiles: every payload is a pure
+    function of its definition below, so the aggregate output is a
+    CONSTANT — which is what lets q60 carry a precomputed-fixture oracle
+    (tests/fixtures/q60_media_oracle.jsonl, independently regenerated by
+    tests/test_media_oracle_fixture.py)."""
     import io
     import os
-    import shutil
-    import tempfile
     import wave
 
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_media_fixture")
-    shutil.rmtree(root, ignore_errors=True)
     os.makedirs(os.path.join(root, "nested"))
 
     def _blob(name: str, payload: bytes) -> None:
@@ -1730,6 +1735,36 @@ def q60_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+
+@query("q60_media_features", oracle=_Q60_ORACLE)
+def q60_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline round-trip. Builds a tiny TYPED blob tree under
+    /tmp — real P6 PPM images, REAL PNG/GIF/JPEG payloads (decoded by the
+    from-scratch stdlib codecs), PCM WAV tones — ingests via binaryFile,
+    probes container metadata (probe_media: mime + dimensions + duration),
+    extracts features (real pixel/sample decode for every container here,
+    including a PROGRESSIVE JPEG; the stub remains only for formats the
+    codecs refuse, e.g. arithmetic-coded JPEG), and profiles per detected
+    mime.
+
+    r7: PROMOTED from rows-only to the hash tier (VERDICT r6 #5) — the
+    decode pipeline is deterministic, so the per-mime profile is a
+    constant. All columns are integer/string; the feature aggregate is an
+    ORDER-INDEPENDENT integer sum (each media's f0 rounded to fixed-point
+    BEFORE summing, so partition order can't flip a rounding edge). The
+    oracle reads the checked-in tests/fixtures/q60_media_oracle.jsonl,
+    which tests/test_media_oracle_fixture.py regenerates from the codec
+    layer WITHOUT Spark and asserts byte-identical."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    # per-run root: two concurrent gates must not race on one fixture tree
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_media_fixture_{_uuid.uuid4().hex[:8]}"
+    )
+    _build_media_fixture_tree(root)
     media = probe_media(read_media_dir(spark, root, kind="image"))
     feats = extract_features(media)
     enriched = feats.join(
@@ -1738,22 +1773,41 @@ def q60_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("meta.duration_ms").alias("duration_ms")),
         "media_id",
     )
-    return enriched.groupBy("mime").agg(
+    out = enriched.groupBy("mime").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
         F.countDistinct("digest").alias("n_distinct"),
         F.count("width").alias("n_with_dims"),
         F.count("duration_ms").alias("n_with_duration"),
-        F.round(F.sum(F.element_at("features", 1)), 4).alias("f0_sum"),
+        F.sum(
+            F.round(F.element_at("features", 1) * 10000).cast("long")
+        ).alias("f0_fx"),
     )
+    res = materialize(out)  # fixture tree is deletable once materialized
+    shutil.rmtree(root, ignore_errors=True)
+    return res
 
 
-@query("q61_media_similarity")
+_Q61_ORACLE = f"""
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(n_id AS BIGINT) AS n_id,
+       CAST(score_fx AS BIGINT) AS score_fx, CAST(rk AS BIGINT) AS rk
+FROM read_json_auto('{_MEDIA_ORACLE_DIR}/q61_media_oracle.jsonl')
+"""
+
+
+@query("q61_media_similarity", oracle=_Q61_ORACLE)
 def q61_media_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal pipeline (rows-only): binaryFile ingest → 
-    Arrow-batched stub decode to feature vectors → exact cosine top-1
-    neighbour per blob via the similarity tier. This is the shape of an
-    image-dedup / frame-retrieval pipeline with real codecs dropped in.
+    """End-to-end multimodal pipeline: binaryFile ingest → Arrow-batched
+    stub decode to feature vectors → exact cosine top-1 neighbour per blob
+    via the similarity tier. This is the shape of an image-dedup /
+    frame-retrieval pipeline with real codecs dropped in.
+
+    r7: PROMOTED from rows-only to the hash tier (VERDICT r6 #5). Vector
+    ids derive from each blob's CONTENT digest (sha-256 → Spark hash), not
+    its /tmp path, so they are stable across runs; cosine scores ship as
+    fixed-point longs (round(cos * 1e6)). The oracle is the checked-in
+    tests/fixtures/q61_media_oracle.jsonl, regenerated WITHOUT Spark by
+    tests/test_media_oracle_fixture.py (pure-numpy features + cosine).
 
     Scale: decode is mapInPandas (CPU-bound, partition-parallel); the ANN
     step reuses operators/similarity (broadcast queries or LSH cells)."""
@@ -1777,10 +1831,15 @@ def q61_media_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = read_media_dir(spark, root, kind="image")
     feats = extract_features(media, dim=16)
     vecs = feats.select(
-        F.abs(F.hash("media_id")).alias("vec_id"),
+        F.abs(F.hash("digest")).cast("long").alias("vec_id"),
         F.col("features").cast("array<float>").alias("embedding"),
     )
-    top1 = cosine_topk(vecs, vecs, k=1)
+    top1 = cosine_topk(vecs, vecs, k=1).select(
+        F.col("q_id").cast("long"),
+        F.col("n_id").cast("long"),
+        F.round(F.col("cosine") * 1e6).cast("long").alias("score_fx"),
+        F.col("rk").cast("long"),
+    )
     out = materialize(top1)  # executor-side re-write; no driver collect
     shutil.rmtree(root, ignore_errors=True)
     return out
