@@ -43,6 +43,16 @@ SHINGLE_WORDS = 5
 # components downstream. Gate corpora never get near it (measured max bucket
 # = 4 at sf0.1), so oracle parity is untouched.
 HOT_BUCKET_CAP = 1024
+# r7 (VERDICT r6 #6): when a cheap probe says the corpus is dominated by
+# EXACT copies (approx_count_distinct(text)/count below this), q26 routes
+# through exact-hash pre-dedup first: LSH runs on one representative per
+# distinct text and pairs expand back through KEYED joins — no collect_list
+# buffer ever sees the flood, so task memory stays bounded at any
+# duplication depth (the old docstring residual at ~100M copies is gone).
+# Output is IDENTICAL to the direct path: exact copies share signatures, so
+# (a, b) collides in a band iff (rep_a, rep_b) does, and jaccard(a, b) =
+# jaccard(rep_a, rep_b).
+FLOOD_PREDEDUP_RATIO = 0.5
 
 
 def _shingled(d: DataFrame) -> DataFrame:
@@ -128,9 +138,11 @@ def band_candidate_pairs(
     duplicate CLUSTER connected (same components under q56's
     connected-components) while a duplicate-flood corpus (100k copies of
     one document) stays linear. Residual bound: the aggregation buffer is
-    O(bucket width × 8 B) in one task (100k-doc flood bucket = 800 KB);
-    plans needing more than ~100M near-identical copies of one document in
-    one bucket should pre-dedup exactly (q22) first."""
+    O(bucket width × 8 B) in one task. EXACT-copy floods never reach this
+    buffer at all — q26's probe routes heavy duplication through
+    ``_lsh_pairs_flood_route`` (exact-hash pre-dedup, keyed joins only)
+    first, so the only buckets that can still grow here are NEAR-dup (not
+    byte-identical) clusters, which the star cap bounds."""
     buckets = bands.groupBy("bkey").agg(
         F.collect_list("doc_id").alias("ids"),
         # the star hub, computed ONCE per bucket — referencing array_min
@@ -232,11 +244,31 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: shingle → 12 min-hashes → 6 bands × 2 rows → equi-join on
     (band_id, band_key) → exact Jaccard ≥ 0.5 on candidates. The band join is
     the only shuffle over the corpus; candidate verification touches only
-    colliding pairs (not n²)."""
+    colliding pairs (not n²).
+
+    r7 flood guard (VERDICT r6 #6): one cheap aggregate probes
+    approx_count_distinct(text)/count; heavy exact duplication routes
+    through ``_lsh_pairs_flood_route`` (pre-dedup by sha2(text), LSH on
+    representatives, keyed-join expansion) — output-identical, task
+    memory bounded at ANY duplication depth. Gate corpora are ~all
+    distinct and stay on the direct route, so oracle parity (and the
+    bench plan) is untouched."""
     d = load(spark, sf_dir, "documents")
     # Persist the shingle table: it feeds the signature AND the two
     # re-attach joins (at 100 TB: write it to the lake once instead).
     sh = track_persist(_shingled(d))
+    probe = d.agg(
+        F.approx_count_distinct("text").alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]  # bounded driver hop: two longs
+    if probe["n"] and probe["nd"] / probe["n"] < FLOOD_PREDEDUP_RATIO:
+        return _lsh_pairs_flood_route(d, sh)
+    return _lsh_scored_pairs(sh)
+
+
+def _lsh_scored_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingles) → LSH-banded candidates verified with the exact
+    scaled-integer jaccard — the shared kernel of q26's two routes."""
     sig = with_minhash_signature(sh).select("doc_id", "sig")
     # Band rows carry ONLY (doc_id, bkey) — an 8-byte xxhash64 bigint over
     # (band_id, band rows), NOT a concat_ws string (the q153 slimming: 4×
@@ -274,6 +306,63 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor((inter * 20000 + union) / (union * 2)) / 10000.0).alias("jaccard"),
         )
     )
+
+
+def _lsh_pairs_flood_route(
+    d: DataFrame, sh: DataFrame, cap: int = HOT_BUCKET_CAP
+) -> DataFrame:
+    """q26 under heavy EXACT duplication: pre-dedup by sha2(text), run LSH
+    on one representative per distinct text, then expand back. Every stage
+    is a keyed shuffle or keyed join — NO per-bucket array buffer touches
+    the flood, so task memory is bounded at any duplication depth (1M-copy
+    smoke in tests/test_scale_smoke.py).
+
+    Output-identical to the direct route: exact copies share shingle sets
+    and therefore signatures, so (a, b) is a band candidate iff
+    (rep_a, rep_b) is, with the same jaccard. Within-group pairs are
+    jaccard-1.0 by construction: groups ≤ cap emit all pairs (what direct
+    banding would), larger groups emit rep-star pairs (what the direct
+    route's HOT_BUCKET_CAP would)."""
+    keyed = (
+        d.select("doc_id", F.sha2("text", 256).alias("h"))
+        .join(sh.select("doc_id"), "doc_id")  # same >=5-word population
+    )
+    stats = keyed.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("rep")
+    )
+    keyed = track_persist(keyed.join(stats, "h"))  # doc_id, h, cnt, rep
+    small = keyed.where(F.col("cnt") <= F.lit(cap))
+    within = (
+        small.select("h", F.col("doc_id").alias("doc_a"))
+        .join(small.select("h", F.col("doc_id").alias("doc_b")), "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .drop("h")
+    )
+    star = keyed.where(
+        (F.col("cnt") > F.lit(cap)) & (F.col("doc_id") != F.col("rep"))
+    ).select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    dup_pairs = within.unionByName(star).select(
+        "doc_a", "doc_b", F.lit(1.0).alias("jaccard")
+    )
+    reps_sh = sh.join(stats.select(F.col("rep").alias("doc_id")), "doc_id")
+    rep_scored = _lsh_scored_pairs(reps_sh)
+    members = keyed.select("rep", "doc_id")
+    expanded = (
+        rep_scored.join(
+            members.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            members.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("mb")),
+            "doc_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return dup_pairs.unionByName(expanded)
 
 
 def _jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:

@@ -262,13 +262,17 @@ def test_capstone_funnel_absorbs_10x_duplication(spark, inflated_dir):
 
 
 def test_duplicate_flood_candidates_stay_linear(spark, tmp_path):
-    """VERDICT r5 #1 (the last theoretical dedup scale-killer): 100k copies
-    of ONE document collide in every band — uncapped pairwise candidate
-    generation would be ~3×10¹⁰ pairs (6 bands × 100k²/2). The hot-bucket
-    star routing must bound candidates to O(k) and the full q26 must
-    COMPLETE, emitting exactly the n−1 hub–member pairs at jaccard 1.0 (the
-    same connected component the uncapped join would produce)."""
-    n = 100_000
+    """VERDICT r5 #1 / r6 #6 (the last theoretical dedup scale-killer):
+    1M copies of ONE document collide in every band — uncapped pairwise
+    candidate generation would be ~3×10¹² pairs (6 bands × 1M²/2). The r7
+    flood probe must route through exact-hash pre-dedup (keyed joins only
+    — NO collect_list buffer ever holds the flood, so task memory is
+    bounded at any duplication depth) and the full q26 must COMPLETE,
+    emitting exactly the n−1 rep–member pairs at jaccard 1.0 (the same
+    connected component the uncapped join would produce). Assertions run
+    as AGGREGATES — collecting 1M pairs to the driver would itself be the
+    anti-pattern this test polices."""
+    n = 1_000_000
     root = str(tmp_path / "flood")
     os.makedirs(root)
     text = "alpha beta gamma delta epsilon zeta eta theta"
@@ -280,10 +284,55 @@ def test_duplicate_flood_candidates_stay_linear(spark, tmp_path):
         .write.parquet(os.path.join(root, "documents.parquet"))
     )
     pairs = all_queries()["q26_minhash_lsh_pairs"](spark, root)
-    rows = pairs.collect()
-    assert len(rows) == n - 1
-    assert all(r["jaccard"] == 1.0 for r in rows)
-    assert all(r["doc_a"] == 0 for r in rows)  # hub = bucket-min doc_id
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("jaccard").alias("jmin"),
+        F.max("jaccard").alias("jmax"),
+        F.countDistinct("doc_a").alias("n_hubs"),
+        F.min("doc_a").alias("hub"),
+        F.countDistinct("doc_b").alias("n_members"),
+    ).collect()[0]
+    assert s["n_pairs"] == n - 1
+    assert s["jmin"] == 1.0 and s["jmax"] == 1.0
+    assert s["n_hubs"] == 1 and s["hub"] == 0  # hub = group-min doc_id
+    assert s["n_members"] == n - 1
+
+
+def test_flood_route_is_output_identical_to_direct_lsh(spark, sf_dir):
+    """The r7 pre-dedup route must be a pure PLAN change: on a corpus with
+    injected exact copies, forcing the flood route and forcing the direct
+    route must emit the SAME pair set (copies share signatures, so band
+    collisions and jaccards are identical by construction — this pins it)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.dedup import (
+        _lsh_pairs_flood_route,
+        _lsh_scored_pairs,
+        _shingled,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.tables import load
+
+    d0 = load(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+    # inject exact copies: 3 clones of every 4th doc, ids offset by 10_000
+    clones = (
+        d0.where(F.col("doc_id") % 4 == 0)
+        .crossJoin(spark.range(3).select(F.col("id").alias("c")))
+        .select(
+            (F.col("doc_id") + 10_000 * (F.col("c") + 1)).alias("doc_id"),
+            "text",
+        )
+    )
+    d = d0.unionByName(clones)
+    sh = _shingled(d).persist()
+    direct = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in _lsh_scored_pairs(sh).collect()
+    }
+    flooded = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in _lsh_pairs_flood_route(d, sh).collect()
+    }
+    sh.unpersist()
+    assert len(direct) > len(d0.collect())  # clones really produced pairs
+    assert flooded == direct
 
 
 def test_band_join_uses_bigint_keys_and_star_routing(spark, sf_dir):
