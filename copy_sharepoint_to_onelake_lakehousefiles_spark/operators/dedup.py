@@ -53,6 +53,30 @@ HOT_BUCKET_CAP = 1024
 # (a, b) collides in a band iff (rep_a, rep_b) does, and jaccard(a, b) =
 # jaccard(rep_a, rep_b).
 FLOOD_PREDEDUP_RATIO = 0.5
+# Corpora below this many rows skip the probe entirely: the direct route's
+# star cap is already memory-safe there (collect_list buffer = 8 B × bucket
+# width ≤ 40 MB even if EVERY row floods one bucket), and the probe job
+# would be pure overhead on the common path. Row count comes from parquet
+# FOOTERS (driver-side metadata read, no Spark job). Tests lower this to
+# force the probe.
+PROBE_MIN_ROWS = 5_000_000
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Total row count from parquet footer metadata only (file or
+    directory of part files) — the zero-cost driver-side probe gate."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(dp, n)).metadata.num_rows
+            for dp, _dn, names in os.walk(path)
+            for n in names
+            if n.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def _shingled(d: DataFrame) -> DataFrame:
@@ -253,16 +277,31 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory bounded at ANY duplication depth. Gate corpora are ~all
     distinct and stay on the direct route, so oracle parity (and the
     bench plan) is untouched."""
+    import os as _os
+
     d = load(spark, sf_dir, "documents")
     # Persist the shingle table: it feeds the signature AND the two
     # re-attach joins (at 100 TB: write it to the lake once instead).
     sh = track_persist(_shingled(d))
-    probe = d.agg(
-        F.approx_count_distinct("text").alias("nd"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]  # bounded driver hop: two longs
-    if probe["n"] and probe["nd"] / probe["n"] < FLOOD_PREDEDUP_RATIO:
-        return _lsh_pairs_flood_route(d, sh)
+    # Probe gate: parquet-footer row count (free, driver-side). Small
+    # corpora go straight to the direct route — its star cap already
+    # bounds them — so the common path pays ZERO probe overhead.
+    if _parquet_num_rows(_os.path.join(sf_dir, "documents.parquet")) >= PROBE_MIN_ROWS:
+        # 10% seeded sample of the text column only: must not force the
+        # shingle cache eagerly (that serializes the pipeline into two
+        # jobs) and must not pay a full second documents pass at 100 TB.
+        # A sample that under-counts duplication merely keeps the
+        # (always-correct) direct route.
+        probe = (
+            d.sample(0.1, seed=7)
+            .agg(
+                F.approx_count_distinct(F.xxhash64("text")).alias("nd"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]  # bounded driver hop: two longs
+        )
+        if probe["n"] and probe["nd"] / probe["n"] < FLOOD_PREDEDUP_RATIO:
+            return _lsh_pairs_flood_route(d, sh)
     return _lsh_scored_pairs(sh)
 
 

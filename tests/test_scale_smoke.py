@@ -271,7 +271,11 @@ def test_duplicate_flood_candidates_stay_linear(spark, tmp_path):
     emitting exactly the n−1 rep–member pairs at jaccard 1.0 (the same
     connected component the uncapped join would produce). Assertions run
     as AGGREGATES — collecting 1M pairs to the driver would itself be the
-    anti-pattern this test polices."""
+    anti-pattern this test polices. PROBE_MIN_ROWS is lowered so the 1M
+    corpus takes the probed flood route (production threshold is 5M; the
+    direct route's star cap covers anything smaller)."""
+    import copy_sharepoint_to_onelake_lakehousefiles_spark.operators.dedup as dedup_mod
+
     n = 1_000_000
     root = str(tmp_path / "flood")
     os.makedirs(root)
@@ -283,7 +287,12 @@ def test_duplicate_flood_candidates_stay_linear(spark, tmp_path):
                 F.length(F.lit(text)).alias("n_chars"))
         .write.parquet(os.path.join(root, "documents.parquet"))
     )
-    pairs = all_queries()["q26_minhash_lsh_pairs"](spark, root)
+    old = dedup_mod.PROBE_MIN_ROWS
+    dedup_mod.PROBE_MIN_ROWS = 0
+    try:
+        pairs = all_queries()["q26_minhash_lsh_pairs"](spark, root)
+    finally:
+        dedup_mod.PROBE_MIN_ROWS = old
     s = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.min("jaccard").alias("jmin"),
