@@ -570,6 +570,7 @@ class DeltaTable:
         part_cols: list[str],
         with_identity: bool = False,
         phys: dict[str, str] | None = None,
+        extra_phys: list[str] | None = None,
     ) -> DataFrame:
         """Union of the given add-actions' rows. Files carrying a
         ``deletionVector`` are masked merge-on-read: each scan attaches the
@@ -579,15 +580,24 @@ class DeltaTable:
         ``with_identity`` the (file, ordinal) columns ``__dv_fp`` /
         ``__dv_pos`` stay on the output (the input to ``delete_vectors``).
         Under column mapping, files are scanned by PHYSICAL name and the
-        output is aliased back to logical names."""
+        output is aliased back to logical names. ``extra_phys`` names
+        PHYSICAL long columns outside the table schema to surface as-is
+        (row tracking's materialized columns; parquet null-fills files
+        that don't carry them)."""
         phys = phys or {f.name: f.name for f in full_schema.fields}
+        extra_phys = list(extra_phys or [])
         data_fields = [f for f in full_schema.fields if f.name not in part_cols]
         data_schema = T.StructType(
             [T.StructField(phys[f.name], f.dataType, f.nullable) for f in data_fields]
+            + [T.StructField(n, T.LongType(), True) for n in extra_phys]
         )
-        to_logical = [F.col(phys[f.name]).alias(f.name) for f in data_fields]
+        to_logical = [F.col(phys[f.name]).alias(f.name) for f in data_fields] + [
+            F.col(n) for n in extra_phys
+        ]
         if not adds:
             out = self.spark.createDataFrame([], T.StructType(list(full_schema.fields)))
+            for n in extra_phys:
+                out = out.withColumn(n, F.lit(None).cast("long"))
             if with_identity:
                 out = out.withColumn("__dv_fp", F.lit(None).cast("string"))
                 out = out.withColumn("__dv_pos", F.lit(None).cast("long"))
@@ -598,7 +608,7 @@ class DeltaTable:
             _decoded_file_path().alias("__dv_fp"),
             F.col("_metadata.row_index").alias("__dv_pos"),
         ]
-        out_cols = [f.name for f in full_schema.fields]
+        out_cols = [f.name for f in full_schema.fields] + extra_phys
         if need_id:
             out_cols = out_cols + ["__dv_fp", "__dv_pos"]
         if not part_cols:
@@ -686,6 +696,25 @@ class DeltaTable:
                             ]
                         ),
                     ),
+                    # row tracking (spec §Row Tracking): checkpoints must
+                    # carry the add's base row id / default commit version
+                    ("baseRowId", pa.int64()),
+                    ("defaultRowCommitVersion", pa.int64()),
+                ]
+            ),
+        )
+
+    @staticmethod
+    def _ckpt_dm_field():
+        import pyarrow as pa
+
+        return pa.field(
+            "domainMetadata",
+            pa.struct(
+                [
+                    ("domain", pa.string()),
+                    ("configuration", pa.string()),
+                    ("removed", pa.bool_()),
                 ]
             ),
         )
@@ -700,6 +729,8 @@ class DeltaTable:
             "dataChange": False,
             "stats": a.get("stats"),
             "deletionVector": a.get("deletionVector"),
+            "baseRowId": a.get("baseRowId"),
+            "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
         }
 
     def write_checkpoint_v2(self, sidecar_parts: int = 2) -> dict:
@@ -779,6 +810,7 @@ class DeltaTable:
                         ]
                     ),
                 ),
+                self._ckpt_dm_field(),
             ]
         )
         rows = [
@@ -793,6 +825,15 @@ class DeltaTable:
                     "configuration": json.dumps(meta.get("configuration") or {}),
                 }
             },
+        ] + [
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": json.dumps(cfg),
+                    "removed": False,
+                }
+            }
+            for domain, cfg in sorted(self.domain_metadata(version).items())
         ] + [
             {"sidecar": {**sc, "modificationTime": 0}} for sc in sidecars
         ]
@@ -821,9 +862,8 @@ class DeltaTable:
 
         adds, meta = self.snapshot(version)
         rows = [
-            {"add": None, "metaData": None, "protocol": self.protocol(version)},
+            {"protocol": self.protocol(version)},
             {
-                "add": None,
                 "metaData": {
                     "id": meta["id"],
                     "format": json.dumps(meta.get("format") or {}),
@@ -831,52 +871,25 @@ class DeltaTable:
                     "partitionColumns": json.dumps(meta.get("partitionColumns") or []),
                     "configuration": json.dumps(meta.get("configuration") or {}),
                 },
-                "protocol": None,
             },
         ]
-        for a in adds:
+        # domain metadata survives commit expiry only through checkpoints
+        # (spec §Domain Metadata) — row tracking's high-water mark rides here
+        for domain, cfg in sorted(self.domain_metadata(version).items()):
             rows.append(
                 {
-                    "add": {
-                        "path": a["path"],
-                        "partitionValues": a.get("partitionValues") or {},
-                        "size": a.get("size", 0),
-                        "modificationTime": a.get("modificationTime", 0),
-                        "dataChange": False,
-                        "stats": a.get("stats"),
-                        "deletionVector": a.get("deletionVector"),
-                    },
-                    "metaData": None,
-                    "protocol": None,
+                    "domainMetadata": {
+                        "domain": domain,
+                        "configuration": json.dumps(cfg),
+                        "removed": False,
+                    }
                 }
             )
+        for a in adds:
+            rows.append({"add": self._ckpt_add_row(a)})
         schema = pa.schema(
             [
-                pa.field(
-                    "add",
-                    pa.struct(
-                        [
-                            ("path", pa.string()),
-                            ("partitionValues", pa.map_(pa.string(), pa.string())),
-                            ("size", pa.int64()),
-                            ("modificationTime", pa.int64()),
-                            ("dataChange", pa.bool_()),
-                            ("stats", pa.string()),
-                            (
-                                "deletionVector",
-                                pa.struct(
-                                    [
-                                        ("storageType", pa.string()),
-                                        ("pathOrInlineDv", pa.string()),
-                                        ("offset", pa.int64()),
-                                        ("sizeInBytes", pa.int64()),
-                                        ("cardinality", pa.int64()),
-                                    ]
-                                ),
-                            ),
-                        ]
-                    ),
-                ),
+                self._ckpt_add_field(),
                 pa.field(
                     "metaData",
                     pa.struct(
@@ -900,11 +913,9 @@ class DeltaTable:
                         ]
                     ),
                 ),
+                self._ckpt_dm_field(),
             ]
         )
-        for r in rows:
-            if r["add"] is not None:
-                r["add"]["partitionValues"] = list(r["add"]["partitionValues"].items())
         if parts and parts > 1:
             n = min(parts, len(rows)) or 1
             groups: list[list[dict]] = [rows[i::n] for i in range(n)]
@@ -1113,6 +1124,223 @@ class DeltaTable:
                 "writerFeatures": sorted(wf),
             }
         }
+
+    # ----------------------------------------------------- row tracking
+
+    RT_DOMAIN = "delta.rowTracking"
+
+    def domain_metadata(self, version: int | None = None) -> dict[str, dict]:
+        """Resolved DOMAIN METADATA at ``version`` (spec §Domain Metadata):
+        latest configuration per domain wins; ``removed: true`` tombstones
+        drop it. Reads the checkpoint's domainMetadata rows (when the
+        column exists — older checkpoints predate the feature) plus the
+        JSON tail, exactly like ``protocol()``."""
+        v = self.latest_version() if version is None else version
+        domains: dict[str, dict] = {}
+
+        def absorb(d: dict) -> None:
+            if not d or not d.get("domain"):
+                return
+            if d.get("removed"):
+                domains.pop(d["domain"], None)
+            else:
+                cfg = d.get("configuration")
+                domains[d["domain"]] = (
+                    json.loads(cfg) if isinstance(cfg, str) else dict(cfg or {})
+                )
+
+        ck = self._checkpoint_version_at_or_before(v)
+        start = 0
+        if ck is not None:
+            import pyarrow.parquet as pq
+
+            for name in self._checkpoint_sets()[ck]:
+                path = os.path.join(self.log_dir, name)
+                if "domainMetadata" not in pq.read_schema(path).names:
+                    continue
+                for r in pq.read_table(path, columns=["domainMetadata"]).to_pylist():
+                    absorb(r.get("domainMetadata"))
+            start = ck + 1
+        for u in range(start, v + 1):
+            if u not in self.versions():
+                continue
+            for action in self._commit_actions(u):
+                if "domainMetadata" in action:
+                    absorb(action["domainMetadata"])
+        return domains
+
+    @staticmethod
+    def _rt_cols(meta: dict) -> tuple[str, str] | None:
+        """(materialized row-id column, materialized row-commit-version
+        column) physical names, or None when row tracking is off."""
+        cfg = meta.get("configuration") or {}
+        if cfg.get("delta.enableRowTracking") != "true":
+            return None
+        return (
+            cfg["delta.rowTracking.materializedRowIdColumnName"],
+            cfg["delta.rowTracking.materializedRowCommitVersionColumnName"],
+        )
+
+    @staticmethod
+    def _add_num_records(a: dict) -> int:
+        raw = a.get("stats")
+        if not raw:
+            raise NotImplementedError(
+                f"row tracking needs numRecords stats on every file; "
+                f"{a['path']} has none"
+            )
+        st = json.loads(raw) if isinstance(raw, str) else raw
+        return int(st["numRecords"])
+
+    def _rt_stamp(self, new_adds: list[dict], v: int) -> list[dict]:
+        """Assign fresh ``baseRowId`` / ``defaultRowCommitVersion`` to the
+        given add actions (spec §Row Tracking: every add in a commit gets a
+        base row id above the high-water mark; files are ordered by path so
+        assignment is deterministic) and return the domainMetadata action
+        carrying the advanced ``rowIdHighWaterMark``."""
+        dm = self.domain_metadata()
+        hwm = int((dm.get(self.RT_DOMAIN) or {}).get("rowIdHighWaterMark", -1))
+        for a in sorted(new_adds, key=lambda a: a["path"]):
+            a["baseRowId"] = hwm + 1
+            a["defaultRowCommitVersion"] = v
+            hwm += self._add_num_records(a)
+        return [
+            {
+                "domainMetadata": {
+                    "domain": self.RT_DOMAIN,
+                    "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                    "removed": False,
+                }
+            }
+        ]
+
+    def enable_row_tracking(self) -> dict:
+        """Delta ROW TRACKING (spec §Row Tracking — the Delta twin of
+        Iceberg v3 row lineage, plans/iceberg.py enable_row_lineage):
+        upgrades the protocol with the ``rowTracking`` + ``domainMetadata``
+        writer features, sets ``delta.enableRowTracking`` plus the two
+        MATERIALIZED column-name properties (fresh non-colliding physical
+        names), BACKFILLS every live file with a ``baseRowId`` /
+        ``defaultRowCommitVersion`` (re-added in path order, dataChange
+        false — the RowTrackingBackfill shape), and records the row-id
+        high-water mark as ``delta.rowTracking`` domain metadata.
+
+        After this: fresh row id = baseRowId + position and fresh commit
+        version = defaultRowCommitVersion; writers that COPY rows
+        (compact/delete/merge rewrites) materialize the stable values into
+        the physical columns, where non-null materialized values win on
+        read (``row_tracking_df``). DV deletes never move rows, so
+        survivors keep ids for free."""
+        adds, meta = self.snapshot()
+        cfg = dict(meta.get("configuration") or {})
+        if cfg.get("delta.enableRowTracking") == "true":
+            dm = self.domain_metadata()
+            return {
+                "already_enabled": True,
+                "row_id_high_water_mark": int(
+                    (dm.get(self.RT_DOMAIN) or {}).get("rowIdHighWaterMark", -1)
+                ),
+            }
+        v = self.latest_version() + 1
+        tag = uuid.uuid4().hex[:8]
+        cfg["delta.enableRowTracking"] = "true"
+        cfg["delta.rowTracking.materializedRowIdColumnName"] = f"_row-id-col-{tag}"
+        cfg["delta.rowTracking.materializedRowCommitVersionColumnName"] = (
+            f"_row-commit-col-{tag}"
+        )
+        new_meta = dict(meta)
+        new_meta["configuration"] = cfg
+        actions: list[dict] = [self._commit_info("ALTER TABLE (rowTracking)")]
+        up = self._feature_upgrade_action("rowTracking", writer_only=True)
+        if up is None:
+            up = self._feature_upgrade_action("domainMetadata", writer_only=True)
+        else:
+            wf = set(up["protocol"]["writerFeatures"]) | {"domainMetadata"}
+            up["protocol"]["writerFeatures"] = sorted(wf)
+        if up:
+            actions.append(up)
+        actions.append({"metaData": new_meta})
+        hwm = -1
+        for a in sorted(adds, key=lambda a: a["path"]):
+            na = dict(a)
+            na["baseRowId"] = hwm + 1
+            na["defaultRowCommitVersion"] = v
+            na["dataChange"] = False
+            hwm += self._add_num_records(a)
+            actions.append({"add": na})
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": self.RT_DOMAIN,
+                    "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                    "removed": False,
+                }
+            }
+        )
+        self._publish(v, actions)
+        return {
+            "already_enabled": False,
+            "version": v,
+            "files_backfilled": len(adds),
+            "row_id_high_water_mark": hwm,
+        }
+
+    def _rt_resolved(
+        self,
+        adds: list[dict],
+        meta: dict,
+        with_identity: bool = False,
+    ) -> DataFrame:
+        """Rows of ``adds`` with the two row-tracking physical columns
+        RESOLVED (spec precedence: non-null materialized value, else
+        baseRowId + position / defaultRowCommitVersion). The (file → base,
+        default) map is O(#files) and broadcast."""
+        rid_col, rcv_col = self._rt_cols(meta)
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = list(meta.get("partitionColumns") or [])
+        base = self._read_entries(
+            adds,
+            schema,
+            part_cols,
+            with_identity=True,
+            phys=self._phys_map(meta),
+            extra_phys=[rid_col, rcv_col],
+        )
+        rows = [
+            (
+                os.path.abspath(self._abs_path(a["path"])),
+                a.get("baseRowId"),
+                a.get("defaultRowCommitVersion"),
+            )
+            for a in adds
+        ]
+        m = self.spark.createDataFrame(
+            rows, "__dv_fp string, __rt_base long, __rt_dflt long"
+        )
+        tail = ["__dv_fp", "__dv_pos"] if with_identity else []
+        return base.join(F.broadcast(m), "__dv_fp", "left").select(
+            *schema.fieldNames(),
+            F.coalesce(F.col(rid_col), F.col("__rt_base") + F.col("__dv_pos")).alias(
+                rid_col
+            ),
+            F.coalesce(F.col(rcv_col), F.col("__rt_dflt")).alias(rcv_col),
+            *tail,
+        )
+
+    def row_tracking_df(self, version: int | None = None) -> DataFrame:
+        """Snapshot read with the stable row-tracking columns ``_row_id``
+        and ``_row_commit_version`` (fresh values inherited from the add
+        action, materialized values — written by row-copying rewrites —
+        winning where present, per spec)."""
+        adds, meta = self.snapshot(version)
+        rt = self._rt_cols(meta)
+        if rt is None:
+            raise ValueError("row tracking not enabled (delta.enableRowTracking)")
+        rid_col, rcv_col = rt
+        out = self._rt_resolved(adds, meta)
+        return out.withColumnRenamed(rid_col, "_row_id").withColumnRenamed(
+            rcv_col, "_row_commit_version"
+        )
 
     def enable_column_mapping(self) -> dict:
         """Upgrade to ``delta.columnMapping.mode = name``: every existing
@@ -1387,6 +1615,8 @@ class DeltaTable:
         actions.extend(adds_meta)
         actions.extend({"add": a} for a in adds)
         v = self.latest_version() + 1
+        if self._rt_cols(meta):
+            actions.extend(self._rt_stamp(adds, v))
         self._publish(v, actions)
         return {"version": v, "files_added": len(adds)}
 
@@ -1413,6 +1643,10 @@ class DeltaTable:
         )
         actions.extend({"add": a} for a in adds)
         v = self.latest_version() + 1
+        if self._rt_cols(meta):
+            # overwrite REPLACES logical rows: all ids are fresh (spec —
+            # no carry-through semantics exist for replaced rows)
+            actions.extend(self._rt_stamp(adds, v))
         self._publish(v, actions)
         return {"version": v, "files_added": len(adds), "files_removed": len(old)}
 
@@ -1466,6 +1700,8 @@ class DeltaTable:
             # insert — min(key)=None must NOT be read as "empty batch"
             new_adds = self._stage_files(updates, part_cols, phys=phys)
             actions.extend({"add": a} for a in new_adds)
+            if self._rt_cols(meta):
+                actions.extend(self._rt_stamp(new_adds, v))
             self._publish(v, actions)
             return {"updated": 0, "inserted": n_rows, "files_rewritten": 0,
                     "files_carried": len(adds)}
@@ -1504,11 +1740,35 @@ class DeltaTable:
             return True
 
         touched = [a for a in adds if overlaps_key(a)]
+        rt = self._rt_cols(meta)
         if touched:
-            touched_df = self._read_entries(touched, schema, part_cols, phys=phys)
+            if rt:
+                # row tracking (spec §Row Tracking): carried-over rows keep
+                # their materialized (id, commit version); UPDATED rows keep
+                # their id but take THIS commit's version; inserted rows get
+                # null materialized values (fresh ids via baseRowId +
+                # position inheritance in the new file)
+                rid_col, rcv_col = rt
+                touched_full = self._rt_resolved(touched, meta)
+                touched_df = touched_full.drop(rid_col, rcv_col)
+            else:
+                touched_full = touched_df = self._read_entries(
+                    touched, schema, part_cols, phys=phys
+                )
             matched = touched_df.join(updates.select(key), key, "left_semi").count()
-            kept = touched_df.join(updates.select(key), key, "left_anti")
-            new_adds = self._stage_files(kept.unionByName(updates), part_cols, phys=phys)
+            kept = touched_full.join(updates.select(key), key, "left_anti")
+            if rt:
+                old_ids = touched_full.select(key, rid_col).join(
+                    updates.select(key), key, "left_semi"
+                )
+                ups = (
+                    updates.join(old_ids, key, "left")
+                    .withColumn(rcv_col, F.lit(v).cast("long"))
+                    .select(*kept.columns)
+                )
+            else:
+                ups = updates
+            new_adds = self._stage_files(kept.unionByName(ups), part_cols, phys=phys)
             if self._cdf_enabled(meta):
                 # CHANGE DATA FEED: a MERGE's updates are NOT derivable from
                 # add/remove netting (it sees whole-file deltas), so the
@@ -1541,6 +1801,8 @@ class DeltaTable:
             new_adds = self._stage_files(updates, part_cols, phys=phys)
         actions.extend(self._remove_action(a, now_ms) for a in touched)
         actions.extend({"add": a} for a in new_adds)
+        if rt:
+            actions.extend(self._rt_stamp(new_adds, v))
         self._publish(v, actions)
         n_updates = updates.count()
         return {
@@ -1582,12 +1844,21 @@ class DeltaTable:
         if not hit:
             self._publish(v, actions)
             return {"deleted": 0, "files_rewritten": 0}
-        hit_df = self._read_entries(hit, schema, part_cols, phys=phys)
+        rt = self._rt_cols(meta)
+        if rt:
+            # row tracking: survivors are COPIED rows — materialize their
+            # resolved _row_id/_row_commit_version into the rewritten
+            # files so ids survive the copy-on-write (spec §Row Tracking)
+            hit_df = self._rt_resolved(hit, meta)
+        else:
+            hit_df = self._read_entries(hit, schema, part_cols, phys=phys)
         deleted = hit_df.where(predicate).count()
         kept = hit_df.where(f"NOT ({predicate}) OR ({predicate}) IS NULL")
         new_adds = self._stage_files(kept, part_cols, phys=phys)
         actions.extend(self._remove_action(a, now_ms) for a in hit)
         actions.extend({"add": a} for a in new_adds)
+        if rt:
+            actions.extend(self._rt_stamp(new_adds, v))
         self._publish(v, actions)
         return {"deleted": deleted, "files_rewritten": len(hit)}
 
@@ -1716,6 +1987,18 @@ class DeltaTable:
             {"protocol": self.protocol()},
             {"metaData": new_meta},
         ]
+        # domain metadata carries over (row tracking's high-water mark —
+        # without it the clone's next append would reuse row ids)
+        for domain, cfg in sorted(self.domain_metadata().items()):
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": domain,
+                        "configuration": json.dumps(cfg),
+                        "removed": False,
+                    }
+                }
+            )
         for a in adds:
             a2 = dict(a)
             a2["path"] = quote(os.path.abspath(self._abs_path(a["path"])))
@@ -1861,11 +2144,21 @@ class DeltaTable:
             ).append(a)
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [self._commit_info("OPTIMIZE")]
+        rt = self._rt_cols(meta)
         rewritten = 0
+        all_new: list[dict] = []
         for _key, group in groups.items():
             if zorder_by is None and len(group) <= target_files:
                 continue  # clustering rewrites even single files; bin-pack skips
-            df = self._read_entries(group, schema, part_cols, phys=phys)
+            if rt:
+                # row tracking: OPTIMIZE copies rows, so it MATERIALIZES
+                # their resolved (_row_id, _row_commit_version) into the
+                # rewritten files — ids survive compaction (spec §Row
+                # Tracking; the Delta twin of Iceberg's lineage-preserving
+                # rewrite_data_files)
+                df = self._rt_resolved(group, meta)
+            else:
+                df = self._read_entries(group, schema, part_cols, phys=phys)
             if zorder_by is not None:
                 from ..functions.layout import cluster_by_morton
 
@@ -1880,10 +2173,14 @@ class DeltaTable:
             for a in new_adds:
                 a["dataChange"] = False
                 actions.append({"add": a})
+            all_new.extend(new_adds)
             rewritten += len(group)
         if rewritten == 0:
             return {"files_rewritten": 0}
-        self._publish(self.latest_version() + 1, actions)
+        v = self.latest_version() + 1
+        if rt:
+            actions.extend(self._rt_stamp(all_new, v))
+        self._publish(v, actions)
         return {"files_rewritten": rewritten}
 
     def vacuum(self, retain_versions: int = 2, min_age_seconds: float = 3600.0) -> dict:
@@ -2870,4 +3167,105 @@ def q175_delta_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").cast("long"),
         "n_name",
         F.col("_change_type").alias("change_type"),
+    )
+
+
+_RT_CACHE: dict = {}
+
+
+def _row_tracking_demo_table(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """Row-tracking demo, memoized per (session, sf_dir): nation written as
+    ONE ordered file → enable_row_tracking (backfill ids 0..24 in key
+    order, commit v1) → append five ordered region-derived rows (ids
+    25..29, v2) → CoW DELETE ``k % 9 = 4`` (both files rewritten;
+    survivors' ids/versions MATERIALIZE through the copy; hwm advances by
+    the 26 live rows) → OPTIMIZE into one file (materializes again; +26)
+    → one more ordered append (ids start at |base| + 2·|live| = 82).
+    Deterministic because every commit writes exactly one file in sorted
+    key order."""
+    cache_key = (id(spark), sf_dir)
+    t = _RT_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.log_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"dlrt_{uuid.uuid4().hex[:8]}")
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("name"),
+    ).orderBy("k").coalesce(1)
+    t = DeltaTable.create(spark, root, nation)
+    t.enable_row_tracking()
+    region = load(spark, sf_dir, "region")
+    t.append(
+        region.select(
+            (F.lit(200) + F.col("r_regionkey").cast("long")).alias("k"),
+            F.concat(F.lit("RT_"), F.col("r_name")).alias("name"),
+        ).orderBy("k").coalesce(1)
+    )
+    t.delete("k % 9 = 4")  # kills 4, 13, 22, 202 — copy-on-write rewrite
+    t.compact(target_files=1)
+    t.append(
+        region.select(
+            (F.lit(300) + F.col("r_regionkey").cast("long")).alias("k"),
+            F.concat(F.lit("RT2_"), F.col("r_name")).alias("name"),
+        ).orderBy("k").coalesce(1)
+    )
+    _RT_CACHE[cache_key] = t
+    return t
+
+
+_Q178_ORACLE = """
+WITH base AS (
+  SELECT n_nationkey AS k, n_name AS name,
+         ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS rid,
+         1 AS rcv
+  FROM nation
+  UNION ALL
+  SELECT 200 + r_regionkey, 'RT_' || r_name,
+         (SELECT count(*) FROM nation)
+         + ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1,
+         2
+  FROM region
+), live AS (
+  SELECT * FROM base WHERE k % 9 <> 4
+), post AS (
+  -- appended AFTER the delete-rewrite AND the OPTIMIZE: each stamped the
+  -- rewritten file with a fresh baseRowId block (hwm advanced by the live
+  -- row count twice), so post-append ids start at |base| + 2*|live|
+  SELECT 300 + r_regionkey AS k, 'RT2_' || r_name AS name,
+         (SELECT count(*) FROM base) + 2 * (SELECT count(*) FROM live)
+         + ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1 AS rid,
+         5 AS rcv
+  FROM region
+)
+SELECT CAST(k AS BIGINT) AS k, name,
+       CAST(rid AS BIGINT) AS row_id, CAST(rcv AS BIGINT) AS row_commit_version
+FROM live
+UNION ALL
+SELECT CAST(k AS BIGINT), name, CAST(rid AS BIGINT), CAST(rcv AS BIGINT) FROM post
+"""
+
+
+@query("q178_delta_row_tracking", oracle=_Q178_ORACLE)
+def q178_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ROW TRACKING in the correctness gate (r7 — spec §Row
+    Tracking, the Delta twin of q174's Iceberg row lineage): stable
+    ``_row_id`` / ``_row_commit_version`` across enable → append → CoW
+    DELETE → OPTIMIZE → append. The oracle recomputes both columns from
+    write order — fresh ids are baseRowId + position, copied rows carry
+    MATERIALIZED values that must win, and the delete/compact rewrites
+    must advance the high-water mark without renumbering survivors — so
+    id churn, a lost materialized column, or a stale high-water mark all
+    hash-mismatch.
+
+    Scale: the (file → baseRowId, defaultRowCommitVersion) map is
+    O(#files) and broadcast; resolution is one coalesce over the scan's
+    existing _metadata.row_index — no extra shuffle."""
+    t = _row_tracking_demo_table(spark, sf_dir)
+    return t.row_tracking_df().select(
+        F.col("k").cast("long"),
+        "name",
+        F.col("_row_id").cast("long").alias("row_id"),
+        F.col("_row_commit_version").cast("long").alias("row_commit_version"),
     )

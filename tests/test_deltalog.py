@@ -861,3 +861,85 @@ def test_change_data_feed_composes_with_column_mapping(spark, root):
     ch = {r["_change_type"]: r for r in t.table_changes(mv - 1, mv).collect()}
     assert ch["update_preimage"]["val"] == 10
     assert ch["update_postimage"]["val"] == 99
+
+
+def _rt_map(t, col="_row_id"):
+    return {r.k: r[col] for r in t.row_tracking_df().collect()}
+
+
+def test_row_tracking_end_to_end(spark, root):
+    """Delta ROW TRACKING (r7 — spec §Row Tracking, the Delta twin of
+    Iceberg v3 row lineage): enable backfills baseRowId over live files
+    and records the high-water mark as delta.rowTracking domain metadata;
+    appends extend the id space; DV deletes, CoW deletes, OPTIMIZE and
+    MERGE all preserve survivors' ids (rewrites MATERIALIZE them into the
+    physical columns named by the table properties); matched MERGE rows
+    bump _row_commit_version; checkpoints persist everything."""
+    t = DeltaTable.create(
+        spark, root,
+        spark.createDataFrame([(i, i * 10) for i in range(8)], "k long, v long")
+        .orderBy("k").coalesce(1),
+    )
+    with pytest.raises(ValueError, match="row tracking"):
+        t.row_tracking_df()
+    r = t.enable_row_tracking()
+    assert r["already_enabled"] is False
+    assert r["row_id_high_water_mark"] == 7
+    assert t.enable_row_tracking()["already_enabled"] is True
+    proto = t.protocol()
+    assert {"rowTracking", "domainMetadata"} <= set(proto["writerFeatures"])
+    lin = _rt_map(t)
+    assert sorted(lin.values()) == list(range(8))  # dense, unique
+    rcv = _rt_map(t, "_row_commit_version")
+    assert set(rcv.values()) == {1}  # backfill commit version
+    # plain read() is untouched (materialized cols live OUTSIDE the schema)
+    assert set(t.read().columns) == {"k", "v"}
+    # append: fresh ids above the high-water mark, commit version stamps
+    t.append(spark.createDataFrame([(100, 1), (101, 2)], "k long, v long").coalesce(1))
+    lin2 = _rt_map(t)
+    assert all(lin2[k] == lin[k] for k in lin)
+    assert sorted(lin2[k] for k in (100, 101)) == [8, 9]
+    dm = t.domain_metadata()["delta.rowTracking"]
+    assert dm["rowIdHighWaterMark"] == 9
+    # DV delete: merge-on-read masks rows without moving survivors
+    t.delete_vectors("k = 3")
+    lin3 = _rt_map(t)
+    assert 3 not in lin3 and all(lin3[k] == lin2[k] for k in lin3)
+    # CoW delete: survivors are REWRITTEN — ids must be materialized through
+    t.delete("k = 5")
+    lin4 = _rt_map(t)
+    assert 5 not in lin4 and all(lin4[k] == lin3[k] for k in lin4)
+    rcv4 = _rt_map(t, "_row_commit_version")
+    assert rcv4[0] == 1 and rcv4[100] == 2  # survivors keep THEIR versions
+    # OPTIMIZE: copies every row; ids and versions unchanged
+    t.compact(target_files=1)
+    assert _rt_map(t) == lin4
+    assert _rt_map(t, "_row_commit_version") == rcv4
+    # MERGE: matched rows keep ids but take the merge commit's version;
+    # inserted rows get fresh ids
+    v_before = t.latest_version()
+    t.merge(spark.createDataFrame([(1, 999), (200, 5)], "k long, v long"), key="k")
+    lin5 = _rt_map(t)
+    assert lin5[1] == lin4[1]  # updated row kept its id
+    assert all(lin5[k] == lin4[k] for k in lin4)  # carried rows too
+    hwm = t.domain_metadata()["delta.rowTracking"]["rowIdHighWaterMark"]
+    assert lin5[200] > max(lin4.values()) and lin5[200] <= hwm
+    rcv5 = _rt_map(t, "_row_commit_version")
+    assert rcv5[1] == v_before + 1  # updated row bumped
+    assert rcv5[0] == rcv4[0]  # carried row did not
+    assert rcv5[200] == v_before + 1
+    # checkpoint round-trip: domain metadata + baseRowId survive a fresh
+    # resolve through the parquet checkpoint alone
+    t._write_checkpoint(t.latest_version())
+    t2 = DeltaTable(spark, root)
+    t2.cleanup_log(keep_versions=1)
+    t3 = DeltaTable(spark, root)
+    assert _rt_map(t3) == lin5
+    assert t3.domain_metadata()["delta.rowTracking"]["rowIdHighWaterMark"] == hwm
+    # clone carries the high-water mark: new ids on the clone stay unique
+    c = t3.clone(root + "_clone")
+    assert c.domain_metadata()["delta.rowTracking"]["rowIdHighWaterMark"] == hwm
+    c.append(spark.createDataFrame([(300, 1)], "k long, v long"))
+    clin = {r.k: r._row_id for r in c.row_tracking_df().collect()}
+    assert clin[300] == hwm + 1
+    assert all(clin[k] == lin5[k] for k in lin5)
