@@ -653,11 +653,62 @@ class DeltaTable:
 
     # -------------------------------------------------------------- write
 
+    def _commit_timestamp(self, version: int) -> int | None:
+        """The spec's per-commit timestamp: the commitInfo's
+        ``inCommitTimestamp`` when the commit carries one, else the commit
+        file's modification time (§In-Commit Timestamps read rule)."""
+        path = os.path.join(self.log_dir, _fmt_commit(version))
+        if not os.path.exists(path):
+            return None
+        for a in self._commit_actions(version):
+            if "commitInfo" in a:
+                ict = a["commitInfo"].get("inCommitTimestamp")
+                if ict is not None:
+                    return int(ict)
+                break
+        return int(os.path.getmtime(path) * 1000)
+
+    def _ict_enabled_for(self, actions: list[dict]) -> bool:
+        """Whether the commit being built must carry an inCommitTimestamp:
+        the table property is already set, or THIS commit's metaData sets
+        it (the enablement commit itself is required to carry one)."""
+        for a in actions:
+            if "metaData" in a:
+                c = a["metaData"].get("configuration") or {}
+                if "delta.enableInCommitTimestamps" in c:
+                    return c["delta.enableInCommitTimestamps"] == "true"
+        try:
+            _, meta = self.snapshot()
+        except (ValueError, FileNotFoundError):
+            return False
+        cfg = meta.get("configuration") or {}
+        return cfg.get("delta.enableInCommitTimestamps") == "true"
+
     def _publish(self, version: int, actions: list[dict]) -> None:
         """Put-if-absent commit publish: write actions to a temp file, then
         ``os.link`` to the final version name — link(2) fails atomically if
         the version exists, which is exactly the mutual-exclusion rule the
-        Delta protocol requires of a LogStore."""
+        Delta protocol requires of a LogStore.
+
+        IN-COMMIT TIMESTAMPS (spec §In-Commit Timestamps): when the table
+        property is on (or this very commit enables it), commitInfo must be
+        the FIRST action and carry ``inCommitTimestamp`` — strictly greater
+        than the previous commit's (max(now, prev + 1)), making the commit
+        timeline monotonic regardless of file-mtime skew."""
+        if self._ict_enabled_for(actions):
+            prev = (
+                self._commit_timestamp(version - 1) if version > 0 else None
+            )
+            ict = int(time.time() * 1000)
+            if prev is not None:
+                ict = max(ict, prev + 1)
+            ci = next((a for a in actions if "commitInfo" in a), None)
+            if ci is None:
+                ci = self._commit_info("UNKNOWN")
+            else:
+                actions = [a for a in actions if a is not ci]
+            ci["commitInfo"]["inCommitTimestamp"] = ict
+            actions = [ci] + actions
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir, f".tmp_{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -943,6 +994,121 @@ class DeltaTable:
         with open(tmp2, "w") as f:
             json.dump(last, f)
         os.replace(tmp2, os.path.join(self.log_dir, "_last_checkpoint"))
+
+    # widenings the Delta spec allows AND Spark's parquet reader upcasts
+    # natively under a declared schema (verified: int32 file → long/double
+    # column, float file → double column); byte/short don't exist in this
+    # engine's type universe and decimal/date changes are refused loudly
+    _WIDENINGS = {
+        ("integer", "long"),
+        ("integer", "double"),
+        ("float", "double"),
+    }
+
+    def widen_column(self, name: str, new_type: str) -> dict:
+        """Delta TYPE WIDENING (spec §Type Widening, reader-writer feature
+        ``typeWidening``): metadata-only column type change to a WIDER
+        type. Existing files keep their narrow physical type — readers
+        upcast at scan time (parquet int32 reads as long/double under the
+        declared schema; no data rewrite) — and the field's metadata
+        records the change in ``delta.typeChanges`` (fromType/toType/
+        tableVersion) so other engines know which files predate the widen.
+        Narrowings and unsupported pairs refuse loudly."""
+        _, meta = self.snapshot()
+        st = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        if name not in st.fieldNames():
+            raise ValueError(f"no column {name!r} (have {st.fieldNames()})")
+        fld = next(f for f in st.fields if f.name == name)
+        frm = fld.dataType.typeName()
+        to = T._parse_datatype_string(new_type).typeName()
+        if (frm, to) not in self._WIDENINGS:
+            raise NotImplementedError(
+                f"type change {frm} -> {to} is not a supported widening "
+                f"(know {sorted(self._WIDENINGS)})"
+            )
+        if name in (meta.get("partitionColumns") or []):
+            raise NotImplementedError(
+                f"cannot widen partition column {name!r} (partition values "
+                "are serialized strings typed by the schema — widening them "
+                "changes file-to-partition mapping semantics)"
+            )
+        v = self.latest_version() + 1
+        fields = []
+        for f in st.fields:
+            if f.name != name:
+                fields.append(f)
+                continue
+            md = dict(f.metadata or {})
+            changes = list(md.get("delta.typeChanges") or [])
+            changes.append(
+                {"fromType": frm, "toType": to, "tableVersion": v}
+            )
+            md["delta.typeChanges"] = changes
+            fields.append(
+                T.StructField(
+                    f.name, T._parse_datatype_string(new_type), f.nullable, md
+                )
+            )
+        cfg = dict(meta.get("configuration") or {})
+        cfg["delta.enableTypeWidening"] = "true"
+        new_meta = dict(meta)
+        new_meta["schemaString"] = T.StructType(fields).json()
+        new_meta["configuration"] = cfg
+        actions: list[dict] = [self._commit_info("ALTER TABLE (type widening)")]
+        up = self._feature_upgrade_action("typeWidening")
+        if up:
+            actions.append(up)
+        actions.append({"metaData": new_meta})
+        self._publish(v, actions)
+        return {"version": v, "column": name, "from": frm, "to": to}
+
+    def enable_in_commit_timestamps(self) -> dict:
+        """Delta IN-COMMIT TIMESTAMPS (spec §In-Commit Timestamps, writer
+        feature ``inCommitTimestamp``): from this commit on, every commit's
+        commitInfo is the FIRST action and carries a MONOTONIC
+        ``inCommitTimestamp`` (max(wall clock, prev + 1)) — the reliable
+        commit timeline that file modification times (rewritable by copies
+        / restores) cannot give. The enablement commit records
+        ``delta.inCommitTimestampEnablementVersion`` / ``...Timestamp`` so
+        readers know where the ICT timeline begins; timestamp time travel
+        (``version_at_timestamp``) uses ICT at/after that version and file
+        mtimes before it."""
+        _, meta = self.snapshot()
+        cfg = dict(meta.get("configuration") or {})
+        if cfg.get("delta.enableInCommitTimestamps") == "true":
+            return {"already_enabled": True}
+        v = self.latest_version() + 1
+        prev = self._commit_timestamp(v - 1)
+        ict = int(time.time() * 1000)
+        if prev is not None:
+            ict = max(ict, prev + 1)
+        cfg["delta.enableInCommitTimestamps"] = "true"
+        cfg["delta.inCommitTimestampEnablementVersion"] = str(v)
+        cfg["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+        new_meta = dict(meta)
+        new_meta["configuration"] = cfg
+        actions: list[dict] = [self._commit_info("ALTER TABLE (ICT)")]
+        up = self._feature_upgrade_action("inCommitTimestamp", writer_only=True)
+        if up:
+            actions.append(up)
+        actions.append({"metaData": new_meta})
+        self._publish(v, actions)
+        return {"already_enabled": False, "version": v, "timestamp": ict}
+
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """TIMESTAMP AS OF resolution: the latest version whose commit
+        timestamp (ICT where present, else commit-file mtime) is <=
+        ``ts_ms``. Raises when ts_ms predates the table."""
+        best = None
+        for v in self.versions():
+            t = self._commit_timestamp(v)
+            if t is not None and t <= ts_ms:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts_ms} predates the table's first commit"
+            )
+        return best
 
     def enable_change_data_feed(self) -> dict:
         """ALTER TABLE SET delta.enableChangeDataFeed = true (+ the
@@ -3268,4 +3434,169 @@ def q178_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name",
         F.col("_row_id").cast("long").alias("row_id"),
         F.col("_row_commit_version").cast("long").alias("row_commit_version"),
+    )
+
+
+_ICT_CACHE: dict = {}
+
+
+def _ict_demo_table(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """ICT demo, memoized per (session, sf_dir): nation (v0, pre-ICT) →
+    enable_in_commit_timestamps (v1) → two region-derived appends (v2,
+    v3) → a CoW delete (v4). Wall-clock values are nondeterministic, so
+    the GATE checks structural invariants (first-action placement,
+    strict monotonicity, enablement properties) as integer flags."""
+    cache_key = (id(spark), sf_dir)
+    t = _ICT_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.log_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"dlict_{uuid.uuid4().hex[:8]}")
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("name"),
+    ).orderBy("k").coalesce(1)
+    t = DeltaTable.create(spark, root, nation)
+    t.enable_in_commit_timestamps()
+    region = load(spark, sf_dir, "region")
+    for tag, base in (("ICT_", 400), ("ICT2_", 500)):
+        t.append(
+            region.select(
+                (F.lit(base) + F.col("r_regionkey").cast("long")).alias("k"),
+                F.concat(F.lit(tag), F.col("r_name")).alias("name"),
+            ).orderBy("k").coalesce(1)
+        )
+    t.delete("k % 9 = 4")
+    _ICT_CACHE[cache_key] = t
+    return t
+
+
+_Q179_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+       1 AS ict_first_action, 1 AS ict_strictly_monotonic,
+       1 AS enablement_version
+FROM nation WHERE n_nationkey % 9 <> 4
+UNION ALL
+SELECT CAST(400 + r_regionkey AS BIGINT), 'ICT_' || r_name, 1, 1, 1
+FROM region WHERE (400 + r_regionkey) % 9 <> 4
+UNION ALL
+SELECT CAST(500 + r_regionkey AS BIGINT), 'ICT2_' || r_name, 1, 1, 1
+FROM region WHERE (500 + r_regionkey) % 9 <> 4
+"""
+
+
+@query("q179_delta_in_commit_timestamps", oracle=_Q179_ORACLE)
+def q179_delta_in_commit_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta IN-COMMIT TIMESTAMPS in the correctness gate (r7 — spec §In-
+    Commit Timestamps): data rows ride with three structural flags the
+    engine computes by re-reading its own log — every post-enablement
+    commit has commitInfo FIRST carrying an inCommitTimestamp, the ICT
+    sequence is STRICTLY monotonic, and the enablement version property
+    matches the commit that set it. Wall-clock values themselves are
+    nondeterministic, so the invariants (not the timestamps) are what
+    hash. A writer that appends commitInfo last, reuses a timestamp, or
+    forgets the enablement properties fails the gate."""
+    t = _ict_demo_table(spark, sf_dir)
+    _, meta = t.snapshot()
+    cfg = meta["configuration"]
+    ev = int(cfg["delta.inCommitTimestampEnablementVersion"])
+    first_ok, icts = True, []
+    for v in range(ev, t.latest_version() + 1):
+        acts = t._commit_actions(v)
+        ci = acts[0].get("commitInfo") or {}
+        if "inCommitTimestamp" not in ci:
+            first_ok = False
+            break
+        icts.append(int(ci["inCommitTimestamp"]))
+    mono = int(first_ok and icts == sorted(set(icts)) and len(icts) > 0)
+    return t.read().select(
+        F.col("k").cast("long"),
+        "name",
+        F.lit(int(first_ok)).cast("int").alias("ict_first_action"),
+        F.lit(mono).cast("int").alias("ict_strictly_monotonic"),
+        F.lit(ev).cast("int").alias("enablement_version"),
+    )
+
+
+_WIDEN_CACHE: dict = {}
+
+
+def _widen_demo_table(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """Type-widening demo, memoized per (session, sf_dir): nation with an
+    INT key column (v0) → widen_column k -> long (v1, metadata-only) →
+    append region-derived rows whose keys exceed int range (v2) → a MERGE
+    that updates one narrow-file row and one wide-file row (v3) — so the
+    gate reads narrow-physical and wide-physical files through ONE
+    declared schema."""
+    cache_key = (id(spark), sf_dir)
+    t = _WIDEN_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.log_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"dlwide_{uuid.uuid4().hex[:8]}")
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("k"),
+        F.col("n_name").alias("name"),
+    ).orderBy("k").coalesce(1)
+    t = DeltaTable.create(spark, root, nation)
+    t.widen_column("k", "long")
+    region = load(spark, sf_dir, "region")
+    t.append(
+        region.select(
+            (F.lit(5_000_000_000) + F.col("r_regionkey").cast("long")).alias("k"),
+            F.concat(F.lit("W_"), F.col("r_name")).alias("name"),
+        ).orderBy("k").coalesce(1)
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(3, "UPDATED_NARROW"), (5_000_000_001, "UPDATED_WIDE")],
+            "k long, name string",
+        ),
+        key="k",
+    )
+    _WIDEN_CACHE[cache_key] = t
+    return t
+
+
+_Q180_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS k,
+       CASE WHEN n_nationkey = 3 THEN 'UPDATED_NARROW' ELSE n_name END AS name,
+       1 AS type_is_long, 1 AS change_recorded
+FROM nation
+UNION ALL
+SELECT CAST(5000000000 + r_regionkey AS BIGINT),
+       CASE WHEN r_regionkey = 1 THEN 'UPDATED_WIDE' ELSE 'W_' || r_name END,
+       1, 1
+FROM region
+"""
+
+
+@query("q180_delta_type_widening", oracle=_Q180_ORACLE)
+def q180_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta TYPE WIDENING in the correctness gate (r7 — spec §Type
+    Widening): an int column widens to long METADATA-ONLY; pre-widen
+    files keep int32 pages and upcast at scan, post-widen files carry
+    real longs beyond int range, and a MERGE touches one of each through
+    the single declared schema. Flags pin that the live schema really is
+    long and that delta.typeChanges recorded the change. A reader that
+    rewrites data, mis-maps the narrow files, or loses the change
+    history hash-mismatches.
+
+    Scale: zero data movement — the widen is one metaData action; scans
+    upcast inside the parquet reader (still vectorized), and stats-based
+    pruning keeps working across mixed narrow/wide files."""
+    t = _widen_demo_table(spark, sf_dir)
+    st = t.schema()
+    is_long = int(st["k"].dataType.typeName() == "long")
+    tc = (st["k"].metadata or {}).get("delta.typeChanges") or []
+    recorded = int(
+        any(c.get("fromType") == "integer" and c.get("toType") == "long" for c in tc)
+    )
+    return t.read().select(
+        F.col("k").cast("long"),
+        "name",
+        F.lit(is_long).cast("int").alias("type_is_long"),
+        F.lit(recorded).cast("int").alias("change_recorded"),
     )

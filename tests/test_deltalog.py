@@ -943,3 +943,79 @@ def test_row_tracking_end_to_end(spark, root):
     clin = {r.k: r._row_id for r in c.row_tracking_df().collect()}
     assert clin[300] == hwm + 1
     assert all(clin[k] == lin5[k] for k in lin5)
+
+
+def test_in_commit_timestamps_monotonic_and_time_travel(spark, root):
+    """In-commit timestamps (r7 — spec §In-Commit Timestamps): after
+    enablement every commit's FIRST action is commitInfo carrying a
+    strictly increasing inCommitTimestamp (max(now, prev+1) — immune to
+    file-mtime skew); the enablement commit records version/timestamp
+    properties; version_at_timestamp resolves TIMESTAMP AS OF across the
+    mtime/ICT boundary."""
+    t = DeltaTable.create(spark, root, spark.createDataFrame([(1,)], "k long"))
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    r = t.enable_in_commit_timestamps()
+    assert r["already_enabled"] is False and r["version"] == 2
+    assert t.enable_in_commit_timestamps()["already_enabled"] is True
+    _, meta = t.snapshot()
+    cfg = meta["configuration"]
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == "2"
+    assert "inCommitTimestamp" in set(t.protocol()["writerFeatures"])
+    t.append(spark.createDataFrame([(3,)], "k long"))
+    t.append(spark.createDataFrame([(4,)], "k long"))
+    t.delete("k = 1")
+    # every post-enablement commit: commitInfo FIRST, ICT strictly rising
+    icts = []
+    for v in range(2, t.latest_version() + 1):
+        acts = t._commit_actions(v)
+        assert "commitInfo" in acts[0], f"v{v}: commitInfo not first"
+        icts.append(acts[0]["commitInfo"]["inCommitTimestamp"])
+    assert icts == sorted(set(icts)), f"not strictly monotonic: {icts}"
+    # pre-enablement commits carry none
+    for v in (0, 1):
+        for a in t._commit_actions(v):
+            assert "inCommitTimestamp" not in (a.get("commitInfo") or {})
+    # TIMESTAMP AS OF: each commit's own timestamp resolves to it
+    for v in range(t.latest_version() + 1):
+        assert t.version_at_timestamp(t._commit_timestamp(v)) >= v
+    assert t.version_at_timestamp(icts[-1]) == t.latest_version()
+    with pytest.raises(ValueError, match="predates"):
+        t.version_at_timestamp(0)
+
+
+def test_type_widening_reads_old_files_upcast(spark, root):
+    """Type widening (r7 — spec §Type Widening): metadata-only int->long /
+    float->double widen; files written BEFORE the widen keep their narrow
+    physical type and upcast at scan; delta.typeChanges records the
+    change; narrowings and partition columns refuse."""
+    t = DeltaTable.create(
+        spark, root,
+        spark.createDataFrame([(1, 1.5), (2, 2.5)], "k int, x float"),
+    )
+    r = t.widen_column("k", "long")
+    assert (r["from"], r["to"]) == ("integer", "long")
+    t.widen_column("x", "double")
+    # post-widen appends may carry values an int cannot hold
+    t.append(spark.createDataFrame([(5_000_000_000, 9.25)], "k long, x double"))
+    got = sorted((r_.k, r_.x) for r_ in t.read().collect())
+    assert got == [(1, 1.5), (2, 2.5), (5_000_000_000, 9.25)]
+    st = t.schema()
+    assert st["k"].dataType.typeName() == "long"
+    tc = st["k"].metadata["delta.typeChanges"]
+    assert tc[0]["fromType"] == "integer" and tc[0]["toType"] == "long"
+    assert "typeWidening" in set(t.protocol()["readerFeatures"])
+    # time travel below the widen still reads ints
+    assert t.schema(0)["k"].dataType.typeName() == "integer"
+    # stats-driven merge still prunes/rewrites correctly across mixed files
+    t.merge(spark.createDataFrame([(2, 99.0), (7, 7.0)], "k long, x double"), key="k")
+    got = sorted((r_.k, r_.x) for r_ in t.read().collect())
+    assert got == [(1, 1.5), (2, 99.0), (7, 7.0), (5_000_000_000, 9.25)]
+    with pytest.raises(NotImplementedError, match="widening"):
+        t.widen_column("x", "float")  # narrowing
+    t2 = DeltaTable.create(
+        spark, root + "_p",
+        spark.createDataFrame([("a", 1)], "k string, p int"),
+        partition_by=["p"],
+    )
+    with pytest.raises(NotImplementedError, match="partition"):
+        t2.widen_column("p", "long")
