@@ -4784,3 +4784,289 @@ def q177_iceberg_v3_column_defaults(spark: SparkSession, sf_dir: str) -> DataFra
         "category",
         F.lit(fv).cast("int").alias("format_version"),
     )
+
+
+def iceberg_to_delta_uniform(ic: IcebergTable, delta_root: str | None = None):
+    """REVERSE UniForm: generate a Delta ``_delta_log`` over an existing
+    Iceberg table's DATA FILES — the mirror of ``delta_to_iceberg_uniform``
+    (one data copy, both ecosystems, built from the two public specs).
+    Every Iceberg snapshot becomes a Delta version in sequence order, so
+    time travel is preserved across formats; by default the log lands
+    INSIDE the Iceberg root, which is then simultaneously a valid Iceberg
+    AND Delta table.
+
+    DELETION VECTORS translate ZERO-COPY: Iceberg v3 stores a DV blob as
+    ``[i32 BE length][D1 D3 39 64 + portable 64-bit Roaring][i32 BE
+    CRC-32]`` inside a Puffin file, and a Delta DV file stores exactly
+    ``[i32 BE size][RoaringBitmapArray][i32 BE CRC-32]`` at each offset —
+    and the Puffin blob magic D1D33964 IS Delta's RBA magic (the identity
+    plans/puffin.py is built on). So the Delta descriptor simply POINTS
+    INTO THE PUFFIN FILE (storageType "p", offset = content_offset,
+    sizeInBytes = content_size − 8); no bitmap is re-encoded.
+
+    Refused loudly (translate-then-retry paths exist for all three):
+    equality deletes (rewrite or convert to DVs first), parquet
+    position-delete files (v2 layout — delete_vectors_v3 upgrades them),
+    and multi-schema histories (the replay would need per-version
+    schemaStrings). Non-identity partition specs refuse too — Delta
+    partitionValues can only carry identity values.
+
+    Delta data files normally EXCLUDE partition columns; Iceberg data
+    files carry them. The overlay keeps partitionValues authoritative —
+    this engine's Delta reader (and any reader that scans by declared
+    non-partition schema) ignores the redundant physical column.
+
+    Scale: pure metadata — O(#snapshots × #files) driver work writing
+    JSON, zero data movement."""
+    from urllib.parse import quote
+
+    from .deltalog import PROTOCOL as _DPROTO
+    from .deltalog import DeltaTable as _DT
+
+    md = ic.metadata()
+    if len(md["schemas"]) > 1:
+        raise NotImplementedError(
+            "iceberg_to_delta_uniform over a multi-schema history is not "
+            "supported (per-version schemaString replay) — compact to a "
+            "single schema first"
+        )
+    for pf in ic.partition_fields():
+        if pf["transform"] != "identity":
+            raise NotImplementedError(
+                f"non-identity partition transform {pf['transform']!r} has "
+                "no Delta partitionValues equivalent"
+            )
+    fields = md["schemas"][0]["fields"]
+    st = T.StructType(
+        [
+            T.StructField(f["name"], _ICE_TO_SPARK[f["type"]], not f["required"])
+            for f in fields
+        ]
+    )
+    id_to_field = {f["id"]: f for f in fields}
+    part_cols = [pf["name"] for pf in ic.partition_fields()]
+    root = delta_root or ic.root
+    t = _DT(ic.spark, root)
+    if t.versions():
+        raise FileExistsError(f"Delta log already exists at {t.log_dir}")
+    os.makedirs(root, exist_ok=True)
+
+    def _stats(e: dict) -> str:
+        out: dict = {"numRecords": int(e["record_count"])}
+        mins, maxs = {}, {}
+        for key, tgt in (("lower_bounds", mins), ("upper_bounds", maxs)):
+            for fid, raw in (e.get(key) or {}).items():
+                f = id_to_field.get(int(fid))
+                if f is None or raw is None:
+                    continue
+                try:
+                    v = _single_value_parse(f["type"], raw)
+                except Exception:  # noqa: BLE001 — bound type we can't parse
+                    continue
+                if isinstance(v, (int, float, str, bool)):
+                    tgt[f["name"]] = v
+        if mins:
+            out["minValues"], out["maxValues"] = mins, maxs
+        return json.dumps(out)
+
+    snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
+    has_dv = False
+    prev: dict[str, dict] = {}
+    for i in range(len(snaps)):
+        entries, _ = ic.files(index=i)
+        dv_by_ref: dict[str, dict] = {}
+        for d in ic.delete_entries(index=i):
+            dfm = d["data_file"]
+            if d.get("content") == 2:
+                raise NotImplementedError(
+                    "equality deletes have no Delta translation — rewrite "
+                    "them away (rewrite_data_files) first"
+                )
+            if (dfm.get("file_format") or "").upper() != "PUFFIN":
+                raise NotImplementedError(
+                    "parquet position-delete files have no Delta "
+                    "translation — upgrade to deletion vectors "
+                    "(delete_vectors_v3) first"
+                )
+            ref = os.path.abspath(dfm["referenced_data_file"].replace("file:", ""))
+            dv_by_ref[ref] = {
+                "storageType": "p",
+                "pathOrInlineDv": os.path.abspath(
+                    dfm["file_path"].replace("file:", "")
+                ),
+                "offset": int(dfm["content_offset"]),
+                # Puffin span = [4-byte length][bitmap][4-byte CRC]; Delta's
+                # sizeInBytes is the bitmap alone
+                "sizeInBytes": int(dfm["content_size_in_bytes"]) - 8,
+                "cardinality": int(dfm["record_count"]),
+            }
+        state: dict[str, dict] = {}
+        for e in entries:
+            p = os.path.abspath(e["file_path"].replace("file:", ""))
+            a = {
+                "path": quote(p),
+                "partitionValues": {
+                    c: (None if e["partition"].get(c) is None else str(e["partition"][c]))
+                    for c in part_cols
+                },
+                "size": int(e["file_size_in_bytes"]),
+                "modificationTime": 0,
+                "dataChange": True,
+                "stats": _stats(e),
+            }
+            dv = dv_by_ref.get(p)
+            if dv:
+                a["deletionVector"] = dv
+                has_dv = True
+            state[a["path"]] = a
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "UNIFORM CONVERT (iceberg)",
+                    "operationParameters": {"snapshot": str(snaps[i]["snapshot-id"])},
+                }
+            }
+        ]
+        if i == 0:
+            proto = dict(_DPROTO)
+            # the whole history is known up front: publish the features
+            # protocol at v0 when any snapshot carries DVs
+            if any(
+                (d["data_file"].get("file_format") or "").upper() == "PUFFIN"
+                for j in range(len(snaps))
+                for d in ic.delete_entries(index=j)
+            ):
+                proto = {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            actions.append({"protocol": proto})
+            actions.append(
+                {
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": st.json(),
+                        "partitionColumns": part_cols,
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        for p in prev:
+            if p not in state:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                            "partitionValues": prev[p].get("partitionValues") or {},
+                        }
+                    }
+                )
+        for p, a in state.items():
+            if p not in prev or prev[p] != a:
+                if p in prev:  # e.g. a DV appeared/extended: remove + re-add
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": p,
+                                "deletionTimestamp": now_ms,
+                                "dataChange": True,
+                                "partitionValues": prev[p].get("partitionValues") or {},
+                            }
+                        }
+                    )
+                actions.append({"add": a})
+        t._publish(i, actions)
+        prev = state
+    return t
+
+
+_IC2DL_CACHE: dict = {}
+
+
+def _reverse_uniform_demo(spark: SparkSession, sf_dir: str):
+    """Reverse-UniForm demo, memoized per (session, sf_dir): nation as ONE
+    Iceberg file → append region-derived rows → a v3 DV delete → overlay a
+    Delta log on the SAME files. Returns (IcebergTable, DeltaTable)."""
+    cache_key = (id(spark), sf_dir)
+    pair = _IC2DL_CACHE.get(cache_key)
+    if pair is not None and os.path.isdir(pair[0].meta_dir):
+        return pair
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"icrev_{uuid.uuid4().hex[:8]}")
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("name"),
+    ).orderBy("k").coalesce(1)
+    t = IcebergTable.create(spark, root, nation)
+    region = load(spark, sf_dir, "region")
+    t.append(
+        region.select(
+            (F.lit(600) + F.col("r_regionkey").cast("long")).alias("k"),
+            F.concat(F.lit("RU_"), F.col("r_name")).alias("name"),
+        ).orderBy("k").coalesce(1)
+    )
+    t.delete_vectors_v3("k % 7 = 2")
+    t = IcebergTable(spark, root)
+    dl = iceberg_to_delta_uniform(t)
+    pair = (t, dl)
+    _IC2DL_CACHE[cache_key] = pair
+    return pair
+
+
+_Q181_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+       1 AS one_copy, 1 AS dv_points_into_puffin
+FROM nation WHERE n_nationkey % 7 <> 2
+UNION ALL
+SELECT CAST(600 + r_regionkey AS BIGINT), 'RU_' || r_name, 1, 1
+FROM region WHERE (600 + r_regionkey) % 7 <> 2
+"""
+
+
+@query("q181_reverse_uniform_delta_read", oracle=_Q181_ORACLE)
+def q181_reverse_uniform_delta_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVERSE UniForm in the correctness gate (r7): the DELTA reader
+    consumes a log generated over an Iceberg table's data files — same
+    rows the Iceberg reader sees (the oracle recomputes survivors of the
+    v3 DV delete), with two structural flags: one_copy pins that the two
+    formats reference the IDENTICAL file set (realpath equality), and
+    dv_points_into_puffin pins the zero-copy DV translation (the Delta
+    descriptor's path IS the Puffin file — possible because the Puffin
+    deletion-vector-v1 blob layout and magic are byte-identical to
+    Delta's DV file spans; plans/puffin.py's founding identity).
+
+    Scale: metadata-only conversion (no data moved); the Delta read keeps
+    the ordinary DV merge-on-read plan (one anti-join)."""
+    t, dl = _reverse_uniform_demo(spark, sf_dir)
+    dpaths = {os.path.realpath(dl._abs_path(a["path"])) for a in dl.files()}
+    ipaths = {os.path.realpath(e["file_path"]) for e in t.files()[0]}
+    one_copy = int(dpaths == ipaths and len(dpaths) > 0)
+    dv_adds = [a for a in dl.files() if a.get("deletionVector")]
+    puffin_paths = {
+        d["data_file"]["file_path"].replace("file:", "")
+        for d in t.delete_entries()
+        if (d["data_file"].get("file_format") or "").upper() == "PUFFIN"
+    }
+    into_puffin = int(
+        len(dv_adds) > 0
+        and all(
+            a["deletionVector"]["storageType"] == "p"
+            and a["deletionVector"]["pathOrInlineDv"] in {os.path.abspath(p) for p in puffin_paths}
+            for a in dv_adds
+        )
+    )
+    return dl.read().select(
+        F.col("k").cast("long"),
+        "name",
+        F.lit(one_copy).cast("int").alias("one_copy"),
+        F.lit(into_puffin).cast("int").alias("dv_points_into_puffin"),
+    )

@@ -939,3 +939,64 @@ def test_iceberg_v3_equality_deletes_remain_valid(spark):
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_reverse_uniform_iceberg_to_delta(spark):
+    """r7 REVERSE UniForm: a Delta log generated over an Iceberg table's
+    files must agree with the native Iceberg reader at EVERY snapshot,
+    share every data file (zero copy), translate Puffin DVs by POINTING
+    INTO the Puffin file (no bitmap re-encode), and refuse the
+    untranslatable delete flavors loudly."""
+    root = os.path.join(tempfile.gettempdir(), f"ic2dl_{uuid.uuid4().hex[:8]}")
+    try:
+        t = IcebergTable.create(
+            spark, root,
+            spark.createDataFrame(
+                [(i, f"t{i % 3}") for i in range(12)], "k long, tag string"
+            ).coalesce(1),
+        )
+        t.append(spark.createDataFrame([(100, "x"), (101, "y")], "k long, tag string").coalesce(1))
+        t.delete_vectors_v3("k % 5 = 1")
+        t = IcebergTable(spark, root)
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+            iceberg_to_delta_uniform,
+        )
+
+        dl = iceberg_to_delta_uniform(t)
+        # every snapshot == every delta version
+        for i, v in enumerate(dl.versions()):
+            assert _rows(dl.read(v)) == _rows(t.read(index=i)), f"v{v} diverges"
+        # zero copy: identical file sets
+        dpaths = {os.path.realpath(dl._abs_path(a["path"])) for a in dl.files()}
+        ipaths = {os.path.realpath(e["file_path"]) for e in t.files()[0]}
+        assert dpaths == ipaths
+        # the Delta DV descriptor points INTO the Puffin file
+        dv_adds = [a for a in dl.files() if a.get("deletionVector")]
+        assert dv_adds and all(
+            a["deletionVector"]["pathOrInlineDv"].endswith(".puffin")
+            or "/puffin" in a["deletionVector"]["pathOrInlineDv"]
+            or a["deletionVector"]["storageType"] == "p"
+            for a in dv_adds
+        )
+        # double-conversion guard + refusals
+        with pytest.raises(FileExistsError):
+            iceberg_to_delta_uniform(t)
+        r2 = root + "_eq"
+        t2 = IcebergTable.create(
+            spark, r2, spark.createDataFrame([(1, "a")], "k long, tag string")
+        )
+        t2.equality_delete(spark.createDataFrame([(1,)], "k long"))
+        with pytest.raises(NotImplementedError, match="equality"):
+            iceberg_to_delta_uniform(IcebergTable(spark, r2), r2 + "_d")
+        shutil.rmtree(r2, ignore_errors=True)
+        r3 = root + "_pos"
+        t3 = IcebergTable.create(
+            spark, r3, spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string")
+        )
+        t3.position_delete("k = 1")
+        with pytest.raises(NotImplementedError, match="position-delete"):
+            iceberg_to_delta_uniform(IcebergTable(spark, r3), r3 + "_d")
+        shutil.rmtree(r3, ignore_errors=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root + "_d", ignore_errors=True)
