@@ -995,6 +995,56 @@ class DeltaTable:
             json.dump(last, f)
         os.replace(tmp2, os.path.join(self.log_dir, "_last_checkpoint"))
 
+    CLUSTERING_DOMAIN = "delta.clustering"
+
+    def set_clustering_columns(self, cols: list[str]) -> dict:
+        """LIQUID CLUSTERING registration (spec §Clustered Table, writer
+        feature ``clustering``): the clustering columns live as
+        ``delta.clustering`` DOMAIN METADATA (field-path arrays), not in
+        the partition layout — so they can be CHANGED later without
+        rewriting data, which hive partitioning and static ZORDER can't
+        offer. ``compact()`` (OPTIMIZE) picks them up automatically:
+        1 column → range-clustered files, 2 numeric columns → Morton
+        interleave (functions/layout), so selective filters on the
+        clustering columns prune by file stats alone."""
+        st = self.schema()
+        for c in cols:
+            if c not in st.fieldNames():
+                raise ValueError(f"no column {c!r} (have {st.fieldNames()})")
+        if not 1 <= len(cols) <= 2:
+            raise NotImplementedError(
+                "clustering takes 1 or 2 columns (Morton interleave is the "
+                "2-D primitive; higher dimensions dilute stats locality)"
+            )
+        if set(cols) & set(self.partition_columns()):
+            raise NotImplementedError(
+                "a partition column cannot also be a clustering column"
+            )
+        v = self.latest_version() + 1
+        actions: list[dict] = [self._commit_info("CLUSTER BY")]
+        up = self._feature_upgrade_action("clustering", writer_only=True)
+        if up:
+            wf = set(up["protocol"]["writerFeatures"]) | {"domainMetadata"}
+            up["protocol"]["writerFeatures"] = sorted(wf)
+            actions.append(up)
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": self.CLUSTERING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in cols]}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+        self._publish(v, actions)
+        return {"version": v, "clustering_columns": cols}
+
+    def clustering_columns(self) -> list[str]:
+        cfg = self.domain_metadata().get(self.CLUSTERING_DOMAIN) or {}
+        return [p[0] for p in cfg.get("clusteringColumns") or []]
+
     # widenings the Delta spec allows AND Spark's parquet reader upcasts
     # natively under a declared schema (verified: int32 file → long/double
     # column, float file → double column); byte/short don't exist in this
@@ -2301,6 +2351,17 @@ class DeltaTable:
         phys = self._phys_map(meta)
         schema = self.schema()
         part_cols = self.partition_columns()
+        # LIQUID CLUSTERING: a clustered table's OPTIMIZE clusters by the
+        # registered columns (domain metadata) unless the caller forces an
+        # explicit zorder — 2 columns ride the same Morton primitive,
+        # 1 column becomes a range-cluster (range shuffle + sort)
+        cluster_1d: str | None = None
+        if zorder_by is None:
+            cc = self.clustering_columns()
+            if len(cc) == 2:
+                zorder_by = cc
+            elif len(cc) == 1:
+                cluster_1d = cc[0]
         adds = self.files()
         groups: dict[tuple, list[dict]] = {}
         for a in adds:
@@ -2314,7 +2375,7 @@ class DeltaTable:
         rewritten = 0
         all_new: list[dict] = []
         for _key, group in groups.items():
-            if zorder_by is None and len(group) <= target_files:
+            if zorder_by is None and cluster_1d is None and len(group) <= target_files:
                 continue  # clustering rewrites even single files; bin-pack skips
             if rt:
                 # row tracking: OPTIMIZE copies rows, so it MATERIALIZES
@@ -2329,6 +2390,10 @@ class DeltaTable:
                 from ..functions.layout import cluster_by_morton
 
                 df = cluster_by_morton(df, *zorder_by, n_files=target_files)
+            elif cluster_1d is not None:
+                df = df.repartitionByRange(
+                    max(1, target_files), F.col(cluster_1d)
+                ).sortWithinPartitions(cluster_1d)
             else:
                 df = df.coalesce(target_files)
             new_adds = self._stage_files(df, part_cols, phys=phys)
@@ -3599,4 +3664,77 @@ def q180_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name",
         F.lit(is_long).cast("int").alias("type_is_long"),
         F.lit(recorded).cast("int").alias("change_recorded"),
+    )
+
+
+_LC_CACHE: dict = {}
+
+
+def _liquid_demo_table(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """Liquid-clustering demo, memoized per (session, sf_dir): part rows
+    written SHUFFLED across 6 files → CLUSTER BY p_retailprice (domain
+    metadata) → OPTIMIZE range-clusters into 4 non-overlapping files →
+    re-cluster by p_size + OPTIMIZE again (the metadata-only re-layout
+    hive partitioning cannot do)."""
+    cache_key = (id(spark), sf_dir)
+    t = _LC_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.log_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"dllc_{uuid.uuid4().hex[:8]}")
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k"),
+        F.col("p_size").cast("long").alias("sz"),
+        (F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+    )
+    t = DeltaTable.create(spark, root, part.repartition(6))
+    t.set_clustering_columns(["price_c"])
+    t.compact(target_files=4)
+    t.set_clustering_columns(["sz"])
+    t.compact(target_files=4)
+    _LC_CACHE[cache_key] = t
+    return t
+
+
+_Q182_ORACLE = """
+SELECT CAST(p_partkey AS BIGINT) AS k,
+       CAST(p_size AS BIGINT) AS sz,
+       CAST(p_retailprice * 100 AS BIGINT) AS price_c,
+       1 AS clustered_nonoverlapping, 1 AS recluster_took_effect
+FROM part
+"""
+
+
+@query("q182_delta_liquid_clustering", oracle=_Q182_ORACLE)
+def q182_delta_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta LIQUID CLUSTERING in the correctness gate (r7 — spec
+    §Clustered Table): clustering columns live as delta.clustering DOMAIN
+    METADATA, so re-clustering is a metadata change plus one OPTIMIZE —
+    no partition-directory rewrite. The flags pin the physical outcome:
+    after the final OPTIMIZE the files' sz stat ranges are pairwise
+    NON-OVERLAPPING (range clustering really happened), and the ACTIVE
+    clustering column is the re-clustered one. Rows hash against the
+    part table, so the two rewrites must also be lossless.
+
+    Scale: OPTIMIZE's range shuffle is one repartitionByRange over the
+    rewritten partition; filters on the clustering column then prune by
+    log stats alone (the q158 z-order economics, but re-targetable)."""
+    t = _liquid_demo_table(spark, sf_dir)
+    spans = []
+    for a in t.files():
+        st = json.loads(a["stats"])
+        spans.append((st["minValues"]["sz"], st["maxValues"]["sz"]))
+    spans.sort()
+    nonov = int(
+        len(spans) > 1
+        and all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1))
+    )
+    active = int(t.clustering_columns() == ["sz"])
+    return t.read().select(
+        F.col("k"),
+        F.col("sz"),
+        F.col("price_c"),
+        F.lit(nonov).cast("int").alias("clustered_nonoverlapping"),
+        F.lit(active).cast("int").alias("recluster_took_effect"),
     )

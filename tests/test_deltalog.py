@@ -1019,3 +1019,45 @@ def test_type_widening_reads_old_files_upcast(spark, root):
     )
     with pytest.raises(NotImplementedError, match="partition"):
         t2.widen_column("p", "long")
+
+
+def test_liquid_clustering_optimize_clusters_by_domain_metadata(spark, root):
+    """Liquid clustering (r7 — spec §Clustered Table): clustering columns
+    register as delta.clustering DOMAIN METADATA (changeable without a
+    rewrite, unlike hive partitioning); OPTIMIZE then clusters by them —
+    1 column range-clusters into non-overlapping files, a RE-cluster to a
+    different column is metadata + one OPTIMIZE."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(10_000), rnd.randrange(10_000)) for _ in range(4000)]
+    t = DeltaTable.create(
+        spark, root,
+        spark.createDataFrame(rows, "x long, y long").repartition(8),
+    )
+    r = t.set_clustering_columns(["x"])
+    assert t.clustering_columns() == ["x"]
+    assert "clustering" in set(t.protocol()["writerFeatures"])
+    t.compact(target_files=4)
+
+    def spans(col):
+        out = []
+        for a in t.files():
+            st = json.loads(a["stats"])
+            out.append((st["minValues"][col], st["maxValues"][col]))
+        return sorted(out)
+
+    sx = spans("x")
+    assert len(sx) == 4
+    assert all(sx[i][1] <= sx[i + 1][0] for i in range(len(sx) - 1)), sx
+    # re-cluster: metadata change + OPTIMIZE, no manual rewrite plumbing
+    t.set_clustering_columns(["y"])
+    t.compact(target_files=4)
+    sy = spans("y")
+    assert all(sy[i][1] <= sy[i + 1][0] for i in range(len(sy) - 1)), sy
+    # rows unchanged throughout
+    assert sorted(tuple(r_) for r_ in t.read().collect()) == sorted(rows)
+    with pytest.raises(ValueError, match="no column"):
+        t.set_clustering_columns(["zz"])
+    with pytest.raises(NotImplementedError, match="1 or 2"):
+        t.set_clustering_columns(["x", "y", "x"])
