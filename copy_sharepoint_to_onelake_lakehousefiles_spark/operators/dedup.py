@@ -298,7 +298,7 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.approx_count_distinct(F.xxhash64("text")).alias("nd"),
                 F.count(F.lit(1)).alias("n"),
             )
-            .collect()[0]  # bounded driver hop: two longs
+            .collect()[0]  # bounded: one row — two longs
         )
         if probe["n"] and probe["nd"] / probe["n"] < FLOOD_PREDEDUP_RATIO:
             return _lsh_pairs_flood_route(d, sh)
