@@ -2206,20 +2206,42 @@ class IcebergTable:
     def overwrite(self, df: DataFrame) -> dict:
         """Full overwrite: the new snapshot's manifest list references ONLY
         the new manifest — prior files drop out of the snapshot (and remain
-        readable via time travel)."""
-        self._guard_row_lineage("overwrite")
+        readable via time travel).
+
+        ROW LINEAGE (spec §Row Lineage): an overwrite REPLACES logical
+        rows, and a replacement row is a NEW row — its lineage starts
+        here. All new files get fresh ``first_row_id`` blocks by
+        inheritance and the prior rows' ids retire with the prior
+        snapshot (still visible via time travel). This mirrors Delta row
+        tracking's resolution of the same question (overwrite = all-fresh
+        ids, ``plans/deltalog.py``). Writers that need id continuity for
+        matched rows use ``merge_cow``."""
         md = self.metadata()
+        lineage = md.get("next-row-id") is not None
         part_fields = self.partition_fields()
         st = self.schema()
         entries = self._stage_data_files(df.select(*st.fieldNames()), part_fields, st)
+        nxt = self._stamp_first_row_ids(entries, md) if lineage else None
         seq = md["last-sequence-number"] + 1
         sid = self._new_snapshot_id()
         rows = (
-            [self._write_manifest(entries, sid, seq, part_fields, spec_id=md["default-spec-id"])]
+            [
+                self._write_manifest(
+                    entries,
+                    sid,
+                    seq,
+                    part_fields,
+                    spec_id=md["default-spec-id"],
+                    v3=lineage,
+                )
+            ]
             if entries
             else []
         )
         snap = self._commit_snapshot(rows, "overwrite", md, sid)
+        if lineage:
+            snap["first-row-id"] = md["next-row-id"]
+            md["next-row-id"] = nxt
         md["snapshots"].append(snap)
         md["current-snapshot-id"] = snap["snapshot-id"]
         md["last-sequence-number"] = snap["sequence-number"]
@@ -2398,12 +2420,13 @@ class IcebergTable:
         its ORIGINAL sequence number (delete applicability unchanged).
         After this, ``append`` assigns ids to new files,
         ``row_lineage_df`` exposes ``_row_id`` /
-        ``_last_updated_sequence_number``, and ``rewrite_data_files``
-        preserves ids across compaction by materializing the lineage
-        columns into rewritten files. Row-REPLACING writers (overwrite /
-        upsert) refuse on lineage tables — which old row's id a
-        replacement row should carry is ambiguous, so loud refusal
-        instead of silent id churn."""
+        ``_last_updated_sequence_number``, ``rewrite_data_files`` and
+        ``merge_cow`` preserve ids across rewrites by materializing the
+        lineage columns into rewritten files, and row-REPLACING writers
+        follow the spec's lineage-reset rules: ``overwrite`` replaces
+        logical rows (replacements are new rows, fresh ids) and ``upsert``
+        cannot carry lineage through an equality delete (spec §Row
+        Lineage), so its rows are new rows with fresh ids."""
         md = self.metadata()
         if md.get("next-row-id") is not None:
             return {"already_enabled": True, "next_row_id": md["next-row-id"]}
@@ -2477,7 +2500,7 @@ class IcebergTable:
         self._publish_metadata(md)
         return {"already_enabled": False, "next_row_id": nxt, "files": len(entries)}
 
-    def row_lineage_df(self) -> DataFrame:
+    def row_lineage_df(self, bounds: dict | None = None) -> DataFrame:
         """Snapshot read with the v3 lineage metadata columns: ``_row_id``
         (file.first_row_id + within-file position — stable across DV
         deletes, since merge-on-read masks rows without moving survivors)
@@ -2487,11 +2510,14 @@ class IcebergTable:
         must preserve row ids); per spec, a non-null materialized value
         wins and null inherits from first_row_id + position / the file's
         data sequence number. The (file → first_row_id, seq) map is
-        O(#files) and broadcast — metadata-sized, never data-sized."""
+        O(#files) and broadcast — metadata-sized, never data-sized.
+        ``bounds`` prunes the scan to files whose column ranges overlap
+        (same contract as ``files(bounds=)``) — ``merge_cow`` uses it to
+        read only key-overlapping files."""
         md = self.metadata()
         if md.get("next-row-id") is None:
             raise ValueError("row lineage not enabled (no next-row-id)")
-        entries, _ = self.files()
+        entries, _ = self.files(bounds=bounds)
         rows = [
             (
                 os.path.abspath(e["file_path"].replace("file:", "")),
@@ -2503,7 +2529,7 @@ class IcebergTable:
         m = self.spark.createDataFrame(
             rows, "__ice_fp string, __frid long, __lseq long"
         )
-        base = self.read(with_positions=True, lineage_cols=True)
+        base = self.read(with_positions=True, lineage_cols=True, bounds=bounds)
         out_cols = [
             c
             for c in base.columns
@@ -2525,20 +2551,254 @@ class IcebergTable:
             ).alias("_last_updated_sequence_number"),
         )
 
-    def _guard_row_lineage(self, op: str) -> None:
-        """overwrite/upsert REPLACE logical rows, so carrying ids through
-        is semantically ambiguous (which old row is the new row?) — those
-        still refuse loudly. ``rewrite_data_files`` no longer guards: a
-        compaction preserves logical content, so it materializes the
-        lineage columns into the rewritten files instead (spec §Row
-        Lineage)."""
-        if self.metadata().get("next-row-id") is not None:
-            raise NotImplementedError(
-                f"{op} on a row-lineage table would churn row ids "
-                "(which old row's id would each new row carry?) — "
-                "not implemented; use append/delete_vectors_v3/"
-                "rewrite_data_files"
+    def _stamp_first_row_ids(self, entries: list[dict], md: dict) -> int:
+        """Assign a fresh ``first_row_id`` block to new data files (spec
+        §Row Lineage: file order is writer's choice; sorted paths make the
+        assignment deterministic) and return the advanced next-row-id. The
+        caller commits the snapshot with ``first-row-id = md['next-row-id']``
+        and then stores the returned value back into ``md['next-row-id']``."""
+        nxt = md["next-row-id"]
+        for e in sorted(entries, key=lambda e: e["file_path"]):
+            e["first_row_id"] = nxt
+            nxt += e["record_count"]
+        return nxt
+
+    def merge_cow(self, updates: DataFrame, key: str) -> dict:
+        """COPY-ON-WRITE MERGE by ``key`` — the Iceberg mirror of Delta's
+        MERGE under row tracking (``plans/deltalog.py merge``): rows whose
+        key matches an update are REWRITTEN with the update's values while
+        KEEPING their ``_row_id`` (spec §Row Lineage: "when an existing row
+        is moved to a different data file for any reason, writers are
+        required to write the row's ``_row_id``"); carried-over rows in
+        rewritten files keep BOTH materialized lineage values; inserted
+        rows write null ``_row_id`` and inherit fresh ids from the new
+        file's ``first_row_id`` + position. Updated rows write null
+        ``_last_updated_sequence_number`` so it inherits THIS commit's data
+        sequence number — exactly the spec's inheritance rules.
+
+        Contrast ``upsert`` (merge-on-read via equality deletes): the spec
+        notes lineage cannot be carried through an equality delete (the
+        writer never reads the matched rows), so upserted rows there are
+        NEW rows with fresh ids. When id continuity matters, use this.
+
+        Scale: touched files are pruned by manifest column bounds on the
+        merge key (``files(bounds=)`` — O(metadata)); only overlapping
+        files are read and rewritten; every other data file is carried by
+        reference in a consolidated existing-entries manifest that keeps
+        ORIGINAL per-entry sequence numbers, so position/equality delete
+        applicability is unchanged. DV entries referencing rewritten files
+        are dropped (the CoW read applied them — dead rows don't survive
+        the rewrite)."""
+        md = self.metadata()
+        lineage = md.get("next-row-id") is not None
+        part_fields = self.partition_fields()
+        st = self.schema()
+        updates = updates.select(
+            *[F.col(f.name).cast(f.dataType) for f in st.fields]
+        )
+        # bounded: one row — the update key range (min, max)
+        kb = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+        if kb["lo"] is None:
+            return {"updated": 0, "inserted": 0, "files_rewritten": 0}
+        bounds = {key: (kb["lo"], kb["hi"])}
+        all_entries, _ = self.files()
+        touched, _ = self.files(bounds=bounds)
+        touched_paths = {e["file_path"] for e in touched}
+        untouched = [
+            e for e in all_entries if e["file_path"] not in touched_paths
+        ]
+        if lineage:
+            touched_full = self.row_lineage_df(bounds=bounds)
+        else:
+            touched_full = self.read(bounds=bounds)
+        matched_keys = (
+            updates.select(key).where(F.col(key).isNotNull()).distinct()
+        )
+        matched = touched_full.join(matched_keys, key, "left_semi").count()
+        kept = touched_full.join(matched_keys, key, "left_anti")
+        seq = md["last-sequence-number"] + 1
+        lin_names = (
+            ["_row_id", "_last_updated_sequence_number"] if lineage else []
+        )
+        if lineage:
+            old_ids = touched_full.select(key, "_row_id").join(
+                matched_keys, key, "left_semi"
             )
+            # matched rows carry their old _row_id; inserts get null (fresh
+            # id by inheritance); null _last_updated_sequence_number
+            # inherits this commit's data sequence number for BOTH
+            ups = updates.join(old_ids, key, "left").withColumn(
+                "_last_updated_sequence_number", F.lit(None).cast("long")
+            )
+        else:
+            ups = updates
+        rewritten = kept.unionByName(ups).sortWithinPartitions(key)
+        new_adds = self._stage_data_files(
+            rewritten.select(*st.fieldNames(), *lin_names), part_fields, st
+        )
+        nxt = self._stamp_first_row_ids(new_adds, md) if lineage else None
+        sid = self._new_snapshot_id()
+        mrows = []
+        if new_adds:
+            mrows.append(
+                self._write_manifest(
+                    new_adds,
+                    sid,
+                    seq,
+                    part_fields,
+                    spec_id=md["default-spec-id"],
+                    v3=lineage,
+                )
+            )
+        # carry untouched data files by reference: consolidated existing
+        # manifests per spec, entries keeping ORIGINAL sequence numbers
+        mrows.extend(self._existing_data_manifests(untouched, sid))
+        # delete entries: DVs over rewritten files are consumed by the CoW
+        # read; everything else carries with its original sequence number
+        touched_abs = {
+            os.path.abspath(p.replace("file:", "")) for p in touched_paths
+        }
+        kept_deletes = []
+        for d in self.delete_entries():
+            dfm = d["data_file"]
+            if (dfm.get("file_format") or "").upper() == "PUFFIN":
+                ref = os.path.abspath(
+                    dfm["referenced_data_file"].replace("file:", "")
+                )
+                if ref in touched_abs:
+                    continue
+            kept_deletes.append((dfm, d["seq"]))
+        if kept_deletes:
+            mrows.append(self._existing_deletes_manifest(kept_deletes, sid))
+        snap = self._commit_snapshot(mrows, "overwrite", md, sid)
+        if lineage:
+            snap["first-row-id"] = md["next-row-id"]
+            md["next-row-id"] = nxt
+        md["snapshots"].append(snap)
+        md["current-snapshot-id"] = snap["snapshot-id"]
+        md["last-sequence-number"] = snap["sequence-number"]
+        md["last-updated-ms"] = snap["timestamp-ms"]
+        self._publish_metadata(md)
+        n_updates = updates.count()
+        return {
+            "updated": matched,
+            "inserted": n_updates - matched,
+            "files_rewritten": len(touched),
+            "files_carried": len(untouched),
+        }
+
+    def _existing_data_manifests(
+        self, entries: list[dict], snapshot_id: int
+    ) -> list[dict]:
+        """Manifest-list rows that carry ``entries`` (live data files of
+        the PRIOR snapshot) by reference: one consolidated manifest per
+        partition spec, every entry status=existing with its ORIGINAL
+        sequence number, so delete-file applicability (strictly-smaller /
+        smaller-or-equal seq scoping) is untouched."""
+        by_spec: dict[int, list[tuple[dict, int]]] = {}
+        for e in entries:
+            d = {k: v for k, v in e.items() if not k.startswith("__")}
+            by_spec.setdefault(e.get("__spec", 0), []).append((d, e["__seq"]))
+        rows = []
+        for spec_id, pairs in sorted(by_spec.items()):
+            schema = _manifest_entry_schema(
+                self.partition_fields(spec_id), v3_dv=True
+            )
+            man_path = os.path.join(self.meta_dir, f"m-{uuid.uuid4().hex}.avro")
+            write_ocf(
+                man_path,
+                schema,
+                [
+                    {
+                        "status": 0,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": eseq,
+                        "file_sequence_number": eseq,
+                        "data_file": d,
+                    }
+                    for d, eseq in pairs
+                ],
+                codec="deflate",
+                metadata={
+                    "format-version": "3",
+                    "content": "data",
+                    "partition-spec-id": str(spec_id),
+                },
+            )
+            seqs = [s for _d, s in pairs]
+            rows.append(
+                {
+                    "manifest_path": man_path,
+                    "manifest_length": os.path.getsize(man_path),
+                    "partition_spec_id": spec_id,
+                    "content": 0,
+                    "sequence_number": max(seqs),
+                    "min_sequence_number": min(seqs),
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": 0,
+                    "existing_files_count": len(pairs),
+                    "deleted_files_count": 0,
+                    "added_rows_count": 0,
+                    "existing_rows_count": sum(
+                        d["record_count"] for d, _s in pairs
+                    ),
+                    "deleted_rows_count": 0,
+                    "partitions": None,
+                }
+            )
+        return rows
+
+    def _existing_deletes_manifest(
+        self, kept: list[tuple[dict, int]], snapshot_id: int
+    ) -> dict:
+        """One consolidated deletes manifest carrying ``kept`` (data_file
+        dict, original seq) pairs as status=existing entries."""
+        entry_schema = _manifest_entry_schema([], v3_dv=True)
+        man_path = os.path.join(self.meta_dir, f"m-{uuid.uuid4().hex}.avro")
+        write_ocf(
+            man_path,
+            entry_schema,
+            [
+                {
+                    "status": 0,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": kseq,
+                    "file_sequence_number": kseq,
+                    "data_file": {
+                        "referenced_data_file": None,
+                        "content_offset": None,
+                        "content_size_in_bytes": None,
+                        **dfm,
+                    },
+                }
+                for dfm, kseq in kept
+            ],
+            codec="deflate",
+            metadata={
+                "format-version": "3",
+                "content": "deletes",
+                "partition-spec-id": "0",
+            },
+        )
+        seqs = [s for _d, s in kept]
+        return {
+            "manifest_path": man_path,
+            "manifest_length": os.path.getsize(man_path),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": max(seqs),
+            "min_sequence_number": min(seqs),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 0,
+            "existing_files_count": len(kept),
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": sum(
+                d.get("record_count", 0) for d, _s in kept
+            ),
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
 
     def delete_vectors_v3(self, condition) -> dict:
         """MERGE-ON-READ row deletes via Iceberg V3 DELETION VECTORS:
@@ -2796,9 +3056,18 @@ class IcebergTable:
         while every older row with a matching key dies. This is exactly how
         Flink's upsert-mode Iceberg sink commits a checkpoint — no data
         file is read or rewritten (compare TxTable/Delta's copy-on-write
-        ``merge``)."""
-        self._guard_row_lineage("upsert")
+        ``merge``).
+
+        ROW LINEAGE (spec §Row Lineage): lineage cannot be carried through
+        an equality delete — the writer never reads the matched rows, so it
+        cannot know which id each replacement row would inherit. Per the
+        spec, the batch's rows are therefore NEW rows: fresh
+        ``first_row_id`` blocks by inheritance, matched old rows' ids
+        retire. When id continuity for matched keys matters, use
+        ``merge_cow`` (copy-on-write — reads matched rows and preserves
+        their ids)."""
         md = self.metadata()
+        lineage = md.get("next-row-id") is not None
         part_fields = self.partition_fields()
         st = self.schema()
         updates = updates.select(
@@ -2807,6 +3076,7 @@ class IcebergTable:
         keys_df = updates.select(key).where(F.col(key).isNotNull()).distinct()
         n_keys = keys_df.count()
         entries = self._stage_data_files(updates, part_fields, st)
+        nxt = self._stamp_first_row_ids(entries, md) if lineage else None
         cur = self._resolve_snapshot(None, None)
         _, prior = read_ocf(cur["manifest-list"].replace("file:", ""))
         seq = md["last-sequence-number"] + 1
@@ -2815,7 +3085,12 @@ class IcebergTable:
         if entries:
             mrows.append(
                 self._write_manifest(
-                    entries, sid, seq, part_fields, spec_id=md["default-spec-id"]
+                    entries,
+                    sid,
+                    seq,
+                    part_fields,
+                    spec_id=md["default-spec-id"],
+                    v3=lineage,
                 )
             )
         if n_keys:
@@ -2824,6 +3099,9 @@ class IcebergTable:
         snap = self._commit_snapshot(
             mrows + prior, "overwrite", md, sid, summary_extra=summary_extra
         )
+        if lineage:
+            snap["first-row-id"] = md["next-row-id"]
+            md["next-row-id"] = nxt
         md["snapshots"].append(snap)
         md["current-snapshot-id"] = snap["snapshot-id"]
         md["last-sequence-number"] = snap["sequence-number"]
@@ -4704,6 +4982,154 @@ def q174_iceberg_v3_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").cast("long"),
         "n_name",
         F.col("_row_id").cast("long").alias("row_id"),
+    )
+
+
+_LRW_CACHE: dict = {}
+
+
+def _lineage_writers_demo_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[IcebergTable, IcebergTable]:
+    """Two row-lineage tables over nation (ONE sorted file each, ids
+    0..24 in key order), memoized per (session, sf_dir):
+
+    - UPSERT table: one equality-delete upsert — keys %5=2 renamed
+      'UP_' plus five NEW 300+regionkey rows, staged as ONE sorted file,
+      so its fresh-id block 25..34 lands in key order.
+    - MERGE table: one ``merge_cow`` with updates-only (keys %5=2 renamed
+      'MRG_') — matched rows KEEP their ids; carried rows keep their
+      original _last_updated_sequence_number (=1, the create commit),
+      updated rows take the merge's (=3: create, enable, merge)."""
+    cache_key = (id(spark), sf_dir)
+    t = _LRW_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t[0].meta_dir):
+        return t
+    import tempfile
+
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long"), "n_name"
+    ).orderBy("n_nationkey").coalesce(1)
+    region = load(spark, sf_dir, "region")
+
+    def _fresh() -> IcebergTable:
+        root = os.path.join(
+            tempfile.gettempdir(), f"icelrw_{uuid.uuid4().hex[:8]}"
+        )
+        t_ = IcebergTable.create(spark, root, nation)
+        t_.enable_row_lineage()
+        return IcebergTable(spark, t_.root)
+
+    tu = _fresh()
+    tu.upsert(
+        nation.where("n_nationkey % 5 = 2")
+        .select("n_nationkey", F.concat(F.lit("UP_"), F.col("n_name")).alias("n_name"))
+        .unionByName(
+            region.select(
+                (F.lit(300) + F.col("r_regionkey").cast("long")).alias("n_nationkey"),
+                F.concat(F.lit("NEW_"), F.col("r_name")).alias("n_name"),
+            )
+        )
+        .orderBy("n_nationkey")
+        .coalesce(1),
+        key="n_nationkey",
+    )
+    tm = _fresh()
+    tm.merge_cow(
+        nation.where("n_nationkey % 5 = 2").select(
+            "n_nationkey",
+            F.concat(F.lit("MRG_"), F.col("n_name")).alias("n_name"),
+        ),
+        key="n_nationkey",
+    )
+    pair = (IcebergTable(spark, tu.root), IcebergTable(spark, tm.root))
+    _LRW_CACHE[cache_key] = pair
+    return pair
+
+
+_Q183_ORACLE = """
+WITH base AS (
+  SELECT n_nationkey AS k, n_name AS name,
+         ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS rid
+  FROM nation
+), ups AS (
+  SELECT n_nationkey AS k, 'UP_' || n_name AS name
+  FROM nation WHERE n_nationkey % 5 = 2
+  UNION ALL
+  SELECT 300 + r_regionkey, 'NEW_' || r_name FROM region
+), upids AS (
+  -- equality-delete upsert: the batch's rows are NEW rows (spec: lineage
+  -- cannot be carried through an equality delete) — one sorted file, so
+  -- fresh ids = |nation| + rank within the batch
+  SELECT k, name,
+         (SELECT count(*) FROM nation)
+         + ROW_NUMBER() OVER (ORDER BY k) - 1 AS rid
+  FROM ups
+)
+SELECT CAST(k AS BIGINT) AS n_nationkey, name AS n_name,
+       CAST(rid AS BIGINT) AS row_id
+FROM base WHERE k % 5 <> 2
+UNION ALL
+SELECT CAST(k AS BIGINT), name, CAST(rid AS BIGINT) FROM upids
+"""
+
+
+@query("q183_iceberg_lineage_upsert", oracle=_Q183_ORACLE)
+def q183_iceberg_lineage_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 UPSERT ON A ROW-LINEAGE TABLE (r8 — was a refusal): an
+    equality-delete merge-on-read upsert cannot know which old row each
+    replacement matches (the matched rows are never read), so per spec
+    §Row Lineage the batch's rows are NEW rows — fresh first_row_id block
+    by inheritance — while unmatched rows keep their ids. The oracle
+    recomputes every id from write order (q174 pattern): survivors by
+    rank in the base commit, upserted rows by rank within the batch
+    offset by |nation|. An implementation that preserved matched ids,
+    reused retired ids, or shifted survivors hash-mismatches.
+
+    Scale: the upsert itself stays O(batch) — no data file read or
+    rewritten; lineage adds one O(#files) broadcast map at read time."""
+    tu, _tm = _lineage_writers_demo_tables(spark, sf_dir)
+    return tu.row_lineage_df().select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("_row_id").cast("long").alias("row_id"),
+    )
+
+
+_Q184_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       CASE WHEN n_nationkey % 5 = 2 THEN 'MRG_' || n_name
+            ELSE n_name END AS n_name,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS BIGINT)
+         AS row_id,
+       CAST(CASE WHEN n_nationkey % 5 = 2 THEN 3 ELSE 1 END AS BIGINT)
+         AS updated_seq
+FROM nation
+"""
+
+
+@query("q184_iceberg_lineage_merge_cow", oracle=_Q184_ORACLE)
+def q184_iceberg_lineage_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 COPY-ON-WRITE MERGE preserving ROW LINEAGE (r8 — the
+    Delta-MERGE mirror, see q178): matched rows are rewritten with new
+    values but KEEP their ``_row_id`` (materialized into the rewritten
+    file, spec §Row Lineage "writers that move rows must write _row_id"),
+    and take the merge commit's sequence number as
+    ``_last_updated_sequence_number``; carried rows keep BOTH original
+    values (id = key rank, seq = 1, the create commit). The oracle
+    recomputes ids from write order and the update seq from the commit
+    timeline (create=1, enable=2, merge=3) — id churn on ANY row, or a
+    carried row picking up the merge's seq, hash-mismatches.
+
+    Scale: touched files are pruned by manifest key bounds (O(metadata));
+    untouched files carry by reference in consolidated existing-entry
+    manifests keeping original sequence numbers."""
+    _tu, tm = _lineage_writers_demo_tables(spark, sf_dir)
+    return tm.row_lineage_df().select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("_row_id").cast("long").alias("row_id"),
+        F.col("_last_updated_sequence_number").cast("long").alias("updated_seq"),
     )
 
 

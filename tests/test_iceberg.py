@@ -1520,7 +1520,8 @@ def test_v3_row_lineage_end_to_end(spark, root):
     exposes _row_id = first_row_id + position, stable across DV deletes;
     rewrite_data_files preserves ids by MATERIALIZING the lineage columns
     into rewritten files (r7 — was a refusal); row-replacing writers
-    (overwrite/upsert) refuse instead of churning ids."""
+    (overwrite/upsert/merge_cow, r8) follow the spec's lineage rules —
+    see test_v3_row_lineage_merge_cow_and_replacing_writers."""
     t = IcebergTable.create(
         spark, root,
         spark.createDataFrame([(i, i * 10) for i in range(8)], "k long, v long").repartition(2, "k"),
@@ -1555,12 +1556,6 @@ def test_v3_row_lineage_end_to_end(spark, root):
     seqs = {row.k: row._last_updated_sequence_number
             for row in t.row_lineage_df().collect()}
     assert seqs[0] < seqs[100]
-    for op in ("overwrite", "upsert"):
-        with pytest.raises(NotImplementedError, match="row ids"):
-            getattr(t, op)(
-                spark.createDataFrame([(1, 1)], "k long, v long"),
-                **({"key": "k"} if op == "upsert" else {}),
-            )
     # r7: rewrite_data_files PRESERVES lineage — _row_id and
     # _last_updated_sequence_number are materialized into the rewritten
     # files, so the lineage view is IDENTICAL across the compaction
@@ -1584,3 +1579,94 @@ def test_v3_row_lineage_end_to_end(spark, root):
     lin5 = {row.k: row._row_id for row in t.row_lineage_df().collect()}
     assert lin5[200] == nxt_before + len(lin3)
     assert all(lin5[k] == lin3[k] for k in lin3)
+
+
+def test_v3_row_lineage_merge_cow_and_replacing_writers(spark, root):
+    """r8 (was a refusal): row-replacing writers on a lineage table follow
+    the spec's rules instead of refusing. merge_cow (copy-on-write)
+    PRESERVES matched rows' _row_id (materialized into the rewritten
+    files), keeps carried rows' (_row_id, _last_updated_sequence_number)
+    both, lets inserts inherit fresh ids, prunes untouched files by key
+    bounds, and consumes DVs over rewritten files. overwrite assigns
+    all-fresh ids (replacements are new rows); upsert (equality-delete
+    merge-on-read) also assigns fresh ids — the spec says lineage cannot
+    be carried through an equality delete."""
+    t = IcebergTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(8)], "k long, v long"
+        ).orderBy("k").coalesce(1),
+    )
+    t.enable_row_lineage()
+    t = IcebergTable(spark, root)
+    assert {r.k: r._row_id for r in t.row_lineage_df().collect()} == {
+        i: i for i in range(8)
+    }
+    # a second, key-disjoint file: must be CARRIED, not rewritten
+    t.append(
+        spark.createDataFrame(
+            [(200, 0), (201, 0), (202, 0)], "k long, v long"
+        ).orderBy("k").coalesce(1)
+    )
+    t.delete_vectors_v3("k = 5")
+    t = IcebergTable(spark, root)
+    res = t.merge_cow(
+        spark.createDataFrame(
+            [(1, 111), (3, 333), (100, 1000)], "k long, v long"
+        ),
+        "k",
+    )
+    assert res["updated"] == 2 and res["inserted"] == 1
+    assert res["files_rewritten"] == 1 and res["files_carried"] == 1
+    t = IcebergTable(spark, root)
+    rows = {
+        r.k: (r.v, r._row_id, r._last_updated_sequence_number)
+        for r in t.row_lineage_df().collect()
+    }
+    merge_seq = t.metadata()["last-sequence-number"]
+    assert 5 not in rows  # DV-dead row did not resurrect through the CoW
+    assert rows[1] == (111, 1, merge_seq)  # updated: new value, SAME id
+    assert rows[3] == (333, 3, merge_seq)
+    # carried rows in the rewritten file keep BOTH materialized values
+    assert rows[0] == (0, 0, 1) and rows[7] == (70, 7, 1)
+    # the untouched file's rows are untouched (ids 8..10 from its append)
+    assert {rows[k][1] for k in (200, 201, 202)} == {8, 9, 10}
+    # insert inherits a fresh id from the new first_row_id block (≥ 11)
+    assert rows[100][1] >= 11 and rows[100][2] == merge_seq
+    ids = [v[1] for v in rows.values()]
+    assert len(set(ids)) == len(ids)
+    # DV over the rewritten file was consumed — no dangling Puffin entry
+    assert not [
+        d
+        for d in t.delete_entries()
+        if (d["data_file"].get("file_format") or "").upper() == "PUFFIN"
+    ]
+    # UPSERT: equality-delete MoR — matched keys die, batch rows are NEW
+    nxt = t.metadata()["next-row-id"]
+    t.upsert(
+        spark.createDataFrame(
+            [(0, -1), (300, -1)], "k long, v long"
+        ).orderBy("k").coalesce(1),
+        key="k",
+    )
+    t = IcebergTable(spark, root)
+    rows2 = {r.k: r._row_id for r in t.row_lineage_df().collect()}
+    assert rows2[0] == nxt and rows2[300] == nxt + 1  # fresh, write order
+    assert rows2[1] == 1 and rows2[7] == 7  # unmatched ids stable
+    assert t.snapshots()[-1]["first-row-id"] == nxt
+    # OVERWRITE: every row is a replacement ⇒ all-fresh id block
+    nxt2 = t.metadata()["next-row-id"]
+    assert nxt2 == nxt + 2
+    t.overwrite(
+        spark.createDataFrame(
+            [(900, 1), (901, 2)], "k long, v long"
+        ).orderBy("k").coalesce(1)
+    )
+    t = IcebergTable(spark, root)
+    assert {r.k: r._row_id for r in t.row_lineage_df().collect()} == {
+        900: nxt2,
+        901: nxt2 + 1,
+    }
+    assert t.metadata()["next-row-id"] == nxt2 + 2
+    assert t.snapshots()[-1]["first-row-id"] == nxt2
