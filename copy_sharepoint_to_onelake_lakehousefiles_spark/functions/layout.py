@@ -3,10 +3,10 @@ data skipping.
 
 Parquet row-group pruning works off per-file/per-row-group min/max stats; a
 table sorted by ONE column skips well on that column only. Interleaving the
-bits of two key columns (Morton code) and range-partitioning + sorting by
-the code keeps BOTH columns' value ranges narrow in every file, so
-selective filters on either column (or both) prune most files — the
-standard lakehouse Z-ORDER primitive, built here from public Spark APIs
+bits of N key columns (Morton code) and range-partitioning + sorting by
+the code keeps EVERY column's value range narrow in every file, so
+selective filters on any clustering column (or several) prune most files —
+the standard lakehouse Z-ORDER primitive, built here from public Spark APIs
 (bit-interleave expression + repartitionByRange + sortWithinPartitions).
 
 Scale: the clustering write is one range shuffle (sampled range
@@ -20,52 +20,193 @@ via commit-log manifest stats instead of parquet footers).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MORTON_BITS = 16  # per column → 32-bit code
+MORTON_BITS = 16  # per column for 2-column codes → 32-bit code
 
 
-def morton_code(x: str, y: str, bits: int = MORTON_BITS) -> Column:
-    """Interleave the low `bits` bits of int columns x (even positions) and
-    y (odd positions) into a single bigint. One compact fold, not 2·bits
-    unrolled terms (small generated code — see the q28 JIT lesson)."""
+def morton_bits_for(n_cols: int) -> int:
+    """Bits per column so the interleaved code fits a signed bigint:
+    min(MORTON_BITS, 63 // n). 2 cols → 16 (32-bit code), 3 → 16 (48),
+    4 → 15 (60), 5 → 12 (60)."""
+    return min(MORTON_BITS, 63 // n_cols)
+
+
+def morton_code_n(cols: list[str], bits: int | None = None) -> Column:
+    """Interleave the low `bits` bits of N int columns into one bigint:
+    bit i of column j lands at position i*N + j (column 0 in the lowest
+    lane — the 2-column special case reproduces the classic x-even/y-odd
+    layout). One compact fold over the bit index, summing N shifted terms
+    per step, not N·bits unrolled terms (small generated code — the q28
+    JIT lesson)."""
+    n = len(cols)
+    if bits is None:
+        bits = morton_bits_for(n)
+    terms = " + ".join(
+        f"shiftleft(({c} div shiftleft(cast(1 as bigint), i)) % 2, {n} * i + {j})"
+        for j, c in enumerate(cols)
+    )
     return F.expr(
         f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), "
-        f"(acc, i) -> acc"
-        f" + shiftleft(({x} div shiftleft(cast(1 as bigint), i)) % 2, 2 * i)"
-        f" + shiftleft(({y} div shiftleft(cast(1 as bigint), i)) % 2, 2 * i + 1))"
+        f"(acc, i) -> acc + {terms})"
     )
 
 
-def cluster_by_morton(df: DataFrame, x: str, y: str, n_files: int = 8) -> DataFrame:
-    """Order `df` for writing so each output file covers a compact (x, y)
-    rectangle: normalize both columns to the full bit range, interleave,
-    range-partition on the code, sort within partitions. Write the result
-    with .parquet(path) — each partition becomes one file whose x/y min-max
-    footprint is small.
+def morton_code(x: str, y: str, bits: int = MORTON_BITS) -> Column:
+    """Two-column Morton code (x even positions, y odd) — the classic
+    Z-order interleave, kept as the named 2-D entry point."""
+    return morton_code_n([x, y], bits)
+
+
+def hilbert_index_np(coords, bits: int):
+    """Vectorized N-dimensional HILBERT index (Skilling's compact
+    transform, "Programming the Hilbert curve", AIP 2004 — public
+    algorithm): coords is an int64 ndarray of shape (rows, n) with values
+    in [0, 2^bits); returns int64 Hilbert keys. Unlike Morton, EVERY
+    contiguous key range is a compact region (no octant-boundary jumps),
+    which is why production liquid-clustering implementations use Hilbert
+    for multi-column layout."""
+    x = coords.astype(np.int64).copy()
+    rows, n = x.shape
+    m = 1 << (bits - 1)
+    # axes → transpose (Skilling): Gray-code style exchange/invert per level
+    q = m
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            hit = (x[:, i] & q) != 0
+            x[hit, 0] ^= p  # invert
+            t = (x[:, 0] ^ x[:, i]) & p
+            t[hit] = 0  # exchange only where bit unset
+            x[:, 0] ^= t
+            x[:, i] ^= t
+        q >>= 1
+    for i in range(1, n):
+        x[:, i] ^= x[:, i - 1]
+    t = np.zeros(rows, dtype=np.int64)
+    q = m
+    while q > 1:
+        hit = (x[:, n - 1] & q) != 0
+        t[hit] ^= q - 1
+        q >>= 1
+    for i in range(n):
+        x[:, i] ^= t
+    # transpose → key: bit level b of axis j lands at n*b + (n-1-j), so
+    # axis 0 carries the most significant bit of every level
+    key = np.zeros(rows, dtype=np.int64)
+    for b in range(bits):
+        for j in range(n):
+            key |= ((x[:, j] >> b) & 1) << (n * b + (n - 1 - j))
+    return key
+
+
+def hilbert_key_col(cols: list[str], bits: int | None = None):
+    """Arrow-batched pandas_udf computing the Hilbert key of N already
+    bit-scaled int columns. The clustering write is a one-time maintenance
+    pass, so the vectorized-numpy Python hop is off the query hot path."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = len(cols)
+    if bits is None:
+        bits = morton_bits_for(n)
+
+    @pandas_udf("long")
+    def _hk(arrs: pd.Series) -> pd.Series:
+        coords = np.stack(arrs.to_numpy()).astype("int64")
+        return pd.Series(hilbert_index_np(coords, bits))
+
+    return _hk(F.array(*[F.col(c).cast("long") for c in cols]))
+
+
+def cluster_by_morton(df: DataFrame, *cols: str, n_files: int = 8) -> DataFrame:
+    """Order `df` for writing so each output file covers a compact
+    N-dimensional rectangle over `cols`: normalize every column to the
+    shared bit range, interleave, range-partition on the code, sort within
+    partitions. Write the result with .parquet(path) — each partition
+    becomes one file whose per-column min-max footprint is small.
 
     The normalization matters: raw interleaving of a wide column with a
     narrow one (say 13-bit orderkey vs 4-bit suppkey) puts every split bit
     in the wide column and the narrow column never clusters. Min-max scaling
-    each column to `bits` bits (integer arithmetic, exact) gives both equal
+    each column to `bits` bits (integer arithmetic, exact) gives all equal
     weight — the same normalization production Z-ORDER implementations
-    apply. At 100 TB the min/max come from table stats instead of an agg."""
-    top = (1 << MORTON_BITS) - 1
-    mm = df.agg(
-        F.min(x).cast("bigint").alias("__xmn"),
-        F.max(x).cast("bigint").alias("__xmx"),
-        F.min(y).cast("bigint").alias("__ymn"),
-        F.max(y).cast("bigint").alias("__ymx"),
-    )
-    scaled_x = F.expr(f"(({x} - __xmn) * {top}) div greatest(__xmx - __xmn, 1)")
-    scaled_y = F.expr(f"(({y} - __ymn) * {top}) div greatest(__ymx - __ymn, 1)")
+    apply. At 100 TB the min/max come from table stats instead of an agg.
+
+    Column count trades depth for breadth: bits per column =
+    min(16, 63 // N), so each added column halves-ish every column's
+    per-file range resolution — the same trade real liquid-clustered
+    tables make (3-4 columns is the practical ceiling)."""
+    if len(cols) < 2:
+        raise ValueError("cluster_by_morton needs at least 2 columns")
+    bits = morton_bits_for(len(cols))
+    out, scaled, drop = _minmax_scaled(df, cols, bits)
     return (
-        df.crossJoin(F.broadcast(mm))
-        .withColumn("__sx", scaled_x)
-        .withColumn("__sy", scaled_y)
-        .withColumn("__z", morton_code("__sx", "__sy"))
+        out.withColumn("__z", morton_code_n(scaled, bits))
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__xmn", "__xmx", "__ymn", "__ymx", "__sx", "__sy", "__z")
+        .drop(*drop, "__z")
     )
+
+
+def cluster_by_hilbert(df: DataFrame, *cols: str, n_files: int = 8) -> DataFrame:
+    """Order `df` for writing along an N-dimensional HILBERT curve over
+    `cols` — the liquid-clustering layout. Same normalization and
+    range-shuffle shape as ``cluster_by_morton``, but the space-filling
+    curve is Hilbert: every contiguous key interval is a compact region,
+    so even a SMALL file count gives every clustering column materially
+    narrowed per-file min/max footprints (a contiguous Morton interval
+    straddling an octant boundary leaves one column full-range — measured
+    on 8 files over 3 uniform columns, Morton's worst column keeps ~86%
+    of its global span while Hilbert's stays well under).
+
+    Scale: one Arrow-batched numpy pass to compute keys (a maintenance
+    write, off the query hot path) + one range shuffle; reads skip via
+    footer/log stats with no index structure."""
+    if len(cols) < 2:
+        raise ValueError("cluster_by_hilbert needs at least 2 columns")
+    bits = morton_bits_for(len(cols))
+    out, scaled, drop = _minmax_scaled(df, cols, bits)
+    return (
+        out.withColumn("__h", hilbert_key_col(scaled, bits))
+        .repartitionByRange(n_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop(*drop, "__h")
+    )
+
+
+def _minmax_scaled(
+    df: DataFrame, cols: tuple[str, ...], bits: int
+) -> tuple[DataFrame, list[str], list[str]]:
+    """Broadcast-join the columns' global min/max and add ``__s{i}``
+    columns scaled to [0, 2^bits) by exact integer arithmetic. Returns
+    (df, scaled column names, helper columns to drop)."""
+    top = (1 << bits) - 1
+    mm = df.agg(
+        *[
+            a
+            for i, c in enumerate(cols)
+            for a in (
+                F.min(c).cast("bigint").alias(f"__mn{i}"),
+                F.max(c).cast("bigint").alias(f"__mx{i}"),
+            )
+        ]
+    )
+    out = df.crossJoin(F.broadcast(mm))
+    scaled = []
+    for i, c in enumerate(cols):
+        out = out.withColumn(
+            f"__s{i}",
+            F.expr(
+                f"(({c} - __mn{i}) * {top}) div greatest(__mx{i} - __mn{i}, 1)"
+            ),
+        )
+        scaled.append(f"__s{i}")
+    drop = (
+        [f"__mn{i}" for i in range(len(cols))]
+        + [f"__mx{i}" for i in range(len(cols))]
+        + scaled
+    )
+    return out, scaled, drop

@@ -1004,17 +1004,21 @@ class DeltaTable:
         the partition layout — so they can be CHANGED later without
         rewriting data, which hive partitioning and static ZORDER can't
         offer. ``compact()`` (OPTIMIZE) picks them up automatically:
-        1 column → range-clustered files, 2 numeric columns → Morton
-        interleave (functions/layout), so selective filters on the
-        clustering columns prune by file stats alone."""
+        1 column → range-clustered files, 2-4 numeric columns → N-way
+        HILBERT curve layout (functions/layout.cluster_by_hilbert — the
+        curve production liquid clustering uses; bits per column =
+        min(16, 63 // N)), so selective filters on the clustering columns
+        prune by file stats alone. The 4-column cap matches the published
+        Delta limit for clustered tables."""
         st = self.schema()
         for c in cols:
             if c not in st.fieldNames():
                 raise ValueError(f"no column {c!r} (have {st.fieldNames()})")
-        if not 1 <= len(cols) <= 2:
+        if not 1 <= len(cols) <= 4:
             raise NotImplementedError(
-                "clustering takes 1 or 2 columns (Morton interleave is the "
-                "2-D primitive; higher dimensions dilute stats locality)"
+                "clustering takes 1-4 columns (the published Delta cap; "
+                "beyond 4 the interleave dilutes every column's stats "
+                "locality)"
             )
         if set(cols) & set(self.partition_columns()):
             raise NotImplementedError(
@@ -2335,31 +2339,38 @@ class DeltaTable:
         """OPTIMIZE: small-file compaction, optionally with ZORDER BY.
 
         Plain mode rewrites each partition's files into ``target_files``.
-        With ``zorder_by=[x, y]`` (two numeric columns) every partition is
-        rewritten through the Morton bit-interleave clustering primitive
-        (functions/layout.cluster_by_morton — min-max-normalized
-        interleave, range shuffle, sort within partitions) into
-        ``target_files`` files whose x/y footer stats cover compact
-        rectangles, so selective filters on EITHER column skip most files
-        via the log stats alone. Both modes commit remove+add with
-        ``dataChange: false`` — the spec's marker that the commit
-        rearranges bytes without changing rows, so CDC readers skip it
-        entirely (the delta_cdc source honors the flag)."""
-        if zorder_by is not None and len(zorder_by) != 2:
-            raise NotImplementedError("zorder_by takes exactly two columns")
+        With ``zorder_by=[x, y, ...]`` (2-4 numeric columns) every
+        partition is rewritten through the N-way Morton bit-interleave
+        clustering primitive (functions/layout.cluster_by_morton —
+        min-max-normalized interleave, range shuffle, sort within
+        partitions) into ``target_files`` files whose per-column footer
+        stats cover compact hyper-rectangles, so selective filters on ANY
+        clustering column skip most files via the log stats alone. Both
+        modes commit remove+add with ``dataChange: false`` — the spec's
+        marker that the commit rearranges bytes without changing rows, so
+        CDC readers skip it entirely (the delta_cdc source honors the
+        flag)."""
+        if zorder_by is not None and not 2 <= len(zorder_by) <= 4:
+            raise NotImplementedError("zorder_by takes 2-4 columns")
         _, meta = self.snapshot()
         phys = self._phys_map(meta)
         schema = self.schema()
         part_cols = self.partition_columns()
         # LIQUID CLUSTERING: a clustered table's OPTIMIZE clusters by the
         # registered columns (domain metadata) unless the caller forces an
-        # explicit zorder — 2 columns ride the same Morton primitive,
-        # 1 column becomes a range-cluster (range shuffle + sort)
+        # explicit zorder — 2-4 columns ride the N-way HILBERT curve
+        # (functions/layout.cluster_by_hilbert — like production liquid
+        # clustering; every contiguous key range is a compact region, so
+        # even few files narrow EVERY column's stats), 1 column becomes a
+        # range-cluster (range shuffle + sort). Explicit ``zorder_by``
+        # keeps the classic Morton interleave (OPTIMIZE ZORDER BY
+        # semantics).
         cluster_1d: str | None = None
+        cluster_nd: list[str] | None = None
         if zorder_by is None:
             cc = self.clustering_columns()
-            if len(cc) == 2:
-                zorder_by = cc
+            if len(cc) >= 2:
+                cluster_nd = cc
             elif len(cc) == 1:
                 cluster_1d = cc[0]
         adds = self.files()
@@ -2375,7 +2386,12 @@ class DeltaTable:
         rewritten = 0
         all_new: list[dict] = []
         for _key, group in groups.items():
-            if zorder_by is None and cluster_1d is None and len(group) <= target_files:
+            if (
+                zorder_by is None
+                and cluster_1d is None
+                and cluster_nd is None
+                and len(group) <= target_files
+            ):
                 continue  # clustering rewrites even single files; bin-pack skips
             if rt:
                 # row tracking: OPTIMIZE copies rows, so it MATERIALIZES
@@ -2390,6 +2406,10 @@ class DeltaTable:
                 from ..functions.layout import cluster_by_morton
 
                 df = cluster_by_morton(df, *zorder_by, n_files=target_files)
+            elif cluster_nd is not None:
+                from ..functions.layout import cluster_by_hilbert
+
+                df = cluster_by_hilbert(df, *cluster_nd, n_files=target_files)
             elif cluster_1d is not None:
                 df = df.repartitionByRange(
                     max(1, target_files), F.col(cluster_1d)
@@ -3737,4 +3757,83 @@ def q182_delta_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price_c"),
         F.lit(nonov).cast("int").alias("clustered_nonoverlapping"),
         F.lit(active).cast("int").alias("recluster_took_effect"),
+    )
+
+
+_LC3_CACHE: dict = {}
+
+
+def _liquid_3col_demo_table(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """3-column liquid-clustering demo, memoized per (session, sf_dir):
+    part rows written SHUFFLED across 6 files → CLUSTER BY
+    (sz, price_c, k) → OPTIMIZE rewrites along the 3-D Hilbert curve
+    into 8 files (2³ octants — EVERY clustering column's per-file range
+    roughly halves)."""
+    cache_key = (id(spark), sf_dir)
+    t = _LC3_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.log_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"dllc3_{uuid.uuid4().hex[:8]}")
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k"),
+        F.col("p_size").cast("long").alias("sz"),
+        (F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+    )
+    t = DeltaTable.create(spark, root, part.repartition(6))
+    t.set_clustering_columns(["sz", "price_c", "k"])
+    t.compact(target_files=8)
+    _LC3_CACHE[cache_key] = t
+    return t
+
+
+_Q185_ORACLE = """
+SELECT CAST(p_partkey AS BIGINT) AS k,
+       CAST(p_size AS BIGINT) AS sz,
+       CAST(p_retailprice * 100 AS BIGINT) AS price_c,
+       1 AS sz_clustered, 1 AS price_clustered, 1 AS k_clustered
+FROM part
+"""
+
+
+@query("q185_delta_liquid_clustering_3col", oracle=_Q185_ORACLE)
+def q185_delta_liquid_clustering_3col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta LIQUID CLUSTERING ON THREE COLUMNS (r8 — the 2-column cap is
+    gone): OPTIMIZE lays a clustered table out along an N-dimensional
+    HILBERT curve (functions/layout — Skilling's transform; production
+    liquid clustering uses Hilbert because every contiguous key interval
+    is a compact region, where a contiguous Morton interval straddling an
+    octant boundary leaves one column full-range). The physical pin is
+    per-column stats LOCALITY: after OPTIMIZE, for EVERY clustering
+    column the sum of per-file (max - min) spans must be under 80% of
+    n_files × the global range — an unclustered layout sums to
+    ≈ n_files × range, the 8-file Hilbert layout measures ≈ 50-60%. A
+    single-column sort would pass its own column and fail the other two.
+    Rows hash against part, so the rewrite must also be lossless.
+
+    Scale: one Arrow-batched numpy key pass (maintenance write, off the
+    query hot path) + one repartitionByRange per rewritten partition;
+    selective filters on ANY of the three columns then prune by log
+    stats alone."""
+    t = _liquid_3col_demo_table(spark, sf_dir)
+    files = t.files()
+    flags = []
+    for c in ("sz", "price_c", "k"):
+        mins, maxs = [], []
+        span_sum = 0
+        for a in files:
+            st = json.loads(a["stats"])
+            mins.append(st["minValues"][c])
+            maxs.append(st["maxValues"][c])
+            span_sum += st["maxValues"][c] - st["minValues"][c]
+        grange = max(maxs) - min(mins)
+        flags.append(int(span_sum < 0.8 * len(files) * grange))
+    return t.read().select(
+        F.col("k"),
+        F.col("sz"),
+        F.col("price_c"),
+        F.lit(flags[0]).cast("int").alias("sz_clustered"),
+        F.lit(flags[1]).cast("int").alias("price_clustered"),
+        F.lit(flags[2]).cast("int").alias("k_clustered"),
     )

@@ -674,8 +674,10 @@ def test_optimize_zorder_by_improves_log_skipping(spark, tmp_path):
         or ("remove" in a and a["remove"].get("dataChange"))
     ]
     assert changed == []
-    with pytest.raises(NotImplementedError, match="two columns"):
+    with pytest.raises(NotImplementedError, match="2-4 columns"):
         t.compact(zorder_by=["x"])
+    with pytest.raises(NotImplementedError, match="2-4 columns"):
+        t.compact(zorder_by=["a", "b", "c", "d", "e"])
 
 
 def test_v2_checkpoint_sidecars_roundtrip(spark, root):
@@ -1059,5 +1061,23 @@ def test_liquid_clustering_optimize_clusters_by_domain_metadata(spark, root):
     assert sorted(tuple(r_) for r_ in t.read().collect()) == sorted(rows)
     with pytest.raises(ValueError, match="no column"):
         t.set_clustering_columns(["zz"])
-    with pytest.raises(NotImplementedError, match="1 or 2"):
-        t.set_clustering_columns(["x", "y", "x"])
+    with pytest.raises(NotImplementedError, match="1-4"):
+        t.set_clustering_columns(["x", "y", "x", "y", "x"])
+    # r8: 3 columns cluster via the N-way Morton interleave — every
+    # clustering column's summed per-file span shrinks vs full-range
+    t2 = DeltaTable.create(
+        spark, root + "_3c",
+        spark.createDataFrame(
+            [(a, b, (a * 7 + b * 13) % 10_000) for a, b in rows],
+            "x long, y long, w long",
+        ).repartition(8),
+    )
+    t2.set_clustering_columns(["x", "y", "w"])
+    t2.compact(target_files=8)
+    for col in ("x", "y", "w"):
+        sp = []
+        for a in t2.files():
+            st = json.loads(a["stats"])
+            sp.append(st["maxValues"][col] - st["minValues"][col])
+        grange = 10_000
+        assert sum(sp) < 0.8 * len(sp) * grange, col
