@@ -1884,6 +1884,14 @@ class DeltaTable:
             # the spec carries the removed file's DV so change-feed readers
             # can reconstruct which rows were live before this commit
             out["remove"]["deletionVector"] = a["deletionVector"]
+        if a.get("baseRowId") is not None:
+            # spec §Row Tracking: remove actions carry the removed file's
+            # baseRowId/defaultRowCommitVersion so change-feed readers can
+            # attribute stable row ids to 'remove' rows
+            out["remove"]["baseRowId"] = a["baseRowId"]
+            out["remove"]["defaultRowCommitVersion"] = a.get(
+                "defaultRowCommitVersion"
+            )
         return out
 
     def merge(self, updates: DataFrame, key: str, txn: tuple[str, int] | None = None) -> dict:
@@ -1999,13 +2007,23 @@ class DeltaTable:
                 mk = updates.select(key).join(
                     touched_df.select(key), key, "left_semi"
                 ).distinct()
-                pre = touched_df.join(mk, key, "left_semi").withColumn(
+                if rt:
+                    # row tracking × CDF: the cdc rows carry the STABLE row
+                    # id — preimages from the resolved touched rows, post-
+                    # images from ups (same id as their preimage, this
+                    # commit's version); inserted rows' ids are assigned by
+                    # the new add action (baseRowId + position), unknowable
+                    # at cdc-write time, so they ride as null
+                    pre_src, upd_src = touched_full, ups
+                else:
+                    pre_src, upd_src = touched_df, updates
+                pre = pre_src.join(mk, key, "left_semi").withColumn(
                     "_change_type", F.lit("update_preimage")
                 )
-                post = updates.join(mk, key, "left_semi").withColumn(
+                post = upd_src.join(mk, key, "left_semi").withColumn(
                     "_change_type", F.lit("update_postimage")
                 )
-                ins = updates.join(mk, key, "left_anti").withColumn(
+                ins = upd_src.join(mk, key, "left_anti").withColumn(
                     "_change_type", F.lit("insert")
                 )
                 actions.append(
@@ -2274,11 +2292,22 @@ class DeltaTable:
         after), so the pair nets to exactly the newly-dead rows.
         ``dataChange=false`` rearrangements (OPTIMIZE) are skipped per
         spec. The feed's net effect per key equals the table-state delta —
-        the invariant q149 hashes."""
+        the invariant q149 hashes.
+
+        ROW TRACKING × CDF (r8): on a row-tracking table every change row
+        carries a trailing ``_row_id`` — update_preimage/update_postimage
+        pairs share the SAME stable id (materialized into the cdc file by
+        the merge), add/remove-derived rows resolve baseRowId + position
+        (remove actions carry the removed file's baseRowId per spec), and
+        cdc 'insert' rows ride null (their id is assigned by the add
+        action, unknowable at cdc-write time). Join the feed to
+        ``row_tracking_df`` on ``_row_id`` to track a logical row across
+        versions without a key column (q186)."""
         schema = self.schema(v_to)
         part_cols = self.partition_columns(v_to)
         _, meta = self.snapshot(v_to)
         phys = self._phys_map(meta)
+        rt = self._rt_cols(meta)
         parts: list[DataFrame] = []
         for v in range(v_from + 1, v_to + 1):
             if v not in self.versions():
@@ -2303,6 +2332,9 @@ class DeltaTable:
                         for f in schema.fields
                     ]
                     + [T.StructField("_change_type", T.StringType(), True)]
+                    + (
+                        [T.StructField(rt[0], T.LongType(), True)] if rt else []
+                    )
                 )
                 paths = [
                     os.path.join(self.root, unquote(c["path"])) for c in cdcs
@@ -2313,21 +2345,36 @@ class DeltaTable:
                         for f in schema.fields
                     ],
                     "_change_type",
+                    *([F.col(rt[0]).alias("_row_id")] if rt else []),
                 )
                 parts.append(df.withColumn("_commit_version", F.lit(v).cast("long")))
                 continue
             for acts, ct in ((adds, "insert"), (removes, "delete")):
                 if not acts:
                     continue
-                df = self._read_entries(acts, schema, part_cols, phys=phys)
-                parts.append(
-                    df.withColumn("_change_type", F.lit(ct)).withColumn(
-                        "_commit_version", F.lit(v).cast("long")
+                if rt:
+                    df = (
+                        self._rt_resolved(acts, meta)
+                        .withColumnRenamed(rt[0], "_row_id")
+                        .drop(rt[1])
+                        .withColumn("_change_type", F.lit(ct))
+                        .select(*schema.fieldNames(), "_change_type", "_row_id")
                     )
+                else:
+                    df = self._read_entries(
+                        acts, schema, part_cols, phys=phys
+                    ).withColumn("_change_type", F.lit(ct))
+                parts.append(
+                    df.withColumn("_commit_version", F.lit(v).cast("long"))
                 )
         if not parts:
             base = self.spark.createDataFrame([], schema)
-            return base.withColumn("_change_type", F.lit("").cast("string")).withColumn(
+            base = base.withColumn(
+                "_change_type", F.lit("").cast("string")
+            )
+            if rt:
+                base = base.withColumn("_row_id", F.lit(None).cast("long"))
+            return base.withColumn(
                 "_commit_version", F.lit(None).cast("long")
             )
         out = parts[0]
@@ -3418,6 +3465,100 @@ def q175_delta_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").cast("long"),
         "n_name",
         F.col("_change_type").alias("change_type"),
+    )
+
+
+_RTCDF_CACHE: dict = {}
+
+
+def _rt_cdf_demo_table(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """Row-tracking × CDF composition demo, memoized per (session,
+    sf_dir): nation as ONE sorted file → enable_row_tracking (ids 0..24
+    in key order) → enable_change_data_feed → one MERGE renaming every
+    key %5=2 (the cdc file materializes each pre/postimage pair's stable
+    ``_row_id``)."""
+    cache_key = (id(spark), sf_dir)
+    t = _RTCDF_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.log_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"dlrtcdf_{uuid.uuid4().hex[:8]}")
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long"), "n_name"
+    ).orderBy("n_nationkey").coalesce(1)
+    t = DeltaTable.create(spark, root, nation)
+    t.enable_row_tracking()
+    t.enable_change_data_feed()
+    t.merge(
+        nation.where("n_nationkey % 5 = 2").select(
+            "n_nationkey",
+            F.concat(F.lit("RTCDF_"), F.col("n_name")).alias("n_name"),
+        ),
+        key="n_nationkey",
+    )
+    _RTCDF_CACHE[cache_key] = t
+    return t
+
+
+_Q186_ORACLE = """
+WITH base AS (
+  SELECT n_nationkey AS k, n_name AS name,
+         ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS rid
+  FROM nation
+)
+SELECT CAST(k AS BIGINT) AS n_nationkey,
+       name AS pre_name,
+       'RTCDF_' || name AS post_name,
+       CAST(rid AS BIGINT) AS row_id,
+       1 AS state_matches_postimage
+FROM base WHERE k % 5 = 2
+"""
+
+
+@query("q186_delta_row_tracking_cdf", oracle=_Q186_ORACLE)
+def q186_delta_row_tracking_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW TRACKING × CHANGE DATA FEED composed (r8): with both features
+    enabled, every CDF change row carries its STABLE ``_row_id`` — a
+    MERGE's update_preimage and update_postimage materialize the SAME id
+    into the cdc file, so a consumer can track a logical row across
+    versions WITHOUT a key column. The query joins the feed's pre/post
+    pairs to each other AND to ``row_tracking_df`` ON ``_row_id`` alone
+    (never the nation key); the oracle recomputes ids from write order,
+    so an id that churns through the merge, a pre/post pair that splits,
+    or a current-state row whose id maps to the wrong postimage all
+    hash-mismatch. state_matches_postimage pins that the id-joined
+    current row really carries the updated name.
+
+    Scale: the cdc file is O(rows changed); the id joins are keyed
+    equi-joins on a bigint; row_tracking_df adds one broadcast O(#files)
+    map — nothing data-sized beyond the feed itself."""
+    t = _rt_cdf_demo_table(spark, sf_dir)
+    mv = t.latest_version()
+    cdf = t.table_changes(mv - 1, mv)
+    pre = cdf.where("_change_type = 'update_preimage'").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name").alias("pre_name"),
+        "_row_id",
+    )
+    post = cdf.where("_change_type = 'update_postimage'").select(
+        F.col("n_name").alias("post_name"), "_row_id"
+    )
+    state = t.row_tracking_df().select(
+        F.col("n_name").alias("state_name"), "_row_id"
+    )
+    return (
+        pre.join(post, "_row_id")
+        .join(state, "_row_id")
+        .select(
+            "n_nationkey",
+            "pre_name",
+            "post_name",
+            F.col("_row_id").cast("long").alias("row_id"),
+            (F.col("post_name") == F.col("state_name"))
+            .cast("int")
+            .alias("state_matches_postimage"),
+        )
     )
 
 

@@ -69,6 +69,15 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
             # partitionValues are keyed by physical names, stable across
             # renames, so the current map covers every replayed version
             self._phys = self._t._phys_map(meta)
+            # row tracking × CDF: when enabled, every change row carries
+            # its STABLE _row_id (spec precedence: materialized physical
+            # column, else the action's baseRowId + position)
+            cfg = meta.get("configuration") or {}
+            self._rt_rid = (
+                cfg.get("delta.rowTracking.materializedRowIdColumnName")
+                if cfg.get("delta.enableRowTracking") == "true"
+                else None
+            )
         return self._schema_fields, self._part_cols
 
     def _schema_at(self, v: int) -> tuple[int, set[str]]:
@@ -108,6 +117,20 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
         fields, part_cols = self._fields()
         pvals = action.get("partitionValues") or {}
         tbl = pq.read_table(self._t._abs_path(action["path"]))
+        # stable row ids are position-based, so compute them BEFORE the DV
+        # mask drops rows (survivors keep their pre-mask positions)
+        rids: list | None = None
+        if self._rt_rid is not None:
+            base = action.get("baseRowId")
+            mat = (
+                tbl.column(self._rt_rid).to_pylist()
+                if self._rt_rid in tbl.column_names
+                else [None] * tbl.num_rows
+            )
+            rids = [
+                m if m is not None else (base + i if base is not None else None)
+                for i, m in enumerate(mat)
+            ]
         d = action.get("deletionVector")
         if d:
             # the action's DV masks this file's dead ordinals, so 'add' rows
@@ -121,9 +144,10 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
             if dead:
                 import pyarrow as pa
 
-                tbl = tbl.filter(
-                    pa.array([i not in dead for i in range(tbl.num_rows)])
-                )
+                mask = [i not in dead for i in range(tbl.num_rows)]
+                tbl = tbl.filter(pa.array(mask))
+                if rids is not None:
+                    rids = [r for r, keep in zip(rids, mask) if keep]
         names = set(tbl.column_names)
         n = tbl.num_rows
         cols = []
@@ -141,6 +165,8 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
                 cols.append(tbl.column(pname).to_pylist())
             else:  # pre-evolution file: evolved column reads as null
                 cols.append([None] * n)
+        if rids is not None:
+            cols.append(rids)
         return zip(*cols) if cols else iter(())
 
     def _cdc_rows(self, cdcs: list[dict]):
@@ -163,6 +189,15 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
                 pname = self._phys.get(name, name)
                 cols.append(
                     tbl.column(pname).to_pylist() if pname in names else [None] * n
+                )
+            if self._rt_rid is not None:
+                # cdc files written under row tracking materialize the id
+                # for pre/postimages; inserts (id assigned by the add
+                # action, unknowable at cdc-write time) carry null
+                cols.append(
+                    tbl.column(self._rt_rid).to_pylist()
+                    if self._rt_rid in names
+                    else [None] * n
                 )
             cts = tbl.column("_change_type").to_pylist()
             for row, ct in zip(zip(*cols), cts):
@@ -191,17 +226,27 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
                     if action["remove"].get("dataChange", True):
                         removes.append(action["remove"])
             eff_v, phys_live = self._schema_at(v)
+            self._fields()  # ensure self._phys / self._rt_rid are resolved
+            rt = self._rt_rid is not None
+
+            def _shape(row: tuple, ct: str):
+                # _row_id rides LAST (trailing-column convention) even
+                # though the per-file readers append it inside `row`
+                if rt:
+                    *data, rid = row
+                    return (*data, v, ct, eff_v, rid)
+                return (*row, v, ct, eff_v)
+
             if cdcs:
-                self._fields()  # ensure self._phys is resolved
                 for row, ct in self._cdc_rows(cdcs):
-                    yield (*row, v, ct, eff_v)
+                    yield _shape(row, ct)
                 continue
             for a in sorted(adds, key=lambda x: x["path"]):
                 for row in self._rows_of(a, phys_live):
-                    yield (*row, v, "add", eff_v)
+                    yield _shape(row, "add")
             for r in sorted(removes, key=lambda x: x["path"]):
                 for row in self._rows_of(r, phys_live):
-                    yield (*row, v, "remove", eff_v)
+                    yield _shape(row, "remove")
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -239,10 +284,17 @@ class DeltaCdcDataSource(DataSource):
         _, meta = DeltaTable(None, root).snapshot()
         st = StructType.fromJson(json.loads(meta["schemaString"]))
         cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
-        return (
+        out = (
             f"{cols}, commit_version bigint, change_type string, "
             "schema_version bigint"
         )
+        cfg = meta.get("configuration") or {}
+        if cfg.get("delta.enableRowTracking") == "true":
+            # row tracking × CDF: every change row carries its stable id
+            # (trailing column — consumers comparing whole rows must name
+            # columns, same contract as schema_version)
+            out += ", _row_id bigint"
+        return out
 
     def simpleStreamReader(self, schema) -> DeltaCdcReader:
         return DeltaCdcReader(self.options)

@@ -316,6 +316,91 @@ def test_delta_cdc_stream_source(spark, root):
     ]
 
 
+def test_row_tracking_cdf_composition(spark, root):
+    """r8: with row tracking AND CDF enabled, every change row exposes its
+    stable _row_id — batch table_changes and the delta_cdc streaming
+    source both. A merge's pre/postimage pair shares the SAME id; a CoW
+    DELETE's 'delete' rows carry the dead rows' ids (remove actions carry
+    baseRowId per spec); cdc 'insert' rows ride null (id assigned by the
+    add action)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_stream_source import (
+        DeltaCdcDataSource,
+    )
+
+    t = DeltaTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "k long, s string"
+        ).orderBy("k").coalesce(1),
+    )
+    t.enable_row_tracking()
+    t.enable_change_data_feed()
+    # ids 0..5 in key order (one sorted file)
+    base_ids = {r.k: r._row_id for r in t.row_tracking_df().collect()}
+    assert base_ids == {i: i for i in range(6)}
+    t.append(spark.createDataFrame([(6, "v6")], "k long, s string").coalesce(1))
+    av = t.latest_version()
+    t.merge(
+        spark.createDataFrame([(2, "UP2"), (9, "NEW9")], "k long, s string"),
+        key="k",
+    )
+    mv = t.latest_version()
+    ch = {
+        (r["_change_type"], r["k"]): r["_row_id"]
+        for r in t.table_changes(mv - 1, mv).collect()
+    }
+    assert ch[("update_preimage", 2)] == 2
+    assert ch[("update_postimage", 2)] == 2  # SAME stable id through the merge
+    assert ch[("insert", 9)] is None  # assigned by the add action, not the cdc
+    # current state: the merged row keeps id 2; the insert got a fresh id
+    ids2 = {r.k: r._row_id for r in t.row_tracking_df().collect()}
+    assert ids2[2] == 2 and ids2[6] == 6 and ids2[9] >= 7
+    # CoW DELETE: no cdc action — delete rows derive from add/remove
+    # netting and must carry the dead rows' ids (remove carries baseRowId)
+    t.delete("k = 4")
+    dv = t.latest_version()
+    net = {}
+    for r in t.table_changes(dv - 1, dv).collect():
+        net.setdefault((r["_change_type"], r["k"]), []).append(r["_row_id"])
+    # file-level netting: k=4 appears only under 'delete' (insert+delete
+    # pairs for survivors carry MATCHING ids and net out)
+    assert net[("delete", 4)] == [4]
+    for ct, k in list(net):
+        if k != 4:
+            assert net.get(("insert", k)) == net.get(("delete", k)), k
+    # streaming source exposes the same trailing _row_id column
+    try:
+        spark.dataSource.register(DeltaCdcDataSource)
+    except Exception:
+        pass
+    sink = os.path.join(root, "_rtcdf_sink")
+    q = (
+        spark.readStream.format("delta_cdc")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "_rtcdf_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    assert "_row_id" in feed.columns
+    got = {
+        (r["commit_version"], r["change_type"], r["k"]): r["_row_id"]
+        for r in feed.collect()
+    }
+    # pre-enable commit: ids were assigned by the later backfill (a
+    # dataChange=false commit the feed skips), so v0 rows honestly ride null
+    assert got[(0, "add", 2)] is None
+    assert got[(av, "add", 6)] == 6  # baseRowId + position on plain adds
+    assert got[(mv, "update_preimage", 2)] == 2
+    assert got[(mv, "update_postimage", 2)] == 2
+    assert got[(mv, "insert", 9)] is None
+
+
 def test_stream_append_exactly_once(spark, root, tmp_path):
     """availableNow drain into a Delta table via foreachBatch + txn actions;
     a manual replay of an already-committed batch id must be a no-op, and a
