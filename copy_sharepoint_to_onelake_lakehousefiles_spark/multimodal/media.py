@@ -1947,53 +1947,110 @@ def sample_video_frames(media: DataFrame, n: int = 4, dim: int = 8) -> DataFrame
     return media.select("media_id", "content").mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
-@query("q157_video_frame_sampling")
-def q157_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-column pipeline round-trip (rows-only: binary I/O). Builds
-    animated GIFs (REAL multi-frame decode: composed canvases, GCE delays)
-    plus one foreign container (stub path), ingests via binaryFile, probes
-    animated duration from block lengths alone, fans each clip out into
-    evenly-sampled frame rows, and aggregates per clip — the shape of a
-    video-curation job (sample frames → embed → filter)."""
-    import os
-    import shutil
-    import tempfile
+VIDEO_FIXTURE_CLIPS = [(6, 10), (3, 25)]  # (n_frames, GCE delay cs)
+VIDEO_FIXTURE_FOREIGN = b"\x00\x00\x00\x18ftypmp42" + b"\x42" * 64
 
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_video_fixture")
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root)
-    for k, (n_frames, delay) in enumerate([(6, 10), (3, 25)]):
-        frames = []
-        for i in range(n_frames):
-            f = np.full((12, 16, 3), (20 * i, 40 + 10 * k, 200 - 25 * i), np.uint8)
-            f[4 : 8, 4 + i : 8 + i] = (255, 255, 0)  # moving block
-            frames.append(f)
+
+def _video_fixture_frames(k: int, n_frames: int) -> list[np.ndarray]:
+    frames = []
+    for i in range(n_frames):
+        f = np.full((12, 16, 3), (20 * i, 40 + 10 * k, 200 - 25 * i), np.uint8)
+        f[4:8, 4 + i : 8 + i] = (255, 255, 0)  # moving block
+        frames.append(f)
+    return frames
+
+
+def _build_video_fixture_tree(root: str) -> None:
+    """The deterministic clip tree q157 samples: two animated GIFs (REAL
+    multi-frame decode: composed canvases, GCE delays) plus one foreign
+    container (stub path). Every payload is a pure function of the
+    definitions above, so the per-clip frame aggregate is a CONSTANT —
+    which lets q157 carry a precomputed-fixture oracle
+    (tests/fixtures/q157_video_oracle.jsonl, regenerated WITHOUT Spark by
+    tests/test_media_oracle_fixture.py)."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    for k, (n_frames, delay) in enumerate(VIDEO_FIXTURE_CLIPS):
+        frames = _video_fixture_frames(k, n_frames)
         with open(os.path.join(root, f"clip{k}.gif"), "wb") as fh:
             fh.write(encode_gif_animation(frames, [delay] * n_frames))
     with open(os.path.join(root, "foreign.mp4"), "wb") as fh:
-        fh.write(b"\x00\x00\x00\x18ftypmp42" + b"\x42" * 64)  # no codec here
+        fh.write(VIDEO_FIXTURE_FOREIGN)  # no codec here
 
+
+_Q157_ORACLE = f"""
+SELECT clip, mime, CAST(n_sampled AS BIGINT) AS n_sampled,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(probed_ms AS BIGINT) AS probed_ms,
+       CAST(decoded AS BIGINT) AS decoded,
+       CAST(feat3_fx AS BIGINT) AS feat3_fx
+FROM read_json_auto('{_MEDIA_ORACLE_DIR}/q157_video_oracle.jsonl')
+"""
+
+
+@query("q157_video_frame_sampling", oracle=_Q157_ORACLE)
+def q157_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column pipeline round-trip. Builds animated GIFs (REAL
+    multi-frame decode: composed canvases, GCE delays) plus one foreign
+    container (stub path), ingests via binaryFile, probes animated
+    duration from block lengths alone, fans each clip out into
+    evenly-sampled frame rows, and aggregates per clip — the shape of a
+    video-curation job (sample frames → embed → filter).
+
+    r8: PROMOTED from rows-only to the hash tier (the q60/q61 recipe) —
+    the clip tree is deterministic, rows key by file NAME (media_id is an
+    md5 of the per-run /tmp path, so it stays internal), and the feature
+    aggregate is an order-independent fixed-point integer sum. The oracle
+    reads the checked-in tests/fixtures/q157_video_oracle.jsonl, which
+    tests/test_media_oracle_fixture.py regenerates from the codec layer
+    WITHOUT Spark and asserts byte-identical."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    # per-run root: two concurrent gates must not race on one fixture tree
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_video_fixture_{_uuid.uuid4().hex[:8]}"
+    )
+    _build_video_fixture_tree(root)
+    named = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(
+            F.md5("path").alias("media_id"),
+            F.element_at(F.split("path", "/"), -1).alias("clip"),
+        )
+    )
     media = probe_media(read_media_dir(spark, root, kind="video"))
     frames_df = sample_video_frames(media, n=4)
     out = (
         frames_df.groupBy("media_id")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.first("n_frames").alias("n_frames"),
-            F.first("duration_ms").alias("duration_ms"),
-            F.min("decoded").alias("decoded"),
-            F.round(F.avg(F.element_at("features", 3)), 4).alias("avg_feat3"),
+            F.first("n_frames").cast("long").alias("n_frames"),
+            F.first("duration_ms").cast("long").alias("duration_ms"),
+            F.min("decoded").cast("long").alias("decoded"),
+            F.sum(
+                F.round(F.element_at("features", 3) * 10000).cast("long")
+            ).alias("feat3_fx"),
         )
         .join(
             media.select(
                 "media_id", F.col("meta.mime").alias("mime"),
-                F.col("meta.duration_ms").alias("probed_ms"),
+                F.col("meta.duration_ms").cast("long").alias("probed_ms"),
             ),
             "media_id",
         )
+        .join(named, "media_id")
         .select(
-            "media_id", "mime", "n_sampled", "n_frames",
-            "duration_ms", "probed_ms", "decoded", "avg_feat3",
+            "clip", "mime", "n_sampled", "n_frames",
+            "duration_ms", "probed_ms", "decoded", "feat3_fx",
         )
     )
-    return materialize(out)
+    res = materialize(out)  # fixture tree is deletable once materialized
+    shutil.rmtree(root, ignore_errors=True)
+    return res

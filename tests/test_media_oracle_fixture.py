@@ -27,14 +27,20 @@ from decimal import ROUND_HALF_UP, Decimal
 import numpy as np
 
 from copy_sharepoint_to_onelake_lakehousefiles_spark.multimodal.media import (
+    DECODE_ERRORS,
     _build_media_fixture_tree,
+    _build_video_fixture_tree,
+    _image_features,
     _real_or_stub_features,
+    _stub_decode,
+    decode_gif_frames,
     probe_metadata,
 )
 
 FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
 Q60_PATH = os.path.join(FIXDIR, "q60_media_oracle.jsonl")
 Q61_PATH = os.path.join(FIXDIR, "q61_media_oracle.jsonl")
+Q157_PATH = os.path.join(FIXDIR, "q157_video_oracle.jsonl")
 
 _M32 = 0xFFFFFFFF
 
@@ -162,6 +168,56 @@ def expected_q61_rows() -> list[dict]:
     return sorted(rows, key=lambda r: r["q_id"])
 
 
+def expected_q157_rows() -> list[dict]:
+    """q157's per-clip frame aggregates, recomputed WITHOUT Spark: walk
+    the same deterministic clip tree, decode GIF frames (or take the
+    stub path for the foreign container — replicating
+    ``sample_video_frames``'s selection and fallback EXACTLY), and fold
+    each selected frame's feature[2] into the fixed-point sum the query
+    emits."""
+    root = os.path.join(tempfile.gettempdir(), f"video_oracle_gen_{uuid.uuid4().hex[:8]}")
+    _build_video_fixture_tree(root)
+    nq = 4
+    try:
+        rows = []
+        for dirpath, _dn, names in os.walk(root):
+            for nfile in sorted(names):
+                content = open(os.path.join(dirpath, nfile), "rb").read()
+                mime, _w, _h, probed = probe_metadata(content)
+                try:
+                    frames, delays = decode_gif_frames(content)
+                    total, dur, decoded = len(frames), sum(delays) * 10, 1
+                    if nq >= total:
+                        sel = list(range(total))
+                    elif nq == 1:
+                        sel = [0]
+                    else:
+                        sel = [round(i * (total - 1) / (nq - 1)) for i in range(nq)]
+                    sel = sorted(set(sel))
+                    f3s = [_image_features(frames[i], 8)[2] for i in sel]
+                except DECODE_ERRORS:
+                    total, dur, decoded = nq, None, 0
+                    sel = list(range(nq))
+                    f3s = [_stub_decode(content + bytes([i]), 8)[2] for i in sel]
+                rows.append(
+                    {
+                        "clip": nfile,
+                        "mime": mime,
+                        "n_sampled": len(sel),
+                        "n_frames": total,
+                        "duration_ms": dur,
+                        "probed_ms": probed,
+                        "decoded": decoded,
+                        "feat3_fx": sum(
+                            int(_round_half_up(v * 10000)) for v in f3s
+                        ),
+                    }
+                )
+        return sorted(rows, key=lambda r: r["clip"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _render(rows: list[dict]) -> str:
     return "".join(json.dumps(r, sort_keys=False) + "\n" for r in rows)
 
@@ -174,6 +230,11 @@ def test_q60_fixture_matches_regeneration():
 def test_q61_fixture_matches_regeneration():
     assert os.path.exists(Q61_PATH), "run: python -m tests.test_media_oracle_fixture"
     assert open(Q61_PATH).read() == _render(expected_q61_rows())
+
+
+def test_q157_fixture_matches_regeneration():
+    assert os.path.exists(Q157_PATH), "run: python -m tests.test_media_oracle_fixture"
+    assert open(Q157_PATH).read() == _render(expected_q157_rows())
 
 
 def test_murmur3_matches_spark_hash_reference():
@@ -189,4 +250,5 @@ if __name__ == "__main__":
     os.makedirs(FIXDIR, exist_ok=True)
     open(Q60_PATH, "w").write(_render(expected_q60_rows()))
     open(Q61_PATH, "w").write(_render(expected_q61_rows()))
-    print(f"wrote {Q60_PATH} and {Q61_PATH}")
+    open(Q157_PATH, "w").write(_render(expected_q157_rows()))
+    print(f"wrote {Q60_PATH}, {Q61_PATH} and {Q157_PATH}")
