@@ -5133,6 +5133,114 @@ def q184_iceberg_lineage_merge_cow(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_RLCDC_CACHE: dict = {}
+
+
+def _lineage_cdc_demo_table(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """Row-lineage CDC demo, memoized per (session, sf_dir): nation as ONE
+    sorted file (ids 0..24 by key rank after enable) → DV delete
+    ``k % 9 = 4`` → one sorted append (ids 25..29)."""
+    cache_key = (id(spark), sf_dir)
+    t = _RLCDC_CACHE.get(cache_key)
+    if t is not None and os.path.isdir(t.meta_dir):
+        return t
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"icerlcdc_{uuid.uuid4().hex[:8]}")
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long"), "n_name"
+    ).orderBy("n_nationkey").coalesce(1)
+    t = IcebergTable.create(spark, root, nation)
+    t.enable_row_lineage()
+    t = IcebergTable(spark, root)
+    t.delete_vectors_v3("n_nationkey % 9 = 4")
+    region = load(spark, sf_dir, "region")
+    t.append(
+        region.select(
+            (F.lit(300) + F.col("r_regionkey").cast("long")).alias("n_nationkey"),
+            F.concat(F.lit("RLC_"), F.col("r_name")).alias("n_name"),
+        ).orderBy("n_nationkey").coalesce(1)
+    )
+    _RLCDC_CACHE[cache_key] = t
+    return t
+
+
+_Q187_ORACLE = """
+WITH base AS (
+  SELECT n_nationkey AS k, n_name AS name,
+         ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS rid
+  FROM nation
+)
+-- snapshot 0 = create (pre-enable: ids unknowable retroactively → null)
+SELECT CAST(k AS BIGINT) AS n_nationkey, name AS n_name,
+       CAST(0 AS BIGINT) AS snapshot_idx, 'add' AS change_type,
+       CAST(NULL AS BIGINT) AS row_id
+FROM base
+UNION ALL
+-- snapshot 1 = enable (manifest rewrite, no file diff: emits nothing);
+-- snapshot 2 = DV delete: the dead rows' stable ids
+SELECT CAST(k AS BIGINT), name, 2, 'delete_row', CAST(rid AS BIGINT)
+FROM base WHERE k % 9 = 4
+UNION ALL
+-- snapshot 3 = post-enable append: inherited first_row_id + position
+SELECT CAST(300 + r_regionkey AS BIGINT), 'RLC_' || r_name, 3, 'add',
+       CAST((SELECT count(*) FROM nation)
+            + ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1 AS BIGINT)
+FROM region
+"""
+
+
+@query("q187_iceberg_lineage_cdc", oracle=_Q187_ORACLE)
+def q187_iceberg_lineage_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE × CDC (r8 — the Iceberg twin of Delta's
+    q186): on a lineage table the iceberg_cdc feed carries a trailing
+    ``_row_id`` — adds resolve first_row_id + position (materialized
+    column wins after a lineage-preserving rewrite), DV delete_row rows
+    carry the DEAD rows' stable ids, pre-enable snapshots honestly ride
+    null (their ids were assigned retroactively by the enable commit,
+    which rewrites manifests without a file diff and so emits nothing).
+    The oracle recomputes every id from write order and pins the
+    enable-emits-nothing invariant via exact row counts per snapshot.
+
+    Scale: same O(changed files) snapshot-diff planning as q140; the id
+    resolution adds one first_row_id lookup per emitted file — metadata
+    already in hand."""
+    import shutil
+    import tempfile
+
+    from ..sources.iceberg_stream_source import IcebergCdcDataSource
+
+    try:
+        spark.dataSource.register(IcebergCdcDataSource)
+    except Exception:
+        pass  # already registered this session
+    t = _lineage_cdc_demo_table(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="icecdc_q187_")
+    stream = (
+        spark.readStream.format("iceberg_cdc")
+        .load(t.root)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(base, "sink"))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    feed = spark.read.parquet(os.path.join(base, "sink"))
+    out = materialize(
+        feed.select(
+            F.col("n_nationkey").cast("long"),
+            "n_name",
+            F.col("snapshot_idx").cast("long"),
+            "change_type",
+            F.col("_row_id").cast("long").alias("row_id"),
+        )
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 _DFLT_CACHE: dict = {}
 
 

@@ -69,6 +69,11 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
                 for s in md["snapshots"]
             }
             self._tgt_sid = md["current-schema-id"]
+            # v3 row lineage × CDC: every change row carries its stable
+            # _row_id (materialized column wins, else first_row_id +
+            # position); equality deletes ride null — the spec says
+            # lineage cannot be carried through them
+            self._lineage = md.get("next-row-id") is not None
         return self._fields, self._part_cols
 
     def _write_names(self, entry: dict) -> dict:
@@ -114,6 +119,25 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
         fields, _part_cols = self._schema_fields()
         wnames = self._write_names(entry)
         tbl = pq.read_table(entry["file_path"].replace("file:", ""))
+        # stable row ids are position-based: resolve them against the FULL
+        # file before any ordinal subsetting
+        rids: list | None = None
+        if self._lineage:
+            base = entry.get("first_row_id")
+            mat = (
+                tbl.column("_row_id").to_pylist()
+                if "_row_id" in tbl.column_names
+                else [None] * tbl.num_rows
+            )
+            pos_list = (
+                sorted(positions) if positions is not None else range(tbl.num_rows)
+            )
+            rids = [
+                mat[p]
+                if mat[p] is not None
+                else (base + p if base is not None else None)
+                for p in pos_list
+            ]
         if positions is not None:
             tbl = tbl.take(sorted(positions))
         names = set(tbl.column_names)
@@ -136,6 +160,8 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
                 cols.append(tbl.column(wname).to_pylist())
             else:
                 cols.append([None] * n)
+        if rids is not None:
+            cols.append(rids)
         return zip(*cols) if cols else iter(())
 
     def _rows_of_position_delete(
@@ -194,6 +220,10 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
                 cols.append([None] * n)
             else:
                 cols.append(tbl.column(name).to_pylist())
+        if self._lineage:
+            # spec §Row Lineage: an equality delete's matched rows are
+            # never read, so their ids are unknowable here
+            cols.append([None] * n)
         return zip(*cols) if cols else iter(())
 
     def _emit(self, i_from: int, i_to: int):
@@ -227,12 +257,23 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
                         )
                     )
             sid, live_ids = self._live_ids_at(idx)
+            self._schema_fields()  # ensure self._lineage is resolved
+            lineage = self._lineage
+
+            def _shape(row: tuple, ct: str):
+                # _row_id rides LAST (trailing-column convention) even
+                # though the per-file readers append it inside `row`
+                if lineage:
+                    *data, rid = row
+                    return (*data, idx, ct, sid, rid)
+                return (*row, idx, ct, sid)
+
             for p in sorted(set(cur) - set(prev)):
                 for row in self._rows_of_data_file(cur[p], live_ids=live_ids):
-                    yield (*row, idx, "add", sid)
+                    yield _shape(row, "add")
             for p in sorted(set(prev) - set(cur)):
                 for row in self._rows_of_data_file(prev[p], live_ids=live_ids):
-                    yield (*row, idx, "remove", sid)
+                    yield _shape(row, "remove")
             for d in sorted(
                 self._t.delete_entries(index=idx),
                 key=lambda d: d["data_file"]["file_path"],
@@ -243,10 +284,10 @@ class IcebergCdcReader(SimpleDataSourceStreamReader):
                     for row in self._rows_of_position_delete(
                         d, cur, live_ids, prev_dv_pos
                     ):
-                        yield (*row, idx, "delete_row", sid)
+                        yield _shape(row, "delete_row")
                 else:  # equality delete: key columns only
                     for row in self._rows_of_delete_file(d, live_ids):
-                        yield (*row, idx, "delete_key", sid)
+                        yield _shape(row, "delete_key")
 
     def initialOffset(self) -> dict:
         return {"index": -1}
@@ -276,9 +317,16 @@ class IcebergCdcDataSource(DataSource):
         root = self.options.get("path")
         if not root:
             raise ValueError("iceberg_cdc requires .load(<table root>)")
-        st = IcebergTable(None, root).schema()
+        t = IcebergTable(None, root)
+        st = t.schema()
         cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
-        return f"{cols}, snapshot_idx bigint, change_type string, schema_id int"
+        out = f"{cols}, snapshot_idx bigint, change_type string, schema_id int"
+        if t.metadata().get("next-row-id") is not None:
+            # row lineage × CDC: every change row carries its stable id
+            # (trailing column — consumers comparing whole rows must name
+            # columns, same contract as schema_id)
+            out += ", _row_id bigint"
+        return out
 
     def simpleStreamReader(self, schema) -> IcebergCdcReader:
         return IcebergCdcReader(self.options)

@@ -1581,6 +1581,72 @@ def test_v3_row_lineage_end_to_end(spark, root):
     assert all(lin5[k] == lin3[k] for k in lin3)
 
 
+def test_iceberg_cdc_row_lineage(spark, root, tmp_path):
+    """r8 (the Iceberg twin of delta's row-tracking × CDF composition):
+    on a row-lineage table the iceberg_cdc feed carries a trailing
+    ``_row_id`` — adds resolve first_row_id + position (or the
+    materialized column after a lineage-preserving rewrite), DV
+    delete_row rows carry the dead rows' ids, equality delete_key rows
+    ride null (the spec: lineage cannot be carried through an equality
+    delete), and pre-enable snapshots honestly ride null."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_stream_source import (
+        IcebergCdcDataSource,
+    )
+
+    t = IcebergTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(6)], "k long, v long"
+        ).orderBy("k").coalesce(1),
+    )
+    t.enable_row_lineage()
+    t = IcebergTable(spark, root)
+    t.append(spark.createDataFrame([(10, 1)], "k long, v long").coalesce(1))
+    t.delete_vectors_v3("k = 2")
+    t.equality_delete(spark.createDataFrame([(3,)], "k long"))
+    t.rewrite_data_files()  # materializes survivors' _row_id into new files
+    try:
+        spark.dataSource.register(IcebergCdcDataSource)
+    except Exception:
+        pass
+    sink = os.path.join(str(tmp_path), "rl_sink")
+    q = (
+        spark.readStream.format("iceberg_cdc")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "rl_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    assert "_row_id" in feed.columns
+    got = {
+        (r["snapshot_idx"], r["change_type"], r["k"]): r["_row_id"]
+        for r in feed.collect()
+    }
+    # snapshot 0 = create (pre-enable: no first_row_id on those entries)
+    assert got[(0, "add", 2)] is None
+    # snapshot 2 = post-enable append: inherited first_row_id + position
+    assert got[(2, "add", 10)] == 6
+    # snapshot 3 = DV delete: the dead row's stable id
+    assert got[(3, "delete_row", 2)] == 2
+    # snapshot 4 = equality delete: matched rows never read → null id
+    assert got[(4, "delete_key", 3)] is None
+    # snapshot 5 = lineage-preserving rewrite: the new file's adds carry
+    # MATERIALIZED ids — survivors keep theirs through the compaction
+    adds5 = {
+        k[2]: rid for k, rid in got.items() if k[0] == 5 and k[1] == "add"
+    }
+    assert adds5 == {0: 0, 1: 1, 4: 4, 5: 5, 10: 6}
+    # uniqueness across the final snapshot's live rows
+    vals = list(adds5.values())
+    assert len(set(vals)) == len(vals)
+
+
 def test_v3_row_lineage_merge_cow_and_replacing_writers(spark, root):
     """r8 (was a refusal): row-replacing writers on a lineage table follow
     the spec's rules instead of refusing. merge_cow (copy-on-write)
