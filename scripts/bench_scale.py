@@ -60,7 +60,7 @@ def build_inflated(spark, src: str, dst: str) -> None:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALE_r06.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALE_local.json"
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -92,6 +92,33 @@ def main() -> None:
         worst = max(r["ratio"] for r in result["queries"].values())
         result["worst_ratio"] = worst
         result["near_linear"] = worst <= 12.0
+        # FORCED FLOOD ROUTE (r8): the 10x corpus is 90% duplicates, but at
+        # sf0.1 it sits below PROBE_MIN_ROWS, so the direct route above is
+        # what ran. Lower the probe gate to 0 so the same inflated corpus
+        # routes through _lsh_pairs_flood_route (sha2 pre-dedup → LSH on
+        # representatives → keyed-join expansion) and measure it — the
+        # flood route must be output-identical and no slower than the
+        # direct route at equal duplication.
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.operators import dedup as _dedup
+
+        q26 = "q26_minhash_lsh_pairs"
+        old_gate = _dedup.PROBE_MIN_ROWS
+        _dedup.PROBE_MIN_ROWS = 0
+        try:
+            qs[q26](spark, inflated).count()  # warm the flood code path
+            t0 = time.time()
+            n_flood = qs[q26](spark, inflated).count()
+            flood_sec = round(time.time() - t0, 3)
+        finally:
+            _dedup.PROBE_MIN_ROWS = old_gate
+        direct = result["queries"][q26]
+        result["flood_route"] = {
+            "x10_sec": flood_sec,
+            "ratio": round(flood_sec / max(direct["base_sec"], 1e-9), 2),
+            "direct_ratio": direct["ratio"],
+            "flood_not_slower": flood_sec <= direct["x10_sec"] * 1.1,
+            "rows_match_direct": n_flood == result["rows"][q26]["x10"],
+        }
     finally:
         shutil.rmtree(inflated, ignore_errors=True)
     with open(out_path, "w") as f:
