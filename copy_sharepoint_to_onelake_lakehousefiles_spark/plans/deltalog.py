@@ -2302,7 +2302,14 @@ class DeltaTable:
         cdc 'insert' rows ride null (their id is assigned by the add
         action, unknowable at cdc-write time). Join the feed to
         ``row_tracking_df`` on ``_row_id`` to track a logical row across
-        versions without a key column (q186)."""
+        versions without a key column (q186).
+
+        Every change row also carries ``_commit_timestamp`` (epoch millis,
+        the spec's CDF third column): the commitInfo's authoritative
+        ``inCommitTimestamp`` when the table has in-commit timestamps
+        (monotonic regardless of file-mtime skew — the q179 feature
+        composed into the feed), else the commit file's mtime per the
+        spec's read rule."""
         schema = self.schema(v_to)
         part_cols = self.partition_columns(v_to)
         _, meta = self.snapshot(v_to)
@@ -2347,7 +2354,13 @@ class DeltaTable:
                     "_change_type",
                     *([F.col(rt[0]).alias("_row_id")] if rt else []),
                 )
-                parts.append(df.withColumn("_commit_version", F.lit(v).cast("long")))
+                parts.append(
+                    df.withColumn("_commit_version", F.lit(v).cast("long"))
+                    .withColumn(
+                        "_commit_timestamp",
+                        F.lit(self._commit_timestamp(v)).cast("long"),
+                    )
+                )
                 continue
             for acts, ct in ((adds, "insert"), (removes, "delete")):
                 if not acts:
@@ -2366,6 +2379,10 @@ class DeltaTable:
                     ).withColumn("_change_type", F.lit(ct))
                 parts.append(
                     df.withColumn("_commit_version", F.lit(v).cast("long"))
+                    .withColumn(
+                        "_commit_timestamp",
+                        F.lit(self._commit_timestamp(v)).cast("long"),
+                    )
                 )
         if not parts:
             base = self.spark.createDataFrame([], schema)
@@ -2376,7 +2393,7 @@ class DeltaTable:
                 base = base.withColumn("_row_id", F.lit(None).cast("long"))
             return base.withColumn(
                 "_commit_version", F.lit(None).cast("long")
-            )
+            ).withColumn("_commit_timestamp", F.lit(None).cast("long"))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

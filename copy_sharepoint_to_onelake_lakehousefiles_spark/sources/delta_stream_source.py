@@ -228,14 +228,17 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
             eff_v, phys_live = self._schema_at(v)
             self._fields()  # ensure self._phys / self._rt_rid are resolved
             rt = self._rt_rid is not None
+            # the spec's CDF timestamp: authoritative inCommitTimestamp
+            # when the table has ICT, else commit-file mtime
+            ts = self._t._commit_timestamp(v)
 
             def _shape(row: tuple, ct: str):
                 # _row_id rides LAST (trailing-column convention) even
                 # though the per-file readers append it inside `row`
                 if rt:
                     *data, rid = row
-                    return (*data, v, ct, eff_v, rid)
-                return (*row, v, ct, eff_v)
+                    return (*data, v, ct, eff_v, ts, rid)
+                return (*row, v, ct, eff_v, ts)
 
             if cdcs:
                 for row, ct in self._cdc_rows(cdcs):
@@ -286,7 +289,7 @@ class DeltaCdcDataSource(DataSource):
         cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
         out = (
             f"{cols}, commit_version bigint, change_type string, "
-            "schema_version bigint"
+            "schema_version bigint, _commit_timestamp bigint"
         )
         cfg = meta.get("configuration") or {}
         if cfg.get("delta.enableRowTracking") == "true":

@@ -401,6 +401,61 @@ def test_row_tracking_cdf_composition(spark, root):
     assert got[(mv, "insert", 9)] is None
 
 
+def test_cdf_carries_commit_timestamp(spark, root):
+    """r8: table_changes and the delta_cdc stream emit the spec's CDF
+    ``_commit_timestamp`` (epoch millis) — the commitInfo's authoritative
+    inCommitTimestamp when ICT is on (strictly monotonic across commits),
+    else the commit file's mtime per the read rule."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_stream_source import (
+        DeltaCdcDataSource,
+    )
+
+    t = DeltaTable.create(
+        spark, root, spark.createDataFrame([(1, "a")], "k long, s string")
+    )
+    t.append(spark.createDataFrame([(2, "b")], "k long, s string"))
+    # pre-ICT commits: mtime fallback — present, non-null
+    ch = t.table_changes(-1, t.latest_version())
+    assert "_commit_timestamp" in ch.columns
+    pre = {r["_commit_version"]: r["_commit_timestamp"] for r in ch.collect()}
+    assert all(v is not None for v in pre.values())
+    t.enable_in_commit_timestamps()
+    t.append(spark.createDataFrame([(3, "c")], "k long, s string"))
+    t.append(spark.createDataFrame([(4, "d")], "k long, s string"))
+    v = t.latest_version()
+    got = {
+        r["_commit_version"]: r["_commit_timestamp"]
+        for r in t.table_changes(v - 2, v).collect()
+    }
+    # ICT commits: the feed's timestamp IS the log's inCommitTimestamp,
+    # strictly increasing
+    assert got[v] == t._commit_timestamp(v)
+    assert got[v - 1] == t._commit_timestamp(v - 1)
+    assert got[v] > got[v - 1]
+    # streaming source: same trailing column
+    try:
+        spark.dataSource.register(DeltaCdcDataSource)
+    except Exception:
+        pass
+    sink = os.path.join(root, "_ts_sink")
+    q = (
+        spark.readStream.format("delta_cdc")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "_ts_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    sts = {
+        r["commit_version"]: r["_commit_timestamp"] for r in feed.collect()
+    }
+    assert sts[v] == t._commit_timestamp(v) and sts[v] > sts[v - 1]
+
+
 def test_stream_append_exactly_once(spark, root, tmp_path):
     """availableNow drain into a Delta table via foreachBatch + txn actions;
     a manual replay of an already-committed batch id must be a no-op, and a
