@@ -679,3 +679,73 @@ def q141_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("node").cast("bigint").alias("id_sum"),
         )
     )
+
+
+_Q188_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS n_id, label AS n_label, embedding::DOUBLE[] AS n_emb
+  FROM embeddings
+),
+scored AS (
+  SELECT q_id, q_label, n_id, n_label,
+         round(list_dot_product(q_emb, n_emb)
+               / (sqrt(list_dot_product(q_emb, q_emb))
+                  * sqrt(list_dot_product(n_emb, n_emb))),
+               6) AS cosine
+  FROM q JOIN c ON q_label <> n_label
+)
+SELECT q_id, CAST(q_label AS BIGINT) AS q_label, n_id,
+       CAST(n_label AS BIGINT) AS n_label, cosine, rk
+FROM (
+  SELECT q_id, q_label, n_id, n_label, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+  FROM scored
+)
+WHERE rk <= {TOP_K}
+"""
+
+
+@query("q188_hard_negative_mining", oracle=_Q188_ORACLE)
+def q188_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training (r8): for each query
+    vector, the top-k most-similar vectors with a DIFFERENT label — the
+    near-misses a retrieval model most needs as negatives (the standard
+    dense-retriever training-data op; easy negatives teach nothing). The
+    label-exclusion predicate rides the broadcast join, so the corpus
+    pass is identical to q30's exact brute force with a narrower join;
+    ranking reuses the 6dp cosine discipline that makes Spark and DuckDB
+    agree bit-for-bit.
+
+    Scale: query side broadcast (bounded); one corpus pass; only the
+    tiny per-query top-k shuffles. At real scale the corpus pass swaps
+    to the IVF/LSH candidate route (q31/q164) with the same label
+    filter — the mining contract is unchanged."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").cast("long").alias("q_label"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").cast("long").alias("n_label"),
+        F.col("embedding").cast("array<double>").alias("n_emb"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("q_label") != F.col("n_label"))
+    cos = _dot("q_emb", "n_emb") / (_norm("q_emb") * _norm("n_emb"))
+    scored = pairs.select(
+        "q_id", "q_label", "n_id", "n_label", F.round(cos, 6).alias("cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select(
+            "q_id", "q_label", "n_id", "n_label", "cosine",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

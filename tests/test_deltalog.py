@@ -401,6 +401,34 @@ def test_row_tracking_cdf_composition(spark, root):
     assert got[(mv, "insert", 9)] is None
 
 
+def test_row_tracking_composes_with_column_mapping(spark, root):
+    """r8 gap-closure pin: row tracking on a COLUMN-MAPPED table — the
+    materialized rt columns have their own physical names outside the
+    schema's logical→physical map, so renames, CoW merges (which resolve
+    ids through _rt_resolved's extra_phys path), and OPTIMIZE
+    materialization all keep ids stable."""
+    t = DeltaTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(5)], "k long, s string"
+        ).orderBy("k").coalesce(1),
+    )
+    t.enable_column_mapping()
+    t.rename_column("s", "txt")
+    t.enable_row_tracking()
+    assert {r.k: r._row_id for r in t.row_tracking_df().collect()} == {
+        i: i for i in range(5)
+    }
+    t.merge(spark.createDataFrame([(2, "UP")], "k long, txt string"), key="k")
+    t.rename_column("txt", "txt2")
+    t.compact(target_files=1)
+    got = {r.k: (r.txt2, r._row_id) for r in t.row_tracking_df().collect()}
+    assert got == {
+        0: ("v0", 0), 1: ("v1", 1), 2: ("UP", 2), 3: ("v3", 3), 4: ("v4", 4)
+    }
+
+
 def test_cdf_carries_commit_timestamp(spark, root):
     """r8: table_changes and the delta_cdc stream emit the spec's CDF
     ``_commit_timestamp`` (epoch millis) — the commitInfo's authoritative

@@ -36,6 +36,9 @@ NLJ_ALLOWED = {
     "q114_pq_ann_topk",
     "q164_ivfpq_ann_topk",
     "q66_ml_minhash_lsh",  # r5 hash-tier promotion: 1-row agreement-flag broadcast
+    # r8: the q30 exact-brute-force kernel with a label-exclusion residual —
+    # same 10-row broadcast query side, bounded by design
+    "q188_hard_negative_mining",
     # ranking.global_row_number / global_running_sum offset table:
     # triangular self-join over ≤ #shuffle-partitions rows (and q67's
     # 1-row total broadcast)
