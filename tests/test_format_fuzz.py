@@ -308,3 +308,102 @@ def test_random_iceberg_default_sequences_agree_with_model(spark, init, ops):
             assert got == expected, f"{name} diverges from model (cols={cols})"
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------- lineage fuzz
+
+lineage_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(1, 3)),
+    st.tuples(st.just("update"), st.integers(2, 4), st.integers(0, 3)),
+    st.tuples(st.just("dvdel"), st.integers(2, 5), st.integers(0, 4)),
+    st.tuples(st.just("compact")),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(n0=st.integers(min_value=2, max_value=5), ops=st.lists(lineage_op, min_size=1, max_size=4))
+def test_random_lineage_sequences_keep_ids_stable(spark, n0, ops):
+    """r8 fuzz: random append / CoW-merge-update / DV-delete / compaction
+    sequences on a Delta ROW-TRACKING table and an Iceberg ROW-LINEAGE
+    table. Invariants after EVERY op, on both stacks:
+    - values equal a pure-Python key→value model,
+    - every surviving key keeps the row id it was born with (updates,
+      DV deletes, and compactions must never churn ids),
+    - ids are unique, and appended rows' ids are strictly greater than
+      every id ever assigned (high-water-mark discipline)."""
+    base = os.path.join(tempfile.gettempdir(), f"linfuzz_{uuid.uuid4().hex[:8]}")
+
+    def mk(rows):
+        return (
+            spark.createDataFrame(sorted(rows), DDL).orderBy("k").coalesce(1)
+        )
+
+    try:
+        init = [(k, k * 10) for k in range(n0)]
+        dl = DeltaTable.create(spark, os.path.join(base, "dl"), mk(init))
+        dl.enable_row_tracking()
+        ic0 = IcebergTable.create(spark, os.path.join(base, "ic"), mk(init))
+        ic0.enable_row_lineage()
+        ic = IcebergTable(spark, ic0.root)
+        model = {k: v for k, v in init}
+        next_key = n0
+
+        def snaps():
+            d = {
+                r.k: (r.v, r._row_id)
+                for r in dl.row_tracking_df().collect()
+            }
+            i = {
+                r.k: (r.v, r._row_id)
+                for r in ic.row_lineage_df().collect()
+            }
+            return d, i
+
+        d0, i0 = snaps()
+        born = {"dl": {k: rid for k, (_v, rid) in d0.items()},
+                "ic": {k: rid for k, (_v, rid) in i0.items()}}
+        for step, op in enumerate(ops):
+            if op[0] == "append":
+                n = op[1]
+                rows = [(next_key + j, (next_key + j) * 10) for j in range(n)]
+                next_key += n
+                dl.append(mk(rows))
+                ic.append(mk(rows))
+                model.update(dict(rows))
+            elif op[0] == "update":
+                _, m, r = op
+                upd = [(k, k * 1000 + step) for k in sorted(model) if k % m == r % m]
+                if not upd:
+                    continue
+                dl.merge(mk(upd), key="k")
+                ic.merge_cow(mk(upd), key="k")
+                model.update(dict(upd))
+            elif op[0] == "dvdel":
+                _, m, r = op
+                pred = f"k % {m} = {r % m}"
+                dl.delete_vectors(pred)
+                ic.delete_vectors_v3(pred)
+                model = {k: v for k, v in model.items() if k % m != r % m}
+            else:
+                dl.compact(target_files=1)
+                if ic.files()[0]:
+                    ic.rewrite_data_files()
+            d, i = snaps()
+            for name, got in (("dl", d), ("ic", i)):
+                assert {k: v for k, (v, _r) in got.items()} == model, (
+                    f"{name} values diverge at step {step} ({op})"
+                )
+                ids = [rid for (_v, rid) in got.values()]
+                assert len(set(ids)) == len(ids), f"{name} id collision"
+                b = born[name]
+                hwm = max(b.values(), default=-1)
+                for k, (_v, rid) in got.items():
+                    if k in b:
+                        assert rid == b[k], (
+                            f"{name} id churn for key {k} at step {step} ({op})"
+                        )
+                    else:
+                        assert rid > hwm, f"{name} reused id {rid} for {k}"
+                        b[k] = rid
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1581,6 +1581,56 @@ def test_v3_row_lineage_end_to_end(spark, root):
     assert all(lin5[k] == lin3[k] for k in lin3)
 
 
+def test_merge_cow_across_partition_evolution_with_lineage(spark, root):
+    """r8 gap-closure pin: merge_cow on a row-lineage table whose files
+    span TWO partition specs — bounds pruning must consult every spec's
+    manifests, untouched files under the OLD spec carry by reference in
+    per-spec consolidated manifests, and matched ids survive the rewrite
+    regardless of which spec their file was written under."""
+    t = IcebergTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, i % 2, i * 10) for i in range(6)], "k long, p long, v long"
+        ).orderBy("k").coalesce(1),
+    )
+    t.evolve_partition_spec(["p"])  # new default spec; old file stays put
+    t.append(
+        spark.createDataFrame(
+            [(10, 0, 1), (11, 1, 1)], "k long, p long, v long"
+        ).orderBy("k").coalesce(1)
+    )  # written under the NEW spec (one file per p)
+    t.enable_row_lineage()
+    t = IcebergTable(spark, root)
+    ids0 = {r.k: r._row_id for r in t.row_lineage_df().collect()}
+    # far-away key file: must be carried, not rewritten
+    t.append(
+        spark.createDataFrame([(100, 0, 9)], "k long, p long, v long").coalesce(1)
+    )
+    res = t.merge_cow(
+        spark.createDataFrame(
+            [(1, 1, 111), (11, 1, 222), (12, 0, 333)], "k long, p long, v long"
+        ),
+        "k",
+    )
+    assert res["updated"] == 2 and res["inserted"] == 1
+    assert res["files_carried"] >= 1  # the k=100 file pruned by bounds
+    t = IcebergTable(spark, root)
+    rows = {r.k: (r.v, r._row_id) for r in t.row_lineage_df().collect()}
+    # matched ids preserved across BOTH specs' rewritten files
+    assert rows[1] == (111, ids0[1])
+    assert rows[11] == (222, ids0[11])
+    # carried rows keep ids; the untouched far file too
+    assert rows[0][1] == ids0[0] and rows[5][1] == ids0[5]
+    assert rows[100][0] == 9
+    # insert got a fresh unique id
+    ids = [x[1] for x in rows.values()]
+    assert len(set(ids)) == len(ids)
+    assert rows[12][1] not in ids0.values()
+    # content intact through the mixed-spec rewrite
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5, 10, 11, 12, 100]
+
+
 def test_iceberg_cdc_row_lineage(spark, root, tmp_path):
     """r8 (the Iceberg twin of delta's row-tracking × CDF composition):
     on a row-lineage table the iceberg_cdc feed carries a trailing
