@@ -1030,3 +1030,102 @@ def q168_training_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .crossJoin(F.broadcast(funnel))  # 1-row funnel audit broadcast
     )
+
+
+# --------------------------------------------------- rendezvous sharding
+
+N_SHARDS = 8
+
+
+def _hrw_hash(doc_col, shard_col):
+    """Per-(doc, shard) 60-bit rendezvous weight both engines compute
+    identically: md5 over 'doc#shard' (the cross-engine md5 idiom)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", doc_col.cast("string"), shard_col.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def rendezvous_assign(df: DataFrame, key: str, n_shards: int) -> DataFrame:
+    """Highest-random-weight (rendezvous) shard assignment: each key goes
+    to the shard whose (key, shard) hash is largest — fully deterministic,
+    coordination-free, and MINIMALLY DISRUPTIVE under resizing (growing to
+    n+1 shards moves only the keys whose new shard wins, ≈ 1/(n+1) of
+    them; consistent hashing's property without the ring). One explode +
+    one argmax aggregation — no shuffle beyond the keyed groupBy."""
+    e = df.select(
+        key, F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("s")
+    )
+    scored = e.select(key, "s", _hrw_hash(F.col(key), F.col("s")).alias("h"))
+    return scored.groupBy(key).agg(
+        F.max(F.struct("h", "s")).getField("s").alias("shard")
+    )
+
+
+_Q190_ORACLE = f"""
+WITH shards AS (SELECT unnest(range({N_SHARDS + 1})) AS s),
+scored AS (
+  SELECT d.doc_id, s.s,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' ||
+                             CAST(s.s AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents d, shards s
+),
+a8 AS (
+  SELECT doc_id, arg_max(s, h) AS shard FROM scored WHERE s < {N_SHARDS}
+  GROUP BY doc_id
+),
+a9 AS (
+  SELECT doc_id, arg_max(s, h) AS shard FROM scored GROUP BY doc_id
+)
+SELECT CAST(a9.shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs_9,
+       CAST(sum(CASE WHEN a8.shard = a9.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stayed,
+       CAST(sum(CASE WHEN a8.shard <> a9.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved_in
+FROM a9 JOIN a8 USING (doc_id)
+GROUP BY a9.shard
+"""
+
+
+@query("q190_rendezvous_sharding", oracle=_Q190_ORACLE)
+def q190_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) SHARDING with a resize diff
+    (r8 — Thaler & Ravishankar 1996, the public algorithm behind
+    coordination-free data placement): every document is assigned to the
+    shard maximizing an integer (doc, shard) hash, for 8 shards and again
+    for 9; per new shard the query reports how many documents stayed vs
+    moved in. HRW's defining property — growing the fleet moves ONLY the
+    keys the new shard wins (≈ 1/9 here), nothing reshuffles between old
+    shards — falls out of the per-row argmax and is pinned by the oracle:
+    under 9 shards a mover's new shard can ONLY be shard 8, so any
+    n_moved_in > 0 on shards 0-7 hash-mismatches. All arithmetic is
+    integer (the cross-engine md5 idiom), so DuckDB recomputes the
+    assignment exactly.
+
+    Scale: one explode(×n_shards) + one keyed argmax per key — map-side
+    combinable, no driver state, no ring metadata; resizing a 1000-node
+    ingest fleet re-routes 1/(n+1) of keys with zero coordination."""
+    d = load(spark, sf_dir, "documents")
+    a8 = rendezvous_assign(d, "doc_id", N_SHARDS).withColumnRenamed(
+        "shard", "shard8"
+    )
+    a9 = rendezvous_assign(d, "doc_id", N_SHARDS + 1)
+    return (
+        a9.join(a8, "doc_id")
+        .groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_9"),
+            F.sum(F.when(F.col("shard8") == F.col("shard"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_stayed"),
+            F.sum(F.when(F.col("shard8") != F.col("shard"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_moved_in"),
+        )
+    )
