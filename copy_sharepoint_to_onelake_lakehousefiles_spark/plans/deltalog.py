@@ -1756,21 +1756,85 @@ class DeltaTable:
         root: str,
         df: DataFrame,
         partition_by: list[str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> "DeltaTable":
+        """``generated`` declares GENERATED COLUMNS (spec §Generated
+        Columns — legacy writer version 4 / table feature
+        ``generatedColumns``): ``{name: sql_expression}``. A declared
+        column absent from ``df`` is computed here; present columns are
+        validated. The expression persists as the field's
+        ``delta.generationExpression`` metadata, and every subsequent
+        write (append/overwrite/merge) computes-or-validates it — the
+        classic use is a derived partition column (``day`` from a
+        timestamp) that writers can never get wrong."""
         t = cls(spark, root)
         if t.versions():
             raise FileExistsError(f"Delta table already exists at {root}")
         part_cols = list(partition_by or [])
+        gen = dict(generated or {})
+        for name, expr in gen.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+            else:
+                bad = df.where(~F.col(name).eqNullSafe(F.expr(expr))).count()
+                if bad:
+                    raise ValueError(
+                        f"generated column {name!r} violates its generation "
+                        f"expression {expr!r} on {bad} row(s)"
+                    )
         os.makedirs(root, exist_ok=True)
         adds = t._stage_files(df, part_cols)
+        meta_action = t._meta_action(df, part_cols, uuid.uuid4().hex)
+        protocol = dict(PROTOCOL)
+        if gen:
+            st = T.StructType.fromJson(
+                json.loads(meta_action["metaData"]["schemaString"])
+            )
+            fields = []
+            for f in st.fields:
+                md = dict(f.metadata or {})
+                if f.name in gen:
+                    md["delta.generationExpression"] = gen[f.name]
+                fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+            meta_action["metaData"]["schemaString"] = T.StructType(fields).json()
+            # legacy writer version 4 = generated columns (spec §Generated
+            # Columns); later feature upgrades seed generatedColumns into
+            # the writerFeatures list via _LEGACY_WRITER_FEATURES
+            protocol["minWriterVersion"] = 4
         actions = [
             t._commit_info("CREATE TABLE AS SELECT"),
-            {"protocol": dict(PROTOCOL)},
-            t._meta_action(df, part_cols, uuid.uuid4().hex),
+            {"protocol": protocol},
+            meta_action,
             *({"add": a} for a in adds),
         ]
         t._publish(0, actions)
         return t
+
+    def _generated_cols(self, meta: dict) -> dict[str, str]:
+        st = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        return {
+            f.name: f.metadata["delta.generationExpression"]
+            for f in st.fields
+            if f.metadata and "delta.generationExpression" in f.metadata
+        }
+
+    def _apply_generated(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Writer-side GENERATED COLUMNS enforcement (spec §Generated
+        Columns): a declared column the writer OMITS is computed from its
+        generation expression; one it PROVIDES must match the expression
+        exactly (null-safe), else the write refuses — the table can never
+        hold a row whose generated value lies."""
+        for name, expr in self._generated_cols(meta).items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+            else:
+                bad = df.where(~F.col(name).eqNullSafe(F.expr(expr))).count()
+                if bad:
+                    raise ValueError(
+                        f"generated column {name!r} violates its generation "
+                        f"expression {expr!r} on {bad} row(s)"
+                    )
+        return df
 
     def append(
         self,
@@ -1822,9 +1886,11 @@ class DeltaTable:
             adds_meta.append({"metaData": new_meta})
             meta = new_meta
             cur = merged
-        aligned = df
+        # generated columns compute-or-validate BEFORE null-fill alignment
+        # (an omitted generated column must be computed, not nulled)
+        aligned = self._apply_generated(df, meta)
         for f in cur.fields:
-            if f.name not in df.columns:
+            if f.name not in aligned.columns:
                 aligned = aligned.withColumn(f.name, F.lit(None).cast(f.dataType))
         aligned = aligned.select(*cur.fieldNames())
         self._check_constraints(aligned)
@@ -1845,7 +1911,7 @@ class DeltaTable:
         one atomic commit, old snapshots still readable (time travel)."""
         part_cols = self.partition_columns()
         old, meta = self.snapshot()
-        df = df.select(*self.schema().fieldNames())
+        df = self._apply_generated(df, meta).select(*self.schema().fieldNames())
         self._check_constraints(df)
         adds = self._stage_files(df, part_cols, phys=self._phys_map(meta))
         now_ms = int(time.time() * 1000)
@@ -1906,7 +1972,7 @@ class DeltaTable:
         phys = self._phys_map(meta)
         schema = self.schema()
         part_cols = self.partition_columns()
-        updates = updates.select(
+        updates = self._apply_generated(updates, meta).select(
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
         self._check_constraints(updates)
@@ -3482,6 +3548,88 @@ def q175_delta_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").cast("long"),
         "n_name",
         F.col("_change_type").alias("change_type"),
+    )
+
+
+_GEN_CACHE: dict = {}
+
+
+def _generated_demo_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Generated-columns demo, memoized per (session, sf_dir): events →
+    Delta table PARTITIONED BY a generated ``day`` column (CAST(ts AS
+    DATE), computed at create) → one append that OMITS the column (the
+    writer computes it) → one refused append that LIES about it (the
+    writer validates). Returns (table, bad_write_refused flag)."""
+    cache_key = (id(spark), sf_dir)
+    got = _GEN_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got[0].log_dir):
+        return got
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"dlgen_{uuid.uuid4().hex[:8]}")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    t = DeltaTable.create(
+        spark, root, ev, partition_by=["day"],
+        generated={"day": "CAST(ts AS DATE)"},
+    )
+    t.append(
+        ev.select(
+            (F.col("event_id") + F.lit(10_000_000)).alias("event_id"),
+            "ts", "event_type", "value",
+        )
+    )
+    refused = 0
+    try:
+        t.append(
+            ev.limit(5).select(
+                "event_id", "ts", "event_type", "value",
+                F.expr("date_add(CAST(ts AS DATE), 1)").alias("day"),
+            )
+        )
+    except ValueError:
+        refused = 1
+    _GEN_CACHE[cache_key] = (DeltaTable(spark, root), refused)
+    return _GEN_CACHE[cache_key]
+
+
+_Q191_ORACLE = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(2 * count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       1 AS has_generation_expression,
+       1 AS bad_write_refused
+FROM events
+GROUP BY day
+"""
+
+
+@query("q191_delta_generated_columns", oracle=_Q191_ORACLE)
+def q191_delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta GENERATED COLUMNS in the correctness gate (r8 — spec
+    §Generated Columns, legacy writer version 4): the table is
+    PARTITIONED BY a ``day`` column the writers never supply — its
+    ``delta.generationExpression`` (CAST(ts AS DATE)) lives in the schema
+    field metadata, the create computes it, a later append omits it and
+    gets it computed, and an append that LIES about it refuses. The
+    oracle recomputes every day from the raw events (the append doubled
+    each day's count), so a writer that nulled, skewed, or skipped the
+    generated value hash-mismatches; the two flags pin the metadata
+    really persisted and the enforcement really fired.
+
+    Scale: generation is one projected expression per write; the payoff
+    is hive-partition pruning on a column that is ALWAYS derivable and
+    never wrong — the classic date-partitioned event-log layout."""
+    t, refused = _generated_demo_table(spark, sf_dir)
+    has_expr = int(
+        t._generated_cols(t.snapshot()[1]).get("day") == "CAST(ts AS DATE)"
+    )
+    return t.read().groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.lit(has_expr).cast("int").alias("has_generation_expression"),
+        F.lit(refused).cast("int").alias("bad_write_refused"),
     )
 
 

@@ -401,6 +401,50 @@ def test_row_tracking_cdf_composition(spark, root):
     assert got[(mv, "insert", 9)] is None
 
 
+def test_generated_columns(spark, root):
+    """r8 (spec §Generated Columns, legacy writer version 4): create
+    computes a declared-but-omitted column; the expression persists as
+    field metadata; append/overwrite/merge compute omitted values and
+    REFUSE provided values that violate the expression; a create whose
+    input already lies refuses too."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 25), (3, 31)], "k long, v long"
+    )
+    t = DeltaTable.create(
+        spark, root, df, partition_by=["dec"],
+        generated={"dec": "CAST(v DIV 10 AS BIGINT)"},
+    )
+    assert t.protocol()["minWriterVersion"] == 4
+    assert t._generated_cols(t.snapshot()[1]) == {
+        "dec": "CAST(v DIV 10 AS BIGINT)"
+    }
+    assert sorted(tuple(r) for r in t.read().select("k", "dec").collect()) == [
+        (1, 1), (2, 2), (3, 3)
+    ]
+    # append omitting the column: computed
+    t.append(spark.createDataFrame([(4, 47)], "k long, v long"))
+    # append providing a CORRECT value: accepted
+    t.append(spark.createDataFrame([(5, 52, 5)], "k long, v long, dec long"))
+    # append that lies: refused, nothing committed
+    v_before = t.latest_version()
+    with pytest.raises(ValueError, match="generated column"):
+        t.append(spark.createDataFrame([(6, 60, 9)], "k long, v long, dec long"))
+    assert t.latest_version() == v_before
+    # merge computes it for updates/inserts too
+    t.merge(spark.createDataFrame([(2, 99), (7, 71)], "k long, v long"), key="k")
+    with pytest.raises(ValueError, match="generated column"):
+        t.overwrite(spark.createDataFrame([(1, 10, 0)], "k long, v long, dec long"))
+    got = {r.k: r.dec for r in t.read().collect()}
+    assert got == {1: 1, 2: 9, 3: 3, 4: 4, 5: 5, 7: 7}
+    # a lying CREATE refuses as well
+    with pytest.raises(ValueError, match="generated column"):
+        DeltaTable.create(
+            spark, root + "_bad",
+            spark.createDataFrame([(1, 10, 7)], "k long, v long, dec long"),
+            generated={"dec": "CAST(v DIV 10 AS BIGINT)"},
+        )
+
+
 def test_row_tracking_composes_with_column_mapping(spark, root):
     """r8 gap-closure pin: row tracking on a COLUMN-MAPPED table — the
     materialized rt columns have their own physical names outside the
