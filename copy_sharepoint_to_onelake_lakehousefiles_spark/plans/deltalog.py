@@ -1757,6 +1757,7 @@ class DeltaTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         generated: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
     ) -> "DeltaTable":
         """``generated`` declares GENERATED COLUMNS (spec §Generated
         Columns — legacy writer version 4 / table feature
@@ -1766,7 +1767,16 @@ class DeltaTable:
         ``delta.generationExpression`` metadata, and every subsequent
         write (append/overwrite/merge) computes-or-validates it — the
         classic use is a derived partition column (``day`` from a
-        timestamp) that writers can never get wrong."""
+        timestamp) that writers can never get wrong.
+
+        ``identity`` declares IDENTITY COLUMNS (spec §Identity Columns —
+        legacy writer version 6 / table feature ``identityColumns``):
+        ``{name: {"start": 1, "step": 1, "allow_explicit_insert": False}}``.
+        The writer generates a unique bigint per row (congruent to start
+        modulo step, strictly above the persisted
+        ``delta.identity.highWaterMark``) on every write that omits the
+        column; explicit values refuse unless allowed. Like Delta proper,
+        identity is declared at CREATE only."""
         t = cls(spark, root)
         if t.versions():
             raise FileExistsError(f"Delta table already exists at {root}")
@@ -1782,10 +1792,59 @@ class DeltaTable:
                         f"generated column {name!r} violates its generation "
                         f"expression {expr!r} on {bad} row(s)"
                     )
+        idc = {
+            name: {
+                "start": int(props.get("start", 1)),
+                "step": int(props.get("step", 1)),
+                "allow_explicit": bool(props.get("allow_explicit_insert", False)),
+                "hwm": None,
+            }
+            for name, props in (identity or {}).items()
+        }
+        for name, props in idc.items():
+            if props["step"] == 0:
+                raise ValueError(f"identity column {name!r}: step must be nonzero")
+            if name in gen:
+                raise ValueError(
+                    f"column {name!r} cannot be both generated and identity"
+                )
+            if name in df.columns:
+                if not props["allow_explicit"]:
+                    raise ValueError(
+                        f"identity column {name!r} does not allow explicit "
+                        "inserts (delta.identity.allowExplicitInsert=false)"
+                    )
+            else:
+                df = t._gen_identity(df, name, props)
         os.makedirs(root, exist_ok=True)
         adds = t._stage_files(df, part_cols)
         meta_action = t._meta_action(df, part_cols, uuid.uuid4().hex)
         protocol = dict(PROTOCOL)
+        if idc:
+            st = T.StructType.fromJson(
+                json.loads(meta_action["metaData"]["schemaString"])
+            )
+            fields = []
+            for f in st.fields:
+                md = dict(f.metadata or {})
+                if f.name in idc:
+                    if not isinstance(f.dataType, T.LongType):
+                        raise ValueError(
+                            f"identity column {f.name!r} must be BIGINT, got "
+                            f"{f.dataType.simpleString()}"
+                        )
+                    md["delta.identity.start"] = idc[f.name]["start"]
+                    md["delta.identity.step"] = idc[f.name]["step"]
+                    md["delta.identity.allowExplicitInsert"] = idc[f.name][
+                        "allow_explicit"
+                    ]
+                fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+            meta_action["metaData"]["schemaString"] = T.StructType(fields).json()
+            hwm_meta = t._identity_hwm_meta(meta_action["metaData"], adds)
+            if hwm_meta is not None:
+                meta_action["metaData"] = hwm_meta
+            # legacy writer version 6 = identity columns
+            protocol["minWriterVersion"] = 6
         if gen:
             st = T.StructType.fromJson(
                 json.loads(meta_action["metaData"]["schemaString"])
@@ -1800,7 +1859,7 @@ class DeltaTable:
             # legacy writer version 4 = generated columns (spec §Generated
             # Columns); later feature upgrades seed generatedColumns into
             # the writerFeatures list via _LEGACY_WRITER_FEATURES
-            protocol["minWriterVersion"] = 4
+            protocol["minWriterVersion"] = max(4, protocol["minWriterVersion"])
         actions = [
             t._commit_info("CREATE TABLE AS SELECT"),
             {"protocol": protocol},
@@ -1835,6 +1894,154 @@ class DeltaTable:
                         f"expression {expr!r} on {bad} row(s)"
                     )
         return df
+
+    # -------------------------------------------------- identity columns
+
+    def _identity_cols(self, meta: dict) -> dict[str, dict]:
+        """IDENTITY COLUMN properties from field metadata (spec §Identity
+        Columns — legacy writer version 6 / table feature
+        ``identityColumns``): ``{name: {start, step, allow_explicit,
+        hwm}}``. ``hwm`` (``delta.identity.highWaterMark``) is None until
+        the first value is written, per the spec."""
+        st = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        out: dict[str, dict] = {}
+        for f in st.fields:
+            md = f.metadata or {}
+            if "delta.identity.start" in md:
+                out[f.name] = {
+                    "start": int(md["delta.identity.start"]),
+                    "step": int(md["delta.identity.step"]),
+                    "allow_explicit": bool(
+                        md.get("delta.identity.allowExplicitInsert", False)
+                    ),
+                    "hwm": (
+                        int(md["delta.identity.highWaterMark"])
+                        if "delta.identity.highWaterMark" in md
+                        else None
+                    ),
+                }
+        return out
+
+    @staticmethod
+    def _identity_base(props: dict) -> int:
+        """First value the NEXT generated batch may use: one step past the
+        high watermark, or ``start`` before any value exists."""
+        if props["hwm"] is not None:
+            return props["hwm"] + props["step"]
+        return props["start"]
+
+    def _gen_identity(self, df: DataFrame, name: str, props: dict) -> DataFrame:
+        """Generate values for identity column ``name``: a dense arithmetic
+        sequence base, base+step, ... assigned via the two-pass
+        partition-offset ranking (operators/ranking.global_row_number — no
+        single-partition WindowExec), so generation distributes. Delta
+        proper allocates nondeterministic per-task blocks; we strengthen to
+        dense deterministic values (ordered by the row's atomic columns),
+        which satisfies the spec's uniqueness + congruence + above-watermark
+        requirements and additionally makes results reproducible."""
+        from ..operators.ranking import global_row_number
+
+        order = [
+            f.name
+            for f in df.schema.fields
+            if f.name != name and isinstance(f.dataType, T.AtomicType)
+        ]
+        if not order:
+            raise ValueError(
+                f"identity column {name!r}: no atomic columns to order the "
+                "generation by — provide explicit values instead"
+            )
+        base, step = self._identity_base(props), props["step"]
+        rk = "__identity_rk"
+        out = global_row_number(df, order, rank_name=rk)
+        return out.withColumn(
+            name,
+            (F.lit(base) + (F.col(rk) - F.lit(1)) * F.lit(step)).cast("long"),
+        ).drop(rk)
+
+    def _apply_identity(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Writer-side IDENTITY enforcement: a declared column the writer
+        OMITS gets generated values above the high watermark; one it
+        PROVIDES refuses unless ``delta.identity.allowExplicitInsert`` is
+        true (and must then be a non-null bigint — null-ness is validated
+        from the staged files' footer stats, zero extra passes)."""
+        for name, props in self._identity_cols(meta).items():
+            if name in df.columns:
+                if not props["allow_explicit"]:
+                    raise ValueError(
+                        f"identity column {name!r} does not allow explicit "
+                        "inserts (delta.identity.allowExplicitInsert=false); "
+                        "omit the column and let the writer generate it"
+                    )
+                if not isinstance(df.schema[name].dataType, T.LongType):
+                    raise ValueError(
+                        f"identity column {name!r} must be BIGINT, got "
+                        f"{df.schema[name].dataType.simpleString()}"
+                    )
+            else:
+                df = self._gen_identity(df, name, props)
+        return df
+
+    def _identity_hwm_meta(
+        self, meta: dict, new_adds: list[dict]
+    ) -> dict | None:
+        """Post-staging high-watermark advance: the new watermark per
+        identity column is max(old hwm, max over the new add actions'
+        footer stats) — the stats are already in hand, so no data pass.
+        Returns an updated metaData dict, or None if nothing moved.
+        Explicit inserts with a NULL identity value refuse here (the spec
+        requires identity values non-null; nullCount comes from the same
+        footer stats)."""
+        idc = self._identity_cols(meta)
+        if not idc or not new_adds:
+            return None
+        phys = self._phys_map(meta)
+        changed = {}
+        for name, props in idc.items():
+            pk = phys.get(name, name)
+            # the watermark advances in the STEP's direction (spec: values
+            # must be above it for positive step, below for negative) — so
+            # a negative step tracks the MIN written value
+            descending = props["step"] < 0
+            hi = props["hwm"]
+            for a in new_adds:
+                raw = a.get("stats")
+                st = json.loads(raw) if isinstance(raw, str) else (raw or {})
+                if (st.get("nullCount") or {}).get(pk, 0):
+                    raise ValueError(
+                        f"identity column {name!r} has NULL values in an "
+                        "explicit insert — identity values must be non-null"
+                    )
+                edge = (
+                    st.get("minValues" if descending else "maxValues") or {}
+                ).get(pk)
+                if edge is None and (st.get("numRecords") or 0) > 0:
+                    # an all-null bigint column writes NO min/max to the
+                    # footer (its nullCount is unreachable too) — refuse:
+                    # non-nullness cannot be proven
+                    raise ValueError(
+                        f"identity column {name!r}: no footer stats for a "
+                        "non-empty file — all-NULL values or stats disabled; "
+                        "identity values must be non-null"
+                    )
+                if edge is not None and (
+                    hi is None or (int(edge) < hi if descending else int(edge) > hi)
+                ):
+                    hi = int(edge)
+            if hi is not None and hi != props["hwm"]:
+                changed[name] = hi
+        if not changed:
+            return None
+        new_meta = dict(meta)
+        st = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        fields = []
+        for f in st.fields:
+            md = dict(f.metadata or {})
+            if f.name in changed:
+                md["delta.identity.highWaterMark"] = changed[f.name]
+            fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+        new_meta["schemaString"] = T.StructType(fields).json()
+        return new_meta
 
     def append(
         self,
@@ -1886,15 +2093,21 @@ class DeltaTable:
             adds_meta.append({"metaData": new_meta})
             meta = new_meta
             cur = merged
-        # generated columns compute-or-validate BEFORE null-fill alignment
-        # (an omitted generated column must be computed, not nulled)
-        aligned = self._apply_generated(df, meta)
+        # generated + identity columns compute-or-validate BEFORE null-fill
+        # alignment (an omitted generated/identity column must be computed,
+        # not nulled)
+        aligned = self._apply_identity(self._apply_generated(df, meta), meta)
         for f in cur.fields:
             if f.name not in aligned.columns:
                 aligned = aligned.withColumn(f.name, F.lit(None).cast(f.dataType))
         aligned = aligned.select(*cur.fieldNames())
         self._check_constraints(aligned)
         adds = self._stage_files(aligned, part_cols, phys=self._phys_map(meta))
+        hwm_meta = self._identity_hwm_meta(meta, adds)
+        if hwm_meta is not None:
+            # one metaData action per commit: fold the watermark advance
+            # into the evolution action when both happen
+            adds_meta[:] = [{"metaData": hwm_meta}]
         actions: list[dict] = [self._commit_info("WRITE")]
         if txn is not None:
             actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
@@ -1911,11 +2124,17 @@ class DeltaTable:
         one atomic commit, old snapshots still readable (time travel)."""
         part_cols = self.partition_columns()
         old, meta = self.snapshot()
-        df = self._apply_generated(df, meta).select(*self.schema().fieldNames())
+        # identity: replaced rows get FRESH values above the old watermark
+        # (the spec's watermark never decreases, even on overwrite)
+        df = self._apply_identity(self._apply_generated(df, meta), meta)
+        df = df.select(*self.schema().fieldNames())
         self._check_constraints(df)
         adds = self._stage_files(df, part_cols, phys=self._phys_map(meta))
+        hwm_meta = self._identity_hwm_meta(meta, adds)
         now_ms = int(time.time() * 1000)
         actions = [self._commit_info("WRITE (mode=Overwrite)")]
+        if hwm_meta is not None:
+            actions.append({"metaData": hwm_meta})
         actions.extend(
             {
                 "remove": {
@@ -1972,7 +2191,27 @@ class DeltaTable:
         phys = self._phys_map(meta)
         schema = self.schema()
         part_cols = self.partition_columns()
-        updates = self._apply_generated(updates, meta).select(
+        updates = self._apply_generated(updates, meta)
+        # identity columns (spec §Identity Columns): MERGE may not set an
+        # identity value unless explicit inserts are allowed; an OMITTED
+        # identity column resolves later — matched rows KEEP their value,
+        # inserted rows get generated values above the watermark
+        idc = self._identity_cols(meta)
+        missing_ids = [n for n in idc if n not in updates.columns]
+        for n in idc:
+            if n in updates.columns and not idc[n]["allow_explicit"]:
+                raise ValueError(
+                    f"identity column {n!r} does not allow explicit values "
+                    "in MERGE (delta.identity.allowExplicitInsert=false); "
+                    "omit the column"
+                )
+        if key in missing_ids:
+            raise ValueError(
+                f"MERGE key {key!r} is an omitted identity column — supply it"
+            )
+        for n in missing_ids:  # placeholder so the schema select resolves
+            updates = updates.withColumn(n, F.lit(None).cast("long"))
+        updates = updates.select(
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
         self._check_constraints(updates)
@@ -1992,7 +2231,15 @@ class DeltaTable:
         if ulo is None:
             # every key is NULL: equality can never match, so this is a pure
             # insert — min(key)=None must NOT be read as "empty batch"
-            new_adds = self._stage_files(updates, part_cols, phys=phys)
+            ins = updates
+            for n in missing_ids:  # all rows are inserts → all generated
+                ins = self._gen_identity(ins.drop(n), n, idc[n]).select(
+                    *updates.columns
+                )
+            new_adds = self._stage_files(ins, part_cols, phys=phys)
+            hwm_meta = self._identity_hwm_meta(meta, new_adds)
+            if hwm_meta is not None:
+                actions.append({"metaData": hwm_meta})
             actions.extend({"add": a} for a in new_adds)
             if self._rt_cols(meta):
                 actions.extend(self._rt_stamp(new_adds, v))
@@ -2062,6 +2309,20 @@ class DeltaTable:
                 )
             else:
                 ups = updates
+            if missing_ids:
+                # matched rows KEEP their identity values (identity never
+                # changes on update); inserts get fresh generated values
+                oldmap = touched_df.select(key, *missing_ids)
+                cols = ups.columns
+                matched_ups = (
+                    ups.drop(*missing_ids).join(oldmap, key, "inner").select(*cols)
+                )
+                insert_ups = ups.join(oldmap.select(key), key, "left_anti")
+                for n in missing_ids:
+                    insert_ups = self._gen_identity(
+                        insert_ups.drop(n), n, idc[n]
+                    ).select(*cols)
+                ups = matched_ups.unionByName(insert_ups)
             new_adds = self._stage_files(kept.unionByName(ups), part_cols, phys=phys)
             if self._cdf_enabled(meta):
                 # CHANGE DATA FEED: a MERGE's updates are NOT derivable from
@@ -2082,7 +2343,8 @@ class DeltaTable:
                     # at cdc-write time, so they ride as null
                     pre_src, upd_src = touched_full, ups
                 else:
-                    pre_src, upd_src = touched_df, updates
+                    # ups == updates unless identity resolution rewrote it
+                    pre_src, upd_src = touched_df, ups
                 pre = pre_src.join(mk, key, "left_semi").withColumn(
                     "_change_type", F.lit("update_preimage")
                 )
@@ -2102,7 +2364,15 @@ class DeltaTable:
             # netting derives the changes exactly, so no cdc action (spec
             # allows deriving insert/delete-only commits from the log)
             matched = 0
-            new_adds = self._stage_files(updates, part_cols, phys=phys)
+            ins = updates
+            for n in missing_ids:  # no matches → every row is an insert
+                ins = self._gen_identity(ins.drop(n), n, idc[n]).select(
+                    *updates.columns
+                )
+            new_adds = self._stage_files(ins, part_cols, phys=phys)
+        hwm_meta = self._identity_hwm_meta(meta, new_adds)
+        if hwm_meta is not None:
+            actions.append({"metaData": hwm_meta})
         actions.extend(self._remove_action(a, now_ms) for a in touched)
         actions.extend({"add": a} for a in new_adds)
         if rt:
@@ -3630,6 +3900,93 @@ def q191_delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").cast("long").alias("n_types"),
         F.lit(has_expr).cast("int").alias("has_generation_expression"),
         F.lit(refused).cast("int").alias("bad_write_refused"),
+    )
+
+
+_IDC_CACHE: dict = {}
+
+
+def _identity_demo_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Identity-columns demo, memoized per (session, sf_dir): customer →
+    Delta table with a generated-always identity column ``c_sk`` (start
+    100, step 3) → one append that omits it (values continue above the
+    watermark) → one refused append that supplies it explicitly. Returns
+    (table, explicit_refused flag)."""
+    cache_key = (id(spark), sf_dir)
+    got = _IDC_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got[0].log_dir):
+        return got
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"dlidc_{uuid.uuid4().hex[:8]}")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = DeltaTable.create(
+        spark, root, cust, identity={"c_sk": {"start": 100, "step": 3}}
+    )
+    t.append(
+        cust.select(
+            (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+            "c_name",
+            "c_acctbal",
+        )
+    )
+    refused = 0
+    try:
+        t.append(cust.limit(5).withColumn("c_sk", F.lit(5).cast("long")))
+    except ValueError:
+        refused = 1
+    _IDC_CACHE[cache_key] = (DeltaTable(spark, root), refused)
+    return _IDC_CACHE[cache_key]
+
+
+_Q192_ORACLE = """
+WITH n AS (SELECT 2 * count(*) AS nn FROM customer)
+SELECT CAST(nn AS BIGINT)                         AS n_rows,
+       CAST(nn AS BIGINT)                         AS n_distinct_ids,
+       CAST(100 AS BIGINT)                        AS min_id,
+       CAST(100 + 3 * (nn - 1) AS BIGINT)         AS max_id,
+       CAST(100 * nn + 3 * (nn * (nn - 1) // 2) AS BIGINT) AS sum_id,
+       1 AS hwm_matches_max,
+       1 AS explicit_refused
+FROM n
+"""
+
+
+@query("q192_delta_identity_columns", oracle=_Q192_ORACLE)
+def q192_delta_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta IDENTITY COLUMNS in the correctness gate (r8 — spec §Identity
+    Columns, legacy writer version 6 / table feature ``identityColumns``):
+    ``c_sk`` is GENERATED ALWAYS — the create assigns start, start+step,
+    ..., persists ``delta.identity.highWaterMark`` in the field metadata,
+    a later append continues strictly above it, and an append that
+    SUPPLIES the column refuses (allowExplicitInsert=false). The oracle
+    derives every aggregate from the row count alone — a dense arithmetic
+    sequence 100, 103, ... is fully determined by n — so duplicate ids,
+    gaps, wrong base, or a stale watermark all hash-mismatch regardless
+    of which row received which id.
+
+    Scale: generation is the two-pass partition-offset ranking
+    (operators/ranking.py — no single-partition WindowExec); the
+    watermark advance reads the staged files' parquet FOOTER stats
+    already in the add actions, zero extra data passes."""
+    t, refused = _identity_demo_table(spark, sf_dir)
+    props = t._identity_cols(t.snapshot()[1])["c_sk"]
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("c_sk").cast("long").alias("n_distinct_ids"),
+            F.min("c_sk").alias("min_id"),
+            F.max("c_sk").alias("max_id"),
+            F.sum("c_sk").alias("sum_id"),
+        )
+        .withColumn(
+            "hwm_matches_max",
+            (F.col("max_id") == F.lit(props["hwm"])).cast("int"),
+        )
+        .withColumn("explicit_refused", F.lit(refused).cast("int"))
     )
 
 

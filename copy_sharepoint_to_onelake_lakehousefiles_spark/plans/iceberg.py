@@ -1674,6 +1674,7 @@ class IcebergTable:
         base_md: dict | None,
         snapshot_id: int,
         summary_extra: dict | None = None,
+        parent_snapshot_id: int | None = None,
     ) -> dict:
         seq = (base_md.get("last-sequence-number", 0) + 1) if base_md else 1
         list_path = os.path.join(
@@ -1706,10 +1707,15 @@ class IcebergTable:
         # deleted-* via the total-delta identity (prev + added − total): it
         # holds both when a rewrite marks status-2 entries and when an
         # overwrite simply drops prior manifests from the new list.
+        parent_id = (
+            parent_snapshot_id
+            if parent_snapshot_id is not None
+            else (base_md or {}).get("current-snapshot-id")
+        )
         prev = {}
-        if base_md and base_md.get("current-snapshot-id") is not None:
+        if base_md and parent_id is not None:
             for s in base_md.get("snapshots") or []:
-                if s["snapshot-id"] == base_md["current-snapshot-id"]:
+                if s["snapshot-id"] == parent_id:
                     prev = s.get("summary") or {}
         metrics = {
             "added-data-files": str(added_files),
@@ -1739,9 +1745,10 @@ class IcebergTable:
             "schema-id": (base_md or {}).get("current-schema-id", 0),
         }
         # spec field: ancestry chain for the history metadata table and
-        # is_current_ancestor computations (null for the first snapshot)
-        if base_md and base_md.get("current-snapshot-id") is not None:
-            snap["parent-snapshot-id"] = base_md["current-snapshot-id"]
+        # is_current_ancestor computations (null for the first snapshot);
+        # a BRANCH commit's parent is the branch head, not the table head
+        if parent_id is not None:
+            snap["parent-snapshot-id"] = parent_id
         return snap
 
     def _publish_metadata(self, md: dict) -> None:
@@ -1972,6 +1979,7 @@ class IcebergTable:
         df: DataFrame,
         allow_evolution: bool = False,
         summary_extra: dict | None = None,
+        branch: str | None = None,
     ) -> dict:
         """Fast append: one NEW manifest; prior manifests re-referenced.
         With ``allow_evolution``, NEW columns register a new schema entry
@@ -1980,8 +1988,28 @@ class IcebergTable:
         older snapshots keep reading under their own schema.
         ``summary_extra`` lands in the snapshot summary (the spec's
         free-form key/value map — how streaming writers ledger their
-        committed batch ids, see ``stream_append``)."""
+        committed batch ids, see ``stream_append``).
+
+        ``branch`` commits to a NAMED BRANCH ref instead of the table head
+        (spec §Snapshot References): the new snapshot's parent is the
+        branch's head (the current table head if the branch doesn't exist
+        yet — it is created), the ref advances, and ``current-snapshot-id``
+        does NOT move. This is the staging half of the write-audit-publish
+        (WAP) pattern; ``fast_forward`` is the publish half."""
         md = self.metadata()
+        branch_parent: dict | None = None
+        if branch is not None:
+            if allow_evolution:
+                raise ValueError(
+                    "schema evolution on a branch append is not supported — "
+                    "evolve on the table head, then stage the branch write"
+                )
+            ref = (md.get("refs") or {}).get(branch)
+            if ref is not None and ref["type"] != "branch":
+                raise ValueError(f"ref {branch!r} is a tag — appends need a branch")
+            branch_parent = self._resolve_snapshot(
+                ref["snapshot-id"] if ref is not None else None, None
+            )
         part_fields = self.partition_fields()
         st = self.schema()
         new_fields = [f for f in df.schema.fields if f.name not in st.fieldNames()]
@@ -2048,7 +2076,7 @@ class IcebergTable:
             for e in sorted(entries, key=lambda e: e["file_path"]):
                 e["first_row_id"] = nxt
                 nxt += e["record_count"]
-        cur = self._resolve_snapshot(None, None)
+        cur = branch_parent or self._resolve_snapshot(None, None)
         _, prior = read_ocf(cur["manifest-list"].replace("file:", ""))
         seq = md["last-sequence-number"] + 1
         sid = self._new_snapshot_id()
@@ -2056,13 +2084,28 @@ class IcebergTable:
             entries, sid, seq, part_fields, spec_id=md["default-spec-id"], v3=lineage
         )
         snap = self._commit_snapshot(
-            [mrow] + prior, "append", md, sid, summary_extra=summary_extra
+            [mrow] + prior,
+            "append",
+            md,
+            sid,
+            summary_extra=summary_extra,
+            parent_snapshot_id=(
+                branch_parent["snapshot-id"] if branch_parent is not None else None
+            ),
         )
         if lineage:
+            # row-id blocks are allocated at COMMIT time from the
+            # table-level next-row-id, branch or not (spec §Row Lineage) —
+            # branch rows keep their ids through a fast-forward publish
             snap["first-row-id"] = md["next-row-id"]
             md["next-row-id"] = nxt
         md["snapshots"].append(snap)
-        md["current-snapshot-id"] = snap["snapshot-id"]
+        if branch is None:
+            md["current-snapshot-id"] = snap["snapshot-id"]
+        else:
+            refs = dict(md.get("refs") or {})
+            refs[branch] = {"snapshot-id": snap["snapshot-id"], "type": "branch"}
+            md["refs"] = refs
         md["last-sequence-number"] = snap["sequence-number"]
         md["last-updated-ms"] = snap["timestamp-ms"]
         self._publish_metadata(md)
@@ -3272,6 +3315,39 @@ class IcebergTable:
         md["last-updated-ms"] = int(time.time() * 1000)
         self._publish_metadata(md)
         return {"ref": name, "snapshot_id": snap["snapshot-id"]}
+
+    def fast_forward(self, name: str) -> dict:
+        """PUBLISH a staged branch (the WAP pattern's second half, Iceberg's
+        ``fast_forward`` table procedure): move ``current-snapshot-id`` to
+        the branch head, refusing unless the current head is an ANCESTOR of
+        the branch head (walking parent-snapshot-id) — a true fast-forward,
+        never a silent overwrite of diverged work. Metadata-only: audited
+        data files become visible without moving a byte."""
+        md = self.metadata()
+        refs = md.get("refs") or {}
+        if name not in refs:
+            raise ValueError(f"no ref {name!r}")
+        if refs[name]["type"] != "branch":
+            raise ValueError(f"ref {name!r} is a tag — fast-forward needs a branch")
+        head = refs[name]["snapshot-id"]
+        cur = md.get("current-snapshot-id")
+        if head == cur:
+            return {"snapshot_id": head, "commits_published": 0}
+        by_id = {s["snapshot-id"]: s for s in md.get("snapshots") or []}
+        steps, p = 0, head
+        while p is not None and p != cur:
+            p = by_id.get(p, {}).get("parent-snapshot-id")
+            steps += 1
+        if p != cur:
+            raise ValueError(
+                f"not a fast-forward: current snapshot {cur} is not an "
+                f"ancestor of branch {name!r} head {head} — the table head "
+                "moved since the branch was staged"
+            )
+        md["current-snapshot-id"] = head
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(md)
+        return {"snapshot_id": head, "commits_published": steps}
 
     def drop_ref(self, name: str) -> dict:
         md = self.metadata()
@@ -5603,4 +5679,94 @@ def q181_reverse_uniform_delta_read(spark: SparkSession, sf_dir: str) -> DataFra
         "name",
         F.lit(one_copy).cast("int").alias("one_copy"),
         F.lit(into_puffin).cast("int").alias("dv_points_into_puffin"),
+    )
+
+
+_WAP_CACHE: dict = {}
+
+
+def _wap_demo_table(spark: SparkSession, sf_dir: str) -> tuple:
+    """Write-audit-publish demo, memoized per (session, sf_dir): even
+    event_ids land on the table head; odd event_ids are STAGED on an
+    ``audit`` branch (append(branch=)); the branch is then published with
+    ``fast_forward``. Returns (table, pre-publish head snapshot id,
+    staged_invisible flag, branch_saw_both flag, commits_published)."""
+    cache_key = (id(spark), sf_dir)
+    got = _WAP_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got[0].meta_dir):
+        return got
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"icewap_{uuid.uuid4().hex[:8]}")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = IcebergTable.create(spark, root, ev.where(F.col("event_id") % 2 == 0))
+    old_head = t.current_snapshot_id()
+    n_before = t.read().count()
+    t.append(ev.where(F.col("event_id") % 2 == 1), branch="audit")
+    staged_invisible = int(
+        t.current_snapshot_id() == old_head and t.read().count() == n_before
+    )
+    branch_saw_both = int(t.read(ref="audit").count() == ev.count())
+    pub = t.fast_forward("audit")
+    _WAP_CACHE[cache_key] = (
+        IcebergTable(spark, root),
+        old_head,
+        staged_invisible,
+        branch_saw_both,
+        pub["commits_published"],
+    )
+    return _WAP_CACHE[cache_key]
+
+
+_Q193_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_before_publish,
+       round(sum(value), 2) AS sum_value,
+       1 AS staged_invisible_on_main,
+       1 AS branch_saw_both,
+       1 AS commits_published
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q193_iceberg_wap_branch", oracle=_Q193_ORACLE)
+def q193_iceberg_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg WRITE-AUDIT-PUBLISH via branch refs in the correctness gate
+    (r8 — spec §Snapshot References): half the events are staged on an
+    ``audit`` branch (``append(branch=...)`` — the ref advances, the table
+    head does NOT), audited (the branch read sees everything, the head
+    read sees nothing new), then PUBLISHED with ``fast_forward`` (ancestry-
+    checked, metadata-only). The result joins the published head's per-type
+    counts with a TIME-TRAVEL read of the pre-publish head snapshot, so
+    the oracle pins both sides from the raw events: a branch commit that
+    leaked onto the head, or a publish that lost staged rows, hash-
+    mismatches.
+
+    Scale: staging and publishing are metadata writes; the audit read costs
+    one ordinary snapshot scan. This is the standard pattern for validating
+    a day's ingest on a 100 TB table before users can see it."""
+    t, old_head, staged_inv, branch_both, n_pub = _wap_demo_table(spark, sf_dir)
+    after = t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    before = (
+        t.read(snapshot_id=old_head)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_before_publish"))
+    )
+    return (
+        after.join(before, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "n_before_publish",
+            "sum_value",
+            F.lit(staged_inv).cast("int").alias("staged_invisible_on_main"),
+            F.lit(branch_both).cast("int").alias("branch_saw_both"),
+            F.lit(int(n_pub == 1)).cast("int").alias("commits_published"),
+        )
     )
