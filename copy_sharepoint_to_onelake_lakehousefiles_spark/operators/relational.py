@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import materialize, query
 from ..tables import epoch_seconds, load
 
 def REVENUE():
@@ -388,6 +388,50 @@ def q11_json_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.get_json_object("props", "$.k").cast("bigint")), 4).alias("avg_k"),
         F.max(F.get_json_object("props", "$.k").cast("bigint")).alias("max_k"),
         F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "q194_variant_json_analytics",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT))      AS max_k,
+       count(*) AS n_missing_null,
+       1 AS stored_as_variant
+FROM events
+GROUP BY event_type
+""",
+)
+def q194_variant_json_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT analytics (r8 — Spark 4's VariantType, the
+    open-lakehouse semi-structured column type): the JSON payload is parsed
+    ONCE into a binary variant (``parse_json``), stored to parquet in the
+    variant physical encoding (metadata/value binary pair — the round trip
+    through ``materialize`` proves the storage path, pinned by the
+    ``stored_as_variant`` flag), and fields are extracted with
+    ``variant_get`` path expressions; ``try_variant_get`` of an absent
+    path yields NULL, not an error. The oracle recomputes the same
+    aggregates from the raw JSON strings with a regexp (q11's convention).
+
+    Scale: parse once / extract many beats re-parsing JSON strings per
+    predicate — variant decode is a JVM-side columnar operation and the
+    parquet encoding prunes like any other column, unlike
+    ``get_json_object`` over repeated text."""
+    e = load(spark, sf_dir, "events").select("event_type", "props")
+    stored = materialize(
+        e.select("event_type", F.parse_json("props").alias("pv"))
+    )
+    is_var = int(dict(stored.dtypes)["pv"] == "variant")
+    return stored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.variant_get("pv", "$.k", "bigint")).alias("sum_k"),
+        F.max(F.variant_get("pv", "$.k", "bigint")).alias("max_k"),
+        F.count(
+            F.when(F.try_variant_get("pv", "$.missing", "bigint").isNull(), 1)
+        ).alias("n_missing_null"),
+        F.lit(is_var).cast("int").alias("stored_as_variant"),
     )
 
 

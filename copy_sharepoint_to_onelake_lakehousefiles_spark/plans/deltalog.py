@@ -95,10 +95,25 @@ def _fmt_checkpoint(v: int) -> str:
 def _stats_for_file(path: str, data_cols: list[str]) -> dict:
     """Per-file stats JSON from the parquet FOOTER (row-group statistics) —
     the file's data pages are never read. Delta writes these into the add
-    action so readers can skip files from the log alone."""
+    action so readers can skip files from the log alone.
+
+    Fallback tier: pyarrow refuses to open footers carrying logical types
+    newer than it knows (Spark 4's VARIANT) — those files get numRecords
+    from the schema-free thrift walk (plans/parquet_footer.py) and NO
+    column stats, which every consumer already reads as "cannot prune"."""
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(path)
+    try:
+        pf = pq.ParquetFile(path)
+    except OSError:
+        from .parquet_footer import footer_num_rows
+
+        return {
+            "numRecords": footer_num_rows(path),
+            "minValues": {},
+            "maxValues": {},
+            "nullCount": {},
+        }
     meta = pf.metadata
     mins: dict = {}
     maxs: dict = {}
@@ -1820,6 +1835,9 @@ class DeltaTable:
         adds = t._stage_files(df, part_cols)
         meta_action = t._meta_action(df, part_cols, uuid.uuid4().hex)
         protocol = dict(PROTOCOL)
+        has_variant = any(
+            isinstance(f.dataType, T.VariantType) for f in df.schema.fields
+        )
         if idc:
             st = T.StructType.fromJson(
                 json.loads(meta_action["metaData"]["schemaString"])
@@ -1860,6 +1878,24 @@ class DeltaTable:
             # Columns); later feature upgrades seed generatedColumns into
             # the writerFeatures list via _LEGACY_WRITER_FEATURES
             protocol["minWriterVersion"] = max(4, protocol["minWriterVersion"])
+        if has_variant:
+            # VARIANT columns gate on the variantType table feature (spec
+            # §Variant Data Type — reader+writer); the table-features form
+            # must carry every feature the legacy versions implied
+            wf: set = {"variantType"}
+            for v2, feats in cls._LEGACY_WRITER_FEATURES.items():
+                if protocol["minWriterVersion"] >= v2:
+                    wf.update(feats)
+            rf: set = {"variantType"}
+            for v2, feats in cls._LEGACY_READER_FEATURES.items():
+                if protocol["minReaderVersion"] >= v2:
+                    rf.update(feats)
+            protocol = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(rf),
+                "writerFeatures": sorted(wf),
+            }
         actions = [
             t._commit_info("CREATE TABLE AS SELECT"),
             {"protocol": protocol},
@@ -2615,7 +2651,9 @@ class DeltaTable:
         self._publish(v, actions)
         return {"version": v, "files_added": len(adds), "files_removed": len(removes)}
 
-    def table_changes(self, v_from: int, v_to: int) -> DataFrame:
+    def table_changes(
+        self, v_from: int, v_to: int, timestamp_type: bool = False
+    ) -> DataFrame:
         """Batch CHANGE DATA FEED. Commits carrying ``cdc`` actions (a
         CDF-enabled MERGE writes its row-level changes to ``_change_data``
         parquet — update_preimage / update_postimage / insert) are read
@@ -2645,7 +2683,9 @@ class DeltaTable:
         ``inCommitTimestamp`` when the table has in-commit timestamps
         (monotonic regardless of file-mtime skew — the q179 feature
         composed into the feed), else the commit file's mtime per the
-        spec's read rule."""
+        spec's read rule. The default rendering is the raw epoch millis
+        (bigint — stable for oracle hashing); ``timestamp_type=True``
+        renders Delta proper's TimestampType, same instants."""
         schema = self.schema(v_to)
         part_cols = self.partition_columns(v_to)
         _, meta = self.snapshot(v_to)
@@ -2727,12 +2767,17 @@ class DeltaTable:
             )
             if rt:
                 base = base.withColumn("_row_id", F.lit(None).cast("long"))
-            return base.withColumn(
+            out = base.withColumn(
                 "_commit_version", F.lit(None).cast("long")
             ).withColumn("_commit_timestamp", F.lit(None).cast("long"))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if timestamp_type:
+            out = out.withColumn(
+                "_commit_timestamp", F.timestamp_millis(F.col("_commit_timestamp"))
+            )
         return out
 
     def compact(self, target_files: int = 1, zorder_by: list[str] | None = None) -> dict:
@@ -3987,6 +4032,76 @@ def q192_delta_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_id") == F.lit(props["hwm"])).cast("int"),
         )
         .withColumn("explicit_refused", F.lit(refused).cast("int"))
+    )
+
+
+_VAR_CACHE: dict = {}
+
+
+def _variant_demo_table(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """Delta VARIANT demo, memoized per (session, sf_dir): events with the
+    JSON props parsed into a VariantType column → create + append (both
+    write the variant parquet encoding) → one copy-on-write DELETE that
+    rewrites variant-bearing files."""
+    cache_key = (id(spark), sf_dir)
+    got = _VAR_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got.log_dir):
+        return got
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"dlvar_{uuid.uuid4().hex[:8]}")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.parse_json("props").alias("pv")
+    )
+    t = DeltaTable.create(spark, root, ev.where(F.col("event_id") % 2 == 0))
+    t.append(ev.where(F.col("event_id") % 2 == 1))
+    t.delete("event_id % 10 = 3")
+    _VAR_CACHE[cache_key] = DeltaTable(spark, root)
+    return _VAR_CACHE[cache_key]
+
+
+_Q195_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       round(sum(value), 2) AS sum_value,
+       1 AS has_variant_feature,
+       1 AS schema_is_variant
+FROM events
+WHERE event_id % 10 <> 3
+GROUP BY event_type
+"""
+
+
+@query("q195_delta_variant_table", oracle=_Q195_ORACLE)
+def q195_delta_variant_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta VARIANT columns in the correctness gate (r8 — spec §Variant
+    Data Type, table feature ``variantType``): the events JSON payload is
+    stored as a VariantType column in a Delta table (schemaString type
+    ``variant``; protocol carries variantType in BOTH feature lists), two
+    writes land the variant parquet encoding, and a copy-on-write DELETE
+    rewrites variant-bearing files. The oracle recomputes the surviving
+    aggregates from the raw JSON with a regexp, so a corrupted variant
+    value or a delete that dropped the column hash-mismatches.
+
+    Scale: these files' footers carry a logical type pyarrow cannot parse —
+    add-action numRecords comes from the schema-free thrift footer walk
+    (plans/parquet_footer.py), column stats degrade to "cannot prune"
+    honestly. Variant extraction stays JVM-side columnar (parse once,
+    extract many)."""
+    t = _variant_demo_table(spark, sf_dir)
+    proto = t.protocol()
+    has_feat = int(
+        "variantType" in (proto.get("readerFeatures") or [])
+        and "variantType" in (proto.get("writerFeatures") or [])
+    )
+    is_var = int(isinstance(t.schema()["pv"].dataType, T.VariantType))
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.variant_get("pv", "$.k", "bigint")).alias("sum_k"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.lit(has_feat).cast("int").alias("has_variant_feature"),
+        F.lit(is_var).cast("int").alias("schema_is_variant"),
     )
 
 

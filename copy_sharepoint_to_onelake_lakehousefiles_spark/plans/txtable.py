@@ -682,7 +682,13 @@ class TxTable:
         return {"files_compacted": len(small), "files_after": len(big) + len(packed)}
 
 
-    def cluster_by(self, cols: list[str], target_files: int = 8, bits: int = 5) -> dict:
+    def cluster_by(
+        self,
+        cols: list[str],
+        target_files: int = 8,
+        bits: int = 5,
+        curve: str = "morton",
+    ) -> dict:
         """Z-ORDER rewrite: co-locate rows that are close in EVERY listed
         (numeric) column, so a multi-dimensional predicate skips most files
         (a linear sort helps only its leading column). Each column is
@@ -703,7 +709,17 @@ class TxTable:
 
         Scale: one quantile-sketch pass + one repartitionByRange shuffle —
         the cost of a compaction pass; clustering is maintenance, not a
-        per-query tax."""
+        per-query tax.
+
+        ``curve`` picks the space-filling curve over the equi-depth bucket
+        ids: ``morton`` (bit interleave, pure SQL fold) or ``hilbert``
+        (functions/layout.hilbert_key_col — contiguous key intervals are
+        compact regions, so small file counts keep EVERY column's per-file
+        range narrow; measured in tests/test_layout.py). Equi-depth
+        bucketing composes with both, so skewed columns still split
+        evenly."""
+        if curve not in ("morton", "hilbert"):
+            raise ValueError(f"curve {curve!r} (morton|hilbert)")
         base = self.latest_version()
         df = self.read(base)
         nb = 1 << bits
@@ -718,12 +734,19 @@ class TxTable:
                     f"size(filter(array({arr}), x -> x <= cast({c} AS DOUBLE)))"
                 ).cast("long"),
             )
-        parts = [
-            f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> "
-            f"acc + (((__b{i} >> j) & 1) << (j * {n} + {i})))"
-            for i in range(n)
-        ]
-        zed = bucketed.withColumn("__z", F.expr(" + ".join(parts)))
+        if curve == "hilbert":
+            from ..functions.layout import hilbert_key_col
+
+            zed = bucketed.withColumn(
+                "__z", hilbert_key_col([f"__b{i}" for i in range(n)], bits)
+            )
+        else:
+            parts = [
+                f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> "
+                f"acc + (((__b{i} >> j) & 1) << (j * {n} + {i})))"
+                for i in range(n)
+            ]
+            zed = bucketed.withColumn("__z", F.expr(" + ".join(parts)))
         packed = (
             zed.repartitionByRange(target_files, "__z")
             .sortWithinPartitions("__z")
@@ -734,7 +757,7 @@ class TxTable:
             "cluster", files, [fe["path"] for fe in self._files(base)],
             version=base + 1, schema_json=df.schema.json(),
         )
-        return {"clustered_by": cols, "files": len(files)}
+        return {"clustered_by": cols, "files": len(files), "curve": curve}
 
     def scan(self, bounds: dict[str, tuple] | None = None) -> tuple[DataFrame, dict]:
         """Snapshot read with manifest-level data skipping: ``bounds`` maps

@@ -1,0 +1,62 @@
+"""Delta VARIANT columns (plans/deltalog.py — spec §Variant Data Type,
+table feature ``variantType``): a VariantType column persists in the
+schemaString, gates the protocol on the reader+writer feature, and
+survives append / delete / time travel through the variant parquet
+encoding."""
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import DeltaTable
+
+
+@pytest.fixture()
+def root():
+    d = os.path.join(tempfile.gettempdir(), f"dlvar_test_{uuid.uuid4().hex[:8]}")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.parse_json(
+            F.concat(F.lit('{"a": '), F.col("id").cast("string"), F.lit("}"))
+        ).alias("pv"),
+    )
+
+
+def test_variant_column_roundtrip_and_protocol(spark, root):
+    t = DeltaTable.create(spark, root, _df(spark, 0, 10))
+    st = t.schema()
+    assert isinstance(st["pv"].dataType, T.VariantType)
+    proto = t.protocol()
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "variantType" in proto["readerFeatures"]
+    assert "variantType" in proto["writerFeatures"]
+    got = sorted(
+        tuple(r)
+        for r in t.read()
+        .select("k", F.variant_get("pv", "$.a", "long").alias("a"))
+        .collect()
+    )
+    assert got == [(i, i) for i in range(10)]
+
+
+def test_variant_survives_append_delete_time_travel(spark, root):
+    t = DeltaTable.create(spark, root, _df(spark, 0, 5))
+    t.append(_df(spark, 5, 8))
+    t.delete("k >= 6")
+    vals = sorted(
+        r[0]
+        for r in t.read().select(F.variant_get("pv", "$.a", "long")).collect()
+    )
+    assert vals == [0, 1, 2, 3, 4, 5]
+    # time travel re-reads the pre-delete variant files
+    assert t.read(1).count() == 8

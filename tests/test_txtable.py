@@ -283,6 +283,32 @@ def test_cluster_by_zorder_enables_multi_column_skipping(spark, sf_dir, tmp_path
     assert skip["files_read"] + skip["files_skipped"] == skip["files_total"]
 
 
+def test_cluster_by_hilbert_curve(spark, sf_dir, tmp_path):
+    """cluster_by(curve="hilbert") (r8): equi-depth bucket ids fed through
+    the Hilbert key instead of the Morton fold — same exactness and
+    manifest-skipping guarantees, compacter per-file footprints at small
+    file counts (the layout-level comparison lives in tests/test_layout.py)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    t = TxTable.create(spark, str(tmp_path / "evh"), ev, key="event_id")
+    stats = t.cluster_by(["user_id", "value"], target_files=8, curve="hilbert")
+    assert stats["curve"] == "hilbert" and stats["files"] >= 4
+
+    bounds = {"user_id": (1, 3), "value": (0.0, 60.0)}
+    df, skip = t.scan(bounds)
+    got = {r["event_id"] for r in df.collect()}
+    want = {
+        r["event_id"]
+        for r in ev.where(
+            (F.col("user_id").between(1, 3)) & (F.col("value").between(0.0, 60.0))
+        ).collect()
+    }
+    assert got == want
+    assert skip["files_skipped"] >= 1, f"no skipping: {skip}"
+
+    with pytest.raises(ValueError, match="curve"):
+        t.cluster_by(["user_id", "value"], curve="peano")
+
+
 def test_merge_upsert_partitioned_rewrites_only_hit_partitions(spark, sf_dir, tmp_path):
     target = str(tmp_path / "part_target")
     load(spark, sf_dir, "nation").write.partitionBy("n_regionkey").parquet(target)
