@@ -1773,6 +1773,7 @@ class DeltaTable:
         partition_by: list[str] | None = None,
         generated: dict[str, str] | None = None,
         identity: dict[str, dict] | None = None,
+        defaults: dict[str, str] | None = None,
     ) -> "DeltaTable":
         """``generated`` declares GENERATED COLUMNS (spec §Generated
         Columns — legacy writer version 4 / table feature
@@ -1791,7 +1792,14 @@ class DeltaTable:
         modulo step, strictly above the persisted
         ``delta.identity.highWaterMark``) on every write that omits the
         column; explicit values refuse unless allowed. Like Delta proper,
-        identity is declared at CREATE only."""
+        identity is declared at CREATE only.
+
+        ``defaults`` declares column DEFAULT values (writer-only table
+        feature ``allowColumnDefaults``, field metadata key
+        ``CURRENT_DEFAULT``): ``{name: sql_expression}``. A write that
+        OMITS the column computes the default; provided values are kept
+        verbatim (fill, not validate). Also settable later via
+        ``set_column_default`` / ``drop_column_default``."""
         t = cls(spark, root)
         if t.versions():
             raise FileExistsError(f"Delta table already exists at {root}")
@@ -1831,6 +1839,19 @@ class DeltaTable:
                     )
             else:
                 df = t._gen_identity(df, name, props)
+        dflt = dict(defaults or {})
+        for name, expr in dflt.items():
+            if name in gen:
+                raise ValueError(
+                    f"column {name!r} cannot be both generated and defaulted"
+                )
+            if name in idc:
+                raise ValueError(
+                    f"column {name!r} cannot be both identity and defaulted"
+                )
+            if name not in df.columns:
+                # the initial rows materialize the default now
+                df = df.withColumn(name, F.expr(expr))
         os.makedirs(root, exist_ok=True)
         adds = t._stage_files(df, part_cols)
         meta_action = t._meta_action(df, part_cols, uuid.uuid4().hex)
@@ -1878,24 +1899,50 @@ class DeltaTable:
             # Columns); later feature upgrades seed generatedColumns into
             # the writerFeatures list via _LEGACY_WRITER_FEATURES
             protocol["minWriterVersion"] = max(4, protocol["minWriterVersion"])
+        if dflt:
+            st = T.StructType.fromJson(
+                json.loads(meta_action["metaData"]["schemaString"])
+            )
+            fields = []
+            for f in st.fields:
+                md = dict(f.metadata or {})
+                if f.name in dflt:
+                    md["CURRENT_DEFAULT"] = dflt[f.name]
+                fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+            meta_action["metaData"]["schemaString"] = T.StructType(fields).json()
+        # table-features-only capabilities force the features protocol form
+        # (spec §Table Features); the lists must carry every feature the
+        # legacy versions implied. variantType is reader+writer;
+        # allowColumnDefaults is writer-only (readers need nothing).
+        extra_wf: set = set()
+        extra_rf: set = set()
         if has_variant:
-            # VARIANT columns gate on the variantType table feature (spec
-            # §Variant Data Type — reader+writer); the table-features form
-            # must carry every feature the legacy versions implied
-            wf: set = {"variantType"}
+            extra_wf.add("variantType")
+            extra_rf.add("variantType")
+        if dflt:
+            extra_wf.add("allowColumnDefaults")
+        if extra_wf:
+            wf = set(extra_wf)
             for v2, feats in cls._LEGACY_WRITER_FEATURES.items():
                 if protocol["minWriterVersion"] >= v2:
                     wf.update(feats)
-            rf: set = {"variantType"}
-            for v2, feats in cls._LEGACY_READER_FEATURES.items():
-                if protocol["minReaderVersion"] >= v2:
-                    rf.update(feats)
-            protocol = {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": sorted(rf),
-                "writerFeatures": sorted(wf),
-            }
+            if extra_rf:
+                rf = set(extra_rf)
+                for v2, feats in cls._LEGACY_READER_FEATURES.items():
+                    if protocol["minReaderVersion"] >= v2:
+                        rf.update(feats)
+                protocol = {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(rf),
+                    "writerFeatures": sorted(wf),
+                }
+            else:
+                protocol = {
+                    "minReaderVersion": protocol["minReaderVersion"],
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(wf),
+                }
         actions = [
             t._commit_info("CREATE TABLE AS SELECT"),
             {"protocol": protocol},
@@ -1930,6 +1977,76 @@ class DeltaTable:
                         f"expression {expr!r} on {bad} row(s)"
                     )
         return df
+
+    # ---------------------------------------------------- column defaults
+
+    def _default_cols(self, meta: dict) -> dict[str, str]:
+        """Column DEFAULT expressions from field metadata (writer feature
+        ``allowColumnDefaults``, key ``CURRENT_DEFAULT``): {name: sql}."""
+        st = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        return {
+            f.name: f.metadata["CURRENT_DEFAULT"]
+            for f in st.fields
+            if f.metadata and "CURRENT_DEFAULT" in f.metadata
+        }
+
+    def _apply_defaults(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Writer-side DEFAULT fill: a declared column the writer OMITS is
+        computed from its CURRENT_DEFAULT expression. Contrast generated
+        columns: a PROVIDED value is kept verbatim, never validated —
+        defaults fill, they don't constrain."""
+        for name, expr in self._default_cols(meta).items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+        return df
+
+    def set_column_default(self, name: str, expr: str) -> dict:
+        """ALTER TABLE ALTER COLUMN SET DEFAULT: stores ``expr`` as the
+        field's ``CURRENT_DEFAULT`` metadata and upgrades the protocol to
+        carry ``allowColumnDefaults`` (writer-only table feature). Applies
+        to LATER writes only — existing rows are untouched (the spec's
+        current-default, not a backfill)."""
+        _, meta = self.snapshot()
+        st = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        if name not in st.fieldNames():
+            raise ValueError(f"no column {name!r} to set a default on")
+        fields = []
+        for f in st.fields:
+            md = dict(f.metadata or {})
+            if f.name == name:
+                md["CURRENT_DEFAULT"] = expr
+            fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+        new_meta = dict(meta)
+        new_meta["schemaString"] = T.StructType(fields).json()
+        actions: list[dict] = [self._commit_info("SET DEFAULT")]
+        up = self._feature_upgrade_action("allowColumnDefaults", writer_only=True)
+        if up is not None:
+            actions.append(up)
+        actions.append({"metaData": new_meta})
+        v = self.latest_version() + 1
+        self._publish(v, actions)
+        return {"version": v, "column": name, "default": expr}
+
+    def drop_column_default(self, name: str) -> dict:
+        """ALTER TABLE ALTER COLUMN DROP DEFAULT: later writes that omit
+        the column null-fill again; history is untouched."""
+        _, meta = self.snapshot()
+        st = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        if name not in self._default_cols(meta):
+            raise ValueError(f"no column {name!r} with a default")
+        fields = []
+        for f in st.fields:
+            md = dict(f.metadata or {})
+            if f.name == name:
+                md.pop("CURRENT_DEFAULT", None)
+            fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+        new_meta = dict(meta)
+        new_meta["schemaString"] = T.StructType(fields).json()
+        v = self.latest_version() + 1
+        self._publish(
+            v, [self._commit_info("DROP DEFAULT"), {"metaData": new_meta}]
+        )
+        return {"version": v, "column": name}
 
     # -------------------------------------------------- identity columns
 
@@ -2129,10 +2246,12 @@ class DeltaTable:
             adds_meta.append({"metaData": new_meta})
             meta = new_meta
             cur = merged
-        # generated + identity columns compute-or-validate BEFORE null-fill
-        # alignment (an omitted generated/identity column must be computed,
-        # not nulled)
-        aligned = self._apply_identity(self._apply_generated(df, meta), meta)
+        # generated/default/identity columns compute BEFORE null-fill
+        # alignment (an omitted generated/defaulted/identity column must be
+        # computed, not nulled)
+        aligned = self._apply_identity(
+            self._apply_defaults(self._apply_generated(df, meta), meta), meta
+        )
         for f in cur.fields:
             if f.name not in aligned.columns:
                 aligned = aligned.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -2162,7 +2281,9 @@ class DeltaTable:
         old, meta = self.snapshot()
         # identity: replaced rows get FRESH values above the old watermark
         # (the spec's watermark never decreases, even on overwrite)
-        df = self._apply_identity(self._apply_generated(df, meta), meta)
+        df = self._apply_identity(
+            self._apply_defaults(self._apply_generated(df, meta), meta), meta
+        )
         df = df.select(*self.schema().fieldNames())
         self._check_constraints(df)
         adds = self._stage_files(df, part_cols, phys=self._phys_map(meta))
@@ -2227,7 +2348,7 @@ class DeltaTable:
         phys = self._phys_map(meta)
         schema = self.schema()
         part_cols = self.partition_columns()
-        updates = self._apply_generated(updates, meta)
+        updates = self._apply_defaults(self._apply_generated(updates, meta), meta)
         # identity columns (spec §Identity Columns): MERGE may not set an
         # identity value unless explicit inserts are allowed; an OMITTED
         # identity column resolves later — matched rows KEEP their value,
@@ -4032,6 +4153,77 @@ def q192_delta_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_id") == F.lit(props["hwm"])).cast("int"),
         )
         .withColumn("explicit_refused", F.lit(refused).cast("int"))
+    )
+
+
+_DFLT_CACHE: dict = {}
+
+
+def _defaults_demo_table(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """Column-defaults demo, memoized per (session, sf_dir): orders →
+    Delta table whose ``source`` column defaults to 'legacy' → one append
+    that OMITS the column (default fills) → one that PROVIDES it (kept
+    verbatim)."""
+    cache_key = (id(spark), sf_dir)
+    got = _DFLT_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got.log_dir):
+        return got
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"dldflt_{uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = DeltaTable.create(
+        spark,
+        root,
+        o.withColumn("source", F.lit("batch")),
+        defaults={"source": "'legacy'"},
+    )
+    t.append(o.select((F.col("o_orderkey") + 10_000_000).alias("o_orderkey"), "o_totalprice"))
+    t.append(
+        o.select((F.col("o_orderkey") + 20_000_000).alias("o_orderkey"), "o_totalprice")
+        .withColumn("source", F.lit("stream"))
+    )
+    _DFLT_CACHE[cache_key] = DeltaTable(spark, root)
+    return _DFLT_CACHE[cache_key]
+
+
+_Q196_ORACLE = """
+SELECT s.source,
+       CAST((SELECT count(*) FROM orders) AS BIGINT)       AS n_rows,
+       round((SELECT sum(o_totalprice) FROM orders), 2)    AS sum_price,
+       1 AS has_default,
+       1 AS writer_feature
+FROM (VALUES ('batch'), ('legacy'), ('stream')) AS s(source)
+"""
+
+
+@query("q196_delta_column_defaults", oracle=_Q196_ORACLE)
+def q196_delta_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta column DEFAULT values in the correctness gate (r8 — writer
+    feature ``allowColumnDefaults``, field metadata ``CURRENT_DEFAULT``):
+    the ``source`` column defaults to 'legacy', so the append that omits
+    it fills exactly one orders-sized cohort while the appends that
+    provide values keep them — three equal cohorts whose counts and price
+    sums the oracle derives from the raw orders table. A default that
+    leaked over provided values, null-filled, or skewed a cohort
+    hash-mismatches; the flags pin the metadata and the writer-only
+    protocol feature.
+
+    Scale: the fill is one projected literal/expression per write — the
+    pattern that backfills a new column's semantics without rewriting
+    history (contrast generated columns, which constrain)."""
+    t = _defaults_demo_table(spark, sf_dir)
+    proto = t.protocol()
+    feat = int(
+        "allowColumnDefaults" in (proto.get("writerFeatures") or [])
+        and "readerFeatures" not in proto
+    )
+    has_default = int(t._default_cols(t.snapshot()[1]) == {"source": "'legacy'"})
+    return t.read().groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.lit(has_default).cast("int").alias("has_default"),
+        F.lit(feat).cast("int").alias("writer_feature"),
     )
 
 
