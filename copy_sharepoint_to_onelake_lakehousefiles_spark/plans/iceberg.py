@@ -3339,6 +3339,37 @@ class IcebergTable:
         self._publish_metadata(md)
         return {"ref": name, "snapshot_id": snap["snapshot-id"]}
 
+    REFS_DF_DDL = (
+        "ref_name string, ref_type string, sequence_number bigint, "
+        "is_current int"
+    )
+
+    def _refs_rows(self) -> list[tuple]:
+        md = self.metadata()
+        seq_by_id = {
+            s["snapshot-id"]: s["sequence-number"] for s in md.get("snapshots") or []
+        }
+        cur = md.get("current-snapshot-id")
+        return [
+            (
+                name,
+                r["type"],
+                seq_by_id.get(r["snapshot-id"]),
+                int(r["snapshot-id"] == cur),
+            )
+            for name, r in sorted((md.get("refs") or {}).items())
+        ]
+
+    def refs_df(self) -> DataFrame:
+        """The ``refs`` metadata table (spec §Snapshot References): one row
+        per named tag/branch with the pinned snapshot's sequence number and
+        whether it is the current table state. Snapshot ids are random, so
+        the row exposes the DETERMINISTIC sequence number instead —
+        metadata-sized (O(#refs)), like every metadata table here. Also
+        reachable from plain SQL via ``iceberg_lite`` with
+        ``option("table", "refs")``."""
+        return self.spark.createDataFrame(self._refs_rows(), self.REFS_DF_DDL)
+
     def fast_forward(self, name: str) -> dict:
         """PUBLISH a staged branch (the WAP pattern's second half, Iceberg's
         ``fast_forward`` table procedure): move ``current-snapshot-id`` to

@@ -470,3 +470,69 @@ def q171_txtable_sql_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r_name
         """
     )
+
+
+def _build_iceberg_wap(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """WAP-shaped Iceberg demo at a FIXED root: create (tagged ``v1``) →
+    stage an append on the ``audit`` branch → fast-forward publish. The
+    CURRENT metadata JSON is copied verbatim to a fixed file so the q198
+    oracle can read the refs map the engine actually persisted."""
+    root = os.path.join(ROOT, "iceberg_wap")
+    key = (id(spark), "iceberg_wap")
+    meta_copy = os.path.join(ROOT, "iceberg_wap_metadata.json")
+    if key in _BUILT and os.path.isfile(meta_copy):
+        return IcebergTable(spark, root)
+    shutil.rmtree(root, ignore_errors=True)
+    dim = _nation_dim(spark, sf_dir)
+    t = IcebergTable.create(spark, root, dim)
+    t.set_ref("v1", kind="tag")
+    t.append(
+        dim.where(F.col("n_nationkey") < 10).withColumn(
+            "n_name", F.concat(F.col("n_name"), F.lit("_V1"))
+        ),
+        branch="audit",
+    )
+    t.fast_forward("audit")
+    os.makedirs(ROOT, exist_ok=True)
+    vs = t._metadata_versions()
+    shutil.copyfile(
+        os.path.join(t.meta_dir, f"v{vs[-1]}.metadata.json"), meta_copy
+    )
+    _BUILT.add(key)
+    return t
+
+
+_Q198_ORACLE = f"""
+WITH md AS (
+  SELECT refs, "current-snapshot-id" AS cur, snapshots
+  FROM read_json_auto('{ROOT}/iceberg_wap_metadata.json')
+),
+snaps AS (SELECT unnest(snapshots) AS sn FROM md)
+SELECT 'audit' AS ref_name,
+       (SELECT refs.audit.type FROM md) AS ref_type,
+       CAST((SELECT sn."sequence-number" FROM snaps
+             WHERE sn."snapshot-id" = (SELECT refs.audit."snapshot-id" FROM md))
+            AS BIGINT) AS sequence_number,
+       CAST((SELECT refs.audit."snapshot-id" = cur FROM md) AS INT) AS is_current
+UNION ALL
+SELECT 'v1',
+       (SELECT refs.v1.type FROM md),
+       CAST((SELECT sn."sequence-number" FROM snaps
+             WHERE sn."snapshot-id" = (SELECT refs.v1."snapshot-id" FROM md))
+            AS BIGINT),
+       CAST((SELECT refs.v1."snapshot-id" = cur FROM md) AS INT)
+"""
+
+
+@query("q198_iceberg_refs_table", oracle=_Q198_ORACLE)
+def q198_iceberg_refs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg ``refs`` metadata table over a WAP-shaped history (r8 —
+    spec §Snapshot References): a ``v1`` tag pins the create snapshot, the
+    ``audit`` branch carried a staged append, and a fast-forward made it
+    current. The oracle reads the refs map straight out of the engine's
+    OWN persisted table-metadata JSON (the q160-q163 double-reader
+    discipline), so the on-disk ref format — type strings, pinned snapshot
+    ids resolving to the right sequence numbers, the published head — is
+    format-checked, not just self-consistent. Snapshot ids are random, so
+    rows expose the deterministic sequence number."""
+    return _build_iceberg_wap(spark, sf_dir).refs_df()

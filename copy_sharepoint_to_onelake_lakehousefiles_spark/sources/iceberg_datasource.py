@@ -372,7 +372,7 @@ class IceMetaPartition(InputPartition):
 
 
 class IcebergLiteMetaReader(DataSourceReader):
-    """Metadata-table flavor (option table = snapshots|files|manifests):
+    """Metadata-table flavor (option table = snapshots|files|manifests|refs):
     one partition whose executor walks the table metadata itself — the SQL
     surface of the metadata tables."""
 
@@ -391,6 +391,8 @@ class IcebergLiteMetaReader(DataSourceReader):
             yield from t._files_rows()
         elif partition.table == "manifests":
             yield from t._manifests_rows()
+        elif partition.table == "refs":
+            yield from t._refs_rows()
         else:
             yield from t._snapshots_rows()
 
@@ -417,6 +419,8 @@ class IcebergLiteDataSource(DataSource):
             return IcebergTable.FILES_DF_DDL
         if meta_table == "manifests":
             return IcebergTable.MANIFESTS_DF_DDL
+        if meta_table == "refs":
+            return IcebergTable.REFS_DF_DDL
         if meta_table is not None:
             raise ValueError(f"unknown metadata table {meta_table!r}")
         idx = self.options.get("snapshot_index")

@@ -110,6 +110,31 @@ def test_expire_retains_branch_snapshots(spark, root):
     assert t.read(ref="audit").count() == 8
 
 
+def test_refs_metadata_table_and_lite_view(spark, root):
+    t = IcebergTable.create(spark, root, _df(spark, 0, 5))
+    t.set_ref("v1", kind="tag")
+    t.append(_df(spark, 5, 8), branch="audit")
+    rows = sorted(tuple(r) for r in t.refs_df().collect())
+    # audit pins seq 2 (the staged append — NOT current until published),
+    # v1 pins seq 1 (the create snapshot, which is still the table head)
+    assert rows == [("audit", "branch", 2, 0), ("v1", "tag", 1, 1)]
+    t.fast_forward("audit")
+    rows = {r["ref_name"]: r["is_current"] for r in t.refs_df().collect()}
+    assert rows == {"audit": 1, "v1": 0}
+    # same rows from plain SQL via the lite source's refs view
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+        IcebergLiteDataSource,
+    )
+
+    spark.dataSource.register(IcebergLiteDataSource)
+    lite = (
+        spark.read.format("iceberg_lite").option("table", "refs").load(root)
+    )
+    assert sorted(tuple(r) for r in lite.collect()) == sorted(
+        tuple(r) for r in t.refs_df().collect()
+    )
+
+
 def test_row_lineage_survives_publish(spark, root):
     t = IcebergTable.create(spark, root, _df(spark, 0, 6))
     t.enable_row_lineage()
