@@ -49,6 +49,34 @@ def test_variant_column_roundtrip_and_protocol(spark, root):
     assert got == [(i, i) for i in range(10)]
 
 
+def test_variant_through_uniform_both_directions(spark, root):
+    """UniForm metadata generation over variant-bearing files, both ways:
+    the other format's reader must see the same extracted values (one data
+    copy, two formats — now including the variant column)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        IcebergTable,
+        delta_to_iceberg_uniform,
+        iceberg_to_delta_uniform,
+    )
+
+    t = DeltaTable.create(spark, root, _df(spark, 0, 6))
+    ice = delta_to_iceberg_uniform(t)
+    got = sorted(
+        r[0]
+        for r in ice.read().select(F.variant_get("pv", "$.a", "long")).collect()
+    )
+    assert got == list(range(6))
+
+    iroot = root + "_ice"
+    it = IcebergTable.create(spark, iroot, _df(spark, 10, 14))
+    dl = iceberg_to_delta_uniform(it)
+    got = sorted(
+        r[0]
+        for r in dl.read().select(F.variant_get("pv", "$.a", "long")).collect()
+    )
+    assert got == [10, 11, 12, 13]
+
+
 def test_variant_survives_append_delete_time_travel(spark, root):
     t = DeltaTable.create(spark, root, _df(spark, 0, 5))
     t.append(_df(spark, 5, 8))

@@ -56,6 +56,22 @@ def test_variant_equality_delete_and_append(spark, root):
     assert _vals(t) == [0, 1, 4, 5, 10, 11]
 
 
+def test_lite_source_cannot_read_variant_files(spark, root):
+    """Documented limitation: iceberg_lite reads data files through
+    pyarrow, which cannot parse the VARIANT logical type at all — the
+    read fails loudly (the JVM reader path, IcebergTable.read, is the
+    supported surface for variant tables)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+        IcebergLiteDataSource,
+    )
+
+    t = IcebergTable.create(spark, root, _df(spark, 0, 4))
+    assert _vals(t) == [0, 1, 2, 3]  # JVM path works
+    spark.dataSource.register(IcebergLiteDataSource)
+    with pytest.raises(Exception, match="Thrift|variant|VARIANT"):
+        spark.read.format("iceberg_lite").load(root).collect()
+
+
 def test_variant_survives_compaction(spark, root):
     t = IcebergTable.create(spark, root, _df(spark, 0, 5))
     t.append(_df(spark, 5, 9))

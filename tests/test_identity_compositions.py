@@ -80,6 +80,36 @@ def test_identity_with_cdf_merge(spark, root):
     assert sorted(r["sk"] for r in by["insert"]) == [5, 6]
 
 
+def test_identity_with_stream_append(spark, root, tmp_path):
+    """A streaming writer that omits the identity column gets generated
+    values through the same append path — dense, unique, above the
+    watermark across batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        stream_append,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    pq.write_table(pa.table({"k": [1, 2, 3]}), os.path.join(src, "a.parquet"))
+    t = DeltaTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(0,)], "k long"),
+        identity={"sk": {"start": 100, "step": 1}},
+    )
+    stream = spark.readStream.schema("k long").parquet(src)
+    stream_append(t, stream, "s1", os.path.join(str(tmp_path), "ckpt"))
+    pq.write_table(pa.table({"k": [4, 5]}), os.path.join(src, "b.parquet"))
+    stream = spark.readStream.schema("k long").parquet(src)
+    stream_append(t, stream, "s1", os.path.join(str(tmp_path), "ckpt"))
+    ids = sorted(r[0] for r in t.read().select("sk").collect())
+    assert ids == [100, 101, 102, 103, 104, 105]
+    assert t._identity_cols(t.snapshot()[1])["sk"]["hwm"] == 105
+
+
 def test_identity_plus_defaults_one_table(spark, root):
     t = DeltaTable.create(
         spark,
