@@ -1160,6 +1160,7 @@ class IcebergTable:
         with_positions: bool = False,
         ref: str | None = None,
         lineage_cols: bool = False,
+        at_timestamp_ms: int | None = None,
     ) -> DataFrame:
         """Snapshot read. Unpartitioned: ONE multi-path parquet scan.
         Identity-partitioned: partition values are CONSTANT per file by
@@ -1175,9 +1176,16 @@ class IcebergTable:
         strictly to OLDER data files. ``with_positions`` additionally
         exposes ``__ice_fp``/``__ice_pos`` columns (the normalized file
         path and within-file row ordinal) — the input to
-        ``position_delete``. ``ref`` reads a named tag/branch."""
+        ``position_delete``. ``ref`` reads a named tag/branch;
+        ``at_timestamp_ms`` reads AS OF TIMESTAMP via the snapshot-log."""
         if ref is not None:
             snapshot_id = self.ref_snapshot(ref)
+        if at_timestamp_ms is not None:
+            if snapshot_id is not None or index is not None:
+                raise ValueError(
+                    "at_timestamp_ms is exclusive with snapshot_id/index/ref"
+                )
+            snapshot_id = self.snapshot_at_timestamp(at_timestamp_ms)
         schema = self.schema(snapshot_id, index)
         tgt_sid = self._schema_id_for(snapshot_id, index)
         entries, _ = self.files(snapshot_id, index, partition_filter, bounds)
@@ -1775,6 +1783,21 @@ class IcebergTable:
         return snap
 
     def _publish_metadata(self, md: dict) -> None:
+        # spec §Table Metadata: ``snapshot-log`` records every CHANGE of
+        # the current-snapshot pointer (append/overwrite/rollback/
+        # fast-forward all land here; ref-only updates don't) — the input
+        # to AS OF TIMESTAMP time travel (snapshot_at_timestamp)
+        cur = md.get("current-snapshot-id")
+        log = list(md.get("snapshot-log") or [])
+        if cur is not None and (not log or log[-1]["snapshot-id"] != cur):
+            log.append(
+                {
+                    "timestamp-ms": md.get("last-updated-ms")
+                    or int(time.time() * 1000),
+                    "snapshot-id": cur,
+                }
+            )
+            md["snapshot-log"] = log
         os.makedirs(self.meta_dir, exist_ok=True)
         vs = self._metadata_versions()
         v = (vs[-1] + 1) if vs else 1
@@ -3420,6 +3443,21 @@ class IcebergTable:
             raise ValueError(f"no ref {name!r}")
         return refs[name]["snapshot-id"]
 
+    def snapshot_at_timestamp(self, ts_ms: int) -> int:
+        """AS OF TIMESTAMP resolution (spec: the ``snapshot-log`` records
+        when each snapshot became current): the snapshot that was current
+        at ``ts_ms`` — the LAST log entry at or before it. Refuses a
+        timestamp older than the first entry (the table didn't exist yet,
+        or its log was pruned by expiration)."""
+        log = self.metadata().get("snapshot-log") or []
+        past = [e for e in log if e["timestamp-ms"] <= ts_ms]
+        if not past:
+            raise ValueError(
+                f"no snapshot was current at {ts_ms} — before the first "
+                "snapshot-log entry (or the log was pruned by expiration)"
+            )
+        return past[-1]["snapshot-id"]
+
     def rollback(
         self, snapshot_id: int | None = None, index: int | None = None
     ) -> dict:
@@ -3494,6 +3532,14 @@ class IcebergTable:
             if os.path.exists(lp):
                 os.unlink(lp)
         md["snapshots"] = keep
+        # spec: expiration prunes snapshot-log entries whose snapshot is
+        # gone — AS OF TIMESTAMP then refuses instead of mis-resolving
+        keep_ids = {s["snapshot-id"] for s in keep}
+        md["snapshot-log"] = [
+            e
+            for e in (md.get("snapshot-log") or [])
+            if e["snapshot-id"] in keep_ids
+        ]
         md["last-updated-ms"] = int(time.time() * 1000)
         self._publish_metadata(md)
         return {"snapshots_expired": len(drop), "files_deleted": deleted}
@@ -5894,4 +5940,80 @@ def q197_iceberg_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.lit(is_var).cast("int").alias("schema_is_variant"),
         F.lit(md_var).cast("int").alias("metadata_type_variant"),
+    )
+
+
+_TSTT_CACHE: dict = {}
+
+
+def _timestamp_travel_demo(spark: SparkSession, sf_dir: str) -> tuple:
+    """AS OF TIMESTAMP demo, memoized per (session, sf_dir): even events
+    at create → capture a wall-clock instant → odd events appended. The
+    snapshot-log resolves the captured instant back to the create
+    snapshot. 20 ms sleeps bracket the capture so millisecond-resolution
+    log entries can't straddle it."""
+    cache_key = (id(spark), sf_dir)
+    got = _TSTT_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got[0].meta_dir):
+        return got
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"icetst_{uuid.uuid4().hex[:8]}")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = IcebergTable.create(spark, root, ev.where(F.col("event_id") % 2 == 0))
+    time.sleep(0.02)
+    t_mid = int(time.time() * 1000)
+    time.sleep(0.02)
+    t.append(ev.where(F.col("event_id") % 2 == 1))
+    refused = 0
+    try:
+        t.snapshot_at_timestamp(0)  # before the table existed
+    except ValueError:
+        refused = 1
+    _TSTT_CACHE[cache_key] = (IcebergTable(spark, root), t_mid, refused)
+    return _TSTT_CACHE[cache_key]
+
+
+_Q199_ORACLE = """
+SELECT event_type,
+       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_asof,
+       CAST(count(*) AS BIGINT) AS n_now,
+       1 AS pre_creation_refused
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q199_iceberg_timestamp_travel", oracle=_Q199_ORACLE)
+def q199_iceberg_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg AS OF TIMESTAMP time travel (r8 — spec §Table Metadata,
+    ``snapshot-log``): every commit that moves the current-snapshot
+    pointer appends a (timestamp-ms, snapshot-id) entry; a read at a
+    wall-clock instant resolves to the LAST entry at or before it. The
+    demo captures an instant between the create and the append — the
+    AS-OF read must see exactly the create half while the current read
+    sees everything, and a pre-creation timestamp refuses. The oracle
+    recomputes both halves from the raw events.
+
+    Scale: resolution is a metadata-only scan of O(#commits) log entries;
+    expiration prunes entries for expired snapshots so the resolver can
+    never point at reclaimed data."""
+    t, t_mid, refused = _timestamp_travel_demo(spark, sf_dir)
+    asof = (
+        t.read(at_timestamp_ms=t_mid)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_asof"))
+    )
+    now = t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_now")
+    )
+    return (
+        asof.join(now, "event_type", "right")
+        .select(
+            "event_type",
+            F.coalesce("n_asof", F.lit(0)).cast("long").alias("n_asof"),
+            "n_now",
+            F.lit(refused).cast("int").alias("pre_creation_refused"),
+        )
     )

@@ -1,0 +1,84 @@
+"""Iceberg ``snapshot-log`` maintenance + AS OF TIMESTAMP resolution
+(plans/iceberg.py — spec §Table Metadata): entries on every
+current-pointer move, none on ref-only updates, pruning on expiration."""
+
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import IcebergTable
+
+
+@pytest.fixture()
+def root():
+    d = os.path.join(tempfile.gettempdir(), f"icelog_test_{uuid.uuid4().hex[:8]}")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def _log(t):
+    return t.metadata().get("snapshot-log") or []
+
+
+def test_log_grows_on_pointer_moves_only(spark, root):
+    t = IcebergTable.create(spark, root, _df(spark, 0, 3))
+    assert len(_log(t)) == 1
+    t.set_ref("v1", kind="tag")  # ref-only: pointer unmoved
+    assert len(_log(t)) == 1
+    t.append(_df(spark, 3, 6))
+    assert len(_log(t)) == 2
+    t.append(_df(spark, 6, 9), branch="audit")  # staged: pointer unmoved
+    assert len(_log(t)) == 2
+    t.fast_forward("audit")  # publish: pointer moves
+    log = _log(t)
+    assert len(log) == 3
+    assert log[-1]["snapshot-id"] == t.current_snapshot_id()
+    # timestamps non-decreasing
+    ts = [e["timestamp-ms"] for e in log]
+    assert ts == sorted(ts)
+
+
+def test_rollback_appends_entry(spark, root):
+    t = IcebergTable.create(spark, root, _df(spark, 0, 3))
+    t.append(_df(spark, 3, 6))
+    first = t.snapshots()[0]["snapshot-id"]
+    t.rollback(snapshot_id=first)
+    log = _log(t)
+    assert len(log) == 3 and log[-1]["snapshot-id"] == first
+
+
+def test_as_of_timestamp_resolution(spark, root):
+    t = IcebergTable.create(spark, root, _df(spark, 0, 4))
+    time.sleep(0.02)
+    mid = int(time.time() * 1000)
+    time.sleep(0.02)
+    t.append(_df(spark, 4, 10))
+    assert t.read(at_timestamp_ms=mid).count() == 4
+    assert t.read(at_timestamp_ms=int(time.time() * 1000)).count() == 10
+    with pytest.raises(ValueError, match="no snapshot was current"):
+        t.snapshot_at_timestamp(0)
+    with pytest.raises(ValueError, match="exclusive"):
+        t.read(at_timestamp_ms=mid, index=0)
+
+
+def test_expire_prunes_log_entries(spark, root):
+    t = IcebergTable.create(spark, root, _df(spark, 0, 2))
+    time.sleep(0.02)
+    early = int(time.time() * 1000)
+    time.sleep(0.02)
+    t.append(_df(spark, 2, 4))
+    t.append(_df(spark, 4, 6))
+    t.expire_snapshots(retain_last=1)
+    assert len(_log(t)) == 1
+    # the pruned instant now refuses instead of mis-resolving
+    with pytest.raises(ValueError, match="no snapshot was current"):
+        t.snapshot_at_timestamp(early)
