@@ -689,11 +689,14 @@ class IcebergTable:
         return self.spark.createDataFrame(self._snapshots_rows(), self.SNAPSHOTS_DF_DDL)
 
     def history_df(self) -> DataFrame:
-        """The ``history`` metadata table: every snapshot in commit order
-        with its parent and ``is_current_ancestor`` — whether it lies on
+        """The ``history`` metadata table — per spec, one row per
+        SNAPSHOT-LOG entry (when each snapshot was MADE CURRENT, so a
+        rollback re-surfaces its target with the rollback's timestamp)
+        with the parent and ``is_current_ancestor`` — whether it lies on
         the ancestry chain of the CURRENT snapshot (snapshots abandoned by
         a rollback/RESTORE show false, exactly how Iceberg surfaces
-        divergent history)."""
+        divergent history). Tables written before the log was maintained
+        (r8) fall back to one row per snapshot with its own timestamp."""
         snaps = self.snapshots()
         by_id = {s["snapshot-id"]: s for s in snaps}
         ancestors = set()
@@ -701,15 +704,27 @@ class IcebergTable:
         while cur is not None and cur in by_id:
             ancestors.add(cur)
             cur = by_id[cur].get("parent-snapshot-id")
-        rows = [
-            (
-                s.get("timestamp-ms"),
-                s["snapshot-id"],
-                s.get("parent-snapshot-id"),
-                s["snapshot-id"] in ancestors,
-            )
-            for s in snaps
-        ]
+        log = self.metadata().get("snapshot-log") or []
+        if log:
+            rows = [
+                (
+                    e["timestamp-ms"],
+                    e["snapshot-id"],
+                    by_id.get(e["snapshot-id"], {}).get("parent-snapshot-id"),
+                    e["snapshot-id"] in ancestors,
+                )
+                for e in log
+            ]
+        else:
+            rows = [
+                (
+                    s.get("timestamp-ms"),
+                    s["snapshot-id"],
+                    s.get("parent-snapshot-id"),
+                    s["snapshot-id"] in ancestors,
+                )
+                for s in snaps
+            ]
         return self.spark.createDataFrame(
             rows,
             "made_current_at_ms long, snapshot_id long, parent_id long, "

@@ -70,6 +70,22 @@ def test_as_of_timestamp_resolution(spark, root):
         t.read(at_timestamp_ms=mid, index=0)
 
 
+def test_history_df_is_log_driven(spark, root):
+    """Per spec, history has one row per snapshot-log entry: a rollback
+    RE-surfaces its target with the rollback's (later) made_current_at."""
+    t = IcebergTable.create(spark, root, _df(spark, 0, 3))
+    t.append(_df(spark, 3, 6))
+    first = t.snapshots()[0]["snapshot-id"]
+    t.rollback(snapshot_id=first)
+    h = t.history_df().collect()
+    assert len(h) == 3  # create, append, rollback-to-create
+    firsts = sorted(
+        r["made_current_at_ms"] for r in h if r["snapshot_id"] == first
+    )
+    assert len(firsts) == 2 and firsts[0] <= firsts[1]
+    assert all(r["is_current_ancestor"] == (r["snapshot_id"] == first) for r in h)
+
+
 def test_expire_prunes_log_entries(spark, root):
     t = IcebergTable.create(spark, root, _df(spark, 0, 2))
     time.sleep(0.02)
