@@ -54,6 +54,9 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
 
         # pure-python log access; no SparkSession on this path
         self._t = DeltaTable(None, self.root)
+        # option("timestampType", "true") renders _commit_timestamp as a
+        # TimestampType instead of epoch millis (same instants)
+        self._ts_type = str(options.get("timestampType", "")).lower() == "true"
         self._schema_fields: list[tuple[str, str]] | None = None
         self._part_cols: list[str] | None = None
         self._phys: dict | None = None
@@ -231,6 +234,10 @@ class DeltaCdcReader(SimpleDataSourceStreamReader):
             # the spec's CDF timestamp: authoritative inCommitTimestamp
             # when the table has ICT, else commit-file mtime
             ts = self._t._commit_timestamp(v)
+            if self._ts_type and ts is not None:
+                from datetime import datetime, timezone
+
+                ts = datetime.fromtimestamp(ts / 1000.0, tz=timezone.utc)
 
             def _shape(row: tuple, ct: str):
                 # _row_id rides LAST (trailing-column convention) even
@@ -287,9 +294,14 @@ class DeltaCdcDataSource(DataSource):
         _, meta = DeltaTable(None, root).snapshot()
         st = StructType.fromJson(json.loads(meta["schemaString"]))
         cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
+        ts_ddl = (
+            "timestamp"
+            if str(self.options.get("timestampType", "")).lower() == "true"
+            else "bigint"
+        )
         out = (
             f"{cols}, commit_version bigint, change_type string, "
-            "schema_version bigint, _commit_timestamp bigint"
+            f"schema_version bigint, _commit_timestamp {ts_ddl}"
         )
         cfg = meta.get("configuration") or {}
         if cfg.get("delta.enableRowTracking") == "true":

@@ -65,6 +65,61 @@ def test_timestamp_type_empty_range(spark, root):
     assert dict(ch.dtypes)["_commit_timestamp"] == "timestamp"
 
 
+def test_delta_cdc_stream_timestamp_type(spark, root):
+    """The delta_cdc STREAM source mirrors the batch option:
+    option("timestampType", "true") renders _commit_timestamp as a
+    TimestampType carrying the same instants as the bigint default."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_stream_source import (
+        DeltaCdcDataSource,
+    )
+
+    df = spark.range(4).select(F.col("id").alias("k"))
+    t = DeltaTable.create(spark, root, df.coalesce(1))
+    t.append(spark.range(4, 6).select(F.col("id").alias("k")).coalesce(1))
+    try:
+        spark.dataSource.register(DeltaCdcDataSource)
+    except Exception:
+        pass
+
+    def _drain(opts, sub):
+        sink = os.path.join(root, f"_sink_{sub}")
+        reader = spark.readStream.format("delta_cdc")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load(root)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(root, f"_ckpt_{sub}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    as_long = _drain({}, "long")
+    as_ts = _drain({"timestampType": "true"}, "ts")
+    assert dict(as_long.dtypes)["_commit_timestamp"] == "bigint"
+    assert dict(as_ts.dtypes)["_commit_timestamp"] == "timestamp"
+    a = sorted(
+        tuple(r)
+        for r in as_long.select("commit_version", "_commit_timestamp")
+        .distinct()
+        .collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in as_ts.select(
+            "commit_version",
+            F.unix_millis("_commit_timestamp").alias("ms"),
+        )
+        .distinct()
+        .collect()
+    )
+    assert a == b and len(a) == 2
+
+
 def test_timestamp_type_with_in_commit_timestamps(spark, root):
     df = spark.range(5).select(F.col("id").alias("k"))
     t = DeltaTable.create(spark, root, df)
