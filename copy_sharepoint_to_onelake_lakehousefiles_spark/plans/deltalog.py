@@ -103,9 +103,13 @@ def _stats_for_file(path: str, data_cols: list[str]) -> dict:
     column stats, which every consumer already reads as "cannot prune"."""
     import pyarrow.parquet as pq
 
+    import pyarrow as pa
+
     try:
         pf = pq.ParquetFile(path)
-    except OSError:
+    except (OSError, pa.lib.ArrowInvalid):
+        # Some pyarrow versions surface the unrecognized-LogicalType
+        # failure as ArrowInvalid (a ValueError) rather than ArrowIOError.
         from .parquet_footer import footer_num_rows
 
         return {
@@ -2078,10 +2082,23 @@ class DeltaTable:
     @staticmethod
     def _identity_base(props: dict) -> int:
         """First value the NEXT generated batch may use: one step past the
-        high watermark, or ``start`` before any value exists."""
-        if props["hwm"] is not None:
-            return props["hwm"] + props["step"]
-        return props["start"]
+        high watermark, or ``start`` before any value exists.
+
+        The watermark may sit OUTSIDE the start-mod-step congruence class
+        (an explicit insert under allowExplicitInsert=true can advance it
+        to any value); generated values must still satisfy the spec's
+        ``≡ start (mod step)`` requirement, so ``hwm + step`` is rounded
+        away from the watermark (up for positive step, down for negative)
+        to the nearest congruent value — as Delta's writer does."""
+        if props["hwm"] is None:
+            return props["start"]
+        start, step = props["start"], props["step"]
+        cand = props["hwm"] + step
+        m = abs(step)
+        rem = (cand - start) % m  # in [0, m)
+        if rem:
+            cand += (m - rem) if step > 0 else -rem
+        return cand
 
     def _gen_identity(self, df: DataFrame, name: str, props: dict) -> DataFrame:
         """Generate values for identity column ``name``: a dense arithmetic
@@ -2348,12 +2365,22 @@ class DeltaTable:
         phys = self._phys_map(meta)
         schema = self.schema()
         part_cols = self.partition_columns()
-        updates = self._apply_defaults(self._apply_generated(updates, meta), meta)
+        updates = self._apply_generated(updates, meta)
         # identity columns (spec §Identity Columns): MERGE may not set an
         # identity value unless explicit inserts are allowed; an OMITTED
         # identity column resolves later — matched rows KEEP their value,
         # inserted rows get generated values above the watermark
         idc = self._identity_cols(meta)
+        # defaulted columns OMITTED from the batch get the same split as
+        # identity: matched rows KEEP their existing value (a default fills
+        # missing values on INSERT, it doesn't overwrite on update); the
+        # _apply_defaults fill below provides the insert-side values
+        missing_dflt = [
+            n
+            for n in self._default_cols(meta)
+            if n not in updates.columns and n not in idc and n != key
+        ]
+        updates = self._apply_defaults(updates, meta)
         missing_ids = [n for n in idc if n not in updates.columns]
         for n in idc:
             if n in updates.columns and not idc[n]["allow_explicit"]:
@@ -2466,13 +2493,17 @@ class DeltaTable:
                 )
             else:
                 ups = updates
-            if missing_ids:
+            carry = missing_ids + missing_dflt
+            if carry:
                 # matched rows KEEP their identity values (identity never
-                # changes on update); inserts get fresh generated values
-                oldmap = touched_df.select(key, *missing_ids)
+                # changes on update) AND their values for omitted defaulted
+                # columns (defaults fill inserts, never overwrite updates);
+                # identity inserts get fresh generated values, defaulted
+                # inserts keep the _apply_defaults fill
+                oldmap = touched_df.select(key, *carry)
                 cols = ups.columns
                 matched_ups = (
-                    ups.drop(*missing_ids).join(oldmap, key, "inner").select(*cols)
+                    ups.drop(*carry).join(oldmap, key, "inner").select(*cols)
                 )
                 insert_ups = ups.join(oldmap.select(key), key, "left_anti")
                 for n in missing_ids:

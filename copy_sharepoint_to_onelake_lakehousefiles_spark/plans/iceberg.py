@@ -301,9 +301,13 @@ def _file_entry(
     as "cannot prune"."""
     import pyarrow.parquet as pq
 
+    import pyarrow as pa
+
     try:
         meta = pq.ParquetFile(path).metadata
-    except OSError:
+    except (OSError, pa.lib.ArrowInvalid):
+        # Some pyarrow versions surface the unrecognized-LogicalType
+        # failure as ArrowInvalid (a ValueError) rather than ArrowIOError.
         from .parquet_footer import footer_num_rows
 
         return {
@@ -3548,13 +3552,19 @@ class IcebergTable:
                 os.unlink(lp)
         md["snapshots"] = keep
         # spec: expiration prunes snapshot-log entries whose snapshot is
-        # gone — AS OF TIMESTAMP then refuses instead of mis-resolving
+        # gone — AS OF TIMESTAMP then refuses instead of mis-resolving.
+        # Only the longest contiguous SUFFIX of surviving entries is kept
+        # (Iceberg proper truncates the log): filtering out mid-log entries
+        # (possible after rollbacks) would leave a GAP, and a timestamp
+        # that fell in an expired snapshot's currency window would silently
+        # resolve to the OLDER retained entry instead of refusing.
         keep_ids = {s["snapshot-id"] for s in keep}
-        md["snapshot-log"] = [
-            e
-            for e in (md.get("snapshot-log") or [])
-            if e["snapshot-id"] in keep_ids
-        ]
+        log = md.get("snapshot-log") or []
+        cut = 0
+        for i, e in enumerate(log):
+            if e["snapshot-id"] not in keep_ids:
+                cut = i + 1  # drop everything at and before the last gap
+        md["snapshot-log"] = log[cut:]
         md["last-updated-ms"] = int(time.time() * 1000)
         self._publish_metadata(md)
         return {"snapshots_expired": len(drop), "files_deleted": deleted}

@@ -61,9 +61,15 @@ class _Reader:
         n = self.varint()
         return (n >> 1) ^ -(n & 1)
 
-    def skip(self, wtype: int) -> None:
+    def skip(self, wtype: int, in_collection: bool = False) -> None:
         if wtype in (_BOOL_TRUE, _BOOL_FALSE):
-            return  # value lives in the field header
+            # As a struct FIELD the bool value lives in the field header
+            # (zero-width here); as a list/set/map ELEMENT the compact
+            # protocol writes one byte (0x01/0x02) per value — skipping
+            # zero bytes there would desync the whole walk.
+            if in_collection:
+                self.i += 1
+            return
         if wtype == _BYTE:
             self.i += 1
         elif wtype in (_I16, _I32, _I64):
@@ -82,15 +88,15 @@ class _Reader:
             if size == 15:
                 size = self.varint()
             for _ in range(size):
-                self.skip(etype)
+                self.skip(etype, in_collection=True)
         elif wtype == _MAP:
             size = self.varint()
             if size:
                 kv = self.u8()
                 kt, vt = kv >> 4, kv & 0x0F
                 for _ in range(size):
-                    self.skip(kt)
-                    self.skip(vt)
+                    self.skip(kt, in_collection=True)
+                    self.skip(vt, in_collection=True)
         elif wtype == _STRUCT:
             last = 0
             while True:

@@ -87,11 +87,29 @@ def main() -> None:
             n_10 = qs[name](spark, inflated).count()
             rec["x10_sec"] = round(time.time() - t0, 3)
             rec["ratio"] = round(rec["x10_sec"] / max(rec["base_sec"], 1e-9), 2)
+            # output-normalized view (VERDICT r8 ask #3): dedup-style
+            # queries emit MORE rows on duplicated data (q26's 10x ratio is
+            # dominated by ~1000x pair growth, not compute) — report the
+            # output growth and sec-per-1k-output-rows so compute scaling
+            # reads separately from output scaling
+            rec["rows_ratio"] = round(n_10 / max(n_base, 1), 2)
+            rec["base_sec_per_krow"] = round(
+                rec["base_sec"] / max(n_base / 1000.0, 1e-9), 4
+            )
+            rec["x10_sec_per_krow"] = round(
+                rec["x10_sec"] / max(n_10 / 1000.0, 1e-9), 4
+            )
             result["queries"][name] = rec
             result["rows"][name] = {"base": n_base, "x10": n_10}
         worst = max(r["ratio"] for r in result["queries"].values())
         result["worst_ratio"] = worst
         result["near_linear"] = worst <= 12.0
+        result["worst_compute_ratio"] = max(
+            # wall ratio divided by output growth, floored at the 10x input
+            # growth denominator=1: a ratio per unit of OUTPUT
+            round(r["x10_sec_per_krow"] / max(r["base_sec_per_krow"], 1e-9), 2)
+            for r in result["queries"].values()
+        )
         # FORCED FLOOD ROUTE (r8): the 10x corpus is 90% duplicates, but at
         # sf0.1 it sits below PROBE_MIN_ROWS, so the direct route above is
         # what ran. Lower the probe gate to 0 so the same inflated corpus
@@ -116,6 +134,9 @@ def main() -> None:
             "x10_sec": flood_sec,
             "ratio": round(flood_sec / max(direct["base_sec"], 1e-9), 2),
             "direct_ratio": direct["ratio"],
+            "x10_sec_per_krow": round(
+                flood_sec / max(n_flood / 1000.0, 1e-9), 4
+            ),
             "flood_not_slower": flood_sec <= direct["x10_sec"] * 1.1,
             "rows_match_direct": n_flood == result["rows"][q26]["x10"],
         }

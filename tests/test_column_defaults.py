@@ -81,11 +81,45 @@ def test_overwrite_and_merge_fill_defaults(spark, root):
         spark, root, _base(spark, 0, 4, source="x"),
         defaults={"source": "'legacy'"},
     )
-    t.merge(_base(spark, 2, 6), "k")  # updates omit source → default fills
+    # MERGE omitting the defaulted column: MATCHED rows (2,3) KEEP their
+    # existing value — defaults fill inserts, they never overwrite updates
+    # (ADVICE r8: mirror the identity carry) — inserted rows (4,5) get it
+    t.merge(_base(spark, 2, 6), "k")
     got = {r["k"]: r["source"] for r in t.read().collect()}
-    assert [got[k] for k in range(6)] == ["x", "x"] + ["legacy"] * 4
+    assert [got[k] for k in range(6)] == ["x"] * 4 + ["legacy"] * 2
     t.overwrite(_base(spark, 0, 2))
     assert {r["source"] for r in t.read().collect()} == {"legacy"}
+
+
+def test_merge_provided_default_column_updates_matched(spark, root):
+    # PROVIDING the defaulted column in the batch still updates matched
+    # rows with the provided value (the carry applies only when omitted)
+    t = DeltaTable.create(
+        spark, root, _base(spark, 0, 4, source="x"),
+        defaults={"source": "'legacy'"},
+    )
+    t.merge(_base(spark, 2, 6, source="new"), "k")
+    got = {r["k"]: r["source"] for r in t.read().collect()}
+    assert [got[k] for k in range(6)] == ["x", "x"] + ["new"] * 4
+
+
+def test_merge_omitted_default_with_cdf_postimages(spark, root):
+    # the CDF postimages must carry the CARRIED value for matched rows,
+    # not the default fill
+    t = DeltaTable.create(
+        spark, root, _base(spark, 0, 4, source="x"),
+        defaults={"source": "'legacy'"},
+    )
+    t.enable_change_data_feed()
+    t.merge(_base(spark, 2, 6), "k")
+    ch = {
+        (r["k"], r["_change_type"]): r["source"]
+        for r in t.table_changes(1, 2).collect()
+    }
+    assert ch[(2, "update_postimage")] == "x"
+    assert ch[(3, "update_postimage")] == "x"
+    assert ch[(4, "insert")] == "legacy"
+    assert ch[(5, "insert")] == "legacy"
 
 
 def test_default_cannot_collide_with_generated_or_identity(spark, root):

@@ -88,3 +88,33 @@ def test_variant_survives_append_delete_time_travel(spark, root):
     assert vals == [0, 1, 2, 3, 4, 5]
     # time travel re-reads the pre-delete variant files
     assert t.read(1).count() == 8
+
+
+def test_stats_fallback_catches_arrow_invalid(spark, root, monkeypatch):
+    """ADVICE r8: pyarrow versions that surface the unrecognized-
+    LogicalType failure as ArrowInvalid (a ValueError subclass, not
+    OSError) must still reach the schema-free footer fallback in BOTH
+    stats paths rather than crash every variant write."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans import (
+        deltalog as dl_mod,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans import (
+        iceberg as ice_mod,
+    )
+
+    def _boom(*a, **kw):
+        raise pa.lib.ArrowInvalid("Thrift LogicalType that is not recognized")
+
+    monkeypatch.setattr(pq, "ParquetFile", _boom)
+    out = str(os.path.join(root, "plain"))
+    spark.range(7).select(F.col("id").alias("k")).coalesce(1).write.parquet(out)
+    import glob
+
+    (p,) = glob.glob(os.path.join(out, "*.parquet"))
+    st = dl_mod._stats_for_file(p, ["k"])
+    assert st["numRecords"] == 7 and st["minValues"] == {}
+    fe = ice_mod._file_entry(p, {}, {"k": 1}, {"k": "long"})
+    assert fe["record_count"] == 7 and fe["lower_bounds"] is None

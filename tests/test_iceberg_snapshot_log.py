@@ -86,6 +86,34 @@ def test_history_df_is_log_driven(spark, root):
     assert all(r["is_current_ancestor"] == (r["snapshot_id"] == first) for r in h)
 
 
+def test_expire_truncates_log_to_contiguous_suffix(spark, root):
+    """ADVICE r8: after a rollback, filtering the log by surviving
+    snapshot-id can leave a GAP mid-log — a timestamp that fell in an
+    expired snapshot's currency window would then silently resolve to the
+    OLDER retained entry. Iceberg proper truncates: only the contiguous
+    suffix of surviving entries is kept, so such instants REFUSE."""
+    t = IcebergTable.create(spark, root, _df(spark, 0, 2))  # s1
+    first = t.current_snapshot_id()
+    t.append(_df(spark, 2, 4))  # s2
+    t.append(_df(spark, 4, 6))  # s3
+    third = t.current_snapshot_id()
+    t.rollback(snapshot_id=first)  # log: s1 s2 s3 s1
+    time.sleep(0.02)
+    in_rollback_window = int(time.time() * 1000)
+    time.sleep(0.02)
+    t.append(_df(spark, 6, 8))  # s4 — log: s1 s2 s3 s1 s4
+    # retain s3 + s4 (+ current); s1 expires → its t4 entry is a mid-log gap
+    t.expire_snapshots(retain_last=2)
+    keep_ids = {s["snapshot-id"] for s in t.metadata()["snapshots"]}
+    assert first not in keep_ids and third in keep_ids
+    log = _log(t)
+    # only the suffix AFTER the last expired entry survives — never a
+    # retained-but-stale prefix entry (s3) that predates the gap
+    assert [e["snapshot-id"] for e in log] == [t.current_snapshot_id()]
+    with pytest.raises(ValueError, match="no snapshot was current"):
+        t.snapshot_at_timestamp(in_rollback_window)
+
+
 def test_expire_prunes_log_entries(spark, root):
     t = IcebergTable.create(spark, root, _df(spark, 0, 2))
     time.sleep(0.02)

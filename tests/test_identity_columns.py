@@ -82,6 +82,38 @@ def test_explicit_insert_allowed_bumps_watermark(spark, root):
     assert len(set(_ids(t))) == 7
 
 
+def test_explicit_insert_off_congruence_generates_congruent(spark, root):
+    # ADVICE r8: an explicit value OUTSIDE the start-mod-step congruence
+    # class advances the watermark to it; subsequent GENERATED values must
+    # still be ≡ start (mod step) — hwm+step rounds UP to the class
+    t = DeltaTable.create(
+        spark,
+        root,
+        _base(spark, n=2),  # generates 1, 4
+        identity={"sk": {"start": 1, "step": 3, "allow_explicit_insert": True}},
+    )
+    t.append(_base(spark, n=1, shift=50).withColumn("sk", F.lit(5).cast("long")))
+    assert t._identity_cols(t.snapshot()[1])["sk"]["hwm"] == 5
+    t.append(_base(spark, n=3, shift=80))
+    gen = sorted(set(_ids(t)) - {1, 4, 5})
+    assert gen[0] > 5 and all((v - 1) % 3 == 0 for v in gen), gen
+    assert gen == [gen[0] + 3 * i for i in range(3)]
+
+
+def test_explicit_insert_off_congruence_negative_step(spark, root):
+    t = DeltaTable.create(
+        spark,
+        root,
+        _base(spark, n=2),  # generates 0, -2
+        identity={"sk": {"start": 0, "step": -2, "allow_explicit_insert": True}},
+    )
+    t.append(_base(spark, n=1, shift=50).withColumn("sk", F.lit(-3).cast("long")))
+    assert t._identity_cols(t.snapshot()[1])["sk"]["hwm"] == -3
+    t.append(_base(spark, n=2, shift=80))
+    gen = sorted(set(_ids(t)) - {0, -2, -3})
+    assert all(v < -3 and v % 2 == 0 for v in gen), gen
+
+
 def test_explicit_null_refused(spark, root):
     t = DeltaTable.create(
         spark,

@@ -52,3 +52,47 @@ def test_not_parquet_refused(tmp_path):
         f.write(b"\x00" * 64)
     with pytest.raises(ValueError, match="not a parquet file"):
         footer_num_rows(p)
+
+
+def _compact_footer_file(tmp_path, body: bytes) -> str:
+    """Wrap a raw thrift compact-protocol FileMetaData struct body as a
+    minimal parquet tail (body + little-endian length + PAR1)."""
+    import struct as _struct
+
+    p = str(tmp_path / "synth.parquet")
+    with open(p, "wb") as f:
+        f.write(b"PAR1" + body + _struct.pack("<I", len(body)) + b"PAR1")
+    return p
+
+
+def test_bool_collection_elements_consume_one_byte(tmp_path):
+    """ADVICE r8: thrift compact-protocol bool ELEMENTS inside list/set/map
+    occupy one byte each (0x01/0x02) — only struct-FIELD bools are
+    zero-width. A footer field holding a bool collection before num_rows
+    must not desync the walk."""
+    body = bytes(
+        [
+            0x19,  # field 1, type LIST of BOOL
+            0x31, 0x01, 0x02, 0x01,
+            0x1B,  # field 2, type MAP of bool→bool
+            0x02, 0x11, 0x01, 0x02, 0x02, 0x01,
+            0x16,  # field 3, type I64
+        ]
+    ) + bytes([0xF6, 0x01])  # zigzag varint of 123
+    body += bytes([0x00])  # STOP
+    p = _compact_footer_file(tmp_path, body)
+    assert footer_num_rows(p) == 123
+
+
+def test_struct_field_bools_stay_zero_width(tmp_path):
+    # struct FIELD bools carry their value in the field header — the walk
+    # must NOT consume an extra byte for them
+    body = bytes(
+        [
+            0x11,  # field 1, type BOOL_TRUE (value in header)
+            0x12,  # field 2, type BOOL_FALSE
+            0x16,  # field 3, type I64
+        ]
+    ) + bytes([0x54]) + bytes([0x00])  # zigzag(42)=84=0x54; STOP
+    p = _compact_footer_file(tmp_path, body)
+    assert footer_num_rows(p) == 42
