@@ -97,10 +97,19 @@ def _stats_for_file(path: str, data_cols: list[str]) -> dict:
     the file's data pages are never read. Delta writes these into the add
     action so readers can skip files from the log alone.
 
-    Fallback tier: pyarrow refuses to open footers carrying logical types
-    newer than it knows (Spark 4's VARIANT) — those files get numRecords
-    from the schema-free thrift walk (plans/parquet_footer.py) and NO
-    column stats, which every consumer already reads as "cannot prune"."""
+    Fallback tier (r9): pyarrow refuses to open footers carrying logical
+    types newer than it knows (Spark 4's VARIANT) — those files get their
+    stats from the schema-free thrift walk (plans/parquet_footer.py)
+    instead: numRecords, plus min/max/nullCount for every leaf column
+    chunk that decodes by physical type. Top-level plain columns keep
+    their ordinary stat keys (so a variant-bearing file still prunes on
+    its scalar columns), and SHREDDED variant typed paths (parquet-format
+    VariantShredding spec) surface under their dotted parquet path, e.g.
+    ``pv.typed_value.k.typed_value`` — an engine-extension stat key that
+    ``files(bounds=)`` prunes on like any other (unknown keys are inert
+    to other readers; Delta stats are open JSON). The raw ``.metadata`` /
+    ``.value`` binary blobs of the variant encoding are excluded — their
+    byte-wise min/max means nothing to a reader."""
     import pyarrow.parquet as pq
 
     import pyarrow as pa
@@ -110,13 +119,27 @@ def _stats_for_file(path: str, data_cols: list[str]) -> dict:
     except (OSError, pa.lib.ArrowInvalid):
         # Some pyarrow versions surface the unrecognized-LogicalType
         # failure as ArrowInvalid (a ValueError) rather than ArrowIOError.
-        from .parquet_footer import footer_num_rows
+        from .parquet_footer import footer_stats
 
+        n_rows, fstats = footer_stats(path)
+        mins2: dict = {}
+        maxs2: dict = {}
+        nulls2: dict = {}
+        keep = set(data_cols)
+        for cpath, st in fstats.items():
+            leaf = cpath.rsplit(".", 1)[-1]
+            if cpath not in keep and leaf != "typed_value":
+                continue  # variant metadata/value blobs: not comparable
+            if st["null_count"] is not None:
+                nulls2[cpath] = st["null_count"]
+            if st["min"] is not None:
+                mins2[cpath] = st["min"]
+                maxs2[cpath] = st["max"]
         return {
-            "numRecords": footer_num_rows(path),
-            "minValues": {},
-            "maxValues": {},
-            "nullCount": {},
+            "numRecords": n_rows,
+            "minValues": mins2,
+            "maxValues": maxs2,
+            "nullCount": nulls2,
         }
     meta = pf.metadata
     mins: dict = {}
@@ -1698,19 +1721,37 @@ class DeltaTable:
         }
 
     def _stage_files(
-        self, df: DataFrame, part_cols: list[str], phys: dict[str, str] | None = None
+        self,
+        df: DataFrame,
+        part_cols: list[str],
+        phys: dict[str, str] | None = None,
+        shred: list[str] | None = None,
     ) -> list[dict]:
         """Write df's data files into the table dir (hive layout for
         partitioned tables) and return their add-actions. Data files for
         partitioned tables do NOT contain the partition columns (spec);
         values live in ``partitionValues``. Under column mapping, files,
         partition dirs, partitionValues, and stats all use PHYSICAL names
-        (``phys`` maps logical → physical; identity when None)."""
+        (``phys`` maps logical → physical; identity when None).
+
+        ``shred`` pins VARIANT SHREDDING (parquet-format VariantShredding
+        spec) on the named variant columns via Spark's
+        ``variantShreddingAttributes`` write option: typed paths land as
+        ``typed_value`` subcolumns with ordinary min/max chunk statistics
+        (prunable — see _stats_for_file's fallback tier). Spark 4.1 also
+        auto-shreds variant writes by default (inferShreddingSchema);
+        pinning makes the table's layout an explicit declared property
+        rather than an inference artifact."""
         phys = phys or {c: c for c in df.columns}
         df = df.select(*[F.col(c).alias(phys.get(c, c)) for c in df.columns])
         p_part = [phys.get(c, c) for c in part_cols]
         stage = os.path.join(self.root, f".stage_{uuid.uuid4().hex}")
         w = df.write.mode("overwrite")
+        shred_phys = [
+            p for p in (phys.get(c, c) for c in shred or []) if p in df.columns
+        ]
+        if shred_phys:
+            w = w.option("variantShreddingAttributes", ",".join(shred_phys))
         if p_part:
             w = w.partitionBy(*p_part)
         w.parquet(stage)
@@ -1778,6 +1819,7 @@ class DeltaTable:
         generated: dict[str, str] | None = None,
         identity: dict[str, dict] | None = None,
         defaults: dict[str, str] | None = None,
+        shred_variants: list[str] | None = None,
     ) -> "DeltaTable":
         """``generated`` declares GENERATED COLUMNS (spec §Generated
         Columns — legacy writer version 4 / table feature
@@ -1803,7 +1845,15 @@ class DeltaTable:
         ``CURRENT_DEFAULT``): ``{name: sql_expression}``. A write that
         OMITS the column computes the default; provided values are kept
         verbatim (fill, not validate). Also settable later via
-        ``set_column_default`` / ``drop_column_default``."""
+        ``set_column_default`` / ``drop_column_default``.
+
+        ``shred_variants`` names VariantType columns of ``df`` to write in
+        the parquet-format VariantShredding layout on EVERY staged file
+        (engine table property ``spark_graft.variant.shredding.columns``)
+        — typed paths become ``typed_value`` subcolumns carrying ordinary
+        chunk statistics, so filters on a variant path both push into the
+        parquet scan (Spark's pushVariantIntoScan) AND prune whole files
+        from the Delta log (see _stats_for_file / files(bounds=))."""
         t = cls(spark, root)
         if t.versions():
             raise FileExistsError(f"Delta table already exists at {root}")
@@ -1856,9 +1906,22 @@ class DeltaTable:
             if name not in df.columns:
                 # the initial rows materialize the default now
                 df = df.withColumn(name, F.expr(expr))
+        shred = list(shred_variants or [])
+        for name in shred:
+            if name not in df.columns or not isinstance(
+                df.schema[name].dataType, T.VariantType
+            ):
+                raise ValueError(
+                    f"shred_variants column {name!r} must be an existing "
+                    "VARIANT column"
+                )
         os.makedirs(root, exist_ok=True)
-        adds = t._stage_files(df, part_cols)
+        adds = t._stage_files(df, part_cols, shred=shred)
         meta_action = t._meta_action(df, part_cols, uuid.uuid4().hex)
+        if shred:
+            meta_action["metaData"]["configuration"][
+                "spark_graft.variant.shredding.columns"
+            ] = ",".join(shred)
         protocol = dict(PROTOCOL)
         has_variant = any(
             isinstance(f.dataType, T.VariantType) for f in df.schema.fields
@@ -1955,6 +2018,17 @@ class DeltaTable:
         ]
         t._publish(0, actions)
         return t
+
+    @staticmethod
+    def _shred_cols(meta: dict) -> list[str]:
+        """Variant columns this table declares SHREDDED (engine table
+        property ``spark_graft.variant.shredding.columns``, set at
+        create(shred_variants=...)): every staged file writes them in the
+        parquet-format VariantShredding layout."""
+        raw = (meta.get("configuration") or {}).get(
+            "spark_graft.variant.shredding.columns", ""
+        )
+        return [c for c in raw.split(",") if c]
 
     def _generated_cols(self, meta: dict) -> dict[str, str]:
         st = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -2274,7 +2348,10 @@ class DeltaTable:
                 aligned = aligned.withColumn(f.name, F.lit(None).cast(f.dataType))
         aligned = aligned.select(*cur.fieldNames())
         self._check_constraints(aligned)
-        adds = self._stage_files(aligned, part_cols, phys=self._phys_map(meta))
+        adds = self._stage_files(
+            aligned, part_cols, phys=self._phys_map(meta),
+            shred=self._shred_cols(meta),
+        )
         hwm_meta = self._identity_hwm_meta(meta, adds)
         if hwm_meta is not None:
             # one metaData action per commit: fold the watermark advance
@@ -2303,7 +2380,10 @@ class DeltaTable:
         )
         df = df.select(*self.schema().fieldNames())
         self._check_constraints(df)
-        adds = self._stage_files(df, part_cols, phys=self._phys_map(meta))
+        adds = self._stage_files(
+            df, part_cols, phys=self._phys_map(meta),
+            shred=self._shred_cols(meta),
+        )
         hwm_meta = self._identity_hwm_meta(meta, adds)
         now_ms = int(time.time() * 1000)
         actions = [self._commit_info("WRITE (mode=Overwrite)")]
@@ -2420,7 +2500,9 @@ class DeltaTable:
                 ins = self._gen_identity(ins.drop(n), n, idc[n]).select(
                     *updates.columns
                 )
-            new_adds = self._stage_files(ins, part_cols, phys=phys)
+            new_adds = self._stage_files(
+                ins, part_cols, phys=phys, shred=self._shred_cols(meta)
+            )
             hwm_meta = self._identity_hwm_meta(meta, new_adds)
             if hwm_meta is not None:
                 actions.append({"metaData": hwm_meta})
@@ -2511,7 +2593,10 @@ class DeltaTable:
                         insert_ups.drop(n), n, idc[n]
                     ).select(*cols)
                 ups = matched_ups.unionByName(insert_ups)
-            new_adds = self._stage_files(kept.unionByName(ups), part_cols, phys=phys)
+            new_adds = self._stage_files(
+                kept.unionByName(ups), part_cols, phys=phys,
+                shred=self._shred_cols(meta),
+            )
             if self._cdf_enabled(meta):
                 # CHANGE DATA FEED: a MERGE's updates are NOT derivable from
                 # add/remove netting (it sees whole-file deltas), so the
@@ -2557,7 +2642,9 @@ class DeltaTable:
                 ins = self._gen_identity(ins.drop(n), n, idc[n]).select(
                     *updates.columns
                 )
-            new_adds = self._stage_files(ins, part_cols, phys=phys)
+            new_adds = self._stage_files(
+                ins, part_cols, phys=phys, shred=self._shred_cols(meta)
+            )
         hwm_meta = self._identity_hwm_meta(meta, new_adds)
         if hwm_meta is not None:
             actions.append({"metaData": hwm_meta})
@@ -2616,7 +2703,9 @@ class DeltaTable:
             hit_df = self._read_entries(hit, schema, part_cols, phys=phys)
         deleted = hit_df.where(predicate).count()
         kept = hit_df.where(f"NOT ({predicate}) OR ({predicate}) IS NULL")
-        new_adds = self._stage_files(kept, part_cols, phys=phys)
+        new_adds = self._stage_files(
+            kept, part_cols, phys=phys, shred=self._shred_cols(meta)
+        )
         actions.extend(self._remove_action(a, now_ms) for a in hit)
         actions.extend({"add": a} for a in new_adds)
         if rt:
@@ -3013,7 +3102,9 @@ class DeltaTable:
                 ).sortWithinPartitions(cluster_1d)
             else:
                 df = df.coalesce(target_files)
-            new_adds = self._stage_files(df, part_cols, phys=phys)
+            new_adds = self._stage_files(
+                df, part_cols, phys=phys, shred=self._shred_cols(meta)
+            )
             for a in group:
                 r = self._remove_action(a, now_ms)
                 r["remove"]["dataChange"] = False
@@ -4325,6 +4416,114 @@ def q195_delta_variant_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.lit(has_feat).cast("int").alias("has_variant_feature"),
         F.lit(is_var).cast("int").alias("schema_is_variant"),
+    )
+
+
+_SHRED_CACHE: dict = {}
+
+
+def _shredded_variant_demo_table(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """Shredded-VARIANT demo, memoized per (session, sf_dir): events with
+    props parsed into a VariantType column, range-laid-out on the JSON
+    ``$.k`` path into 4 files (disjoint per-file k ranges by
+    construction — range partitioning assigns each row to exactly one
+    contiguous boundary interval), created with ``shred_variants=["pv"]``
+    so every file stores pv in the VariantShredding layout and its
+    add-action stats carry ``pv.typed_value.k.typed_value`` bounds."""
+    cache_key = (id(spark), sf_dir)
+    got = _SHRED_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got.log_dir):
+        return got
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"dlshred_{uuid.uuid4().hex[:8]}")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value", "props")
+        .repartitionByRange(4, k)
+        .sortWithinPartitions(k)
+        .select("event_id", "event_type", "value", F.parse_json("props").alias("pv"))
+    )
+    t = DeltaTable.create(spark, root, ev, shred_variants=["pv"])
+    _SHRED_CACHE[cache_key] = t
+    return t
+
+
+_SHRED_KEY = "pv.typed_value.k.typed_value"
+
+_Q200_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       round(sum(value), 2) AS sum_value,
+       1 AS file_prune_effective,
+       1 AS stats_have_shredded_key,
+       1 AS scan_results_match
+FROM events
+WHERE CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT) >= 90
+"""
+
+
+@query("q200_delta_variant_shredding", oracle=_Q200_ORACLE)
+def q200_delta_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet VARIANT SHREDDING in the correctness gate (r9 — public
+    parquet-format VariantShredding spec; VERDICT r8 ask #5): the events
+    JSON payload is a VariantType column written in the SHREDDED layout
+    (``shred_variants=["pv"]`` pins Spark's ``variantShreddingAttributes``
+    on every staged file), range-laid-out on the ``$.k`` typed path across
+    4 files.
+
+    What this pins, at both pruning tiers:
+    - LOG tier: each add-action's stats carry min/max for the shredded
+      dotted path ``pv.typed_value.k.typed_value`` (recovered by the
+      schema-free thrift footer walk — pyarrow cannot open these footers
+      at all), and ``files(bounds=)`` on that key prunes files whose k
+      range cannot match (``file_prune_effective``: fewer files scanned
+      than live, with the range layout making bounds disjoint).
+    - SCAN tier: Spark's pushVariantIntoScan turns the
+      ``variant_get(pv, '$.k')`` filter into a pushed parquet predicate on
+      the shredded subcolumn (pinned by tests/test_variant_shredding.py's
+      plan check; row-group stats make it effective).
+
+    The aggregates hash against DuckDB recomputing from the raw JSON
+    (q195's regexp convention), so a shredding bug that corrupts or drops
+    values cannot pass. ``scan_results_match`` pins that the pruned read
+    equals the unpruned read (the superset guarantee actually exercised).
+
+    Scale: at 100 TB this is THE mechanism that makes semi-structured
+    columns queryable — typed paths get columnar storage + stats, so a
+    path filter skips files from the log alone and row groups from chunk
+    stats, instead of parsing every variant blob. Reference parity: the
+    reference stores JSON facets as dynamic documents (SURVEY §1.1,
+    NB:220-236); this is the columnar-native equivalent."""
+    t = _shredded_variant_demo_table(spark, sf_dir)
+    all_files = t.files()
+    pruned = t.files(bounds={_SHRED_KEY: (90, None)})
+    prune_effective = int(0 < len(pruned) < len(all_files))
+    stats_have_key = int(
+        all(
+            _SHRED_KEY in (json.loads(a["stats"]).get("minValues") or {})
+            for a in all_files
+        )
+    )
+    kpath = F.variant_get("pv", "$.k", "bigint")
+    full = t.read().where(kpath >= 90)
+    fast = t.read(bounds={_SHRED_KEY: (90, None)}).where(kpath >= 90)
+    agg = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(kpath).alias("sum_k"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    fa = agg(fast).first()
+    ua = agg(full).first()
+    results_match = int(tuple(fa) == tuple(ua))
+    return agg(fast).select(
+        "n_events",
+        "sum_k",
+        "sum_value",
+        F.lit(prune_effective).cast("int").alias("file_prune_effective"),
+        F.lit(stats_have_key).cast("int").alias("stats_have_shredded_key"),
+        F.lit(results_match).cast("int").alias("scan_results_match"),
     )
 
 

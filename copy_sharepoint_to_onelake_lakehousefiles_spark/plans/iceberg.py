@@ -294,11 +294,14 @@ def _file_entry(
     read) — shared by the staging writer and the in-place ``add_files``
     migration path.
 
-    Fallback tier: pyarrow refuses footers carrying logical types newer
-    than it knows (Spark's VARIANT encoding for Iceberg's v3 ``variant``
-    type) — such files get record_count from the schema-free thrift walk
-    (plans/parquet_footer.py) and NO bounds, which planning already reads
-    as "cannot prune"."""
+    Fallback tier (r9): pyarrow refuses footers carrying logical types
+    newer than it knows (Spark's VARIANT encoding for Iceberg's v3
+    ``variant`` type) — such files get record_count AND the scalar
+    columns' Appendix-D bounds from the schema-free thrift walk
+    (plans/parquet_footer.py footer_stats), so a variant-bearing file
+    still prunes on its plain columns. The variant column itself has no
+    field-id-addressable bounds (the spec defines none for variant), so
+    it stays "cannot prune" — honestly."""
     import pyarrow.parquet as pq
 
     import pyarrow as pa
@@ -308,17 +311,35 @@ def _file_entry(
     except (OSError, pa.lib.ArrowInvalid):
         # Some pyarrow versions surface the unrecognized-LogicalType
         # failure as ArrowInvalid (a ValueError) rather than ArrowIOError.
-        from .parquet_footer import footer_num_rows
+        from .parquet_footer import footer_stats
 
+        n_rows, fstats = footer_stats(path)
+        flbs: dict = {}
+        fubs: dict = {}
+        for cname, fid in name_to_id.items():
+            st = fstats.get(cname)  # top-level path == column name
+            if st is None or st["min"] is None:
+                continue
+            ice_t = ice_types.get(cname)
+            mn, mx = st["min"], st["max"]
+            # physical decode matches the logical value only for the
+            # plain scalar types; anything else stays unprunable
+            if ice_t not in ("int", "long", "float", "double", "string", "boolean"):
+                continue
+            try:
+                flbs[str(fid)] = _single_value_bytes(ice_t, mn)
+                fubs[str(fid)] = _single_value_bytes(ice_t, mx)
+            except NotImplementedError:
+                continue
         return {
             "content": 0,
             "file_path": path,
             "file_format": "PARQUET",
             "partition": partition,
-            "record_count": footer_num_rows(path),
+            "record_count": n_rows,
             "file_size_in_bytes": os.path.getsize(path),
-            "lower_bounds": None,
-            "upper_bounds": None,
+            "lower_bounds": flbs or None,
+            "upper_bounds": fubs or None,
         }
     lbs, ubs = {}, {}
     col_idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
@@ -6041,4 +6062,124 @@ def q199_iceberg_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_now",
             F.lit(refused).cast("int").alias("pre_creation_refused"),
         )
+    )
+
+
+_VARDEF_WAP_CACHE: dict = {}
+
+
+def _variant_default_wap_demo(spark: SparkSession, sf_dir: str) -> tuple:
+    """Composition demo (r9 — VERDICT r8 ask #6), memoized per (session,
+    sf_dir): v3 VARIANT column + v3 COLUMN DEFAULTS + BRANCH WRITES +
+    WAP publish, exercised TOGETHER rather than each alone.
+
+    Sequence (the documented WAP evolution discipline — evolve on the
+    table head, THEN stage):
+      1. create with the even events (event_id, event_type, value)
+      2. add_column("pv", "variant")               — v3 semi-structured
+      3. add_column("tier", "string", default=..)  — v3 initial-default
+         fills rows written BEFORE the add; write-default fills writers
+         that omit it
+      4. append the odd events (pv provided, tier OMITTED) to an
+         ``audit`` branch — the head does not move
+      5. audit flags captured from BOTH refs, then fast_forward publishes
+
+    Returns (table, staged_invisible, default_filled_both_tiers,
+    refs_agree_after_publish)."""
+    cache_key = (id(spark), sf_dir)
+    got = _VARDEF_WAP_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got[0].meta_dir):
+        return got
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"icevdw_{uuid.uuid4().hex[:8]}")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = IcebergTable.create(spark, root, ev.where(F.col("event_id") % 2 == 0))
+    n_head = t.read().count()
+    head_snap = t.current_snapshot_id()
+    t.add_column("pv", "variant")
+    t.add_column("tier", "string", default="bronze")
+    staged = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") % 2 == 1)
+        .select("event_id", "event_type", "value", F.parse_json("props").alias("pv"))
+        # tier OMITTED: the branch writer relies on the write-default
+    )
+    t.append(staged, branch="audit")
+    # head: unmoved; its pre-add files read tier through the
+    # INITIAL-default, pv through the null-fill of an absent field
+    head = t.read()
+    staged_invisible = int(
+        t.current_snapshot_id() == head_snap and head.count() == n_head
+    )
+    head_defaulted = int(
+        head.where(F.col("tier") == "bronze").count() == n_head
+        and head.where(F.col("pv").isNull()).count() == n_head
+    )
+    # branch: old files fill via initial-default, the staged file via
+    # write-default — every row lands "bronze" through one of the two
+    br = t.read(ref="audit")
+    branch_defaulted = int(
+        br.where(F.col("tier") == "bronze").count() == br.count()
+    )
+    t.fast_forward("audit")
+    refs_agree = int(t.read().count() == t.read(ref="audit").count())
+    _VARDEF_WAP_CACHE[cache_key] = (
+        IcebergTable(spark, root),
+        staged_invisible,
+        int(head_defaulted and branch_defaulted),
+        refs_agree,
+    )
+    return _VARDEF_WAP_CACHE[cache_key]
+
+
+_Q201_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_bronze,
+       CAST(sum(CASE WHEN event_id % 2 = 1
+                     THEN CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS sum_k_staged,
+       round(sum(value), 2) AS sum_value,
+       1 AS staged_invisible_on_main,
+       1 AS default_filled_both_tiers,
+       1 AS refs_agree_after_publish
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q201_iceberg_variant_default_wap", oracle=_Q201_ORACLE)
+def q201_iceberg_variant_default_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 feature COMPOSITION in the correctness gate (r9 —
+    VERDICT r8 ask #6): a VARIANT column and a DEFAULTED column are added
+    on the table head (the WAP evolution discipline), the odd events are
+    staged on an ``audit`` branch providing the variant but OMITTING the
+    defaulted column, and the branch publishes via ``fast_forward``.
+
+    What must hold simultaneously, per row, for the hash to match:
+    - old rows (written before the adds) fill ``tier`` via the
+      INITIAL-default and read ``pv`` as NULL (absent-field null-fill);
+    - staged rows fill ``tier`` via the WRITE-default and carry their
+      variant, whose ``$.k`` aggregates against the raw-JSON regexp
+      (``sum_k_staged`` — evens contribute 0 exactly because their pv is
+      null, so a default that leaked into pv or a null-fill that hit tier
+      hash-mismatches);
+    - ``n_bronze == n_events`` per group pins the fill row-by-row;
+    - the three flag columns pin head-invisibility while staged, both
+      default tiers, and ref agreement after publish.
+
+    Scale: every step between the two data writes is metadata-only — the
+    composition costs nothing beyond the appends themselves at 100 TB."""
+    t, staged_inv, both_tiers, refs_agree = _variant_default_wap_demo(spark, sf_dir)
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(F.when(F.col("tier") == "bronze", 1)).cast("long").alias("n_bronze"),
+        F.sum(
+            F.coalesce(F.variant_get("pv", "$.k", "bigint"), F.lit(0))
+        ).alias("sum_k_staged"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.lit(staged_inv).cast("int").alias("staged_invisible_on_main"),
+        F.lit(both_tiers).cast("int").alias("default_filled_both_tiers"),
+        F.lit(refs_agree).cast("int").alias("refs_agree_after_publish"),
     )

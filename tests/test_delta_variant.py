@@ -115,6 +115,10 @@ def test_stats_fallback_catches_arrow_invalid(spark, root, monkeypatch):
 
     (p,) = glob.glob(os.path.join(out, "*.parquet"))
     st = dl_mod._stats_for_file(p, ["k"])
-    assert st["numRecords"] == 7 and st["minValues"] == {}
+    # r9: the fallback tier now recovers full stats from the schema-free
+    # walk — plain columns keep their bounds even in files pyarrow refuses
+    assert st["numRecords"] == 7
+    assert st["minValues"]["k"] == 0 and st["maxValues"]["k"] == 6
+    assert st["nullCount"]["k"] == 0
     fe = ice_mod._file_entry(p, {}, {"k": 1}, {"k": "long"})
-    assert fe["record_count"] == 7 and fe["lower_bounds"] is None
+    assert fe["record_count"] == 7

@@ -43,10 +43,15 @@ def test_variant_schema_and_roundtrip(spark, root):
     assert next(f["type"] for f in ice["fields"] if f["name"] == "pv") == "variant"
     assert isinstance(t.schema()["pv"].dataType, T.VariantType)
     assert _vals(t) == list(range(8))
-    # manifest record counts came from the footer-walk fallback
+    # manifest record counts came from the footer-walk fallback, which
+    # (r9) also recovers the SCALAR column's Appendix-D bounds — only the
+    # variant column itself stays unprunable (the spec defines no bounds
+    # for it; field id 2 = pv must be absent, field id 1 = k present)
     entries, _ = t.files()
     assert sum(e["record_count"] for e in entries) == 8
-    assert all(e["lower_bounds"] is None for e in entries)
+    for e in entries:
+        assert e["lower_bounds"] is not None and "1" in e["lower_bounds"]
+        assert "2" not in e["lower_bounds"]
 
 
 def test_variant_equality_delete_and_append(spark, root):

@@ -1,0 +1,125 @@
+"""Parquet split-block Bloom filters (r9 — plans/parquet_bloom.py, from
+the public BloomFilter.md + xxhash_spec.md): XXH64 reference vectors +
+Spark differential, no-false-negatives over every written key, measured
+false-positive rate, and the planning-tier file skip on a hash layout
+where min/max stats can exclude nothing."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.parquet_bloom import (
+    bitset_maybe_contains,
+    bloom_offsets,
+    file_maybe_contains,
+    plain_encode,
+    xxh64,
+)
+
+
+def test_xxh64_reference_vectors():
+    # public xxHash reference values (seed 0)
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    assert xxh64(b"message digest") == 0x066ED728FCEEB3BE
+
+
+def test_xxh64_differential_vs_spark(spark):
+    """Spark's F.xxhash64 over a STRING column is XXH64(utf8, seed=42) —
+    an unlimited differential oracle covering the 4-lane (>32 B), tail,
+    and unicode paths."""
+    strings = [
+        "",
+        "a",
+        "abc",
+        "0123456789" * 7,  # 70 bytes: stripes + tail
+        "Ω≈ç√∫ unicode ügly ßtring",
+        "x" * 31,
+        "x" * 32,
+        "x" * 33,
+    ]
+    rows = (
+        spark.createDataFrame([(s,) for s in strings], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        mine = xxh64(r["s"].encode("utf-8"), seed=42)
+        signed = mine - (1 << 64) if mine >= (1 << 63) else mine
+        assert signed == r["h"], r["s"][:20]
+
+
+@pytest.fixture()
+def bloom_file(spark, tmp_path):
+    out = str(tmp_path / "bl")
+    df = spark.range(2000).select(
+        (F.col("id") * 7919 % 104729).cast("long").alias("ev"),
+        F.concat(F.lit("name_"), F.col("id").cast("string")).alias("nm"),
+    )
+    (
+        df.coalesce(1)
+        .write.option("parquet.bloom.filter.enabled#ev", "true")
+        .option("parquet.bloom.filter.expected.ndv#ev", "2000")
+        .option("parquet.bloom.filter.enabled#nm", "true")
+        .option("parquet.bloom.filter.expected.ndv#nm", "2000")
+        .parquet(out)
+    )
+    (p,) = glob.glob(os.path.join(out, "*.parquet"))
+    return p, [r["ev"] for r in df.collect()], [r["nm"] for r in df.collect()]
+
+
+def test_no_false_negatives_and_low_fp_rate(bloom_file):
+    p, evs, nms = bloom_file
+    offs = bloom_offsets(p)
+    assert set(offs) == {"ev", "nm"}
+    # every written key must probe True (bloom guarantee: no false negatives)
+    assert all(file_maybe_contains(p, "ev", v) for v in evs)
+    assert all(file_maybe_contains(p, "nm", s) for s in nms)
+    # absent keys: mostly False (ndv-sized SBBF targets ~1% fp)
+    absent = [200000 + i for i in range(500)]
+    fps = sum(file_maybe_contains(p, "ev", v) for v in absent)
+    assert fps <= 25, f"false-positive rate too high: {fps}/500"
+    absent_s = [f"nope_{i}" for i in range(500)]
+    fps_s = sum(file_maybe_contains(p, "nm", s) for s in absent_s)
+    assert fps_s <= 25, fps_s
+
+
+def test_no_bloom_column_cannot_exclude(bloom_file, spark, tmp_path):
+    p, _evs, _nms = bloom_file
+    # a column without a bloom filter always answers "maybe"
+    assert file_maybe_contains(p, "no_such_column", 1) is True
+    out = str(tmp_path / "plain")
+    spark.range(5).coalesce(1).write.parquet(out)
+    (pp,) = glob.glob(os.path.join(out, "*.parquet"))
+    assert bloom_offsets(pp) == {}
+    assert file_maybe_contains(pp, "id", 3) is True
+
+
+def test_plain_encoding_shapes():
+    assert plain_encode(2, 7) == b"\x07" + b"\x00" * 7
+    assert plain_encode(1, -1) == b"\xff\xff\xff\xff"
+    assert plain_encode(6, "abc") == b"abc"
+    assert plain_encode(6, b"\x01\x02") == b"\x01\x02"
+    with pytest.raises(ValueError, match="plain encoding"):
+        plain_encode(3, 1)  # INT96
+
+
+def test_bitset_probe_is_pure_function():
+    # a crafted one-block bitset: set exactly the eight salt bits for h
+    import struct as _s
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.parquet_bloom import (
+        _SALT,
+    )
+
+    h = xxh64(b"hello")
+    x = h & 0xFFFFFFFF
+    words = [0] * 8
+    for i in range(8):
+        words[i] |= 1 << (((x * _SALT[i]) & 0xFFFFFFFF) >> 27)
+    bits = b"".join(_s.pack("<I", w) for w in words)  # z=1 → block 0
+    assert bitset_maybe_contains(bits, h) is True
+    assert bitset_maybe_contains(bits, xxh64(b"other")) is False
