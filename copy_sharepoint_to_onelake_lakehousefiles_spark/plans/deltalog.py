@@ -550,6 +550,52 @@ class DeltaTable:
             adds, full_schema, part_cols, phys=self._phys_map(meta)
         )
 
+    def files_point(
+        self, column: str, value, version: int | None = None
+    ) -> list[dict]:
+        """Point-lookup file pruning, two tiers: (1) log stats restrict to
+        files whose [min, max] can contain ``value``; (2) each survivor's
+        parquet split-block BLOOM FILTER is probed (plans/parquet_bloom.py
+        — footer walk + a few KB of bitset, data pages never read) and
+        files whose bloom says DEFINITELY ABSENT drop. On a hash-laid-out
+        table — where every file spans the full key range and stats prune
+        nothing — the bloom tier is the only thing standing between a
+        point lookup and a full-table scan (~1% of files survive as false
+        positives at the declared ndv).
+
+        Scale note: the probes run driver-side over the stats-surviving
+        candidates only — the same footer-probe work a Delta/Iceberg
+        coordinator does during planning; cost is O(candidates), zero data
+        I/O, and at 100 TB the stats tier has already bounded candidates
+        to the key's range peers."""
+        from .parquet_bloom import file_maybe_contains
+
+        _, meta = self.snapshot(version)
+        phys = self._phys_map(meta)
+        cands = self.files(version, bounds={column: (value, value)})
+        if not self._bloom_cols(meta):
+            return cands
+        pc = phys.get(column, column)
+        return [
+            a
+            for a in cands
+            if file_maybe_contains(self._abs_path(a["path"]), pc, value)
+        ]
+
+    def point_lookup(
+        self, column: str, value, version: int | None = None
+    ) -> DataFrame:
+        """``SELECT * WHERE column = value`` reading only the files that
+        survive ``files_point`` (the row-level filter still applies — both
+        pruning tiers are superset guarantees, same as Delta's)."""
+        _, meta = self.snapshot(version)
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = list(meta.get("partitionColumns") or [])
+        adds = self.files_point(column, value, version)
+        return self._read_entries(
+            adds, schema, part_cols, phys=self._phys_map(meta)
+        ).where(F.col(column) == F.lit(value))
+
     def _dv_dead_pairs(self, dv_adds: list[dict]) -> DataFrame:
         """Distributed decode of the deletion vectors referenced by
         ``dv_adds`` into a (file, row ordinal) DataFrame: one descriptor row
@@ -1726,6 +1772,7 @@ class DeltaTable:
         part_cols: list[str],
         phys: dict[str, str] | None = None,
         shred: list[str] | None = None,
+        bloom: dict[str, int] | None = None,
     ) -> list[dict]:
         """Write df's data files into the table dir (hive layout for
         partitioned tables) and return their add-actions. Data files for
@@ -1741,7 +1788,13 @@ class DeltaTable:
         (prunable — see _stats_for_file's fallback tier). Spark 4.1 also
         auto-shreds variant writes by default (inferShreddingSchema);
         pinning makes the table's layout an explicit declared property
-        rather than an inference artifact."""
+        rather than an inference artifact.
+
+        ``bloom`` ({column: expected_ndv}) writes parquet split-block
+        BLOOM FILTERS (parquet-format BloomFilter.md) on the named
+        columns — the point-lookup pruning tier ``files_point`` probes
+        (plans/parquet_bloom.py); parquet-mr sizes the bitset from the
+        declared ndv (~1% false positives)."""
         phys = phys or {c: c for c in df.columns}
         df = df.select(*[F.col(c).alias(phys.get(c, c)) for c in df.columns])
         p_part = [phys.get(c, c) for c in part_cols]
@@ -1752,6 +1805,11 @@ class DeltaTable:
         ]
         if shred_phys:
             w = w.option("variantShreddingAttributes", ",".join(shred_phys))
+        for c, ndv in (bloom or {}).items():
+            p = phys.get(c, c)
+            if p in df.columns:
+                w = w.option(f"parquet.bloom.filter.enabled#{p}", "true")
+                w = w.option(f"parquet.bloom.filter.expected.ndv#{p}", str(ndv))
         if p_part:
             w = w.partitionBy(*p_part)
         w.parquet(stage)
@@ -1820,6 +1878,7 @@ class DeltaTable:
         identity: dict[str, dict] | None = None,
         defaults: dict[str, str] | None = None,
         shred_variants: list[str] | None = None,
+        bloom_filters: dict[str, int] | None = None,
     ) -> "DeltaTable":
         """``generated`` declares GENERATED COLUMNS (spec §Generated
         Columns — legacy writer version 4 / table feature
@@ -1915,13 +1974,25 @@ class DeltaTable:
                     f"shred_variants column {name!r} must be an existing "
                     "VARIANT column"
                 )
+        bloom = {k: int(v) for k, v in (bloom_filters or {}).items()}
+        for name, ndv in bloom.items():
+            if name not in df.columns:
+                raise ValueError(f"bloom_filters column {name!r} not in df")
+            if ndv <= 0:
+                raise ValueError(
+                    f"bloom_filters[{name!r}]: expected ndv must be positive"
+                )
         os.makedirs(root, exist_ok=True)
-        adds = t._stage_files(df, part_cols, shred=shred)
+        adds = t._stage_files(df, part_cols, shred=shred, bloom=bloom)
         meta_action = t._meta_action(df, part_cols, uuid.uuid4().hex)
         if shred:
             meta_action["metaData"]["configuration"][
                 "spark_graft.variant.shredding.columns"
             ] = ",".join(shred)
+        if bloom:
+            meta_action["metaData"]["configuration"][
+                "spark_graft.bloom.filters"
+            ] = json.dumps(bloom)
         protocol = dict(PROTOCOL)
         has_variant = any(
             isinstance(f.dataType, T.VariantType) for f in df.schema.fields
@@ -2018,6 +2089,16 @@ class DeltaTable:
         ]
         t._publish(0, actions)
         return t
+
+    @staticmethod
+    def _bloom_cols(meta: dict) -> dict[str, int]:
+        """Columns this table writes parquet split-block BLOOM FILTERS for
+        (engine table property ``spark_graft.bloom.filters``, JSON
+        ``{column: expected_ndv}``, set at create(bloom_filters=...))."""
+        raw = (meta.get("configuration") or {}).get(
+            "spark_graft.bloom.filters", ""
+        )
+        return {k: int(v) for k, v in (json.loads(raw) if raw else {}).items()}
 
     @staticmethod
     def _shred_cols(meta: dict) -> list[str]:
@@ -2350,7 +2431,7 @@ class DeltaTable:
         self._check_constraints(aligned)
         adds = self._stage_files(
             aligned, part_cols, phys=self._phys_map(meta),
-            shred=self._shred_cols(meta),
+            shred=self._shred_cols(meta), bloom=self._bloom_cols(meta),
         )
         hwm_meta = self._identity_hwm_meta(meta, adds)
         if hwm_meta is not None:
@@ -2382,7 +2463,7 @@ class DeltaTable:
         self._check_constraints(df)
         adds = self._stage_files(
             df, part_cols, phys=self._phys_map(meta),
-            shred=self._shred_cols(meta),
+            shred=self._shred_cols(meta), bloom=self._bloom_cols(meta),
         )
         hwm_meta = self._identity_hwm_meta(meta, adds)
         now_ms = int(time.time() * 1000)
@@ -2501,7 +2582,8 @@ class DeltaTable:
                     *updates.columns
                 )
             new_adds = self._stage_files(
-                ins, part_cols, phys=phys, shred=self._shred_cols(meta)
+                ins, part_cols, phys=phys, shred=self._shred_cols(meta),
+                bloom=self._bloom_cols(meta),
             )
             hwm_meta = self._identity_hwm_meta(meta, new_adds)
             if hwm_meta is not None:
@@ -2595,7 +2677,7 @@ class DeltaTable:
                 ups = matched_ups.unionByName(insert_ups)
             new_adds = self._stage_files(
                 kept.unionByName(ups), part_cols, phys=phys,
-                shred=self._shred_cols(meta),
+                shred=self._shred_cols(meta), bloom=self._bloom_cols(meta),
             )
             if self._cdf_enabled(meta):
                 # CHANGE DATA FEED: a MERGE's updates are NOT derivable from
@@ -2643,7 +2725,8 @@ class DeltaTable:
                     *updates.columns
                 )
             new_adds = self._stage_files(
-                ins, part_cols, phys=phys, shred=self._shred_cols(meta)
+                ins, part_cols, phys=phys, shred=self._shred_cols(meta),
+                bloom=self._bloom_cols(meta),
             )
         hwm_meta = self._identity_hwm_meta(meta, new_adds)
         if hwm_meta is not None:
@@ -2704,7 +2787,8 @@ class DeltaTable:
         deleted = hit_df.where(predicate).count()
         kept = hit_df.where(f"NOT ({predicate}) OR ({predicate}) IS NULL")
         new_adds = self._stage_files(
-            kept, part_cols, phys=phys, shred=self._shred_cols(meta)
+            kept, part_cols, phys=phys, shred=self._shred_cols(meta),
+            bloom=self._bloom_cols(meta),
         )
         actions.extend(self._remove_action(a, now_ms) for a in hit)
         actions.extend({"add": a} for a in new_adds)
@@ -3103,7 +3187,8 @@ class DeltaTable:
             else:
                 df = df.coalesce(target_files)
             new_adds = self._stage_files(
-                df, part_cols, phys=phys, shred=self._shred_cols(meta)
+                df, part_cols, phys=phys, shred=self._shred_cols(meta),
+                bloom=self._bloom_cols(meta),
             )
             for a in group:
                 r = self._remove_action(a, now_ms)
@@ -4524,6 +4609,99 @@ def q200_delta_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(prune_effective).cast("int").alias("file_prune_effective"),
         F.lit(stats_have_key).cast("int").alias("stats_have_shredded_key"),
         F.lit(results_match).cast("int").alias("scan_results_match"),
+    )
+
+
+_BLOOM_CACHE: dict = {}
+
+
+def _bloom_demo_table(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """Bloom point-lookup demo, memoized per (session, sf_dir): events
+    HASH-distributed into 4 files (every file spans the full event_id
+    range — min/max stats deliberately useless for a point lookup),
+    created with ``bloom_filters={"event_id": ...}`` so each file carries
+    a split-block Bloom filter sized for its rows."""
+    cache_key = (id(spark), sf_dir)
+    got = _BLOOM_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got.log_dir):
+        return got
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"dlbloom_{uuid.uuid4().hex[:8]}")
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .repartition(4, "event_id")
+    )
+    t = DeltaTable.create(
+        spark, root, ev, bloom_filters={"event_id": max(1, ev.count() // 4)}
+    )
+    _BLOOM_CACHE[cache_key] = t
+    return t
+
+
+_Q202_ORACLE = """
+WITH target AS (
+  SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS tid FROM events
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       e.event_type,
+       round(e.value, 2) AS value_r,
+       1 AS range_prune_ineffective,
+       1 AS bloom_prune_effective,
+       1 AS bloom_no_false_negative
+FROM events e, target t
+WHERE e.event_id = t.tid
+"""
+
+
+@query("q202_delta_bloom_point_lookup", oracle=_Q202_ORACLE)
+def q202_delta_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet split-block BLOOM FILTER point lookups in the correctness
+    gate (r9 — public parquet-format BloomFilter.md + xxhash_spec.md,
+    both implemented from spec in plans/parquet_bloom.py): events are
+    hash-laid-out across 4 files so every file covers the FULL event_id
+    range, then one key is looked up.
+
+    The three flags pin the tier ordering that matters at 100 TB:
+    - ``range_prune_ineffective``: the stats tier keeps ALL files (hash
+      layout — min/max genuinely cannot exclude anything), so any pruning
+      observed next is attributable to the bloom tier alone;
+    - ``bloom_prune_effective``: ``files_point`` drops files whose bloom
+      says definitely-absent (typically 3 of 4 survive → 1, bounded above
+      by the ~1% false-positive rate of the ndv-sized SBBF);
+    - ``bloom_no_false_negative``: the looked-up row IS found in the
+      surviving files — the guarantee that makes the skip safe.
+
+    The row's own columns hash against DuckDB resolving the same max-id
+    lookup from the raw parquet, so a probe that skipped the wrong file
+    would return zero rows and hash-mismatch.
+
+    Scale: stats prune ranges; blooms prune POINTS. A needle-in-100-TB id
+    lookup on an unsorted table touches O(false-positive) files instead
+    of all of them, for ~1 byte/row of footer-adjacent metadata and a
+    driver-side probe that reads a few KB per candidate."""
+    t = _bloom_demo_table(spark, sf_dir)
+    # probe the MIDDLE of the id range: a mid key sits inside every
+    # file's [min, max] under the hash layout (the extremes live in only
+    # one file's range, which would let the stats tier take the credit)
+    tid = t.read().agg(F.max("event_id")).first()[0] // 2
+    all_files = t.files()
+    range_cands = t.files(bounds={"event_id": (tid, tid)})
+    bloom_cands = t.files_point("event_id", tid)
+    row = t.point_lookup("event_id", tid)
+    found = row.count()
+    return row.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.round(F.col("value"), 2).alias("value_r"),
+        F.lit(int(len(range_cands) == len(all_files)))
+        .cast("int")
+        .alias("range_prune_ineffective"),
+        F.lit(int(0 < len(bloom_cands) < len(all_files)))
+        .cast("int")
+        .alias("bloom_prune_effective"),
+        F.lit(int(found == 1)).cast("int").alias("bloom_no_false_negative"),
     )
 
 

@@ -5,6 +5,7 @@ false-positive rate, and the planning-tier file skip on a hash layout
 where min/max stats can exclude nothing."""
 
 import glob
+import json
 import os
 
 import pytest
@@ -123,3 +124,65 @@ def test_bitset_probe_is_pure_function():
     bits = b"".join(_s.pack("<I", w) for w in words)  # z=1 → block 0
     assert bitset_maybe_contains(bits, h) is True
     assert bitset_maybe_contains(bits, xxh64(b"other")) is False
+
+
+# ---------------------------------------------------- DeltaTable tier
+
+
+@pytest.fixture()
+def droot(tmp_path):
+    return str(tmp_path / "dlb")
+
+
+def _hash_table(spark, droot, n=400):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        DeltaTable,
+    )
+
+    df = spark.range(n).select(F.col("id").alias("k")).repartition(4, "k")
+    return DeltaTable.create(spark, droot, df, bloom_filters={"k": n // 4})
+
+
+def test_delta_files_point_prunes_where_stats_cannot(spark, droot):
+    t = _hash_table(spark, droot)
+    assert len(t.files()) == 4
+    mid = 200  # inside every file's hash-layout [min, max]
+    assert len(t.files(bounds={"k": (mid, mid)})) == 4  # stats: useless
+    cands = t.files_point("k", mid)
+    assert 1 <= len(cands) < 4  # bloom: prunes (fp could keep an extra)
+    got = t.point_lookup("k", mid).collect()
+    assert [r["k"] for r in got] == [mid]
+    # absent key: usually zero candidate files, always zero rows
+    assert t.point_lookup("k", 10**9).count() == 0
+
+
+def test_delta_bloom_config_persists_through_writes(spark, droot):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        DeltaTable,
+    )
+
+    t = _hash_table(spark, droot)
+    assert t._bloom_cols(t.snapshot()[1]) == {"k": 100}
+    t.append(spark.range(1000, 1050).select(F.col("id").alias("k")).coalesce(1))
+    newest = max(
+        t.files(), key=lambda a: json.loads(a["stats"])["minValues"]["k"]
+    )
+    assert bloom_offsets(os.path.join(t.root, newest["path"])) != {}
+    assert file_maybe_contains(os.path.join(t.root, newest["path"]), "k", 1010)
+    # merge-rewritten files keep their blooms too
+    t.merge(spark.createDataFrame([(1010,)], "k long"), "k")
+    for a in t.files():
+        p = os.path.join(t.root, a["path"])
+        assert bloom_offsets(p).get("k"), a["path"]
+
+
+def test_delta_bloom_validation(spark, droot):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        DeltaTable,
+    )
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="not in df"):
+        DeltaTable.create(spark, droot, df, bloom_filters={"nope": 10})
+    with pytest.raises(ValueError, match="positive"):
+        DeltaTable.create(spark, droot, df, bloom_filters={"k": 0})
