@@ -130,6 +130,19 @@ def main() -> None:
         finally:
             _dedup.PROBE_MIN_ROWS = old_gate
         direct = result["queries"][q26]
+        # the scale-path view: at production row counts the footer-row
+        # probe routes q26's exact-copy flood through the flood route, so
+        # the fleet-relevant worst ratio substitutes it for q26-direct
+        result["worst_ratio_scale_path"] = round(
+            max(
+                flood_sec / max(direct["base_sec"], 1e-9)
+                if name == q26
+                else r["ratio"]
+                for name, r in result["queries"].items()
+            ),
+            2,
+        )
+        result["near_linear_scale_path"] = result["worst_ratio_scale_path"] <= 12.0
         result["flood_route"] = {
             "x10_sec": flood_sec,
             "ratio": round(flood_sec / max(direct["base_sec"], 1e-9), 2),
