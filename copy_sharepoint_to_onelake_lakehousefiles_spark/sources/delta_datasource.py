@@ -63,6 +63,13 @@ class FilePartition(InputPartition):
     # below file-level stats skipping; at 100 TB a file is ~1 GB of ~128 MB
     # row groups, so this is an 8× page-read reduction on selective scans)
     bounds: dict | None = None
+    # pushed EQUALITY predicates [(physical col, value), ...] — the
+    # executor additionally probes each surviving row group's split-block
+    # BLOOM FILTER (plans/parquet_bloom.py) and skips groups whose bloom
+    # says definitely-absent: the row-group-granularity twin of
+    # DeltaTable.files_point, for point lookups on hash-laid-out data
+    # where min/max statistics cannot exclude anything
+    eq: list | None = None
 
 
 def select_row_groups(pf_meta, bounds: dict) -> list[int]:
@@ -85,6 +92,45 @@ def select_row_groups(pf_meta, bounds: dict) -> list[int]:
         if alive:
             keep.append(g)
     return keep
+
+
+def select_row_groups_bloom(
+    path: str, num_groups: int, groups: list[int], eq: list
+) -> list[int]:
+    """Drop row groups whose split-block BLOOM FILTER says an equality
+    value is DEFINITELY absent (conjunctive: each (col, value) predicate
+    may only shrink the set). Conservative everywhere: a column without a
+    bloom, an offset list that doesn't align one-per-row-group, or a value
+    the plain encoding refuses all leave the groups untouched."""
+    import struct
+
+    from ..plans.parquet_bloom import (
+        _read_bitset,
+        bitset_maybe_contains,
+        bloom_offsets,
+        plain_encode,
+        xxh64,
+    )
+
+    offs_all = bloom_offsets(path)
+    with open(path, "rb") as fh:
+        for col, val in eq:
+            offs = offs_all.get(col)
+            if not offs or len(offs) != num_groups:
+                continue
+            try:
+                h = xxh64(plain_encode(offs[0][0], val))
+            except (ValueError, TypeError, OverflowError, struct.error):
+                continue
+            kept = []
+            for g in groups:
+                _ptype, off = offs[g]
+                if bitset_maybe_contains(_read_bitset(fh, off), h):
+                    kept.append(g)
+            groups = kept
+            if not groups:
+                break
+    return groups
 
 
 def _cast_pv(raw: str | None, type_name: str) -> Any:
@@ -141,6 +187,7 @@ class DeltaLiteReader(DataSourceReader):
             }
             adds = [a for a in adds if self._overlaps(a, bounds)]
         rg_bounds = None
+        rg_eq = None
         if self.pushed_bounds:
             rg_bounds = {
                 phys.get(c, c): (
@@ -150,6 +197,15 @@ class DeltaLiteReader(DataSourceReader):
                 for c, cmp in self.pushed_bounds.items()
                 if phys.get(c, c) not in part_cols
             }
+            # an EqualTo pushed exactly one (v, v) tuple — those qualify
+            # for row-group bloom probes (range predicates cannot)
+            rg_eq = [
+                (phys.get(c, c), lo)
+                for c, cmp in self.pushed_bounds.items()
+                if phys.get(c, c) not in part_cols
+                for lo, hi in cmp
+                if lo is not None and lo == hi
+            ] or None
         out = []
         for a in adds:
             d = a.get("deletionVector")
@@ -172,6 +228,7 @@ class DeltaLiteReader(DataSourceReader):
                     dv,
                     phys,
                     rg_bounds or None,
+                    rg_eq,
                 )
             )
         if not out:
@@ -208,6 +265,10 @@ class DeltaLiteReader(DataSourceReader):
         groups = list(range(pf.metadata.num_row_groups))
         if partition.bounds:
             groups = select_row_groups(pf.metadata, partition.bounds)
+        if partition.eq and groups:
+            groups = select_row_groups_bloom(
+                partition.path, pf.metadata.num_row_groups, groups, partition.eq
+            )
         if not groups:
             return
         tbl = pf.read_row_groups(groups)

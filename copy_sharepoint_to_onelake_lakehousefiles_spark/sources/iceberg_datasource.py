@@ -372,7 +372,7 @@ class IceMetaPartition(InputPartition):
 
 
 class IcebergLiteMetaReader(DataSourceReader):
-    """Metadata-table flavor (option table = snapshots|files|manifests|refs):
+    """Metadata-table flavor (option table = snapshots|files|manifests|refs|partitions):
     one partition whose executor walks the table metadata itself — the SQL
     surface of the metadata tables."""
 
@@ -389,6 +389,8 @@ class IcebergLiteMetaReader(DataSourceReader):
         t = IcebergTable(None, partition.root)
         if partition.table == "files":
             yield from t._files_rows()
+        elif partition.table == "partitions":
+            yield from t._partitions_rows()
         elif partition.table == "manifests":
             yield from t._manifests_rows()
         elif partition.table == "refs":
@@ -421,6 +423,8 @@ class IcebergLiteDataSource(DataSource):
             return IcebergTable.MANIFESTS_DF_DDL
         if meta_table == "refs":
             return IcebergTable.REFS_DF_DDL
+        if meta_table == "partitions":
+            return IcebergTable.PARTITIONS_DF_DDL
         if meta_table is not None:
             raise ValueError(f"unknown metadata table {meta_table!r}")
         idx = self.options.get("snapshot_index")

@@ -186,3 +186,63 @@ def test_delta_bloom_validation(spark, droot):
         DeltaTable.create(spark, droot, df, bloom_filters={"nope": 10})
     with pytest.raises(ValueError, match="positive"):
         DeltaTable.create(spark, droot, df, bloom_filters={"k": 0})
+
+
+# ------------------------------------------- delta_lite row-group tier
+
+
+def test_row_group_bloom_selection_and_lite_read(spark, tmp_path):
+    """Row-group-granularity bloom skipping (r9): a single sorted file
+    with many small row groups — stats already narrow an equality to one
+    group; on a SHUFFLED file stats keep everything and the bloom probe
+    alone drops groups. Both paths must stay correct through delta_lite."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        DeltaTable,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_datasource import (
+        select_row_groups_bloom,
+    )
+
+    root = str(tmp_path / "dlrg")
+    # one file, tiny row groups: parquet.block.size caps each group's bytes
+    df = (
+        spark.range(60000)
+        .select((F.xxhash64("id") % 100000).alias("k"))
+        .coalesce(1)
+    )
+    spark.conf.set("parquet.block.size", 64 * 1024)
+    try:
+        t = DeltaTable.create(spark, root, df, bloom_filters={"k": 60000})
+    finally:
+        spark.conf.unset("parquet.block.size")
+    (a,) = t.files()
+    p = os.path.join(root, a["path"])
+    offs = bloom_offsets(p)["k"]
+    import pyarrow.parquet as pq
+
+    ngroups = pq.ParquetFile(p).metadata.num_row_groups
+    assert ngroups >= 3, ngroups  # the premise: many groups in one file
+    assert len(offs) == ngroups  # one bloom per row group, in group order
+    present = [r["k"] for r in t.read().limit(3).collect()]
+    all_groups = list(range(ngroups))
+    for v in present:
+        kept = select_row_groups_bloom(p, ngroups, all_groups, [("k", v)])
+        assert kept, v  # no false negatives at group granularity
+        assert len(kept) < ngroups, v  # hash-shuffled keys: most groups drop
+    kept_absent = select_row_groups_bloom(
+        p, ngroups, all_groups, [("k", 10**12)]
+    )
+    assert len(kept_absent) <= max(1, ngroups // 3)  # fp-bounded
+    # end-to-end through the lite source: equality pushdown stays correct
+    spark.dataSource.register(
+        __import__(
+            "copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_datasource",
+            fromlist=["DeltaLiteDataSource"],
+        ).DeltaLiteDataSource
+    )
+    lite = spark.read.format("delta_lite").load(root)
+    for v in present:
+        got = [r["k"] for r in lite.where(F.col("k") == v).collect()]
+        want = [r["k"] for r in t.read().where(F.col("k") == v).collect()]
+        assert sorted(got) == sorted(want) and got, v
+    assert lite.where(F.col("k") == 10**12).count() == 0

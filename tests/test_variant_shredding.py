@@ -150,3 +150,59 @@ def test_footer_stats_differential_vs_pyarrow(spark, sf_dir):
                     )
                     checked += 1
     assert checked > 10
+
+
+def test_stream_append_inherits_shredding_and_bloom(spark, root, tmp_path):
+    """Streaming micro-batches go through the same staging path, so a
+    table declaring shredding + bloom filters gets BOTH on every streamed
+    file — the layout is a table property, not a writer courtesy."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        DeltaTable,
+        stream_append,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.parquet_bloom import (
+        bloom_offsets,
+        file_maybe_contains,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    papq.write_table(pa.table({"k": [100, 101, 102]}), os.path.join(src, "a.parquet"))
+    t = DeltaTable.create(
+        spark,
+        root,
+        _df(spark, 0, 5),
+        shred_variants=["pv"],
+        bloom_filters={"k": 1000},
+    )
+    stream = (
+        spark.readStream.schema("k long")
+        .parquet(src)
+        .select(
+            "k",
+            F.parse_json(
+                F.concat(F.lit('{"k": '), F.col("k").cast("string"), F.lit("}"))
+            ).alias("pv"),
+        )
+    )
+    stream_append(t, stream, "s1", os.path.join(str(tmp_path), "ckpt"))
+    newest = max(
+        t.files(), key=lambda a: json.loads(a["stats"])["minValues"]["k"]
+    )
+    p = os.path.join(root, newest["path"])
+    _n, st = footer_stats(p)
+    assert SHRED_KEY in st and st[SHRED_KEY]["min"] == 100  # shredded
+    assert bloom_offsets(p).get("k")  # bloomed
+    assert file_maybe_contains(p, "k", 101)
+    assert not file_maybe_contains(p, "k", 9999)
+    # and the streamed rows read back through the variant path
+    got = (
+        t.read()
+        .select(F.variant_get("pv", "$.k", "bigint").alias("kk"))
+        .agg(F.sum("kk"))
+        .first()[0]
+    )
+    assert got == sum(range(5)) + 100 + 101 + 102
