@@ -47,7 +47,12 @@ def test_random_op_sequences_agree_across_formats(spark, init, ops):
     try:
         c_df = spark.createDataFrame(init, DDL)
         tx = TxTable.create(spark, os.path.join(base, "tx"), c_df, key="k")
-        dl = DeltaTable.create(spark, os.path.join(base, "dl"), c_df)
+        # the Delta leg declares BLOOM FILTERS (r9): semantics-neutral, but
+        # every random op sequence (CoW deletes, DVs of both storage
+        # flavors, checkpoints) must keep writing probeable blooms
+        dl = DeltaTable.create(
+            spark, os.path.join(base, "dl"), c_df, bloom_filters={"k": 64}
+        )
         ic = IcebergTable.create(spark, os.path.join(base, "ic"), c_df)
         model = list(init)
         for i, op in enumerate(ops):
@@ -121,6 +126,18 @@ def test_random_op_sequences_agree_across_formats(spark, init, ops):
         ):
             got = _rows(spark.read.format(fmt).load(troot).select("k", "v"))
             assert got == expected, f"{fmt} diverges from the native reader"
+        # bloom point lookups agree with the model on the final state,
+        # for a live key AND a deleted-everywhere key (r9)
+        from collections import Counter
+
+        live_keys = Counter(t[0] for t in model)
+        probe_live = next(iter(live_keys), None)
+        if probe_live is not None:
+            got_pl = sorted(
+                tuple(r) for r in dl.point_lookup("k", probe_live).collect()
+            )
+            assert got_pl == sorted(t for t in model if t[0] == probe_live)
+        assert dl.point_lookup("k", 999_999).count() == 0
         # the create snapshot is immutable under every stack
         first = sorted(init)
         assert _rows(tx.read(0)) == _rows(dl.read(0)) == first
@@ -152,7 +169,12 @@ def test_random_evolution_sequences_agree_delta_vs_iceberg(spark, init, ops):
         init_rows = [(k, v, v * 2) for k, v in init]
         ddl = "k long, a long, b long"
         c_df = spark.createDataFrame(init_rows, ddl)
-        dl = DeltaTable.create(spark, os.path.join(base, "dl"), c_df)
+        # the Delta leg declares BLOOM FILTERS (r9): semantics-neutral, but
+        # every random op sequence (CoW deletes, DVs of both storage
+        # flavors, checkpoints) must keep writing probeable blooms
+        dl = DeltaTable.create(
+            spark, os.path.join(base, "dl"), c_df, bloom_filters={"k": 64}
+        )
         dl.enable_column_mapping()
         ic = IcebergTable.create(spark, os.path.join(base, "ic"), c_df)
         cols = ["k", "a", "b"]  # current logical schema, k immutable

@@ -246,3 +246,13 @@ def test_row_group_bloom_selection_and_lite_read(spark, tmp_path):
         want = [r["k"] for r in t.read().where(F.col("k") == v).collect()]
         assert sorted(got) == sorted(want) and got, v
     assert lite.where(F.col("k") == 10**12).count() == 0
+
+
+def test_point_lookup_applies_deletion_vectors(spark, droot):
+    """files_point keeps a file whose bloom contains the key even after a
+    DV killed those rows (blooms are write-time, never rewritten on MoR
+    deletes) — the row-level MoR mask must still drop them."""
+    t = _hash_table(spark, droot)
+    t.delete_vectors("k = 200")
+    assert t.point_lookup("k", 200).count() == 0  # dead via DV, not rewrite
+    assert t.point_lookup("k", 201).count() == 1  # neighbors untouched
