@@ -32,6 +32,7 @@ def _load_all_operator_modules() -> None:
         pq,
         profile,
         rangejoin,
+        regression,
         relational,
         similarity,
         sketches,
