@@ -153,6 +153,58 @@ def main() -> None:
             "flood_not_slower": flood_sec <= direct["x10_sec"] * 1.1,
             "rows_match_direct": n_flood == result["rows"][q26]["x10"],
         }
+        # BLOOM POINT-LOOKUP FLATNESS (r9): on hash-laid-out Delta tables
+        # at 1x and 10x rows, a files_point lookup's wall time should stay
+        # ~flat (stats + bloom probes are metadata-bound; only the hit
+        # file is read) while a full filter scan grows with the data. The
+        # pair of ratios is the scale story for q202's tier.
+        from pyspark.sql import functions as F
+
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+            DeltaTable,
+        )
+
+        ev = spark.read.parquet(os.path.join(base, "events.parquet")).select(
+            F.col("event_id").cast("long").alias("event_id"), "event_type", "value"
+        )
+        ev10 = (
+            ev.withColumn("c", F.explode(F.sequence(F.lit(0), F.lit(9))))
+            .withColumn(
+                "event_id", (F.col("event_id") * 10 + F.col("c")).cast("long")
+            )
+            .drop("c")
+        )
+        pl: dict = {}
+        for tag, df, nfiles in (("base", ev, 8), ("x10", ev10, 8)):
+            troot = os.path.join(inflated, f"bloom_{tag}")
+            n_rows = df.count()
+            # size the bloom for the keys each FILE will actually hold —
+            # an under-declared ndv saturates the bitset and the fp rate
+            # explodes (measured: 20k ndv under 125k inserts → ~80% fp)
+            t = DeltaTable.create(
+                spark,
+                troot,
+                df.repartition(nfiles, "event_id"),
+                bloom_filters={"event_id": max(1000, n_rows // nfiles)},
+            )
+            key = 4242  # mid-range: inside every file's hash-layout span
+            t.point_lookup("event_id", key).count()  # warm
+            t0 = time.time()
+            n_hit = t.point_lookup("event_id", key).count()
+            pl[f"{tag}_lookup_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            t.read().where(F.col("event_id") == key).count()
+            pl[f"{tag}_scan_sec"] = round(time.time() - t0, 3)
+            pl[f"{tag}_files_read"] = len(t.files_point("event_id", key))
+            pl[f"{tag}_rows"] = n_hit
+        pl["lookup_ratio"] = round(
+            pl["x10_lookup_sec"] / max(pl["base_lookup_sec"], 1e-9), 2
+        )
+        pl["scan_ratio"] = round(
+            pl["x10_scan_sec"] / max(pl["base_scan_sec"], 1e-9), 2
+        )
+        pl["lookup_flat"] = pl["lookup_ratio"] <= 3.0
+        result["bloom_point_lookup"] = pl
     finally:
         shutil.rmtree(inflated, ignore_errors=True)
     with open(out_path, "w") as f:
