@@ -43,17 +43,32 @@ def linear_fit_stats(df: DataFrame, xs: list[str], y: str) -> dict:
     int64 overflows at ~9.2e18, far above any realistic count feature).
     One job, map-side combined, 1-row result."""
     cols = list(xs) + [y]
+    dec = "decimal(38,0)"
     aggs = [F.count(F.lit(1)).alias("n")]
-    aggs += [F.sum(F.col(c)).alias(f"S_{c}") for c in cols]
+    aggs += [F.sum(F.col(c).cast(dec)).alias(f"S_{c}") for c in cols]
     for i, a in enumerate(cols):
         for b in cols[i:]:
             aggs.append(
-                F.sum(F.col(a).cast("long") * F.col(b).cast("long")).alias(
+                F.sum(F.col(a).cast(dec) * F.col(b).cast(dec)).alias(
                     f"S_{a}_{b}"
                 )
             )
     row = df.agg(*aggs).first()
-    return {k: int(v) for k, v in row.asDict().items()}
+    if row.n == 0:
+        # All sums are NULL when n == 0; int(None) would raise a cryptic
+        # TypeError deep in the comprehension. Refuse clearly instead.
+        raise ValueError(
+            "linear_fit_stats: empty input — cannot fit a model on 0 rows"
+        )
+    d = row.asDict()
+    if any(v is None for v in d.values()):
+        # decimal(38,0) accumulation turns overflow (and all-NULL feature
+        # columns) into NULL instead of int64's silent wraparound.
+        raise ValueError(
+            "linear_fit_stats: NULL sufficient statistic — feature sums "
+            "overflowed decimal(38,0) or a feature column is entirely NULL"
+        )
+    return {k: int(v) for k, v in d.items()}
 
 
 def _bareiss_solve(a: list[list[int]], b: list[int]) -> tuple[list[Fraction], int]:

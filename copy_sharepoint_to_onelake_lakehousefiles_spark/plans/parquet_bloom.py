@@ -201,7 +201,19 @@ def plain_encode(ptype: int, value) -> bytes:
     if ptype == 5:  # DOUBLE
         return struct.pack("<d", value)
     if ptype in (6, 7):  # BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY
-        return value.encode("utf-8") if isinstance(value, str) else bytes(value)
+        # Only genuine byte-array probe values may be hashed: bytes(int_n)
+        # would yield n zero bytes — a bogus hash and a false "definitely
+        # absent" verdict that silently drops files Spark's implicit-cast
+        # row filter could have matched. Mis-typed probes fail loudly here;
+        # callers' except clauses then stay conservative (cannot-prune).
+        if isinstance(value, str):
+            return value.encode("utf-8")
+        if isinstance(value, (bytes, bytearray)):
+            return bytes(value)
+        raise TypeError(
+            f"bloom probe against BYTE_ARRAY column requires a str/bytes "
+            f"value, got {type(value).__name__}"
+        )
     raise ValueError(f"no plain encoding for physical type {ptype}")
 
 
@@ -228,6 +240,10 @@ def file_maybe_contains(path: str, column: str, value) -> bool:
         return True
     with open(path, "rb") as fh:
         for ptype, off in offs:
+            if ptype in (4, 5):
+                # FLOAT/DOUBLE eq probes are unsound under IEEE-754 signed
+                # zero (+0.0 and -0.0 hash differently) — never exclude.
+                return True
             bits = _read_bitset(fh, off)
             if bitset_maybe_contains(bits, xxh64(plain_encode(ptype, value))):
                 return True

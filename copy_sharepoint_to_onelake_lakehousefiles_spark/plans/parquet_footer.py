@@ -187,8 +187,13 @@ def _decode_value(ptype: int, raw: bytes):
         if ptype == 5:  # DOUBLE
             return struct.unpack("<d", raw)[0]
         if ptype in (6, 7):  # BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY
-            return raw.decode("utf-8", "replace")
-    except struct.error:
+            # Strict decode: for non-UTF8 binary columns a U+FFFD
+            # substitution could misorder the decoded bound vs the true
+            # unsigned-byte order and let a stats tier understate max /
+            # overstate min, wrongly pruning a matching file. Undecodable
+            # bounds become None = the honest "cannot prune".
+            return raw.decode("utf-8")
+    except (struct.error, UnicodeDecodeError):
         return None
     return None
 

@@ -118,6 +118,12 @@ def select_row_groups_bloom(
             offs = offs_all.get(col)
             if not offs or len(offs) != num_groups:
                 continue
+            if offs[0][0] in (4, 5):
+                # FLOAT/DOUBLE: plain bit-encoding hashes +0.0 and -0.0
+                # differently, so an eq probe could report a false
+                # "definitely absent" on groups holding the other zero.
+                # No verdict for floating-point columns.
+                continue
             try:
                 h = xxh64(plain_encode(offs[0][0], val))
             except (ValueError, TypeError, OverflowError, struct.error):

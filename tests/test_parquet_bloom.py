@@ -256,3 +256,48 @@ def test_point_lookup_applies_deletion_vectors(spark, droot):
     t.delete_vectors("k = 200")
     assert t.point_lookup("k", 200).count() == 0  # dead via DV, not rewrite
     assert t.point_lookup("k", 201).count() == 1  # neighbors untouched
+
+
+def test_plain_encode_rejects_mistyped_byte_array_probe():
+    """ADVICE r9: bytes(int_n) is n ZERO bytes — an int probe against a
+    string column must fail loudly (TypeError), never hash garbage into a
+    false 'definitely absent'."""
+    with pytest.raises(TypeError, match="BYTE_ARRAY"):
+        plain_encode(6, 7)
+    with pytest.raises(TypeError, match="BYTE_ARRAY"):
+        plain_encode(7, 3.5)
+    # genuine byte-array values still encode
+    assert plain_encode(6, "ab") == b"ab"
+    assert plain_encode(6, b"\x00\xff") == b"\x00\xff"
+    assert plain_encode(7, bytearray(b"xy")) == b"xy"
+
+
+def test_float_double_columns_give_no_bloom_verdict(spark, tmp_path):
+    """ADVICE r9: IEEE signed zero (+0.0 vs -0.0) hashes differently under
+    plain bit-encoding, so FLOAT/DOUBLE eq probes are unsound — both the
+    file tier and the row-group tier must return 'maybe present' always."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.delta_datasource import (
+        select_row_groups_bloom,
+    )
+
+    out = str(tmp_path / "dbl")
+    (
+        spark.range(1000)
+        .select((F.col("id") / 8.0).alias("d"))
+        .coalesce(1)
+        .write.option("parquet.bloom.filter.enabled#d", "true")
+        .option("parquet.bloom.filter.expected.ndv#d", "1000")
+        .parquet(out)
+    )
+    (p,) = glob.glob(os.path.join(out, "*.parquet"))
+    offs = bloom_offsets(p)["d"]
+    assert offs and offs[0][0] == 5  # premise: a DOUBLE bloom exists
+    # file tier: a value that is definitely absent still gets True
+    assert file_maybe_contains(p, "d", 1.0e18) is True
+    assert file_maybe_contains(p, "d", -0.0) is True
+    # row-group tier: groups pass through untouched
+    import pyarrow.parquet as pq
+
+    ng = pq.ParquetFile(p).metadata.num_row_groups
+    allg = list(range(ng))
+    assert select_row_groups_bloom(p, ng, allg, [("d", 1.0e18)]) == allg

@@ -96,3 +96,28 @@ def test_struct_field_bools_stay_zero_width(tmp_path):
     ) + bytes([0x54]) + bytes([0x00])  # zigzag(42)=84=0x54; STOP
     p = _compact_footer_file(tmp_path, body)
     assert footer_num_rows(p) == 42
+
+
+def test_non_utf8_binary_bounds_become_cannot_prune(tmp_path):
+    """ADVICE r9: errors='replace' could misorder a decoded bound vs the
+    true unsigned-byte order; non-UTF8 BYTE_ARRAY min/max must decode to
+    None (cannot prune), while genuine strings keep their bounds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.parquet_footer import (
+        footer_stats,
+    )
+
+    p = str(tmp_path / "bin.parquet")
+    tbl = pa.table(
+        {
+            "b": pa.array([b"\xff\xfe\x01", b"\x00\x02"], type=pa.binary()),
+            "s": pa.array(["apple", "zebra"], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, p)
+    n, st = footer_stats(p)
+    assert n == 2
+    assert st["b"]["min"] is None and st["b"]["max"] is None
+    assert st["s"]["min"] == "apple" and st["s"]["max"] == "zebra"

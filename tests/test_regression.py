@@ -72,3 +72,26 @@ def test_fit_refuses_degenerate_features(spark):
     )
     with pytest.raises(ValueError, match="singular"):
         fit_linear_model(df, ["x1"], "y")
+
+
+def test_fit_refuses_empty_input(spark):
+    """ADVICE r9: n == 0 leaves every sum NULL; the old int(None) raised a
+    cryptic TypeError — now a clear ValueError."""
+    df = spark.range(10).where("id < 0").select(
+        F.col("id").alias("x1"), F.col("id").alias("y")
+    )
+    with pytest.raises(ValueError, match="empty input"):
+        linear_fit_stats(df, ["x1"], "y")
+
+
+def test_overflowing_sums_fail_loudly(spark):
+    """ADVICE r9: sums accumulate in decimal(38,0) — overflow surfaces as
+    an error (ANSI: ArithmeticException; non-ANSI: NULL → ValueError),
+    never int64 silent wraparound."""
+    big = 9_000_000_000_000_000_000  # ~long max; big² ≈ 8.1e37
+    df = spark.range(3).select(
+        F.lit(big).cast("long").alias("x1"),
+        (F.col("id") + 1).cast("long").alias("y"),
+    )
+    with pytest.raises(Exception, match="(?i)overflow|out_of_range|NULL sufficient"):
+        linear_fit_stats(df, ["x1"], "y")
