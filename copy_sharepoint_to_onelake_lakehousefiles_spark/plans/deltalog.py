@@ -2815,10 +2815,17 @@ class DeltaTable:
         EXISTING DVs first, so already-dead rows are never re-listed and a
         repeated predicate is a no-op. A touched file's new DV is the union
         of its old DV and the new positions (descriptors always describe
-        the full dead set — readers apply exactly one DV per file). Driver
-        traffic is one (ordinal list per touched file) collect — bounded by
-        rows DELETED THIS COMMIT plus touched files' prior cardinalities,
-        never by table size; Delta's own DV writer makes the same trade.
+        the full dead set — readers apply exactly one DV per file).
+
+        100 TB posture: the Roaring bitmaps are built and serialized ON
+        EXECUTORS — one ``applyInPandas`` group per touched file unions
+        that file's new ordinals with its old DV and writes file-stored
+        blobs straight from the task. The driver collects only one small
+        DESCRIPTOR row per touched file (storage type, path-or-inline
+        payload, offset, size, cardinality) — O(touched files), never
+        O(deleted rows); a predicate matching 10⁹ rows ships zero ordinals
+        to the driver. Per-group payload is bounded by rows-per-data-file,
+        the same bound the parquet writer already lives under.
         Copy-on-write paths (merge/delete/compact) read through
         ``_read_entries`` and therefore honor DVs; ``compact()`` rewrites
         purge them (the OPTIMIZE/PURGE behavior)."""
@@ -2831,75 +2838,101 @@ class DeltaTable:
         full = self._read_entries(
             adds, schema, part_cols, with_identity=True, phys=self._phys_map(meta)
         )
-        matched = (
-            full.where(predicate)
-            .groupBy("__dv_fp")
-            .agg(F.sort_array(F.collect_list("__dv_pos")).alias("poss"))
+        matched = full.where(predicate).select(
+            F.col("__dv_fp").alias("fp"), F.col("__dv_pos").alias("pos")
         )
-        # bounded: one row per touched file; ordinal payload scales with
-        # rows deleted by THIS predicate, not with the table
-        rows = matched.collect()  # bounded: see above
-        per_file = {r["__dv_fp"]: list(r["poss"]) for r in rows}
-        if not per_file:
-            self._publish(v, [self._commit_info("DELETE")])
-            return {"deleted": 0, "files_updated": 0}
         dv_dir = os.path.join(self.root, "_dv")
         os.makedirs(dv_dir, exist_ok=True)
-        new_deleted = sum(len(p) for p in per_file.values())
-        blobs, metas = [], []
-        for fp in sorted(per_file):
-            a = by_abs[fp]
-            old: list[int] = []
-            d = a.get("deletionVector")
-            if d:
-                old = deserialize_rba(read_dv_descriptor(d, self.root))
-            vals = sorted(set(old) | set(per_file[fp]))
-            blobs.append(serialize_rba(vals))
-            metas.append((a, len(vals)))
-        # Small DVs go INLINE (storageType "i": the Base85-encoded bitmap
-        # rides in the descriptor itself — one log line instead of a file
-        # round-trip per tiny delete); larger ones share one DV FILE
-        # (storageType "p"). Delta's own writer makes the same split.
-        descriptors: list[dict] = [None] * len(blobs)  # type: ignore[list-item]
-        file_blob_idx = [
-            i for i, b in enumerate(blobs) if len(b) > self.INLINE_DV_MAX_BYTES
-        ]
-        dv_path = None
-        if file_blob_idx:
-            dv_path = os.path.join(dv_dir, f"deletion_vector_{uuid.uuid4().hex}.bin")
-            spans = write_dv_file(dv_path, [blobs[i] for i in file_blob_idx])
-            for i, (off, size) in zip(file_blob_idx, spans):
-                descriptors[i] = {
-                    "storageType": "p",
-                    "pathOrInlineDv": dv_path,
-                    "offset": off,
-                    "sizeInBytes": size,
-                }
-        for i, b in enumerate(blobs):
-            if descriptors[i] is None:
-                descriptors[i] = {
-                    "storageType": "i",
-                    "pathOrInlineDv": encode_dv_inline(b),
-                    "sizeInBytes": len(b),
-                }
+        # O(files with existing DVs) descriptor metadata in the closure —
+        # the executor reads/decodes the old bitmap itself
+        old_map = {
+            fp: a["deletionVector"]
+            for fp, a in by_abs.items()
+            if a.get("deletionVector")
+        }
+        root = self.root
+        inline_max = self.INLINE_DV_MAX_BYTES
+
+        def _build_dv(pdf):
+            import os as _os
+            import uuid as _uuid
+
+            import pandas as _pd
+
+            from .roaring import (
+                deserialize_rba as _de,
+                encode_dv_inline as _enc,
+                read_dv_descriptor as _rd,
+                serialize_rba as _ser,
+                write_dv_file as _wr,
+            )
+
+            fp = pdf["fp"].iloc[0]
+            new = {int(x) for x in pdf["pos"]}
+            d = old_map.get(fp)
+            old = _de(_rd(d, root)) if d else []
+            vals = sorted(set(old) | new)
+            blob = _ser(vals)
+            # Small DVs go INLINE (storageType "i": the Base85-encoded
+            # bitmap rides in the descriptor itself); larger ones get a
+            # version-1 DV FILE written task-side (storageType "p").
+            if len(blob) > inline_max:
+                path = _os.path.join(
+                    dv_dir, f"deletion_vector_{_uuid.uuid4().hex}.bin"
+                )
+                ((off, size),) = _wr(path, [blob])
+                row = (fp, "p", path, off, size, len(vals), len(new))
+            else:
+                row = (fp, "i", _enc(blob), None, len(blob), len(vals), len(new))
+            return _pd.DataFrame(
+                [row],
+                columns=[
+                    "fp", "storage", "payload", "offset",
+                    "size_bytes", "cardinality", "new_dead",
+                ],
+            )
+
+        res = sorted(
+            matched.groupBy("fp")
+            .applyInPandas(
+                _build_dv,
+                "fp string, storage string, payload string, offset long, "
+                "size_bytes long, cardinality long, new_dead long",
+            )
+            .collect(),  # O(touched files): descriptor rows only
+            key=lambda r: r["fp"],
+        )
+        if not res:
+            self._publish(v, [self._commit_info("DELETE")])
+            return {"deleted": 0, "files_updated": 0}
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [self._commit_info("DELETE")]
         up = self._feature_upgrade_action("deletionVectors")
         if up:
             actions.append(up)
-        for a, card in metas:
-            actions.append(self._remove_action(a, now_ms))
-        for (a, card), dvd in zip(metas, descriptors):
-            na = dict(a)
+        for r in res:
+            actions.append(self._remove_action(by_abs[r["fp"]], now_ms))
+        dv_paths: list[str] = []
+        for r in res:
+            dvd = {
+                "storageType": r["storage"],
+                "pathOrInlineDv": r["payload"],
+                "sizeInBytes": r["size_bytes"],
+                "cardinality": r["cardinality"],
+            }
+            if r["storage"] == "p":
+                dvd["offset"] = r["offset"]
+                dv_paths.append(r["payload"])
+            na = dict(by_abs[r["fp"]])
             na["dataChange"] = True
-            na["deletionVector"] = {**dvd, "cardinality": card}
+            na["deletionVector"] = dvd
             actions.append({"add": na})
         self._publish(v, actions)
         return {
-            "deleted": new_deleted,
-            "files_updated": len(per_file),
-            "dv_path": dv_path,
-            "inline_dvs": len(blobs) - len(file_blob_idx),
+            "deleted": sum(r["new_dead"] for r in res),
+            "files_updated": len(res),
+            "dv_path": dv_paths[0] if dv_paths else None,
+            "inline_dvs": len(res) - len(dv_paths),
         }
 
     def clone(self, dest: str) -> "DeltaTable":

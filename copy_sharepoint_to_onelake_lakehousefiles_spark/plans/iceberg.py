@@ -2992,84 +2992,130 @@ class IcebergTable:
         superseded DV entries are dropped by consolidating all live delete
         entries into one rewritten deletes manifest (kept entries keep
         their ORIGINAL sequence numbers, so applicability semantics are
-        unchanged). Driver traffic is one ordinal-list collect per touched
-        file, bounded by rows deleted — the same budget as Delta's DV
-        writer and v2's ``position_delete``."""
-        from .puffin import DV_BLOB_TYPE, dv_blob_data, read_dv_positions, write_puffin
+        unchanged).
 
+        100 TB posture: each touched file's Roaring bitmap is built,
+        unioned with its old DV, and written as a single-blob Puffin file
+        ON THE EXECUTOR (one ``applyInPandas`` group per touched file —
+        the spec allows any number of Puffin files as long as each data
+        file has at most one live DV). The driver collects only one entry
+        row per touched file (path, offset, length, cardinality) —
+        O(touched files), never O(deleted rows)."""
         md = self.metadata()
         if isinstance(condition, str):
             condition = F.expr(condition)
-        matched = (
-            self.read(with_positions=True)
-            .filter(condition)
-            .groupBy("__ice_fp")
-            .agg(F.sort_array(F.collect_list("__ice_pos")).alias("poss"))
-        )
-        # bounded: one row per touched file, payload = rows deleted now
-        rows = matched.collect()
-        per_file = {r["__ice_fp"]: list(r["poss"]) for r in rows}
-        if not per_file:
-            return {"snapshot_id": None, "delete_rows": 0}
-        # partition live delete entries: DVs over touched files are
-        # SUPERSEDED (their positions merge into the new DV); all other
-        # entries carry over with their original sequence numbers
-        kept: list[tuple[dict, int]] = []
-        old_pos: dict[str, list[int]] = {}
+        sid = self._new_snapshot_id()
+        seq = md["last-sequence-number"] + 1
+        os.makedirs(self.data_dir, exist_ok=True)
+        # O(files with DVs) descriptor metadata in the closure: executors
+        # read + decode their own file's old positions
+        old_dv_meta: dict[str, list[tuple[str, int, int]]] = {}
         for d in self.delete_entries():
             dfm = d["data_file"]
             if (dfm.get("file_format") or "").upper() == "PUFFIN":
                 ref = dfm["referenced_data_file"].replace("file:", "")
-                if ref in per_file:
-                    old_pos.setdefault(ref, []).extend(
-                        read_dv_positions(
-                            dfm["file_path"].replace("file:", ""),
-                            int(dfm["content_offset"]),
-                            int(dfm["content_size_in_bytes"]),
-                        )
+                old_dv_meta.setdefault(ref, []).append(
+                    (
+                        dfm["file_path"].replace("file:", ""),
+                        int(dfm["content_offset"]),
+                        int(dfm["content_size_in_bytes"]),
                     )
+                )
+        data_dir = self.data_dir
+
+        def _build_dv(pdf):
+            import os as _os
+            import uuid as _uuid
+
+            import pandas as _pd
+
+            from .puffin import (
+                DV_BLOB_TYPE as _BT,
+                dv_blob_data as _blob,
+                read_dv_positions as _oldpos,
+                write_puffin as _wp,
+            )
+
+            fp = pdf["fp"].iloc[0]
+            vals = {int(x) for x in pdf["pos"]}
+            for path, off, size in old_dv_meta.get(fp, []):
+                vals.update(_oldpos(path, off, size))
+            vals = sorted(vals)
+            path = _os.path.join(data_dir, f"dv-{_uuid.uuid4().hex}.puffin")
+            (bm,) = _wp(
+                path,
+                [
+                    {
+                        "type": _BT,
+                        "data": _blob(vals),
+                        "snapshot-id": sid,
+                        "sequence-number": seq,
+                        "properties": {
+                            "referenced-data-file": fp,
+                            "cardinality": str(len(vals)),
+                        },
+                    }
+                ],
+            )
+            return _pd.DataFrame(
+                [
+                    (
+                        fp, path, bm["offset"], bm["length"],
+                        _os.path.getsize(path), len(vals), len(pdf),
+                    )
+                ],
+                columns=[
+                    "fp", "puffin_path", "offset", "length",
+                    "file_size", "cardinality", "new_dead",
+                ],
+            )
+
+        res = sorted(
+            self.read(with_positions=True)
+            .filter(condition)
+            .select(F.col("__ice_fp").alias("fp"), F.col("__ice_pos").alias("pos"))
+            .groupBy("fp")
+            .applyInPandas(
+                _build_dv,
+                "fp string, puffin_path string, offset long, length long, "
+                "file_size long, cardinality long, new_dead long",
+            )
+            .collect(),  # O(touched files): entry metadata only
+            key=lambda r: r["fp"],
+        )
+        if not res:
+            return {"snapshot_id": None, "delete_rows": 0}
+        per_file = {r["fp"] for r in res}
+        # partition live delete entries: DVs over touched files are
+        # SUPERSEDED (their positions merged into the new DVs); all other
+        # entries carry over with their original sequence numbers
+        kept: list[tuple[dict, int]] = []
+        for d in self.delete_entries():
+            dfm = d["data_file"]
+            if (dfm.get("file_format") or "").upper() == "PUFFIN":
+                if dfm["referenced_data_file"].replace("file:", "") in per_file:
                     continue
             kept.append((dfm, d["seq"]))
-        sid = self._new_snapshot_id()
-        seq = md["last-sequence-number"] + 1
-        os.makedirs(self.data_dir, exist_ok=True)
-        blobs = []
-        cards = []
-        for fp in sorted(per_file):
-            vals = sorted(set(per_file[fp]) | set(old_pos.get(fp, [])))
-            cards.append(len(vals))
-            blobs.append(
-                {
-                    "type": DV_BLOB_TYPE,
-                    "data": dv_blob_data(vals),
-                    "snapshot-id": sid,
-                    "sequence-number": seq,
-                    "properties": {
-                        "referenced-data-file": fp,
-                        "cardinality": str(len(vals)),
-                    },
-                }
-            )
-        puffin_path = os.path.join(self.data_dir, f"dv-{uuid.uuid4().hex}.puffin")
-        metas = write_puffin(puffin_path, blobs)
         new_entries = []
-        for fp, card, bm in zip(sorted(per_file), cards, metas):
+        for r in res:
             new_entries.append(
                 {
                     "content": 1,
-                    "file_path": puffin_path,
+                    "file_path": r["puffin_path"],
                     "file_format": "PUFFIN",
                     "partition": {},
-                    "record_count": card,
-                    "file_size_in_bytes": os.path.getsize(puffin_path),
+                    "record_count": r["cardinality"],
+                    "file_size_in_bytes": r["file_size"],
                     "lower_bounds": None,
                     "upper_bounds": None,
                     "equality_ids": None,
-                    "referenced_data_file": fp,
-                    "content_offset": bm["offset"],
-                    "content_size_in_bytes": bm["length"],
+                    "referenced_data_file": r["fp"],
+                    "content_offset": r["offset"],
+                    "content_size_in_bytes": r["length"],
                 }
             )
+        cards = [r["cardinality"] for r in res]
+        puffin_path = res[0]["puffin_path"]
         # consolidated deletes manifest: per-entry sequence numbers (kept
         # entries keep theirs; new DVs get this commit's)
         entry_schema = _manifest_entry_schema([], v3_dv=True)
@@ -3137,8 +3183,8 @@ class IcebergTable:
         self._publish_metadata(md)
         return {
             "snapshot_id": sid,
-            "delete_rows": sum(len(p) for p in per_file.values()),
-            "files_updated": len(per_file),
+            "delete_rows": sum(r["new_dead"] for r in res),
+            "files_updated": len(res),
             "puffin_path": puffin_path,
         }
 

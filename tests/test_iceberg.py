@@ -1786,3 +1786,44 @@ def test_v3_row_lineage_merge_cow_and_replacing_writers(spark, root):
     }
     assert t.metadata()["next-row-id"] == nxt2 + 2
     assert t.snapshots()[-1]["first-row-id"] == nxt2
+
+
+def test_v3_wide_delete_driver_traffic_is_per_file(spark, root, monkeypatch):
+    """VERDICT r9 scale fix: delete_vectors_v3 builds each touched file's
+    Puffin DV executor-side; the driver's only collect returns one entry
+    row per touched file, never the deleted ordinals."""
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.puffin import (
+        read_dv_positions,
+    )
+
+    df = spark.createDataFrame([(i, i * 3) for i in range(4000)], "k long, v long")
+    t = IcebergTable.create(spark, root, df.repartition(10, "k"))
+    dfcls = type(spark.range(1))  # the concrete (classic) DataFrame class
+    orig = dfcls.collect
+    collected: list[int] = []
+
+    def counting(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(dfcls, "collect", counting)
+    res = t.delete_vectors_v3("k % 2 = 0")
+    monkeypatch.setattr(dfcls, "collect", orig)
+    assert res["delete_rows"] == 2000 and res["files_updated"] == 10
+    assert sum(collected) == 10  # one metadata row per touched file
+    t = IcebergTable(spark, root)
+    assert t.read().count() == 2000
+    dvs = [d["data_file"] for d in t.delete_entries()
+           if (d["data_file"].get("file_format") or "").upper() == "PUFFIN"]
+    assert len(dvs) == 10
+    total = 0
+    for dfm_ in dvs:
+        poss = read_dv_positions(
+            dfm_["file_path"].replace("file:", ""),
+            int(dfm_["content_offset"]),
+            int(dfm_["content_size_in_bytes"]),
+        )
+        total += len(poss)
+    assert total == 2000
