@@ -92,6 +92,10 @@ def _fmt_checkpoint(v: int) -> str:
     return f"{v:020d}.checkpoint.parquet"
 
 
+def _fmt_crc(v: int) -> str:
+    return f"{v:020d}.crc"
+
+
 def _stats_for_file(path: str, data_cols: list[str]) -> dict:
     """Per-file stats JSON from the parquet FOOTER (row-group statistics) —
     the file's data pages are never read. Delta writes these into the add
@@ -351,7 +355,70 @@ class DeltaTable:
                     meta = action["metaData"]
         if meta is None:
             raise ValueError(f"Delta log at {self.root} has no metaData action")
-        return list(adds.values()), meta
+        out = list(adds.values())
+        self._validate_version_checksum(v, out)
+        return out, meta
+
+    def _validate_version_checksum(self, v: int, adds: list[dict]) -> None:
+        """Snapshot validation against the VERSION CHECKSUM file (public
+        Delta protocol §Version Checksum File): when ``<version>.crc``
+        exists, the replayed snapshot's file count and total size must
+        match it — a torn or tampered log fails loudly instead of serving
+        a silently-wrong snapshot. O(#live files) driver arithmetic over
+        metadata already in hand; absent crc = no check (older tables)."""
+        crc_path = os.path.join(self.log_dir, _fmt_crc(v))
+        if not os.path.exists(crc_path):
+            return
+        try:
+            with open(crc_path) as f:
+                crc = json.load(f)
+        except (OSError, json.JSONDecodeError) as e:
+            raise ValueError(
+                f"unreadable Delta version checksum {crc_path}: {e}"
+            ) from e
+        n, sz = len(adds), sum(int(a.get("size") or 0) for a in adds)
+        want_n, want_sz = crc.get("numFiles"), crc.get("tableSizeBytes")
+        if (want_n is not None and int(want_n) != n) or (
+            want_sz is not None and int(want_sz) != sz
+        ):
+            raise ValueError(
+                f"Delta version checksum mismatch at version {v}: log replay"
+                f" has numFiles={n} tableSizeBytes={sz}, but {_fmt_crc(v)}"
+                f" records numFiles={want_n} tableSizeBytes={want_sz} —"
+                " refusing the snapshot"
+            )
+
+    def version_checksum(self, version: int | None = None) -> dict:
+        """The VERSION CHECKSUM payload for ``version`` (public Delta
+        protocol §Version Checksum File — the ``<version>.crc`` written
+        beside each commit): table-level invariants a reader can verify
+        against its own replay, plus the snapshot's protocol and metaData
+        for single-file snapshot bootstraps and O(1) table-size answers.
+        Computed by the same log replay snapshot planning performs."""
+        v = self.latest_version() if version is None else version
+        adds, meta = self.snapshot(v)
+        dvs = [a["deletionVector"] for a in adds if a.get("deletionVector")]
+        return {
+            "tableSizeBytes": sum(int(a.get("size") or 0) for a in adds),
+            "numFiles": len(adds),
+            "numMetadata": 1,
+            "numProtocol": 1,
+            "numDeletedRecordsOpt": sum(
+                int(d.get("cardinality") or 0) for d in dvs
+            ),
+            "numDeletionVectorsOpt": len(dvs),
+            "metadata": meta,
+            "protocol": self.protocol(v),
+        }
+
+    def _write_version_checksum(self, version: int) -> None:
+        crc = self.version_checksum(version)
+        tmp = os.path.join(self.log_dir, f".tmpcrc_{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(json.dumps(crc))
+        # os.replace (not link): the crc is a derived artifact — losers of
+        # the COMMIT race never get here, and recomputation is idempotent
+        os.replace(tmp, os.path.join(self.log_dir, _fmt_crc(version)))
 
     def schema(self, version: int | None = None) -> T.StructType:
         _, meta = self.snapshot(version)
@@ -806,6 +873,9 @@ class DeltaTable:
             os.link(tmp, os.path.join(self.log_dir, _fmt_commit(version)))
         finally:
             os.unlink(tmp)
+        # Version checksum file: written only AFTER the commit wins the
+        # put-if-absent race (losers raised out of os.link above)
+        self._write_version_checksum(version)
         if version > 0 and version % self.CHECKPOINT_INTERVAL == 0:
             self._write_checkpoint(version)
 
@@ -3314,6 +3384,11 @@ class DeltaTable:
         for v in vs:
             if v < ck and v < keep_floor:
                 os.unlink(os.path.join(self.log_dir, _fmt_commit(v)))
+                # the version checksum is a per-commit companion — expire
+                # it with the commit it validates or it leaks forever
+                crc = os.path.join(self.log_dir, _fmt_crc(v))
+                if os.path.exists(crc):
+                    os.unlink(crc)
                 deleted += 1
         # superseded checkpoint files: anything below the latest checkpoint
         # version, plus same-version duplicates the resolver would not pick
