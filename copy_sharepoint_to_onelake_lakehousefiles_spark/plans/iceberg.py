@@ -103,7 +103,21 @@ _ICE_TO_SPARK = {
     "timestamp": T.TimestampNTZType(),
     "timestamptz": T.TimestampType(),
     "variant": T.VariantType(),
+    # Iceberg v3 nanosecond timestamps (spec §Primitive Types). Spark's
+    # engine precision is MICROseconds, so surfacing these as Spark
+    # timestamps would silently truncate; they surface as epoch-NANO longs
+    # instead — lossless, and the file representation (int64 nanos) reads
+    # back bit-exact. Callers convert at the edge (timestamp_micros(x
+    # div 1000) when micros suffice).
+    "timestamp_ns": T.LongType(),
+    "timestamptz_ns": T.LongType(),
+    # Iceberg v3 `unknown`: a typeless placeholder column — always
+    # optional, never stored in data files, reads as null (spec §Primitive
+    # Types). Spark's VOID type is the exact match.
+    "unknown": T.NullType(),
 }
+# v3-only primitive types: using one upgrades the table's format-version
+_V3_TYPES = {"timestamp_ns", "timestamptz_ns", "unknown", "variant"}
 _ICE_TO_AVRO = {
     "long": "long",
     "int": "int",
@@ -117,13 +131,18 @@ _ICE_TO_AVRO = {
     "date": "int",
     "timestamp": "long",
     "timestamptz": "long",
+    # v3 ns timestamps ride partition tuples as their long nano count
+    "timestamp_ns": "long",
+    "timestamptz_ns": "long",
 }
 
 
 def _single_value_bytes(ice_type: str, v) -> bytes:
     """Iceberg single-value binary serialization (Appendix D): little-endian
     numerics, UTF-8 strings — used for lower/upper bounds in manifests."""
-    if ice_type == "long":
+    if ice_type in ("long", "timestamp_ns", "timestamptz_ns"):
+        # ns timestamps serialize as their epoch-nano long (Appendix D:
+        # timestamp types store the long count from epoch)
         return struct.pack("<q", int(v))
     if ice_type == "int":
         return struct.pack("<i", int(v))
@@ -143,7 +162,7 @@ def _single_value_bytes(ice_type: str, v) -> bytes:
 def _single_value_parse(ice_type: str, b: bytes):
     if b is None:
         return None
-    if ice_type == "long":
+    if ice_type in ("long", "timestamp_ns", "timestamptz_ns"):
         return struct.unpack("<q", b)[0]
     if ice_type == "int":
         return struct.unpack("<i", b)[0]
@@ -454,10 +473,17 @@ def _build_part_fields(
         if col not in by_name:
             raise ValueError(f"no column {col!r}")
         src = by_name[col]
+        if src["type"] == "unknown":
+            # spec: unknown columns hold no values — nothing to partition on
+            raise ValueError(f"cannot partition by unknown-typed column {col!r}")
         if transform == "identity":
             pname, tr_json, ptype = col, "identity", src["type"]
         elif transform == "bucket":
-            if src["type"] not in ("int", "long", "string", "binary"):
+            # v3 ns timestamps bucket like longs: hashLong(nanosFromEpoch)
+            # (spec Appendix B), and the engine's representation IS that long
+            if src["type"] not in (
+                "int", "long", "string", "binary", "timestamp_ns", "timestamptz_ns",
+            ):
                 raise NotImplementedError(f"bucket over {src['type']}")
             pname, tr_json, ptype = f"{col}_bucket", f"bucket[{param}]", "int"
         else:
@@ -649,6 +675,11 @@ class IcebergTable:
             raise NotImplementedError(f"Iceberg format-version {fv} (know 1-3)")
         for s in md.get("schemas") or []:
             for f in s.get("fields") or []:
+                if f.get("type") in _V3_TYPES and fv < 3:
+                    raise NotImplementedError(
+                        f"type {f['type']!r} requires format-version 3 "
+                        f"(table is v{fv})"
+                    )
                 dflts = [
                     f.get(k)
                     for k in ("initial-default", "write-default")
@@ -984,7 +1015,7 @@ class IcebergTable:
         # bucket[n]
         n = pf["param"]
         stype = pf["source_type"]
-        if stype in ("int", "long"):
+        if stype in ("int", "long", "timestamp_ns", "timestamptz_ns"):
 
             @F.pandas_udf("int")
             def _bucket(s):
@@ -1637,18 +1668,46 @@ class IcebergTable:
 
     # ------------------------------------------------------------- writing
 
-    def _ice_schema_json(self, st: T.StructType) -> dict:
+    def _ice_schema_json(
+        self, st: T.StructType, column_types: dict[str, str] | None = None
+    ) -> dict:
+        """Iceberg schema JSON inferred from a Spark schema. Spark types
+        can't express every Iceberg type (there is no nanosecond timestamp
+        in Spark), so ``column_types`` lets create() DECLARE a column's
+        Iceberg type explicitly — validated against the representation the
+        engine uses for it (ns timestamps: epoch-nano LongType; unknown:
+        VOID)."""
+        overrides = dict(column_types or {})
+        unknown_cols = set(overrides) - set(st.fieldNames())
+        if unknown_cols:
+            raise ValueError(f"column_types names absent columns {sorted(unknown_cols)}")
         fields = []
         for i, f in enumerate(st.fields, start=1):
             simple = f.dataType.simpleString()
-            if simple not in _SPARK_TO_ICE:
-                raise NotImplementedError(f"type {simple}")
+            ice_t = overrides.get(f.name)
+            if ice_t is not None:
+                if ice_t not in _ICE_TO_SPARK:
+                    raise ValueError(f"unknown Iceberg type {ice_t!r}")
+                want = _ICE_TO_SPARK[ice_t]
+                if f.dataType != want:
+                    raise TypeError(
+                        f"column {f.name!r} declared {ice_t!r} must be Spark"
+                        f" {want.simpleString()} (got {simple}) — ns"
+                        " timestamps are epoch-nano longs engine-side"
+                    )
+            elif simple == "void":
+                ice_t = "unknown"
+            else:
+                if simple not in _SPARK_TO_ICE:
+                    raise NotImplementedError(f"type {simple}")
+                ice_t = _SPARK_TO_ICE[simple]
             fields.append(
                 {
                     "id": i,
                     "name": f.name,
-                    "required": not f.nullable,
-                    "type": _SPARK_TO_ICE[simple],
+                    # unknown must be optional (spec §Primitive Types)
+                    "required": not f.nullable and ice_t != "unknown",
+                    "type": ice_t,
                 }
             )
         return {"type": "struct", "schema-id": 0, "fields": fields}
@@ -1665,6 +1724,13 @@ class IcebergTable:
         os.makedirs(self.data_dir, exist_ok=True)
         stage = os.path.join(self.root, f".stage_{uuid.uuid4().hex}")
         part_names = [pf["name"] for pf in part_fields]
+        # v3 `unknown` columns are never stored in data files (spec
+        # §Primitive Types) — readers synthesize them as nulls
+        void_cols = [
+            f.name for f in schema.fields if f.dataType.simpleString() == "void"
+        ]
+        if void_cols:
+            df = df.drop(*[c for c in void_cols if c in df.columns])
         try:  # honor the default sort order: each task sorts before writing
             sort_cols = [c for c in self.sort_order_columns() if c in df.columns]
         except Exception:  # noqa: BLE001 — table being created, no metadata yet
@@ -1682,8 +1748,14 @@ class IcebergTable:
         from urllib.parse import unquote
 
         name_to_id = {f.name: i for i, f in enumerate(schema.fields, start=1)}
+        # bounds serialize by the file's PHYSICAL representation — ns
+        # timestamps are epoch-nano longs here, and "long"/"timestamp_ns"
+        # share the <q encoding (Appendix D), so deriving from the Spark
+        # type is exact; void columns have no data and no bounds
         ice_types = {
-            f.name: _SPARK_TO_ICE[f.dataType.simpleString()] for f in schema.fields
+            f.name: _SPARK_TO_ICE[f.dataType.simpleString()]
+            for f in schema.fields
+            if f.dataType.simpleString() != "void"
         }
         entries = []
         for dirpath, _dn, filenames in os.walk(stage):
@@ -1908,20 +1980,26 @@ class IcebergTable:
         root: str,
         df: DataFrame,
         partition_by: list[str] | None = None,
+        column_types: dict[str, str] | None = None,
     ) -> "IcebergTable":
         t = cls(spark, root)
         if t._metadata_versions():
             raise FileExistsError(f"Iceberg table already exists at {root}")
         os.makedirs(t.meta_dir, exist_ok=True)
         st = df.schema
-        ice_schema = t._ice_schema_json(st)
+        ice_schema = t._ice_schema_json(st, column_types)
         by_name = {f["name"]: f for f in ice_schema["fields"]}
         part_fields, spec_fields = _build_part_fields(
             partition_by or [], by_name, first_field_id=1000
         )
         spec = {"spec-id": 0, "fields": spec_fields}
+        fmt_version = (
+            3
+            if any(f["type"] in _V3_TYPES for f in ice_schema["fields"])
+            else 2
+        )
         md = {
-            "format-version": 2,
+            "format-version": fmt_version,
             "table-uuid": str(uuid.uuid4()),
             "location": root,
             "last-sequence-number": 0,
@@ -2311,6 +2389,9 @@ class IcebergTable:
             "type": ice_type,
         }
         if default is not None or write_default is not None:
+            if ice_type == "unknown":
+                # spec §Default values: unknown has no values at all
+                raise ValueError("unknown columns cannot carry default values")
             if isinstance(default, (list, dict)) or isinstance(
                 write_default, (list, dict)
             ):
@@ -2322,6 +2403,10 @@ class IcebergTable:
             fld["write-default"] = (
                 write_default if write_default is not None else default
             )
+            md["format-version"] = 3
+        if ice_type in _V3_TYPES:
+            # v3-only primitive types upgrade the table like the other v3
+            # features (superset; older snapshots stay time-travelable)
             md["format-version"] = 3
         md["last-column-id"] = fld["id"]
         next_sid = max(s["schema-id"] for s in md["schemas"]) + 1
@@ -6365,3 +6450,101 @@ def q203_iceberg_partitions_table(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("total_size_in_bytes") > 0).cast("int").alias("sizes_positive"),
         F.lit(lite_agrees).cast("int").alias("lite_sql_agrees"),
     )
+
+
+_NSDEMO_CACHE: dict = {}
+
+
+def _demo_iceberg_ns(spark: SparkSession, sf_dir: str) -> "IcebergTable":
+    """Iceberg v3 ``timestamp_ns`` demo, memoized per (session, sf_dir):
+    events carry a synthesized NANOSECOND timestamp (epoch-nano long with
+    live sub-microsecond digits — a micros-truncating path would zero
+    them), declared ``timestamp_ns`` via create(column_types=) and bucket-
+    partitioned on it (spec Appendix B: ns timestamps bucket as
+    hashLong(nanosFromEpoch)). Two snapshots (even ids, then odd) so time
+    travel is exercised."""
+    cache_key = (id(spark), sf_dir)
+    got = _NSDEMO_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got.meta_dir):
+        return got
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"icens_{uuid.uuid4().hex[:8]}")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (
+            F.col("event_id") * F.lit(86_400_000_000) + F.col("event_id") % 997
+        ).alias("ts_ns"),
+    )
+    t = IcebergTable.create(
+        spark,
+        root,
+        ev.where(F.col("event_id") % 2 == 0),
+        partition_by=["bucket(4, ts_ns)"],
+        column_types={"ts_ns": "timestamp_ns"},
+    )
+    t.append(ev.where(F.col("event_id") % 2 == 1))
+    _NSDEMO_CACHE[cache_key] = IcebergTable(spark, root)
+    return _NSDEMO_CACHE[cache_key]
+
+
+_Q206_ORACLE = """
+WITH src AS (
+  SELECT event_id, event_type,
+         -- route the micros part through a real DuckDB timestamp
+         -- (make_timestamp → epoch_ns) and re-attach the sub-micro digits:
+         -- DuckDB 1.0 has no ns-exact constructor (make_timestamp_ns is
+         -- 1.1+, and CAST('..789' AS TIMESTAMP_NS) truncates), so the
+         -- nano tail stays arithmetic while the instant is timestamp-typed
+         epoch_ns(make_timestamp(
+             CAST((event_id * 86400000000 + event_id % 997) // 1000 AS BIGINT)))
+           + (event_id * 86400000000 + event_id % 997) % 1000
+           AS ts_ns
+  FROM events
+),
+v0 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_v0
+  FROM src WHERE event_id % 2 = 0 GROUP BY event_type
+)
+SELECT s.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(v0.n_v0) AS n_v0,
+       min(s.ts_ns) AS min_ns,
+       max(s.ts_ns) AS max_ns,
+       CAST(sum(s.ts_ns % 1000) AS BIGINT) AS sum_submicro
+FROM src s JOIN v0 ON s.event_type = v0.event_type
+GROUP BY s.event_type
+"""
+
+
+@query("q206_iceberg_timestamp_ns", oracle=_Q206_ORACLE)
+def q206_iceberg_timestamp_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 NANOSECOND timestamps end-to-end (spec §Primitive Types,
+    VERDICT r9 ask #5): a ``timestamp_ns`` column — epoch-nano longs
+    engine-side, since Spark's engine precision is micros and a Spark
+    timestamp would silently truncate — bucket-partitioned per the v3
+    hashLong(nanos) rule, written across two snapshots, then read back
+    with time travel. ``sum_submicro`` aggregates the sub-MICROsecond
+    digits (ts_ns % 1000): any micros truncation anywhere in the
+    write/read path zeroes it and fails the hash. The oracle routes each
+    instant's micros through a real DuckDB timestamp (make_timestamp →
+    epoch_ns) with the nano tail re-attached arithmetically (DuckDB 1.0
+    has no ns-exact constructor), so two independent readers must agree
+    bit-exact on every nanosecond."""
+    t = _demo_iceberg_ns(spark, sf_dir)
+    full = t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_ns").alias("min_ns"),
+        F.max("ts_ns").alias("max_ns"),
+        F.sum(F.col("ts_ns") % 1000).alias("sum_submicro"),
+    )
+    v0 = (
+        t.read(index=0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_v0"))
+    )
+    out = full.join(v0, "event_type").select(
+        "event_type", "n_events", "n_v0", "min_ns", "max_ns", "sum_submicro"
+    )
+    return materialize(out)
