@@ -3765,9 +3765,209 @@ class IcebergTable:
             if e["snapshot-id"] not in keep_ids:
                 cut = i + 1  # drop everything at and before the last gap
         md["snapshot-log"] = log[cut:]
+        # statistics files are per-snapshot companions (spec §Table
+        # statistics): entries for expired snapshots are dropped and their
+        # Puffin files deleted, surviving entries stay untouched
+        stats = md.get("statistics") or []
+        stats_deleted = 0
+        survivors = []
+        for st_ in stats:
+            if st_["snapshot-id"] in keep_ids:
+                survivors.append(st_)
+                continue
+            p = st_["statistics-path"].replace("file:", "")
+            if os.path.exists(p):
+                os.unlink(p)
+                stats_deleted += 1
+        if stats:
+            md["statistics"] = survivors
         md["last-updated-ms"] = int(time.time() * 1000)
         self._publish_metadata(md)
-        return {"snapshots_expired": len(drop), "files_deleted": deleted}
+        return {
+            "snapshots_expired": len(drop),
+            "files_deleted": deleted,
+            "statistics_deleted": stats_deleted,
+        }
+
+    # ---------------------------------------------------- table statistics
+
+    THETA_K = 4096
+
+    def analyze(self, columns: list[str] | None = None, k: int | None = None) -> dict:
+        """ANALYZE TABLE: per-column NDV theta sketches for the CURRENT
+        snapshot, written as ONE Puffin statistics file with
+        ``apache-datasketches-theta-v1`` blobs (Iceberg spec §Puffin blob
+        types) and recorded in table metadata ``statistics`` (spec §Table
+        statistics) — the stats a planner needs at 100 TB.
+
+        Distributed one-pass shape: each column's values hash on EXECUTORS
+        (murmur3 x64 128, seed 9001 — vectorized numpy for int/long,
+        per-value for strings inside the Arrow batch), each batch pre-prunes
+        to its k+1 smallest distinct hashes, and the global bottom-(k+1)
+        distinct hashes (a TakeOrdered, never a full sort) build the KMV
+        compact sketch on the driver. Shuffle is O(k × batches), collect is
+        O(k) — never O(rows). If fewer than k+1 distinct hashes survive,
+        nothing was pruned (any pruned hash implies k+1 smaller ones in its
+        batch) and the sketch is EXACT mode.
+
+        Re-analyzing a snapshot replaces its statistics entry. Columns
+        default to every int/long/string/ns-timestamp column; other types
+        refuse loudly when named explicitly."""
+        from .theta import build_kmv, parse_compact
+
+        k = self.THETA_K if k is None else int(k)
+        md = self.metadata()
+        snap = self._resolve_snapshot(None, None)
+        sid, seq = snap["snapshot-id"], snap["sequence-number"]
+        ice = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        hashable = {"int", "long", "string", "timestamp_ns", "timestamptz_ns"}
+        by_name = {f["name"]: f for f in ice["fields"]}
+        if columns is None:
+            columns = [f["name"] for f in ice["fields"] if f["type"] in hashable]
+        blobs = []
+        ndvs: dict[str, int] = {}
+        for name in columns:
+            f = by_name.get(name)
+            if f is None:
+                raise ValueError(f"no column {name!r}")
+            if f["type"] not in hashable:
+                raise NotImplementedError(
+                    f"NDV sketch over {f['type']!r} — hash rule implemented"
+                    " for int/long/string/ns-timestamp columns only"
+                )
+            as_string = f["type"] == "string"
+            src = self.read().select(name).where(F.col(name).isNotNull())
+            if not as_string:
+                src = src.select(F.col(name).cast("long").alias(name))
+
+            def _hash_batches(batches, _col=name, _s=as_string, _k=k):
+                import numpy as _np
+                import pandas as _pd
+
+                from .theta import hash_long_vec, hash_string
+
+                for pdf in batches:
+                    vals = pdf[_col].dropna()
+                    if not len(vals):
+                        continue
+                    if _s:
+                        hs = _np.fromiter(
+                            {hash_string(str(v)) for v in vals.unique()},
+                            dtype=_np.int64,
+                        )
+                    else:
+                        hs = _np.unique(
+                            hash_long_vec(vals.to_numpy(dtype=_np.int64))
+                        )
+                    # batch-local bottom-(k+1): any hash pruned here has
+                    # k+1 smaller hashes in THIS batch, so the global
+                    # bottom-(k+1) is preserved
+                    if len(hs) > _k + 1:
+                        hs = _np.partition(hs, _k)[: _k + 1]
+                    yield _pd.DataFrame({"h": _np.sort(hs)})
+
+            top = [
+                r["h"]
+                for r in src.mapInPandas(_hash_batches, "h long")
+                .distinct()
+                .orderBy("h")
+                .limit(k + 1)
+                .collect()
+            ]
+            sketch = build_kmv(top, k)
+            est = parse_compact(sketch)["estimate"]
+            ndvs[name] = int(round(est))
+            blobs.append(
+                {
+                    "type": "apache-datasketches-theta-v1",
+                    "fields": [f["id"]],
+                    "snapshot-id": sid,
+                    "sequence-number": seq,
+                    "data": sketch,
+                    # spec: the ndv property carries the blob's estimate
+                    "properties": {"ndv": str(ndvs[name])},
+                }
+            )
+        path = os.path.join(self.meta_dir, f"{sid}-{uuid.uuid4().hex}.stats.puffin")
+        from .puffin import write_puffin
+
+        metas = write_puffin(path, blobs)
+        file_size = os.path.getsize(path)
+        footer_size = file_size - 4 - sum(m["length"] for m in metas)
+        entry = {
+            "snapshot-id": sid,
+            "statistics-path": path,
+            "file-size-in-bytes": file_size,
+            "file-footer-size-in-bytes": footer_size,
+            # spec §Table statistics: blob metadata carries type/snapshot/
+            # sequence/fields/properties — blob SPANS live in the Puffin
+            # footer itself, which readers parse anyway
+            "blob-metadata": [
+                {k_: v for k_, v in m.items() if k_ not in ("offset", "length")}
+                for m in metas
+            ],
+        }
+        stats = [
+            s for s in (md.get("statistics") or []) if s["snapshot-id"] != sid
+        ]
+        stats.append(entry)
+        md["statistics"] = stats
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(md)
+        return {"statistics_path": path, "ndv": ndvs, "k": k}
+
+    def ndv(self, column: str, snapshot_id: int | None = None) -> dict:
+        """Read back a column's NDV from the snapshot's theta-sketch
+        statistics blob: resolves the ``statistics`` entry, reads the blob
+        span out of the Puffin footer, parses the compact sketch, and
+        returns the estimate (plus exactness: theta == 2^63 means every
+        distinct hash is retained)."""
+        from .puffin import read_puffin_blob, read_puffin_footer
+        from .theta import LONG_MAX, parse_compact
+
+        md = self.metadata()
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else md.get("current-snapshot-id")
+        )
+        entry = next(
+            (s for s in md.get("statistics") or [] if s["snapshot-id"] == sid),
+            None,
+        )
+        if entry is None:
+            raise ValueError(
+                f"no statistics for snapshot {sid} — run analyze() first"
+            )
+        ice = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        fid = next((f["id"] for f in ice["fields"] if f["name"] == column), None)
+        if fid is None:
+            raise ValueError(f"no column {column!r}")
+        path = entry["statistics-path"].replace("file:", "")
+        footer = read_puffin_footer(path)
+        blob = next(
+            (
+                b
+                for b in footer["blobs"]
+                if b["type"] == "apache-datasketches-theta-v1"
+                and b.get("fields") == [fid]
+            ),
+            None,
+        )
+        if blob is None:
+            raise ValueError(f"no theta sketch for column {column!r} at snapshot {sid}")
+        sk = parse_compact(read_puffin_blob(path, blob["offset"], blob["length"]))
+        return {
+            "ndv": int(round(sk["estimate"])),
+            "estimate": sk["estimate"],
+            "exact": sk["theta"] == LONG_MAX + 1,
+            "retained": len(sk["entries"]),
+            "declared_ndv": int((blob.get("properties") or {}).get("ndv", -1)),
+        }
 
 
 def stream_append(
@@ -6548,3 +6748,71 @@ def q206_iceberg_timestamp_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_events", "n_v0", "min_ns", "max_ns", "sum_submicro"
     )
     return materialize(out)
+
+
+_STATS_CACHE: dict = {}
+
+
+def _demo_iceberg_stats(spark: SparkSession, sf_dir: str):
+    """Analyzed-table demo, memoized per (session, sf_dir): an Iceberg
+    table over orders' (unique key, mid-cardinality key, 3-value status)
+    with ``analyze()`` run once — exercising estimation mode, exact mode,
+    and the string hash rule in one statistics file."""
+    cache_key = (id(spark), sf_dir)
+    got = _STATS_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got[0].meta_dir):
+        return got
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"icestats_{uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    t = IcebergTable.create(spark, root, o)
+    res = t.analyze(columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    _STATS_CACHE[cache_key] = (t, res)
+    return _STATS_CACHE[cache_key]
+
+
+_Q207_ORACLE = """
+SELECT 'o_orderkey' AS column_name,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS exact_ndv,
+       1 AS ndv_within_5pct, 1 AS exact_mode_correct, 1 AS blob_roundtrips
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(DISTINCT o_custkey) AS BIGINT), 1, 1, 1
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(DISTINCT o_orderstatus) AS BIGINT), 1, 1, 1
+FROM orders
+"""
+
+
+@query("q207_iceberg_ndv_statistics", oracle=_Q207_ORACLE)
+def q207_iceberg_ndv_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg Puffin NDV STATISTICS + ANALYZE (VERDICT r9 ask #3, spec
+    §Table statistics + Puffin `apache-datasketches-theta-v1`): analyze()
+    hashes each column executor-side (murmur3 x64 128, public DataSketches
+    rule), builds bottom-k compact theta sketches, writes ONE Puffin
+    statistics file, and records it in table metadata. The hashed output
+    carries the EXACT distinct counts (oracle recomputes them) plus flags
+    (q38/q63/q189 promotion recipe): the sketch estimate lands within 5%
+    of exact (k=4096 → RSE ~1.6%; deterministic hash → deterministic
+    flag), exact-mode engages iff NDV <= k, and the estimate read back
+    from the Puffin BLOB equals the `ndv` property declared in metadata —
+    so the statistics FILE round-trips, not just the API."""
+    t, res = _demo_iceberg_stats(spark, sf_dir)
+    o = load(spark, sf_dir, "orders")
+    rows = []
+    for col in ("o_orderkey", "o_custkey", "o_orderstatus"):
+        exact = o.select(col).distinct().count()
+        r = t.ndv(col)
+        within = int(abs(r["ndv"] - exact) * 20 <= exact)  # 5%
+        mode_ok = int(r["exact"] == (exact <= t.THETA_K))
+        blob_ok = int(r["ndv"] == r["declared_ndv"])
+        rows.append((col, exact, within, mode_ok, blob_ok))
+    return spark.createDataFrame(
+        rows,
+        "column_name STRING, exact_ndv BIGINT, ndv_within_5pct INT,"
+        " exact_mode_correct INT, blob_roundtrips INT",
+    )
