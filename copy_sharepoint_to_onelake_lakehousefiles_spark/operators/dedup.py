@@ -308,15 +308,23 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_scored_pairs(sh: DataFrame) -> DataFrame:
     """(doc_id, shingles) → LSH-banded candidates verified with the exact
     scaled-integer jaccard — the shared kernel of q26's two routes."""
+    cand_ids = band_candidate_pairs(band_rows(sh))
+    return verified_jaccard_pairs(cand_ids, sh)
+
+
+def band_rows(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingles) → exploded (doc_id, bkey) band rows.
+
+    Band rows carry ONLY (doc_id, bkey) — an 8-byte xxhash64 bigint over
+    (band_id, band rows), NOT a concat_ws string (the q153 slimming: 4×
+    lighter through the shuffle). Folding band_id into the hash keeps the
+    six bands' key spaces disjoint without a second join column. A 2⁻⁶⁴
+    cross-content collision only ADDS a candidate pair, which the exact
+    Jaccard verification then filters — output-identical. The candidate
+    join must never shuffle/broadcast the shingle payload (75 MB at
+    sf0.1, unbounded at 100 TB); shingles re-attach by doc_id afterwards.
+    Also the ROW FORMAT of the persisted incremental index (NearDupIndex)."""
     sig = with_minhash_signature(sh).select("doc_id", "sig")
-    # Band rows carry ONLY (doc_id, bkey) — an 8-byte xxhash64 bigint over
-    # (band_id, band rows), NOT a concat_ws string (the q153 slimming: 4×
-    # lighter through the shuffle). Folding band_id into the hash keeps the
-    # six bands' key spaces disjoint without a second join column. A 2⁻⁶⁴
-    # cross-content collision only ADDS a candidate pair, which the exact
-    # Jaccard verification then filters — output-identical. The candidate
-    # join must never shuffle/broadcast the shingle payload (75 MB at
-    # sf0.1, unbounded at 100 TB); shingles re-attach by doc_id afterwards.
     band_keys = F.array(
         *[
             F.xxhash64(
@@ -326,8 +334,13 @@ def _lsh_scored_pairs(sh: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_keys).alias("bkey"))
-    cand_ids = band_candidate_pairs(bands)
+    return sig.select("doc_id", F.explode(band_keys).alias("bkey"))
+
+
+def verified_jaccard_pairs(cand_ids: DataFrame, sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidates + a (doc_id, shingles) side → pairs passing
+    exact Jaccard ≥ 0.5. Shingles attach by TWO keyed doc_id joins (the
+    candidate join never shuffles shingle payloads)."""
     cand = (
         cand_ids.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
@@ -878,4 +891,196 @@ def q123_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.expr("(shared * 20000 + na) div (na * 2)").cast("bigint").alias("cont_a_in_b_x10k"),
         F.expr("(shared * 20000 + nb) div (nb * 2)").cast("bigint").alias("cont_b_in_a_x10k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-run incremental near-dup (VERDICT r9 ask #4): a PERSISTED LSH index.
+
+
+class NearDupIndex:
+    """Cross-run incremental near-dup dedup over a PERSISTED LSH index: the
+    corpus's band rows (doc_id, bkey — q26's exact banding) and shingle
+    sets live as two Delta tables under ``root``; each new batch shuffles
+    ONLY ITSELF against them.
+
+    100 TB posture per batch: O(batch) shingling/signing (the corpus is
+    never re-shingled, never re-signed — its bands were computed in the
+    run that ingested it), one equi-join of the batch's bands against the
+    index on the 8-byte bkey (Spark broadcasts the small batch side; the
+    index streams through, no corpus shuffle), two keyed doc_id joins to
+    attach verification shingles for CANDIDATES only, and one Delta APPEND
+    of the batch's bands+shingles (no corpus rewrite — pinned by the gate
+    query via the log's per-commit row counts).
+
+    Pair-set identity: banding is per-document and deterministic, so
+    pairs(corpus ∪ batch) = pairs(corpus) ∪ incremental_pairs(batch) —
+    the gate query checks the union against a full DuckDB recompute. The
+    hot-bucket star route caveat carries over from q26: buckets wider than
+    HOT_BUCKET_CAP keep clusters connected rather than pair-identical."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        from ..plans.deltalog import DeltaTable
+        import os as _os
+
+        self.spark = spark
+        self.root = root
+        self.bands = DeltaTable(spark, _os.path.join(root, "bands"))
+        self.shingles = DeltaTable(spark, _os.path.join(root, "shingles"))
+
+    @classmethod
+    def build(cls, spark: SparkSession, root: str, docs: DataFrame) -> "NearDupIndex":
+        """Ingest the initial corpus: shingle + sign once, persist band and
+        shingle tables. ``docs`` is (doc_id, text)."""
+        from ..plans.deltalog import DeltaTable
+        import os as _os
+
+        sh = _shingled(docs)
+        DeltaTable.create(spark, _os.path.join(root, "bands"), band_rows(sh))
+        DeltaTable.create(spark, _os.path.join(root, "shingles"), sh)
+        return cls(spark, root)
+
+    def pairs_within(self, version: int | None = None) -> DataFrame:
+        """Verified near-dup pairs INSIDE the indexed corpus as of a band-
+        table version (time travel: version 0 = the build-time corpus).
+        Reads bands and shingles from the index — no re-shingling."""
+        cand = band_candidate_pairs(self.bands.read(version))
+        return verified_jaccard_pairs(cand, self.shingles.read(version))
+
+    def dedup_incremental(self, batch: DataFrame) -> DataFrame:
+        """Near-dup pairs INVOLVING ``batch`` (batch↔batch and
+        batch↔corpus), then append the batch's bands+shingles to the index
+        so the next run's corpus includes it. Returns the verified pairs
+        (doc_a, doc_b, jaccard — q26's exact scaled-integer formula).
+
+        The returned plan reads the index at its pre-append version, so
+        callers may materialize lazily; re-submitting an already-indexed
+        doc_id pairs it with its indexed twin (jaccard 1.0) rather than
+        silently merging."""
+        bsh = track_persist(_shingled(batch))
+        bbands = band_rows(bsh)
+        idx_bands = self.bands.read()  # snapshot resolved NOW (pre-append)
+        idx_sh = self.shingles.read()
+        internal = band_candidate_pairs(bbands)
+        cross = (
+            bbands.select(F.col("doc_id").alias("bid"), "bkey")
+            .join(idx_bands.select(F.col("doc_id").alias("cid"), "bkey"), "bkey")
+            .where(F.col("bid") != F.col("cid"))
+            .select(
+                F.least("bid", "cid").alias("doc_a"),
+                F.greatest("bid", "cid").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        cand = internal.unionByName(cross).dropDuplicates(["doc_a", "doc_b"])
+        pairs = verified_jaccard_pairs(cand, bsh.unionByName(idx_sh))
+        self.bands.append(bbands)
+        self.shingles.append(bsh)
+        return pairs
+
+
+_NDIDX_CACHE: dict = {}
+
+
+def _demo_neardup_index(spark: SparkSession, sf_dir: str):
+    """Incremental-index demo, memoized per (session, sf_dir): corpus =
+    documents with doc_id % 3 != 0 ingested at build; batch = the rest
+    deduped incrementally. Returns (index, union_pairs_df, flags)."""
+    import os as _os
+    import tempfile
+    import uuid as _uuid
+
+    cache_key = (id(spark), sf_dir)
+    got = _NDIDX_CACHE.get(cache_key)
+    if got is not None and _os.path.isdir(got[0].root):
+        return got
+    root = _os.path.join(tempfile.gettempdir(), f"ndidx_{_uuid.uuid4().hex[:8]}")
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") % 3 != 0)
+    batch = d.where(F.col("doc_id") % 3 == 0)
+    idx = NearDupIndex.build(spark, root, corpus)
+    corpus_pairs = idx.pairs_within(version=0)
+    incr_pairs = idx.dedup_incremental(batch)
+    from ..registry import materialize
+
+    union_pairs = materialize(corpus_pairs.unionByName(incr_pairs))
+    # O(#commits) pins from the Delta log that the incremental call
+    # APPENDED the batch only and never rewrote/re-shingled the corpus:
+    # exactly one post-build commit per table, pure APPEND (no removes),
+    # adding exactly the batch's rows.
+    n_batch_sh = _shingled(batch).count()
+    flags = {}
+    for name, t, per_doc in (("bands", idx.bands, N_BANDS), ("sh", idx.shingles, 1)):
+        # (version, operation, num_added_files, num_removed_files,
+        #  num_added_rows) — the same replay DESCRIBE HISTORY serves
+        hist = t._history_rows()
+        # append commits as operation "WRITE" (no mode suffix — Overwrite
+        # carries one); zero removed files is the no-rewrite pin
+        flags[f"{name}_one_append"] = int(
+            len(hist) == 2 and (hist[1][1] or "") == "WRITE" and hist[1][3] == 0
+        )
+        flags[f"{name}_batch_rows_only"] = int(hist[1][4] == per_doc * n_batch_sh)
+    _NDIDX_CACHE[cache_key] = (idx, union_pairs, flags)
+    return _NDIDX_CACHE[cache_key]
+
+
+@query(
+    "q208_incremental_neardup",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+),
+wst AS (
+  SELECT doc_id, shingles, {_DUCK_WS} AS ws FROM sh
+),
+bmt AS (
+  SELECT doc_id, shingles, {_duck_bin_minima()} AS bm FROM wst
+),
+sig AS (
+  SELECT doc_id, shingles, {_oph_rotation("bm", one_based=True)} AS sig FROM bmt
+),
+bands AS (
+  {_duck_bands()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.shingles AS sh_a, b.shingles AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ((len(list_intersect(sh_a, sh_b)) * 20000
+         + (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))))
+        // ((len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) * 2))
+       / 10000.0 AS jaccard,
+       1 AS bands_one_append, 1 AS bands_batch_rows_only,
+       1 AS shingles_one_append, 1 AS shingles_batch_rows_only
+FROM cand
+WHERE len(list_intersect(sh_a, sh_b)) * 2
+      >= len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))
+""",
+)
+def q208_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-RUN INCREMENTAL near-dup dedup (VERDICT r9 ask #4): the LSH
+    band index persists as Delta tables; a new batch dedups against the
+    indexed corpus WITHOUT rescanning it — batch-only shingling, one
+    bkey equi-join against the index, batch-only appends. The output is
+    pairs(corpus at build) ∪ incremental_pairs(batch), which must equal a
+    FULL LSH recompute over all documents — the oracle recomputes exactly
+    that in DuckDB (q26's oracle), so the incremental decomposition is
+    hash-checked pair for pair. The four flag columns pin, from the Delta
+    log's per-commit row counts, that each index table took exactly ONE
+    post-build commit, a pure APPEND (no removes) of exactly the batch's
+    rows — the corpus was never re-shingled or rewritten."""
+    _idx, union_pairs, flags = _demo_neardup_index(spark, sf_dir)
+    return union_pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.lit(flags["bands_one_append"]).alias("bands_one_append"),
+        F.lit(flags["bands_batch_rows_only"]).alias("bands_batch_rows_only"),
+        F.lit(flags["sh_one_append"]).alias("shingles_one_append"),
+        F.lit(flags["sh_batch_rows_only"]).alias("shingles_batch_rows_only"),
     )
