@@ -96,6 +96,42 @@ def _fmt_crc(v: int) -> str:
     return f"{v:020d}.crc"
 
 
+def _clustering_field_path(term: str) -> list[str]:
+    """Clustering term → the spec's physical field-path array. Plain
+    columns are single-part; a variant-path term "pv:$.k" maps to the
+    VariantShredding physical layout path ["pv","typed_value","k",
+    "typed_value"] — also the dotted stats key shredded writers emit."""
+    if ":" not in term:
+        return [term]
+    col, _, jpath = term.partition(":")
+    parts = [col]
+    for seg in jpath[2:].split("."):
+        parts += ["typed_value", seg]
+    return parts + ["typed_value"]
+
+
+def _clustering_term_from_path(path: list[str]) -> str:
+    """Inverse of _clustering_field_path: multi-part shredded paths render
+    back to the "col:$.path" term; anything else single-part."""
+    if len(path) == 1:
+        return path[0]
+    if len(path) >= 4 and len(path) % 2 == 0 and all(
+        p == "typed_value" for p in path[1::2]
+    ):
+        return f"{path[0]}:$.{'.'.join(path[2:-1:2])}"
+    return ".".join(path)
+
+
+def _cluster_expr(term: str):
+    """Column expression for a clustering term: plain column, or the typed
+    bigint read of a variant path (numeric shredded subpaths — the only
+    kind registerable)."""
+    if ":" in term:
+        col, _, jpath = term.partition(":")
+        return F.variant_get(F.col(col), jpath, "bigint")
+    return F.col(term)
+
+
 def _stats_for_file(path: str, data_cols: list[str]) -> dict:
     """Per-file stats JSON from the parquet FOOTER (row-group statistics) —
     the file's data pages are never read. Delta writes these into the add
@@ -1169,16 +1205,39 @@ class DeltaTable:
         prune by file stats alone. The 4-column cap matches the published
         Delta limit for clustered tables."""
         st = self.schema()
+        base_names = []
         for c in cols:
-            if c not in st.fieldNames():
+            if ":" in c:
+                # VARIANT-PATH clustering term "col:$.path" — clusters by a
+                # SHREDDED typed subpath (numeric). The domain metadata
+                # stores the spec's multi-part physical field path
+                # (["pv","typed_value","k","typed_value"]), which is also
+                # the dotted stats key the shredded writer emits, so
+                # files(bounds=) pruning composes for free after OPTIMIZE.
+                col, _, jpath = c.partition(":")
+                if col not in st.fieldNames():
+                    raise ValueError(f"no column {col!r} (have {st.fieldNames()})")
+                if st[col].dataType.simpleString() != "variant":
+                    raise TypeError(
+                        f"variant-path clustering needs a variant column, "
+                        f"{col!r} is {st[col].dataType.simpleString()}"
+                    )
+                if not jpath.startswith("$.") or not jpath[2:]:
+                    raise ValueError(
+                        f"variant clustering path must look like '$.k', got {jpath!r}"
+                    )
+                base_names.append(col)
+            elif c not in st.fieldNames():
                 raise ValueError(f"no column {c!r} (have {st.fieldNames()})")
+            else:
+                base_names.append(c)
         if not 1 <= len(cols) <= 4:
             raise NotImplementedError(
                 "clustering takes 1-4 columns (the published Delta cap; "
                 "beyond 4 the interleave dilutes every column's stats "
                 "locality)"
             )
-        if set(cols) & set(self.partition_columns()):
+        if set(base_names) & set(self.partition_columns()):
             raise NotImplementedError(
                 "a partition column cannot also be a clustering column"
             )
@@ -1194,7 +1253,7 @@ class DeltaTable:
                 "domainMetadata": {
                     "domain": self.CLUSTERING_DOMAIN,
                     "configuration": json.dumps(
-                        {"clusteringColumns": [[c] for c in cols]}
+                        {"clusteringColumns": [_clustering_field_path(c) for c in cols]}
                     ),
                     "removed": False,
                 }
@@ -1205,7 +1264,10 @@ class DeltaTable:
 
     def clustering_columns(self) -> list[str]:
         cfg = self.domain_metadata().get(self.CLUSTERING_DOMAIN) or {}
-        return [p[0] for p in cfg.get("clusteringColumns") or []]
+        return [
+            _clustering_term_from_path(p)
+            for p in cfg.get("clusteringColumns") or []
+        ]
 
     # widenings the Delta spec allows AND Spark's parquet reader upcasts
     # natively under a declared schema (verified: int32 file → long/double
@@ -3282,11 +3344,27 @@ class DeltaTable:
             elif cluster_nd is not None:
                 from ..functions.layout import cluster_by_hilbert
 
-                df = cluster_by_hilbert(df, *cluster_nd, n_files=target_files)
+                # variant-path terms cluster by their typed bigint read via
+                # a temp key column (dropped before staging) — the curve
+                # only ever sees numeric columns either way
+                tmp: list[str] = []
+                names: list[str] = []
+                for i, term in enumerate(cluster_nd):
+                    if ":" in term:
+                        n_ = f"__ck_{i}"
+                        df = df.withColumn(n_, _cluster_expr(term))
+                        tmp.append(n_)
+                        names.append(n_)
+                    else:
+                        names.append(term)
+                df = cluster_by_hilbert(df, *names, n_files=target_files)
+                if tmp:
+                    df = df.drop(*tmp)
             elif cluster_1d is not None:
+                key = _cluster_expr(cluster_1d)
                 df = df.repartitionByRange(
-                    max(1, target_files), F.col(cluster_1d)
-                ).sortWithinPartitions(cluster_1d)
+                    max(1, target_files), key
+                ).sortWithinPartitions(key)
             else:
                 df = df.coalesce(target_files)
             new_adds = self._stage_files(
@@ -5322,4 +5400,95 @@ def q185_delta_liquid_clustering_3col(spark: SparkSession, sf_dir: str) -> DataF
         F.lit(flags[0]).cast("int").alias("sz_clustered"),
         F.lit(flags[1]).cast("int").alias("price_clustered"),
         F.lit(flags[2]).cast("int").alias("k_clustered"),
+    )
+
+
+_VCLUST_CACHE: dict = {}
+
+
+def _variant_clustered_demo_table(spark: SparkSession, sf_dir: str) -> DeltaTable:
+    """Variant-PATH liquid clustering demo, memoized per (session, sf_dir):
+    events with props parsed into a shredded VariantType column, written
+    SHUFFLED across 6 files (every file spans ~the full $.k range), then
+    CLUSTER BY ("pv:$.k") + OPTIMIZE — the liquid-clustering rewrite
+    range-lays the table out by the variant's typed subpath into 4 files
+    with disjoint shredded-stats spans."""
+    cache_key = (id(spark), sf_dir)
+    got = _VCLUST_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got.log_dir):
+        return got
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"dlvclust_{uuid.uuid4().hex[:8]}")
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value", F.parse_json("props").alias("pv"))
+        .repartition(6)  # hash layout: no file is k-local before OPTIMIZE
+    )
+    t = DeltaTable.create(spark, root, ev, shred_variants=["pv"])
+    t.set_clustering_columns(["pv:$.k"])
+    t.compact(target_files=4)
+    _VCLUST_CACHE[cache_key] = t
+    return t
+
+
+_Q209_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       round(sum(value), 2) AS sum_value,
+       1 AS clustering_registered,
+       1 AS spans_nonoverlapping,
+       1 AS file_prune_effective,
+       1 AS scan_results_match
+FROM events
+WHERE CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT) >= 90
+"""
+
+
+@query("q209_delta_variant_path_clustering", oracle=_Q209_ORACLE)
+def q209_delta_variant_path_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIQUID CLUSTERING BY A VARIANT PATH (r10 — the q185 × q200
+    composition): ``set_clustering_columns(["pv:$.k"])`` registers the
+    SHREDDED typed subpath as the clustering key (domain metadata stores
+    the spec's physical field path ["pv","typed_value","k","typed_value"]
+    — exactly the dotted stats key shredded add-actions carry), and
+    OPTIMIZE range-rewrites a hash-shuffled 6-file table into 4 files
+    with DISJOINT per-file spans on that key. Pins: the registration
+    round-trips through the log; post-OPTIMIZE per-file shredded-stats
+    spans are non-overlapping (an unclustered layout has every file
+    spanning ~the full range); ``files(bounds=)`` on the shredded key
+    prunes; the pruned read equals the unpruned read; aggregates hash
+    against DuckDB recomputing from the raw JSON. At 100 TB this is how a
+    semi-structured column becomes a first-class layout key: one
+    maintenance rewrite, then every $.k filter skips files from the log
+    alone."""
+    t = _variant_clustered_demo_table(spark, sf_dir)
+    skey = "pv.typed_value.k.typed_value"
+    registered = int(t.clustering_columns() == ["pv:$.k"])
+    spans = []
+    for a in t.files():
+        st = json.loads(a["stats"])
+        if skey in (st.get("minValues") or {}):
+            spans.append((st["minValues"][skey], st["maxValues"][skey]))
+    spans.sort()
+    nonov = int(
+        len(spans) > 1
+        and all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1))
+    )
+    pruned = t.files(bounds={skey: (90, None)})
+    prune_effective = int(0 < len(pruned) < len(t.files()))
+    kpath = F.variant_get("pv", "$.k", "bigint")
+    agg = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(kpath).alias("sum_k"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    fast = agg(t.read(bounds={skey: (90, None)}).where(kpath >= 90)).first()
+    full = agg(t.read().where(kpath >= 90)).first()
+    results_match = int(tuple(fast) == tuple(full))
+    return spark.createDataFrame(
+        [tuple(fast) + (registered, nonov, prune_effective, results_match)],
+        "n_events BIGINT, sum_k BIGINT, sum_value DOUBLE,"
+        " clustering_registered INT, spans_nonoverlapping INT,"
+        " file_prune_effective INT, scan_results_match INT",
     )

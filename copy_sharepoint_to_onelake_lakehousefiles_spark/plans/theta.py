@@ -236,3 +236,24 @@ def hash_long_vec(vals):
     h2 = fmix(h2)
     h1 += h2
     return (h1 >> np.uint64(1)).astype(np.int64)
+
+
+def union_sketches(images: list[bytes], k: int, seed: int = DEFAULT_SEED) -> bytes:
+    """Theta-sketch UNION (the mergeability that makes sketches worth
+    their bytes at 100 TB: per-partition/per-snapshot sketches combine
+    without touching data). Rule: theta_u = min over inputs' thetas;
+    retain the distinct entries < theta_u; if more than k survive, trim
+    to the k smallest and cut theta_u to the (k+1)-th smallest. The
+    result is again a valid ordered compact sketch."""
+    parsed = [parse_compact(img, seed) for img in images]
+    live = [p for p in parsed if not p["empty"]]
+    if not live:
+        return serialize_compact([], seed=seed)
+    theta_u = min(p["theta"] for p in live)
+    entries = sorted({e for p in live for e in p["entries"] if e < theta_u})
+    if len(entries) > k:
+        theta_u = entries[k]
+        entries = entries[:k]
+    if theta_u > LONG_MAX:
+        return serialize_compact(entries, seed=seed)
+    return serialize_compact(entries, theta=theta_u, seed=seed)

@@ -211,3 +211,49 @@ def test_reanalyze_replaces_and_expire_reaps(spark, root):
     assert os.path.exists(stats[0]["statistics-path"])
     # the surviving sketch still reads
     assert t.ndv("k")["ndv"] == 100
+
+
+def test_union_sketches_accuracy_and_modes():
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.theta import union_sketches
+
+    a = build_kmv(list(hash_long_vec(np.arange(0, 60_000, dtype=np.int64))), 4096)
+    b = build_kmv(list(hash_long_vec(np.arange(40_000, 120_000, dtype=np.int64))), 4096)
+    u = parse_compact(union_sketches([a, b], 4096))
+    assert abs(u["estimate"] - 120_000) / 120_000 < 0.05
+    assert u["theta"] <= min(parse_compact(a)["theta"], parse_compact(b)["theta"])
+    # exact ∪ exact below k stays exact and counts the overlap once
+    c = build_kmv([hash_long(i) for i in range(10)], 4096)
+    d = build_kmv([hash_long(i) for i in range(5, 20)], 4096)
+    uu = parse_compact(union_sketches([c, d], 4096))
+    assert uu["estimate"] == 20 and uu["theta"] == LONG_MAX + 1
+    # empty identity
+    e = serialize_compact([])
+    assert parse_compact(union_sketches([e, c], 4096))["estimate"] == 10
+    # union of a sketch with itself is idempotent
+    assert union_sketches([a, a], 4096) == union_sketches([a], 4096)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.sets(st.integers(0, 5000), max_size=400),
+    st.sets(st.integers(0, 5000), max_size=400),
+    st.integers(8, 64),
+)
+def test_union_matches_rebuild_property(xs, ys, k):
+    """union(sketch(A), sketch(B)) must estimate like sketch(A ∪ B) built
+    directly — for bottom-k sketches the two are IDENTICAL images when
+    every retained entry of the union survives both cuts."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.theta import union_sketches
+
+    ha = [hash_long(v) for v in xs]
+    hb = [hash_long(v) for v in ys]
+    u = union_sketches([build_kmv(ha, k), build_kmv(hb, k)], k)
+    direct = build_kmv(ha + hb, k)
+    pu, pd = parse_compact(u), parse_compact(direct)
+    # exact-mode unions are bit-identical; estimation-mode unions may
+    # retain a subset (inputs already cut) but never disagree by > 2/k
+    if pd["theta"] == LONG_MAX + 1 and pu["theta"] == LONG_MAX + 1:
+        assert u == direct
+    else:
+        denom = max(pd["estimate"], 1.0)
+        assert abs(pu["estimate"] - pd["estimate"]) / denom <= 2.0 / k + 0.25
