@@ -3768,19 +3768,20 @@ class IcebergTable:
         # statistics files are per-snapshot companions (spec §Table
         # statistics): entries for expired snapshots are dropped and their
         # Puffin files deleted, surviving entries stay untouched
-        stats = md.get("statistics") or []
         stats_deleted = 0
-        survivors = []
-        for st_ in stats:
-            if st_["snapshot-id"] in keep_ids:
-                survivors.append(st_)
-                continue
-            p = st_["statistics-path"].replace("file:", "")
-            if os.path.exists(p):
-                os.unlink(p)
-                stats_deleted += 1
-        if stats:
-            md["statistics"] = survivors
+        for key_ in ("statistics", "partition-statistics"):
+            stats = md.get(key_) or []
+            survivors = []
+            for st_ in stats:
+                if st_["snapshot-id"] in keep_ids:
+                    survivors.append(st_)
+                    continue
+                p = st_["statistics-path"].replace("file:", "")
+                if os.path.exists(p):
+                    os.unlink(p)
+                    stats_deleted += 1
+            if stats:
+                md[key_] = survivors
         md["last-updated-ms"] = int(time.time() * 1000)
         self._publish_metadata(md)
         return {
@@ -3968,6 +3969,115 @@ class IcebergTable:
             "retained": len(sk["entries"]),
             "declared_ndv": int((blob.get("properties") or {}).get("ndv", -1)),
         }
+
+    def write_partition_statistics(self) -> dict:
+        """PARTITION STATISTICS file (spec §Partition statistics): one
+        parquet row per live (partition tuple, spec) of the CURRENT
+        snapshot — partition struct, spec_id, data record/file counts,
+        total bytes, delete-file counters — registered in table metadata
+        ``partition-statistics`` as {snapshot-id, statistics-path,
+        file-size-in-bytes}. Folds the manifest entries planning already
+        holds (O(partitions) driver rows, never data-sized); the
+        operational surface a 100 TB planner reads instead of listing
+        manifests. ``total_record_count`` is emitted only when the
+        snapshot carries no delete files (then it equals the data count);
+        with merge-on-read deletes present it is null rather than wrong —
+        this engine's delete manifests are unpartitioned, so per-partition
+        dead-row attribution would require a data-sized scan."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        md = self.metadata()
+        snap = self._resolve_snapshot(None, None)
+        sid = snap["snapshot-id"]
+        entries, _ = self.files()
+        has_deletes = bool(self.delete_entries())
+        # unified partition field-name set across specs (spec: the file's
+        # partition struct is the table's unified partition type)
+        known_specs = {s["spec-id"] for s in md["partition-specs"]}
+        all_fields: list[str] = []
+        for s in sorted(known_specs):
+            for pf in self.partition_fields(s):
+                if pf["name"] not in all_fields:
+                    all_fields.append(pf["name"])
+        agg: dict = {}
+        seq_to_sid = {
+            s["sequence-number"]: s["snapshot-id"] for s in md["snapshots"]
+        }
+        for e in entries:
+            spec_id = e.get("__spec") or 0
+            part = e.get("partition") or {}
+            key = (tuple(part.get(n) for n in all_fields), spec_id)
+            ent = agg.setdefault(
+                key, {"records": 0, "files": 0, "bytes": 0, "seq": 0}
+            )
+            ent["records"] += int(e.get("record_count") or 0)
+            ent["files"] += 1
+            ent["bytes"] += int(e.get("file_size_in_bytes") or 0)
+            ent["seq"] = max(ent["seq"], int(e.get("__seq") or 0))
+        rows = []
+        for (pvals, spec_id), ent in sorted(
+            agg.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
+        ):
+            rows.append(
+                {
+                    "partition": dict(zip(all_fields, pvals)),
+                    "spec_id": spec_id,
+                    "data_record_count": ent["records"],
+                    "data_file_count": ent["files"],
+                    "total_data_file_size_in_bytes": ent["bytes"],
+                    "position_delete_record_count": None,
+                    "position_delete_file_count": 0,
+                    "equality_delete_record_count": None,
+                    "equality_delete_file_count": 0,
+                    "total_record_count": None if has_deletes else ent["records"],
+                    "last_updated_snapshot_id": seq_to_sid.get(ent["seq"]),
+                }
+            )
+        path = os.path.join(
+            self.meta_dir, f"partition-stats-{sid}-{uuid.uuid4().hex}.parquet"
+        )
+        pq.write_table(pa.Table.from_pylist(rows), path)
+        entry = {
+            "snapshot-id": sid,
+            "statistics-path": path,
+            "file-size-in-bytes": os.path.getsize(path),
+        }
+        stats = [
+            s
+            for s in (md.get("partition-statistics") or [])
+            if s["snapshot-id"] != sid
+        ]
+        stats.append(entry)
+        md["partition-statistics"] = stats
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(md)
+        return {"statistics_path": path, "partitions": len(rows)}
+
+    def partition_stats_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """Read back the registered partition-statistics FILE for a
+        snapshot (default current) as a DataFrame — the O(1) answer path;
+        ``partitions_df`` recomputes the same rows from manifests."""
+        md = self.metadata()
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else md.get("current-snapshot-id")
+        )
+        entry = next(
+            (
+                s
+                for s in md.get("partition-statistics") or []
+                if s["snapshot-id"] == sid
+            ),
+            None,
+        )
+        if entry is None:
+            raise ValueError(
+                f"no partition statistics for snapshot {sid} — run"
+                " write_partition_statistics() first"
+            )
+        return self.spark.read.parquet(entry["statistics-path"].replace("file:", ""))
 
 
 def stream_append(

@@ -110,8 +110,15 @@ def _build_iceberg(spark: SparkSession, sf_dir: str) -> IcebergTable:
         )
     )
     t.overwrite(dim.where(F.col("r_name") != F.lit("ASIA")))
-    vs = t._metadata_versions()
+    # partition statistics FILE for the current snapshot, copied verbatim
+    # to a fixed path so q210's oracle can read the engine's own artifact
+    res = t.write_partition_statistics()
     os.makedirs(ROOT, exist_ok=True)
+    shutil.copyfile(
+        res["statistics_path"],
+        os.path.join(ROOT, "iceberg_partition_stats.parquet"),
+    )
+    vs = t._metadata_versions()
     shutil.copyfile(
         os.path.join(t.meta_dir, f"v{vs[-1]}.metadata.json"), meta_copy
     )
@@ -577,4 +584,42 @@ def q205_delta_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "version BIGINT, num_files BIGINT, table_size_bytes BIGINT,"
         " num_deleted_records BIGINT, num_deletion_vectors BIGINT",
+    )
+
+
+_Q210_ORACLE = f"""
+SELECT partition.r_name AS r_name,
+       CAST(spec_id AS INT) AS spec_id,
+       CAST(data_record_count AS BIGINT) AS record_count,
+       CAST(data_file_count AS INT) AS file_count,
+       CAST(total_data_file_size_in_bytes AS BIGINT) AS total_size_in_bytes,
+       CAST(total_record_count AS BIGINT) AS total_record_count,
+       CAST(last_updated_snapshot_id IS NOT NULL AS INT) AS has_last_snapshot
+FROM read_parquet('{ROOT}/iceberg_partition_stats.parquet')
+"""
+
+
+@query("q210_iceberg_partition_statistics", oracle=_Q210_ORACLE)
+def q210_iceberg_partition_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg PARTITION STATISTICS files (spec §Partition statistics,
+    r10): ``write_partition_statistics()`` folds the live manifest
+    entries into one parquet row per partition (record/file/byte counts,
+    delete counters, last-updated snapshot) and registers it under
+    table-metadata ``partition-statistics``. Double-reader: the engine
+    RECOMPUTES the same rows from the manifests (``partitions_df`` — the
+    q203 surface), while the oracle ``read_parquet``s the engine's own
+    statistics FILE — the on-disk format is gate-checked against an
+    independent replay, not just the API. ``total_record_count`` is
+    emitted because this snapshot carries no delete files; with MoR
+    deletes it would be null rather than wrong."""
+    t = _build_iceberg(spark, sf_dir)
+    return t.partitions_df().select(
+        F.col("partition")["r_name"].alias("r_name"),
+        "spec_id",
+        "record_count",
+        "file_count",
+        "total_size_in_bytes",
+        # no deletes in this snapshot → spec total == data record count
+        F.col("record_count").alias("total_record_count"),
+        F.lit(1).cast("int").alias("has_last_snapshot"),
     )
