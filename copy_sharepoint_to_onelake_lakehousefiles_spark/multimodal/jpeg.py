@@ -226,7 +226,20 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # T.81's ARITHMETIC coding option (SOF9-11/13-15) stays a
+            # deliberate refusal: its QM-coder needs Table D.3's 113-row
+            # Qe/NMPS/NLPS/SWITCH state machine VERBATIM — the constants
+            # are spec data, not derivable, and no copy of them (library
+            # or document) exists in this offline container to implement
+            # from or verify against. A from-memory table would decode
+            # silently wrong; loud refusal beats that.
+            raise NotImplementedError(
+                "arithmetic-coded JPEG (SOF9-15): T.81 Table D.3 state"
+                " machine unavailable offline — Huffman baseline and"
+                " progressive are fully supported"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("only baseline and progressive DCT supported")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
