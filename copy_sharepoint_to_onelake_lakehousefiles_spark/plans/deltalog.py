@@ -3031,7 +3031,7 @@ class DeltaTable:
                 "fp string, storage string, payload string, offset long, "
                 "size_bytes long, cardinality long, new_dead long",
             )
-            .collect(),  # O(touched files): descriptor rows only
+            .collect(),  # bounded: O(touched files) descriptor rows only
             key=lambda r: r["fp"],
         )
         if not res:

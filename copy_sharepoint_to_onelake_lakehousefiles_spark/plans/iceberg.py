@@ -2065,7 +2065,13 @@ class IcebergTable:
             for path, pvals in files
         ]
         md = {
-            "format-version": 2,
+            # v3-only types (variant, ns timestamps, unknown) in the
+            # migrated schema require declaring v3 (spec §Primitive Types)
+            "format-version": (
+                3
+                if any(f["type"] in _V3_TYPES for f in ice_schema["fields"])
+                else 2
+            ),
             "table-uuid": str(uuid.uuid4()),
             "location": root,
             "last-sequence-number": 0,
@@ -3165,7 +3171,7 @@ class IcebergTable:
                 "fp string, puffin_path string, offset long, length long, "
                 "file_size long, cardinality long, new_dead long",
             )
-            .collect(),  # O(touched files): entry metadata only
+            .collect(),  # bounded: O(touched files) entry metadata only
             key=lambda r: r["fp"],
         )
         if not res:
@@ -3875,6 +3881,7 @@ class IcebergTable:
                 .distinct()
                 .orderBy("h")
                 .limit(k + 1)
+                # bounded: TakeOrdered caps this at k+1 8-byte hashes
                 .collect()
             ]
             sketch = build_kmv(top, k)
@@ -4258,7 +4265,14 @@ def delta_to_iceberg_uniform(delta, ice_root: str | None = None) -> IcebergTable
         }
 
     md = {
-        "format-version": 2,
+        # UniForm metadata over a Delta table carrying v3-only types
+        # (variant) must declare format-version 3 — readers refuse the
+        # type under v2 (spec §Primitive Types)
+        "format-version": (
+            3
+            if any(f["type"] in _V3_TYPES for f in ice_schema["fields"])
+            else 2
+        ),
         "table-uuid": str(uuid.uuid4()),
         "location": root,
         "last-sequence-number": 0,
