@@ -978,6 +978,33 @@ class NearDupIndex:
         self.shingles.append(bsh)
         return pairs
 
+    def evict(self, predicate: str) -> dict:
+        """Remove documents from the index (TTL expiry / takedown): a
+        merge-on-read DELETION-VECTOR delete on BOTH index tables — no
+        band or shingle file is rewritten (the DV blobs serialize
+        executor-side, O(touched files) driver traffic), and every
+        subsequent ``dedup_incremental`` sees only survivors because the
+        index reads go through the Delta snapshot. ``predicate`` is a SQL
+        string over ``doc_id`` (the one column both tables share)."""
+        b = self.bands.delete_vectors(predicate)
+        s = self.shingles.delete_vectors(predicate)
+        return {
+            "band_rows_deleted": b["deleted"],
+            "docs_deleted": s["deleted"],
+            "files_rewritten": 0,  # MoR: descriptors only
+        }
+
+    def compact(self, target_files: int = 8) -> dict:
+        """Maintenance OPTIMIZE over both index tables: bin-packs the
+        per-batch small files (and PURGES accumulated deletion vectors —
+        Delta OPTIMIZE rewrites drop dead rows physically). Run it on the
+        same cadence as any lakehouse table's compaction; dedup output is
+        unaffected (pinned by tests)."""
+        return {
+            "bands": self.bands.compact(target_files=target_files),
+            "shingles": self.shingles.compact(target_files=target_files),
+        }
+
 
 _NDIDX_CACHE: dict = {}
 

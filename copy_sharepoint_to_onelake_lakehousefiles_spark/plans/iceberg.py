@@ -3800,6 +3800,52 @@ class IcebergTable:
 
     THETA_K = 4096
 
+    def _column_topk_hashes(
+        self, source: DataFrame, name: str, ice_type: str, k: int
+    ) -> list[int]:
+        """The distributed bottom-(k+1) DISTINCT theta hashes of one
+        column over ``source``: executor-side murmur3 (numpy-vectorized
+        for longs), per-batch bottom-(k+1) pruning (any pruned hash has
+        k+1 smaller ones in its batch, so the global bottom set is
+        preserved), global TakeOrdered — O(k) driver rows."""
+        as_string = ice_type == "string"
+        src = source.select(name).where(F.col(name).isNotNull())
+        if not as_string:
+            src = src.select(F.col(name).cast("long").alias(name))
+
+        def _hash_batches(batches, _col=name, _s=as_string, _k=k):
+            import numpy as _np
+            import pandas as _pd
+
+            from .theta import hash_long_vec, hash_string
+
+            for pdf in batches:
+                vals = pdf[_col].dropna()
+                if not len(vals):
+                    continue
+                if _s:
+                    hs = _np.fromiter(
+                        {hash_string(str(v)) for v in vals.unique()},
+                        dtype=_np.int64,
+                    )
+                else:
+                    hs = _np.unique(
+                        hash_long_vec(vals.to_numpy(dtype=_np.int64))
+                    )
+                if len(hs) > _k + 1:
+                    hs = _np.partition(hs, _k)[: _k + 1]
+                yield _pd.DataFrame({"h": _np.sort(hs)})
+
+        return [
+            r["h"]
+            for r in src.mapInPandas(_hash_batches, "h long")
+            .distinct()
+            .orderBy("h")
+            .limit(k + 1)
+            # bounded: TakeOrdered caps this at k+1 8-byte hashes
+            .collect()
+        ]
+
     def analyze(self, columns: list[str] | None = None, k: int | None = None) -> dict:
         """ANALYZE TABLE: per-column NDV theta sketches for the CURRENT
         snapshot, written as ONE Puffin statistics file with
@@ -3844,47 +3890,9 @@ class IcebergTable:
                     f"NDV sketch over {f['type']!r} — hash rule implemented"
                     " for int/long/string/ns-timestamp columns only"
                 )
-            as_string = f["type"] == "string"
-            src = self.read().select(name).where(F.col(name).isNotNull())
-            if not as_string:
-                src = src.select(F.col(name).cast("long").alias(name))
-
-            def _hash_batches(batches, _col=name, _s=as_string, _k=k):
-                import numpy as _np
-                import pandas as _pd
-
-                from .theta import hash_long_vec, hash_string
-
-                for pdf in batches:
-                    vals = pdf[_col].dropna()
-                    if not len(vals):
-                        continue
-                    if _s:
-                        hs = _np.fromiter(
-                            {hash_string(str(v)) for v in vals.unique()},
-                            dtype=_np.int64,
-                        )
-                    else:
-                        hs = _np.unique(
-                            hash_long_vec(vals.to_numpy(dtype=_np.int64))
-                        )
-                    # batch-local bottom-(k+1): any hash pruned here has
-                    # k+1 smaller hashes in THIS batch, so the global
-                    # bottom-(k+1) is preserved
-                    if len(hs) > _k + 1:
-                        hs = _np.partition(hs, _k)[: _k + 1]
-                    yield _pd.DataFrame({"h": _np.sort(hs)})
-
-            top = [
-                r["h"]
-                for r in src.mapInPandas(_hash_batches, "h long")
-                .distinct()
-                .orderBy("h")
-                .limit(k + 1)
-                # bounded: TakeOrdered caps this at k+1 8-byte hashes
-                .collect()
-            ]
-            sketch = build_kmv(top, k)
+            sketch = build_kmv(
+                self._column_topk_hashes(self.read(), name, f["type"], k), k
+            )
             est = parse_compact(sketch)["estimate"]
             ndvs[name] = int(round(est))
             blobs.append(
@@ -3898,6 +3906,15 @@ class IcebergTable:
                     "properties": {"ndv": str(ndvs[name])},
                 }
             )
+        path = self._publish_statistics(md, sid, blobs)
+        return {"statistics_path": path, "ndv": ndvs, "k": k, "mode": "full"}
+
+    def _publish_statistics(self, md: dict, sid: int, blobs: list[dict]) -> str:
+        """Write one Puffin statistics file and register/replace the
+        snapshot's entry in table-metadata ``statistics`` (spec §Table
+        statistics: blob metadata carries type/snapshot/sequence/fields/
+        properties — blob SPANS live in the Puffin footer itself, which
+        readers parse anyway)."""
         path = os.path.join(self.meta_dir, f"{sid}-{uuid.uuid4().hex}.stats.puffin")
         from .puffin import write_puffin
 
@@ -3909,9 +3926,6 @@ class IcebergTable:
             "statistics-path": path,
             "file-size-in-bytes": file_size,
             "file-footer-size-in-bytes": footer_size,
-            # spec §Table statistics: blob metadata carries type/snapshot/
-            # sequence/fields/properties — blob SPANS live in the Puffin
-            # footer itself, which readers parse anyway
             "blob-metadata": [
                 {k_: v for k_, v in m.items() if k_ not in ("offset", "length")}
                 for m in metas
@@ -3924,7 +3938,132 @@ class IcebergTable:
         md["statistics"] = stats
         md["last-updated-ms"] = int(time.time() * 1000)
         self._publish_metadata(md)
-        return {"statistics_path": path, "ndv": ndvs, "k": k}
+        return path
+
+    def analyze_incremental(
+        self, columns: list[str] | None = None, k: int | None = None
+    ) -> dict:
+        """INCREMENTAL ANALYZE: when the current snapshot only ADDED data
+        files since the last analyzed ancestor snapshot (pure appends —
+        no data files removed, no new delete files), hash ONLY the new
+        files and UNION their per-column theta sketches with the previous
+        statistics blobs (bottom-k sketches are insert-only mergeable) —
+        O(new data) instead of O(table), the stats-maintenance cost a
+        100 TB append pipeline can actually afford. Deletions cannot be
+        subtracted from a sketch, so any removal/new-delete falls back to
+        a full analyze() — never a silently stale estimate.
+
+        The unioned sketch is a valid sketch of the union multiset, with
+        the same RSE bound as a direct build; exact-mode inputs union to
+        the exact direct sketch bit-for-bit (tests/test_theta.py)."""
+        from .puffin import read_puffin_blob, read_puffin_footer
+        from .theta import build_kmv, parse_compact, union_sketches
+
+        k = self.THETA_K if k is None else int(k)
+        md = self.metadata()
+        snap = self._resolve_snapshot(None, None)
+        sid, seq = snap["snapshot-id"], snap["sequence-number"]
+        # newest analyzed snapshot at or before the current sequence
+        seq_by_sid = {s["snapshot-id"]: s["sequence-number"] for s in md["snapshots"]}
+        prior = max(
+            (
+                s
+                for s in md.get("statistics") or []
+                if s["snapshot-id"] in seq_by_sid
+                and seq_by_sid[s["snapshot-id"]] <= seq
+                and s["snapshot-id"] != sid
+            ),
+            key=lambda s: seq_by_sid[s["snapshot-id"]],
+            default=None,
+        )
+        if prior is None:
+            return self.analyze(columns, k)
+        old_sid = prior["snapshot-id"]
+        old_entries, _ = self.files(snapshot_id=old_sid)
+        cur_entries, _ = self.files()
+        old_paths = {e["file_path"] for e in old_entries}
+        cur_paths = {e["file_path"] for e in cur_entries}
+        old_del = {
+            d["data_file"]["file_path"]
+            for d in self.delete_entries(snapshot_id=old_sid)
+        }
+        cur_del = {d["data_file"]["file_path"] for d in self.delete_entries()}
+        if not old_paths <= cur_paths or old_del != cur_del:
+            # files vanished or deletes appeared: sketches can't unlearn
+            out = self.analyze(columns, k)
+            out["fallback_reason"] = "non-append history since last analyze"
+            return out
+        new_entries = [e for e in cur_entries if e["file_path"] not in old_paths]
+        ice = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        hashable = {"int", "long", "string", "timestamp_ns", "timestamptz_ns"}
+        by_name = {f["name"]: f for f in ice["fields"]}
+        old_footer = read_puffin_footer(prior["statistics-path"].replace("file:", ""))
+        old_blob_by_fid = {
+            tuple(b.get("fields") or []): b
+            for b in old_footer["blobs"]
+            if b["type"] == "apache-datasketches-theta-v1"
+        }
+        if columns is None:
+            # incremental scope = the columns the PRIOR analyze covered
+            id_to_name = {f["id"]: f["name"] for f in ice["fields"]}
+            columns = [
+                id_to_name[fid]
+                for (fid,) in old_blob_by_fid
+                if fid in id_to_name and by_name[id_to_name[fid]]["type"] in hashable
+            ]
+        new_df = (
+            self._read_data_entries(new_entries, self.schema())
+            if new_entries
+            else None
+        )
+        blobs = []
+        ndvs: dict[str, int] = {}
+        for name in columns:
+            f = by_name.get(name)
+            if f is None:
+                raise ValueError(f"no column {name!r}")
+            old_b = old_blob_by_fid.get((f["id"],))
+            if old_b is None:
+                # column not in the prior stats file: full column pass
+                sketch = build_kmv(
+                    self._column_topk_hashes(self.read(), name, f["type"], k), k
+                )
+            else:
+                old_img = read_puffin_blob(
+                    prior["statistics-path"].replace("file:", ""),
+                    old_b["offset"],
+                    old_b["length"],
+                )
+                if new_df is None:
+                    sketch = old_img
+                else:
+                    new_img = build_kmv(
+                        self._column_topk_hashes(new_df, name, f["type"], k), k
+                    )
+                    sketch = union_sketches([old_img, new_img], k)
+            est = parse_compact(sketch)["estimate"]
+            ndvs[name] = int(round(est))
+            blobs.append(
+                {
+                    "type": "apache-datasketches-theta-v1",
+                    "fields": [f["id"]],
+                    "snapshot-id": sid,
+                    "sequence-number": seq,
+                    "data": sketch,
+                    "properties": {"ndv": str(ndvs[name])},
+                }
+            )
+        path = self._publish_statistics(md, sid, blobs)
+        return {
+            "statistics_path": path,
+            "ndv": ndvs,
+            "k": k,
+            "mode": "incremental",
+            "files_hashed": len(new_entries),
+            "files_total": len(cur_entries),
+        }
 
     def ndv(self, column: str, snapshot_id: int | None = None) -> dict:
         """Read back a column's NDV from the snapshot's theta-sketch
@@ -6939,4 +7078,74 @@ def q207_iceberg_ndv_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "column_name STRING, exact_ndv BIGINT, ndv_within_5pct INT,"
         " exact_mode_correct INT, blob_roundtrips INT",
+    )
+
+
+_INCSTATS_CACHE: dict = {}
+
+
+def _demo_incremental_stats(spark: SparkSession, sf_dir: str):
+    """Incremental-ANALYZE demo, memoized per (session, sf_dir): orders'
+    even keys ingested + analyzed at create; odd keys appended and
+    analyzed INCREMENTALLY (only the appended files hashed, sketches
+    unioned with the prior blobs)."""
+    cache_key = (id(spark), sf_dir)
+    got = _INCSTATS_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got[0].meta_dir):
+        return got
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"icinc_{uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    t = IcebergTable.create(spark, root, o.where(F.col("o_orderkey") % 2 == 0))
+    t.analyze(columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    n_v0 = len(t.files()[0])
+    t.append(o.where(F.col("o_orderkey") % 2 == 1))
+    res = t.analyze_incremental()
+    _INCSTATS_CACHE[cache_key] = (t, res, n_v0)
+    return _INCSTATS_CACHE[cache_key]
+
+
+_Q211_ORACLE = """
+SELECT 'o_orderkey' AS column_name,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS exact_ndv,
+       1 AS ndv_within_5pct, 1 AS was_incremental, 1 AS only_new_files_hashed
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(DISTINCT o_custkey) AS BIGINT), 1, 1, 1
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(DISTINCT o_orderstatus) AS BIGINT), 1, 1, 1
+FROM orders
+"""
+
+
+@query("q211_iceberg_incremental_analyze", oracle=_Q211_ORACLE)
+def q211_iceberg_incremental_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANALYZE (r10): after a pure append, only the NEW data
+    files are hashed and their per-column theta sketches UNION with the
+    prior snapshot's statistics blobs (bottom-k sketches are insert-only
+    mergeable) — O(new data) stats maintenance instead of O(table), with
+    any removal/new-delete falling back to a full pass (sketches cannot
+    unlearn). Pins: the run took the incremental path, hashed exactly the
+    appended files (files_hashed == files_total − create-time files), and
+    every unioned estimate lands within 5% of the exact distinct count
+    the oracle recomputes over the full orders table (k=4096 → RSE
+    ~1.6%; deterministic hash → deterministic flags)."""
+    t, res, n_v0 = _demo_incremental_stats(spark, sf_dir)
+    o = load(spark, sf_dir, "orders")
+    was_inc = int(res["mode"] == "incremental")
+    n_appended = res.get("files_total", 0) - n_v0
+    only_new = int(n_appended > 0 and res.get("files_hashed") == n_appended)
+    rows = []
+    for col in ("o_orderkey", "o_custkey", "o_orderstatus"):
+        exact = o.select(col).distinct().count()
+        within = int(abs(res["ndv"][col] - exact) * 20 <= exact)
+        rows.append((col, exact, within, was_inc, only_new))
+    return spark.createDataFrame(
+        rows,
+        "column_name STRING, exact_ndv BIGINT, ndv_within_5pct INT,"
+        " was_incremental INT, only_new_files_hashed INT",
     )

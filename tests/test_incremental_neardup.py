@@ -109,3 +109,43 @@ def test_short_docs_skipped_consistently(spark, root):
     ids = {x for r in pairs for x in (r["doc_a"], r["doc_b"])}
     assert 1 not in ids and 3 not in ids
     assert idx.shingles.read().count() == 2
+
+
+def test_evict_then_incremental_matches_survivor_recompute(spark, root):
+    d = _docs(spark, range(100))
+    idx = NearDupIndex.build(spark, root, d)
+    out = idx.evict("doc_id >= 50")
+    assert out["docs_deleted"] == 50
+    assert out["band_rows_deleted"] == 50 * N_BANDS
+    assert out["files_rewritten"] == 0
+    assert idx.shingles.read().count() == 50
+    batch = _docs(spark, range(200, 240))
+    incr = _pairs(idx.dedup_incremental(batch))
+    # equivalence: survivors ∪ batch full recompute, restricted to pairs
+    # involving the batch (the incremental contract)
+    survivors_plus = d.where(F.col("doc_id") < 50).unionByName(batch)
+    full = [
+        p
+        for p in _pairs(_lsh_scored_pairs(_shingled(survivors_plus)))
+        if p[0] >= 200 or p[1] >= 200
+    ]
+    assert incr == sorted(full)
+    # no evicted doc ever appears in a pair
+    assert all(not (50 <= p[0] < 100 or 50 <= p[1] < 100) for p in incr)
+
+
+def test_compact_preserves_dedup_output(spark, root):
+    d = _docs(spark, range(90))
+    idx = NearDupIndex.build(spark, root, d.where(F.col("doc_id") < 40))
+    idx.dedup_incremental(
+        d.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+    ).count()
+    idx.evict("doc_id % 10 = 3")
+    before = _pairs(idx.pairs_within())
+    out = idx.compact(target_files=2)
+    assert out["bands"]["files_rewritten"] > 0
+    # OPTIMIZE purges DVs and bin-packs; the logical content is untouched
+    assert _pairs(idx.pairs_within()) == before
+    batch = d.where(F.col("doc_id") >= 60)
+    incr = _pairs(idx.dedup_incremental(batch))
+    assert all(p[0] % 10 != 3 or p[0] >= 60 for p in incr)

@@ -257,3 +257,48 @@ def test_union_matches_rebuild_property(xs, ys, k):
     else:
         denom = max(pd["estimate"], 1.0)
         assert abs(pu["estimate"] - pd["estimate"]) / denom <= 2.0 / k + 0.25
+
+
+def test_analyze_incremental_appends_only_new_files(spark, root):
+    df = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        (F.col("id") % 777).alias("k"), F.col("id").alias("uniq")
+    )
+    t = IcebergTable.create(spark, root, df(0, 10_000))
+    t.analyze()
+    n_files_v0 = len(t.files()[0])
+    t.append(df(10_000, 15_000))
+    out = t.analyze_incremental()
+    assert out["mode"] == "incremental"
+    # ONLY the appended files were hashed
+    assert out["files_hashed"] == out["files_total"] - n_files_v0 > 0
+    assert out["ndv"]["k"] == 777  # exact mode: union == direct
+    assert abs(out["ndv"]["uniq"] - 15_000) <= 0.05 * 15_000
+    # the published sketch reads back through the normal ndv() surface
+    assert t.ndv("uniq")["ndv"] == out["ndv"]["uniq"]
+    # chaining: a second incremental unions on top of the first
+    t.append(df(15_000, 18_000))
+    out2 = t.analyze_incremental()
+    assert out2["mode"] == "incremental"
+    assert abs(out2["ndv"]["uniq"] - 18_000) <= 0.05 * 18_000
+
+
+def test_analyze_incremental_falls_back_on_deletes_and_rewrites(spark, root):
+    df = spark.range(200).select((F.col("id") % 50).alias("k"))
+    t = IcebergTable.create(spark, root, df)
+    t.analyze()
+    t.equality_delete(spark.range(3).select(F.col("id").alias("k")))
+    out = t.analyze_incremental()
+    assert out["mode"] == "full" and "non-append" in out["fallback_reason"]
+    # live-row NDV after the delete (keys 0,1,2 dead)
+    assert out["ndv"]["k"] == 47
+    t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    out2 = t.analyze_incremental()
+    assert out2["mode"] == "full" and out2["ndv"]["k"] == 10
+
+
+def test_analyze_incremental_without_prior_stats_is_full(spark, root):
+    t = IcebergTable.create(
+        spark, root, spark.range(50).select(F.col("id").alias("k"))
+    )
+    out = t.analyze_incremental()
+    assert out["mode"] == "full" and out["ndv"]["k"] == 50
