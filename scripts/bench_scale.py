@@ -235,6 +235,75 @@ def main() -> None:
         wd["driver_rows_collected_base"] = wd["base_files_touched"]
         wd["driver_rows_collected_x10"] = wd["x10_files_touched"]
         result["wide_delete_dv"] = wd
+        # INCREMENTAL NEAR-DUP (r10): dedup a FIXED small batch against a
+        # persisted index at 1x and 10x corpus size. The incremental wall
+        # should stay ~flat while a full recompute grows with the corpus —
+        # the batch is shingled alone and joins the streamed index.
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.operators.dedup import (
+            NearDupIndex,
+            _lsh_scored_pairs,
+            _shingled,
+        )
+
+        docs = spark.read.parquet(os.path.join(base, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        docs10 = spark.read.parquet(
+            os.path.join(inflated, "documents.parquet")
+        ).select("doc_id", "text")
+        batch = docs.where(F.col("doc_id") % 100 == 7).withColumn(
+            "doc_id", (F.col("doc_id") + 10_000_000).cast("long")
+        )
+        n_batch = batch.count()
+        inc: dict = {"batch_rows": n_batch}
+        for tag, corpus in (("base", docs), ("x10", docs10)):
+            iroot = os.path.join(inflated, f"ndidx_{tag}")
+            t0 = time.time()
+            idx = NearDupIndex.build(spark, iroot, corpus)
+            inc[f"{tag}_build_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            n_pairs = idx.dedup_incremental(batch).count()
+            inc[f"{tag}_incremental_sec"] = round(time.time() - t0, 3)
+            inc[f"{tag}_pairs"] = n_pairs
+        t0 = time.time()
+        _lsh_scored_pairs(_shingled(docs.unionByName(batch))).count()
+        inc["base_full_recompute_sec"] = round(time.time() - t0, 3)
+        inc["incremental_ratio_10x"] = round(
+            inc["x10_incremental_sec"] / max(inc["base_incremental_sec"], 1e-9), 2
+        )
+        # the per-batch win at base scale: incremental vs full recompute
+        inc["speedup_vs_full_base"] = round(
+            inc["base_full_recompute_sec"] / max(inc["base_incremental_sec"], 1e-9),
+            2,
+        )
+        result["incremental_neardup"] = inc
+        # INCREMENTAL ANALYZE (r10): full analyze at 1x vs incremental
+        # after appending ~10% — the incremental pass hashes only the new
+        # files, so its wall should track the append, not the table.
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+            IcebergTable,
+        )
+
+        ia: dict = {}
+        aroot = os.path.join(inflated, "inc_analyze")
+        evt = ev10.select("event_id", "event_type", "value")
+        # 8-file corpus + 1-file append: the incremental pass should cost
+        # ~1/9th of the full pass (it reads only the appended file)
+        t = IcebergTable.create(
+            spark, aroot, evt.where(F.col("event_id") % 11 != 0).repartition(8)
+        )
+        t0 = time.time()
+        t.analyze(columns=["event_id", "event_type"])
+        ia["full_sec"] = round(time.time() - t0, 3)
+        t.append(evt.where(F.col("event_id") % 11 == 0).coalesce(1))
+        t0 = time.time()
+        out = t.analyze_incremental()
+        ia["incremental_sec"] = round(time.time() - t0, 3)
+        ia["mode"] = out["mode"]
+        ia["files_hashed"] = out.get("files_hashed")
+        ia["files_total"] = out.get("files_total")
+        ia["speedup"] = round(ia["full_sec"] / max(ia["incremental_sec"], 1e-9), 2)
+        result["incremental_analyze"] = ia
     finally:
         shutil.rmtree(inflated, ignore_errors=True)
     with open(out_path, "w") as f:
