@@ -4167,7 +4167,14 @@ class IcebergTable:
         ):
             rows.append(
                 {
-                    "partition": dict(zip(all_fields, pvals)),
+                    # parquet cannot store a zero-field struct — an
+                    # UNPARTITIONED table's stats rows omit the partition
+                    # column entirely (the unified partition type is empty)
+                    **(
+                        {"partition": dict(zip(all_fields, pvals))}
+                        if all_fields
+                        else {}
+                    ),
                     "spec_id": spec_id,
                     "data_record_count": ent["records"],
                     "data_file_count": ent["files"],

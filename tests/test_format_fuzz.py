@@ -138,6 +138,42 @@ def test_random_op_sequences_agree_across_formats(spark, init, ops):
             )
             assert got_pl == sorted(t for t in model if t[0] == probe_live)
         assert dl.point_lookup("k", 999_999).count() == 0
+        # r10 surfaces on the post-sequence state:
+        # (a) the Delta VERSION CHECKSUM on disk equals the replayed one
+        # for the final version (every read above already validated it —
+        # this pins the API view matches the artifact byte-for-byte)
+        import json as _json
+
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+            _fmt_crc,
+        )
+
+        with open(os.path.join(dl.log_dir, _fmt_crc(dl.latest_version()))) as f:
+            disk = _json.load(f)
+        api = dl.version_checksum()
+        # counted invariants must match exactly; metadata compares by table
+        # id (checkpoint replay normalizes incidental fields like
+        # createdTime, which the validator rightly ignores)
+        for k_ in (
+            "numFiles", "tableSizeBytes", "numDeletedRecordsOpt",
+            "numDeletionVectorsOpt", "protocol",
+        ):
+            assert disk[k_] == api[k_], k_
+        assert disk["metadata"]["id"] == api["metadata"]["id"]
+        # (b) ANALYZE after any random delete/append mix: k has <= 10
+        # distinct LIVE values, so the theta sketch is exact-mode and must
+        # equal the model's live-key count
+        ic.analyze(columns=["k"])
+        got_ndv = ic.ndv("k")
+        assert got_ndv["exact"] and got_ndv["ndv"] == len({t_[0] for t_ in model})
+        # (c) partition statistics on the (unpartitioned) final state:
+        # data_record_count sums the live data files' record counts
+        ic.write_partition_statistics()
+        ps = ic.partition_stats_df().collect()
+        assert len(ps) == 1
+        assert ps[0]["data_record_count"] == sum(
+            e.get("record_count") or 0 for e in ic.files()[0]
+        )
         # the create snapshot is immutable under every stack
         first = sorted(init)
         assert _rows(tx.read(0)) == _rows(dl.read(0)) == first

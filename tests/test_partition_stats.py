@@ -94,3 +94,17 @@ def test_missing_stats_refuses(spark, root):
     t = _mk(spark, root)
     with pytest.raises(ValueError, match="no partition statistics"):
         t.partition_stats_df()
+
+
+def test_unpartitioned_table_omits_partition_column(spark, root):
+    t = IcebergTable.create(
+        spark, root, spark.range(10).select(F.col("id").alias("k"))
+    )
+    out = t.write_partition_statistics()
+    assert out["partitions"] == 1
+    df = t.partition_stats_df()
+    # parquet cannot hold an empty struct: unpartitioned rows drop the
+    # partition column entirely rather than failing the write
+    assert "partition" not in df.columns
+    r = df.first()
+    assert r["data_record_count"] == 10 and r["total_record_count"] == 10
