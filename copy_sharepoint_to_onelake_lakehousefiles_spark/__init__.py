@@ -40,7 +40,14 @@ def _load_all_operator_modules() -> None:
         text,
     )
     from . import plans as _plans  # noqa: F401
-    from .plans import copy_plan, deltalog, iceberg, metatables, txtable  # noqa: F401
+    from .plans import (  # noqa: F401
+        copy_plan,
+        deltalog,
+        iceberg,
+        joinplan,
+        metatables,
+        txtable,
+    )
     from .sources import formats  # noqa: F401
     from .streaming import tws, windows  # noqa: F401
     from .multimodal import media  # noqa: F401

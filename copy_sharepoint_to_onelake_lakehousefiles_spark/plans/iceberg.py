@@ -4102,6 +4102,10 @@ class IcebergTable:
                 for b in footer["blobs"]
                 if b["type"] == "apache-datasketches-theta-v1"
                 and b.get("fields") == [fid]
+                # analyze_partitions writes ADDITIONAL per-partition blobs
+                # for the same field; the table-level blob is the one
+                # without a partition property
+                and "partition" not in (b.get("properties") or {})
             ),
             None,
         )
@@ -4114,6 +4118,304 @@ class IcebergTable:
             "exact": sk["theta"] == LONG_MAX + 1,
             "retained": len(sk["entries"]),
             "declared_ndv": int((blob.get("properties") or {}).get("ndv", -1)),
+        }
+
+    # ------------------------------------------- per-partition statistics
+
+    def analyze_partitions(
+        self, columns: list[str] | None = None, k: int | None = None
+    ) -> dict:
+        """PER-PARTITION ANALYZE: one theta sketch per (partition tuple,
+        column) of the CURRENT snapshot, plus the table-level sketches —
+        all in ONE Puffin statistics file, in ONE pass over the data for
+        ALL requested columns (vs analyze()'s pass per column).
+
+        Why partition-keyed sketches: a planner that pruned a 100 TB table
+        down to a handful of partitions needs the NDV of the SURVIVING
+        data, not of the whole table — table-level NDV over-estimates
+        post-pruning distinctness and mis-sizes joins. Theta sketches are
+        union-mergeable, so any partition subset's NDV is a blob union
+        (``ndv_pruned``), and the table-level blobs here are literally the
+        union of the partition blobs — zero extra data passes, and when
+        every partition sketch is exact-mode the union is bit-identical to
+        a direct ``analyze()`` build (tests/test_theta.py).
+
+        Partition tuples are computed from the DATA via the default spec's
+        transforms (identity/bucket/truncate), so files written under older
+        specs are attributed correctly. Blob metadata: per-partition blobs
+        carry ``properties: {ndv, partition: <canonical JSON of the
+        partition dict>, spec-id}``; table-level blobs carry only ``ndv``
+        (the shape ``ndv()`` reads). The per-partition property keying is
+        engine-level (Puffin properties are free-form string maps by spec;
+        the blob type and image stay spec-standard).
+
+        Distributed shape: each Arrow batch groups by the partition tuple
+        and prunes each (group, column) to its bottom-(k+1) DISTINCT hashes
+        (any pruned hash has k+1 smaller ones in its batch-group, so the
+        global per-group bottom set is preserved); a window top-(k+1) per
+        (partition, column) bounds the collect at O(partitions × columns
+        × k) — never O(rows). Unpartitioned tables refuse (use analyze())."""
+        import json as _json
+
+        from pyspark.sql.window import Window
+
+        from .theta import build_kmv, parse_compact, union_sketches
+
+        k = self.THETA_K if k is None else int(k)
+        md = self.metadata()
+        snap = self._resolve_snapshot(None, None)
+        sid, seq = snap["snapshot-id"], snap["sequence-number"]
+        pf_meta = self.partition_fields()
+        if not pf_meta:
+            raise ValueError(
+                "analyze_partitions over an UNPARTITIONED table — use analyze()"
+            )
+        spec_id = md["default-spec-id"]
+        ice = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        hashable = {"int", "long", "string", "timestamp_ns", "timestamptz_ns"}
+        by_name = {f["name"]: f for f in ice["fields"]}
+        if columns is None:
+            columns = [f["name"] for f in ice["fields"] if f["type"] in hashable]
+        for name in columns:
+            f = by_name.get(name)
+            if f is None:
+                raise ValueError(f"no column {name!r}")
+            if f["type"] not in hashable:
+                raise NotImplementedError(
+                    f"NDV sketch over {f['type']!r} — hash rule implemented"
+                    " for int/long/string/ns-timestamp columns only"
+                )
+        pnames = [pf["name"] for pf in pf_meta]
+        p_is_str = {
+            pf["name"]: pf["ice_type"] == "string" for pf in pf_meta
+        }
+        col_is_str = [by_name[c]["type"] == "string" for c in columns]
+        src = self.read().select(
+            *[
+                self._transform_col(pf).alias(f"__p_{pf['name']}")
+                for pf in pf_meta
+            ],
+            *[
+                F.col(c) if by_name[c]["type"] == "string"
+                else F.col(c).cast("long").alias(c)
+                for c in columns
+            ],
+        )
+
+        def _canon(vals) -> str:
+            """Canonical JSON partition key: sorted field names, native
+            int/str/None values — the EXACT string the readers re-derive."""
+            import pandas as _pd
+
+            d = {}
+            for n, v in zip(pnames, vals):
+                if v is None or (not isinstance(v, (str, bytes)) and _pd.isna(v)):
+                    d[n] = None
+                elif p_is_str[n]:
+                    d[n] = str(v)
+                else:
+                    d[n] = int(v)
+            return _json.dumps(d, sort_keys=True, separators=(",", ":"))
+
+        def _hash_grouped(batches, _cols=columns, _is_str=col_is_str, _k=k):
+            import numpy as _np
+            import pandas as _pd
+
+            from .theta import hash_long_vec, hash_string
+
+            pcols = [f"__p_{n}" for n in pnames]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for key, g in pdf.groupby(pcols, dropna=False, sort=False):
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    pj = _canon(key)
+                    for ci, (cname, is_s) in enumerate(zip(_cols, _is_str)):
+                        vals = g[cname].dropna()
+                        if not len(vals):
+                            continue
+                        if is_s:
+                            hs = _np.fromiter(
+                                {hash_string(str(v)) for v in vals.unique()},
+                                dtype=_np.int64,
+                            )
+                        else:
+                            hs = _np.unique(
+                                hash_long_vec(vals.to_numpy(dtype=_np.int64))
+                            )
+                        if len(hs) > _k + 1:
+                            hs = _np.partition(hs, _k)[: _k + 1]
+                        yield _pd.DataFrame(
+                            {"p": pj, "c": ci, "h": _np.sort(hs)}
+                        )
+
+        w = Window.partitionBy("p", "c").orderBy("h")
+        survivors = (
+            src.mapInPandas(_hash_grouped, "p string, c int, h long")
+            .distinct()
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k + 1)
+            .select("p", "c", "h")
+            # bounded: window cap = (k+1) × partitions × columns hashes
+            .collect()
+        )
+        by_pc: dict[tuple[str, int], list[int]] = {}
+        for r in survivors:
+            by_pc.setdefault((r["p"], r["c"]), []).append(r["h"])
+        partitions = sorted({p for (p, _c) in by_pc})
+        blobs: list[dict] = []
+        partition_ndv: dict[str, dict[str, int]] = {p: {} for p in partitions}
+        ndvs: dict[str, int] = {}
+        for ci, name in enumerate(columns):
+            fid = by_name[name]["id"]
+            per_part: list[bytes] = []
+            for p in partitions:
+                hs = by_pc.get((p, ci))
+                if hs is None:
+                    continue  # partition has only NULLs in this column
+                sk = build_kmv(hs, k)
+                est = int(round(parse_compact(sk)["estimate"]))
+                partition_ndv[p][name] = est
+                per_part.append(sk)
+                blobs.append(
+                    {
+                        "type": "apache-datasketches-theta-v1",
+                        "fields": [fid],
+                        "snapshot-id": sid,
+                        "sequence-number": seq,
+                        "data": sk,
+                        "properties": {
+                            "ndv": str(est),
+                            "partition": p,
+                            "spec-id": str(spec_id),
+                        },
+                    }
+                )
+            table_sk = union_sketches(per_part, k) if per_part else build_kmv([], k)
+            ndvs[name] = int(round(parse_compact(table_sk)["estimate"]))
+            blobs.append(
+                {
+                    "type": "apache-datasketches-theta-v1",
+                    "fields": [fid],
+                    "snapshot-id": sid,
+                    "sequence-number": seq,
+                    "data": table_sk,
+                    "properties": {"ndv": str(ndvs[name])},
+                }
+            )
+        path = self._publish_statistics(md, sid, blobs)
+        return {
+            "statistics_path": path,
+            "ndv": ndvs,
+            "partition_ndv": partition_ndv,
+            "partitions": len(partitions),
+            "k": k,
+            "mode": "partitioned",
+        }
+
+    def _partition_blobs(self, column: str, snapshot_id: int | None = None):
+        """(path, fid, [per-partition theta blob metas]) for a column —
+        the shared resolve step of partition_ndv / ndv_pruned."""
+        from .puffin import read_puffin_footer
+
+        md = self.metadata()
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else md.get("current-snapshot-id")
+        )
+        entry = next(
+            (s for s in md.get("statistics") or [] if s["snapshot-id"] == sid),
+            None,
+        )
+        if entry is None:
+            raise ValueError(
+                f"no statistics for snapshot {sid} — run analyze_partitions() first"
+            )
+        ice = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        fid = next((f["id"] for f in ice["fields"] if f["name"] == column), None)
+        if fid is None:
+            raise ValueError(f"no column {column!r}")
+        path = entry["statistics-path"].replace("file:", "")
+        footer = read_puffin_footer(path)
+        blobs = [
+            b
+            for b in footer["blobs"]
+            if b["type"] == "apache-datasketches-theta-v1"
+            and b.get("fields") == [fid]
+            and "partition" in (b.get("properties") or {})
+        ]
+        if not blobs:
+            raise ValueError(
+                f"no per-partition theta sketches for column {column!r} at"
+                f" snapshot {sid} — run analyze_partitions() first"
+            )
+        return path, fid, blobs
+
+    def partition_ndv(
+        self, column: str, snapshot_id: int | None = None
+    ) -> list[dict]:
+        """Read back a column's per-partition NDVs from the statistics
+        file: one {partition, ndv, exact, estimate} per partition blob,
+        sorted by the canonical partition JSON."""
+        import json as _json
+
+        from .puffin import read_puffin_blob
+        from .theta import LONG_MAX, parse_compact
+
+        path, _fid, blobs = self._partition_blobs(column, snapshot_id)
+        out = []
+        for b in sorted(blobs, key=lambda b_: b_["properties"]["partition"]):
+            sk = parse_compact(read_puffin_blob(path, b["offset"], b["length"]))
+            out.append(
+                {
+                    "partition": _json.loads(b["properties"]["partition"]),
+                    "ndv": int(round(sk["estimate"])),
+                    "estimate": sk["estimate"],
+                    "exact": sk["theta"] == LONG_MAX + 1,
+                    "declared_ndv": int(b["properties"].get("ndv", -1)),
+                }
+            )
+        return out
+
+    def ndv_pruned(
+        self,
+        column: str,
+        partition_filter: dict,
+        snapshot_id: int | None = None,
+        k: int | None = None,
+    ) -> dict:
+        """NDV of the data SURVIVING partition pruning: union the theta
+        sketches of exactly the partitions matching ``partition_filter``
+        (equality on partition field values, the same keys ``files()``
+        prunes by). This is the number a join planner needs after pruning
+        — table-level NDV would over-count distincts that pruning already
+        discarded. O(matched blobs), never a data scan."""
+        import json as _json
+
+        from .puffin import read_puffin_blob
+        from .theta import LONG_MAX, parse_compact, union_sketches
+
+        k = self.THETA_K if k is None else int(k)
+        path, _fid, blobs = self._partition_blobs(column, snapshot_id)
+        imgs = []
+        for b in blobs:
+            part = _json.loads(b["properties"]["partition"])
+            if all(part.get(n) == v for n, v in partition_filter.items()):
+                imgs.append(read_puffin_blob(path, b["offset"], b["length"]))
+        u = union_sketches(imgs, k) if imgs else union_sketches([], k)
+        sk = parse_compact(u)
+        return {
+            "ndv": int(round(sk["estimate"])),
+            "estimate": sk["estimate"],
+            "exact": sk["theta"] == LONG_MAX + 1,
+            "partitions_matched": len(imgs),
+            "partitions_total": len(blobs),
         }
 
     def write_partition_statistics(self) -> dict:
@@ -7155,4 +7457,85 @@ def q211_iceberg_incremental_analyze(spark: SparkSession, sf_dir: str) -> DataFr
         rows,
         "column_name STRING, exact_ndv BIGINT, ndv_within_5pct INT,"
         " was_incremental INT, only_new_files_hashed INT",
+    )
+
+
+_PSTATS_CACHE: dict = {}
+
+
+def _demo_iceberg_pstats(spark: SparkSession, sf_dir: str):
+    """Partition-analyzed demo, memoized per (session, sf_dir): orders
+    identity-partitioned by o_orderstatus with ``analyze_partitions()``
+    run once over the unique key and the mid-cardinality key."""
+    cache_key = (id(spark), sf_dir)
+    got = _PSTATS_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got[0].meta_dir):
+        return got
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"icepst_{uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    t = IcebergTable.create(spark, root, o, partition_by=["o_orderstatus"])
+    res = t.analyze_partitions(columns=["o_orderkey", "o_custkey"])
+    _PSTATS_CACHE[cache_key] = (t, res)
+    return _PSTATS_CACHE[cache_key]
+
+
+_Q212_ORACLE = """
+SELECT o_orderstatus, 'o_orderkey' AS column_name,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS exact_ndv,
+       1 AS ndv_within_5pct, 1 AS exact_mode_correct, 1 AS pruned_equals_blob
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT o_orderstatus, 'o_custkey',
+       CAST(count(DISTINCT o_custkey) AS BIGINT), 1, 1, 1
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("q212_iceberg_partition_ndv", oracle=_Q212_ORACLE)
+def q212_iceberg_partition_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-PARTITION NDV statistics (r10): ``analyze_partitions()`` writes
+    one theta blob per (partition, column) — keyed by a canonical-JSON
+    ``partition`` blob property — PLUS the table-level blobs as their
+    union, in one Puffin file and ONE data pass for all columns. Pins per
+    (partition, column), against the oracle's exact per-partition distinct
+    counts: the blob estimate lands within 5% (k=4096 → RSE ~1.6%;
+    deterministic hash → deterministic flag), exact-mode engages iff the
+    partition's NDV <= k, and ``ndv_pruned`` restricted to that single
+    partition returns the same estimate the blob declares — the
+    union-of-surviving-partitions path a planner takes after pruning."""
+    t, _res = _demo_iceberg_pstats(spark, sf_dir)
+    o = load(spark, sf_dir, "orders")
+    exact_rows = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_orderkey").alias("k_ok"),
+            F.countDistinct("o_custkey").alias("k_ck"),
+        )
+        # bounded: one row per order status (3)
+        .collect()
+    )
+    exact = {
+        r["o_orderstatus"]: {"o_orderkey": r["k_ok"], "o_custkey": r["k_ck"]}
+        for r in exact_rows
+    }
+    rows = []
+    for col in ("o_orderkey", "o_custkey"):
+        for pr in t.partition_ndv(col):
+            status = pr["partition"]["o_orderstatus"]
+            ex = exact[status][col]
+            within = int(abs(pr["ndv"] - ex) * 20 <= ex)
+            mode_ok = int(pr["exact"] == (ex <= t.THETA_K))
+            pruned = t.ndv_pruned(col, {"o_orderstatus": status})
+            pruned_ok = int(
+                pruned["ndv"] == pr["ndv"] and pruned["partitions_matched"] == 1
+            )
+            rows.append((status, col, ex, within, mode_ok, pruned_ok))
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus STRING, column_name STRING, exact_ndv BIGINT,"
+        " ndv_within_5pct INT, exact_mode_correct INT, pruned_equals_blob INT",
     )

@@ -304,6 +304,58 @@ def main() -> None:
         ia["files_total"] = out.get("files_total")
         ia["speedup"] = round(ia["full_sec"] / max(ia["incremental_sec"], 1e-9), 2)
         result["incremental_analyze"] = ia
+        # STATS-DRIVEN JOIN PLANNER (r10): per-partition ANALYZE scales
+        # with the data (one pass for all columns), but the PLANNING
+        # decision itself reads only manifests + Puffin blobs — its wall
+        # must stay ~flat at 10x rows, and its cardinality estimate must
+        # match the true join size (PK-FK containment → the System-R
+        # formula is exact).
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+            execute_equi_join,
+            plan_equi_join,
+        )
+
+        jp: dict = {}
+        for tag, df in (("base", ev), ("x10", ev10)):
+            froot = os.path.join(inflated, f"plan_f_{tag}")
+            droot = os.path.join(inflated, f"plan_d_{tag}")
+            ft = IcebergTable.create(
+                spark,
+                froot,
+                df.repartition(4, "event_id"),
+                partition_by=["event_type"],
+            )
+            t0 = time.time()
+            ft.analyze_partitions(columns=["event_id", "event_type"])
+            jp[f"{tag}_analyze_partitions_sec"] = round(time.time() - t0, 3)
+            dim = (
+                df.select(F.col("event_type").alias("etype"))
+                .distinct()
+                .withColumn("weight", F.lit(1.0))
+            )
+            dt = IcebergTable.create(spark, droot, dim.coalesce(1))
+            dt.analyze(columns=["etype"])
+            plan_equi_join(ft, dt, "event_type", "etype")  # warm
+            t0 = time.time()
+            dec = plan_equi_join(ft, dt, "event_type", "etype")
+            jp[f"{tag}_plan_sec"] = round(time.time() - t0, 3)
+            actual = execute_equi_join(
+                dec, ft.read(), dt.read(), "event_type", "etype"
+            ).count()
+            jp[f"{tag}_strategy"] = dec["strategy"]
+            jp[f"{tag}_est_rows"] = dec["est_rows"]
+            jp[f"{tag}_actual_rows"] = actual
+            jp[f"{tag}_est_exact"] = dec["est_rows"] == actual
+        jp["analyze_ratio"] = round(
+            jp["x10_analyze_partitions_sec"]
+            / max(jp["base_analyze_partitions_sec"], 1e-9),
+            2,
+        )
+        jp["plan_ratio"] = round(
+            jp["x10_plan_sec"] / max(jp["base_plan_sec"], 1e-9), 2
+        )
+        jp["plan_flat"] = jp["plan_ratio"] <= 3.0
+        result["stats_join_planner"] = jp
     finally:
         shutil.rmtree(inflated, ignore_errors=True)
     with open(out_path, "w") as f:
