@@ -3846,7 +3846,103 @@ class IcebergTable:
             .collect()
         ]
 
-    def analyze(self, columns: list[str] | None = None, k: int | None = None) -> dict:
+    def _composite_topk_hashes(
+        self, source: DataFrame, names: list[str], types: list[str], k: int
+    ) -> list[int]:
+        """Bottom-(k+1) DISTINCT COMPOSITE theta hashes over a column
+        tuple: per-field digests follow the single-column hash rules
+        (numpy-vectorized for longs), combined by the engine-defined
+        ``hash_composite`` rule (theta.py — DataSketches has no
+        cross-column standard; the blob's multi-entry ``fields`` list
+        declares it). Rows with ANY NULL component are excluded, matching
+        SQL ``count(DISTINCT a, b)``. Same batch-prune + TakeOrdered
+        shape as the single-column path — O(k) driver rows."""
+        src = source.select(
+            *[
+                F.col(n) if t == "string" else F.col(n).cast("long").alias(n)
+                for n, t in zip(names, types)
+            ]
+        ).na.drop()
+
+        def _hash_batches(batches, _names=names, _types=types, _k=k):
+            import numpy as _np
+            import pandas as _pd
+
+            from .theta import hash_composite_vec, hash_long_vec, hash_string
+
+            for pdf in batches:
+                pdf = pdf.dropna()
+                if not len(pdf):
+                    continue
+                digs = []
+                for n_, t_ in zip(_names, _types):
+                    if t_ == "string":
+                        uniq = {v: hash_string(str(v)) for v in pdf[n_].unique()}
+                        digs.append(
+                            pdf[n_].map(uniq).to_numpy(dtype=_np.int64)
+                        )
+                    else:
+                        digs.append(
+                            hash_long_vec(pdf[n_].to_numpy(dtype=_np.int64))
+                        )
+                hs = _np.unique(hash_composite_vec(digs))
+                if len(hs) > _k + 1:
+                    hs = _np.partition(hs, _k)[: _k + 1]
+                yield _pd.DataFrame({"h": _np.sort(hs)})
+
+        return [
+            r["h"]
+            for r in src.mapInPandas(_hash_batches, "h long")
+            .distinct()
+            .orderBy("h")
+            .limit(k + 1)
+            # bounded: TakeOrdered caps this at k+1 8-byte hashes
+            .collect()
+        ]
+
+    HASHABLE_TYPES = frozenset(
+        {"int", "long", "string", "timestamp_ns", "timestamptz_ns"}
+    )
+
+    def _normalize_stat_columns(self, columns, ice) -> list[tuple[tuple, list]]:
+        """[(names-tuple, schema-fields)] for an analyze column spec: a
+        str entry is a single-column sketch, a tuple/list entry a
+        composite-key sketch; None defaults to every hashable single
+        column. Unknown names and unhashable types refuse loudly."""
+        by_name = {f["name"]: f for f in ice["fields"]}
+        if columns is None:
+            return [
+                ((f["name"],), [f])
+                for f in ice["fields"]
+                if f["type"] in self.HASHABLE_TYPES
+            ]
+        out = []
+        for c in columns:
+            names = (c,) if isinstance(c, str) else tuple(c)
+            fields = []
+            for name in names:
+                f = by_name.get(name)
+                if f is None:
+                    raise ValueError(f"no column {name!r}")
+                if f["type"] not in self.HASHABLE_TYPES:
+                    raise NotImplementedError(
+                        f"NDV sketch over {f['type']!r} — hash rule implemented"
+                        " for int/long/string/ns-timestamp columns only"
+                    )
+                fields.append(f)
+            out.append((names, fields))
+        return out
+
+    def _topk_hashes_for(self, source, names, fields, k) -> list[int]:
+        if len(names) == 1:
+            return self._column_topk_hashes(
+                source, names[0], fields[0]["type"], k
+            )
+        return self._composite_topk_hashes(
+            source, list(names), [f["type"] for f in fields], k
+        )
+
+    def analyze(self, columns: list | None = None, k: int | None = None) -> dict:
         """ANALYZE TABLE: per-column NDV theta sketches for the CURRENT
         snapshot, written as ONE Puffin statistics file with
         ``apache-datasketches-theta-v1`` blobs (Iceberg spec §Puffin blob
@@ -3865,7 +3961,10 @@ class IcebergTable:
 
         Re-analyzing a snapshot replaces its statistics entry. Columns
         default to every int/long/string/ns-timestamp column; other types
-        refuse loudly when named explicitly."""
+        refuse loudly when named explicitly. A tuple/list entry builds a
+        COMPOSITE-key sketch (blob ``fields`` lists every member id, the
+        spec's multi-field shape) — the distinct-combination count a
+        planner needs to size a multi-column group-by or join key."""
         from .theta import build_kmv, parse_compact
 
         k = self.THETA_K if k is None else int(k)
@@ -3875,35 +3974,24 @@ class IcebergTable:
         ice = next(
             s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
         )
-        hashable = {"int", "long", "string", "timestamp_ns", "timestamptz_ns"}
-        by_name = {f["name"]: f for f in ice["fields"]}
-        if columns is None:
-            columns = [f["name"] for f in ice["fields"] if f["type"] in hashable]
         blobs = []
         ndvs: dict[str, int] = {}
-        for name in columns:
-            f = by_name.get(name)
-            if f is None:
-                raise ValueError(f"no column {name!r}")
-            if f["type"] not in hashable:
-                raise NotImplementedError(
-                    f"NDV sketch over {f['type']!r} — hash rule implemented"
-                    " for int/long/string/ns-timestamp columns only"
-                )
+        for names, fields in self._normalize_stat_columns(columns, ice):
             sketch = build_kmv(
-                self._column_topk_hashes(self.read(), name, f["type"], k), k
+                self._topk_hashes_for(self.read(), names, fields, k), k
             )
             est = parse_compact(sketch)["estimate"]
-            ndvs[name] = int(round(est))
+            key = ",".join(names)
+            ndvs[key] = int(round(est))
             blobs.append(
                 {
                     "type": "apache-datasketches-theta-v1",
-                    "fields": [f["id"]],
+                    "fields": [f["id"] for f in fields],
                     "snapshot-id": sid,
                     "sequence-number": seq,
                     "data": sketch,
                     # spec: the ndv property carries the blob's estimate
-                    "properties": {"ndv": str(ndvs[name])},
+                    "properties": {"ndv": str(ndvs[key])},
                 }
             )
         path = self._publish_statistics(md, sid, blobs)
@@ -3997,22 +4085,30 @@ class IcebergTable:
         ice = next(
             s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
         )
-        hashable = {"int", "long", "string", "timestamp_ns", "timestamptz_ns"}
         by_name = {f["name"]: f for f in ice["fields"]}
         old_footer = read_puffin_footer(prior["statistics-path"].replace("file:", ""))
         old_blob_by_fid = {
             tuple(b.get("fields") or []): b
             for b in old_footer["blobs"]
             if b["type"] == "apache-datasketches-theta-v1"
+            # per-partition blobs are NOT incrementally unionable (a new
+            # file may add rows to an existing partition's sketch only —
+            # which union handles — but attribution needs the partition
+            # pass); incremental scope is the table-level blobs
+            and "partition" not in (b.get("properties") or {})
         }
         if columns is None:
-            # incremental scope = the columns the PRIOR analyze covered
+            # incremental scope = the keys the PRIOR analyze covered
             id_to_name = {f["id"]: f["name"] for f in ice["fields"]}
-            columns = [
-                id_to_name[fid]
-                for (fid,) in old_blob_by_fid
-                if fid in id_to_name and by_name[id_to_name[fid]]["type"] in hashable
-            ]
+            columns = []
+            for fids in old_blob_by_fid:
+                if all(
+                    fid in id_to_name
+                    and by_name[id_to_name[fid]]["type"] in self.HASHABLE_TYPES
+                    for fid in fids
+                ):
+                    names = tuple(id_to_name[fid] for fid in fids)
+                    columns.append(names[0] if len(names) == 1 else names)
         new_df = (
             self._read_data_entries(new_entries, self.schema())
             if new_entries
@@ -4020,15 +4116,12 @@ class IcebergTable:
         )
         blobs = []
         ndvs: dict[str, int] = {}
-        for name in columns:
-            f = by_name.get(name)
-            if f is None:
-                raise ValueError(f"no column {name!r}")
-            old_b = old_blob_by_fid.get((f["id"],))
+        for names, fields in self._normalize_stat_columns(columns, ice):
+            old_b = old_blob_by_fid.get(tuple(f["id"] for f in fields))
             if old_b is None:
-                # column not in the prior stats file: full column pass
+                # key not in the prior stats file: full pass
                 sketch = build_kmv(
-                    self._column_topk_hashes(self.read(), name, f["type"], k), k
+                    self._topk_hashes_for(self.read(), names, fields, k), k
                 )
             else:
                 old_img = read_puffin_blob(
@@ -4040,19 +4133,20 @@ class IcebergTable:
                     sketch = old_img
                 else:
                     new_img = build_kmv(
-                        self._column_topk_hashes(new_df, name, f["type"], k), k
+                        self._topk_hashes_for(new_df, names, fields, k), k
                     )
                     sketch = union_sketches([old_img, new_img], k)
             est = parse_compact(sketch)["estimate"]
-            ndvs[name] = int(round(est))
+            key = ",".join(names)
+            ndvs[key] = int(round(est))
             blobs.append(
                 {
                     "type": "apache-datasketches-theta-v1",
-                    "fields": [f["id"]],
+                    "fields": [f["id"] for f in fields],
                     "snapshot-id": sid,
                     "sequence-number": seq,
                     "data": sketch,
-                    "properties": {"ndv": str(ndvs[name])},
+                    "properties": {"ndv": str(ndvs[key])},
                 }
             )
         path = self._publish_statistics(md, sid, blobs)
@@ -4065,12 +4159,13 @@ class IcebergTable:
             "files_total": len(cur_entries),
         }
 
-    def ndv(self, column: str, snapshot_id: int | None = None) -> dict:
-        """Read back a column's NDV from the snapshot's theta-sketch
-        statistics blob: resolves the ``statistics`` entry, reads the blob
-        span out of the Puffin footer, parses the compact sketch, and
-        returns the estimate (plus exactness: theta == 2^63 means every
-        distinct hash is retained)."""
+    def ndv(self, column, snapshot_id: int | None = None) -> dict:
+        """Read back a column's (or, given a tuple/list, a COMPOSITE
+        key's) NDV from the snapshot's theta-sketch statistics blob:
+        resolves the ``statistics`` entry, reads the blob span out of the
+        Puffin footer, parses the compact sketch, and returns the estimate
+        (plus exactness: theta == 2^63 means every distinct hash is
+        retained)."""
         from .puffin import read_puffin_blob, read_puffin_footer
         from .theta import LONG_MAX, parse_compact
 
@@ -4091,9 +4186,13 @@ class IcebergTable:
         ice = next(
             s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
         )
-        fid = next((f["id"] for f in ice["fields"] if f["name"] == column), None)
-        if fid is None:
-            raise ValueError(f"no column {column!r}")
+        names = [column] if isinstance(column, str) else list(column)
+        by_name = {f["name"]: f["id"] for f in ice["fields"]}
+        fids = []
+        for name in names:
+            if name not in by_name:
+                raise ValueError(f"no column {name!r}")
+            fids.append(by_name[name])
         path = entry["statistics-path"].replace("file:", "")
         footer = read_puffin_footer(path)
         blob = next(
@@ -4101,7 +4200,7 @@ class IcebergTable:
                 b
                 for b in footer["blobs"]
                 if b["type"] == "apache-datasketches-theta-v1"
-                and b.get("fields") == [fid]
+                and b.get("fields") == fids
                 # analyze_partitions writes ADDITIONAL per-partition blobs
                 # for the same field; the table-level blob is the one
                 # without a partition property
@@ -7341,7 +7440,14 @@ def _demo_iceberg_stats(spark: SparkSession, sf_dir: str):
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
     t = IcebergTable.create(spark, root, o)
-    res = t.analyze(columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    res = t.analyze(
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            ("o_custkey", "o_orderstatus"),
+        ]
+    )
     _STATS_CACHE[cache_key] = (t, res)
     return _STATS_CACHE[cache_key]
 
@@ -7538,4 +7644,60 @@ def q212_iceberg_partition_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "o_orderstatus STRING, column_name STRING, exact_ndv BIGINT,"
         " ndv_within_5pct INT, exact_mode_correct INT, pruned_equals_blob INT",
+    )
+
+
+_Q214_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+       1 AS ndv_within_5pct, 1 AS exact_mode_correct, 1 AS fields_declares_both
+FROM (SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL)
+"""
+
+
+@query("q214_iceberg_composite_ndv", oracle=_Q214_ORACLE)
+def q214_iceberg_composite_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE-KEY NDV (r10): analyze() accepts a column TUPLE and
+    builds one theta sketch of the distinct COMBINATIONS — per-field
+    digests under the single-column hash rules combined by the documented
+    engine rule (theta.py hash_composite; DataSketches defines no
+    cross-column standard), with the blob's multi-entry ``fields`` list
+    (the spec's multi-field shape) declaring both member ids. NULL-
+    component rows are excluded (SQL count(DISTINCT a, b) semantics).
+    Pins vs the oracle's exact distinct-pair count: estimate within 5%,
+    exact-mode iff pairs <= k, and the registered blob-metadata declares
+    exactly the two field ids."""
+    t, _res = _demo_iceberg_stats(spark, sf_dir)
+    o = load(spark, sf_dir, "orders")
+    exact = (
+        o.where(
+            F.col("o_custkey").isNotNull() & F.col("o_orderstatus").isNotNull()
+        )
+        .select("o_custkey", "o_orderstatus")
+        .distinct()
+        .count()
+    )
+    r = t.ndv(("o_custkey", "o_orderstatus"))
+    within = int(abs(r["ndv"] - exact) * 20 <= exact)
+    mode_ok = int(r["exact"] == (exact <= t.THETA_K))
+    md = t.metadata()
+    ice = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    )
+    fid = {f["name"]: f["id"] for f in ice["fields"]}
+    entry = next(
+        s
+        for s in md["statistics"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    declared = int(
+        any(
+            b["fields"] == [fid["o_custkey"], fid["o_orderstatus"]]
+            for b in entry["blob-metadata"]
+        )
+    )
+    return spark.createDataFrame(
+        [(exact, within, mode_ok, declared)],
+        "exact_pairs BIGINT, ndv_within_5pct INT, exact_mode_correct INT,"
+        " fields_declares_both INT",
     )

@@ -173,6 +173,58 @@ def plan_equi_join(
     }
 
 
+# Spark's spark.sql.files.maxPartitionBytes default — a sane per-task
+# byte target for the reduce side too.
+TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def plan_aggregation(
+    table,
+    keys,
+    *,
+    partition_filter: dict | None = None,
+    target_partition_bytes: int = TARGET_PARTITION_BYTES,
+    inflation: float = PARQUET_INFLATION,
+) -> dict:
+    """Size a GROUP-BY from statistics alone: estimated output groups =
+    the grouping key's NDV (the composite sketch for multi-column keys —
+    the product of single-column NDVs over-counts combinations that never
+    co-occur), and a suggested reduce-side shuffle width.
+
+    With map-side partial aggregation the shuffled/reduced volume follows
+    the GROUPS, not the input rows, so the reduce width is sized as
+    est_groups x avg in-memory row size / target bytes per task —
+    `spark.sql.shuffle.partitions` left at its default 200 gives 200
+    near-empty tasks for a 3-group rollup and catastrophic 200-way
+    spill for a billion-group key; this number is what a session should
+    set (or AQE coalesce will approximate at runtime, one shuffle later).
+    Row width folds from pruned manifest byte/row totals x inflation."""
+    import math
+
+    entries, _ = table.files(partition_filter=partition_filter)
+    rows = sum(int(e.get("record_count") or 0) for e in entries)
+    nbytes = sum(int(e.get("file_size_in_bytes") or 0) for e in entries)
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    key = keys[0] if len(keys) == 1 else keys
+    nd = table.ndv(key)
+    est_groups = min(int(nd["ndv"]), rows) if rows else 0
+    avg_row_mem = (nbytes * inflation / rows) if rows else 0.0
+    est_output_bytes = int(est_groups * avg_row_mem)
+    suggested = max(
+        1, math.ceil(est_output_bytes / max(target_partition_bytes, 1))
+    )
+    return {
+        "keys": keys,
+        "rows": rows,
+        "est_groups": est_groups,
+        "ndv_exact": bool(nd["exact"]),
+        "avg_row_bytes": round(avg_row_mem, 1),
+        "est_output_bytes": est_output_bytes,
+        "suggested_shuffle_partitions": suggested,
+        "target_partition_bytes": target_partition_bytes,
+    }
+
+
 def execute_equi_join(
     decision: dict,
     left_df: DataFrame,
@@ -276,5 +328,49 @@ def q213_stats_planned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(chose_broadcast).alias("chose_broadcast"),
         F.lit(build_is_customer).alias("build_is_customer"),
         F.lit(est_ok).alias("est_within_10pct"),
+    )
+    return materialize(out)
+
+
+_Q215_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       1 AS est_groups_within_5pct, 1 AS partitions_sane
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("q215_aggregation_advisor", oracle=_Q215_ORACLE)
+def q215_aggregation_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATION SIZING from statistics (r10): plan_aggregation reads
+    the COMPOSITE (o_custkey, o_orderstatus) theta blob — the true
+    combination count; the single-column NDV product over-counts pairs
+    that never co-occur — plus manifest row/byte totals, and suggests a
+    reduce-side shuffle width for the group-by. Pins: the group estimate
+    lands within 5% of the oracle's exact distinct-pair count (exact-mode
+    at sf0.01), and the suggested width is sane (>= 1, <= row count; 1 at
+    this scale — 200 default tasks for a ~3k-group rollup is the waste
+    this advisor exists to avoid). The grouped DATA hash-matches the
+    plain aggregation — advice never changes semantics."""
+    from .iceberg import _demo_iceberg_stats
+
+    t, _res = _demo_iceberg_stats(spark, sf_dir)
+    plan = plan_aggregation(t, ("o_custkey", "o_orderstatus"))
+    o = load(spark, sf_dir, "orders")
+    exact_groups = o.select("o_custkey", "o_orderstatus").distinct().count()
+    within = int(abs(plan["est_groups"] - exact_groups) * 20 <= exact_groups)
+    sane = int(
+        1 <= plan["suggested_shuffle_partitions"] <= max(1, plan["rows"])
+    )
+    out = (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_custs"))
+        .select(
+            "o_orderstatus",
+            "n_custs",
+            F.lit(within).alias("est_groups_within_5pct"),
+            F.lit(sane).alias("partitions_sane"),
+        )
     )
     return materialize(out)

@@ -238,6 +238,70 @@ def hash_long_vec(vals):
     return (h1 >> np.uint64(1)).astype(np.int64)
 
 
+def hash_composite(field_digests: list[int], seed: int = DEFAULT_SEED) -> int:
+    """Sketch entry for a COMPOSITE key (multi-column NDV): murmur over
+    the concatenated per-field digests, each packed as one little-endian
+    signed long. The per-field digest is the field's own theta hash
+    (hash_long / hash_string), so component encodings stay the documented
+    single-column rules and the combine step is injective over the digest
+    tuple. NOTE: DataSketches defines no cross-column hash rule for theta
+    sketches (tuple sketches are a different family) — this combine is
+    ENGINE-DEFINED, declared in the blob's multi-entry ``fields`` list;
+    a blob with len(fields) > 1 is only comparable to sketches built by
+    this same rule."""
+    buf = struct.pack(f"<{len(field_digests)}q", *field_digests)
+    return theta_hash(buf, seed)
+
+
+def hash_composite_vec(digest_cols, seed: int = DEFAULT_SEED):
+    """Vectorized hash_composite over per-field int64 digest arrays —
+    murmur3 x64 128 of the m×8-byte concatenation as full 16-byte blocks
+    plus an 8-byte tail when m is odd, in pure numpy (one pass per batch).
+    Bit-identical to hash_composite (differential-tested)."""
+    import numpy as np
+
+    m = len(digest_cols)
+    cols = [c.astype(np.int64).view(np.uint64) for c in digest_cols]
+    n = cols[0].shape[0]
+    h1 = np.full(n, np.uint64(seed))
+    h2 = np.full(n, np.uint64(seed))
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    for i in range(m // 2):
+        k1 = cols[2 * i].copy()
+        k2 = cols[2 * i + 1].copy()
+        k1 *= np.uint64(C1); k1 = rotl(k1, 31); k1 *= np.uint64(C2)
+        h1 ^= k1
+        h1 = rotl(h1, 27); h1 += h2; h1 = h1 * np.uint64(5) + np.uint64(0x52DCE729)
+        k2 *= np.uint64(C2); k2 = rotl(k2, 33); k2 *= np.uint64(C1)
+        h2 ^= k2
+        h2 = rotl(h2, 31); h2 += h1; h2 = h2 * np.uint64(5) + np.uint64(0x38495AB5)
+    if m % 2:
+        k1 = cols[-1].copy()
+        k1 *= np.uint64(C1); k1 = rotl(k1, 31); k1 *= np.uint64(C2)
+        h1 ^= k1
+    nbytes = np.uint64(8 * m)
+    h1 ^= nbytes
+    h2 ^= nbytes
+    h1 += h2
+    h2 += h1
+
+    def fmix(k):
+        k ^= k >> np.uint64(33)
+        k *= np.uint64(0xFF51AFD7ED558CCD)
+        k ^= k >> np.uint64(33)
+        k *= np.uint64(0xC4CEB9FE1A85EC53)
+        k ^= k >> np.uint64(33)
+        return k
+
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 += h2
+    return (h1 >> np.uint64(1)).astype(np.int64)
+
+
 def union_sketches(images: list[bytes], k: int, seed: int = DEFAULT_SEED) -> bytes:
     """Theta-sketch UNION (the mergeability that makes sketches worth
     their bytes at 100 TB: per-partition/per-snapshot sketches combine

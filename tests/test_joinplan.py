@@ -16,6 +16,7 @@ from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
     BROADCAST_BYTES_DEFAULT,
     estimate_side,
     execute_equi_join,
+    plan_aggregation,
     plan_equi_join,
     planned_join,
 )
@@ -204,3 +205,85 @@ def test_planner_refuses_unanalyzed(spark, sf_dir, root):
     t = IcebergTable.create(spark, root, o)
     with pytest.raises(ValueError, match="no statistics"):
         estimate_side(t, "o_custkey")
+
+
+# ---------------------------------------------------------------- composite
+
+
+@pytest.fixture(scope="module")
+def ctable(spark, sf_dir):
+    """Orders analyzed with a COMPOSITE (o_custkey, o_orderstatus) key."""
+    d = os.path.join(tempfile.gettempdir(), f"joinplan_ct_{uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    t = IcebergTable.create(spark, d, o)
+    t.analyze(
+        columns=["o_custkey", ("o_custkey", "o_orderstatus")]
+    )
+    yield t, o
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_composite_ndv_exact_and_fields(ctable):
+    t, o = ctable
+    exact = o.select("o_custkey", "o_orderstatus").distinct().count()
+    r = t.ndv(("o_custkey", "o_orderstatus"))
+    assert r["exact"] is True and r["ndv"] == exact
+    # list and tuple both resolve; single column still works
+    assert t.ndv(["o_custkey", "o_orderstatus"])["ndv"] == exact
+    single = t.ndv("o_custkey")
+    assert single["ndv"] == o.select("o_custkey").distinct().count()
+    # composite != product of singles (combinations that never co-occur)
+    assert r["ndv"] < single["ndv"] * 3
+    md = t.metadata()
+    entry = next(
+        s for s in md["statistics"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    assert any(len(b["fields"]) == 2 for b in entry["blob-metadata"])
+
+
+def test_composite_ndv_null_components_excluded(spark, root):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, None), (None, "b"), (2, "b"), (3, "a")],
+        "k long, s string",
+    )
+    t = IcebergTable.create(spark, root, df)
+    t.analyze(columns=[("k", "s")])
+    # distinct fully-non-null pairs: (1,a),(2,b),(3,a)
+    assert t.ndv(("k", "s"))["ndv"] == 3
+
+
+def test_composite_incremental_union(spark, sf_dir, root):
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    t = IcebergTable.create(
+        spark, root, o.where(F.col("o_orderkey") % 2 == 0)
+    )
+    t.analyze(columns=[("o_custkey", "o_orderstatus")])
+    t.append(o.where(F.col("o_orderkey") % 2 == 1))
+    res = t.analyze_incremental()  # default scope = prior blobs, incl. composite
+    assert res["mode"] == "incremental"
+    exact = o.select("o_custkey", "o_orderstatus").distinct().count()
+    assert res["ndv"]["o_custkey,o_orderstatus"] == exact
+    assert t.ndv(("o_custkey", "o_orderstatus"))["ndv"] == exact
+
+
+def test_plan_aggregation(ctable):
+    t, o = ctable
+    exact = o.select("o_custkey", "o_orderstatus").distinct().count()
+    plan = plan_aggregation(t, ("o_custkey", "o_orderstatus"))
+    assert plan["est_groups"] == exact and plan["ndv_exact"] is True
+    assert plan["rows"] == o.count()
+    assert plan["suggested_shuffle_partitions"] == 1  # tiny output
+    # single-key form, and tiny target → width grows with output bytes
+    p1 = plan_aggregation(t, "o_custkey")
+    assert p1["est_groups"] == o.select("o_custkey").distinct().count()
+    p2 = plan_aggregation(
+        t, ("o_custkey", "o_orderstatus"), target_partition_bytes=64
+    )
+    assert p2["suggested_shuffle_partitions"] > 1
+    with pytest.raises(ValueError, match="no theta sketch"):
+        plan_aggregation(t, ("o_orderkey", "o_orderstatus"))  # never analyzed

@@ -302,3 +302,26 @@ def test_analyze_incremental_without_prior_stats_is_full(spark, root):
     )
     out = t.analyze_incremental()
     assert out["mode"] == "full" and out["ndv"]["k"] == 50
+
+
+def test_hash_composite_vec_matches_scalar():
+    """The numpy full-block murmur specialization for m×8-byte composite
+    inputs is bit-identical to the scalar hash_composite for every m."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.theta import (
+        hash_composite,
+        hash_composite_vec,
+    )
+
+    for m in (1, 2, 3, 4, 5):
+        digs = [
+            np.array(
+                [hash_long(i * 31 + j) for i in range(64)], dtype=np.int64
+            )
+            for j in range(m)
+        ]
+        vec = list(hash_composite_vec(digs))
+        ref = [hash_composite([int(d[i]) for d in digs]) for i in range(64)]
+        assert vec == ref
+    # order sensitivity: (a,b) != (b,a)
+    a, b = hash_long(1), hash_long(2)
+    assert hash_composite([a, b]) != hash_composite([b, a])
