@@ -287,3 +287,55 @@ def test_plan_aggregation(ctable):
     assert p2["suggested_shuffle_partitions"] > 1
     with pytest.raises(ValueError, match="no theta sketch"):
         plan_aggregation(t, ("o_orderkey", "o_orderstatus"))  # never analyzed
+
+
+# ------------------------------------------------------- range selectivity
+
+
+def test_estimate_range_rows_dense_uniform(spark, root):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+        estimate_range_rows,
+    )
+
+    df = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    t = IcebergTable.create(spark, root, df.repartition(4))
+    # dense contiguous ints → uniform interpolation is exact up to the
+    # per-file fractional rounding (each hash-distributed file holds
+    # every 4th id over the full span)
+    est = estimate_range_rows(t, "k", 2_500, 4_999)
+    assert abs(est["est_rows"] - 2_500) <= 5
+    assert est["files_without_bounds"] == 0
+    # full range and open endpoints
+    assert estimate_range_rows(t, "k")["est_rows"] == 10_000
+    assert abs(estimate_range_rows(t, "k", hi=999)["est_rows"] - 1_000) <= 5
+    # disjoint range: bounds-pruned to zero files
+    none = estimate_range_rows(t, "k", 50_000, 60_000)
+    assert none["est_rows"] == 0 and none["files_kept"] == 0
+
+
+def test_estimate_range_rows_tightens_with_layout(spark, root):
+    """Range-partitioned files have narrow disjoint spans, so only the
+    overlapping files survive pruning — layout quality shows up directly
+    in files_kept."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+        estimate_range_rows,
+    )
+
+    df = spark.range(0, 8_000).select(F.col("id").alias("k"))
+    t = IcebergTable.create(spark, root, df.repartitionByRange(8, "k"))
+    est = estimate_range_rows(t, "k", 1_000, 1_999)
+    assert est["est_rows"] == 1_000
+    assert est["files_kept"] < est["files_total"]
+
+
+def test_estimate_range_rows_refusals(spark, sf_dir, root):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+        estimate_range_rows,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = IcebergTable.create(spark, root, o)
+    with pytest.raises(ValueError, match="no column"):
+        estimate_range_rows(t, "nope", 0, 1)
+    with pytest.raises(NotImplementedError, match="range interpolation"):
+        estimate_range_rows(t, "o_orderstatus", "A", "Z")
