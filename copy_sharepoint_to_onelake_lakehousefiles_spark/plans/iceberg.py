@@ -4635,7 +4635,11 @@ class IcebergTable:
 
 
 def stream_append(
-    table: IcebergTable, stream_df: DataFrame, stream_id: str, checkpoint: str
+    table: IcebergTable,
+    stream_df: DataFrame,
+    stream_id: str,
+    checkpoint: str,
+    maintain_statistics: bool = False,
 ):
     """Exactly-once streaming append into an Iceberg table — the twin of
     ``deltalog.stream_append``: each micro-batch commits a fast-append
@@ -4644,7 +4648,15 @@ def stream_append(
     ``seen_batch`` and skipped instead of double-appended. This is the
     snapshot-summary ledger design Flink's Iceberg sink uses for its
     checkpoint ids. Runs with Trigger.availableNow; returns after the
-    drain."""
+    drain.
+
+    ``maintain_statistics`` runs the INCREMENTAL analyze after each
+    committed batch — every micro-batch is a pure append, so only the
+    batch's files are hashed and their sketches union with the prior
+    blobs: O(batch) stats upkeep that keeps planner NDVs fresh under
+    streaming ingest instead of decaying until the next manual ANALYZE.
+    (Not offered on stream_upsert: its equality deletes force the full
+    fallback every batch — a cost that should be an explicit choice.)"""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         seen = table.seen_batch(stream_id)
@@ -4654,6 +4666,8 @@ def stream_append(
             batch_df,
             summary_extra={"stream-id": stream_id, "batch-id": str(batch_id)},
         )
+        if maintain_statistics:
+            table.analyze_incremental()
 
     q = (
         stream_df.writeStream.foreachBatch(_write)
@@ -7644,6 +7658,74 @@ def q212_iceberg_partition_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "o_orderstatus STRING, column_name STRING, exact_ndv BIGINT,"
         " ndv_within_5pct INT, exact_mode_correct INT, pruned_equals_blob INT",
+    )
+
+
+_Q217_ORACLE = """
+SELECT 'o_orderkey' AS column_name,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS exact_ndv,
+       1 AS ndv_within_5pct, 1 AS stats_at_current, 1 AS one_entry_per_batch
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(DISTINCT o_custkey) AS BIGINT), 1, 1, 1
+FROM orders
+"""
+
+
+@query("q217_streaming_stats_upkeep", oracle=_Q217_ORACLE)
+def q217_streaming_stats_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING STATS UPKEEP (r10): stream_append(maintain_statistics=
+    True) runs the incremental analyze after each committed micro-batch —
+    each batch is a pure append, so only its files are hashed and the
+    sketches union with the prior blobs, O(batch) upkeep. Orders streams
+    in as TWO availableNow micro-batches (maxFilesPerTrigger=1) over an
+    analyzed empty table; pins vs the oracle's exact distinct counts:
+    the final blob estimate lands within 5%, a statistics entry exists
+    for the CURRENT (last-batch) snapshot, and every streamed batch left
+    its own statistics entry (bootstrap + one per batch)."""
+    import tempfile
+
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"icstream_{uuid.uuid4().hex[:8]}"
+    )
+    src = os.path.join(scratch, "src")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o.repartition(2).write.parquet(src)
+    t = IcebergTable.create(
+        spark,
+        os.path.join(scratch, "tbl"),
+        spark.createDataFrame([], "o_orderkey long, o_custkey long"),
+    )
+    t.analyze(columns=["o_orderkey", "o_custkey"])  # bootstrap (empty)
+    stream = (
+        spark.readStream.schema("o_orderkey long, o_custkey long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_append(
+        t,
+        stream,
+        "stats-stream",
+        os.path.join(scratch, "ckpt"),
+        maintain_statistics=True,
+    )
+    md = t.metadata()
+    sids = {s["snapshot-id"] for s in md.get("statistics") or []}
+    at_current = int(md["current-snapshot-id"] in sids)
+    n_batches = len(
+        [s for s in md["snapshots"] if "batch-id" in (s.get("summary") or {})]
+    )
+    per_batch = int(n_batches == 2 and len(sids) == n_batches + 1)
+    rows = []
+    for col in ("o_orderkey", "o_custkey"):
+        exact = o.select(col).distinct().count()
+        r = t.ndv(col)
+        within = int(abs(r["ndv"] - exact) * 20 <= exact)
+        rows.append((col, exact, within, at_current, per_batch))
+    return spark.createDataFrame(
+        rows,
+        "column_name STRING, exact_ndv BIGINT, ndv_within_5pct INT,"
+        " stats_at_current INT, one_entry_per_batch INT",
     )
 
 

@@ -339,3 +339,49 @@ def test_estimate_range_rows_refusals(spark, sf_dir, root):
         estimate_range_rows(t, "nope", 0, 1)
     with pytest.raises(NotImplementedError, match="range interpolation"):
         estimate_range_rows(t, "o_orderstatus", "A", "Z")
+
+
+# ------------------------------------------------- streaming stats upkeep
+
+
+def test_stream_append_maintains_statistics(spark, root, tmp_path):
+    """stream_append(maintain_statistics=True) runs the INCREMENTAL
+    analyze after each committed micro-batch — O(batch) stats upkeep, so
+    NDV estimates stay fresh under streaming ingest instead of decaying
+    until the next manual ANALYZE."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        stream_append,
+    )
+
+    src = _os.path.join(str(tmp_path), "src")
+    _os.makedirs(src)
+    pq.write_table(pa.table({"k": [1, 2, 3]}), _os.path.join(src, "a.parquet"))
+    pq.write_table(pa.table({"k": [3, 4, 5]}), _os.path.join(src, "b.parquet"))
+    t = IcebergTable.create(
+        spark, root, spark.createDataFrame([(0,), (1,)], "k long")
+    )
+    t.analyze(columns=["k"])  # bootstrap: incremental unions from here
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_append(
+        t,
+        stream,
+        "s1",
+        _os.path.join(str(tmp_path), "ckpt"),
+        maintain_statistics=True,
+    )
+    # stats entry exists for the CURRENT snapshot and matches exact NDV
+    md = t.metadata()
+    sids = {s["snapshot-id"] for s in md.get("statistics") or []}
+    assert md["current-snapshot-id"] in sids
+    r = t.ndv("k")
+    assert r["exact"] is True
+    assert r["ndv"] == t.read().select("k").distinct().count() == 6
