@@ -325,3 +325,80 @@ def test_hash_composite_vec_matches_scalar():
     # order sensitivity: (a,b) != (b,a)
     a, b = hash_long(1), hash_long(2)
     assert hash_composite([a, b]) != hash_composite([b, a])
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=300),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_union_of_exact_partition_sketches_is_direct_build(vals, nparts):
+    """The invariant analyze_partitions' table-level blobs rely on: when
+    every per-partition sketch is EXACT mode (each partition holds <= k
+    distinct hashes), their union is BIT-IDENTICAL to a direct build over
+    the whole value set — regardless of how values are split, how many
+    partitions there are, or whether the TOTAL exceeds k (the union trims
+    with the same (k+1)-th-smallest theta the direct build uses)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.theta import (
+        union_sketches,
+    )
+
+    k = 32
+    hashes = [hash_long(v) for v in vals]
+    # split round-robin; cap each part at k so every part sketch is exact
+    parts = [hashes[i::nparts][:k] for i in range(nparts)]
+    covered = sorted({h for p in parts for h in p})
+    direct = build_kmv(covered, k)
+    unioned = union_sketches([build_kmv(p, k) for p in parts], k)
+    assert unioned == direct
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=0, max_size=400),
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=0, max_size=400),
+)
+@settings(max_examples=40, deadline=None)
+def test_union_always_yields_valid_sketch(a, b):
+    """Union of arbitrary (possibly estimation-mode) sketches is always a
+    valid ordered compact sketch: entries strictly below theta, sorted
+    ascending, at most k retained, estimate >= retained count."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.theta import (
+        union_sketches,
+    )
+
+    k = 16
+    sa = build_kmv([hash_long(v) for v in a], k)
+    sb = build_kmv([hash_long(v) for v in b], k)
+    u = union_sketches([sa, sb], k)
+    p = parse_compact(u)
+    ents = p["entries"]
+    assert ents == sorted(set(ents))
+    assert len(ents) <= k
+    assert all(e < p["theta"] for e in ents)
+    assert p["estimate"] >= len(ents) - 1e-9
+    # idempotent: unioning in an empty sketch changes nothing
+    assert union_sketches([u, serialize_compact([])], k) == u
+
+
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=50),
+)
+@settings(max_examples=40, deadline=None)
+def test_hash_composite_vec_property(m, seeds):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.theta import (
+        hash_composite,
+        hash_composite_vec,
+    )
+
+    wrap = 2**63
+    digs = [
+        np.array(
+            [hash_long((s * (j + 1) + wrap) % (2 * wrap) - wrap) for s in seeds],
+            dtype=np.int64,
+        )
+        for j in range(m)
+    ]
+    vec = list(hash_composite_vec(digs))
+    ref = [hash_composite([int(d[i]) for d in digs]) for i in range(len(seeds))]
+    assert vec == ref
