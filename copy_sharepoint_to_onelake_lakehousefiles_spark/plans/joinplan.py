@@ -68,12 +68,30 @@ def estimate_side(
     partition/bounds filters (O(metadata)); NDV resolves from the theta
     statistics blobs — the pruned union when a partition_filter applies
     and per-partition sketches exist, else the table-level blob. Raises if
-    the table was never analyzed: the planner refuses to guess."""
+    the table was never analyzed: the planner refuses to guess.
+
+    A single-numeric-column ``bounds`` filter additionally INTERPOLATES
+    rows/bytes through ``estimate_range_rows`` instead of counting the
+    surviving files fully — a range keeping 1% of each file should size
+    the side at 1%, not 100% (it feeds the broadcast decision). Multi-
+    column or non-numeric bounds keep the full per-file counts — a
+    conservative over-estimate, never a silent under-estimate."""
     entries, audit = table.files(
         partition_filter=partition_filter, bounds=bounds
     )
     rows = sum(int(e.get("record_count") or 0) for e in entries)
     nbytes = sum(int(e.get("file_size_in_bytes") or 0) for e in entries)
+    if bounds and len(bounds) == 1 and rows:
+        col, (lo, hi) = next(iter(bounds.items()))
+        try:
+            rng = estimate_range_rows(
+                table, col, lo, hi, partition_filter=partition_filter
+            )
+            frac = min(1.0, rng["est_rows"] / rows)
+            rows = rng["est_rows"]
+            nbytes = int(nbytes * frac)
+        except NotImplementedError:
+            pass  # non-numeric range column: keep the full-file counts
     ndv_source = "table"
     if partition_filter:
         try:
@@ -137,6 +155,8 @@ def plan_equi_join(
     *,
     left_partition_filter: dict | None = None,
     right_partition_filter: dict | None = None,
+    left_bounds: dict | None = None,
+    right_bounds: dict | None = None,
     broadcast_bytes: int = BROADCAST_BYTES_DEFAULT,
     inflation: float = PARQUET_INFLATION,
 ) -> dict:
@@ -148,9 +168,11 @@ def plan_equi_join(
     uniformity assumption each of the larger key domain's values matches
     |other| / max_ndv rows; for a PK-FK join with containment (every fact
     key present in the dimension) the formula is exact. max(..., 1)
-    guards empty stats."""
-    l_est = estimate_side(left, left_key, left_partition_filter)
-    r_est = estimate_side(right, right_key, right_partition_filter)
+    guards empty stats. ``left_bounds``/``right_bounds`` shrink a side's
+    size estimate through range interpolation (see estimate_side) — the
+    caller applies the corresponding row filter itself."""
+    l_est = estimate_side(left, left_key, left_partition_filter, left_bounds)
+    r_est = estimate_side(right, right_key, right_partition_filter, right_bounds)
     est_rows = int(
         l_est["rows"] * r_est["rows"] / max(l_est["ndv"], r_est["ndv"], 1)
     )

@@ -385,3 +385,25 @@ def test_stream_append_maintains_statistics(spark, root, tmp_path):
     r = t.ndv("k")
     assert r["exact"] is True
     assert r["ndv"] == t.read().select("k").distinct().count() == 6
+
+
+def test_estimate_side_interpolates_bounds(spark, root):
+    """estimate_side(bounds=) must not count surviving files FULLY: rows
+    interpolate through estimate_range_rows, and the NDV cap follows the
+    interpolated rows (a range filter keeps at most that many distinct
+    keys)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+        estimate_side,
+    )
+
+    df = spark.range(0, 8_000).select(F.col("id").alias("k"))
+    t = IcebergTable.create(spark, root, df.repartitionByRange(8, "k"))
+    t.analyze(columns=["k"])
+    full = estimate_side(t, "k")
+    assert full["rows"] == 8_000
+    half = estimate_side(t, "k", bounds={"k": (0, 3_999)})
+    assert abs(half["rows"] - 4_000) <= 5
+    assert half["ndv"] <= half["rows"]
+    # bytes follow the interpolated fraction too (they feed the
+    # broadcast decision)
+    assert half["bytes"] < full["bytes"]
