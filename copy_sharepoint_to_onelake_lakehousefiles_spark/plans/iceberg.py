@@ -4249,11 +4249,14 @@ class IcebergTable:
         the blob type and image stay spec-standard).
 
         Distributed shape: each Arrow batch groups by the partition tuple
-        and prunes each (group, column) to its bottom-(k+1) DISTINCT hashes
+        and prunes each (group, key) to its bottom-(k+1) DISTINCT hashes
         (any pruned hash has k+1 smaller ones in its batch-group, so the
         global per-group bottom set is preserved); a window top-(k+1) per
-        (partition, column) bounds the collect at O(partitions × columns
-        × k) — never O(rows). Unpartitioned tables refuse (use analyze())."""
+        (partition, key) bounds the collect at O(partitions × keys × k) —
+        never O(rows). Column specs follow analyze(): a str is a single
+        column, a tuple a COMPOSITE key (hash_composite combine, NULL-
+        component rows excluded). Unpartitioned tables refuse (use
+        analyze())."""
         import json as _json
 
         from pyspark.sql.window import Window
@@ -4273,24 +4276,23 @@ class IcebergTable:
         ice = next(
             s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
         )
-        hashable = {"int", "long", "string", "timestamp_ns", "timestamptz_ns"}
+        specs = self._normalize_stat_columns(columns, ice)
         by_name = {f["name"]: f for f in ice["fields"]}
-        if columns is None:
-            columns = [f["name"] for f in ice["fields"] if f["type"] in hashable]
-        for name in columns:
-            f = by_name.get(name)
-            if f is None:
-                raise ValueError(f"no column {name!r}")
-            if f["type"] not in hashable:
-                raise NotImplementedError(
-                    f"NDV sketch over {f['type']!r} — hash rule implemented"
-                    " for int/long/string/ns-timestamp columns only"
-                )
         pnames = [pf["name"] for pf in pf_meta]
         p_is_str = {
             pf["name"]: pf["ice_type"] == "string" for pf in pf_meta
         }
-        col_is_str = [by_name[c]["type"] == "string" for c in columns]
+        # one projection carrying every DISTINCT member column once
+        member_cols: list[str] = []
+        for names, _fields in specs:
+            for n in names:
+                if n not in member_cols:
+                    member_cols.append(n)
+        # (member names, per-member is-string) per sketch spec, for the UDF
+        udf_specs = [
+            (list(names), [f["type"] == "string" for f in fields])
+            for names, fields in specs
+        ]
         src = self.read().select(
             *[
                 self._transform_col(pf).alias(f"__p_{pf['name']}")
@@ -4299,7 +4301,7 @@ class IcebergTable:
             *[
                 F.col(c) if by_name[c]["type"] == "string"
                 else F.col(c).cast("long").alias(c)
-                for c in columns
+                for c in member_cols
             ],
         )
 
@@ -4318,11 +4320,17 @@ class IcebergTable:
                     d[n] = int(v)
             return _json.dumps(d, sort_keys=True, separators=(",", ":"))
 
-        def _hash_grouped(batches, _cols=columns, _is_str=col_is_str, _k=k):
+        def _hash_grouped(batches, _specs=udf_specs, _k=k):
             import numpy as _np
             import pandas as _pd
 
-            from .theta import hash_long_vec, hash_string
+            from .theta import hash_composite_vec, hash_long_vec, hash_string
+
+            def _digest(series, is_s):
+                if is_s:
+                    uniq = {v: hash_string(str(v)) for v in series.unique()}
+                    return series.map(uniq).to_numpy(dtype=_np.int64)
+                return hash_long_vec(series.to_numpy(dtype=_np.int64))
 
             pcols = [f"__p_{n}" for n in pnames]
             for pdf in batches:
@@ -4332,18 +4340,21 @@ class IcebergTable:
                     if not isinstance(key, tuple):
                         key = (key,)
                     pj = _canon(key)
-                    for ci, (cname, is_s) in enumerate(zip(_cols, _is_str)):
-                        vals = g[cname].dropna()
-                        if not len(vals):
+                    for ci, (cnames, is_strs) in enumerate(_specs):
+                        sub = g[cnames].dropna()
+                        if not len(sub):
                             continue
-                        if is_s:
-                            hs = _np.fromiter(
-                                {hash_string(str(v)) for v in vals.unique()},
-                                dtype=_np.int64,
-                            )
+                        if len(cnames) == 1:
+                            hs = _np.unique(_digest(sub[cnames[0]], is_strs[0]))
                         else:
+                            sub = sub.drop_duplicates()
                             hs = _np.unique(
-                                hash_long_vec(vals.to_numpy(dtype=_np.int64))
+                                hash_composite_vec(
+                                    [
+                                        _digest(sub[n_], s_)
+                                        for n_, s_ in zip(cnames, is_strs)
+                                    ]
+                                )
                             )
                         if len(hs) > _k + 1:
                             hs = _np.partition(hs, _k)[: _k + 1]
@@ -4368,21 +4379,22 @@ class IcebergTable:
         blobs: list[dict] = []
         partition_ndv: dict[str, dict[str, int]] = {p: {} for p in partitions}
         ndvs: dict[str, int] = {}
-        for ci, name in enumerate(columns):
-            fid = by_name[name]["id"]
+        for ci, (names, fields) in enumerate(specs):
+            fids = [f["id"] for f in fields]
+            key = ",".join(names)
             per_part: list[bytes] = []
             for p in partitions:
                 hs = by_pc.get((p, ci))
                 if hs is None:
-                    continue  # partition has only NULLs in this column
+                    continue  # partition has only NULLs in this key
                 sk = build_kmv(hs, k)
                 est = int(round(parse_compact(sk)["estimate"]))
-                partition_ndv[p][name] = est
+                partition_ndv[p][key] = est
                 per_part.append(sk)
                 blobs.append(
                     {
                         "type": "apache-datasketches-theta-v1",
-                        "fields": [fid],
+                        "fields": fids,
                         "snapshot-id": sid,
                         "sequence-number": seq,
                         "data": sk,
@@ -4394,15 +4406,15 @@ class IcebergTable:
                     }
                 )
             table_sk = union_sketches(per_part, k) if per_part else build_kmv([], k)
-            ndvs[name] = int(round(parse_compact(table_sk)["estimate"]))
+            ndvs[key] = int(round(parse_compact(table_sk)["estimate"]))
             blobs.append(
                 {
                     "type": "apache-datasketches-theta-v1",
-                    "fields": [fid],
+                    "fields": fids,
                     "snapshot-id": sid,
                     "sequence-number": seq,
                     "data": table_sk,
-                    "properties": {"ndv": str(ndvs[name])},
+                    "properties": {"ndv": str(ndvs[key])},
                 }
             )
         path = self._publish_statistics(md, sid, blobs)
@@ -4415,9 +4427,10 @@ class IcebergTable:
             "mode": "partitioned",
         }
 
-    def _partition_blobs(self, column: str, snapshot_id: int | None = None):
-        """(path, fid, [per-partition theta blob metas]) for a column —
-        the shared resolve step of partition_ndv / ndv_pruned."""
+    def _partition_blobs(self, column, snapshot_id: int | None = None):
+        """(path, fids, [per-partition theta blob metas]) for a column or
+        a composite column tuple — the shared resolve step of
+        partition_ndv / ndv_pruned."""
         from .puffin import read_puffin_footer
 
         md = self.metadata()
@@ -4437,16 +4450,20 @@ class IcebergTable:
         ice = next(
             s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
         )
-        fid = next((f["id"] for f in ice["fields"] if f["name"] == column), None)
-        if fid is None:
-            raise ValueError(f"no column {column!r}")
+        names = [column] if isinstance(column, str) else list(column)
+        by_name = {f["name"]: f["id"] for f in ice["fields"]}
+        fids = []
+        for name in names:
+            if name not in by_name:
+                raise ValueError(f"no column {name!r}")
+            fids.append(by_name[name])
         path = entry["statistics-path"].replace("file:", "")
         footer = read_puffin_footer(path)
         blobs = [
             b
             for b in footer["blobs"]
             if b["type"] == "apache-datasketches-theta-v1"
-            and b.get("fields") == [fid]
+            and b.get("fields") == fids
             and "partition" in (b.get("properties") or {})
         ]
         if not blobs:
@@ -4454,10 +4471,10 @@ class IcebergTable:
                 f"no per-partition theta sketches for column {column!r} at"
                 f" snapshot {sid} — run analyze_partitions() first"
             )
-        return path, fid, blobs
+        return path, fids, blobs
 
     def partition_ndv(
-        self, column: str, snapshot_id: int | None = None
+        self, column, snapshot_id: int | None = None
     ) -> list[dict]:
         """Read back a column's per-partition NDVs from the statistics
         file: one {partition, ndv, exact, estimate} per partition blob,
@@ -4484,7 +4501,7 @@ class IcebergTable:
 
     def ndv_pruned(
         self,
-        column: str,
+        column,
         partition_filter: dict,
         snapshot_id: int | None = None,
         k: int | None = None,

@@ -407,3 +407,37 @@ def test_estimate_side_interpolates_bounds(spark, root):
     # bytes follow the interpolated fraction too (they feed the
     # broadcast decision)
     assert half["bytes"] < full["bytes"]
+
+
+def test_partition_composite_ndv(spark, sf_dir, root):
+    """analyze_partitions accepts composite specs: one blob per
+    (partition, key-tuple), exact at small scale, pruned-union readable."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    t = IcebergTable.create(spark, root, o, partition_by=["o_orderstatus"])
+    res = t.analyze_partitions(
+        columns=["o_custkey", ("o_custkey", "o_orderpriority")]
+    )
+    key = "o_custkey,o_orderpriority"
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey", "o_orderpriority").alias("n"))
+        .collect()
+    }
+    per = t.partition_ndv(("o_custkey", "o_orderpriority"))
+    assert len(per) == 3
+    for pr in per:
+        assert pr["exact"] is True
+        assert pr["ndv"] == exact[pr["partition"]["o_orderstatus"]]
+    assert res["partition_ndv"][
+        '{"o_orderstatus":"F"}'
+    ][key] == exact["F"]
+    # table-level composite blob = union of the partition blobs
+    total = o.select("o_custkey", "o_orderpriority").distinct().count()
+    assert t.ndv(("o_custkey", "o_orderpriority"))["ndv"] == total
+    pruned = t.ndv_pruned(
+        ("o_custkey", "o_orderpriority"), {"o_orderstatus": "F"}
+    )
+    assert pruned["ndv"] == exact["F"] and pruned["partitions_matched"] == 1
