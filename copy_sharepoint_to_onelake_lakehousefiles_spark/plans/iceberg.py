@@ -4051,7 +4051,10 @@ class IcebergTable:
         md = self.metadata()
         snap = self._resolve_snapshot(None, None)
         sid, seq = snap["snapshot-id"], snap["sequence-number"]
-        # newest analyzed snapshot at or before the current sequence
+        # newest analyzed snapshot at or before the current sequence — the
+        # CURRENT snapshot's own entry counts (zero new files → the
+        # incremental pass just re-publishes the unioned-with-nothing
+        # sketches, preserving the prior coverage incl. composites)
         seq_by_sid = {s["snapshot-id"]: s["sequence-number"] for s in md["snapshots"]}
         prior = max(
             (
@@ -4059,29 +4062,12 @@ class IcebergTable:
                 for s in md.get("statistics") or []
                 if s["snapshot-id"] in seq_by_sid
                 and seq_by_sid[s["snapshot-id"]] <= seq
-                and s["snapshot-id"] != sid
             ),
             key=lambda s: seq_by_sid[s["snapshot-id"]],
             default=None,
         )
         if prior is None:
             return self.analyze(columns, k)
-        old_sid = prior["snapshot-id"]
-        old_entries, _ = self.files(snapshot_id=old_sid)
-        cur_entries, _ = self.files()
-        old_paths = {e["file_path"] for e in old_entries}
-        cur_paths = {e["file_path"] for e in cur_entries}
-        old_del = {
-            d["data_file"]["file_path"]
-            for d in self.delete_entries(snapshot_id=old_sid)
-        }
-        cur_del = {d["data_file"]["file_path"] for d in self.delete_entries()}
-        if not old_paths <= cur_paths or old_del != cur_del:
-            # files vanished or deletes appeared: sketches can't unlearn
-            out = self.analyze(columns, k)
-            out["fallback_reason"] = "non-append history since last analyze"
-            return out
-        new_entries = [e for e in cur_entries if e["file_path"] not in old_paths]
         ice = next(
             s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
         )
@@ -4098,7 +4084,11 @@ class IcebergTable:
             and "partition" not in (b.get("properties") or {})
         }
         if columns is None:
-            # incremental scope = the keys the PRIOR analyze covered
+            # incremental scope = the keys (incl. COMPOSITES) the PRIOR
+            # analyze covered — derived BEFORE any fallback so a full
+            # re-analyze preserves the same coverage (fuzz-caught: the
+            # fallback used analyze()'s single-column default and silently
+            # dropped composite blobs)
             id_to_name = {f["id"]: f["name"] for f in ice["fields"]}
             columns = []
             for fids in old_blob_by_fid:
@@ -4109,6 +4099,22 @@ class IcebergTable:
                 ):
                     names = tuple(id_to_name[fid] for fid in fids)
                     columns.append(names[0] if len(names) == 1 else names)
+        old_sid = prior["snapshot-id"]
+        old_entries, _ = self.files(snapshot_id=old_sid)
+        cur_entries, _ = self.files()
+        old_paths = {e["file_path"] for e in old_entries}
+        cur_paths = {e["file_path"] for e in cur_entries}
+        old_del = {
+            d["data_file"]["file_path"]
+            for d in self.delete_entries(snapshot_id=old_sid)
+        }
+        cur_del = {d["data_file"]["file_path"] for d in self.delete_entries()}
+        if not old_paths <= cur_paths or old_del != cur_del:
+            # files vanished or deletes appeared: sketches can't unlearn
+            out = self.analyze(columns, k)
+            out["fallback_reason"] = "non-append history since last analyze"
+            return out
+        new_entries = [e for e in cur_entries if e["file_path"] not in old_paths]
         new_df = (
             self._read_data_entries(new_entries, self.schema())
             if new_entries
