@@ -441,3 +441,68 @@ def test_partition_composite_ndv(spark, sf_dir, root):
         ("o_custkey", "o_orderpriority"), {"o_orderstatus": "F"}
     )
     assert pruned["ndv"] == exact["F"] and pruned["partitions_matched"] == 1
+
+
+def test_analyze_partitions_after_partition_evolution(spark, root):
+    """Partition tuples are derived from the DATA via the CURRENT default
+    spec, so files written before evolve_partition_spec attribute
+    correctly — the docstring's migrated-table claim, pinned."""
+    df1 = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(40)], "k long, tag string"
+    )
+    t = IcebergTable.create(spark, root, df1)  # UNPARTITIONED at create
+    t.evolve_partition_spec(["tag"])
+    df2 = spark.createDataFrame(
+        [(100 + i, ["a", "b", "c"][i % 3]) for i in range(30)],
+        "k long, tag string",
+    )
+    t.append(df2)  # written under the evolved spec
+    t.analyze_partitions(columns=["k"])
+    per = {p["partition"]["tag"]: p["ndv"] for p in t.partition_ndv("k")}
+    allr = df1.unionByName(df2)
+    exact = {
+        r["tag"]: r["n"]
+        for r in allr.groupBy("tag").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    assert per == exact  # old-spec files included, attributed by value
+
+
+def test_stream_replay_does_not_double_count_stats(spark, root, tmp_path):
+    """A crash-replayed batch skips BOTH the append and the incremental
+    analyze — stats publishing sits inside the exactly-once guard."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        stream_append,
+    )
+
+    src = _os.path.join(str(tmp_path), "src")
+    _os.makedirs(src)
+    pq.write_table(pa.table({"k": [1, 2, 3]}), _os.path.join(src, "a.parquet"))
+    t = IcebergTable.create(spark, root, spark.createDataFrame([(0,)], "k long"))
+    t.analyze(columns=["k"])
+    stream = spark.readStream.schema("k long").parquet(src)
+    stream_append(
+        t, stream, "s1", _os.path.join(str(tmp_path), "ck"),
+        maintain_statistics=True,
+    )
+    md = t.metadata()
+    n_stats = len(md["statistics"])
+    committed = t.seen_batch("s1")
+    # manual replay of the committed batch id through the same guard
+    one = spark.createDataFrame([(9,)], "k long")
+
+    def _write(batch_df, batch_id):
+        seen = t.seen_batch("s1")
+        if seen is not None and seen >= batch_id:
+            return
+        t.append(batch_df, summary_extra={"stream-id": "s1", "batch-id": str(batch_id)})
+        t.analyze_incremental()
+
+    _write(one, committed)  # replay: no append, no stats entry
+    md2 = t.metadata()
+    assert len(md2["statistics"]) == n_stats
+    assert t.ndv("k")["ndv"] == 4  # 0,1,2,3 — the 9 never landed
