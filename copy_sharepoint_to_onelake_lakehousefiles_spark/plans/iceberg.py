@@ -4155,8 +4155,13 @@ class IcebergTable:
                     "properties": {"ndv": str(ndvs[key])},
                 }
             )
+        had_partition_blobs = any(
+            "partition" in (b.get("properties") or {})
+            for b in old_footer["blobs"]
+            if b["type"] == "apache-datasketches-theta-v1"
+        )
         path = self._publish_statistics(md, sid, blobs)
-        return {
+        out = {
             "statistics_path": path,
             "ndv": ndvs,
             "k": k,
@@ -4164,6 +4169,12 @@ class IcebergTable:
             "files_hashed": len(new_entries),
             "files_total": len(cur_entries),
         }
+        if had_partition_blobs:
+            # the prior file's per-partition blobs cannot be carried
+            # forward without a partition-attribution pass; say so loudly
+            # instead of silently downgrading ndv_pruned consumers
+            out["partition_blobs_dropped"] = True
+        return out
 
     def ndv(self, column, snapshot_id: int | None = None) -> dict:
         """Read back a column's (or, given a tuple/list, a COMPOSITE
@@ -4288,6 +4299,14 @@ class IcebergTable:
         p_is_str = {
             pf["name"]: pf["ice_type"] == "string" for pf in pf_meta
         }
+        for pf in pf_meta:
+            if pf["ice_type"] not in self.HASHABLE_TYPES:
+                # identity over double/date/etc: int(v) canonicalization
+                # would merge 3.2 with 3.7 — refuse rather than corrupt
+                raise NotImplementedError(
+                    f"per-partition NDV over a {pf['ice_type']!r} partition"
+                    " field — int/long/string/ns-timestamp partition values only"
+                )
         # one projection carrying every DISTINCT member column once
         member_cols: list[str] = []
         for names, _fields in specs:
@@ -4299,26 +4318,59 @@ class IcebergTable:
             (list(names), [f["type"] == "string" for f in fields])
             for names, fields in specs
         ]
-        src = self.read().select(
-            *[
-                self._transform_col(pf).alias(f"__p_{pf['name']}")
-                for pf in pf_meta
-            ],
-            *[
-                F.col(c) if by_name[c]["type"] == "string"
-                else F.col(c).cast("long").alias(c)
-                for c in member_cols
-            ],
-        )
+        # NULL-SAFETY: pyarrow→pandas turns an int64 batch containing ANY
+        # null into float64, which silently rounds values above 2^53 (a
+        # 2^62 snowflake id loses its low bits — hashes corrupt, distinct
+        # ids collapse). Every non-string column therefore ships as
+        # coalesce(col, 0) PLUS an isNull flag (`__n_<col>` / `__pn_<n>`):
+        # the batch dtype stays int64 and the flag restores null semantics
+        # (group keys and the NULL-component row exclusion).
+        def _nullsafe(col, base: str, flag: str):
+            return [
+                F.coalesce(col, F.lit(0)).cast("long").alias(base),
+                col.isNull().alias(flag),
+            ]
+
+        p_exprs: list = []
+        for pf in pf_meta:
+            t_col = self._transform_col(pf)
+            if p_is_str[pf["name"]]:
+                p_exprs.append(t_col.alias(f"__p_{pf['name']}"))
+            else:
+                p_exprs.extend(
+                    _nullsafe(t_col, f"__p_{pf['name']}", f"__pn_{pf['name']}")
+                )
+        m_exprs: list = []
+        for c in member_cols:
+            if by_name[c]["type"] == "string":
+                m_exprs.append(F.col(c))
+            else:
+                m_exprs.extend(_nullsafe(F.col(c).cast("long"), c, f"__n_{c}"))
+        src = self.read().select(*p_exprs, *m_exprs)
+        # groupby key layout: value columns first, then the null flags of
+        # the non-string partition fields (positions known to _canon)
+        pcols = [f"__p_{n}" for n in pnames]
+        pflags = [f"__pn_{n}" for n in pnames if not p_is_str[n]]
+        flag_of = {
+            n: pcols.__len__() + i
+            for i, n in enumerate(n_ for n_ in pnames if not p_is_str[n_])
+        }
 
         def _canon(vals) -> str:
             """Canonical JSON partition key: sorted field names, native
-            int/str/None values — the EXACT string the readers re-derive."""
+            int/str/None values — the EXACT string the readers re-derive.
+            ``vals`` is the groupby key (partition values then null
+            flags); a set flag wins over the 0 fill-in."""
             import pandas as _pd
 
             d = {}
-            for n, v in zip(pnames, vals):
-                if v is None or (not isinstance(v, (str, bytes)) and _pd.isna(v)):
+            for i, n in enumerate(pnames):
+                v = vals[i]
+                if n in flag_of and vals[flag_of[n]]:
+                    d[n] = None
+                elif v is None or (
+                    not isinstance(v, (str, bytes)) and _pd.isna(v)
+                ):
                     d[n] = None
                 elif p_is_str[n]:
                     d[n] = str(v)
@@ -4338,16 +4390,20 @@ class IcebergTable:
                     return series.map(uniq).to_numpy(dtype=_np.int64)
                 return hash_long_vec(series.to_numpy(dtype=_np.int64))
 
-            pcols = [f"__p_{n}" for n in pnames]
+            gcols = pcols + pflags
             for pdf in batches:
                 if not len(pdf):
                     continue
-                for key, g in pdf.groupby(pcols, dropna=False, sort=False):
+                for key, g in pdf.groupby(gcols, dropna=False, sort=False):
                     if not isinstance(key, tuple):
                         key = (key,)
                     pj = _canon(key)
                     for ci, (cnames, is_strs) in enumerate(_specs):
-                        sub = g[cnames].dropna()
+                        mask = None
+                        for n_, s_ in zip(cnames, is_strs):
+                            m = g[n_].notna() if s_ else ~g[f"__n_{n_}"]
+                            mask = m if mask is None else (mask & m)
+                        sub = g.loc[mask, list(cnames)]
                         if not len(sub):
                             continue
                         if len(cnames) == 1:
@@ -4525,12 +4581,22 @@ class IcebergTable:
 
         k = self.THETA_K if k is None else int(k)
         path, _fid, blobs = self._partition_blobs(column, snapshot_id)
-        imgs = []
-        for b in blobs:
-            part = _json.loads(b["properties"]["partition"])
-            if all(part.get(n) == v for n, v in partition_filter.items()):
-                imgs.append(read_puffin_blob(path, b["offset"], b["length"]))
-        u = union_sketches(imgs, k) if imgs else union_sketches([], k)
+        parts = [_json.loads(b["properties"]["partition"]) for b in blobs]
+        known = {n for p in parts for n in p}
+        unknown = set(partition_filter) - known
+        if unknown:
+            # a typo'd key would match nothing and feed ndv=0 into the
+            # planner (a silently absurd cross-product estimate) — refuse
+            raise ValueError(
+                f"unknown partition field(s) {sorted(unknown)} — this"
+                f" snapshot's partition sketches are keyed by {sorted(known)}"
+            )
+        imgs = [
+            read_puffin_blob(path, b["offset"], b["length"])
+            for b, part in zip(blobs, parts)
+            if all(part.get(n) == v for n, v in partition_filter.items())
+        ]
+        u = union_sketches(imgs, k)
         sk = parse_compact(u)
         return {
             "ndv": int(round(sk["estimate"])),
@@ -4678,8 +4744,13 @@ def stream_append(
     batch's files are hashed and their sketches union with the prior
     blobs: O(batch) stats upkeep that keeps planner NDVs fresh under
     streaming ingest instead of decaying until the next manual ANALYZE.
-    (Not offered on stream_upsert: its equality deletes force the full
-    fallback every batch — a cost that should be an explicit choice.)"""
+    A never-analyzed table self-bootstraps: the FIRST batch pays one full
+    analyze over the table (tiny on a fresh sink; run analyze() up front
+    on a pre-loaded one), after which every batch is incremental. Any
+    per-partition blobs are replaced by table-level coverage
+    (``partition_blobs_dropped``). (Not offered on stream_upsert: its
+    equality deletes force the full fallback every batch — a cost that
+    should be an explicit choice.)"""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         seen = table.seen_batch(stream_id)

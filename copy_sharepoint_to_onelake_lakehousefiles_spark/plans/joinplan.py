@@ -85,7 +85,12 @@ def estimate_side(
         col, (lo, hi) = next(iter(bounds.items()))
         try:
             rng = estimate_range_rows(
-                table, col, lo, hi, partition_filter=partition_filter
+                table,
+                col,
+                lo,
+                hi,
+                partition_filter=partition_filter,
+                _entries=entries,  # manifests already fetched: no re-scan
             )
             frac = min(1.0, rng["est_rows"] / rows)
             rows = rng["est_rows"]
@@ -159,6 +164,7 @@ def plan_equi_join(
     right_bounds: dict | None = None,
     broadcast_bytes: int = BROADCAST_BYTES_DEFAULT,
     inflation: float = PARQUET_INFLATION,
+    how: str = "inner",
 ) -> dict:
     """Decide the join strategy from statistics alone (no data scan, no
     DataFrame yet): which side to broadcast-build, or sort-merge with an
@@ -178,14 +184,44 @@ def plan_equi_join(
     )
     l_mem = l_est["bytes"] * inflation
     r_mem = r_est["bytes"] * inflation
+    # Spark cannot hash-build on the outer-preserved side of an equi
+    # outer join: a left join may only broadcast the RIGHT side, a right
+    # join only the LEFT, a full outer neither — planning an illegal
+    # build side would emit a hint Spark silently drops.
+    legal = {
+        "inner": ("left", "right"),
+        "cross": ("left", "right"),
+        "left": ("right",),
+        "leftouter": ("right",),
+        "left_outer": ("right",),
+        "leftsemi": ("right",),
+        "left_semi": ("right",),
+        "leftanti": ("right",),
+        "left_anti": ("right",),
+        "right": ("left",),
+        "rightouter": ("left",),
+        "right_outer": ("left",),
+        "full": (),
+        "outer": (),
+        "fullouter": (),
+        "full_outer": (),
+    }.get(how.lower().replace(" ", ""))
+    if legal is None:
+        raise ValueError(f"unknown join type {how!r}")
     build = None
-    if min(l_mem, r_mem) <= broadcast_bytes:
-        build = "left" if l_mem <= r_mem else "right"
+    candidates = sorted(
+        (("left", l_mem), ("right", r_mem)), key=lambda s: s[1]
+    )
+    for side, mem in candidates:
+        if side in legal and mem <= broadcast_bytes:
+            build = side
+            break
     strategy = "broadcast" if build else "sort_merge"
     salt = strategy == "sort_merge" and (l_est["skewed"] or r_est["skewed"])
     return {
         "strategy": strategy,
         "build_side": build,
+        "how": how,
         "recommend_salting": bool(salt),
         "est_rows": est_rows,
         "left": l_est,
@@ -208,6 +244,7 @@ def estimate_range_rows(
     lo=None,
     hi=None,
     partition_filter: dict | None = None,
+    _entries: list | None = None,
 ) -> dict:
     """Selectivity of a numeric RANGE predicate from manifest bounds
     alone: ``files(bounds=)`` keeps the overlapping files, and within
@@ -233,9 +270,14 @@ def estimate_range_rows(
             f"range interpolation over {f['type']!r} — int/long/ns-timestamp only"
         )
     fid = str(f["id"])
-    entries, audit = table.files(
-        partition_filter=partition_filter, bounds={column: (lo, hi)}
-    )
+    if _entries is not None:
+        # caller already planned with the same filters: reuse the entries
+        entries = _entries
+        audit = {"files_total": len(_entries)}
+    else:
+        entries, audit = table.files(
+            partition_filter=partition_filter, bounds={column: (lo, hi)}
+        )
     est = 0.0
     unbounded = 0
     for e in entries:
@@ -318,7 +360,13 @@ def execute_equi_join(
     """Apply a plan_equi_join decision: F.broadcast on the build side (a
     planner-issued hint Spark honors regardless of its own size estimate,
     which cannot see the lakehouse statistics) or a plain equi-join that
-    AQE may still re-plan at runtime."""
+    AQE may still re-plan at runtime. The decision must have been planned
+    for the SAME join type — build-side legality depends on it."""
+    if decision.get("how", how) != how:
+        raise ValueError(
+            f"decision was planned for how={decision['how']!r}, executing"
+            f" how={how!r} — re-plan with the matching join type"
+        )
     if decision["build_side"] == "left":
         left_df = F.broadcast(left_df)
     elif decision["build_side"] == "right":
@@ -337,8 +385,21 @@ def planned_join(
     **kwargs,
 ) -> tuple[DataFrame, dict]:
     """Plan + execute in one call over two lakehouse tables; reads apply
-    the same partition filters the estimates were computed under."""
-    decision = plan_equi_join(left, right, left_key, right_key, **kwargs)
+    the same partition filters the estimates were computed under. Bounds
+    kwargs refuse: bounds only SIZE a side (file-level pruning does not
+    row-filter inside surviving files), so executing on bounds-shrunk
+    estimates while reading full rows would broadcast a side at many
+    times its planned size — plan separately and apply your own row
+    filter instead."""
+    if kwargs.get("left_bounds") or kwargs.get("right_bounds"):
+        raise ValueError(
+            "planned_join does not execute bounds-filtered joins — use"
+            " plan_equi_join(left_bounds=/right_bounds=) for the estimate"
+            " and apply the matching row filter to read() yourself"
+        )
+    decision = plan_equi_join(
+        left, right, left_key, right_key, how=how, **kwargs
+    )
     ldf = left.read(partition_filter=kwargs.get("left_partition_filter"))
     rdf = right.read(partition_filter=kwargs.get("right_partition_filter"))
     return (

@@ -506,3 +506,107 @@ def test_stream_replay_does_not_double_count_stats(spark, root, tmp_path):
     md2 = t.metadata()
     assert len(md2["statistics"]) == n_stats
     assert t.ndv("k")["ndv"] == 4  # 0,1,2,3 — the 9 never landed
+
+
+def test_partition_ndv_nullsafe_big_longs(spark, root):
+    """pyarrow→pandas turns an int64 batch with ANY null into float64,
+    rounding values above 2^53 (code-review finding): 2^62-range ids with
+    nulls present must still hash exactly — per-partition NDVs stay exact
+    and agree with analyze() over the same data, and a NULL partition
+    value forms its own partition instead of merging with 0."""
+    big = 2**62
+    rows = [(big + i, "a" if i % 2 else "b") for i in range(20)]
+    rows += [(None, "a"), (big + 5, None), (0, None)]
+    df = spark.createDataFrame(rows, "k long, tag string")
+    t = IcebergTable.create(spark, root, df, partition_by=["tag"])
+    res = t.analyze_partitions(columns=["k", ("k", "tag")])
+    exact_a = len({big + i for i in range(20) if i % 2})
+    exact_b = len({big + i for i in range(20) if not i % 2})
+    per = {
+        (p["partition"]["tag"],): (p["ndv"], p["exact"])
+        for p in t.partition_ndv("k")
+    }
+    assert per[("a",)] == (exact_a, True)
+    assert per[("b",)] == (exact_b, True)
+    # the None-tag partition holds big+5 and 0: two DISTINCT ks
+    assert per[(None,)] == (2, True)
+    # table blob (union) == full distinct count incl. the null-tag rows
+    assert t.ndv("k")["ndv"] == 21  # 20 big ids + 0 (big+5 already in)
+    # composite excludes any NULL-component row: 20 pairs
+    assert t.ndv(("k", "tag"))["ndv"] == 20
+    # long identity partition values with nulls: own partition, exact ids
+    t2 = IcebergTable.create(
+        spark,
+        root + "_p2",
+        spark.createDataFrame(
+            [(big + 1, 1), (big + 3, 1), (None, 2), (big + 3, None)],
+            "pk long, v int",
+        ),
+        partition_by=["pk"],
+    )
+    try:
+        t2.analyze_partitions(columns=["v"])
+        keys = sorted(
+            str(p["partition"]["pk"]) for p in t2.partition_ndv("v")
+        )
+        assert keys == sorted([str(None), str(big + 1), str(big + 3)])
+    finally:
+        shutil.rmtree(root + "_p2", ignore_errors=True)
+
+
+def test_ndv_pruned_unknown_key_refuses(ptable):
+    t, _res, _o = ptable
+    with pytest.raises(ValueError, match="unknown partition field"):
+        t.ndv_pruned("o_orderkey", {"status": "F"})  # typo'd key
+
+
+def test_plan_how_legality(spark, sf_dir, ptable, root):
+    t, _res, o = ptable
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ct = IcebergTable.create(spark, root, c)
+    ct.analyze(columns=["c_custkey"])
+    # left join: only the RIGHT side may broadcast-build
+    d = plan_equi_join(t, ct, "o_custkey", "c_custkey", how="left")
+    assert d["build_side"] == "right" and d["how"] == "left"
+    # right join: only the LEFT side may build — orders fits at sf0.001
+    d2 = plan_equi_join(t, ct, "o_custkey", "c_custkey", how="right")
+    assert d2["build_side"] == "left"
+    # full outer: no legal build side → sort-merge even though both fit
+    d3 = plan_equi_join(t, ct, "o_custkey", "c_custkey", how="full")
+    assert d3["strategy"] == "sort_merge" and d3["build_side"] is None
+    with pytest.raises(ValueError, match="unknown join type"):
+        plan_equi_join(t, ct, "o_custkey", "c_custkey", how="sideways")
+    # executing under a different join type than planned refuses
+    with pytest.raises(ValueError, match="re-plan"):
+        execute_equi_join(d, t.read(), ct.read(), "o_custkey", "c_custkey", "inner")
+    # planned_join refuses bounds (estimates would not match the reads)
+    with pytest.raises(ValueError, match="bounds"):
+        planned_join(t, ct, "o_custkey", "c_custkey", left_bounds={"o_orderkey": (0, 10)})
+
+
+def test_incremental_reports_partition_blob_drop(spark, sf_dir, root):
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    t = IcebergTable.create(
+        spark, root, o.where(F.col("o_orderkey") % 2 == 0),
+        partition_by=["o_orderstatus"],
+    )
+    t.analyze_partitions(columns=["o_custkey"])
+    t.append(o.where(F.col("o_orderkey") % 2 == 1))
+    res = t.analyze_incremental()
+    assert res["mode"] == "incremental"
+    assert res.get("partition_blobs_dropped") is True
+    exact = o.select("o_custkey").distinct().count()
+    assert t.ndv("o_custkey")["ndv"] == exact
+    with pytest.raises(ValueError, match="no per-partition"):
+        t.ndv_pruned("o_custkey", {"o_orderstatus": "F"})
+
+
+def test_analyze_partitions_refuses_nonhashable_partition_type(spark, root):
+    df = spark.createDataFrame(
+        [(1.5, 1), (2.5, 2)], "price double, v int"
+    )
+    t = IcebergTable.create(spark, root, df, partition_by=["price"])
+    with pytest.raises(NotImplementedError, match="partition"):
+        t.analyze_partitions(columns=["v"])
