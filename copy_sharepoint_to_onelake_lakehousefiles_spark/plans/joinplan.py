@@ -75,7 +75,27 @@ def estimate_side(
     surviving files fully — a range keeping 1% of each file should size
     the side at 1%, not 100% (it feeds the broadcast decision). Multi-
     column or non-numeric bounds keep the full per-file counts — a
-    conservative over-estimate, never a silent under-estimate."""
+    conservative over-estimate, never a silent under-estimate.
+
+    ``partition_filter`` keys are validated against the table's partition
+    fields UP FRONT (ADVICE r10): ``files()`` deliberately tolerates
+    filter columns a spec doesn't partition by (the reader row-filters
+    them), but here a typo'd key would silently yield an unpruned
+    estimate — the opposite of what the caller asked for."""
+    if partition_filter:
+        md = table.metadata()
+        known: set = set()
+        for spec in md["partition-specs"]:
+            for pf in table.partition_fields(spec["spec-id"]):
+                known.add(pf["name"])
+                known.add(pf["source_name"])
+        unknown = set(partition_filter) - known
+        if unknown:
+            raise ValueError(
+                f"partition_filter key(s) {sorted(unknown)} are not"
+                f" partition fields of this table (known: {sorted(known)})"
+                " — a typo here would silently produce an UNPRUNED estimate"
+            )
     entries, audit = table.files(
         partition_filter=partition_filter, bounds=bounds
     )
@@ -91,6 +111,7 @@ def estimate_side(
                 hi,
                 partition_filter=partition_filter,
                 _entries=entries,  # manifests already fetched: no re-scan
+                _files_total=audit["files_total"],
             )
             frac = min(1.0, rng["est_rows"] / rows)
             rows = rng["est_rows"]
@@ -99,11 +120,17 @@ def estimate_side(
             pass  # non-numeric range column: keep the full-file counts
     ndv_source = "table"
     if partition_filter:
+        from .iceberg import NoPartitionSketchesError
+
         try:
             nd = table.ndv_pruned(key, partition_filter)
             ndv_source = "pruned_union"
-        except ValueError:
-            nd = table.ndv(key)  # no per-partition sketches: table-level
+        except NoPartitionSketchesError:
+            # ONLY the 'never ran analyze_partitions' condition falls back
+            # to table-level NDV; a typo'd partition field or unknown
+            # column stays a loud ValueError (ADVICE r10: the broad catch
+            # silently fed an unpruned estimate to the planner)
+            nd = table.ndv(key)
     else:
         nd = table.ndv(key)
     # pruning can only shrink distinctness; with table-level stats under a
@@ -179,18 +206,35 @@ def plan_equi_join(
     caller applies the corresponding row filter itself."""
     l_est = estimate_side(left, left_key, left_partition_filter, left_bounds)
     r_est = estimate_side(right, right_key, right_partition_filter, right_bounds)
-    est_rows = int(
+    inner_est = int(
         l_est["rows"] * r_est["rows"] / max(l_est["ndv"], r_est["ndv"], 1)
     )
+    # Outer joins preserve unmatched rows the inner formula ignores: the
+    # output can never be smaller than the preserved side(s); semi/anti
+    # emit each left row at most once, capping at |L| (ADVICE r10: the
+    # inner estimate both under-sized outers and over-sized semis).
+    h = how.lower().replace(" ", "").replace("_", "")
+    if h in ("left", "leftouter"):
+        est_rows = max(inner_est, l_est["rows"])
+    elif h in ("right", "rightouter"):
+        est_rows = max(inner_est, r_est["rows"])
+    elif h in ("full", "outer", "fullouter"):
+        est_rows = max(inner_est, l_est["rows"], r_est["rows"])
+    elif h in ("leftsemi", "leftanti"):
+        est_rows = min(inner_est, l_est["rows"])
+    else:
+        est_rows = inner_est
     l_mem = l_est["bytes"] * inflation
     r_mem = r_est["bytes"] * inflation
     # Spark cannot hash-build on the outer-preserved side of an equi
     # outer join: a left join may only broadcast the RIGHT side, a right
     # join only the LEFT, a full outer neither — planning an illegal
-    # build side would emit a hint Spark silently drops.
+    # build side would emit a hint Spark silently drops. 'cross' is NOT
+    # accepted: execute_equi_join always builds an equality condition, so
+    # planning a cross join here would silently execute as an equi-join
+    # (ADVICE r10).
     legal = {
         "inner": ("left", "right"),
-        "cross": ("left", "right"),
         "left": ("right",),
         "leftouter": ("right",),
         "left_outer": ("right",),
@@ -245,6 +289,7 @@ def estimate_range_rows(
     hi=None,
     partition_filter: dict | None = None,
     _entries: list | None = None,
+    _files_total: int | None = None,
 ) -> dict:
     """Selectivity of a numeric RANGE predicate from manifest bounds
     alone: ``files(bounds=)`` keeps the overlapping files, and within
@@ -271,9 +316,13 @@ def estimate_range_rows(
         )
     fid = str(f["id"])
     if _entries is not None:
-        # caller already planned with the same filters: reuse the entries
+        # caller already planned with the same filters: reuse the entries;
+        # the TRUE manifest total rides along separately — len(_entries)
+        # is the kept-file count, not the total (ADVICE r10)
         entries = _entries
-        audit = {"files_total": len(_entries)}
+        audit = {
+            "files_total": len(_entries) if _files_total is None else _files_total
+        }
     else:
         entries, audit = table.files(
             partition_filter=partition_filter, bounds={column: (lo, hi)}

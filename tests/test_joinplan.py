@@ -610,3 +610,136 @@ def test_analyze_partitions_refuses_nonhashable_partition_type(spark, root):
     t = IcebergTable.create(spark, root, df, partition_by=["price"])
     with pytest.raises(NotImplementedError, match="partition"):
         t.analyze_partitions(columns=["v"])
+
+
+# ------------------------------------------------------- ADVICE r10 fixes
+
+
+def test_estimate_side_typod_partition_filter_refuses(ptable):
+    """A typo'd partition_filter key must raise, not silently fall back
+    to an UNPRUNED table-level estimate (ADVICE r10: the broad
+    except-ValueError swallowed ndv_pruned's refusal, and files()
+    tolerates unknown keys by design)."""
+    t, _res, _o = ptable
+    with pytest.raises(ValueError, match="partition_filter key"):
+        estimate_side(t, "o_custkey", partition_filter={"status": "F"})
+
+
+def test_estimate_side_falls_back_only_without_partition_sketches(
+    spark, sf_dir, root
+):
+    """Table analyzed with plain analyze() (no per-partition blobs): a
+    VALID partition_filter falls back to the table-level NDV
+    (NoPartitionSketchesError is the one condition that may), and the
+    rows still fold only the pruned manifest entries."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    t = IcebergTable.create(spark, root, o, partition_by=["o_orderstatus"])
+    t.analyze(columns=["o_custkey"])  # table-level only
+    est = estimate_side(t, "o_custkey", partition_filter={"o_orderstatus": "F"})
+    assert est["ndv_source"] == "table"
+    assert est["rows"] == o.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_plan_refuses_cross_join(ptable, spark, sf_dir, root):
+    """'cross' is not a plannable type: execute_equi_join always builds an
+    equality condition, so accepting it would silently execute an
+    equi-join (ADVICE r10)."""
+    t, _res, _o = ptable
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ct = IcebergTable.create(spark, root, c)
+    ct.analyze(columns=["c_custkey"])
+    with pytest.raises(ValueError, match="unknown join type"):
+        plan_equi_join(t, ct, "o_custkey", "c_custkey", how="cross")
+
+
+def test_outer_join_estimate_floors(spark, sf_dir, root):
+    """Outer joins preserve unmatched rows: est_rows must floor at the
+    preserved side(s); semi/anti cap at |L| (ADVICE r10). Customers with
+    no orders make the left-outer exact check meaningful."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    t = IcebergTable.create(spark, os.path.join(root, "o"), o)
+    t.analyze(columns=["o_custkey"])
+    ct = IcebergTable.create(spark, os.path.join(root, "c"), c)
+    ct.analyze(columns=["c_custkey"])
+    n_c = c.count()
+    d_inner = plan_equi_join(ct, t, "c_custkey", "o_custkey", how="inner")
+    d = plan_equi_join(ct, t, "c_custkey", "o_custkey", how="left")
+    # the floor is a LOWER-bound correction, not an exact model: a left
+    # outer can never emit fewer rows than the preserved side or the
+    # inner matches (exact would need unmatched-key stats)
+    exact = c.join(o, c.c_custkey == o.o_custkey, "left").count()
+    assert d["est_rows"] == max(d_inner["est_rows"], n_c)
+    assert d["est_rows"] <= exact
+    assert d["est_rows"] >= n_c
+    d_full = plan_equi_join(ct, t, "c_custkey", "o_custkey", how="full")
+    assert d_full["est_rows"] >= max(n_c, o.count())
+    d_semi = plan_equi_join(ct, t, "c_custkey", "o_custkey", how="left_semi")
+    assert d_semi["est_rows"] <= n_c
+
+
+def test_estimate_range_rows_files_total_passthrough(spark, root):
+    """files_total on the _entries-reuse path reports the TRUE manifest
+    total, not the kept-file count (ADVICE r10)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+        estimate_range_rows,
+    )
+
+    df = spark.range(0, 8_000).select(F.col("id").alias("k"))
+    t = IcebergTable.create(spark, root, df.repartitionByRange(8, "k"))
+    entries, audit = t.files(bounds={"k": (0, 999)})
+    assert len(entries) < audit["files_total"]
+    est = estimate_range_rows(
+        t, "k", 0, 999, _entries=entries, _files_total=audit["files_total"]
+    )
+    assert est["files_total"] == audit["files_total"]
+    assert est["files_kept"] == len(entries)
+
+
+def test_composite_ndv_permutation_error_mentions_order(ctable):
+    """Requesting a composite sketch with members in the wrong order
+    fails (order-defined hash) with a message that NAMES the permutation
+    as the likely cause (ADVICE r10)."""
+    t, _o = ctable
+    with pytest.raises(ValueError, match="ORDER-DEFINED"):
+        t.ndv(("o_orderstatus", "o_custkey"))
+
+
+def test_stream_append_returns_stats_summary(spark, root, tmp_path):
+    """stream_append surfaces the per-batch analyze results and folds
+    partition_blobs_dropped to the top level instead of discarding the
+    signal (ADVICE r10)."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        stream_append,
+    )
+
+    src = _os.path.join(str(tmp_path), "src")
+    _os.makedirs(src)
+    pq.write_table(
+        pa.table({"k": [1, 2], "s": ["a", "a"]}), _os.path.join(src, "a.parquet")
+    )
+    t = IcebergTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(0, "a"), (1, "b")], "k long, s string"),
+        partition_by=["s"],
+    )
+    t.analyze_partitions(columns=["k"])  # per-partition blobs exist
+    stream = spark.readStream.schema("k long, s string").parquet(src)
+    out = stream_append(
+        t, stream, "s1", _os.path.join(str(tmp_path), "ck"),
+        maintain_statistics=True,
+    )
+    assert out["batches_committed"] == 1
+    assert len(out["stats"]) == 1
+    # the incremental pass replaced per-partition coverage — the signal
+    # must surface at the top level, not vanish into a discarded dict
+    assert out["partition_blobs_dropped"] is True
+    assert out["stats"][0]["batch_id"] == 0

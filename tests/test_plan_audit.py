@@ -101,6 +101,34 @@ def test_no_unpartitioned_window(name, spark, sf_dir):
     assert not bad, f"{name} moves all rows to one partition: {bad[0]}"
 
 
+def test_q48_window_sits_above_day_aggregate(spark, sf_dir):
+    """q48's GLOBAL_WINDOW_ALLOWED entry is safe only because the Window's
+    input is the post-aggregate day spine (calendar-bounded rows at any
+    scale), not the orders fact table. Pin the plan shape: the
+    unpartitioned Window appears, and a HashAggregate sits BETWEEN it and
+    the scan — so a refactor that accidentally windows the raw fact rows
+    fails here instead of silently moving the table to one partition
+    (VERDICT r10 what's-wrong #3)."""
+    df = all_queries()["q48_rolling_7day_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    win_idx = next(
+        i for i, ln in enumerate(lines) if _unpartitioned_window_lines(ln)
+    )
+    below = lines[win_idx + 1 :]
+    agg_idx = next(
+        (i for i, ln in enumerate(below) if "HashAggregate" in ln), None
+    )
+    scan_idx = next(
+        (i for i, ln in enumerate(below) if "Scan " in ln or "FileScan" in ln),
+        None,
+    )
+    assert agg_idx is not None, f"no aggregate below q48's Window:\n{plan}"
+    assert scan_idx is None or agg_idx < scan_idx, (
+        f"q48's Window reads the scan directly (fact-table window):\n{plan}"
+    )
+
+
 def test_every_driver_collect_is_annotated_bounded():
     """Mechanical gate (r4): every ``.collect()`` in the engine package must
     carry an inline ``# bounded:`` justification — result sets that scale
