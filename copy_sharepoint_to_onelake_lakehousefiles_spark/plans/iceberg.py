@@ -3851,27 +3851,20 @@ class IcebergTable:
             src = src.select(F.col(name).cast("long").alias(name))
 
         def _hash_batches(batches, _col=name, _s=as_string, _k=k):
-            import numpy as _np
             import pandas as _pd
 
-            from .theta import hash_long_vec, hash_string
+            # shared executor kernel (theta.py): digest + bottom-(k+1)
+            # prune — the same code path analyze_partitions and the
+            # composite builder run, so a hash-rule fix lands everywhere
+            from .theta import digest_series, prune_bottomk
 
             for pdf in batches:
                 vals = pdf[_col].dropna()
                 if not len(vals):
                     continue
-                if _s:
-                    hs = _np.fromiter(
-                        {hash_string(str(v)) for v in vals.unique()},
-                        dtype=_np.int64,
-                    )
-                else:
-                    hs = _np.unique(
-                        hash_long_vec(vals.to_numpy(dtype=_np.int64))
-                    )
-                if len(hs) > _k + 1:
-                    hs = _np.partition(hs, _k)[: _k + 1]
-                yield _pd.DataFrame({"h": _np.sort(hs)})
+                yield _pd.DataFrame(
+                    {"h": prune_bottomk(digest_series(vals, _s), _k)}
+                )
 
         return [
             r["h"]
@@ -3902,30 +3895,22 @@ class IcebergTable:
         ).na.drop()
 
         def _hash_batches(batches, _names=names, _types=types, _k=k):
-            import numpy as _np
             import pandas as _pd
 
-            from .theta import hash_composite_vec, hash_long_vec, hash_string
+            # shared executor kernel (theta.py) — see _column_topk_hashes
+            from .theta import digest_series, hash_composite_vec, prune_bottomk
 
             for pdf in batches:
                 pdf = pdf.dropna()
                 if not len(pdf):
                     continue
-                digs = []
-                for n_, t_ in zip(_names, _types):
-                    if t_ == "string":
-                        uniq = {v: hash_string(str(v)) for v in pdf[n_].unique()}
-                        digs.append(
-                            pdf[n_].map(uniq).to_numpy(dtype=_np.int64)
-                        )
-                    else:
-                        digs.append(
-                            hash_long_vec(pdf[n_].to_numpy(dtype=_np.int64))
-                        )
-                hs = _np.unique(hash_composite_vec(digs))
-                if len(hs) > _k + 1:
-                    hs = _np.partition(hs, _k)[: _k + 1]
-                yield _pd.DataFrame({"h": _np.sort(hs)})
+                digs = [
+                    digest_series(pdf[n_], t_ == "string")
+                    for n_, t_ in zip(_names, _types)
+                ]
+                yield _pd.DataFrame(
+                    {"h": prune_bottomk(hash_composite_vec(digs), _k)}
+                )
 
         return [
             r["h"]
@@ -4419,16 +4404,10 @@ class IcebergTable:
             return _json.dumps(d, sort_keys=True, separators=(",", ":"))
 
         def _hash_grouped(batches, _specs=udf_specs, _k=k):
-            import numpy as _np
             import pandas as _pd
 
-            from .theta import hash_composite_vec, hash_long_vec, hash_string
-
-            def _digest(series, is_s):
-                if is_s:
-                    uniq = {v: hash_string(str(v)) for v in series.unique()}
-                    return series.map(uniq).to_numpy(dtype=_np.int64)
-                return hash_long_vec(series.to_numpy(dtype=_np.int64))
+            # shared executor kernel (theta.py) — see _column_topk_hashes
+            from .theta import digest_series, hash_composite_vec, prune_bottomk
 
             gcols = pcols + pflags
             for pdf in batches:
@@ -4447,21 +4426,17 @@ class IcebergTable:
                         if not len(sub):
                             continue
                         if len(cnames) == 1:
-                            hs = _np.unique(_digest(sub[cnames[0]], is_strs[0]))
+                            hs = digest_series(sub[cnames[0]], is_strs[0])
                         else:
                             sub = sub.drop_duplicates()
-                            hs = _np.unique(
-                                hash_composite_vec(
-                                    [
-                                        _digest(sub[n_], s_)
-                                        for n_, s_ in zip(cnames, is_strs)
-                                    ]
-                                )
+                            hs = hash_composite_vec(
+                                [
+                                    digest_series(sub[n_], s_)
+                                    for n_, s_ in zip(cnames, is_strs)
+                                ]
                             )
-                        if len(hs) > _k + 1:
-                            hs = _np.partition(hs, _k)[: _k + 1]
                         yield _pd.DataFrame(
-                            {"p": pj, "c": ci, "h": _np.sort(hs)}
+                            {"p": pj, "c": ci, "h": prune_bottomk(hs, _k)}
                         )
 
         w = Window.partitionBy("p", "c").orderBy("h")
