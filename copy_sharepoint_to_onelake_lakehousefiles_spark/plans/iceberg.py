@@ -4102,8 +4102,12 @@ class IcebergTable:
             # per-partition blobs are NOT incrementally unionable (a new
             # file may add rows to an existing partition's sketch only —
             # which union handles — but attribution needs the partition
-            # pass); incremental scope is the table-level blobs
+            # pass); per-FILE blobs would be (files are immutable), but
+            # carrying them forward needs a per-file hash of the new
+            # files — future work, dropped with a flag for now.
+            # Incremental scope is the table-level blobs.
             and "partition" not in (b.get("properties") or {})
+            and "file" not in (b.get("properties") or {})
         }
         if columns is None:
             # incremental scope = the keys (incl. COMPOSITES) the PRIOR
@@ -4182,6 +4186,11 @@ class IcebergTable:
             for b in old_footer["blobs"]
             if b["type"] == "apache-datasketches-theta-v1"
         )
+        had_file_blobs = any(
+            "file" in (b.get("properties") or {})
+            for b in old_footer["blobs"]
+            if b["type"] == "apache-datasketches-theta-v1"
+        )
         path = self._publish_statistics(md, sid, blobs)
         out = {
             "statistics_path": path,
@@ -4196,6 +4205,9 @@ class IcebergTable:
             # forward without a partition-attribution pass; say so loudly
             # instead of silently downgrading ndv_pruned consumers
             out["partition_blobs_dropped"] = True
+        if had_file_blobs:
+            # same posture for per-file blobs (ndv_bounds consumers)
+            out["file_blobs_dropped"] = True
         return out
 
     def ndv(self, column, snapshot_id: int | None = None) -> dict:
@@ -4240,10 +4252,11 @@ class IcebergTable:
                 for b in footer["blobs"]
                 if b["type"] == "apache-datasketches-theta-v1"
                 and b.get("fields") == fids
-                # analyze_partitions writes ADDITIONAL per-partition blobs
-                # for the same field; the table-level blob is the one
-                # without a partition property
+                # analyze_partitions / analyze_files write ADDITIONAL
+                # partition-/file-keyed blobs for the same field; the
+                # table-level blob is the one with neither property
                 and "partition" not in (b.get("properties") or {})
+                and "file" not in (b.get("properties") or {})
             ),
             None,
         )
@@ -4620,6 +4633,312 @@ class IcebergTable:
             "exact": sk["theta"] == LONG_MAX + 1,
             "partitions_matched": len(imgs),
             "partitions_total": len(blobs),
+        }
+
+    # ------------------------------------------------ per-file statistics
+
+    def analyze_files(
+        self, columns: list | None = None, k: int | None = None
+    ) -> dict:
+        """PER-FILE ANALYZE (VERDICT r10 next-round #3): one theta sketch
+        per (live data file, key) of the CURRENT snapshot, plus the
+        table-level unions — ONE Puffin statistics file, ONE pass over
+        the data for ALL requested keys.
+
+        Why file-keyed sketches: manifest column bounds already prune
+        FILES under a range predicate, and rows/bytes interpolate
+        (``estimate_range_rows``) — but NDV could not shrink below the
+        table/partition value, so a planner sizing a range-filtered join
+        key had only the unfiltered distinct count. File sketches make
+        distinct-under-range a metadata union (``ndv_bounds``): union the
+        sketches of exactly the bounds-surviving files. Finer layout
+        (range-clustered files → narrow spans) tightens the answer — the
+        same OPTIMIZE-pays-off story as the row/byte interpolation.
+
+        Mechanics mirror ``analyze_partitions`` with the file path as the
+        group key: the read exposes ``__ice_fp`` (the same merge-on-read
+        view ``position_delete`` scans, so deleted rows are excluded),
+        each Arrow batch groups by file and prunes each (file, key) to
+        its bottom-(k+1) distinct hashes via the shared theta kernel, and
+        a window cap bounds the collect at O(files × keys × k). Per-file
+        blobs carry ``properties: {ndv, file: <path>}`` (engine-level
+        property keying, spec-standard blob type/image); the table-level
+        blobs are the union of the file blobs — bit-identical to a direct
+        build for exact-mode inputs. Replaces the snapshot's statistics
+        entry like every other analyze flavor."""
+        from pyspark.sql.window import Window
+
+        from .theta import build_kmv, parse_compact, union_sketches
+
+        k = self.THETA_K if k is None else int(k)
+        md = self.metadata()
+        snap = self._resolve_snapshot(None, None)
+        sid, seq = snap["snapshot-id"], snap["sequence-number"]
+        ice = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        specs = self._normalize_stat_columns(columns, ice)
+        by_name = {f["name"]: f for f in ice["fields"]}
+        member_cols: list[str] = []
+        for names, _fields in specs:
+            for n in names:
+                if n not in member_cols:
+                    member_cols.append(n)
+        udf_specs = [
+            (list(names), [f["type"] == "string" for f in fields])
+            for names, fields in specs
+        ]
+        # NULL-SAFETY: same coalesce+flag plumbing as analyze_partitions —
+        # a null in an int64 Arrow batch flips the pandas dtype to float64
+        # and corrupts hashes above 2^53
+        m_exprs: list = [F.col("__ice_fp")]
+        for c in member_cols:
+            if by_name[c]["type"] == "string":
+                m_exprs.append(F.col(c))
+            else:
+                m_exprs.extend(
+                    [
+                        F.coalesce(F.col(c).cast("long"), F.lit(0))
+                        .cast("long")
+                        .alias(c),
+                        F.col(c).cast("long").isNull().alias(f"__n_{c}"),
+                    ]
+                )
+        src = self.read(with_positions=True).select(*m_exprs)
+
+        def _hash_by_file(batches, _specs=udf_specs, _k=k):
+            import pandas as _pd
+
+            # shared executor kernel (theta.py) — see _column_topk_hashes
+            from .theta import digest_series, hash_composite_vec, prune_bottomk
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for fp, g in pdf.groupby("__ice_fp", sort=False):
+                    for ci, (cnames, is_strs) in enumerate(_specs):
+                        mask = None
+                        for n_, s_ in zip(cnames, is_strs):
+                            m = g[n_].notna() if s_ else ~g[f"__n_{n_}"]
+                            mask = m if mask is None else (mask & m)
+                        sub = g.loc[mask, list(cnames)]
+                        if not len(sub):
+                            continue
+                        if len(cnames) == 1:
+                            hs = digest_series(sub[cnames[0]], is_strs[0])
+                        else:
+                            sub = sub.drop_duplicates()
+                            hs = hash_composite_vec(
+                                [
+                                    digest_series(sub[n_], s_)
+                                    for n_, s_ in zip(cnames, is_strs)
+                                ]
+                            )
+                        yield _pd.DataFrame(
+                            {"f": fp, "c": ci, "h": prune_bottomk(hs, _k)}
+                        )
+
+        w = Window.partitionBy("f", "c").orderBy("h")
+        survivors = (
+            src.mapInPandas(_hash_by_file, "f string, c int, h long")
+            .distinct()
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k + 1)
+            .select("f", "c", "h")
+            # bounded: window cap = (k+1) × files × keys hashes
+            .collect()
+        )
+        by_fc: dict[tuple[str, int], list[int]] = {}
+        for r in survivors:
+            by_fc.setdefault((r["f"], r["c"]), []).append(r["h"])
+        # EVERY live file gets a blob for every key — an all-NULL file
+        # gets the empty sketch — so ndv_bounds can treat a MISSING blob
+        # as what it really is: stale statistics, refused loudly
+        live_entries, _ = self.files()
+        files_seen = sorted(
+            e["file_path"].replace("file:", "") for e in live_entries
+        )
+        blobs: list[dict] = []
+        file_ndv: dict[str, dict[str, int]] = {f: {} for f in files_seen}
+        ndvs: dict[str, int] = {}
+        for ci, (names, fields) in enumerate(specs):
+            fids = [f["id"] for f in fields]
+            key = ",".join(names)
+            per_file: list[bytes] = []
+            for fp in files_seen:
+                hs = by_fc.get((fp, ci), [])
+                sk = build_kmv(hs, k)
+                est = int(round(parse_compact(sk)["estimate"]))
+                file_ndv[fp][key] = est
+                per_file.append(sk)
+                blobs.append(
+                    {
+                        "type": "apache-datasketches-theta-v1",
+                        "fields": fids,
+                        "snapshot-id": sid,
+                        "sequence-number": seq,
+                        "data": sk,
+                        "properties": {"ndv": str(est), "file": fp},
+                    }
+                )
+            table_sk = union_sketches(per_file, k) if per_file else build_kmv([], k)
+            ndvs[key] = int(round(parse_compact(table_sk)["estimate"]))
+            blobs.append(
+                {
+                    "type": "apache-datasketches-theta-v1",
+                    "fields": fids,
+                    "snapshot-id": sid,
+                    "sequence-number": seq,
+                    "data": table_sk,
+                    "properties": {"ndv": str(ndvs[key])},
+                }
+            )
+        path = self._publish_statistics(md, sid, blobs)
+        return {
+            "statistics_path": path,
+            "ndv": ndvs,
+            "file_ndv": file_ndv,
+            "files": len(files_seen),
+            "k": k,
+            "mode": "per_file",
+        }
+
+    def ndv_bounds(
+        self,
+        column,
+        lo=None,
+        hi=None,
+        *,
+        bounds_column: str | None = None,
+        partition_filter: dict | None = None,
+        snapshot_id: int | None = None,
+        k: int | None = None,
+    ) -> dict:
+        """DISTINCT-UNDER-RANGE from per-file sketches (VERDICT r10
+        next-round #3): the NDV of ``column`` among rows whose
+        ``bounds_column`` (default: the same column) falls in [lo, hi] —
+        as a metadata-only BRACKET, never a data scan.
+
+        ``files(bounds=)`` keeps the overlapping files; a pruned file has
+        no in-range rows, so its keys cannot contribute. Among survivors:
+
+        - ``ndv_upper`` = union of ALL surviving files' sketches — an
+          upper bound (partial-overlap files contribute out-of-range keys
+          too);
+        - ``ndv_lower`` = union of the files whose recorded
+          [min, max] span lies FULLY inside [lo, hi] — a lower bound
+          (every row of those files is in range; files without recorded
+          bounds never count here);
+        - ``exact`` is True when every surviving file is fully contained
+          AND the union retained every hash (exact mode): then lower ==
+          upper == the true distinct count. Range-clustered layout makes
+          this the common case — OPTIMIZE literally sharpens statistics.
+
+        Sketches must come from ``analyze_files`` at this snapshot;
+        refuses loudly otherwise (a planner must not silently fall back
+        to the unfiltered NDV — that is the bug this method fixes)."""
+        from .puffin import read_puffin_blob, read_puffin_footer
+        from .theta import LONG_MAX, parse_compact, union_sketches
+
+        k = self.THETA_K if k is None else int(k)
+        bcol = bounds_column or (column if isinstance(column, str) else None)
+        if bcol is None:
+            raise ValueError(
+                "composite-key ndv_bounds needs an explicit bounds_column"
+            )
+        md = self.metadata()
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else md.get("current-snapshot-id")
+        )
+        entry = next(
+            (s for s in md.get("statistics") or [] if s["snapshot-id"] == sid),
+            None,
+        )
+        if entry is None:
+            raise ValueError(
+                f"no statistics for snapshot {sid} — run analyze_files() first"
+            )
+        ice = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        by_name = {f["name"]: f for f in ice["fields"]}
+        names = [column] if isinstance(column, str) else list(column)
+        fids = []
+        for name in names:
+            if name not in by_name:
+                raise ValueError(f"no column {name!r}")
+            fids.append(by_name[name]["id"])
+        bf = by_name.get(bcol)
+        if bf is None:
+            raise ValueError(f"no column {bcol!r}")
+        bfid = str(bf["id"])
+        path = entry["statistics-path"].replace("file:", "")
+        footer = read_puffin_footer(path)
+        by_file = {
+            b["properties"]["file"]: b
+            for b in footer["blobs"]
+            if b["type"] == "apache-datasketches-theta-v1"
+            and b.get("fields") == fids
+            and "file" in (b.get("properties") or {})
+        }
+        if not by_file:
+            raise ValueError(
+                f"no per-file theta sketches for column {column!r} at"
+                f" snapshot {sid} — run analyze_files() first"
+                + self._permuted_fields_hint(footer["blobs"], fids)
+            )
+        entries, audit = self.files(
+            snapshot_id=sid,
+            partition_filter=partition_filter,
+            bounds={bcol: (lo, hi)},
+        )
+        upper_imgs: list[bytes] = []
+        lower_imgs: list[bytes] = []
+        contained = 0
+        missing: list[str] = []
+        for e in entries:
+            fp = e["file_path"].replace("file:", "")
+            b = by_file.get(fp)
+            if b is None:
+                # analyze_files writes a blob for EVERY live file (an
+                # all-NULL key gets the empty sketch), so a missing blob
+                # can only mean the statistics do not describe this
+                # snapshot's files — refuse, never silently under-count
+                missing.append(fp)
+                continue
+            img = read_puffin_blob(path, b["offset"], b["length"])
+            upper_imgs.append(img)
+            raw_lo = (e.get("lower_bounds") or {}).get(bfid)
+            raw_hi = (e.get("upper_bounds") or {}).get(bfid)
+            if raw_lo is None or raw_hi is None:
+                continue  # no recorded bounds: cannot prove containment
+            fmin = _single_value_parse(bf["type"], raw_lo)
+            fmax = _single_value_parse(bf["type"], raw_hi)
+            if (lo is None or lo <= fmin) and (hi is None or fmax <= hi):
+                lower_imgs.append(img)
+                contained += 1
+        if missing:
+            raise ValueError(
+                f"{len(missing)} bounds-surviving file(s) have no per-file"
+                f" sketch for {column!r} (e.g. {missing[0]}) — statistics"
+                " are stale; re-run analyze_files()"
+            )
+        up = parse_compact(union_sketches(upper_imgs, k))
+        low = parse_compact(union_sketches(lower_imgs, k))
+        exact = (
+            contained == len(entries)
+            and up["theta"] == LONG_MAX + 1
+            and low["theta"] == LONG_MAX + 1
+        )
+        return {
+            "ndv_lower": int(round(low["estimate"])),
+            "ndv_upper": int(round(up["estimate"])),
+            "exact": exact,
+            "files_kept": len(entries),
+            "files_contained": contained,
+            "files_total": audit["files_total"],
         }
 
     def write_partition_statistics(self) -> dict:
@@ -7880,6 +8199,133 @@ def q217_streaming_stats_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "column_name STRING, exact_ndv BIGINT, ndv_within_5pct INT,"
         " stats_at_current INT, one_entry_per_batch INT",
+    )
+
+
+_FILESTATS_CACHE: dict = {}
+
+
+def _demo_file_stats(spark: SparkSession, sf_dir: str):
+    """Per-file-statistics demo, memoized per (session, sf_dir): orders
+    range-clustered on o_orderkey into 8 files (the layout OPTIMIZE
+    would produce), analyzed with analyze_files — the setup in which
+    distinct-under-range is exactly answerable from metadata."""
+    import tempfile
+
+    cache_key = (id(spark), sf_dir)
+    got = _FILESTATS_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got[0].meta_dir):
+        return got
+    root = os.path.join(tempfile.gettempdir(), f"icfile_{uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    t = IcebergTable.create(spark, root, o.repartitionByRange(8, "o_orderkey"))
+    res = t.analyze_files(columns=["o_orderkey", "o_custkey"])
+    _FILESTATS_CACHE[cache_key] = (t, res)
+    return _FILESTATS_CACHE[cache_key]
+
+
+_Q219_ORACLE = """
+WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders)
+SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS exact_distinct_in_range,
+       1 AS bracket_holds, 1 AS upper_below_table_ndv,
+       1 AS aligned_range_exact, 1 AS cross_key_exact
+FROM orders, b
+WHERE o_orderkey BETWEEN mn + (mx - mn) // 4 AND mn + (mx - mn) // 2
+"""
+
+
+@query("q219_ndv_under_range", oracle=_Q219_ORACLE)
+def q219_ndv_under_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDV UNDER RANGE BOUNDS from per-file sketches (VERDICT r10
+    next-round #3): analyze_files writes one theta sketch per (data file,
+    key); ndv_bounds unions exactly the bounds-surviving files' sketches
+    — so the distinct count finally SHRINKS under a range predicate
+    instead of keeping the table value (the r10 gap: rows/bytes
+    interpolated, NDV could not). All metadata-only, no data scan.
+
+    Pins vs the oracle's exact distinct count over the quartile-to-median
+    o_orderkey window: (1) the [ndv_lower, ndv_upper] bracket contains
+    the exact count (exact-mode sketches make these true bounds, not
+    estimates); (2) ndv_upper is strictly below the table-level NDV —
+    the planner signal that did not exist before; (3) a range ALIGNED to
+    file spans (every surviving file fully contained — what a
+    range-clustered layout gives real queries) matches the recomputed
+    truth: exactly when the union stayed exact-mode, within the k=4096
+    sketch's 5% band when the surviving distincts exceed k (at sf0.01
+    the 3-file orderkey union holds ~5.6k — estimation mode is the
+    CORRECT behavior there, and the estimate still lands); (4) the
+    CROSS-KEY form (distinct o_custkey among rows with o_orderkey in the
+    aligned range) passes the same check — sizing a range-filtered JOIN
+    KEY is the planner case that motivated this."""
+    t, _res = _demo_file_stats(spark, sf_dir)
+    o = load(spark, sf_dir, "orders")
+    # bounded: one min/max row
+    r = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    mn, mx = int(r[0]), int(r[1])
+    lo = mn + (mx - mn) // 4
+    hi = mn + (mx - mn) // 2
+    nb = t.ndv_bounds("o_orderkey", lo, hi)
+    exact = (
+        o.where(F.col("o_orderkey").between(lo, hi))
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+    bracket = int(nb["ndv_lower"] <= exact <= nb["ndv_upper"])
+    below = int(nb["ndv_upper"] < t.ndv("o_orderkey")["ndv"])
+    # file-aligned range: [global min, third file's max] by recorded spans
+    entries, _ = t.files()
+    md_ = t.metadata()
+    ice_ = next(
+        s for s in md_["schemas"] if s["schema-id"] == md_["current-schema-id"]
+    )
+    ok_fid = str(
+        next(f["id"] for f in ice_["fields"] if f["name"] == "o_orderkey")
+    )
+    spans = sorted(
+        (
+            _single_value_parse("long", e["lower_bounds"][ok_fid]),
+            _single_value_parse("long", e["upper_bounds"][ok_fid]),
+        )
+        for e in entries
+    )
+    alo, ahi = spans[0][0], spans[2][1]
+
+    def _aligned_flag(nb: dict, truth: int) -> int:
+        # full containment always; then EXACT equality when the union
+        # retained every hash, else the k=4096 sketch's 5% accuracy band
+        # (RSE ~1.6% → ~3σ; deterministic hash → deterministic flag —
+        # at sf0.01 the 3-file orderkey union holds ~5.6k distincts and
+        # correctly runs in estimation mode)
+        if nb["files_contained"] != nb["files_kept"]:
+            return 0
+        if nb["exact"]:
+            return int(nb["ndv_lower"] == nb["ndv_upper"] == truth)
+        return int(abs(nb["ndv_upper"] - truth) * 20 <= truth)
+
+    anb = t.ndv_bounds("o_orderkey", alo, ahi)
+    a_exact = (
+        o.where(F.col("o_orderkey").between(alo, ahi))
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+    aligned = _aligned_flag(anb, a_exact)
+    cnb = t.ndv_bounds("o_custkey", alo, ahi, bounds_column="o_orderkey")
+    c_exact = (
+        o.where(F.col("o_orderkey").between(alo, ahi))
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    cross = _aligned_flag(cnb, c_exact)
+    return spark.createDataFrame(
+        [(exact, bracket, below, aligned, cross)],
+        "exact_distinct_in_range BIGINT, bracket_holds INT,"
+        " upper_below_table_ndv INT, aligned_range_exact INT,"
+        " cross_key_exact INT",
     )
 
 
