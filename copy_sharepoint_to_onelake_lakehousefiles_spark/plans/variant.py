@@ -384,6 +384,33 @@ def decode_variant(value: bytes, metadata: bytes):
     return VariantVal(value, metadata).toPython()
 
 
+def variant_to_arrow(col, arrow_type):
+    """A variant column as stored in parquet (struct<metadata, value
+    [, typed_value]>) → the Arrow array Spark expects for VariantType
+    (struct<value: binary not null, metadata: binary not null>), with
+    shredded rows reconstructed. A row is SQL NULL when either binary is
+    absent after reconstruction (top-level missing per
+    VariantShredding.md); null slots carry empty-bytes placeholders in
+    the children, which the struct validity mask hides."""
+    import pyarrow as pa
+
+    vs, ms = rebuild_shredded(col)
+    null_mask = [v is None or m is None for v, m in zip(vs, ms)]
+    v_arr = pa.array(
+        [b"" if nm else v for v, nm in zip(vs, null_mask)], type=pa.binary()
+    )
+    m_arr = pa.array(
+        [b"" if nm else m for m, nm in zip(ms, null_mask)], type=pa.binary()
+    )
+    by_name = {"value": v_arr, "metadata": m_arr}
+    fields = list(arrow_type)
+    return pa.StructArray.from_arrays(
+        [by_name[f.name] for f in fields],
+        fields=fields,
+        mask=pa.array(null_mask, type=pa.bool_()),
+    )
+
+
 # ------------------------------------------------- shredded reconstruction
 
 

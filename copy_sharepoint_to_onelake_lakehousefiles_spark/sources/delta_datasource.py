@@ -267,7 +267,11 @@ class DeltaLiteReader(DataSourceReader):
         if partition.path is None:  # empty-snapshot sentinel
             return
         st = StructType.fromJson(json.loads(partition.schema_json))
-        pf = pq.ParquetFile(partition.path)
+        # compat open: VARIANT-bearing files carry a logical type this
+        # container's pyarrow cannot parse (plans/variant.py)
+        from ..plans.variant import open_parquet_compat
+
+        pf = open_parquet_compat(partition.path)
         groups = list(range(pf.metadata.num_row_groups))
         if partition.bounds:
             groups = select_row_groups(pf.metadata, partition.bounds)
@@ -324,7 +328,14 @@ class DeltaLiteReader(DataSourceReader):
                 arrays.append(pa.array([v] * n, type=at))
             elif pname in names:
                 col = tbl.column(pname).combine_chunks()
-                arrays.append(col if col.type == at else col.cast(at))
+                if type(f.dataType).__name__ == "VariantType":
+                    # shredded/unshredded variant → Spark's (value,
+                    # metadata) binaries, reconstructed per spec
+                    from ..plans.variant import variant_to_arrow
+
+                    arrays.append(variant_to_arrow(col, at))
+                else:
+                    arrays.append(col if col.type == at else col.cast(at))
             else:  # pre-evolution file: evolved column is all-null
                 arrays.append(pa.nulls(n, type=at))
             out_names.append(f.name)

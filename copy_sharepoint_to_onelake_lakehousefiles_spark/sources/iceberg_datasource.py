@@ -211,7 +211,12 @@ class IcebergLiteReader(DataSourceReader):
         if partition.path is None:  # empty-snapshot sentinel
             return
         st = StructType.fromJson(json.loads(partition.schema_json))
-        pf = pq.ParquetFile(partition.path)
+        # compat open: VARIANT-bearing files carry a logical type this
+        # container's pyarrow cannot parse — the footer patch makes them
+        # readable (plans/variant.py)
+        from ..plans.variant import open_parquet_compat
+
+        pf = open_parquet_compat(partition.path)
         groups = list(range(pf.metadata.num_row_groups))
         if partition.bounds:
             # bounds are keyed by TARGET names; row-group stats carry the
@@ -307,7 +312,14 @@ class IcebergLiteReader(DataSourceReader):
                 arrays.append(pa.array([partition.partition_values.get(f.name)] * n, type=at))
             elif wname is not None and wname in names:
                 col = tbl.column(wname).combine_chunks()
-                arrays.append(col if col.type == at else col.cast(at))
+                if type(f.dataType).__name__ == "VariantType":
+                    # shredded/unshredded variant → Spark's (value,
+                    # metadata) binaries, reconstructed per spec
+                    from ..plans.variant import variant_to_arrow
+
+                    arrays.append(variant_to_arrow(col, at))
+                else:
+                    arrays.append(col if col.type == at else col.cast(at))
             elif (
                 wname is None
                 and partition.defaults
