@@ -119,7 +119,24 @@ def estimate_side(
         except NotImplementedError:
             pass  # non-numeric range column: keep the full-file counts
     ndv_source = "table"
-    if partition_filter:
+    nd = None
+    if bounds and len(bounds) == 1 and not partition_filter:
+        # per-file sketches (analyze_files) answer NDV-under-range
+        # directly — the r10 gap where rows interpolated but the key's
+        # distinct count stayed at the table value. ndv_upper is the
+        # safe planning figure: it can only OVER-state distinctness,
+        # which UNDER-states join output — paired with the row cap
+        # below, never an absurd cross-product estimate.
+        from .iceberg import NoFileSketchesError
+
+        col, (lo, hi) = next(iter(bounds.items()))
+        try:
+            nb = table.ndv_bounds(key, lo, hi, bounds_column=col)
+            nd = {"ndv": nb["ndv_upper"], "exact": nb["exact"]}
+            ndv_source = "file_union_bounds"
+        except NoFileSketchesError:
+            nd = None  # no per-file sketches: fall through to table-level
+    if nd is None and partition_filter:
         from .iceberg import NoPartitionSketchesError
 
         try:
@@ -131,7 +148,7 @@ def estimate_side(
             # column stays a loud ValueError (ADVICE r10: the broad catch
             # silently fed an unpruned estimate to the planner)
             nd = table.ndv(key)
-    else:
+    elif nd is None:
         nd = table.ndv(key)
     # pruning can only shrink distinctness; with table-level stats under a
     # filter the row count is the tighter cap

@@ -132,15 +132,45 @@ def test_all_null_key_file_contributes_zero(spark, root):
     assert nb["ndv_lower"] in (0, 100)  # containment unprovable without bounds
 
 
-def test_table_level_blob_still_reads_and_incremental_flags_drop(spark, rtable):
+def test_incremental_maintains_file_blobs(spark, rtable):
+    """analyze_incremental after a pure append CARRIES the prior file
+    blobs verbatim and hashes only the new files — ndv_bounds stays
+    fresh without a full analyze_files pass (r11)."""
     t, res, df = rtable
     assert t.ndv("k")["ndv"] == res["ndv"]["k"] == 4_000
     assert t.ndv("v")["ndv"] == 400
-    t.append(spark.createDataFrame([(50_000, 1, "x")], "k long, v long, s string"))
+    t.append(
+        spark.createDataFrame(
+            [(50_000 + i, 1, "x") for i in range(5)], "k long, v long, s string"
+        ).coalesce(1)
+    )
     inc = t.analyze_incremental()
     assert inc["mode"] == "incremental"
+    assert inc.get("file_blobs_maintained") is True
+    assert "file_blobs_dropped" not in inc
+    assert inc["files_hashed"] == 1 and inc["file_blobs_carried"] == 8
+    assert t.ndv("k")["ndv"] == 4_005
+    # old-range queries keep their exactness; the new file answers too
+    nb = t.ndv_bounds("k", 0, 3_999)
+    assert nb["ndv_upper"] == 4_000
+    assert t.ndv_bounds("k", 50_000, 60_000)["ndv_upper"] == 5
+    # a second incremental round keeps carrying (carried grows by 1 file)
+    t.append(spark.createDataFrame([(70_000, 1, "y")], "k long, v long, s string"))
+    inc2 = t.analyze_incremental()
+    assert inc2.get("file_blobs_maintained") is True
+    assert inc2["file_blobs_carried"] == 9
+    assert t.ndv_bounds("k", 70_000, 70_000)["ndv_upper"] == 1
+
+
+def test_incremental_fallback_flags_file_blob_drop(spark, rtable):
+    """A delete forces the full fallback, which writes table-level blobs
+    only — the per-file coverage loss must surface as a flag."""
+    t, _res, _df = rtable
+    t.equality_delete(spark.createDataFrame([(7,)], "k long"))
+    inc = t.analyze_incremental()
+    assert inc["mode"] == "full"
+    assert inc.get("fallback_reason")
     assert inc.get("file_blobs_dropped") is True
-    assert t.ndv("k")["ndv"] == 4_001
     with pytest.raises(ValueError, match="analyze_files"):
         t.ndv_bounds("k", 0, 10)
 

@@ -838,3 +838,33 @@ def test_stats_view_lite_partition_filter_rows(spark, sf_dir, root, ptable):
     )
     got = spark.sql("SELECT count(*) FROM orders_f_lite").collect()[0][0]
     assert got == dec["rows"] == o.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_estimate_side_bounds_uses_file_sketches(spark, root):
+    """With analyze_files statistics, a bounds-filtered side estimate
+    shrinks the KEY NDV through ndv_bounds (r11) instead of keeping the
+    table value — the r10 gap where rows interpolated but distinctness
+    did not."""
+    df = spark.range(0, 8_000).select(F.col("id").alias("k"))
+    t = IcebergTable.create(spark, root, df.repartitionByRange(8, "k"))
+    t.analyze_files(columns=["k"], k=16_384)  # exact mode at 8k keys
+    full = estimate_side(t, "k")
+    assert full["ndv"] == 8_000 and full["ndv_source"] == "table"
+    est = estimate_side(t, "k", bounds={"k": (0, 999)})
+    assert est["ndv_source"] == "file_union_bounds"
+    assert est["ndv"] <= 1_000 < full["ndv"]
+    # analyze() only (no file sketches): graceful table-level fallback
+    t2 = IcebergTable.create(
+        spark, root + "_t2", df.repartitionByRange(8, "k")
+    )
+    try:
+        t2.analyze(columns=["k"], k=16_384)
+        est2 = estimate_side(t2, "k", bounds={"k": (0, 999)})
+        assert est2["ndv_source"] == "table"
+        # row interpolation still caps the NDV
+        assert est2["ndv"] <= 1_005
+    finally:
+        shutil.rmtree(root + "_t2", ignore_errors=True)
+    # unknown KEY column stays a loud refusal, not a silent fallback
+    with pytest.raises(ValueError, match="no column"):
+        estimate_side(t, "nope", bounds={"k": (0, 999)})
