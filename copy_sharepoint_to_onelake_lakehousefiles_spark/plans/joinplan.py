@@ -474,14 +474,54 @@ def planned_join(
     )
 
 
+def _is_delta(table) -> bool:
+    # duck-typed dispatch: DeltaTable carries log_dir, IcebergTable
+    # meta_dir — no import-time coupling between the two modules
+    return hasattr(table, "log_dir")
+
+
 def estimate_table_size(
     table, partition_filter: dict | None = None, inflation: float = PARQUET_INFLATION
 ) -> dict:
     """Metadata-only size of a table AFTER partition pruning — the
     broadcast-decision inputs without requiring NDV statistics (sizing
     needs bytes, not distinctness, so an un-ANALYZEd table still gets a
-    correct broadcast call from its manifests). partition_filter keys
-    validate up front like estimate_side."""
+    correct broadcast call from its manifests). Accepts IcebergTable
+    (manifest entries) and DeltaTable (add-action ``size`` +
+    ``stats.numRecords``). partition_filter keys validate up front like
+    estimate_side — for Delta a typo'd key would match NOTHING and a
+    zero estimate would broadcast an actually-big table."""
+    import json as _json
+
+    if _is_delta(table):
+        _, meta = table.snapshot()
+        pcols = list(meta.get("partitionColumns") or [])
+        if partition_filter:
+            unknown = set(partition_filter) - set(pcols)
+            if unknown:
+                raise ValueError(
+                    f"partition_filter key(s) {sorted(unknown)} are not"
+                    f" partition columns of this table (known: {pcols})"
+                )
+        adds = table.files(partition_filter=partition_filter)
+        rows = 0
+        for a in adds:
+            raw = a.get("stats")
+            st = (
+                _json.loads(raw)
+                if isinstance(raw, str)
+                else (raw or {})
+            )
+            rows += int(st.get("numRecords") or 0)
+        nbytes = sum(int(a.get("size") or 0) for a in adds)
+        files_total = len(table.files())
+        return {
+            "rows": rows,
+            "bytes": nbytes,
+            "est_mem_bytes": int(nbytes * inflation),
+            "files": len(adds),
+            "files_total": files_total,
+        }
     if partition_filter:
         md = table.metadata()
         known: set = set()
@@ -536,19 +576,28 @@ def register_stats_view(
     tests/test_joinplan.py; q218 pins the sort-merge→broadcast flip with
     hash-identical results).
 
-    ``source="native"`` reads through ``table.read`` (Spark-native replay
-    scan, applies ``partition_filter``); ``source="lite"`` reads through
-    the ``iceberg_lite`` DSv2 source (registered on demand), with
-    ``partition_filter`` applied as row-level equality predicates — the
-    DSv2 pushdown flavor can additionally file-prune them when the
+    Accepts IcebergTable AND DeltaTable sides (duck-typed; sizes fold
+    from manifests or add-actions respectively), so a stats-planned SQL
+    join can even be CROSS-FORMAT. ``source="native"`` reads through
+    ``table.read`` (Spark-native replay scan, applies
+    ``partition_filter``); ``source="lite"`` reads through the matching
+    ``iceberg_lite``/``delta_lite`` DSv2 source (registered on demand),
+    with ``partition_filter`` applied as row-level equality predicates —
+    the DSv2 pushdown flavor can additionally file-prune them when the
     session enables python filter pushdown. Returns the decision record
     (rows/bytes/files plus ``broadcast``)."""
     est = estimate_table_size(table, partition_filter, inflation)
     if source == "lite":
-        from ..sources.iceberg_datasource import IcebergLiteDataSource
+        if _is_delta(table):
+            from ..sources.delta_datasource import DeltaLiteDataSource
 
-        spark.dataSource.register(IcebergLiteDataSource)
-        df = spark.read.format("iceberg_lite").load(table.root)
+            spark.dataSource.register(DeltaLiteDataSource)
+            df = spark.read.format("delta_lite").load(table.root)
+        else:
+            from ..sources.iceberg_datasource import IcebergLiteDataSource
+
+            spark.dataSource.register(IcebergLiteDataSource)
+            df = spark.read.format("iceberg_lite").load(table.root)
         for col, val in (partition_filter or {}).items():
             df = df.where(F.col(col) == F.lit(val))
     elif source == "native":

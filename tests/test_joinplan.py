@@ -868,3 +868,64 @@ def test_estimate_side_bounds_uses_file_sketches(spark, root):
     # unknown KEY column stays a loud refusal, not a silent fallback
     with pytest.raises(ValueError, match="no column"):
         estimate_side(t, "nope", bounds={"k": (0, 999)})
+
+
+def test_stats_view_delta_and_cross_format_join(spark, sf_dir, root):
+    """register_stats_view accepts DeltaTable sides too (add-action size
+    + stats.numRecords), including a CROSS-FORMAT stats-planned SQL join:
+    a Delta fact against an Iceberg dimension, the dimension broadcast
+    from engine stats while both scans are lite DSv2 (unsizable by
+    Spark)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.deltalog import (
+        DeltaTable,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+        estimate_table_size,
+        register_stats_view,
+        stats_sql,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dt = DeltaTable.create(
+        spark, os.path.join(root, "d"), o, partition_by=["o_orderstatus"]
+    )
+    ct = IcebergTable.create(spark, os.path.join(root, "c"), c)
+    # delta size estimate: pruned vs full
+    full = estimate_table_size(dt)
+    pruned = estimate_table_size(dt, {"o_orderstatus": "F"})
+    assert full["rows"] == o.count()
+    assert pruned["rows"] == o.where(F.col("o_orderstatus") == "F").count()
+    assert pruned["files"] < full["files"] == full["files_total"]
+    with pytest.raises(ValueError, match="partition_filter key"):
+        estimate_table_size(dt, {"typo": "F"})
+    # delta native registration applies the filter to the read
+    dec = register_stats_view(
+        spark, "d_f", dt, partition_filter={"o_orderstatus": "F"}
+    )
+    assert dec["broadcast"] is True
+    assert (
+        spark.sql("SELECT count(*) FROM d_f").collect()[0][0] == pruned["rows"]
+    )
+    # cross-format lite join: delta fact x iceberg dim
+    mid = (full["est_mem_bytes"] + estimate_table_size(ct)["est_mem_bytes"]) // 2
+    sql = (
+        "SELECT c_mktsegment, count(*) AS n FROM f JOIN d"
+        " ON o_custkey = c_custkey GROUP BY c_mktsegment"
+    )
+    planned, decs = stats_sql(
+        spark, sql, {"f": dt, "d": ct}, source="lite", broadcast_bytes=mid
+    )
+    p = planned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert decs["d"]["broadcast"] is True and decs["f"]["broadcast"] is False
+    expected = sorted(
+        tuple(r)
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert sorted(tuple(r) for r in planned.collect()) == expected
