@@ -587,6 +587,25 @@ def register_stats_view(
     session enables python filter pushdown. Returns the decision record
     (rows/bytes/files plus ``broadcast``)."""
     est = estimate_table_size(table, partition_filter, inflation)
+    if source == "lite" and partition_filter and not _is_delta(table):
+        # the lite path applies the filter as row predicates on DATA
+        # columns — only IDENTITY partition fields are data columns; a
+        # bucket/truncate field NAME would reference a column that does
+        # not exist (or worse, silently filter the wrong thing)
+        identity = {
+            pf["name"]
+            for spec in table.metadata()["partition-specs"]
+            for pf in table.partition_fields(spec["spec-id"])
+            if pf["transform"] == "identity"
+        }
+        bad = set(partition_filter) - identity
+        if bad:
+            raise ValueError(
+                f"lite-source partition_filter supports IDENTITY partition"
+                f" fields only; {sorted(bad)} are transformed — use"
+                " source='native' (its reader re-applies transformed"
+                " filters row-level)"
+            )
     if source == "lite":
         if _is_delta(table):
             from ..sources.delta_datasource import DeltaLiteDataSource

@@ -54,13 +54,7 @@ import datetime
 import decimal
 import struct
 
-from .parquet_footer import (
-    _BINARY,
-    _I32,
-    _LIST,
-    _STRUCT,
-    _Reader,
-)
+from .parquet_footer import _LIST, _STRUCT, _Reader
 
 # --------------------------------------------------------------- footer patch
 

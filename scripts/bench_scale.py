@@ -356,6 +356,54 @@ def main() -> None:
         )
         jp["plan_flat"] = jp["plan_ratio"] <= 3.0
         result["stats_join_planner"] = jp
+        # PER-FILE NDV / ndv_bounds (r11): analyze_files is one pass over
+        # the data (scales with rows); the DISTINCT-UNDER-RANGE answer is
+        # a metadata-only sketch union — its wall must stay ~flat at 10x
+        # and the bracket must contain the exact count at both scales.
+        nb_res: dict = {}
+        for tag, df in (("base", ev), ("x10", ev10)):
+            nroot = os.path.join(inflated, f"ndvb_{tag}")
+            nt = IcebergTable.create(
+                spark,
+                nroot,
+                df.select("event_id", "event_type", "value").repartitionByRange(
+                    8, "event_id"
+                ),
+            )
+            t0 = time.time()
+            nt.analyze_files(columns=["event_id"])
+            nb_res[f"{tag}_analyze_files_sec"] = round(time.time() - t0, 3)
+            # bounded: one min/max row
+            r = df.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+            lo = int(r[0]) + (int(r[1]) - int(r[0])) // 4
+            hi = int(r[0]) + (int(r[1]) - int(r[0])) // 2
+            nt.ndv_bounds("event_id", lo, hi)  # warm
+            t0 = time.time()
+            nb = nt.ndv_bounds("event_id", lo, hi)
+            nb_res[f"{tag}_bounds_sec"] = round(time.time() - t0, 3)
+            exact = (
+                df.where(F.col("event_id").between(lo, hi))
+                .select("event_id")
+                .distinct()
+                .count()
+            )
+            # estimation mode at these cardinalities (>> k=4096): the
+            # bracket ends are ESTIMATES of true-bound quantities, so the
+            # check carries the sketch's ~3-sigma 5% band
+            nb_res[f"{tag}_bracket_ok"] = bool(
+                nb["ndv_lower"] <= exact * 1.05
+                and exact <= nb["ndv_upper"] * 1.05
+            )
+        nb_res["analyze_ratio"] = round(
+            nb_res["x10_analyze_files_sec"]
+            / max(nb_res["base_analyze_files_sec"], 1e-9),
+            2,
+        )
+        nb_res["bounds_ratio"] = round(
+            nb_res["x10_bounds_sec"] / max(nb_res["base_bounds_sec"], 1e-9), 2
+        )
+        nb_res["bounds_flat"] = nb_res["bounds_ratio"] <= 3.0
+        result["ndv_bounds"] = nb_res
     finally:
         shutil.rmtree(inflated, ignore_errors=True)
     with open(out_path, "w") as f:

@@ -929,3 +929,19 @@ def test_stats_view_delta_and_cross_format_join(spark, sf_dir, root):
         .collect()
     )
     assert sorted(tuple(r) for r in planned.collect()) == expected
+
+
+def test_stats_view_lite_refuses_transformed_partition_filter(spark, sf_dir, root):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+        register_stats_view,
+    )
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    t = IcebergTable.create(
+        spark, root, c.coalesce(1), partition_by=["bucket(4, c_custkey)"]
+    )
+    with pytest.raises(ValueError, match="IDENTITY"):
+        register_stats_view(
+            spark, "v", t,
+            partition_filter={"c_custkey_bucket": 1}, source="lite",
+        )
