@@ -61,11 +61,14 @@ def test_variant_equality_delete_and_append(spark, root):
     assert _vals(t) == [0, 1, 4, 5, 10, 11]
 
 
-def test_lite_source_cannot_read_variant_files(spark, root):
-    """Documented limitation: iceberg_lite reads data files through
-    pyarrow, which cannot parse the VARIANT logical type at all — the
-    read fails loudly (the JVM reader path, IcebergTable.read, is the
-    supported surface for variant tables)."""
+def test_lite_source_reads_variant_files(spark, root):
+    """Round-11 flip of the former documented limitation: iceberg_lite
+    now opens variant-bearing files through the footer patch and
+    reconstructs shredded rows (plans/variant.py) — the lite read of a
+    variant table matches the JVM replay read value-for-value. (Raw
+    pyarrow STILL cannot open these files — pinned in
+    tests/test_variant_codec.py — which is exactly why the patch
+    exists.)"""
     from copy_sharepoint_to_onelake_lakehousefiles_spark.sources.iceberg_datasource import (
         IcebergLiteDataSource,
     )
@@ -73,8 +76,12 @@ def test_lite_source_cannot_read_variant_files(spark, root):
     t = IcebergTable.create(spark, root, _df(spark, 0, 4))
     assert _vals(t) == [0, 1, 2, 3]  # JVM path works
     spark.dataSource.register(IcebergLiteDataSource)
-    with pytest.raises(Exception, match="Thrift|variant|VARIANT"):
-        spark.read.format("iceberg_lite").load(root).collect()
+    lite = spark.read.format("iceberg_lite").load(root)
+    got = sorted(
+        r[0]
+        for r in lite.select(F.variant_get("pv", "$.a", "long")).collect()
+    )
+    assert got == [0, 1, 2, 3]
 
 
 def test_variant_survives_compaction(spark, root):
