@@ -4535,7 +4535,10 @@ class IcebergTable:
                         if len(cnames) == 1:
                             hs = digest_series(sub[cnames[0]], is_strs[0])
                         else:
-                            sub = sub.drop_duplicates()
+                            # no pandas drop_duplicates pre-pass: its
+                            # khash string table is NUL-terminated (the
+                            # digest_series finding) — prune_bottomk's
+                            # np.unique on the DIGESTS dedups correctly
                             hs = hash_composite_vec(
                                 [
                                     digest_series(sub[n_], s_)
@@ -4790,7 +4793,10 @@ class IcebergTable:
                         if len(cnames) == 1:
                             hs = digest_series(sub[cnames[0]], is_strs[0])
                         else:
-                            sub = sub.drop_duplicates()
+                            # no pandas drop_duplicates pre-pass: its
+                            # khash string table is NUL-terminated (the
+                            # digest_series finding) — prune_bottomk's
+                            # np.unique on the DIGESTS dedups correctly
                             hs = hash_composite_vec(
                                 [
                                     digest_series(sub[n_], s_)

@@ -245,8 +245,11 @@ def digest_series(series, is_string: bool):
     ``analyze_partitions._hash_grouped`` — so a hash-rule change could
     silently diverge them and the divergence would still parse as a valid
     sketch). One int64 numpy digest per row of a NULL-FREE pandas Series:
-    strings hash their UTF-8 bytes per value (deduped through a
-    unique-value map — batch-local memoization), ints/longs through the
+    strings hash their UTF-8 bytes per value (deduped through a PYTHON
+    dict memo — NOT pandas unique()/map(), whose khash string table is
+    NUL-terminated and collapses '\\x00' with '' , silently merging
+    distinct keys AND routing the digests through float64 via the NaN
+    miss; hypothesis-caught in round 11), ints/longs through the
     vectorized murmur specialization. Callers guarantee null-freedom
     Spark-side (isNotNull/na.drop) or via coalesce+flag columns — a null
     reaching here would flip the pandas dtype to float64 and corrupt
@@ -255,8 +258,15 @@ def digest_series(series, is_string: bool):
     import numpy as np
 
     if is_string:
-        uniq = {v: hash_string(str(v)) for v in series.unique()}
-        return series.map(uniq).to_numpy(dtype=np.int64)
+        memo: dict = {}
+        out = np.empty(len(series), dtype=np.int64)
+        for i, v in enumerate(series.to_numpy()):
+            h = memo.get(v)
+            if h is None:
+                h = hash_string(str(v))
+                memo[v] = h
+            out[i] = h
+        return out
     return hash_long_vec(series.to_numpy(dtype=np.int64))
 
 

@@ -136,3 +136,30 @@ def test_estimation_mode_paths_agree(spark, root):
     t2.analyze_partitions(columns=["k"], k=64)
     b1, b2 = _blob_images(t1), _blob_images(t2)
     assert list(b1.values())[0] == list(b2.values())[0]
+
+
+def test_nul_byte_strings_are_distinct(spark, root):
+    """Regression (hypothesis-caught, r11): pandas' khash string table is
+    NUL-terminated — unique()/map()/drop_duplicates() collapse '\\x00'
+    with '' (and 'a' with 'a\\x00'), which silently merged distinct keys
+    AND routed digests through float64 via the NaN miss. The kernel now
+    memoizes through a Python dict; NDV over NUL-bearing strings is
+    exact, single-column and composite."""
+    df = spark.createDataFrame(
+        [("",), ("\x00",), ("a",), ("a\x00",), ("a",)], "s string"
+    )
+    t = IcebergTable.create(spark, root, df.coalesce(1))
+    res = t.analyze(columns=["s"])
+    assert res["ndv"]["s"] == 4
+    assert t.ndv("s")["exact"] is True
+    df2 = spark.createDataFrame(
+        [("", 1), ("\x00", 1), ("a", 2), ("a\x00", 2)], "s string, v long"
+    )
+    t2 = IcebergTable.create(spark, root + "_c", df2.coalesce(1))
+    try:
+        t2.analyze(columns=[("s", "v")])
+        assert t2.ndv(("s", "v"))["ndv"] == 4
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(root + "_c", ignore_errors=True)
