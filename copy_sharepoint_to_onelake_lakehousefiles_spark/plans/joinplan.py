@@ -83,19 +83,7 @@ def estimate_side(
     them), but here a typo'd key would silently yield an unpruned
     estimate — the opposite of what the caller asked for."""
     if partition_filter:
-        md = table.metadata()
-        known: set = set()
-        for spec in md["partition-specs"]:
-            for pf in table.partition_fields(spec["spec-id"]):
-                known.add(pf["name"])
-                known.add(pf["source_name"])
-        unknown = set(partition_filter) - known
-        if unknown:
-            raise ValueError(
-                f"partition_filter key(s) {sorted(unknown)} are not"
-                f" partition fields of this table (known: {sorted(known)})"
-                " — a typo here would silently produce an UNPRUNED estimate"
-            )
+        _validate_partition_keys(table, partition_filter)
     entries, audit = table.files(
         partition_filter=partition_filter, bounds=bounds
     )
@@ -131,7 +119,13 @@ def estimate_side(
 
         col, (lo, hi) = next(iter(bounds.items()))
         try:
-            nb = table.ndv_bounds(key, lo, hi, bounds_column=col)
+            nb = table.ndv_bounds(
+                key,
+                lo,
+                hi,
+                bounds_column=col,
+                _entries=entries,  # manifests already fetched: no re-scan
+            )
             nd = {"ndv": nb["ndv_upper"], "exact": nb["exact"]}
             ndv_source = "file_union_bounds"
         except NoFileSketchesError:
@@ -227,9 +221,12 @@ def plan_equi_join(
         l_est["rows"] * r_est["rows"] / max(l_est["ndv"], r_est["ndv"], 1)
     )
     # Outer joins preserve unmatched rows the inner formula ignores: the
-    # output can never be smaller than the preserved side(s); semi/anti
-    # emit each left row at most once, capping at |L| (ADVICE r10: the
-    # inner estimate both under-sized outers and over-sized semis).
+    # output can never be smaller than the preserved side(s); a semi
+    # emits each left row at most once, capping at |L|; an anti emits
+    # the COMPLEMENT of the matched rows — |L| minus the semi estimate
+    # (the inner formula alone was wrong in both directions for anti:
+    # |L| under full containment where truth is 0, ~0 under selective
+    # joins where truth is ~|L|).
     h = how.lower().replace(" ", "").replace("_", "")
     if h in ("left", "leftouter"):
         est_rows = max(inner_est, l_est["rows"])
@@ -237,8 +234,10 @@ def plan_equi_join(
         est_rows = max(inner_est, r_est["rows"])
     elif h in ("full", "outer", "fullouter"):
         est_rows = max(inner_est, l_est["rows"], r_est["rows"])
-    elif h in ("leftsemi", "leftanti"):
+    elif h == "leftsemi":
         est_rows = min(inner_est, l_est["rows"])
+    elif h == "leftanti":
+        est_rows = max(0, l_est["rows"] - min(inner_est, l_est["rows"]))
     else:
         est_rows = inner_est
     l_mem = l_est["bytes"] * inflation
@@ -480,6 +479,37 @@ def _is_delta(table) -> bool:
     return hasattr(table, "log_dir")
 
 
+def _validate_partition_keys(table, partition_filter: dict) -> None:
+    """Up-front refusal of partition_filter keys the table does not
+    partition by (ADVICE r10 bug class): ``files()`` tolerates unknown
+    keys by design (Iceberg row-filters them; Delta matches nothing), so
+    a typo here would silently yield an UNPRUNED (Iceberg) or EMPTY
+    (Delta) estimate. ONE copy of the check for every estimator."""
+    if _is_delta(table):
+        _, meta = table.snapshot()
+        pcols = list(meta.get("partitionColumns") or [])
+        unknown = set(partition_filter) - set(pcols)
+        if unknown:
+            raise ValueError(
+                f"partition_filter key(s) {sorted(unknown)} are not"
+                f" partition columns of this table (known: {pcols})"
+            )
+        return
+    md = table.metadata()
+    known: set = set()
+    for spec in md["partition-specs"]:
+        for pf in table.partition_fields(spec["spec-id"]):
+            known.add(pf["name"])
+            known.add(pf["source_name"])
+    unknown = set(partition_filter) - known
+    if unknown:
+        raise ValueError(
+            f"partition_filter key(s) {sorted(unknown)} are not"
+            f" partition fields of this table (known: {sorted(known)})"
+            " — a typo here would silently produce an UNPRUNED estimate"
+        )
+
+
 def estimate_table_size(
     table, partition_filter: dict | None = None, inflation: float = PARQUET_INFLATION
 ) -> dict:
@@ -493,16 +523,9 @@ def estimate_table_size(
     zero estimate would broadcast an actually-big table."""
     import json as _json
 
+    if partition_filter:
+        _validate_partition_keys(table, partition_filter)
     if _is_delta(table):
-        _, meta = table.snapshot()
-        pcols = list(meta.get("partitionColumns") or [])
-        if partition_filter:
-            unknown = set(partition_filter) - set(pcols)
-            if unknown:
-                raise ValueError(
-                    f"partition_filter key(s) {sorted(unknown)} are not"
-                    f" partition columns of this table (known: {pcols})"
-                )
         adds = table.files(partition_filter=partition_filter)
         rows = 0
         for a in adds:
@@ -514,7 +537,10 @@ def estimate_table_size(
             )
             rows += int(st.get("numRecords") or 0)
         nbytes = sum(int(a.get("size") or 0) for a in adds)
-        files_total = len(table.files())
+        # unfiltered: adds IS the full live set — no second log replay
+        files_total = (
+            len(adds) if not partition_filter else len(table.files())
+        )
         return {
             "rows": rows,
             "bytes": nbytes,
@@ -522,19 +548,6 @@ def estimate_table_size(
             "files": len(adds),
             "files_total": files_total,
         }
-    if partition_filter:
-        md = table.metadata()
-        known: set = set()
-        for spec in md["partition-specs"]:
-            for pf in table.partition_fields(spec["spec-id"]):
-                known.add(pf["name"])
-                known.add(pf["source_name"])
-        unknown = set(partition_filter) - known
-        if unknown:
-            raise ValueError(
-                f"partition_filter key(s) {sorted(unknown)} are not"
-                f" partition fields of this table (known: {sorted(known)})"
-            )
     entries, audit = table.files(partition_filter=partition_filter)
     rows = sum(int(e.get("record_count") or 0) for e in entries)
     nbytes = sum(int(e.get("file_size_in_bytes") or 0) for e in entries)

@@ -272,17 +272,17 @@ def encode_variant(obj) -> tuple[bytes, bytes]:
         if isinstance(v, (bytes, bytearray)):
             return bytes([VU.BINARY << 2 | VU.PRIMITIVE]) + _u(len(v), 4) + bytes(v)
         if isinstance(v, datetime.datetime):
+            # integer floor-division: float timedelta division loses
+            # microsecond precision past 2^53 µs (~year 2255)
             if v.tzinfo is not None:
-                micros = int(
-                    (v - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc))
-                    / datetime.timedelta(microseconds=1)
-                )
+                micros = (
+                    v - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+                ) // datetime.timedelta(microseconds=1)
                 tid = VU.TIMESTAMP
             else:
-                micros = int(
-                    (v - datetime.datetime(1970, 1, 1))
-                    / datetime.timedelta(microseconds=1)
-                )
+                micros = (
+                    v - datetime.datetime(1970, 1, 1)
+                ) // datetime.timedelta(microseconds=1)
                 tid = VU.TIMESTAMP_NTZ
             return bytes([tid << 2 | VU.PRIMITIVE]) + micros.to_bytes(
                 8, "little", signed=True

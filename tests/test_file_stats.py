@@ -202,3 +202,18 @@ def test_composite_key_under_range(spark, root):
     )
     assert nb["exact"] is True
     assert nb["ndv_lower"] == nb["ndv_upper"] == exact
+
+
+def test_ndv_bounds_refuses_typod_partition_filter(spark, root):
+    """ndv_bounds validates partition_filter keys up front like the
+    other estimators (r11 review finding) — files() would silently skip
+    pruning and the 'lower bound' would count unfiltered files."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    t = IcebergTable.create(spark, root, df, partition_by=["p"])
+    t.analyze_files(columns=["k"])
+    with pytest.raises(ValueError, match="partition_filter key"):
+        t.ndv_bounds("k", 0, 50, partition_filter={"typo": "1"})
+    nb = t.ndv_bounds("k", 0, 99, partition_filter={"p": "1"})
+    assert nb["ndv_upper"] == 50

@@ -945,3 +945,21 @@ def test_stats_view_lite_refuses_transformed_partition_filter(spark, sf_dir, roo
             spark, "v", t,
             partition_filter={"c_custkey_bucket": 1}, source="lite",
         )
+
+
+def test_anti_join_estimate_is_complement(spark, sf_dir, root):
+    """leftanti output is the COMPLEMENT of the matched left rows — under
+    PK-FK full containment the estimate must be ~0, not |L| (r11 review
+    finding)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    t = IcebergTable.create(spark, os.path.join(root, "o"), o)
+    t.analyze(columns=["o_custkey"])
+    ct = IcebergTable.create(spark, os.path.join(root, "c"), c)
+    ct.analyze(columns=["c_custkey"])
+    # every order's custkey exists in customer → anti from orders ≈ 0
+    d = plan_equi_join(t, ct, "o_custkey", "c_custkey", how="left_anti")
+    assert d["est_rows"] == 0
+    # semi stays capped at |L|
+    d2 = plan_equi_join(t, ct, "o_custkey", "c_custkey", how="left_semi")
+    assert 0 < d2["est_rows"] <= o.count()
