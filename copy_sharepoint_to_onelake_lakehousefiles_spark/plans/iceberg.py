@@ -132,6 +132,14 @@ class NoFileSketchesError(ValueError):
     rationale as NoPartitionSketchesError."""
 
 
+class StaleFileSketchesError(NoFileSketchesError):
+    """Per-file sketches EXIST for the key but at least one bounds-
+    surviving data file has no blob — the statistics describe an older
+    file set (stale), not a missing analyze. Distinct subclass (ADVICE
+    r11) so a planner's never-analyzed fallback does not silently absorb
+    the stale case; catchers of NoFileSketchesError still see it."""
+
+
 # v3-only primitive types: using one upgrades the table's format-version
 _V3_TYPES = {"timestamp_ns", "timestamptz_ns", "unknown", "variant"}
 _ICE_TO_AVRO = {
@@ -4510,6 +4518,9 @@ class IcebergTable:
                     d[n] = int(v)
             return _json.dumps(d, sort_keys=True, separators=(",", ":"))
 
+        # string partition columns, checked batch-side for NUL bytes
+        str_pcols = [f"__p_{n}" for n in pnames if p_is_str[n]]
+
         def _hash_grouped(batches, _specs=udf_specs, _k=k):
             import pandas as _pd
 
@@ -4520,6 +4531,22 @@ class IcebergTable:
             for pdf in batches:
                 if not len(pdf):
                     continue
+                for c_ in str_pcols:
+                    vals_ = pdf[c_].dropna()
+                    if len(vals_) and vals_.str.contains(
+                        "\x00", regex=False
+                    ).any():
+                        # pandas' khash string table is NUL-terminated:
+                        # groupby would silently MERGE distinct partition
+                        # values differing only past a '\x00' (the r11
+                        # digest-kernel bug class) — refuse loudly, the
+                        # module's contract is "loud, never wrong"
+                        raise ValueError(
+                            f"partition value in {c_[4:]!r} contains a NUL"
+                            " byte (\\x00) — pandas groupby cannot key such"
+                            " strings safely; analyze_partitions refuses"
+                            " rather than silently merging partitions"
+                        )
                 for key, g in pdf.groupby(gcols, dropna=False, sort=False):
                     if not isinstance(key, tuple):
                         key = (key,)
@@ -5062,7 +5089,7 @@ class IcebergTable:
                 lower_imgs.append(img)
                 contained += 1
         if missing:
-            raise NoFileSketchesError(
+            raise StaleFileSketchesError(
                 f"{len(missing)} bounds-surviving file(s) have no per-file"
                 f" sketch for {column!r} (e.g. {missing[0]}) — statistics"
                 " are stale; re-run analyze_files()"

@@ -107,15 +107,20 @@ def estimate_side(
         except NotImplementedError:
             pass  # non-numeric range column: keep the full-file counts
     ndv_source = "table"
+    stale_file_sketches = False
     nd = None
-    if bounds and len(bounds) == 1 and not partition_filter:
+    if bounds and len(bounds) == 1:
         # per-file sketches (analyze_files) answer NDV-under-range
         # directly — the r10 gap where rows interpolated but the key's
         # distinct count stayed at the table value. ndv_upper is the
         # safe planning figure: it can only OVER-state distinctness,
         # which UNDER-states join output — paired with the row cap
-        # below, never an absurd cross-product estimate.
-        from .iceberg import NoFileSketchesError
+        # below, never an absurd cross-product estimate. With a
+        # partition_filter TOO, ``entries`` is already pruned by BOTH
+        # filters, so the file-sketch union answers the combined
+        # predicate (r12 — previously both-given fell back to the
+        # pruned-union/table NDV, leaving range selectivity unused).
+        from .iceberg import NoFileSketchesError, StaleFileSketchesError
 
         col, (lo, hi) = next(iter(bounds.items()))
         try:
@@ -124,10 +129,21 @@ def estimate_side(
                 lo,
                 hi,
                 bounds_column=col,
+                partition_filter=partition_filter,
                 _entries=entries,  # manifests already fetched: no re-scan
             )
             nd = {"ndv": nb["ndv_upper"], "exact": nb["exact"]}
-            ndv_source = "file_union_bounds"
+            ndv_source = (
+                "file_union_bounds_pruned"
+                if partition_filter
+                else "file_union_bounds"
+            )
+        except StaleFileSketchesError:
+            # sketches exist but miss a surviving file: the fallback to a
+            # coarser NDV must stay OBSERVABLE (ADVICE r11) — ndv_source
+            # gains a '+stale_file_sketches' marker below
+            nd = None
+            stale_file_sketches = True
         except NoFileSketchesError:
             nd = None  # no per-file sketches: fall through to table-level
     if nd is None and partition_filter:
@@ -144,15 +160,22 @@ def estimate_side(
             nd = table.ndv(key)
     elif nd is None:
         nd = table.ndv(key)
+    if stale_file_sketches:
+        ndv_source += "+stale_file_sketches"
     # pruning can only shrink distinctness; with table-level stats under a
     # filter the row count is the tighter cap
-    ndv = min(int(nd["ndv"]), rows) if rows else 0
+    ndv_raw = int(nd["ndv"])
+    ndv = min(ndv_raw, rows) if rows else 0
+    # when the row cap binds, the reported ndv is the (possibly
+    # interpolation-derived) row estimate, not the sketch value — an
+    # 'exact' flag on it would be a lie (ADVICE r11)
+    ndv_exact = bool(nd["exact"]) and ndv == ndv_raw
     skew = _partition_skew(table, key, entries)
     return {
         "rows": rows,
         "bytes": nbytes,
         "ndv": ndv,
-        "ndv_exact": bool(nd["exact"]),
+        "ndv_exact": ndv_exact,
         "ndv_source": ndv_source,
         "files": len(entries),
         "files_total": audit["files_total"],

@@ -178,8 +178,14 @@ def open_parquet_compat(path: str):
 
     try:
         return pq.ParquetFile(path)
-    except OSError as e:
-        if "LogicalType" not in str(e):
+    except (OSError, pa.lib.ArrowInvalid) as e:
+        # pyarrow 16.1.0 (the pinned/tested version) raises OSError with
+        # "Thrift LogicalType that is not recognized"; newer pyarrow may
+        # surface the same footer refusal as ArrowInvalid or reword it —
+        # match loosely on "logicaltype"/"logical type" so the compat path
+        # still engages (ADVICE r11; fails closed otherwise)
+        msg = str(e).lower()
+        if "logicaltype" not in msg and "logical type" not in msg:
             raise
     with open(path, "rb") as f:
         raw = f.read()
@@ -244,6 +250,14 @@ def encode_variant(obj) -> tuple[bytes, bytes]:
         if isinstance(v, float):
             return bytes([VU.DOUBLE << 2 | VU.PRIMITIVE]) + struct.pack("<d", v)
         if isinstance(v, decimal.Decimal):
+            if not v.is_finite():
+                # NaN/Infinity have no variant decimal form; without this
+                # guard as_tuple() feeds 'n'/'F' digits into int() and the
+                # error reads like a parser bug (ADVICE r11)
+                raise ValueError(
+                    f"variant decimal must be finite, got {v!r} — encode"
+                    " non-finite values as float (double) instead"
+                )
             t = v.as_tuple()
             scale = -int(t.exponent)
             unscaled = int("".join(map(str, t.digits))) * (-1 if t.sign else 1)

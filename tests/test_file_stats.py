@@ -217,3 +217,53 @@ def test_ndv_bounds_refuses_typod_partition_filter(spark, root):
         t.ndv_bounds("k", 0, 50, partition_filter={"typo": "1"})
     nb = t.ndv_bounds("k", 0, 99, partition_filter={"p": "1"})
     assert nb["ndv_upper"] == 50
+
+
+def test_stale_sketches_raise_distinct_subclass(spark, rtable):
+    """ADVICE r11: per-file blobs that EXIST but miss a bounds-surviving
+    file raise StaleFileSketchesError — a NoFileSketchesError subclass, so
+    never-analyzed fallbacks don't silently absorb the stale case, while
+    existing catchers still see it."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.iceberg import (
+        NoFileSketchesError,
+        StaleFileSketchesError,
+    )
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.puffin import (
+        read_puffin_blob,
+        read_puffin_footer,
+    )
+
+    t, _res, _df = rtable
+    old = t.metadata()["statistics"][0]
+    opath = old["statistics-path"].replace("file:", "")
+    footer = read_puffin_footer(opath)
+    t.append(
+        spark.createDataFrame([(99_999, 1, "x")], "k long, v long, s string")
+    )
+    # republish the OLD blobs (8 files) under the NEW snapshot: the exact
+    # stale shape — per-file sketches exist, one surviving file has none
+    md = t.metadata()
+    snap = t._resolve_snapshot(None, None)
+    blobs = [
+        {
+            "type": b["type"],
+            "fields": list(b.get("fields") or []),
+            "snapshot-id": snap["snapshot-id"],
+            "sequence-number": snap["sequence-number"],
+            "data": read_puffin_blob(opath, b["offset"], b["length"]),
+            "properties": dict(b.get("properties") or {}),
+        }
+        for b in footer["blobs"]
+    ]
+    t._publish_statistics(md, snap["snapshot-id"], blobs)
+    with pytest.raises(StaleFileSketchesError, match="stale"):
+        t.ndv_bounds("k", 0, 200_000)
+    assert issubclass(StaleFileSketchesError, NoFileSketchesError)
+    # the planner falls back to table-level NDV but the downgrade is
+    # OBSERVABLE in ndv_source (ADVICE r11)
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+        estimate_side,
+    )
+
+    est = estimate_side(t, "k", bounds={"k": (0, 200_000)})
+    assert est["ndv_source"] == "table+stale_file_sketches"

@@ -217,3 +217,36 @@ def test_lite_reads_match_native_for_both_formats(spark, sf_dir):
     dlite = spark.read.format("delta_lite").load(dt.root)
     assert proj(dlite).exceptAll(proj(dt.read())).count() == 0
     assert proj(dt.read()).exceptAll(proj(dlite)).count() == 0
+
+
+def test_encoder_refuses_nonfinite_decimal():
+    """ADVICE r11: NaN/Infinity decimals have no variant decimal form and
+    must refuse with a clear message, not the confusing int-parse error
+    as_tuple()'s 'n'/'F' digits used to produce."""
+    for bad in ("NaN", "-NaN", "sNaN", "Infinity", "-Infinity"):
+        with pytest.raises(ValueError, match="finite"):
+            encode_variant(decimal.Decimal(bad))
+        with pytest.raises(ValueError, match="finite"):
+            encode_variant({"x": [decimal.Decimal(bad)]})
+
+
+def test_open_compat_catches_arrow_invalid(variant_files, monkeypatch):
+    """ADVICE r11: a pyarrow that surfaces the unknown-LogicalType footer
+    refusal as ArrowInvalid (not OSError 16.1.0-style) — or rewords it —
+    must still reach the footer-patch fallback."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    real = pq.ParquetFile
+
+    def _strict(src, *a, **kw):
+        if isinstance(src, str):
+            raise pa.lib.ArrowInvalid(
+                "Unrecognized Thrift logical type in metadata"
+            )
+        return real(src, *a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", _strict)
+    f = glob.glob(variant_files[0] + "/*.parquet")[0]
+    pf = open_parquet_compat(f)
+    assert pf.metadata.num_rows == 50
