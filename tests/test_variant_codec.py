@@ -250,3 +250,61 @@ def test_open_compat_catches_arrow_invalid(variant_files, monkeypatch):
     f = glob.glob(variant_files[0] + "/*.parquet")[0]
     pf = open_parquet_compat(f)
     assert pf.metadata.num_rows == 50
+
+
+@pytest.mark.parametrize(
+    "name,mk_json",
+    [
+        # homogeneous → typed list elements (typed_value set per element)
+        ("array_typed", lambda i: f"[{i}, {i + 1}, {i + 2}]"),
+        # heterogeneous → residual list elements (value bytes per element)
+        ("array_residual", lambda i: f'[{{"k": {i}}}, 2, "s"]'),
+        # nested arrays inside an object field
+        ("array_nested", lambda i: f'{{"a": [[{i}], [{i}, 1]], "b": 0}}'),
+        # user fields LITERALLY named value / typed_value (VERDICT r11 #3:
+        # the shape heuristic in _element_to_python must not confuse them
+        # with the element-group wrapper)
+        (
+            "reserved_names",
+            lambda i: f'{{"value": {i}, "typed_value": {{"inner": {i}}},'
+            f' "other": "x"}}',
+        ),
+        # reserved names nested deeper + only reserved names (no other key)
+        (
+            "reserved_only",
+            lambda i: f'{{"value": {{"typed_value": [{i}]}}}}',
+        ),
+    ],
+)
+def test_lite_reconstruction_edge_shapes(spark, tmp_path, name, mk_json):
+    """VERDICT r11 #3 fixtures: top-level ARRAY shredding (typed and
+    residual elements, Spark 4.1 shreds both as list<element-group>) and
+    shredded objects whose user fields are literally named value /
+    typed_value — the lite reconstruction must match the native read on
+    every row. All rows must take the SHREDDED path (typed_value set) so
+    the fixture exercises reconstruction, not binary passthrough."""
+    import pyarrow  # noqa: F401
+
+    p = os.path.join(str(tmp_path), name)
+    df = spark.createDataFrame(
+        [(i, mk_json(i)) for i in range(8)], "id long, j string"
+    ).select("id", F.parse_json("j").alias("pv"))
+    df.coalesce(1).write.option("variantShreddingAttributes", "pv").parquet(p)
+    f = glob.glob(p + "/*.parquet")[0]
+    t = open_parquet_compat(f).read()
+    col = t.column("pv").combine_chunks()
+    assert all(col[i]["typed_value"].is_valid for i in range(len(col))), (
+        "fixture did not shred — passthrough would not test reconstruction"
+    )
+    vs, ms = rebuild_shredded(col)
+    ids = t.column("id").to_pylist()
+    got = {
+        i: VariantVal(v, m).toPython() for i, v, m in zip(ids, vs, ms)
+    }
+    native = {
+        r["id"]: json.loads(r["j"])
+        for r in spark.read.parquet(p)
+        .select("id", F.to_json("pv").alias("j"))
+        .collect()
+    }
+    assert got == native
