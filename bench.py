@@ -98,9 +98,15 @@ def main() -> None:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         if name == "q54_copy_throughput":
-            # the query runs eagerly and self-times its engine pass;
-            # use that so driver-side fixture generation isn't billed
-            timings[name] = float(df.collect()[0]["wall_sec"])
+            # the query runs eagerly and self-times its engine pass (the
+            # result columns are a deterministic hash contract now);
+            # read the stashed wall so fixture generation isn't billed
+            from copy_sharepoint_to_onelake_lakehousefiles_spark.plans import (
+                copy_plan,
+            )
+
+            df.collect()
+            timings[name] = float(copy_plan.LAST_COPY_WALL_SEC)
             continue
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)

@@ -422,21 +422,37 @@ def q50_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, summary.schema)
 
 
-@query("q54_copy_throughput")
+# wall-clock of the last q54 engine copy pass (driver-side fixture
+# generation excluded) — read by bench.py so the HASHED query result can
+# stay fully deterministic (VERDICT r11 #6: q54 promoted off rows-only)
+LAST_COPY_WALL_SEC: float | None = None
+
+_Q54_ORACLE = """
+SELECT CAST(256 AS BIGINT) AS files_copied,
+       CAST(4194304 AS BIGINT) AS bytes_copied,
+       1 AS all_ok, 1 AS dest_verified
+"""
+
+
+@query("q54_copy_throughput", oracle=_Q54_ORACLE)
 def q54_copy_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Copy-subsystem throughput probe (rows-only): 256 × 16 KB files copied
-    with partition parallelism — the workload the reference performs with a
-    strictly sequential driver loop (NB:284-303). The returned row carries
-    files/bytes copied and elapsed wall so BENCH tracks copy throughput,
-    not just query latency. The driver-side fixture generation is reported
-    SEPARATELY (setup_sec); wall_sec covers only the engine's copy pass, and
-    bench.py uses wall_sec as q54's headline number."""
+    """Copy-subsystem throughput probe: 256 × 16 KB files copied with
+    partition parallelism — the workload the reference performs with a
+    strictly sequential driver loop (NB:284-303).
+
+    The fixture is fully deterministic, so the result is a STATIC
+    integer contract the oracle can hash (VERDICT r11 #6): 256 files,
+    256 × 16384 = 4 194 304 bytes, every row status 'ok', and an
+    independent re-walk of the destination tree reproducing exactly the
+    copied file count and byte total. The engine pass is still
+    self-timed — bench.py reads ``LAST_COPY_WALL_SEC`` for the headline
+    copy-throughput number instead of a (nondeterministic) column."""
+    global LAST_COPY_WALL_SEC
     import shutil
     import tempfile
     import time
     import uuid
 
-    t_setup = time.time()
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_tput_{uuid.uuid4().hex[:8]}")
     src = os.path.join(base, "src")
     dst = os.path.join(base, "dst")
@@ -446,25 +462,26 @@ def q54_copy_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(256):
         with open(os.path.join(src, f"d{i % 8}", f"f{i:03d}.bin"), "wb") as f:
             f.write(payload)
-    setup_sec = time.time() - t_setup
 
     t0 = time.time()
     result = copy_tree(spark, src, dst, parallelism=32).cache()
+    n_rows = result.count()
     n_ok = result.where(F.col("status") == "ok").count()
-    elapsed = time.time() - t0
-    total_bytes = result.agg(F.sum("bytes")).collect()[0][0]  # bounded: 1-row agg
+    LAST_COPY_WALL_SEC = round(time.time() - t0, 3)
+    total_bytes = int(
+        result.agg(F.sum("bytes")).collect()[0][0]  # bounded: 1-row agg
+    )
     result.unpersist()
+    dst_files = [
+        os.path.join(r, f) for r, _, fs in os.walk(dst) for f in fs
+    ]
+    dest_verified = int(
+        len(dst_files) == n_ok
+        and sum(os.path.getsize(p) for p in dst_files) == total_bytes
+    )
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
-        [
-            (
-                n_ok,
-                int(total_bytes),
-                round(elapsed, 3),
-                round(n_ok / elapsed, 1),
-                round(setup_sec, 3),
-            )
-        ],
-        "files_copied bigint, bytes_copied bigint, wall_sec double, "
-        "files_per_sec double, setup_sec double",
+        [(n_ok, total_bytes, int(n_ok == n_rows), dest_verified)],
+        "files_copied bigint, bytes_copied bigint, all_ok int,"
+        " dest_verified int",
     )
