@@ -496,10 +496,16 @@ def planned_join(
     )
 
 
+def _is_txtable(table) -> bool:
+    # duck-typed: TxTable carries BOTH log_dir (_log/) and data_dir
+    # (data/); DeltaTable has log_dir only, IcebergTable data_dir only
+    return hasattr(table, "log_dir") and hasattr(table, "data_dir")
+
+
 def _is_delta(table) -> bool:
     # duck-typed dispatch: DeltaTable carries log_dir, IcebergTable
     # meta_dir — no import-time coupling between the two modules
-    return hasattr(table, "log_dir")
+    return hasattr(table, "log_dir") and not _is_txtable(table)
 
 
 def _validate_partition_keys(table, partition_filter: dict) -> None:
@@ -545,7 +551,30 @@ def estimate_table_size(
     estimate_side — for Delta a typo'd key would match NOTHING and a
     zero estimate would broadcast an actually-big table."""
     import json as _json
+    import os as _os
 
+    if _is_txtable(table):
+        # TxTable (r12, VERDICT r11 #7): key-clustered, never partitioned
+        # — manifest entries carry rows; bytes come from one stat call per
+        # live file (still O(metadata), no data read)
+        if partition_filter:
+            raise ValueError(
+                "TxTable is key-clustered, not partitioned —"
+                " partition_filter is not supported for txtable sides"
+            )
+        fes = table._files(table.latest_version())
+        rows = sum(int(fe.get("rows") or 0) for fe in fes)
+        nbytes = sum(
+            _os.path.getsize(_os.path.join(table.root, fe["path"]))
+            for fe in fes
+        )
+        return {
+            "rows": rows,
+            "bytes": nbytes,
+            "est_mem_bytes": int(nbytes * inflation),
+            "files": len(fes),
+            "files_total": len(fes),
+        }
     if partition_filter:
         _validate_partition_keys(table, partition_filter)
     if _is_delta(table):
@@ -612,9 +641,11 @@ def register_stats_view(
     tests/test_joinplan.py; q218 pins the sort-merge→broadcast flip with
     hash-identical results).
 
-    Accepts IcebergTable AND DeltaTable sides (duck-typed; sizes fold
-    from manifests or add-actions respectively), so a stats-planned SQL
-    join can even be CROSS-FORMAT. ``source="native"`` reads through
+    Accepts IcebergTable, DeltaTable AND TxTable sides (duck-typed; sizes
+    fold from manifest entries, add-actions, or commit-log file entries +
+    stat calls respectively), so a stats-planned SQL join can even be
+    CROSS-FORMAT. TxTable is key-clustered, never partitioned — a
+    partition_filter on a TxTable side refuses. ``source="native"`` reads through
     ``table.read`` (Spark-native replay scan, applies
     ``partition_filter``); ``source="lite"`` reads through the matching
     ``iceberg_lite``/``delta_lite`` DSv2 source (registered on demand),
@@ -643,7 +674,12 @@ def register_stats_view(
                 " filters row-level)"
             )
     if source == "lite":
-        if _is_delta(table):
+        if _is_txtable(table):
+            from ..sources.txtable_datasource import TxTableLiteDataSource
+
+            spark.dataSource.register(TxTableLiteDataSource)
+            df = spark.read.format("txtable_lite").load(table.root)
+        elif _is_delta(table):
             from ..sources.delta_datasource import DeltaLiteDataSource
 
             spark.dataSource.register(DeltaLiteDataSource)
@@ -656,7 +692,13 @@ def register_stats_view(
         for col, val in (partition_filter or {}).items():
             df = df.where(F.col(col) == F.lit(val))
     elif source == "native":
-        df = table.read(partition_filter=partition_filter)
+        # TxTable.read takes no partition_filter (never partitioned; a
+        # filter was already refused in estimate_table_size above)
+        df = (
+            table.read()
+            if _is_txtable(table)
+            else table.read(partition_filter=partition_filter)
+        )
     else:
         raise ValueError(f"unknown source {source!r} — 'native' or 'lite'")
     # an empty pruned side (0 bytes) broadcasts trivially
