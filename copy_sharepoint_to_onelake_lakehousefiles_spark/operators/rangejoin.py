@@ -52,8 +52,13 @@ def bucketed_range_join(
     )
     rts = F.unix_micros(F.col(right_ts_eff).cast("timestamp"))
     joined = l_exploded.join(r_bucketed, "_bucket").where((rts >= lo) & (rts <= hi))
-    # A (left,right) pair can match in ≥1 overlapped bucket → dedup.
-    return joined.drop("_bucket").dropDuplicates()
+    # No dedup needed: only the LEFT side explodes; each right row maps to
+    # exactly ONE bucket, so a (left, right) pair can satisfy the bucket
+    # equality at most once (sequence() emits distinct buckets). The
+    # dropDuplicates this used to carry was a full extra shuffle — and
+    # subtly WRONG versus a plain conditional join: genuinely duplicate
+    # input rows must produce duplicate pairs, not merge (r12, q36).
+    return joined.drop("_bucket")
 
 
 @query(

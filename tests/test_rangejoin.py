@@ -55,3 +55,19 @@ def test_bucket_width_does_not_change_result(spark, sf_dir):
         for r in bucketed_range_join(a, b, "ts", "b_ts", -300, 300, bucket_s=613).collect()
     }
     assert r1 == r2
+
+
+def test_duplicate_input_rows_produce_duplicate_pairs(spark):
+    """r12: bucketed_range_join must behave like a plain conditional join
+    on duplicate input rows — two identical left rows → two pairs. The
+    dropDuplicates it used to carry merged them (and cost a full extra
+    shuffle; only the left side explodes, so a pair can never match in
+    two buckets)."""
+    a = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")] * 2, "id long, ts string"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    b = spark.createDataFrame(
+        [(9, "2024-01-01 00:00:30")], "bid long, b_ts string"
+    ).select("bid", F.col("b_ts").cast("timestamp").alias("b_ts"))
+    got = bucketed_range_join(a, b, "ts", "b_ts", -60, 60, bucket_s=60)
+    assert got.count() == 2  # one per duplicate left row
