@@ -900,6 +900,106 @@ def q218_stats_sql_broadcast_flip(spark: SparkSession, sf_dir: str) -> DataFrame
     return materialize(out)
 
 
+_TXJOIN_CACHE: dict = {}
+
+
+def _demo_txtable_join(spark: SparkSession, sf_dir: str):
+    """TxTable fact/dim pair for the stats-view pin, memoized per
+    (session, sf_dir)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .txtable import TxTable
+
+    cache_key = (id(spark), sf_dir)
+    got = _TXJOIN_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got[0].log_dir):
+        return got
+    base = os.path.join(tempfile.gettempdir(), f"txjoin_{uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ot = TxTable.create(spark, os.path.join(base, "o"), o, key="o_orderkey")
+    ct = TxTable.create(spark, os.path.join(base, "c"), c, key="c_custkey")
+    _TXJOIN_CACHE[cache_key] = (ot, ct)
+    return _TXJOIN_CACHE[cache_key]
+
+
+_Q223_ORACLE = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       1 AS smj_without_stats, 1 AS bhj_with_stats,
+       1 AS dim_broadcast_fact_not, 1 AS results_identical
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("q223_txtable_stats_broadcast_flip", oracle=_Q223_ORACLE)
+def q223_txtable_stats_broadcast_flip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STATS-VIEW PLANNING OVER TXTABLE SCANS (VERDICT r11 #7): the same
+    ad-hoc SQL join over ``txtable_lite`` DSv2 scans plans SortMergeJoin
+    unassisted (Spark sizes Python data sources at defaultSizeInBytes)
+    and BroadcastHashJoin once ``stats_sql`` folds each side's
+    commit-log file entries — rows from the manifest, bytes from one
+    stat call per live file — results hash-identical either way. Same
+    contract as q218, third table format (Iceberg and Delta sides were
+    already covered; TxTable completes the engine's lakehouse trio)."""
+    ot, ct = _demo_txtable_join(spark, sf_dir)
+    from ..sources.txtable_datasource import TxTableLiteDataSource
+
+    spark.dataSource.register(TxTableLiteDataSource)
+    sql = """
+        SELECT c_mktsegment, count(*) AS n_orders
+        FROM tx_fact JOIN tx_dim ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """
+    spark.read.format("txtable_lite").load(ot.root).createOrReplaceTempView(
+        "tx_fact"
+    )
+    spark.read.format("txtable_lite").load(ct.root).createOrReplaceTempView(
+        "tx_dim"
+    )
+    plain = spark.sql(sql)
+    p1 = plain._jdf.queryExecution().executedPlan().toString()
+    smj_without = int(
+        "SortMergeJoin" in p1 and "BroadcastHashJoin" not in p1
+    )
+    # bounded: 5 market segments
+    plain_rows = {(r[0], r[1]) for r in plain.collect()}
+    mid = (
+        estimate_table_size(ot)["est_mem_bytes"]
+        + estimate_table_size(ct)["est_mem_bytes"]
+    ) // 2
+    planned, decisions = stats_sql(
+        spark,
+        sql,
+        {"tx_fact": ot, "tx_dim": ct},
+        source="lite",
+        broadcast_bytes=mid,
+    )
+    p2 = planned._jdf.queryExecution().executedPlan().toString()
+    bhj_with = int("BroadcastHashJoin" in p2 and "SortMergeJoin" not in p2)
+    dim_only = int(
+        decisions["tx_dim"]["broadcast"]
+        and not decisions["tx_fact"]["broadcast"]
+    )
+    # bounded: 5 market segments
+    planned_rows = {(r[0], r[1]) for r in planned.collect()}
+    same = int(planned_rows == plain_rows)
+    out = planned.select(
+        "c_mktsegment",
+        "n_orders",
+        F.lit(smj_without).alias("smj_without_stats"),
+        F.lit(bhj_with).alias("bhj_with_stats"),
+        F.lit(dim_only).alias("dim_broadcast_fact_not"),
+        F.lit(same).alias("results_identical"),
+    )
+    return materialize(out)
+
+
 _Q215_ORACLE = """
 SELECT o_orderstatus,
        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
