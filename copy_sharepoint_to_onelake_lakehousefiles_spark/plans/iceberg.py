@@ -9026,6 +9026,7 @@ def q222_unified_stats_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["o_orderstatus"]: r["n"]
         for r in o.groupBy("o_orderstatus")
         .agg(F.countDistinct("o_orderkey").alias("n"))
+        # bounded: one row per order status (3 values)
         .collect()
     }
     per = {
