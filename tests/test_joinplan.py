@@ -1070,3 +1070,105 @@ def test_register_stats_view_flips_smj_to_bhj_txtable(spark, sf_dir, root):
     # partition_filter on a TxTable side refuses loudly
     with pytest.raises(ValueError, match="key-clustered"):
         estimate_table_size(t, partition_filter={"x": 1})
+
+
+# --- multi-way join ordering (r12: plan_join_tree subset DP) -------------
+
+
+@pytest.fixture(scope="module")
+def star(spark, sf_dir):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import _demo_star_tables
+
+    return _demo_star_tables(spark, sf_dir)
+
+
+_STAR_PREDS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def test_join_tree_dp_orders_dims_first(star):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import plan_join_tree
+
+    plan = plan_join_tree(star, _STAR_PREDS)
+    # the winning chain joins the two dimensions before touching the fact
+    assert plan["order"] == "(lineitem ⋈ (orders ⋈ (customer ⋈ nation)))"
+    assert plan["cost"] < plan["naive_cost"]
+    # C_out of the chain = rows(cn) + rows(cno) + rows(cnol); the naive
+    # as-written order pays the fact-sized intermediate at every step
+    assert plan["naive_order"].startswith("lineitem")
+    # every step broadcasts its dimension-or-intermediate small side
+    assert plan["n_broadcast_steps"] == 3
+
+
+def test_join_tree_physical_plan_pins(spark, star):
+    """Executed plan: three BroadcastHashJoins, no SortMergeJoin, and the
+    statistics estimate of the final cardinality is tight (PK-FK)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import planned_join_tree
+
+    joined, plan = planned_join_tree(star, _STAR_PREDS)
+    p = joined._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in p
+    actual = joined.count()
+    assert abs(plan["est_rows"] - actual) * 10 <= actual
+
+
+def test_join_tree_split_independent_cardinality(star):
+    """rows(S) must not depend on the split that built S: force a
+    different order by shrinking the threshold and compare final est."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import plan_join_tree
+
+    a = plan_join_tree(star, _STAR_PREDS)
+    b = plan_join_tree(star, _STAR_PREDS, broadcast_bytes=0)
+    assert a["est_rows"] == b["est_rows"]
+    assert b["n_broadcast_steps"] == 0
+
+
+def test_join_tree_refusals(spark, star):
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+        execute_join_tree,
+        plan_join_tree,
+    )
+
+    # disconnected graph = cross product
+    with pytest.raises(ValueError, match="cross product"):
+        plan_join_tree(
+            star, [("lineitem", "l_orderkey", "orders", "o_orderkey")]
+        )
+    # unknown alias / self-join / arity
+    with pytest.raises(ValueError, match="unknown alias"):
+        plan_join_tree(star, _STAR_PREDS + [("nope", "x", "nation", "n_nationkey")])
+    with pytest.raises(ValueError, match="self-join"):
+        plan_join_tree(star, _STAR_PREDS + [("nation", "a", "nation", "b")])
+    with pytest.raises(ValueError, match="at least two"):
+        plan_join_tree({"nation": star["nation"]}, [])
+    with pytest.raises(ValueError, match="max_tables"):
+        plan_join_tree(star, _STAR_PREDS, max_tables=3)
+    # ambiguous columns refuse at execution
+    plan = plan_join_tree(star, _STAR_PREDS)
+    dfs = {a: t.read() for a, t in star.items()}
+    dfs["orders"] = dfs["orders"].withColumnRenamed("o_custkey", "n_name")
+    with pytest.raises(ValueError, match="appears in both"):
+        execute_join_tree(plan, dfs)
+
+
+def test_join_tree_results_match_plain_join(spark, star):
+    """Semantics pin: the reordered tree's rows equal Spark's own
+    as-written join of the same tables (exceptAll both ways empty)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import planned_join_tree
+
+    joined, _ = planned_join_tree(star, _STAR_PREDS)
+    dfs = {a: t.read() for a, t in star.items()}
+    plain = (
+        dfs["lineitem"]
+        .join(dfs["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dfs["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(dfs["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    cols = sorted(joined.columns)
+    assert sorted(plain.columns) == cols
+    assert joined.select(cols).exceptAll(plain.select(cols)).isEmpty()
+    assert plain.select(cols).exceptAll(joined.select(cols)).isEmpty()
