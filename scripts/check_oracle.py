@@ -70,9 +70,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    covered = 0
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
             continue
+        covered += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -121,7 +123,15 @@ def main() -> int:
                 only_o = list(oset - sset)[:3]
                 print(f"      spark-only sample:  {only_s}")
                 print(f"      oracle-only sample: {only_o}")
-    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    # Evidence-hygiene contract (VERDICT r11 what's-wrong #1): a gate
+    # artifact must be a FULL-registry run — an unfiltered invocation that
+    # somehow skipped a registered query is itself a failure, and the
+    # coverage line lets any reader of the artifact check it at a glance.
+    print(f"\nCOVERAGE {covered}/{len(qs)} registered queries ran")
+    if not filters and covered != len(qs):
+        failures += 1
+        print(f"FAIL  unfiltered run covered only {covered}/{len(qs)} queries")
+    print(f"{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
 
