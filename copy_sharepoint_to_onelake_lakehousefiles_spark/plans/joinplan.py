@@ -1160,11 +1160,38 @@ def plan_join_tree(
     base = {}
     width = {}
     for a in aliases:
+        if not hasattr(tables[a], "ndv"):
+            raise ValueError(
+                f"table {a!r} carries no NDV statistics (no .ndv) — join"
+                " ordering needs distinctness estimates; analyze() an"
+                " Iceberg table, or pre-join the un-analyzed side"
+            )
         est = estimate_table_size(tables[a], pfs.get(a), inflation)
         base[a] = est
         width[a] = (est["est_mem_bytes"] / est["rows"]) if est["rows"] else 0.0
-    # per-edge selectivity from base-table NDV sketches (capped at rows)
+
+    def _edge_ndv(alias: str, col: str):
+        """NDV of one edge endpoint, honoring that side's partition
+        filter when per-partition sketches exist (same fallback chain as
+        estimate_side), capped at the pruned row count — pruning can only
+        shrink distinctness."""
+        pf = pfs.get(alias)
+        nd, src = None, "table"
+        if pf:
+            from .iceberg import NoPartitionSketchesError
+
+            try:
+                nd = tables[alias].ndv_pruned(col, pf)
+                src = "pruned_union"
+            except NoPartitionSketchesError:
+                nd = None
+        if nd is None:
+            nd = tables[alias].ndv(col)
+        return min(int(nd["ndv"]), base[alias]["rows"] or 1), src
+
+    # per-edge selectivity 1/max(ndv, ndv) from the theta sketches
     edges = []
+    edge_audit = []
     for p in predicates:
         try:
             aa, ca, ab, cb = p
@@ -1177,10 +1204,21 @@ def plan_join_tree(
                 raise ValueError(f"predicate references unknown alias {al!r}")
         if aa == ab:
             raise ValueError(f"self-join predicate {p!r} — use distinct aliases")
-        nda = min(int(tables[aa].ndv(ca)["ndv"]), base[aa]["rows"] or 1)
-        ndb = min(int(tables[ab].ndv(cb)["ndv"]), base[ab]["rows"] or 1)
+        nda, srca = _edge_ndv(aa, ca)
+        ndb, srcb = _edge_ndv(ab, cb)
         sel = 1.0 / max(nda, ndb, 1)
         edges.append((idx[aa], idx[ab], ca, cb, sel))
+        edge_audit.append(
+            {
+                "left": f"{aa}.{ca}",
+                "right": f"{ab}.{cb}",
+                "ndv_left": nda,
+                "ndv_right": ndb,
+                "ndv_source_left": srca,
+                "ndv_source_right": srcb,
+                "selectivity": sel,
+            }
+        )
     full = (1 << n) - 1
 
     def _subset_rows(s: int) -> float:
@@ -1292,6 +1330,7 @@ def plan_join_tree(
         "naive_cost": naive_cost,
         "aliases": aliases,
         "base": base,
+        "edges": edge_audit,
         "n_broadcast_steps": _count_broadcasts(tree),
         "broadcast_bytes": broadcast_bytes,
         "inflation": inflation,
@@ -1488,5 +1527,133 @@ def q224_join_order_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(dims_first).alias("dims_join_first"),
         F.lit(est_ok).alias("est_within_10pct"),
         F.lit(all_bc).alias("all_steps_broadcast"),
+    )
+    return materialize(out)
+
+
+_PSTAR_CACHE: dict = {}
+
+
+def _demo_pruned_star(spark: SparkSession, sf_dir: str) -> dict:
+    """Star fixture with a PARTITIONED, partition-analyzed orders table
+    swapped in — identity-partitioned on the derived ``o_bucket =
+    o_orderkey % 20`` (this corpus's categoricals are near-uniform
+    thirds/fifths, so a genuinely RARE partition needs a derived key; the
+    modulus keeps it oracle-expressible). Memoized per (session,
+    sf_dir)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .iceberg import IcebergTable
+
+    cache_key = (id(spark), sf_dir)
+    got = _PSTAR_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got["orders"].meta_dir):
+        return got
+    star = _demo_star_tables(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(), f"icepstar_{uuid.uuid4().hex[:8]}"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderkey") % 20).alias("o_bucket"),
+    )
+    ot = IcebergTable.create(spark, root, o, partition_by=["o_bucket"])
+    ot.analyze_partitions()
+    out = {**star, "orders": ot}
+    _PSTAR_CACHE[cache_key] = out
+    return out
+
+
+_Q225_ORACLE = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       1 AS unpruned_dims_first, 1 AS pruned_fact_first,
+       1 AS pruned_ndv_used, 1 AS est_within_2x
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderkey % 20 = 7
+GROUP BY n_name
+"""
+
+
+@query("q225_join_order_partition_pruned", oracle=_Q225_ORACLE)
+def q225_join_order_partition_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION PRUNING CHANGES THE JOIN ORDER (r12): the same
+    four-table star planned twice. Unfiltered, the DP joins the two
+    dimensions first — customer ⋈ nation is the only sub-fact-sized
+    start. Under a partition filter keeping one of orders' twenty
+    o_bucket partitions (5%), the pruned manifest shrinks orders below
+    the customer dimension and the SAME DP now starts from orders ⋈
+    customer — the optimal order is a property of the FILTERED sizes,
+    which is exactly what a static planner cannot see without executing
+    the pruning first. Edge NDVs resolve through the per-partition theta
+    sketches (ndv_source=pruned_union on both orders endpoints), the
+    final cardinality estimate lands within 2x of the true pruned join
+    size, and the pruned-plan execution hash-matches the oracle's
+    WHERE-filtered plain join."""
+    pstar = _demo_pruned_star(spark, sf_dir)
+    preds = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+
+    def _first_pair(plan):
+        pairs: list = []
+
+        def rec(t):
+            if "table" in t:
+                return
+            if "table" in t["left"] and "table" in t["right"]:
+                pairs.append({t["left"]["table"], t["right"]["table"]})
+            rec(t["left"])
+            rec(t["right"])
+
+        rec(plan["tree"])
+        return pairs
+
+    unpruned = plan_join_tree(pstar, preds)
+    dims_first = int(_first_pair(unpruned) == [{"customer", "nation"}])
+    pf = {"orders": {"o_bucket": 7}}
+    joined, pruned = planned_join_tree(pstar, preds, partition_filters=pf)
+    fact_first = int(_first_pair(pruned) == [{"orders", "customer"}])
+    pruned_ndv = int(
+        all(
+            e["ndv_source_left" if e["left"].startswith("orders.") else "ndv_source_right"]
+            == "pruned_union"
+            for e in pruned["edges"]
+            if e["left"].startswith("orders.") or e["right"].startswith("orders.")
+        )
+    )
+    actual = joined.count()
+    est = pruned["est_rows"]
+    est_ok = int(actual > 0 and est > 0 and max(est, actual) <= 2 * min(est, actual))
+    # per-term round to cents then an INTEGER sum: float revenue sums
+    # are addition-order-dependent at the last ulp, and this query's
+    # 57-row groups straddled a .005 boundary vs the oracle — integer
+    # cents are order-independent and exact
+    out = joined.groupBy("n_name").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("long")
+        ).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    ).select(
+        "n_name",
+        "revenue_cents",
+        "n_lines",
+        F.lit(dims_first).alias("unpruned_dims_first"),
+        F.lit(fact_first).alias("pruned_fact_first"),
+        F.lit(pruned_ndv).alias("pruned_ndv_used"),
+        F.lit(est_ok).alias("est_within_2x"),
     )
     return materialize(out)

@@ -1172,3 +1172,52 @@ def test_join_tree_results_match_plain_join(spark, star):
     assert sorted(plain.columns) == cols
     assert joined.select(cols).exceptAll(plain.select(cols)).isEmpty()
     assert plain.select(cols).exceptAll(joined.select(cols)).isEmpty()
+
+
+def test_join_tree_refuses_statless_table(star):
+    """A table handle with no NDV sketches refuses up front — the DP
+    must not guess selectivities."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import plan_join_tree
+
+    class _NoStats:
+        pass
+
+    with pytest.raises(ValueError, match="no NDV statistics"):
+        plan_join_tree(
+            {"nation": star["nation"], "raw": _NoStats()},
+            [("nation", "n_nationkey", "raw", "x")],
+        )
+
+
+def test_join_tree_pruning_flips_order_and_uses_pruned_ndv(spark, sf_dir):
+    """q225's core, unit-level: a partition filter keeping 5% of orders
+    flips the first join from {customer, nation} to {orders, customer},
+    and the orders edge endpoints resolve NDV through the per-partition
+    sketches."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+        _demo_pruned_star,
+        plan_join_tree,
+    )
+
+    pstar = _demo_pruned_star(spark, sf_dir)
+    preds = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    a = plan_join_tree(pstar, preds)
+    b = plan_join_tree(
+        pstar, preds, partition_filters={"orders": {"o_bucket": 7}}
+    )
+    assert "(customer ⋈ nation)" in a["order"]
+    # canonical orientation prints the larger side left: pruned orders
+    # (5%) is smaller than customer, so the flipped first pair reads
+    # (customer ⋈ orders)
+    assert "(customer ⋈ orders)" in b["order"]
+    assert b["base"]["orders"]["rows"] < a["base"]["orders"]["rows"] / 10
+    for e in b["edges"]:
+        for side in ("left", "right"):
+            if e[side].startswith("orders."):
+                assert e[f"ndv_source_{side}"] == "pruned_union"
+    # pruning can only tighten the modeled cost
+    assert b["cost"] < a["cost"]
