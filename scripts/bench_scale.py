@@ -404,6 +404,56 @@ def main() -> None:
         )
         nb_res["bounds_flat"] = nb_res["bounds_ratio"] <= 3.0
         result["ndv_bounds"] = nb_res
+        # MULTI-WAY JOIN ORDERING (r12): the subset DP reads only
+        # manifests + Puffin sketches — ANALYZE scales with the data, but
+        # the ordering decision itself must stay ~flat at 10x rows and
+        # pick the same (dimension-first) tree at both scales.
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+            plan_join_tree,
+        )
+
+        jo: dict = {}
+        for tag, df in (("base", ev), ("x10", ev10)):
+            star_roots = {
+                a: os.path.join(inflated, f"jo_{a}_{tag}")
+                for a in ("fact", "dtype", "dbucket")
+            }
+            fact_df = df.select(
+                "event_id",
+                "event_type",
+                (F.col("event_id") % 50).alias("vbucket"),
+            )
+            ftab = IcebergTable.create(
+                spark, star_roots["fact"], fact_df.repartition(4)
+            )
+            ftab.analyze(columns=["event_type", "vbucket"])
+            d1 = df.select(F.col("event_type").alias("etype")).distinct()
+            t1 = IcebergTable.create(spark, star_roots["dtype"], d1.coalesce(1))
+            t1.analyze(columns=["etype"])
+            d2 = (
+                fact_df.select(F.col("vbucket").alias("vb"))
+                .distinct()
+                .withColumn("vb_label", F.concat(F.lit("b"), F.col("vb")))
+            )
+            t2 = IcebergTable.create(spark, star_roots["dbucket"], d2.coalesce(1))
+            t2.analyze(columns=["vb"])
+            tabs = {"fact": ftab, "dtype": t1, "dbucket": t2}
+            preds = [
+                ("fact", "event_type", "dtype", "etype"),
+                ("fact", "vbucket", "dbucket", "vb"),
+            ]
+            plan_join_tree(tabs, preds)  # warm
+            t0 = time.time()
+            plan = plan_join_tree(tabs, preds)
+            jo[f"{tag}_plan_sec"] = round(time.time() - t0, 3)
+            jo[f"{tag}_order"] = plan["order"]
+            jo[f"{tag}_cost_le_naive"] = plan["cost"] <= plan["naive_cost"]
+        jo["plan_ratio"] = round(
+            jo["x10_plan_sec"] / max(jo["base_plan_sec"], 1e-9), 2
+        )
+        jo["plan_flat"] = jo["plan_ratio"] <= 3.0
+        jo["order_stable"] = jo["base_order"] == jo["x10_order"]
+        result["join_ordering"] = jo
     finally:
         shutil.rmtree(inflated, ignore_errors=True)
     with open(out_path, "w") as f:
