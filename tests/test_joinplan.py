@@ -1221,3 +1221,118 @@ def test_join_tree_pruning_flips_order_and_uses_pruned_ndv(spark, sf_dir):
                 assert e[f"ndv_source_{side}"] == "pruned_union"
     # pruning can only tighten the modeled cost
     assert b["cost"] < a["cost"]
+
+
+# --- DP optimality property (r12): fake-table harness, no Spark ---------
+
+
+class _FakeTable:
+    """Duck-typed stand-in exposing exactly what plan_join_tree consumes:
+    manifest entries for sizing and a per-column NDV dict."""
+
+    def __init__(self, rows, ndvs, bytes_per_row=100):
+        self._rows = rows
+        self._ndvs = ndvs
+        self._bytes = rows * bytes_per_row
+
+    def files(self, partition_filter=None, bounds=None):
+        e = {"record_count": self._rows, "file_size_in_bytes": self._bytes}
+        return [e], {"files_total": 1}
+
+    def ndv(self, col):
+        return {"ndv": self._ndvs[col], "exact": True}
+
+
+def _all_bushy_costs(aliases, base_rows, edges):
+    """Brute-force C_out over every bushy tree (exponential, n<=5):
+    returns the minimum cost over all cross-product-free trees."""
+    import itertools
+
+    def subset_rows(s):
+        r = 1.0
+        for a in s:
+            r *= base_rows[a]
+        for (x, cx, y, cy, sel) in edges:
+            if x in s and y in s:
+                r *= sel
+        return r
+
+    from functools import lru_cache
+
+    names = tuple(sorted(aliases))
+
+    @lru_cache(maxsize=None)
+    def best(fs):
+        s = set(fs)
+        if len(s) == 1:
+            return 0.0
+        out = None
+        items = sorted(s)
+        for r in range(1, len(items)):
+            for combo in itertools.combinations(items[1:], r):
+                s2 = set(combo)
+                s1 = s - s2
+                crossing = any(
+                    (x in s1 and y in s2) or (x in s2 and y in s1)
+                    for (x, _cx, y, _cy, _sel) in edges
+                )
+                if not crossing:
+                    continue
+                c1, c2 = best(frozenset(s1)), best(frozenset(s2))
+                if c1 is None or c2 is None:
+                    continue
+                c = c1 + c2 + subset_rows(s)
+                if out is None or c < out:
+                    out = c
+        return out
+
+    return best(frozenset(names))
+
+
+def test_join_tree_dp_matches_bruteforce_on_random_graphs():
+    """The subset DP must find the TRUE C_out minimum over all bushy
+    cross-product-free trees — checked against exhaustive enumeration on
+    30 random 3-5 table join graphs (chains, stars, cycles)."""
+    import random
+
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import plan_join_tree
+
+    rng = random.Random(42)
+    for trial in range(30):
+        n = rng.randint(3, 5)
+        aliases = [f"t{i}" for i in range(n)]
+        tables = {}
+        col_of = {}
+        for a in aliases:
+            rows = rng.choice([10, 100, 1_000, 50_000, 1_000_000])
+            key_ndv = max(1, int(rows * rng.choice([0.001, 0.1, 1.0])))
+            col = f"{a}_k"
+            tables[a] = _FakeTable(rows, {col: key_ndv})
+            col_of[a] = col
+        # spanning tree + a chance of an extra (cycle) edge
+        preds = []
+        for i in range(1, n):
+            j = rng.randrange(i)
+            preds.append(
+                (aliases[i], col_of[aliases[i]], aliases[j], col_of[aliases[j]])
+            )
+        if rng.random() < 0.4 and n >= 3:
+            a, b = rng.sample(aliases, 2)
+            if not any(
+                {p[0], p[2]} == {a, b} for p in preds
+            ):
+                preds.append((a, col_of[a], b, col_of[b]))
+        plan = plan_join_tree(tables, preds)
+        base_rows = {a: tables[a]._rows for a in aliases}
+        edges = []
+        for (aa, ca, ab, cb) in preds:
+            nda = min(tables[aa]._ndvs[ca], base_rows[aa])
+            ndb = min(tables[ab]._ndvs[cb], base_rows[ab])
+            edges.append((aa, ca, ab, cb, 1.0 / max(nda, ndb, 1)))
+        truth = _all_bushy_costs(aliases, base_rows, edges)
+        assert truth is not None
+        assert abs(plan["cost"] - truth) <= 1e-6 * max(truth, 1.0), (
+            f"trial {trial}: DP cost {plan['cost']} != brute-force {truth}"
+        )
+        # and the naive as-written order can never beat the optimum
+        assert plan["cost"] <= plan["naive_cost"] + 1e-9
