@@ -19,6 +19,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# join types a salted join can express: the SMALL side is replicated
+# x n_salts, so only big-side-preserving joins are legal — a right/full
+# outer would emit each UNMATCHED small row once per salt replica.
+_SALT_LEGAL = {
+    "inner",
+    "left",
+    "leftouter",
+    "left_outer",
+    "leftsemi",
+    "left_semi",
+    "leftanti",
+    "left_anti",
+}
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -27,7 +42,17 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join `big ⋈ small` on `key`, spreading each of big's keys over
-    `n_salts` reducers. Result is identical to `big.join(small, key, how)`."""
+    `n_salts` reducers. Result is identical to `big.join(small, key, how)`.
+
+    `how` must preserve (at most) the BIG side: the small side is
+    replicated once per salt, so a join type that emits unmatched SMALL
+    rows (right/full outer) would duplicate them x n_salts — refused."""
+    if how.lower().replace(" ", "") not in _SALT_LEGAL:
+        raise ValueError(
+            f"salted_join cannot express how={how!r}: the small side is"
+            " replicated per salt, so only big-side-preserving joins"
+            " (inner/left/left_semi/left_anti) keep plain-join semantics"
+        )
     salted_big = big.withColumn("_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)))
     exploded_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

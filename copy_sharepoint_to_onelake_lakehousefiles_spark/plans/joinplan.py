@@ -444,17 +444,67 @@ def execute_equi_join(
     left_key: str,
     right_key: str,
     how: str = "inner",
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Apply a plan_equi_join decision: F.broadcast on the build side (a
     planner-issued hint Spark honors regardless of its own size estimate,
     which cannot see the lakehouse statistics) or a plain equi-join that
     AQE may still re-plan at runtime. The decision must have been planned
-    for the SAME join type — build-side legality depends on it."""
+    for the SAME join type — build-side legality depends on it.
+
+    ``n_salts`` (r12) EXECUTES the planner's salting advisory: when the
+    decision is sort_merge with ``recommend_salting`` and the join type
+    can route through the salted kernel (the skewed side must be the
+    PRESERVED/probe side — operators/skew.salted_join replicates the
+    other side per salt), the hot key's rows spread over n_salts
+    reducers. The salted route joins USING-style, so the output carries
+    ONE key column (the left name) plus the right key re-added under its
+    own name when the names differ — column SET matches the plain join,
+    the key columns are value-identical by the join condition. Decisions
+    that cannot salt (broadcast strategy, no skew, wrong-side skew for
+    the join type) fall through to the plain route silently — the
+    advisory is best-effort, semantics never change."""
     if decision.get("how", how) != how:
         raise ValueError(
             f"decision was planned for how={decision['how']!r}, executing"
             f" how={how!r} — re-plan with the matching join type"
         )
+    if (
+        n_salts
+        and decision["strategy"] == "sort_merge"
+        and decision.get("recommend_salting")
+    ):
+        from ..operators.skew import _SALT_LEGAL, salted_join
+
+        h = how.lower().replace(" ", "")
+        l_skew = decision["left"]["skewed"]
+        r_skew = decision["right"]["skewed"]
+        # the salted kernel preserves the BIG side only; for non-inner
+        # joins the preserved side is fixed by the join type, so salting
+        # applies only when the LEFT (preserved) side is the skewed one
+        if h in _SALT_LEGAL and (l_skew or (h == "inner" and r_skew)):
+            if l_skew or h != "inner":
+                big, small, bkey, skey = left_df, right_df, left_key, right_key
+                swapped = False
+            else:
+                big, small, bkey, skey = right_df, left_df, right_key, left_key
+                swapped = True
+            if skey != bkey:
+                small = small.withColumnRenamed(skey, bkey)
+            out = salted_join(big, small, bkey, n_salts, how)
+            if skey != bkey and h.replace("_", "") not in (
+                "leftsemi",
+                "leftanti",
+            ):
+                # restore the other side's key column (value-identical);
+                # semi/anti outputs carry no right-side columns at all
+                out = out.withColumn(skey, F.col(bkey))
+            if swapped:
+                out = out.select(
+                    *left_df.columns,
+                    *[c for c in out.columns if c not in left_df.columns],
+                )
+            return out
     if decision["build_side"] == "left":
         left_df = F.broadcast(left_df)
     elif decision["build_side"] == "right":
@@ -1655,5 +1705,100 @@ def q225_join_order_partition_pruned(
         F.lit(fact_first).alias("pruned_fact_first"),
         F.lit(pruned_ndv).alias("pruned_ndv_used"),
         F.lit(est_ok).alias("est_within_2x"),
+    )
+    return materialize(out)
+
+
+_SKEW_CACHE: dict = {}
+
+
+def _demo_skew_tables(spark: SparkSession, sf_dir: str):
+    """Hot-key fact + nation dim for the salted-execution pin, memoized
+    per (session, sf_dir): lineitem mapped onto a derived join key where
+    residues 0-8 all collapse onto key 1 (~50% of rows — a genuinely hot
+    key), identity-partitioned on that key so the manifest itself
+    reveals the skew."""
+    import os
+    import tempfile
+    import uuid
+
+    from .iceberg import IcebergTable
+
+    cache_key = (id(spark), sf_dir)
+    got = _SKEW_CACHE.get(cache_key)
+    if got is not None and os.path.isdir(got[0].meta_dir):
+        return got
+    base = os.path.join(tempfile.gettempdir(), f"iceskew_{uuid.uuid4().hex[:8]}")
+    li = load(spark, sf_dir, "lineitem")
+    r = F.col("l_orderkey") % 20
+    fact = li.select(
+        F.when(r < 9, F.lit(1).cast("long")).otherwise(r).alias("hk"),
+        "l_quantity",
+    )
+    ft = IcebergTable.create(
+        spark, os.path.join(base, "fact"), fact, partition_by=["hk"]
+    )
+    ft.analyze(columns=["hk"])
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nt = IcebergTable.create(spark, os.path.join(base, "nation"), n)
+    nt.analyze(columns=["n_nationkey"])
+    _SKEW_CACHE[cache_key] = (ft, nt)
+    return _SKEW_CACHE[cache_key]
+
+
+_Q226_ORACLE = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents,
+       1 AS planned_salting, 1 AS skew_flagged_from_manifest, 1 AS salted_in_plan
+FROM (
+  SELECT CASE WHEN l_orderkey % 20 < 9 THEN 1 ELSE l_orderkey % 20 END AS hk,
+         l_quantity
+  FROM lineitem
+) f
+JOIN nation ON f.hk = n_nationkey
+GROUP BY n_name
+"""
+
+
+@query("q226_planned_salted_join", oracle=_Q226_ORACLE)
+def q226_planned_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE SKEW ADVISORY EXECUTES (r12): a fact table whose join key is
+    its identity partition source with one partition holding ~50% of the
+    rows. plan_equi_join folds per-partition row counts straight from
+    the manifest (no data pass), flags the key as skewed (ratio >= 5x
+    the mean partition), and — because the dimension cannot broadcast
+    here (threshold 0 models a dimension past the broadcast budget) —
+    recommends salting. execute_equi_join(n_salts=8) now ROUTES that
+    advisory through operators/skew.salted_join: the hot key's rows
+    spread over 8 reducers (xxhash64-salted fact, dimension replicated
+    per salt — visible as `_salt` in the executed plan), and the grouped
+    result hash-matches the oracle's plain join: the salting changed the
+    shuffle layout, never the answer."""
+    ft, nt = _demo_skew_tables(spark, sf_dir)
+    dec = plan_equi_join(ft, nt, "hk", "n_nationkey", broadcast_bytes=0)
+    planned = int(
+        dec["strategy"] == "sort_merge" and dec["recommend_salting"]
+    )
+    flagged = int(
+        dec["left"]["key_is_partition"] and dec["left"]["skew_ratio"] >= 5.0
+    )
+    joined = execute_equi_join(
+        dec, ft.read(), nt.read(), "hk", "n_nationkey", n_salts=8
+    )
+    p = joined._jdf.queryExecution().executedPlan().toString()
+    salted = int("_salt" in p)
+    out = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias(
+            "qty_cents"
+        ),
+    ).select(
+        "n_name",
+        "n_rows",
+        "qty_cents",
+        F.lit(planned).alias("planned_salting"),
+        F.lit(flagged).alias("skew_flagged_from_manifest"),
+        F.lit(salted).alias("salted_in_plan"),
     )
     return materialize(out)

@@ -99,3 +99,52 @@ def test_avro_probe_is_honest(spark):
 
         with pytest.raises(Exception):
             spark.range(1).write.format("avro").save("/tmp/_avro_should_fail")
+
+
+def test_salted_join_refuses_small_preserving_how(spark):
+    """right/full outer would emit each unmatched SMALL row once per salt
+    replica — refused (r12)."""
+    import pytest as _pytest
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(2, "y")], "k long, w string")
+    for how in ("right", "full", "fullouter", "right_outer"):
+        with _pytest.raises(ValueError, match="preserv"):
+            salted_join(a, b, "k", 4, how)
+    # big-side-preserving joins stay legal
+    assert salted_join(a, b, "k", 4, "left").count() == 1
+    assert salted_join(a, b, "k", 4, "left_anti").count() == 1
+
+
+def test_execute_equi_join_routes_salting(spark, sf_dir):
+    """The planner's advisory executes (r12): a hot-partition fact joined
+    under broadcast_bytes=0 routes through the salted kernel (the `_salt`
+    column appears in the executed plan) and matches the plain join
+    row-for-row; a non-skewed decision falls through to the plain route."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+        _demo_skew_tables,
+        execute_equi_join,
+        plan_equi_join,
+    )
+
+    ft, nt = _demo_skew_tables(spark, sf_dir)
+    dec = plan_equi_join(ft, nt, "hk", "n_nationkey", broadcast_bytes=0)
+    assert dec["recommend_salting"]
+    for how in ("inner", "left", "left_semi"):
+        d = plan_equi_join(ft, nt, "hk", "n_nationkey", broadcast_bytes=0, how=how)
+        salted = execute_equi_join(
+            d, ft.read(), nt.read(), "hk", "n_nationkey", how, n_salts=4
+        )
+        assert "_salt" in salted._jdf.queryExecution().executedPlan().toString()
+        plain = execute_equi_join(d, ft.read(), nt.read(), "hk", "n_nationkey", how)
+        cols = sorted(set(salted.columns) & set(plain.columns))
+        assert sorted(salted.columns) == sorted(cols)  # same column SET
+        assert salted.select(cols).exceptAll(plain.select(cols)).isEmpty()
+        assert plain.select(cols).exceptAll(salted.select(cols)).isEmpty()
+    # full outer cannot salt — silently plain, still correct
+    d2 = plan_equi_join(ft, nt, "hk", "n_nationkey", broadcast_bytes=0, how="full")
+    out = execute_equi_join(
+        d2, ft.read(), nt.read(), "hk", "n_nationkey", "full", n_salts=4
+    )
+    assert "_salt" not in out._jdf.queryExecution().executedPlan().toString()
+    assert out.where(F.col("hk").isNull()).count() == 13  # unmatched dims
