@@ -419,26 +419,49 @@ def _lsh_pairs_flood_route(
 
 def _jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
     """Shared inverted-index exact-Jaccard kernel: explode shingles →
-    equi-join on the shingle's xxhash64 — an 8-byte bigint through the
+    group postings by the shingle's xxhash64 — an 8-byte bigint through the
     postings shuffle instead of the ~30-byte 5-gram string (the q153/q26
     slimming; a 2⁻⁶⁴ collision could only nudge one pair's shared count,
     far below the gate's observable granularity) → per-pair shared count →
-    Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
+    Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard).
+
+    r12: candidate pairs come from ONE keyed shuffle (groupBy shingle_h →
+    collect_list → array-local ordered pairs), the band_candidate_pairs
+    shape, instead of the previous postings SELF-JOIN — which shuffled and
+    sorted the (persisted) postings table twice and paid a third exchange
+    for the pair aggregation. Same co-occurrence multiset → identical
+    shared counts → identical output. The per-key aggregation buffer is
+    O(postings length × 16 B); the pair fan-out is O(k²) per ubiquitous
+    shingle in BOTH designs (inherent to exact inverted-index Jaccard) —
+    at 100 TB cap postings length with a document-frequency cut first."""
     sh = _shingled(d).select(
-        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode(
+            F.expr("transform(shingles, s -> xxhash64(s))")
+        ).alias("shingle_h"),
     )
-    sh = track_persist(
-        sh.select("doc_id", "n_sh", F.xxhash64("shingle").alias("shingle_h"))
-    )  # both sides of the inverted-index self-join read this once
-    a = sh.alias("a")
-    b = sh.alias("b")
+    postings = sh.groupBy("shingle_h").agg(
+        F.collect_list(F.struct("doc_id", "n_sh")).alias("docs")
+    )
+    ordered_pairs = (
+        # i is 0-based; slice() is 1-based → elements strictly after docs[i];
+        # doc_ids within one posting list are distinct (shingles are
+        # array_distinct per doc), so least/greatest ordering is total
+        "flatten(transform(docs, (a, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), b -> "
+        "struct(if(a.doc_id < b.doc_id, a, b) AS da, "
+        "if(a.doc_id < b.doc_id, b, a) AS db))))"
+    )
     pair = (
-        a.join(b, (F.col("a.shingle_h") == F.col("b.shingle_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.select(F.explode(F.expr(ordered_pairs)).alias("p"))
+        .groupBy(
+            F.col("p.da.doc_id").alias("doc_a"), F.col("p.db.doc_id").alias("doc_b")
+        )
         .agg(
             F.count(F.lit(1)).alias("shared"),
-            F.first(F.col("a.n_sh")).alias("na"),
-            F.first(F.col("b.n_sh")).alias("nb"),
+            F.first(F.col("p.da.n_sh")).alias("na"),
+            F.first(F.col("p.db.n_sh")).alias("nb"),
         )
     )
     union = (F.col("na") + F.col("nb") - F.col("shared")).cast("bigint")

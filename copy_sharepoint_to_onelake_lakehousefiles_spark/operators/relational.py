@@ -825,13 +825,28 @@ GROUP BY o_orderstatus
 def q39_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     quantile_cont). At 100 TB switch to approx_percentile (t-digest sketch,
-    single pass, mergeable) — exact kept here for oracle parity."""
+    single pass, mergeable) — exact kept here for oracle parity.
+
+    r12: ONE percentile(col, array(...)) aggregate instead of three — the
+    three separate calls each built and sorted their own per-group value
+    buffer (3× the aggregation state and 3× the sort); the array form
+    computes all three quantiles from one buffer. Same exact-interpolation
+    algorithm on the same values → identical doubles."""
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99_price"),
-        F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+    pct = F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            pct.alias("__pct"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+        )
+        .select(
+            "o_orderstatus",
+            F.round(F.col("__pct").getItem(0), 4).alias("median_price"),
+            F.round(F.col("__pct").getItem(1), 4).alias("p90_price"),
+            F.round(F.col("__pct").getItem(2), 4).alias("p99_price"),
+            "mean_price",
+        )
     )
 
 

@@ -46,15 +46,22 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFr
 
     queries/corpus: (vec_id, embedding array<float>). The query side is
     broadcast (bounded); the corpus streams — one pass, no shuffle of the
-    corpus except the final per-query top-k (tiny)."""
+    corpus except the final per-query top-k (tiny).
+
+    Norms are precomputed ONCE PER VECTOR below the join (r12): the
+    per-pair projection used to re-derive both norms for every (q, n)
+    pair, tripling the higher-order-function work in the O(|corpus|·|q|)
+    stage. sqrt(aggregate(...)) on the same doubles is bit-identical
+    wherever it is evaluated, so the 6dp cosine (and the oracle hash) is
+    unchanged."""
     q = queries.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("q_emb")
-    )
+    ).withColumn("q_nrm", _norm("q_emb"))
     c = corpus.select(
         F.col("vec_id").alias("n_id"), F.col("embedding").cast("array<double>").alias("n_emb")
-    )
+    ).withColumn("n_nrm", _norm("n_emb"))
     pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-    cos = _dot("q_emb", "n_emb") / (_norm("q_emb") * _norm("n_emb"))
+    cos = _dot("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm"))
     scored = pairs.select("q_id", "n_id", F.round(cos, 6).alias("cosine"))
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
@@ -274,13 +281,14 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_emb = emb.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").cast("array<double>").alias("n_emb"),
-    )
+    ).withColumn("n_nrm", _norm("n_emb"))
     q_emb = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
-    )
+    ).withColumn("q_nrm", _norm("q_emb"))
     cand = cand_ids.join(n_emb, "n_id").join(F.broadcast(q_emb), "q_id")
-    cos = _dot("q_emb", "n_emb") / (_norm("q_emb") * _norm("n_emb"))
+    # norms precomputed once per vector below the joins (see cosine_topk)
+    cos = _dot("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm"))
     scored = cand.select("q_id", "n_id", F.round(cos, 6).alias("cosine"))
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
@@ -333,7 +341,9 @@ def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key stands in for an LSH bucket: candidates only within a block, never a
     full cross join)."""
     emb = load(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("nrm", _norm("emb"))
     a = e.alias("a")
     b = e.alias("b")
     pairs = a.join(
@@ -344,8 +354,11 @@ def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.label").alias("label"),
         F.col("a.emb").alias("ea"),
         F.col("b.emb").alias("eb"),
+        F.col("a.nrm").alias("na"),
+        F.col("b.nrm").alias("nb"),
     )
-    cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    # norms precomputed once per vector below the join (see cosine_topk)
+    cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return pairs.where(cos > 0.35).select(
         "vec_a", "vec_b", "label", F.round(cos, 6).alias("cosine")
     )
@@ -449,19 +462,30 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [c for _, c in cents]
     corpus = emb.select(
         F.col("vec_id").alias("n_id"), F.col("embedding").cast("array<double>").alias("emb")
-    ).select("n_id", F.col("emb").alias("n_emb"), _nearest_cell_expr(centroids, "emb").alias("cell"))
+    ).select(
+        "n_id",
+        F.col("emb").alias("n_emb"),
+        _nearest_cell_expr(centroids, "emb").alias("cell"),
+        _norm("emb").alias("n_nrm"),
+    )
     queries = (
         emb.where(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").cast("array<double>").alias("q_emb"),
         )
-        .select("q_id", "q_emb", F.explode(_cells_ranked_expr(centroids, N_PROBE, "q_emb")).alias("cell"))
+        .select(
+            "q_id",
+            "q_emb",
+            F.explode(_cells_ranked_expr(centroids, N_PROBE, "q_emb")).alias("cell"),
+            _norm("q_emb").alias("q_nrm"),
+        )
     )
     cand = queries.join(corpus, "cell").where(F.col("q_id") != F.col("n_id")).dropDuplicates(
         ["q_id", "n_id"]
     )
-    cos = _dot("q_emb", "n_emb") / (_norm("q_emb") * _norm("n_emb"))
+    # norms precomputed once per vector below the join (see cosine_topk)
+    cos = _dot("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm"))
     scored = cand.select("q_id", "n_id", F.round(cos, 6).alias("cosine"))
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
@@ -521,28 +545,30 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q30 (quantization error on 64-dim unit-ish vectors is ~1e-3)."""
     emb = load(spark, sf_dir, "embeddings")
     qz = quantize_int8(emb)
+    # int8 self-dot norms precomputed once per vector below the join (the
+    # q30/r12 pattern): the per-pair projection only does the integer dot
     q = qz.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("q8").alias("q_q8"),
         F.col("scale").alias("q_scale"),
+        F.expr(
+            "sqrt(aggregate(q8, CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT) * v))"
+        ).alias("q_nrm"),
     )
     c = qz.select(
         F.col("vec_id").alias("n_id"),
         F.col("q8").alias("n_q8"),
         F.col("scale").alias("n_scale"),
+        F.expr(
+            "sqrt(aggregate(q8, CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT) * v))"
+        ).alias("n_nrm"),
     )
     pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
     # integer dot + int self-dots, floats only in the final correction
     idot = F.expr(
         "aggregate(zip_with(q_q8, n_q8, (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
-    qnorm = F.expr(
-        "sqrt(aggregate(q_q8, CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT) * v))"
-    )
-    nnorm = F.expr(
-        "sqrt(aggregate(n_q8, CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT) * v))"
-    )
-    cos = idot / (qnorm * nnorm)
+    cos = idot / (F.col("q_nrm") * F.col("n_nrm"))
     scored = pairs.select("q_id", "n_id", F.round(cos, 6).alias("cosine_q8"))
     w = W.partitionBy("q_id").orderBy(F.col("cosine_q8").desc(), F.col("n_id"))
     return (
@@ -648,6 +674,12 @@ def q141_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
         hyperplane_bucket(emb, planes, emb_col="embedding"),
+        # norm precomputed once per vector below the self-join (the
+        # q30/r12 pattern) — same sqrt(aggregate) on the same doubles,
+        # bit-identical 6dp cosine
+        F.sqrt(
+            F.expr("aggregate(CAST(embedding AS ARRAY<DOUBLE>), CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)")
+        ).alias("nrm"),
     )
     a = b.alias("a")
     b2 = b.alias("b2")
@@ -655,10 +687,7 @@ def q141_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "aggregate(zip_with(a.emb, b2.emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        / (
-            F.sqrt(F.expr("aggregate(a.emb, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"))
-            * F.sqrt(F.expr("aggregate(b2.emb, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"))
-        ),
+        / (F.col("a.nrm") * F.col("b2.nrm")),
         6,
     )
     edges = (
@@ -729,14 +758,15 @@ def q188_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         F.col("label").cast("long").alias("q_label"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
-    )
+    ).withColumn("q_nrm", _norm("q_emb"))
     c = emb.select(
         F.col("vec_id").alias("n_id"),
         F.col("label").cast("long").alias("n_label"),
         F.col("embedding").cast("array<double>").alias("n_emb"),
-    )
+    ).withColumn("n_nrm", _norm("n_emb"))
     pairs = c.join(F.broadcast(q), F.col("q_label") != F.col("n_label"))
-    cos = _dot("q_emb", "n_emb") / (_norm("q_emb") * _norm("n_emb"))
+    # norms precomputed once per vector below the join (see cosine_topk)
+    cos = _dot("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm"))
     scored = pairs.select(
         "q_id", "q_label", "n_id", "n_label", F.round(cos, 6).alias("cosine")
     )
