@@ -578,11 +578,14 @@ def q28_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = hashed.select(
         "doc_id",
         F.expr(
+            # r12: shiftright(h, i) % 2 instead of (h div 2^i) % 2 — h is
+            # non-negative (60 bits of md5), so the bit extracted is
+            # identical, without a 64-bit integer division per (hash, bit)
             "aggregate("
             "  transform("
             "    aggregate(hashes, array_repeat(0, 60),"
             "      (acc, h) -> transform(acc, (c, i) ->"
-            "        c + cast((h div shiftleft(cast(1 as bigint), i)) % 2 as int))),"
+            "        c + cast(shiftright(h, i) % 2 as int))),"
             "    (c, i) -> if(2*c > n, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),"
             "  cast(0 as bigint), (a, b) -> a + b)"
         ).alias("simhash"),

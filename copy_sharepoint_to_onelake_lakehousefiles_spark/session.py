@@ -11,12 +11,16 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "sharepoint_onelake_spark", cpus: str | None = None) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    # r12: shuffle partitions DERIVED from the session's core count instead
+    # of a constant tuned for local[32] — one task wave per exchange at any
+    # harness core count (the driver also benches at a lower count), and on
+    # a real cluster the knob scales with executors while AQE coalescing
+    # (below) still merges small post-shuffle partitions by size.
+    n_cores = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        # Sized for local[32]; on a cluster this scales with cores (AQE
-        # coalesces small post-shuffle partitions either way).
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", str(max(8, n_cores)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
