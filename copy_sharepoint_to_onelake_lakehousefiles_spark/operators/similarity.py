@@ -166,8 +166,16 @@ def _recall_flags(
     thresholds sit below it with explicit margin so only a real regression
     or a fixture regeneration can flip a flag. All comparisons are exact
     integer arithmetic (hits·100 ≥ n·threshold) — no doubles in the output.
+
+    r12: ``ids`` (the ANN answer's ≤ n_queries·k id pairs) is persisted —
+    the `marked` subtree feeds the output rows AND the per-query/global
+    recall aggregates, so without the cache the ENTIRE ANN pipeline
+    (bucketing, candidate join, re-rank) re-executed once per consumer:
+    2-3 times per query across q31/q51/q107/q114/q164 (guide §7.2's
+    duplicated-subtree smell — repeated join/ArrowEvalPython subtrees in
+    the executed plans).
     """
-    ids = (
+    ids = track_persist(
         ann.select("q_id", "n_id")
         .dropDuplicates(["q_id", "n_id"])
         .withColumn("__hit", F.lit(1))
