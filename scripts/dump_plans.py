@@ -12,9 +12,18 @@ dumped plan). Now the dump covers ``all_queries()`` wholesale and
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+# Plan-pin artifacts must be host-independent (ADVICE r12 #3):
+# spark.sql.shuffle.partitions derives from SPARK_GRAFT_CPUS, so a dump on a
+# machine with a different core count would produce spurious partition-count
+# diffs in every Exchange node. PLANS.md (and plans/rNN/*) are always
+# generated at the canonical 32 cores.
+PIN_CPUS = "32"
+os.environ["SPARK_GRAFT_CPUS"] = PIN_CPUS
 
 
 def _qnum(name: str) -> tuple[int, str]:
@@ -32,7 +41,8 @@ def main() -> None:
     qs = all_queries()
     out = [
         "# PLANS — formatted physical plans of ALL registered queries "
-        f"(sf0.01, {len(qs)} queries)\n"
+        f"(sf0.01, {len(qs)} queries, SPARK_GRAFT_CPUS pinned to {PIN_CPUS} "
+        "— regenerate only at this core count, see dump_plans.py)\n"
     ]
     for name in sorted(qs, key=_qnum):
         df = qs[name](spark, sf_dir)
