@@ -455,6 +455,11 @@ def _jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
     )
     pair = (
         postings.select(F.explode(F.expr(ordered_pairs)).alias("p"))
+        # ADVICE r12 #1: one doc can appear twice in a posting list iff two
+        # of its distinct shingles collide under xxhash64 (~2⁻⁶⁴); the old
+        # self-join's a.doc_id < b.doc_id excluded the degenerate (a, a)
+        # pair structurally — restore that invariant with a cheap guard
+        .where(F.col("p.da.doc_id") != F.col("p.db.doc_id"))
         .groupBy(
             F.col("p.da.doc_id").alias("doc_a"), F.col("p.db.doc_id").alias("doc_b")
         )

@@ -200,12 +200,12 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import (
         N_PROBE,
         _cells_ranked_expr,
-        _ivf_centroids,
         _nearest_cell_expr,
+        ivf_centroids_memo,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    cents = _ivf_centroids(emb)
+    cents = ivf_centroids_memo(spark, sf_dir)
     centroids = [c for _, c in cents]
     cent_df = spark.createDataFrame(
         [(cid, c) for cid, c in enumerate(centroids)], "cell int, cent array<double>"
