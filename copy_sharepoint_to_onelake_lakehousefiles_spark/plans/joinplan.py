@@ -1366,6 +1366,49 @@ def plan_join_tree(
         naive_cost += _subset_rows(acc)
     cost, tree = best[full]
 
+    def _annotate_salting(t: dict) -> None:
+        """Per-step skew advisory (r13, VERDICT r12 #7): a non-broadcast
+        single-key step whose probe side is a LEAF table with a
+        manifest-flagged hot key gets the same recommend_salting that
+        plan_equi_join issues, so execute_join_tree(n_salts=) can route
+        the step through operators/skew.salted_join. Skew is only
+        detectable where the key is an identity partition source of a
+        base table (the manifest carries per-partition row counts);
+        intermediate join results carry no such statistics — those steps
+        stay un-advised, which is the honest reading of what a static
+        planner can know."""
+        if "table" in t:
+            return
+        _annotate_salting(t["left"])
+        _annotate_salting(t["right"])
+        if t["broadcast"] is not None or len(t["keys"]) != 1:
+            return
+        lc, rc = t["keys"][0]
+        salt = None
+        for side, node, col in (("left", t["left"], lc), ("right", t["right"], rc)):
+            if "table" not in node:
+                continue
+            a = node["table"]
+            # skew is read from identity-partition row counts in the
+            # manifests — an Iceberg-only surface; Delta/TxTable sides
+            # (no partition_fields / different files() contract) simply
+            # carry no advisory, they are never an error
+            if not hasattr(tables[a], "partition_fields"):
+                continue
+            est = estimate_side(tables[a], col, pfs.get(a))
+            if est["skewed"]:
+                salt = {
+                    "side": side,
+                    "alias": a,
+                    "skew_ratio": est["skew_ratio"],
+                }
+                break
+        t["recommend_salting"] = salt is not None
+        if salt is not None:
+            t["salt"] = salt
+
+    _annotate_salting(tree)
+
     def _order(t: dict) -> str:
         if "table" in t:
             return t["table"]
@@ -1397,14 +1440,25 @@ def _count_broadcasts(tree: dict) -> int:
     )
 
 
-def execute_join_tree(plan: dict, dataframes: dict) -> DataFrame:
+def execute_join_tree(
+    plan: dict, dataframes: dict, n_salts: int | None = None
+) -> DataFrame:
     """Apply a ``plan_join_tree`` decision to concrete DataFrames (alias ->
     DataFrame). Column names must be globally unique across the inputs
     (TPC-H-style prefixes): the tree joins on unqualified column
     references, so an overlap would be silently ambiguous — refused up
     front. Each internal node joins with all its crossing equi-predicates
     ANDed and ``F.broadcast`` on the side the statistics chose; AQE may
-    still re-plan the un-hinted steps at runtime."""
+    still re-plan the un-hinted steps at runtime.
+
+    ``n_salts`` (r13, VERDICT r12 #7): steps the planner annotated with
+    ``recommend_salting`` (non-broadcast, single key, manifest-flagged
+    hot key on a leaf side) route through operators/skew.salted_join —
+    the skewed side is the preserved/probe side, the other side
+    replicates per salt. All tree joins are inner, so either side may be
+    the probe; output columns and values are identical to the plain join
+    (the salt column never escapes). Without ``n_salts`` the advisory is
+    inert and the executed plan is byte-identical to r12's."""
     missing = set(plan["aliases"]) - set(dataframes)
     if missing:
         raise ValueError(f"no DataFrame supplied for aliases {sorted(missing)}")
@@ -1423,6 +1477,21 @@ def execute_join_tree(plan: dict, dataframes: dict) -> DataFrame:
         if "table" in t:
             return dataframes[t["table"]]
         ldf, rdf = _build(t["left"]), _build(t["right"])
+        if n_salts and t.get("recommend_salting") and len(t["keys"]) == 1:
+            from ..operators.skew import salted_join
+
+            lc, rc = t["keys"][0]
+            if t["salt"]["side"] == "left":
+                big, small, bkey, skey = ldf, rdf, lc, rc
+            else:
+                big, small, bkey, skey = rdf, ldf, rc, lc
+            out = salted_join(
+                big, small.withColumnRenamed(skey, bkey), bkey, n_salts, "inner"
+            )
+            # restore the other side's key column (value-identical by the
+            # join condition) and the plain join's column order
+            out = out.withColumn(skey, F.col(bkey))
+            return out.select(*ldf.columns, *rdf.columns)
         if t["broadcast"] == "left":
             ldf = F.broadcast(ldf)
         elif t["broadcast"] == "right":
@@ -1441,11 +1510,13 @@ def planned_join_tree(
     predicates: list,
     *,
     partition_filters: dict | None = None,
+    n_salts: int | None = None,
     **kwargs,
 ):
     """Plan + execute a multi-way join in one call; reads apply the same
-    partition filters the estimates were computed under. Returns
-    ``(DataFrame, plan)``."""
+    partition filters the estimates were computed under. ``n_salts``
+    routes planner-advised skewed steps through the salted join (see
+    execute_join_tree). Returns ``(DataFrame, plan)``."""
     plan = plan_join_tree(
         tables, predicates, partition_filters=partition_filters, **kwargs
     )
@@ -1458,7 +1529,7 @@ def planned_join_tree(
         )
         for a, t in tables.items()
     }
-    return execute_join_tree(plan, dfs), plan
+    return execute_join_tree(plan, dfs, n_salts=n_salts), plan
 
 
 _STAR_CACHE: dict = {}
@@ -1540,6 +1611,11 @@ def q224_join_order_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     every join step broadcasts its smaller side under the default 10 MB
     threshold."""
     star = _demo_star_tables(spark, sf_dir)
+    # n_salts arms the per-step skew advisory (r13): inert on this star —
+    # no key is an identity partition source with a hot partition, so the
+    # planner annotates nothing and the executed plan is unchanged (pinned
+    # by the all_steps_broadcast flag); a skewed consumer gets the salted
+    # route with the same call shape (tests/test_joinplan.py pins it)
     joined, plan = planned_join_tree(
         star,
         [
@@ -1547,6 +1623,7 @@ def q224_join_order_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("orders", "o_custkey", "customer", "c_custkey"),
             ("customer", "c_nationkey", "nation", "n_nationkey"),
         ],
+        n_salts=8,
     )
     dp_beats = int(plan["cost"] < plan["naive_cost"])
 
@@ -1673,7 +1750,11 @@ def q225_join_order_partition_pruned(
     unpruned = plan_join_tree(pstar, preds)
     dims_first = int(_first_pair(unpruned) == [{"customer", "nation"}])
     pf = {"orders": {"o_bucket": 7}}
-    joined, pruned = planned_join_tree(pstar, preds, partition_filters=pf)
+    # n_salts arms the skew advisory (r13) — inert here (no hot partition
+    # on a join key), plan unchanged; see q224's note
+    joined, pruned = planned_join_tree(
+        pstar, preds, partition_filters=pf, n_salts=8
+    )
     fact_first = int(_first_pair(pruned) == [{"orders", "customer"}])
     pruned_ndv = int(
         all(

@@ -36,6 +36,15 @@ QUERIES = [
     "q26_minhash_lsh_pairs",
     "q153_exact_substring_dup",
     "q164_ivfpq_ann_topk",
+    # r13 (VERDICT r12 #4): the round-12 flagship plan changes get
+    # committed at-scale numbers too. q27 pins the join-free posting-list
+    # candidate plan (output grows ~quadratically inside duplicate groups
+    # — read the per-krow columns, not the raw ratio); q30 pins the
+    # norms-below-the-join exact cosine kernel (pure compute, constant
+    # output). q54's fixture is synthetic (sf-independent), so the copy
+    # subsystem gets its own 10x file-count block below.
+    "q27_ngram_jaccard_pairs",
+    "q30_cosine_topk",
 ]
 
 
@@ -454,6 +463,53 @@ def main() -> None:
         jo["plan_flat"] = jo["plan_ratio"] <= 3.0
         jo["order_stable"] = jo["base_order"] == jo["x10_order"]
         result["join_ordering"] = jo
+        # COPY SUBSYSTEM 10x (r13, VERDICT r12 #4): q54's fixture is
+        # synthetic (256 × 16 KB files, independent of sf_dir), so its
+        # scale evidence times the same engine pass — copy_tree + the
+        # fused (count, ok-count, byte-sum) aggregate, q54's exact timed
+        # region — on a 10x FILE COUNT. Parallelism comes from the
+        # listing scan's size-based splits (the r12 change); near-linear
+        # wall at 10x files is the claim under test.
+        from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.copy_plan import (
+            copy_tree,
+        )
+
+        def _copy_probe(n_files: int) -> float:
+            croot = os.path.join(inflated, f"copy_{n_files}")
+            src, dst = os.path.join(croot, "src"), os.path.join(croot, "dst")
+            for dnum in range(8):
+                os.makedirs(os.path.join(src, f"d{dnum}"))
+            payload = bytes(range(256)) * 64  # 16 KB
+            for i in range(n_files):
+                with open(
+                    os.path.join(src, f"d{i % 8}", f"f{i:05d}.bin"), "wb"
+                ) as fh:
+                    fh.write(payload)
+            t0 = time.time()
+            row = (
+                copy_tree(spark, src, dst)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(F.when(F.col("status") == "ok", 1)).alias("ok"),
+                    F.sum("bytes").alias("b"),
+                )
+                .collect()[0]  # bounded: 1-row agg (q54's timed shape)
+            )
+            sec = round(time.time() - t0, 3)
+            shutil.rmtree(croot, ignore_errors=True)
+            assert int(row["n"]) == int(row["ok"]) == n_files, row
+            return sec
+
+        _copy_probe(256)  # warm the copy/scan code paths once
+        cp = {
+            "base_sec": _copy_probe(256),
+            "x10_sec": _copy_probe(2560),
+            "base_files": 256,
+            "x10_files": 2560,
+        }
+        cp["ratio"] = round(cp["x10_sec"] / max(cp["base_sec"], 1e-9), 2)
+        cp["near_linear"] = cp["ratio"] <= 12.0
+        result["copy_scale"] = cp
     finally:
         shutil.rmtree(inflated, ignore_errors=True)
     with open(out_path, "w") as f:

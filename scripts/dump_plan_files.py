@@ -11,7 +11,9 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+# resolve the repo root from this file so the script works from a pinned
+# worktree too (the before/after plan pairs come from two checkouts)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["SPARK_GRAFT_CPUS"] = "32"
 
 

@@ -5,7 +5,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== pytest =="
-python -m pytest tests/ -q
+python -m pytest tests/ -q -m ""   # FULL suite (the default tier deselects `slow`)
 
 echo "== oracle gate (engine session, sf0.01) =="
 python scripts/check_oracle.py /root/testdata/sf0.01

@@ -1336,3 +1336,53 @@ def test_join_tree_dp_matches_bruteforce_on_random_graphs():
         )
         # and the naive as-written order can never beat the optimum
         assert plan["cost"] <= plan["naive_cost"] + 1e-9
+
+
+def test_join_tree_salting_routes_through_salted_join(spark, root):
+    """r13 (VERDICT r12 #7): the join-TREE planner annotates a
+    non-broadcast single-key step whose leaf side carries a
+    manifest-flagged hot key, and execute_join_tree(n_salts=) routes that
+    step through operators/skew.salted_join — `_salt` visible in the
+    executed plan, rows and column order identical to the plain tree
+    execution. Without n_salts the advisory is inert (plan unchanged)."""
+    from copy_sharepoint_to_onelake_lakehousefiles_spark.plans.joinplan import (
+        execute_join_tree,
+        plan_join_tree,
+    )
+
+    rows = [(1, "hot")] * 2000 + [(k, "cold") for k in range(2, 12)]
+    f = spark.createDataFrame(rows, "k long, tag string")
+    ft = IcebergTable.create(spark, root + "_f", f, partition_by=["k"])
+    ft.analyze(columns=["k"])
+    d = spark.createDataFrame([(k, k * 10) for k in range(1, 12)], "dk long, v long")
+    dt = IcebergTable.create(spark, root + "_d", d)
+    dt.analyze(columns=["dk"])
+    try:
+        plan = plan_join_tree(
+            {"fact": ft, "dim": dt},
+            [("fact", "k", "dim", "dk")],
+            broadcast_bytes=0,
+        )
+        step = plan["tree"]
+        assert step["broadcast"] is None
+        assert step["recommend_salting"] is True
+        assert step["salt"]["alias"] == "fact" and step["salt"]["skew_ratio"] > 5
+        dfs = {"fact": ft.read(), "dim": dt.read()}
+        plain = execute_join_tree(plan, dfs)
+        assert "_salt" not in plain._jdf.queryExecution().executedPlan().toString()
+        salted = execute_join_tree(plan, dfs, n_salts=8)
+        assert "_salt" in salted._jdf.queryExecution().executedPlan().toString()
+        assert salted.columns == plain.columns
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+        # un-skewed steps stay un-advised: the same tree planned with the
+        # broadcast budget open broadcasts the dim and carries no advisory
+        plan2 = plan_join_tree(
+            {"fact": ft, "dim": dt}, [("fact", "k", "dim", "dk")]
+        )
+        assert plan2["tree"]["broadcast"] is not None
+        assert "recommend_salting" not in plan2["tree"]
+    finally:
+        shutil.rmtree(root + "_f", ignore_errors=True)
+        shutil.rmtree(root + "_d", ignore_errors=True)
